@@ -1,13 +1,153 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{RefAdapter, Schemas}
+import graft.gold.{CustomerLifetimeValue, DailySales}
+import graft.ops.{Compaction, Integrity}
+import graft.cdc.Flatten
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark query (the library operator under test, wrapped to a
+  * deterministic, oracle-comparable output: stable ordering, exact decimal money math,
+  * dates instead of raw timestamps) with equivalent ANSI SQL for DuckDB.
+  */
 object SparkEntry {
+
+  // ---- harness → reference-shape adapters ------------------------------------------
+  private def refOrders(s: SparkSession, dir: String): DataFrame =
+    RefAdapter.orders(Tables.orders(s, dir))
+  private def refCustomers(s: SparkSession, dir: String): DataFrame =
+    RefAdapter.customers(Tables.customer(s, dir))
+
+  private val oSql = RefAdapter.ordersSql
+  private val cSql = RefAdapter.customersSql
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q_daily_sales")(spark, "/root/testdata/sf0.001")
+
+  // ---- queries ----------------------------------------------------------------------
+
+  private def qDailySales(distinct: Boolean)(s: SparkSession, dir: String): DataFrame =
+    DailySales(refOrders(s, dir), refCustomers(s, dir), distinctCustomers = distinct)
+      .orderBy("sale_date", "region")
+
+  private def qClv(s: SparkSession, dir: String): DataFrame =
+    CustomerLifetimeValue(refOrders(s, dir), refCustomers(s, dir))
+      .withColumn("first_order_date", to_date(col("first_order_date")))
+      .withColumn("last_order_date", to_date(col("last_order_date")))
+      .orderBy("customer_id")
+
+  private def qLatestOrder(s: SparkSession, dir: String): DataFrame =
+    Compaction.latestPerKey(refOrders(s, dir),
+        key = Seq("customer_id"), versionDesc = Seq("order_date", "order_id"))
+      .select(col("customer_id"), col("order_id"),
+        to_date(col("order_date")).as("order_date"), col("order_amount"))
+      .orderBy("customer_id")
+
+  private def qOrphans(s: SparkSession, dir: String): DataFrame =
+    Integrity.orphans(
+        refOrders(s, dir),
+        refCustomers(s, dir).filter(col("customer_id") % 3 =!= 0),
+        key = Seq("customer_id"))
+      .select("order_id", "customer_id")
+      .orderBy("order_id")
+
+  /** Builds a Debezium-shaped envelope from orders (epoch-days date, decimal(10,2)
+    * amount), then exercises the CDC flatten + logical-type decode path.
+    */
+  private def qCdcFlatten(s: SparkSession, dir: String): DataFrame = {
+    val envelope = refOrders(s, dir).select(
+      lit(null).cast(Schemas.orderCdcValue).as("before"),
+      struct(
+        col("order_id"),
+        datediff(col("order_date"), to_date(lit("1970-01-01"))).as("order_date"),
+        col("order_amount").cast(DecimalType(10, 2)).as("order_amount"),
+        col("customer_id")).as("after"),
+      lit("c").as("op"),
+      (unix_timestamp(col("order_date")) * 1000).as("ts_ms"))
+    Flatten.ordersAfter(envelope).orderBy("order_id")
+  }
+
+  private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
+    tables.map { n =>
+      Tables.load(s, dir, n)
+        .agg(count(lit(1)).as("row_count"))
+        .select(lit(n).as("table_name"), col("row_count"))
+    }.reduce(_.unionAll(_)).orderBy("table_name")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_daily_sales" -> qDailySales(distinct = false),
+    "q_daily_sales_distinct" -> qDailySales(distinct = true),
+    "q_clv" -> qClv,
+    "q_latest_order_per_customer" -> qLatestOrder,
+    "q_orphan_orders" -> qOrphans,
+    "q_cdc_flatten" -> qCdcFlatten,
+    "q_table_counts" -> qTableCounts)
+
+  // ---- oracle SQL -------------------------------------------------------------------
+
+  private def dailySalesSql(uniqueExpr: String): String =
+    s"""WITH o AS ($oSql), c AS ($cSql)
+       |SELECT strftime(o.order_date, '%Y-%m-%d') AS sale_date, c.region AS region,
+       |  COUNT(o.order_id) AS total_orders,
+       |  CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       |  CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o.order_id)
+       |    AS avg_order_value,
+       |  $uniqueExpr AS unique_customers
+       |FROM o JOIN c USING (customer_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_daily_sales" -> dailySalesSql("COUNT(o.customer_id)"),
+    "q_daily_sales_distinct" -> dailySalesSql("COUNT(DISTINCT o.customer_id)"),
+    "q_clv" ->
+      s"""WITH o AS ($oSql), c AS ($cSql),
+         |m AS (
+         |  SELECT customer_id, COUNT(order_id) AS total_orders,
+         |    CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
+         |    CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(order_id)
+         |      AS avg_order_value,
+         |    MIN(order_date) AS first_ts, MAX(order_date) AS last_ts
+         |  FROM o GROUP BY customer_id)
+         |SELECT m.customer_id AS customer_id, c.name AS name, c.email AS email,
+         |  c.region AS region, m.total_orders, m.lifetime_value, m.avg_order_value,
+         |  c.customer_tenure_days AS customer_tenure_days,
+         |  date_diff('day', CAST(m.first_ts AS DATE), CAST(m.last_ts AS DATE))
+         |    / m.total_orders AS avg_days_between_orders,
+         |  CAST(m.first_ts AS DATE) AS first_order_date,
+         |  CAST(m.last_ts AS DATE) AS last_order_date
+         |FROM m JOIN c ON m.customer_id = c.customer_id
+         |ORDER BY customer_id""".stripMargin,
+    "q_latest_order_per_customer" ->
+      s"""WITH o AS ($oSql)
+         |SELECT customer_id, order_id, CAST(order_date AS DATE) AS order_date, order_amount
+         |FROM o
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY customer_id ORDER BY order_date DESC, order_id DESC) = 1
+         |ORDER BY customer_id""".stripMargin,
+    "q_orphan_orders" ->
+      s"""WITH o AS ($oSql), c AS ($cSql)
+         |SELECT order_id, customer_id FROM o
+         |WHERE NOT EXISTS (SELECT 1 FROM c
+         |  WHERE c.customer_id = o.customer_id AND c.customer_id % 3 <> 0)
+         |ORDER BY order_id""".stripMargin,
+    "q_cdc_flatten" ->
+      """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q_table_counts" ->
+      Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
+        .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))
 }
