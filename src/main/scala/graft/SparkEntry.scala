@@ -73,6 +73,29 @@ object SparkEntry {
     Flatten.ordersAfter(envelope).orderBy("order_id")
   }
 
+  /** Runs the full DQ validator suite (Q1-Q4) over reference-shaped orders/customers and
+    * returns the detail rows — each row one check outcome (SURVEY.md §2.10).
+    */
+  private def qDqReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = refOrders(s, dir)
+    val c = refCustomers(s, dir)
+    val v = new graft.dq.DqValidator()
+      .checkCompleteness(o, "orders",
+        Seq("order_id", "order_date", "order_amount", "customer_id"))
+      .checkCompleteness(c, "customers",
+        Seq("customer_id", "name", "email", "region", "customer_tenure_days"))
+      .checkAccuracy(o, "orders", Seq(
+        "amount_positive" -> (col("order_amount") > 0),
+        "date_not_future" -> (col("order_date") <= lit("2026-01-01").cast("timestamp"))))
+      .checkAccuracy(c, "customers", Seq(
+        "tenure_1_100" -> col("customer_tenure_days").between(1, 100)))
+      .checkConsistency(o, "orders", c, "customers", Seq("customer_id"))
+      .checkVolume(o, "orders", 1L, 1000000000000L)
+    v.results.toDS().toDF()
+      .orderBy("table_name", "check_type", "target")
+  }
+
   private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
     val tables = Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
     tables.map { n =>
@@ -90,6 +113,7 @@ object SparkEntry {
     "q_latest_order_per_customer" -> qLatestOrder,
     "q_orphan_orders" -> qOrphans,
     "q_cdc_flatten" -> qCdcFlatten,
+    "q_dq_report" -> qDqReport,
     "q_table_counts" -> qTableCounts)
 
   // ---- oracle SQL -------------------------------------------------------------------
@@ -104,6 +128,45 @@ object SparkEntry {
        |  $uniqueExpr AS unique_customers
        |FROM o JOIN c USING (customer_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def dqReportSql: String = {
+    def pct(table: String, check: String, target: String, viol: String,
+        threshold: Double, rel: String): String = {
+      val metric = "CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE " +
+        s"100.0 * SUM(CASE WHEN $viol THEN 1 ELSE 0 END) / COUNT(*) END"
+      s"SELECT '$table' AS table_name, '$check' AS check_type, '$target' AS target, " +
+        s"$metric AS metric_value, " +
+        s"CASE WHEN ($metric) < $threshold THEN 'PASS' ELSE 'FAIL' END AS status FROM $rel"
+    }
+    val completeness =
+      Seq("order_id", "order_date", "order_amount", "customer_id").map(c =>
+        pct("orders", "completeness", c, s"$c IS NULL", 5.0, "o")) ++
+      Seq("customer_id", "name", "email", "region", "customer_tenure_days").map(c =>
+        pct("customers", "completeness", c, s"$c IS NULL", 5.0, "c"))
+    val accuracy = Seq(
+      pct("orders", "accuracy", "amount_positive", "NOT (order_amount > 0)", 1.0, "o"),
+      pct("orders", "accuracy", "date_not_future",
+        "NOT (order_date <= TIMESTAMP '2026-01-01')", 1.0, "o"),
+      pct("customers", "accuracy", "tenure_1_100",
+        "NOT (customer_tenure_days BETWEEN 1 AND 100)", 1.0, "c"))
+    val orphanPct = "CASE WHEN (SELECT COUNT(*) FROM o) = 0 THEN 0.0 ELSE " +
+      "100.0 * (SELECT COUNT(*) FROM o WHERE NOT EXISTS " +
+      "(SELECT 1 FROM c WHERE c.customer_id = o.customer_id)) / " +
+      "(SELECT COUNT(*) FROM o) END"
+    val consistency =
+      "SELECT 'orders' AS table_name, 'consistency' AS check_type, " +
+        "'customer_id->customers' AS target, " +
+        s"$orphanPct AS metric_value, " +
+        s"CASE WHEN ($orphanPct) < 1.0 THEN 'PASS' ELSE 'FAIL' END AS status"
+    val volume =
+      "SELECT 'orders' AS table_name, 'volume' AS check_type, 'rows' AS target, " +
+        "CAST(COUNT(*) AS DOUBLE) AS metric_value, " +
+        "CASE WHEN COUNT(*) BETWEEN 1 AND 1000000000000 THEN 'PASS' ELSE 'FAIL' END " +
+        "AS status FROM o"
+    s"WITH o AS ($oSql), c AS ($cSql)\n" +
+      (completeness ++ accuracy ++ Seq(consistency, volume)).mkString(" UNION ALL ") +
+      " ORDER BY table_name, check_type, target"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -146,6 +209,7 @@ object SparkEntry {
       """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
         |FROM orders ORDER BY order_id""".stripMargin,
+    "q_dq_report" -> dqReportSql,
     "q_table_counts" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
