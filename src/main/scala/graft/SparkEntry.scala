@@ -8,6 +8,7 @@ import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
 import graft.ops.{Compaction, Integrity}
 import graft.cdc.Flatten
+import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +74,49 @@ object SparkEntry {
     Flatten.ordersAfter(envelope).orderBy("order_id")
   }
 
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** S1/K-CSV: write the customer dimension as header CSV, read it back with an explicit
+    * schema — the reference's CSV-scan entry point (pandas read_csv → producer).
+    */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(s, dir)
+    val out = tmpDir("graft_csv")
+    FlatFiles.writeCsv(src, out)
+    FlatFiles.readCsv(s, out, src.schema).orderBy("c_custkey")
+  }
+
+  /** S4/K2: land orders as JSON-lines Hive-partitioned by sale date, read back with
+    * partition discovery — the reference's lake landing + DQ-read path.
+    */
+  private def qJsonPartitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = refOrders(s, dir)
+      .withColumn("sale_date", date_format(col("order_date"), "yyyy-MM-dd"))
+    val out = tmpDir("graft_json")
+    FlatFiles.writePartitionedJson(src, out, "sale_date")
+    val schema = StructType(src.schema.fields.filterNot(_.name == "sale_date"))
+      .add("sale_date", StringType)
+    FlatFiles.readPartitionedJson(s, out, schema)
+      .select(col("order_id"), col("sale_date"), col("order_amount"),
+        col("customer_id"), to_date(col("order_date")).as("order_date"))
+      .orderBy("order_id")
+  }
+
+  /** S6: full Avro CDC path — orders → Debezium envelope container files on disk
+    * (epoch-days date, decimal-bytes amount) → distributed Avro read → flatten+decode.
+    */
+  private def qAvroCdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("graft_avro")
+    AvroEnvelopeIO.writeOrdersEnvelopes(refOrders(s, dir), out)
+    Flatten.ordersAfter(AvroEnvelopeIO.readOrdersEnvelopes(s, out))
+      .orderBy("order_id")
+  }
+
+  /** S2: deterministic distributed synthetic generator (Faker-producer replacement). */
+  private def qSyntheticOrders(s: SparkSession, dir: String): DataFrame =
+    Synthetic.orders(s, 10000).orderBy("order_id")
+
   /** Runs the full DQ validator suite (Q1-Q4) over reference-shaped orders/customers and
     * returns the detail rows — each row one check outcome (SURVEY.md §2.10).
     */
@@ -114,7 +158,11 @@ object SparkEntry {
     "q_orphan_orders" -> qOrphans,
     "q_cdc_flatten" -> qCdcFlatten,
     "q_dq_report" -> qDqReport,
-    "q_table_counts" -> qTableCounts)
+    "q_table_counts" -> qTableCounts,
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_json_partitioned_roundtrip" -> qJsonPartitionedRoundtrip,
+    "q_avro_cdc_roundtrip" -> qAvroCdcRoundtrip,
+    "q_synthetic_orders" -> qSyntheticOrders)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -210,6 +258,20 @@ object SparkEntry {
         |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
+    "q_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
+    "q_json_partitioned_roundtrip" ->
+      """SELECT o_orderkey AS order_id, strftime(o_orderdate, '%Y-%m-%d') AS sale_date,
+        |  o_totalprice AS order_amount, o_custkey AS customer_id,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q_avro_cdc_roundtrip" ->
+      """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q_synthetic_orders" ->
+      """SELECT i + 1 AS order_id, DATE '2024-01-01' + CAST(i % 365 AS INT) AS order_date,
+        |  CAST((i * 37) % 1000 + 1 AS DOUBLE) AS order_amount, i % 50 + 1 AS customer_id
+        |FROM range(0, 10000) t(i) ORDER BY order_id""".stripMargin,
     "q_table_counts" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
