@@ -9,6 +9,7 @@ import graft.gold.{CustomerLifetimeValue, DailySales}
 import graft.ops.{Compaction, Integrity}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
+import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -117,6 +118,40 @@ object SparkEntry {
   private def qSyntheticOrders(s: SparkSession, dir: String): DataFrame =
     Synthetic.orders(s, 10000).orderBy("order_id")
 
+  /** T1–T5: end-to-end Structured Streaming ingest — events → JSON-lines input dir →
+    * file-stream source → foreachBatch partitioned landing with ingest_time stamp →
+    * read back. Timestamps ride as epoch-micros longs through JSON (lossless).
+    */
+  private def qStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.eventsMicros(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val in = tmpDir("graft_si_in")
+    val out = tmpDir("graft_si_out")
+    val chk = tmpDir("graft_si_chk")
+    src.write.mode("overwrite").json(in)
+    val q = LakeWriter.ingestJsonStream(s, in, src.schema,
+      dateCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"),
+      outputDir = out, checkpointDir = chk)
+    q.awaitTermination()
+    val outSchema = StructType(src.schema.fields)
+      .add("ingest_time", StringType).add("date", StringType)
+    FlatFiles.readPartitionedJson(s, out, outSchema)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        timestamp_micros(col("ts_us")).as("ts"), col("date"))
+      .orderBy("event_id")
+  }
+
+  /** Event-time tumbling-window aggregation (streaming extension; batch-equivalent plan). */
+  private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    StreamAggregates.hourlyEventStats(Tables.eventsMicros(s, dir))
+      .orderBy("bucket_start", "event_type")
+
+  /** Gap-based sessionization via lag + running-sum window functions. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
+      .orderBy("user_id", "session_seq")
+
   /** Runs the full DQ validator suite (Q1-Q4) over reference-shaped orders/customers and
     * returns the detail rows — each row one check outcome (SURVEY.md §2.10).
     */
@@ -162,7 +197,10 @@ object SparkEntry {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_partitioned_roundtrip" -> qJsonPartitionedRoundtrip,
     "q_avro_cdc_roundtrip" -> qAvroCdcRoundtrip,
-    "q_synthetic_orders" -> qSyntheticOrders)
+    "q_synthetic_orders" -> qSyntheticOrders,
+    "q_stream_ingest" -> qStreamIngest,
+    "q_events_hourly" -> qEventsHourly,
+    "q_sessionize" -> qSessionize)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -272,6 +310,28 @@ object SparkEntry {
       """SELECT i + 1 AS order_id, DATE '2024-01-01' + CAST(i % 365 AS INT) AS order_date,
         |  CAST((i * 37) % 1000 + 1 AS DOUBLE) AS order_amount, i % 50 + 1 AS customer_id
         |FROM range(0, 10000) t(i) ORDER BY order_id""".stripMargin,
+    "q_stream_ingest" ->
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, SUM(is_new) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |  AS session_seq FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_table_counts" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")

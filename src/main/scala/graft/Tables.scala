@@ -15,6 +15,15 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** events with ts decoded from raw parquet NANOS to a proper microsecond timestamp.
+    * Integer `div` (not `/`) — double division would lose precision on ~1.7e18 ns values.
+    */
+  def eventsMicros(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization, in two idiomatic forms:
+  *
+  *  - [[batch]]: lag + running-sum window functions — one shuffle on user_id, fully
+  *    codegen'd, the right shape for backfills over 100 TB of history.
+  *  - [[SessionCounter]]: `mapGroupsWithState` for live streams — custom keyed state with
+  *    processing-time timeout, the Structured Streaming stateful-operator surface the
+  *    reference's hand-rolled consumer loop never reaches (SURVEY.md §2.9 T7).
+  */
+object Sessionize {
+
+  /** Assign session sequence numbers per user: a new session starts when the gap from the
+    * previous event exceeds `gapMinutes`. Deterministic via event_id tie-break.
+    */
+  def batch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val withGap = events
+      .withColumn("__prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull ||
+          unix_micros(col("ts")) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionSnapshot(user_id: Long, n_events: Long, last_ts: Timestamp)
+
+  /** Streaming per-user session state: counts events per user across micro-batches.
+    * Demonstrates the keyed-state operator; used with `OutputMode.Update`.
+    *
+    * `timeoutMinutes = Some(n)` expires idle state with a processing-time timeout. Note:
+    * with a timeout the engine schedules no-data micro-batches to fire expirations, so
+    * drive such queries with a real trigger, not `processAllAvailable()` (which can then
+    * block indefinitely) — default is no timeout.
+    */
+  object SessionCounter {
+    def apply(events: Dataset[SessionEvent], timeoutMinutes: Option[Int] = None)(
+        implicit spark: SparkSession): Dataset[SessionSnapshot] = {
+      import spark.implicits._
+      val timeoutConf =
+        if (timeoutMinutes.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout
+      events
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(timeoutConf) {
+          (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionSnapshot]) =>
+            val evs = batch.toSeq
+            val prior = state.getOption
+            val snapshot =
+              if (state.hasTimedOut || prior.isEmpty)
+                SessionSnapshot(userId, evs.size.toLong,
+                  evs.map(_.ts).maxBy(_.getTime))
+              else
+                SessionSnapshot(userId, prior.get.n_events + evs.size,
+                  (prior.get.last_ts +: evs.map(_.ts)).maxBy(_.getTime))
+            state.update(snapshot)
+            timeoutMinutes.foreach(m => state.setTimeoutDuration(s"$m minutes"))
+            snapshot
+        }
+    }
+  }
+
+  private[graft] val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time windowed aggregation — the streaming upgrade of the reference's gold
+  * aggregations (flagged as the extension path in SURVEY.md §2.9 T7: the reference has no
+  * watermarks/windows; its daily-sales-as-a-stream would need exactly this).
+  *
+  * Works identically on a batch or streaming DataFrame: on a stream, add the watermark so
+  * state for closed windows is dropped; on batch the same plan is a plain hash aggregate.
+  *
+  * Spark-first notes: `window()` buckets rows map-side before the shuffle, so each
+  * executor ships one partial row per (window, type) group — the shuffle volume is
+  * proportional to group count, not event count. The money sum goes through
+  * DECIMAL(18,2) for order-independent exactness.
+  */
+object StreamAggregates {
+
+  /** Tumbling-window counts and value totals per event_type. `ts` must be TimestampType. */
+  def hourlyEventStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(w => events.withWatermark("ts", w))
+    withWm
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+}
