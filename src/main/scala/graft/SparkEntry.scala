@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{Compaction, Integrity}
+import graft.ops.{Compaction, Dedup, Integrity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -152,6 +152,39 @@ object SparkEntry {
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
 
+  // ---- LLM-data-pipeline operators over documents ----------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(docs(s, dir)).orderBy("doc_id")
+
+  private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5).orderBy("doc_a", "doc_b")
+
+  private def qMinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(docs(s, dir), numHashes = 32, bands = 16,
+      threshold = 0.5).orderBy("doc_a", "doc_b")
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(s, dir)).orderBy("doc_id")
+
+  private def qSimhashNearPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearPairs(Dedup.simHash(docs(s, dir)), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  private def qFingerprints(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
+
   /** Runs the full DQ validator suite (Q1-Q4) over reference-shaped orders/customers and
     * returns the detail rows — each row one check outcome (SURVEY.md §2.10).
     */
@@ -200,7 +233,16 @@ object SparkEntry {
     "q_synthetic_orders" -> qSyntheticOrders,
     "q_stream_ingest" -> qStreamIngest,
     "q_events_hourly" -> qEventsHourly,
-    "q_sessionize" -> qSessionize)
+    "q_sessionize" -> qSessionize,
+    "q_text_stats" -> qTextStats,
+    "q_token_counts" -> qTokenCounts,
+    "q_lang_id" -> qLangId,
+    "q_dedup_exact" -> qDedupExact,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_minhash_neardup" -> qMinhashNearDup,
+    "q_simhash" -> qSimhash,
+    "q_simhash_near_pairs" -> qSimhashNearPairs,
+    "q_fingerprints" -> qFingerprints)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -254,6 +296,78 @@ object SparkEntry {
       " ORDER BY table_name, check_type, target"
   }
 
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val textStatsSql: String = {
+    val stop = sqlList(TextAnalysis.enStop)
+    s"""WITH t AS (SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks,
+       |    regexp_extract_all(text, '\\w+|[^\\w\\s]') AS bp
+       |  FROM documents),
+       |u AS (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_words,
+       |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+       |    len(bp) - len(list_filter(bp, x -> regexp_full_match(x, '\\w+'))) AS n_punct,
+       |    len(list_filter(toks, x -> list_contains($stop, x))) AS n_stop
+       |  FROM t),
+       |v AS (SELECT doc_id, n_chars, n_words,
+       |    CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words ELSE 0.0 END
+       |      AS avg_word_len,
+       |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+       |      AS punct_ratio,
+       |    CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END
+       |      AS stopword_ratio
+       |  FROM u)
+       |SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
+       |  CAST(CASE WHEN n_words BETWEEN 5 AND 10000 THEN 0.25 ELSE 0.0 END
+       |   + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+       |   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
+       |   + CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END AS DOUBLE)
+       |   AS quality_score
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  private val langIdSql: String = {
+    def hits(l: Seq[String]) =
+      s"len(list_filter(toks, x -> list_contains(${sqlList(l)}, x)))"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, ${hits(TextAnalysis.enStop)} AS en_hits,
+       |    ${hits(TextAnalysis.deStop)} AS de_hits,
+       |    ${hits(TextAnalysis.esStop)} AS es_hits,
+       |    ${hits(TextAnalysis.frStop)} AS fr_hits FROM t)
+       |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+       |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+       |    WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+       |    WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+       |    WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+       |    ELSE 'fr' END AS predicted_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> array_to_string(tk[i:i+2], ' ')))
+      |    ELSE [] END AS shs FROM toks),
+      |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM t),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+      |kept AS (SELECT sh.* FROM sh JOIN (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000) k
+      |  USING (shingle)),
+      |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common, sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+      |  CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+      |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -296,6 +410,17 @@ object SparkEntry {
         |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
+    "q_text_stats" -> textStatsSql,
+    "q_token_counts" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> langIdSql,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardSql,
     "q_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
     "q_json_partitioned_roundtrip" ->
       """SELECT o_orderkey AS order_id, strftime(o_orderdate, '%Y-%m-%d') AS sale_date,

