@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{Compaction, Dedup, Integrity, TextAnalysis}
+import graft.ops.{Compaction, Dedup, Integrity, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -185,6 +185,21 @@ object SparkEntry {
   private def qFingerprints(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")
 
+  private def qSimilarityTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
+      tables = 16, planesPerTable = 4).orderBy("query_id", "rank")
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.featureTable(docs(s, dir))
+      .select("doc_id", "n_bytes", "width", "height", "channels", "first_byte")
+      .orderBy("doc_id")
+  }
+
   /** Runs the full DQ validator suite (Q1-Q4) over reference-shaped orders/customers and
     * returns the detail rows — each row one check outcome (SURVEY.md §2.10).
     */
@@ -242,7 +257,10 @@ object SparkEntry {
     "q_minhash_neardup" -> qMinhashNearDup,
     "q_simhash" -> qSimhash,
     "q_simhash_near_pairs" -> qSimhashNearPairs,
-    "q_fingerprints" -> qFingerprints)
+    "q_fingerprints" -> qFingerprints,
+    "q_similarity_topk" -> qSimilarityTopK,
+    "q_ann_topk" -> qAnnTopK,
+    "q_multimodal_features" -> qMultimodalFeatures)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -421,6 +439,28 @@ object SparkEntry {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_similarity_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.qnorm * n.norm), 4) AS cosine
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  32 + octet_length(encode(text)) % 608 AS width,
+        |  32 + (octet_length(encode(text)) * 7) % 448 AS height,
+        |  3 AS channels, ascii(substr(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
     "q_json_partitioned_roundtrip" ->
       """SELECT o_orderkey AS order_id, strftime(o_orderdate, '%Y-%m-%d') AS sale_date,

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[cosineTopK]]: exact brute-force — broadcast the query set against the corpus.
+  *    The corpus side streams (no shuffle); norms are precomputed BEFORE the join so the
+  *    per-pair work is one fused dot product inside codegen'd higher-order functions.
+  *    This is the correct baseline up to ~thousands of queries × any corpus size.
+  *  - [[annTopK]]: LSH random-hyperplane ANN — each vector gets a P-bit signature from
+  *    deterministic hyperplanes; candidate pairs are an EQUALITY join on the signature
+  *    (bucket), so the all-pairs cross product never materializes. At 100 TB this is the
+  *    scale path: bucket join shuffles on a 8-byte key, recall tunes with P and the
+  *    number of probe tables.
+  *
+  * All arithmetic is double (floats widened first): cheap, and keeps results stable
+  * under any partitioning.
+  */
+object Similarity {
+
+  /** Widen array<float> to array<double>. */
+  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-to-right dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  private def normed(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < numQueries), self
+    * excluded. Cosine is rounded to 4 dp and ranking tie-breaks on neighbor id, making
+    * the result set independent of float summation noise and partitioning.
+    */
+  def cosineTopK(
+      embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = normed(embeddings, idCol, vecCol)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val sims = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed → reproducible runs
+    * and cluster-order independence).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Add a P-bit LSH signature column (`sig`) from sign(dot(plane, v)). */
+  def withSignature(
+      embeddings: DataFrame, planes: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planesLit = typedLit(planes)
+    val base = normed(embeddings, idCol, vecCol)
+    val bits = transform(planesLit, p => dot(p, col("v")) >= 0)
+    base.withColumn("sig",
+      aggregate(bits, lit(0L),
+        (acc, b) => acc * 2 + when(b, 1L).otherwise(0L)))
+  }
+
+  /** Add multi-table LSH signatures: `tables` independent signatures of `planesPerTable`
+    * bits each, exploded to (vec_id, v, norm, table, sig) — one row per (vector, table).
+    */
+  def withTableSignatures(
+      embeddings: DataFrame, tables: Int, planesPerTable: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val base = normed(embeddings, idCol, vecCol)
+    val sigStructs = (0 until tables).map { t =>
+      val planesLit = typedLit(hyperplanes(planesPerTable, dim, seed + t))
+      val bits = transform(planesLit, p => dot(p, col("v")) >= 0)
+      struct(lit(t).as("table"),
+        aggregate(bits, lit(0L), (acc, b) => acc * 2 + when(b, 1L).otherwise(0L))
+          .as("sig"))
+    }
+    base.withColumn("ts", explode(array(sigStructs: _*)))
+      .select(col("vec_id"), col("v"), col("norm"), col("ts.table"), col("ts.sig"))
+  }
+
+  /** ANN top-k via multi-table LSH: a candidate must share the full bucket with the
+    * query in AT LEAST ONE of the tables (the classic LSH-forest recall amplification:
+    * recall ≈ 1−(1−p^P)^T). Exact cosine re-ranks the candidate union. Recall < 1 by
+    * construction — measured against [[cosineTopK]] in tests.
+    */
+  def annTopK(
+      embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      tables: Int = 16, planesPerTable: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
+      idCol, vecCol)
+    val queries = signed.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("table").as("qtable"), col("sig").as("qsig"))
+    val candidates = signed.join(broadcast(queries),
+        col("table") === col("qtable") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "qv", "qnorm", "v", "norm")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
+    * The bucket equality join replaces the quadratic all-pairs scan.
+    */
+  def embeddingNearDuplicates(
+      embeddings: DataFrame, threshold: Double = 0.95, numPlanes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val signed = withSignature(embeddings, hyperplanes(numPlanes, dim), idCol, vecCol)
+    signed.as("x").join(signed.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        round(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, Similarity}
+
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+
+  test("cosineTopK: k rows per query, self excluded, cosine in [-1,1], descending") {
+    val topk = Similarity.cosineTopK(Tables.embeddings(spark, sf),
+      numQueries = 5, k = 3).cache()
+    assert(topk.count() === 15)
+    assert(topk.filter(col("query_id") === col("vec_id")).count() === 0)
+    assert(topk.filter(abs(col("cosine")) > 1.0001).count() === 0)
+    // within each query, rank order matches cosine descending
+    val rows = topk.orderBy("query_id", "rank").collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosineTopK: nearest neighbor of a known vector is its duplicate") {
+    import spark.implicits._
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // exact duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.cosineTopK(dup, numQueries = 1, k = 2).collect()
+    assert(topk(0).getAs[Long]("vec_id") === 1L)
+    assert(topk(0).getAs[Double]("cosine") === 1.0)
+  }
+
+  test("annTopK: results are a subset of brute force with reasonable recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(emb, numQueries = 10, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, numQueries = 10, k = 5,
+        tables = 16, planesPerTable = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty, "LSH buckets should produce candidates")
+    // every ANN hit is a genuine vector pair; recall is partial by construction
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall too low for 16 tables x 4 planes")
+  }
+
+  test("signatures: deterministic across runs, buckets partition the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val planes = Similarity.hyperplanes(8, 64)
+    val a = Similarity.withSignature(emb, planes).select("vec_id", "sig")
+    val b = Similarity.withSignature(emb, planes).select("vec_id", "sig")
+    assert(a.exceptAll(b).count() === 0)
+    val sigs = a.agg(min("sig"), max("sig")).first()
+    assert(sigs.getLong(0) >= 0L && sigs.getLong(1) < 256L) // 8-bit signatures
+  }
+
+  test("multimodal: stub decode produces deterministic features and histogram sums to 1") {
+    implicit val sp = spark
+    val feats = Multimodal.featureTable(Tables.documents(spark, sf)).cache()
+    assert(feats.count() === Tables.documents(spark, sf).count())
+    assert(feats.filter(col("n_bytes") <= 0).count() === 0)
+    assert(feats.filter(col("width") < 32 || col("width") >= 640).count() === 0)
+    val histSum = feats.select(
+      aggregate(col("histogram"), lit(0.0), (a, x) => a + x).as("s"))
+    assert(histSum.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
+  }
+
+  test("multimodal: resize and frame-sample stubs are deterministic and shape-correct") {
+    val content = (0 until 100).map(_.toByte).toArray
+    val resized = Multimodal.resizeStub(content, 4)
+    assert(resized.length === 25)
+    assert(resized.toSeq === Multimodal.resizeStub(content, 4).toSeq)
+    val frames = Multimodal.frameSampleStub(content, frameBytes = 10, everyNth = 2)
+    assert(frames.size === 5)
+    assert(frames.head.length === 10)
+  }
+}
