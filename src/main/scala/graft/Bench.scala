@@ -1,23 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and prints ONE JSON
+  * line. Results are forced with a `noop` sink write so every column is fully computed
+  * (a bare `count()` would let Catalyst prune the computed columns away).
+  */
 object Bench {
+
+  /** Representative/heavy queries; IO micro-roundtrips excluded. */
+  val headline: Seq[String] = Seq(
+    "q_pricing_summary", "q_top_customers",
+    "q_daily_sales", "q_clv", "q_latest_order_per_customer", "q_orphan_orders",
+    "q_events_hourly", "q_sessionize", "q_dq_report",
+    "q_text_stats", "q_dedup_exact", "q_ngram_jaccard", "q_minhash_neardup",
+    "q_simhash", "q_similarity_topk", "q_ann_topk", "q_multimodal_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // warmup: JVM/codegen/classloading on the smallest SF so measured times are compute
+    try force("q_daily_sales") catch { case _: Throwable => () }
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(name); true } catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

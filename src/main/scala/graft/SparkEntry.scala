@@ -200,6 +200,59 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Scan-heavy pricing summary over lineitem (TPC-H Q1 shape): single pass, partial
+    * aggregation map-side, exact decimal money math. The pure scan-agg benchmark.
+    */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qty = col("l_quantity").cast(DecimalType(18, 2))
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val disc = col("l_discount").cast(DecimalType(18, 2))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast(DecimalType(18, 2)) - disc)).cast("double")
+          .as("sum_disc_price"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Three-way join top-k (TPC-H Q3 flavor): lineitem ⋈ orders shuffle join, then
+    * broadcast customer; revenue per customer, top 20 deterministic.
+    */
+  private def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val disc = col("l_discount").cast(DecimalType(18, 2))
+    val revenue = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(price * (lit(1).cast(DecimalType(18, 2)) - disc)).cast("double")
+        .as("revenue"))
+    revenue
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("mktsegment"), col("revenue"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(20)
+  }
+
+  /** S8/K6: file-level metadata scan over the harness tables (driver-side metadata walk;
+    * no oracle — DuckDB cannot see the filesystem stats).
+    */
+  private def qCatalogStats(s: SparkSession, dir: String): DataFrame = {
+    val locations = Tables.all.map(n => n -> s"$dir/$n.parquet").toMap
+    graft.catalog.MetadataScanner.scanToDf(s, locations)
+      .select("table_name", "n_files", "total_bytes")
+      .orderBy("table_name")
+  }
+
   /** Runs the full DQ validator suite (Q1-Q4) over reference-shaped orders/customers and
     * returns the detail rows — each row one check outcome (SURVEY.md §2.10).
     */
@@ -260,7 +313,10 @@ object SparkEntry {
     "q_fingerprints" -> qFingerprints,
     "q_similarity_topk" -> qSimilarityTopK,
     "q_ann_topk" -> qAnnTopK,
-    "q_multimodal_features" -> qMultimodalFeatures)
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_catalog_stats" -> qCatalogStats,
+    "q_pricing_summary" -> qPricingSummary,
+    "q_top_customers" -> qTopCustomers)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -461,6 +517,30 @@ object SparkEntry {
         |  32 + (octet_length(encode(text)) * 7) % 448 AS height,
         |  3 AS channels, ascii(substr(text, 1, 1)) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_top_customers" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment, revenue
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
     "q_csv_roundtrip" -> "SELECT * FROM customer ORDER BY c_custkey",
     "q_json_partitioned_roundtrip" ->
       """SELECT o_orderkey AS order_id, strftime(o_orderdate, '%Y-%m-%d') AS sale_date,
