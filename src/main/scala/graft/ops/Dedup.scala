@@ -146,8 +146,18 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash per document from whitespace-token hashes. */
-  def simHash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** 64-bit SimHash per document — single-pass native expression
+    * ([[graft.functions.SimHash64]]): scan-speed map work, no explode/shuffle.
+    */
+  def simHash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
+
+  /** Shuffle-based SimHash (explode + 64 bit-sum aggregates), kept as the cross-check
+    * reference for the native expression.
+    */
+  private[graft] def simHashViaExplode(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .withColumn("th", xxhash64(col("token")))

@@ -25,12 +25,19 @@ object Similarity {
   /** Widen array<float> to array<double>. */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-to-right dot product of two double arrays. */
+  /** Left-to-right dot product of two double arrays — native codegen'd expression
+    * ([[graft.functions.DotProduct]]); bit-identical to the HOF formulation below.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** Interpreted higher-order-function dot product, kept as the cross-check reference
+    * for the native expression.
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   private def normed(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeddings.select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("v"))
