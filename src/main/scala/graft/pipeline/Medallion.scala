@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.MetadataScanner
+import graft.cdc.Flatten
+import graft.dq.DqValidator
+import graft.gold.{CustomerLifetimeValue, DailySales}
+
+/** Medallion-lake orchestration: landed → bronze → DQ-gated silver → gold, the
+  * reference's two end-to-end paths (SURVEY.md §3 E1/E2) as one library API.
+  *
+  * Reference mapping: bronze lineage columns (`ingestion_timestamp`, `source_file`,
+  * `ingestion_layer`) from `mage-programs/orders_delta_lake.py:42-50`; the conditional
+  * CDC flatten and DQ gate from `mage-programs/data_quality.py:157-235`; gold writes from
+  * `enriched/daily_sales_aggregation.py:29-32` / `customer_lifetime_value.py:82`.
+  *
+  * Spark-first notes: `_metadata.file_path` supplies lineage without the legacy
+  * `input_file_name()` (correct under file-source v2); every layer write is partitioned
+  * parquet so downstream scans prune; the ingest log replicates Delta `history()` as an
+  * append-only JSON sidecar. Each layer is a pure DataFrame→write step: at scale each
+  * becomes its own job with no driver-side data movement.
+  */
+object Medallion {
+
+  final case class Paths(root: String) {
+    val bronze = s"$root/bronze/orders"
+    val silver = s"$root/silver/orders"
+    val quarantine = s"$root/quarantine/orders"
+    val goldDailySales = s"$root/gold/daily_sales"
+    val goldClv = s"$root/gold/customer_lifetime_value"
+    val reports = s"$root/reports"
+  }
+
+  final case class RunSummary(
+      bronzeRows: Long, silverRows: Long, quarantined: Boolean,
+      dailySalesRows: Long, clvRows: Long)
+
+  /** Landed (JSON-lines dir or any DataFrame source) → bronze parquet with lineage. */
+  def toBronze(landed: DataFrame, bronzePath: String,
+      sourceFile: Option[String] = None): Long = {
+    val withLineage = landed
+      .withColumn("ingestion_timestamp", current_timestamp())
+      .withColumn("source_file",
+        sourceFile.map(lit).getOrElse(
+          if (landed.isStreaming) lit("stream")
+          else try col("_metadata.file_path") catch {
+            case _: Exception => lit("unknown")
+          }))
+      .withColumn("ingestion_layer", lit("bronze"))
+      .withColumn("ingest_date", to_date(col("order_date")))
+    withLineage.write.mode("overwrite").partitionBy("ingest_date").parquet(bronzePath)
+    val spark = landed.sparkSession
+    val n = spark.read.parquet(bronzePath).count()
+    MetadataScanner.appendIngestLog(spark, bronzePath, "BRONZE_OVERWRITE", n)
+    n
+  }
+
+  /** Bronze → silver through the DQ gate (flattening CDC envelopes if present).
+    * Returns (validator, curatedOk).
+    */
+  def toSilver(spark: SparkSession, bronzePath: String, customers: DataFrame,
+      p: Paths): (DqValidator, Boolean) = {
+    val bronze = spark.read.parquet(bronzePath)
+    val flat = Flatten.after(bronze) // no-op unless an `after` envelope column exists
+      .select("order_id", "order_date", "order_amount", "customer_id")
+    val v = new DqValidator()
+      .checkCompleteness(flat, "orders",
+        Seq("order_id", "order_date", "order_amount", "customer_id"))
+      .checkAccuracy(flat, "orders", Seq(
+        "amount_positive" -> (col("order_amount") > 0)))
+      .checkConsistency(flat, "orders", customers, "customers", Seq("customer_id"))
+    val ok = DqValidator.gate(flat, v, p.silver, p.quarantine,
+      partitionColumns = Nil)
+    DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_orders")
+    if (ok) MetadataScanner.appendIngestLog(spark, p.silver, "SILVER_OVERWRITE",
+      spark.read.parquet(p.silver).count())
+    (v, ok)
+  }
+
+  /** Silver → both gold tables. */
+  def toGold(spark: SparkSession, silverPath: String, customers: DataFrame,
+      p: Paths): (Long, Long) = {
+    val silver = spark.read.parquet(silverPath)
+    val daily = DailySales(silver, customers, stampProcessingTime = true)
+    DailySales.write(daily, p.goldDailySales)
+    val clv = CustomerLifetimeValue(silver, customers, stampProcessingTime = true)
+    CustomerLifetimeValue.write(clv, p.goldClv)
+    (spark.read.parquet(p.goldDailySales).count(),
+      spark.read.parquet(p.goldClv).count())
+  }
+
+  /** Full E1 run: reference-shaped orders + customers → bronze → DQ silver → gold. */
+  def run(spark: SparkSession, orders: DataFrame, customers: DataFrame,
+      root: String): RunSummary = {
+    val p = Paths(root)
+    val bronzeRows = toBronze(orders, p.bronze)
+    val (_, ok) = toSilver(spark, p.bronze, customers, p)
+    if (!ok) {
+      RunSummary(bronzeRows, 0L, quarantined = true, 0L, 0L)
+    } else {
+      val silverRows = spark.read.parquet(p.silver).count()
+      val (ds, clv) = toGold(spark, p.silver, customers, p)
+      RunSummary(bronzeRows, silverRows, quarantined = false, ds, clv)
+    }
+  }
+}
