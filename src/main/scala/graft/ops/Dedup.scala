@@ -58,6 +58,8 @@ object Dedup {
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
+    // per-doc sizes / stop-shingle list scale with the corpus, so no broadcast hints:
+    // AQE converts these joins to broadcast at runtime when they fit
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val kept = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))

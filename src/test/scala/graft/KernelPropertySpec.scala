@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{RollingHash, SimHash64}
+import graft.ops.Multimodal
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based tests for the pure computational kernels (no Spark session needed,
+  * so ScalaCheck generators can run hundreds of cases cheaply). Deterministic seed.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], cases: Int = 100)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(12345L)
+    var run = 0
+    var tries = 0
+    while (run < cases && tries < cases * 10) {
+      gen.apply(params, seed).foreach { a => f(a); run += 1 }
+      seed = seed.next
+      tries += 1
+    }
+    assert(run > cases / 2, s"generator too sparse: only $run cases produced")
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(p => f(p._1, p._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(
+      f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(p => f(p._1, p._2, p._3))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(" ")))
+      .map(_.mkString(" ")).map(_.take(200))
+
+  test("rolling hash: range [0, MOD), deterministic, prefix-sensitive") {
+    forAll(asciiText) { s =>
+      val h = RollingHash.hashString(s)
+      assert(h >= 0L && h < RollingHash.MOD)
+      assert(h === RollingHash.hashString(s))
+    }
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      // appending a character changes the hash (mod collision probability ~2^-61)
+      assert(RollingHash.hashString(s) !== RollingHash.hashString(s + "x"))
+    }
+  }
+
+  test("simhash kernel: deterministic and invariant under token reordering") {
+    val tokensGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(6)))
+    forAll(tokensGen) { tokens =>
+      val a = SimHash64.compute(UTF8String.fromString(tokens.mkString(" ")))
+      val shuffled = scala.util.Random.shuffle(tokens)
+      val b = SimHash64.compute(UTF8String.fromString(shuffled.mkString(" ")))
+      assert(a === b, "simhash is a bag-of-tokens signature; order must not matter")
+    }
+  }
+
+  test("simhash kernel: small mutations keep hamming distance below unrelated texts") {
+    val base = (1 to 30).map(i => s"tok$i")
+    val mutated = base.updated(15, "MUTATED")
+    val unrelated = (100 to 129).map(i => s"other$i")
+    def sig(ts: Seq[String]) = SimHash64.compute(UTF8String.fromString(ts.mkString(" ")))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(base), sig(mutated)) < ham(sig(base), sig(unrelated)))
+  }
+
+  test("resize stub: output length is ceil(n/factor), content is a subsequence") {
+    forAll(Gen.chooseNum(0, 500), Gen.chooseNum(1, 20)) { (n: Int, factor: Int) =>
+      val content = Array.tabulate(n)(_.toByte)
+      val out = Multimodal.resizeStub(content, factor)
+      assert(out.length === (n + factor - 1) / factor)
+      assert(out.toSeq === content.indices.filter(_ % factor == 0).map(content(_)))
+    }
+  }
+
+  test("frame sample stub: frames tile the payload with the expected stride") {
+    forAll(Gen.chooseNum(1, 500), Gen.chooseNum(1, 32), Gen.chooseNum(1, 5)) {
+      (n: Int, frameBytes: Int, nth: Int) =>
+        val content = Array.tabulate(n)(_.toByte)
+        val frames = Multimodal.frameSampleStub(content, frameBytes, nth)
+        val totalFrames = (n + frameBytes - 1) / frameBytes
+        assert(frames.size === (totalFrames + nth - 1) / nth)
+        assert(frames.head.toSeq === content.take(math.min(frameBytes, n)).toSeq)
+    }
+  }
+}
