@@ -28,16 +28,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def force(name: String, dir: String): Unit = {
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // operators cache their self-join intermediates per invocation; drop them so
+      // blocks from previous runs don't accumulate and thrash the storage pool
+      spark.catalog.clearCache()
+    }
 
-    // warmup: JVM/codegen/classloading on the smallest SF so measured times are compute
-    try force("q_daily_sales") catch { case _: Throwable => () }
+    // warmup: run every headline query once at the target SF before timing. Whole-stage
+    // codegen + JIT are one-time per-plan-shape costs (~10s for the widest expression
+    // trees), and AQE re-plans per data size, so warming at a smaller SF doesn't
+    // precompile the measured shapes.
+    headline.filter(SparkEntry.queries.contains).foreach { name =>
+      try force(name, sfDir) catch { case _: Throwable => () }
+    }
 
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
-      val ok = try { force(name); true } catch { case _: Throwable => false }
+      val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) secs else -1.0)
     }

@@ -61,11 +61,14 @@ object Dedup {
     // per-doc sizes / stop-shingle list scale with the corpus, so no broadcast hints:
     // AQE converts these joins to broadcast at runtime when they fit
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // cache: `kept` feeds BOTH sides of the self-join — without it the scan + shingle
+    // explode + df-filter join would all run twice
     val kept = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf)
         .select("shingle"),
       Seq("shingle"))
+      .cache()
     val pairs = kept.as("x")
       .join(kept.as("y"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -105,9 +108,12 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
     }
+    // cache: both sides of the candidate self-join read this (signature computation
+    // upstream is a full shuffle+aggregate — never run it twice)
     val exploded = signatures
       .select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
+      .cache()
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") &&

@@ -112,8 +112,10 @@ object Similarity {
       tables: Int = 16, planesPerTable: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = 64
+    // cache: corpus side and query side both read the signatures — T×P dot products
+    // per vector are too expensive to compute twice
     val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
-      idCol, vecCol)
+      idCol, vecCol).cache()
     val queries = signed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("table").as("qtable"), col("sig").as("qsig"))
@@ -139,6 +141,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = 64
     val signed = withSignature(embeddings, hyperplanes(numPlanes, dim), idCol, vecCol)
+      .cache()
     signed.as("x").join(signed.as("y"),
         col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cosine",
