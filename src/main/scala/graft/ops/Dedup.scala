@@ -35,9 +35,20 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). Native kernel
+    * ([[graft.functions.WordShingles]]); docs shorter than n yield no rows.
+    */
   def shingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordShingles.word_shingles(col(textCol), n))
+        .as("shingle"))
+
+  /** Interpreted HOF shingle formulation, kept as the cross-check reference for the
+    * native kernel.
+    */
+  private[graft] def shinglesHof(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     val sh = when(size(toks) >= n,
@@ -58,22 +69,10 @@ object Dedup {
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    // per-doc sizes / stop-shingle list scale with the corpus, so no broadcast hints:
-    // AQE converts these joins to broadcast at runtime when they fit
+    // per-doc sizes scale with the corpus, so no broadcast hint: AQE converts the final
+    // joins to broadcast at runtime when they fit
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    // cache: `kept` feeds BOTH sides of the self-join — without it the scan + shingle
-    // explode + df-filter join would all run twice
-    val kept = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf)
-        .select("shingle"),
-      Seq("shingle"))
-      .cache()
-    val pairs = kept.as("x")
-      .join(kept.as("y"), col("x.shingle") === col("y.shingle") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val pairs = coOccurrencePairs(sh, maxShingleDf)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
@@ -84,6 +83,26 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  /** Ordered co-occurrence pair counts via ONE groupBy(shingle): collect each shingle's
+    * (sorted, df-capped) doc list and emit its ordered pairs inline. A single shuffle of
+    * the shingle stream replaces the self-join's two, and the df cap bounds per-group
+    * fan-out at maxShingleDf² — which is why the cap is mandatory in this formulation.
+    * Pair semantics are identical to the x.shingle = y.shingle ∧ x.doc < y.doc self-join.
+    */
+  private def coOccurrencePairs(sh: DataFrame, maxShingleDf: Int): DataFrame = {
+    val grouped = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxShingleDf)
+    val pairArray = flatten(transform(col("docs"), (a, i) =>
+      transform(
+        slice(col("docs"), i + 2, greatest(size(col("docs")) - i - 1, lit(0))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    grouped
+      .select(explode(pairArray).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
   }
 
   /** MinHash signatures: k independent min-hashes of the shingle set, one pass.

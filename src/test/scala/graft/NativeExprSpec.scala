@@ -29,6 +29,18 @@ class NativeExprSpec extends AnyFunSuite with SharedSpark {
     assert(withNull.first().isNullAt(0))
   }
 
+  test("word_shingles: identical shingle sets to the HOF formulation on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val native = Dedup.shingles(docs)
+    val hof = Dedup.shinglesHof(docs)
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+    // short-doc edge: fewer tokens than n yields no rows (not a bogus shingle)
+    import spark.implicits._
+    val short = Seq((1L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short).count() === 0)
+  }
+
   test("simhash64: identical to the explode/aggregate formulation on real docs") {
     val docs = Tables.documents(spark, sf)
     val native = Dedup.simHash(docs)
