@@ -136,6 +136,7 @@ object SparkEntry {
     q.awaitTermination()
     val outSchema = StructType(src.schema.fields)
       .add("ingest_time", StringType).add("date", StringType)
+      .add("batch_id", StringType)
     FlatFiles.readPartitionedJson(s, out, outSchema)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         timestamp_micros(col("ts_us")).as("ts"), col("date"))

@@ -44,11 +44,21 @@ object LakeWriter {
     stamped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("date").json(outputDir)
-      }
+      .foreachBatch(idempotentLanding(outputDir) _)
       .start()
   }
+
+  /** Idempotent landing: each micro-batch dynamically OVERWRITES only its own
+    * (date, batch_id) partitions instead of appending. A batch replayed after a failure
+    * (foreachBatch is at-least-once) rewrites the same partitions, upgrading the landing
+    * to effectively exactly-once without any sink-side transaction log.
+    */
+  def idempotentLanding(outputDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date", "batch_id")
+      .json(outputDir)
 
   /** The real Kafka path, written against the public Structured Streaming options
     * (`subscribe`, `startingOffsets`, `maxOffsetsPerTrigger`) — runs unmodified where
@@ -81,9 +91,7 @@ object LakeWriter {
     stamped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("date").json(outputDir)
-      }
+      .foreachBatch(idempotentLanding(outputDir) _)
       .start()
   }
 

@@ -31,6 +31,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     val outSchema = org.apache.spark.sql.types.StructType(src.schema.fields)
       .add("ingest_time", org.apache.spark.sql.types.StringType)
       .add("date", org.apache.spark.sql.types.StringType)
+      .add("batch_id", org.apache.spark.sql.types.StringType)
     val landed = spark.read.schema(outSchema).json(out)
     assert(landed.count() === src.count())
     assert(landed.filter(col("ingest_time").isNull).count() === 0)
@@ -39,6 +40,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     LakeWriter.ingestJsonStream(spark, in, src.schema, dateCol, out, chk)
       .awaitTermination()
     assert(spark.read.schema(outSchema).json(out).count() === src.count())
+  }
+
+  test("landing is idempotent under batch replay (dynamic partition overwrite)") {
+    val src = Tables.eventsMicros(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"))
+    val out = Files.createTempDirectory("si_replay").toString
+    LakeWriter.idempotentLanding(out)(src, 7L)
+    val first = spark.read.json(out).count()
+    // replay the SAME batch (at-least-once delivery after a failure)
+    LakeWriter.idempotentLanding(out)(src, 7L)
+    assert(spark.read.json(out).count() === first)
+    // a NEW batch with different data lands additively
+    LakeWriter.idempotentLanding(out)(src.limit(10), 8L)
+    assert(spark.read.json(out).count() === first + 10)
   }
 
   test("windowed agg over a live MemoryStream matches the batch plan") {
