@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{Compaction, Dedup, Integrity, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -201,6 +201,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** As-of join: each event enriched with the latest order of the same customer at or
+    * before the event time (union + running-last; one shuffle). Orders are pre-compacted
+    * to unique (customer, date) so the match is deterministic.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val compacted = refOrders(s, dir)
+      .groupBy(col("customer_id"), col("order_date").as("order_ts"))
+      .agg(max(col("order_id")).as("last_order_id"),
+        max(col("order_amount")).as("last_order_amount"))
+      .withColumn("last_order_date", to_date(col("order_ts")))
+    val ev = Tables.eventsMicros(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asOf(ev, compacted,
+        leftKey = "user_id", rightKey = "customer_id",
+        leftTs = "ts", rightTs = "order_ts",
+        payload = Seq("last_order_id", "last_order_amount", "last_order_date"))
+      .orderBy("event_id")
+  }
+
+  /** Rollup subtotals over daily sales (date, region hierarchy + grand total). */
+  private def qSalesRollup(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("order_amount").cast(DecimalType(18, 2))
+    refOrders(s, dir)
+      .join(broadcast(refCustomers(s, dir).select("customer_id", "region")),
+        Seq("customer_id"))
+      .withColumn("sale_date", date_format(col("order_date"), "yyyy-MM-dd"))
+      .rollup(col("sale_date"), col("region"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("sale_date"), asc_nulls_first("region"))
+  }
+
   /** Scan-heavy pricing summary over lineitem (TPC-H Q1 shape): single pass, partial
     * aggregation map-side, exact decimal money math. The pure scan-agg benchmark.
     */
@@ -317,7 +347,9 @@ object SparkEntry {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_catalog_stats" -> qCatalogStats,
     "q_pricing_summary" -> qPricingSummary,
-    "q_top_customers" -> qTopCustomers)
+    "q_top_customers" -> qTopCustomers,
+    "q_asof_join" -> qAsofJoin,
+    "q_sales_rollup" -> qSalesRollup)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -518,6 +550,25 @@ object SparkEntry {
         |  32 + (octet_length(encode(text)) * 7) % 448 AS height,
         |  3 AS channels, ascii(substr(text, 1, 1)) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_asof_join" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey AS customer_id, o_orderdate AS order_ts,
+         |    MAX(o_orderkey) AS last_order_id, MAX(o_totalprice) AS last_order_amount
+         |  FROM orders GROUP BY 1, 2),
+         |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+         |SELECT e.event_id, e.user_id, e.ts, o.last_order_id, o.last_order_amount,
+         |  CAST(o.order_ts AS DATE) AS last_order_date
+         |FROM e ASOF LEFT JOIN o
+         |  ON e.user_id = o.customer_id AND e.ts >= o.order_ts
+         |ORDER BY event_id""".stripMargin,
+    "q_sales_rollup" ->
+      s"""WITH o AS ($oSql), c AS ($cSql)
+         |SELECT strftime(o.order_date, '%Y-%m-%d') AS sale_date, c.region AS region,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM o JOIN c USING (customer_id)
+         |GROUP BY ROLLUP(1, 2)
+         |ORDER BY sale_date NULLS FIRST, region NULLS FIRST""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
