@@ -10,7 +10,7 @@ object Bench {
 
   /** Representative/heavy queries; IO micro-roundtrips excluded. */
   val headline: Seq[String] = Seq(
-    "q_pricing_summary", "q_top_customers",
+    "q_pricing_summary", "q_top_customers", "q_asof_join", "q_sales_rollup",
     "q_daily_sales", "q_clv", "q_latest_order_per_customer", "q_orphan_orders",
     "q_events_hourly", "q_sessionize", "q_dq_report",
     "q_text_stats", "q_dedup_exact", "q_ngram_jaccard", "q_minhash_neardup",
@@ -32,8 +32,11 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       // operators cache their self-join intermediates per invocation; drop them so
-      // blocks from previous runs don't accumulate and thrash the storage pool
+      // blocks from previous runs don't accumulate and thrash the storage pool, and
+      // nudge the ContextCleaner so orphaned shuffle files from prior queries are
+      // released (they are only freed on GC of their RDD references)
       spark.catalog.clearCache()
+      System.gc()
     }
 
     // warmup: run every headline query once at the target SF before timing. Whole-stage

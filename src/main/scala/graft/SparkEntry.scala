@@ -194,6 +194,10 @@ object SparkEntry {
     Similarity.annTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
       tables = 16, planesPerTable = 4).orderBy("query_id", "rank")
 
+  private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
+      threshold = 0.9, numPlanes = 12).orderBy("vec_a", "vec_b")
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.featureTable(docs(s, dir))
@@ -344,6 +348,7 @@ object SparkEntry {
     "q_fingerprints" -> qFingerprints,
     "q_similarity_topk" -> qSimilarityTopK,
     "q_ann_topk" -> qAnnTopK,
+    "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_catalog_stats" -> qCatalogStats,
     "q_pricing_summary" -> qPricingSummary,

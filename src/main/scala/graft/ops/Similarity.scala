@@ -119,13 +119,16 @@ object Similarity {
     val queries = signed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("table").as("qtable"), col("sig").as("qsig"))
+    // compute cosine BEFORE deduplicating across tables: a duplicate candidate costs one
+    // cheap native dot product, while deduplicating first would shuffle the full vector
+    // payloads (~1 KB/row) instead of 24-byte scalar rows
     val candidates = signed.join(broadcast(queries),
         col("table") === col("qtable") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "qv", "qnorm", "v", "norm")
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("cosine",
         round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+      .select("query_id", "vec_id", "cosine")
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     candidates.withColumn("rank", row_number().over(w))
