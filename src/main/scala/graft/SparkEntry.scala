@@ -235,6 +235,72 @@ object SparkEntry {
       .orderBy(asc_nulls_first("sale_date"), asc_nulls_first("region"))
   }
 
+  /** Analytic window functions: rank / dense_rank / lag / ntile / running decimal total
+    * per customer (frame specs beyond the reference's unused Window import).
+    */
+  private def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("order_date"), col("order_id"))
+    val wAmt = Window.partitionBy(col("customer_id"))
+      .orderBy(col("order_amount").desc, col("order_id"))
+    refOrders(s, dir).select(
+      col("customer_id"), col("order_id"),
+      to_date(col("order_date")).as("order_date"),
+      col("order_amount"),
+      rank().over(wAmt).as("amount_rank"),
+      dense_rank().over(wAmt).as("amount_dense_rank"),
+      ntile(4).over(wAmt).as("amount_quartile"),
+      datediff(col("order_date"), lag(col("order_date"), 1).over(w))
+        .as("days_since_prev"),
+      sum(col("order_amount").cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_total"))
+      .orderBy("customer_id", "order_id")
+  }
+
+  /** Set operations: customers ordering in 1995 minus 1996, and both-years intersect. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = refOrders(s, dir)
+    def custsIn(y: Int) =
+      o.filter(year(col("order_date")) === y)
+        .select(col("customer_id")).distinct()
+    val onlyY1 = custsIn(1995).except(custsIn(1996))
+      .withColumn("segment", lit("only_1995"))
+    val both = custsIn(1995).intersect(custsIn(1996))
+      .withColumn("segment", lit("both_years"))
+    onlyY1.unionAll(both).orderBy("segment", "customer_id")
+  }
+
+  /** Pivot: revenue per sale year pivoted to one column per region (explicit values for
+    * a deterministic schema).
+    */
+  private def qPivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    val regions = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    refOrders(s, dir)
+      .join(broadcast(refCustomers(s, dir).select("customer_id", "region")),
+        Seq("customer_id"))
+      .withColumn("sale_year", year(col("order_date")))
+      .groupBy("sale_year")
+      .pivot("region", regions)
+      .agg(sum(col("order_amount").cast(DecimalType(18, 2))).cast("double"))
+      .orderBy("sale_year")
+  }
+
+  /** Exact interpolated percentiles of event value per type (Spark `percentile` ≡
+    * DuckDB `quantile_cont`: both interpolate at rank (n−1)·p).
+    */
+  private def qValuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Scan-heavy pricing summary over lineitem (TPC-H Q1 shape): single pass, partial
     * aggregation map-side, exact decimal money math. The pure scan-agg benchmark.
     */
@@ -354,7 +420,11 @@ object SparkEntry {
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
-    "q_sales_rollup" -> qSalesRollup)
+    "q_sales_rollup" -> qSalesRollup,
+    "q_window_analytics" -> qWindowAnalytics,
+    "q_set_ops" -> qSetOps,
+    "q_pivot_revenue" -> qPivotRevenue,
+    "q_value_percentiles" -> qValuePercentiles)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -574,6 +644,56 @@ object SparkEntry {
          |FROM o JOIN c USING (customer_id)
          |GROUP BY ROLLUP(1, 2)
          |ORDER BY sale_date NULLS FIRST, region NULLS FIRST""".stripMargin,
+    "q_window_analytics" ->
+      s"""WITH o AS ($oSql)
+         |SELECT customer_id, order_id, CAST(order_date AS DATE) AS order_date,
+         |  order_amount,
+         |  CAST(rank() OVER wa AS INT) AS amount_rank,
+         |  CAST(dense_rank() OVER wa AS INT) AS amount_dense_rank,
+         |  CAST(ntile(4) OVER wa AS INT) AS amount_quartile,
+         |  CAST(date_diff('day', CAST(lag(order_date, 1) OVER wt AS DATE),
+         |    CAST(order_date AS DATE)) AS INT) AS days_since_prev,
+         |  CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) OVER
+         |    (PARTITION BY customer_id ORDER BY order_date, order_id
+         |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         |FROM o
+         |WINDOW
+         |  wa AS (PARTITION BY customer_id ORDER BY order_amount DESC, order_id),
+         |  wt AS (PARTITION BY customer_id ORDER BY order_date, order_id)
+         |ORDER BY customer_id, order_id""".stripMargin,
+    "q_set_ops" ->
+      s"""WITH o AS ($oSql),
+         |y95 AS (SELECT DISTINCT customer_id FROM o
+         |  WHERE EXTRACT(year FROM order_date) = 1995),
+         |y96 AS (SELECT DISTINCT customer_id FROM o
+         |  WHERE EXTRACT(year FROM order_date) = 1996)
+         |SELECT customer_id, 'only_1995' AS segment
+         |  FROM (SELECT customer_id FROM y95 EXCEPT SELECT customer_id FROM y96)
+         |UNION ALL
+         |SELECT customer_id, 'both_years' AS segment
+         |  FROM (SELECT customer_id FROM y95 INTERSECT SELECT customer_id FROM y96)
+         |ORDER BY segment, customer_id""".stripMargin,
+    "q_pivot_revenue" ->
+      s"""WITH o AS ($oSql), c AS ($cSql)
+         |SELECT EXTRACT(year FROM o.order_date) AS sale_year,
+         |  CAST(SUM(CASE WHEN c.region = 'AUTOMOBILE'
+         |    THEN CAST(o.order_amount AS DECIMAL(18,2)) END) AS DOUBLE) AS AUTOMOBILE,
+         |  CAST(SUM(CASE WHEN c.region = 'BUILDING'
+         |    THEN CAST(o.order_amount AS DECIMAL(18,2)) END) AS DOUBLE) AS BUILDING,
+         |  CAST(SUM(CASE WHEN c.region = 'FURNITURE'
+         |    THEN CAST(o.order_amount AS DECIMAL(18,2)) END) AS DOUBLE) AS FURNITURE,
+         |  CAST(SUM(CASE WHEN c.region = 'HOUSEHOLD'
+         |    THEN CAST(o.order_amount AS DECIMAL(18,2)) END) AS DOUBLE) AS HOUSEHOLD,
+         |  CAST(SUM(CASE WHEN c.region = 'MACHINERY'
+         |    THEN CAST(o.order_amount AS DECIMAL(18,2)) END) AS DOUBLE) AS MACHINERY
+         |FROM o JOIN c USING (customer_id)
+         |GROUP BY 1 ORDER BY sale_year""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75, quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
