@@ -114,6 +114,25 @@ object SparkEntry {
       .orderBy("order_id")
   }
 
+  /** S6 (customers topic): generic envelope writer/reader roundtrip for the second CDC
+    * entity — proves the Avro layer is schema-driven, not orders-specific.
+    */
+  private def qAvroCustomersRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val value = AvroEnvelopeIO.customersCdcValue
+    val envSchema = AvroEnvelopeIO.envelopeStructType(value)
+    val envelopes = refCustomers(s, dir).select(
+      lit(null).cast(value).as("before"),
+      struct(col("customer_id"), col("name"), col("email"), col("region"),
+        col("customer_tenure_days")).as("after"),
+      lit("c").as("op"),
+      (col("customer_id") * 1000L).as("ts_ms"))
+    val out = tmpDir("graft_avro_cust")
+    AvroEnvelopeIO.writeEnvelopes(envelopes,
+      AvroEnvelopeIO.customersEnvelopeSchemaJson, out)
+    Flatten.after(AvroEnvelopeIO.readEnvelopes(s, out, envSchema))
+      .orderBy("customer_id")
+  }
+
   /** S2: deterministic distributed synthetic generator (Faker-producer replacement). */
   private def qSyntheticOrders(s: SparkSession, dir: String): DataFrame =
     Synthetic.orders(s, 10000).orderBy("order_id")
@@ -399,6 +418,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_partitioned_roundtrip" -> qJsonPartitionedRoundtrip,
     "q_avro_cdc_roundtrip" -> qAvroCdcRoundtrip,
+    "q_avro_customers_roundtrip" -> qAvroCustomersRoundtrip,
     "q_synthetic_orders" -> qSyntheticOrders,
     "q_stream_ingest" -> qStreamIngest,
     "q_events_hourly" -> qEventsHourly,
@@ -728,6 +748,10 @@ object SparkEntry {
       """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
         |FROM orders ORDER BY order_id""".stripMargin,
+    "q_avro_customers_roundtrip" ->
+      s"""WITH c AS ($cSql)
+         |SELECT customer_id, name, email, region, customer_tenure_days
+         |FROM c ORDER BY customer_id""".stripMargin,
     "q_synthetic_orders" ->
       """SELECT i + 1 AS order_id, DATE '2024-01-01' + CAST(i % 365 AS INT) AS order_date,
         |  CAST((i * 37) % 1000 + 1 AS DOUBLE) AS order_amount, i % 50 + 1 AS customer_id

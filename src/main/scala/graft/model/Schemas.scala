@@ -97,6 +97,14 @@ object RefAdapter {
     col("c_mktsegment").as("region"),
     (col("c_custkey") % 100 + 1).cast(IntegerType).as("customer_tenure_days"))
 
+  /** Typed core (SURVEY §1.3): case-class Datasets where schemas are fixed, for
+    * compile-time field checks at the gold boundary.
+    */
+  def ordersDs(harnessOrders: DataFrame): org.apache.spark.sql.Dataset[Order] =
+    orders(harnessOrders).as[Order](org.apache.spark.sql.Encoders.product[Order])
+  def customersDs(harnessCustomer: DataFrame): org.apache.spark.sql.Dataset[Customer] =
+    customers(harnessCustomer).as[Customer](org.apache.spark.sql.Encoders.product[Customer])
+
   /** Same adapters as ANSI SQL snippets, for DuckDB-oracle parity. */
   val ordersSql: String =
     "SELECT o_orderkey AS order_id, o_orderdate AS order_date, " +

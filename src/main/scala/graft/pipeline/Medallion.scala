@@ -28,18 +28,25 @@ object Medallion {
     val bronze = s"$root/bronze/orders"
     val silver = s"$root/silver/orders"
     val quarantine = s"$root/quarantine/orders"
+    val customersBronze = s"$root/bronze/customers"
+    val customersSilver = s"$root/silver/customers"
+    val customersQuarantine = s"$root/quarantine/customers"
     val goldDailySales = s"$root/gold/daily_sales"
     val goldClv = s"$root/gold/customer_lifetime_value"
     val reports = s"$root/reports"
   }
 
   final case class RunSummary(
-      bronzeRows: Long, silverRows: Long, quarantined: Boolean,
-      dailySalesRows: Long, clvRows: Long)
+      bronzeRows: Long, silverRows: Long, customersSilverRows: Long,
+      quarantined: Boolean, dailySalesRows: Long, clvRows: Long)
 
-  /** Landed (JSON-lines dir or any DataFrame source) → bronze parquet with lineage. */
+  /** Landed (JSON-lines dir or any DataFrame source) → bronze parquet with lineage.
+    * `partitionDate` derives the Hive partition column when the entity has an event
+    * date (facts); dimension bronzes go unpartitioned.
+    */
   def toBronze(landed: DataFrame, bronzePath: String,
-      sourceFile: Option[String] = None): Long = {
+      sourceFile: Option[String] = None,
+      partitionDate: Option[org.apache.spark.sql.Column] = None): Long = {
     val withLineage = landed
       .withColumn("ingestion_timestamp", current_timestamp())
       .withColumn("source_file",
@@ -49,12 +56,33 @@ object Medallion {
             case _: Exception => lit("unknown")
           }))
       .withColumn("ingestion_layer", lit("bronze"))
-      .withColumn("ingest_date", to_date(col("order_date")))
-    withLineage.write.mode("overwrite").partitionBy("ingest_date").parquet(bronzePath)
+    val (df, writer) = partitionDate match {
+      case Some(d) =>
+        val withDate = withLineage.withColumn("ingest_date", d)
+        (withDate, withDate.write.mode("overwrite").partitionBy("ingest_date"))
+      case None => (withLineage, withLineage.write.mode("overwrite"))
+    }
+    writer.parquet(bronzePath)
     val spark = landed.sparkSession
     val n = spark.read.parquet(bronzePath).count()
     MetadataScanner.appendIngestLog(spark, bronzePath, "BRONZE_OVERWRITE", n)
     n
+  }
+
+  /** Customers bronze → silver through their own DQ gate (completeness + tenure range). */
+  def customersToSilver(spark: SparkSession, bronzePath: String, p: Paths):
+      (DqValidator, Boolean) = {
+    val bronze = spark.read.parquet(bronzePath)
+    val flat = Flatten.after(bronze)
+      .select("customer_id", "name", "email", "region", "customer_tenure_days")
+    val v = new DqValidator()
+      .checkCompleteness(flat, "customers",
+        Seq("customer_id", "name", "email", "region"))
+      .checkAccuracy(flat, "customers", Seq(
+        "tenure_1_100" -> col("customer_tenure_days").between(1, 100)))
+    val ok = DqValidator.gate(flat, v, p.customersSilver, p.customersQuarantine)
+    DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_customers")
+    (v, ok)
   }
 
   /** Bronze → silver through the DQ gate (flattening CDC envelopes if present).
@@ -91,18 +119,29 @@ object Medallion {
       spark.read.parquet(p.goldClv).count())
   }
 
-  /** Full E1 run: reference-shaped orders + customers → bronze → DQ silver → gold. */
+  /** Full E1 run: BOTH entities land in bronze and pass their own DQ gates; gold joins
+    * silver facts against silver dimensions (never raw input).
+    */
   def run(spark: SparkSession, orders: DataFrame, customers: DataFrame,
       root: String): RunSummary = {
     val p = Paths(root)
-    val bronzeRows = toBronze(orders, p.bronze)
-    val (_, ok) = toSilver(spark, p.bronze, customers, p)
-    if (!ok) {
-      RunSummary(bronzeRows, 0L, quarantined = true, 0L, 0L)
+    val bronzeRows = toBronze(orders, p.bronze,
+      partitionDate = Some(to_date(col("order_date"))))
+    toBronze(customers, p.customersBronze)
+    val (_, custOk) = customersToSilver(spark, p.customersBronze, p)
+    val silverCustomers =
+      if (custOk) spark.read.parquet(p.customersSilver)
+        .select("customer_id", "name", "email", "region", "customer_tenure_days")
+      else customers
+    val (_, ok) = toSilver(spark, p.bronze, silverCustomers, p)
+    if (!ok || !custOk) {
+      RunSummary(bronzeRows, 0L,
+        if (custOk) silverCustomers.count() else 0L, quarantined = true, 0L, 0L)
     } else {
       val silverRows = spark.read.parquet(p.silver).count()
-      val (ds, clv) = toGold(spark, p.silver, customers, p)
-      RunSummary(bronzeRows, silverRows, quarantined = false, ds, clv)
+      val (ds, clv) = toGold(spark, p.silver, silverCustomers, p)
+      RunSummary(bronzeRows, silverRows, silverCustomers.count(),
+        quarantined = false, ds, clv)
     }
   }
 }

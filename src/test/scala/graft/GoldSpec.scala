@@ -74,4 +74,12 @@ class GoldSpec extends AnyFunSuite with SharedSpark {
   test("entry: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("typed core: case-class Datasets carry the reference schema") {
+    val ds = RefAdapter.ordersDs(Tables.orders(spark, sf))
+    assert(ds.filter(_.order_amount > 0).count() === ds.count())
+    val cds = RefAdapter.customersDs(Tables.customer(spark, sf))
+    assert(cds.map(_.customer_tenure_days)(org.apache.spark.sql.Encoders.scalaInt)
+      .filter(t => t < 1 || t > 100).isEmpty)
+  }
 }

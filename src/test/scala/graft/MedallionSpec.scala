@@ -19,7 +19,11 @@ class MedallionSpec extends AnyFunSuite with SharedSpark {
     assert(!summary.quarantined)
     assert(summary.bronzeRows === o.count())
     assert(summary.silverRows === o.count())
+    assert(summary.customersSilverRows === c.count())
     assert(summary.dailySalesRows > 0 && summary.clvRows > 0)
+    // customers flowed through their own DQ-gated silver layer
+    assert(spark.read.parquet(s"$root/silver/customers").count() === c.count())
+    assert(spark.read.json(s"$root/reports/dq_customers").count() === 1)
 
     val bronze = spark.read.parquet(s"$root/bronze/orders")
     assert(bronze.columns.toSet.contains("ingestion_timestamp"))
