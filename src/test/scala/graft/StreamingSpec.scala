@@ -57,6 +57,57 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.json(out).count() === first + 10)
   }
 
+  test("streaming DQ gate: violating rows quarantine, clean rows curate") {
+    import graft.streaming.StreamingDq
+    val src = Tables.eventsMicros(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        // plant violations: every 10th event gets a negative value
+        when(col("event_id") % 10 === 0, -col("value")).otherwise(col("value"))
+          .as("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val in = Files.createTempDirectory("dqs_in").toString
+    val curated = Files.createTempDirectory("dqs_cur").toString
+    val quarantine = Files.createTempDirectory("dqs_quar").toString
+    val chk = Files.createTempDirectory("dqs_chk").toString
+    src.write.mode("overwrite").json(in)
+
+    StreamingDq.gatedIngest(spark, in, src.schema,
+      dateCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"),
+      curatedDir = curated, quarantineDir = quarantine, checkpointDir = chk,
+      completenessColumns = Seq("event_id", "value"),
+      rowRules = Seq("value_positive" -> (col("value") > 0)),
+      accuracyThresholdPct = 50.0) // 10% planted violations: row-route, don't reject batch
+      .awaitTermination()
+
+    val curatedDf = spark.read.json(curated)
+    val quarantinedDf = spark.read.json(quarantine)
+    val expectedBad = src.filter(col("value") <= 0).count()
+    assert(quarantinedDf.count() === expectedBad)
+    assert(curatedDf.count() === src.count() - expectedBad)
+    assert(curatedDf.filter(col("value") <= 0).count() === 0)
+  }
+
+  test("streaming DQ gate: a batch failing aggregate checks quarantines wholesale") {
+    import graft.streaming.StreamingDq
+    val src = Tables.eventsMicros(spark, sf)
+      .select(col("event_id"), (-abs(col("value"))).as("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val in = Files.createTempDirectory("dqw_in").toString
+    val curated = Files.createTempDirectory("dqw_cur").toString
+    val quarantine = Files.createTempDirectory("dqw_quar").toString
+    val chk = Files.createTempDirectory("dqw_chk").toString
+    src.write.mode("overwrite").json(in)
+    StreamingDq.gatedIngest(spark, in, src.schema,
+      dateCol = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"),
+      curatedDir = curated, quarantineDir = quarantine, checkpointDir = chk,
+      completenessColumns = Seq("event_id"),
+      rowRules = Seq("value_positive" -> (col("value") > 0)))
+      .awaitTermination()
+    assert(spark.read.json(quarantine).count() === src.count())
+    assert(new java.io.File(curated).listFiles() == null ||
+      !new java.io.File(curated).listFiles().exists(_.getName.startsWith("date=")))
+  }
+
   test("windowed agg over a live MemoryStream matches the batch plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
