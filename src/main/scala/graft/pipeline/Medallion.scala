@@ -47,14 +47,17 @@ object Medallion {
   def toBronze(landed: DataFrame, bronzePath: String,
       sourceFile: Option[String] = None,
       partitionDate: Option[org.apache.spark.sql.Column] = None): Long = {
+    // _metadata.file_path only resolves for file-source frames; probing with a select
+    // forces analysis NOW (col() alone is lazy and would throw later at withColumn)
+    val lineageCol = sourceFile.map(lit).getOrElse {
+      if (landed.isStreaming) lit("stream")
+      else try {
+        landed.select(col("_metadata.file_path")); col("_metadata.file_path")
+      } catch { case _: org.apache.spark.sql.AnalysisException => lit("unknown") }
+    }
     val withLineage = landed
       .withColumn("ingestion_timestamp", current_timestamp())
-      .withColumn("source_file",
-        sourceFile.map(lit).getOrElse(
-          if (landed.isStreaming) lit("stream")
-          else try col("_metadata.file_path") catch {
-            case _: Exception => lit("unknown")
-          }))
+      .withColumn("source_file", lineageCol)
       .withColumn("ingestion_layer", lit("bronze"))
     val (df, writer) = partitionDate match {
       case Some(d) =>

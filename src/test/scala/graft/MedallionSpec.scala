@@ -60,6 +60,18 @@ class MedallionSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.json(s"$root/quarantine/orders").count() === dirty.count())
   }
 
+  test("bronze lineage falls back cleanly for non-file sources") {
+    import spark.implicits._
+    // locally-created frame has no _metadata column — must not throw
+    val local = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 1L))
+      .toDF("order_id", "order_date", "order_amount", "customer_id")
+    val root = Files.createTempDirectory("medallion_local").toString
+    val n = Medallion.toBronze(local, s"$root/bronze")
+    assert(n === 1)
+    val bronze = spark.read.parquet(s"$root/bronze")
+    assert(bronze.select("source_file").first().getString(0) === "unknown")
+  }
+
   test("CDC envelope input flows through the same silver path") {
     val root = Files.createTempDirectory("medallion_cdc").toString
     val p = Medallion.Paths(root)
