@@ -9,17 +9,17 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling-hash document fingerprint as a native Catalyst expression.
   *
-  * h = Σ bytes(s): h*base + b  (mod 2^61−1), over UTF-8 bytes — a classic Rabin-Karp
-  * style fingerprint for cheap document identity/near-identity bucketing in training-data
-  * pipelines.
+  * Two independent 31-bit polynomial streams over the UTF-8 bytes, packed into one
+  * 62-bit value: hᵢ ← hᵢ·baseᵢ + b (mod pᵢ) with p₁ = 2³¹−1, p₂ = 2147483629. Each
+  * stream keeps h < 2³¹ so h·base < 2⁶¹ — the update NEVER overflows a signed 64-bit
+  * long (a single 61-bit modulus would: h·base ≈ 2⁸¹ wraps before the mod applies,
+  * destroying the modular structure). Result is in [0, 2⁶²).
   *
-  * Spark-first notes: a native `Expression` with `doGenCode` keeps fingerprinting inside
+  * Spark-first notes: a native `Expression` with codegen keeps fingerprinting inside
   * whole-stage codegen (one fused loop over the string bytes per row, no UDF
-  * serialization, no boxing) — the preferred extension tier after built-ins
-  * (SURVEY.md §7 / spark guide: Expression beats UDF).
+  * serialization) — the preferred extension tier after built-ins.
   */
-case class RollingHash(child: Expression, base: Long = 1000003L)
-    extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes():
@@ -32,45 +32,42 @@ case class RollingHash(child: Expression, base: Long = 1000003L)
   }
 
   override def nullSafeEval(input: Any): Any =
-    RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes, base)
+    RollingHash.hashUtf8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
-      val i = ctx.freshName("i")
-      val h = ctx.freshName("h")
-      s"""
-         |byte[] $bytes = $c.getBytes();
-         |long $h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = java.lang.Math.floorMod(
-         |    $h * ${base}L + ($bytes[$i] & 0xFF), ${RollingHash.MOD}L);
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hashUtf8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
 }
 
 object RollingHash {
-  /** 2^61 − 1 (Mersenne prime). */
-  val MOD: Long = 2305843009213693951L
+  /** Stream moduli (both prime) and bases; each stream stays < 2³¹. */
+  val MOD1: Long = 2147483647L // 2^31 − 1
+  val MOD2: Long = 2147483629L
+  val BASE1: Long = 1000003L
+  val BASE2: Long = 998244353L
+  /** Exclusive upper bound of the packed fingerprint. */
+  val RANGE: Long = 1L << 62
 
-  private[graft] def hashBytes(bytes: Array[Byte], base: Long): Long = {
-    var h = 0L
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h1 = 0L
+    var h2 = 0L
     var i = 0
     while (i < bytes.length) {
-      h = java.lang.Math.floorMod(h * base + (bytes(i) & 0xff), MOD)
+      val b = bytes(i) & 0xff
+      h1 = (h1 * BASE1 + b) % MOD1
+      h2 = (h2 * BASE2 + b) % MOD2
       i += 1
     }
-    h
+    (h1 << 31) | h2
   }
 
+  /** Static kernel shared by eval and codegen. */
+  def hashUtf8(s: UTF8String): Long = hashBytes(s.getBytes)
+
   /** Reference implementation for tests. */
-  private[graft] def hashString(s: String, base: Long = 1000003L): Long =
-    hashBytes(s.getBytes("UTF-8"), base)
+  private[graft] def hashString(s: String): Long = hashBytes(s.getBytes("UTF-8"))
 
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))

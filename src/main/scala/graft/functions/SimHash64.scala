@@ -38,9 +38,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  /** Tokenize exactly as `split(trim(s), "\\s+")` does: Spark `trim` strips only SPACE
+    * (U+0020) from the ends (Java `String.trim` strips all ≤ U+0020), and Spark `split`
+    * keeps trailing empty tokens (Java's default drops them). Shared with WordShingles.
+    */
+  private[graft] def sparkTokens(s: UTF8String): Array[String] = {
+    val str = s.toString
+    var from = 0
+    var to = str.length
+    while (from < to && str.charAt(from) == ' ') from += 1
+    while (to > from && str.charAt(to - 1) == ' ') to -= 1
+    str.substring(from, to).split("\\s+", -1)
+  }
+
   /** Static kernel shared by eval and codegen. */
   def compute(s: UTF8String): Long = {
-    val tokens = s.toString.trim.split("\\s+")
+    val tokens = sparkTokens(s)
     val counts = new Array[Int](64)
     var t = 0
     while (t < tokens.length) {

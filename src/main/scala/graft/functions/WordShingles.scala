@@ -39,9 +39,12 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
 
-  /** Static kernel: whitespace tokens → n-gram shingles, first-occurrence distinct. */
+  /** Static kernel: whitespace tokens → n-gram shingles, first-occurrence distinct.
+    * Tokenization mirrors Spark `split(trim(s), "\\s+")` exactly (see
+    * [[SimHash64.sparkTokens]]).
+    */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val tokens = s.toString.trim.split("\\s+")
+    val tokens = SimHash64.sparkTokens(s)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((tokens.length - n + 1) * 2)
     var i = 0

@@ -30,17 +30,21 @@ object AsOfJoin {
       .withColumn("__key", col(leftKey))
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+    // carry the payload as ONE struct so `last(ignoreNulls)` picks whole right rows:
+    // per-column carries would resurrect stale values for legitimately-NULL fields and
+    // could stitch together a composite row that never existed
     val r = right
-      .select((Seq(col(rightKey).as("__key"), col(rightTs).as("__ts"),
-        lit(0).as("__side")) ++ payload.map(p => col(p).as(s"__p_$p"))): _*)
+      .select(col(rightKey).as("__key"), col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__payload"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__matched",
+      last(col("__payload"), ignoreNulls = true).over(w))
     carried
       .filter(col("__side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"__matched.$p").as(p))): _*)
   }
 }

@@ -107,11 +107,18 @@ object Similarity {
     * recall ≈ 1−(1−p^P)^T). Exact cosine re-ranks the candidate union. Recall < 1 by
     * construction — measured against [[cosineTopK]] in tests.
     */
+  /** Embedding dimensionality, probed from the data (one metadata-sized action) so LSH
+    * hyperplanes always cover every dimension — a hard-coded dim would silently hash a
+    * prefix of wider embeddings.
+    */
+  private def probeDim(embeddings: DataFrame, vecCol: String): Int =
+    embeddings.select(size(col(vecCol))).first().getInt(0)
+
   def annTopK(
       embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
       tables: Int = 16, planesPerTable: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
+    val dim = probeDim(embeddings, vecCol)
     // cache: corpus side and query side both read the signatures — T×P dot products
     // per vector are too expensive to compute twice
     val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
@@ -142,7 +149,7 @@ object Similarity {
   def embeddingNearDuplicates(
       embeddings: DataFrame, threshold: Double = 0.95, numPlanes: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
+    val dim = probeDim(embeddings, vecCol)
     val signed = withSignature(embeddings, hyperplanes(numPlanes, dim), idCol, vecCol)
       .cache()
     signed.as("x").join(signed.as("y"),

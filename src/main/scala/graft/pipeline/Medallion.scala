@@ -132,14 +132,16 @@ object Medallion {
       partitionDate = Some(to_date(col("order_date"))))
     toBronze(customers, p.customersBronze)
     val (_, custOk) = customersToSilver(spark, p.customersBronze, p)
-    val silverCustomers =
-      if (custOk) spark.read.parquet(p.customersSilver)
-        .select("customer_id", "name", "email", "region", "customer_tenure_days")
-      else customers
+    if (!custOk) {
+      // dimension failed its gate: STOP — do not curate orders against unvalidated
+      // customers, and leave no silver/gold state that contradicts the summary
+      return RunSummary(bronzeRows, 0L, 0L, quarantined = true, 0L, 0L)
+    }
+    val silverCustomers = spark.read.parquet(p.customersSilver)
+      .select("customer_id", "name", "email", "region", "customer_tenure_days")
     val (_, ok) = toSilver(spark, p.bronze, silverCustomers, p)
-    if (!ok || !custOk) {
-      RunSummary(bronzeRows, 0L,
-        if (custOk) silverCustomers.count() else 0L, quarantined = true, 0L, 0L)
+    if (!ok) {
+      RunSummary(bronzeRows, 0L, silverCustomers.count(), quarantined = true, 0L, 0L)
     } else {
       val silverRows = spark.read.parquet(p.silver).count()
       val (ds, clv) = toGold(spark, p.silver, silverCustomers, p)

@@ -277,7 +277,11 @@ object AvroEnvelopeIO {
       valueRow(rec.get("before")),
       valueRow(rec.get("after")),
       rec.get("op").toString,
-      rec.get("ts_ms").asInstanceOf[Long])
+      rec.get("ts_ms") match {
+        // null.asInstanceOf[Long] silently unboxes to 0L — keep nulls null
+        case null => null
+        case n: java.lang.Number => n.longValue()
+      })
   }
 
   /** Round-trip helper for tests: envelope bytes in memory. */

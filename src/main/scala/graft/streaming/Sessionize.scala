@@ -63,16 +63,21 @@ object Sessionize {
           (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionSnapshot]) =>
             val evs = batch.toSeq
             val prior = state.getOption
-            val snapshot =
-              if (state.hasTimedOut || prior.isEmpty)
-                SessionSnapshot(userId, evs.size.toLong,
-                  evs.map(_.ts).maxBy(_.getTime))
-              else
-                SessionSnapshot(userId, prior.get.n_events + evs.size,
-                  (prior.get.last_ts +: evs.map(_.ts)).maxBy(_.getTime))
-            state.update(snapshot)
-            timeoutMinutes.foreach(m => state.setTimeoutDuration(s"$m minutes"))
-            snapshot
+            if (state.hasTimedOut) {
+              // timeout invocations carry NO events — close the session and emit the
+              // final snapshot rather than touching the empty iterator
+              val closing = prior.getOrElse(
+                SessionSnapshot(userId, 0L, new Timestamp(0L)))
+              state.remove()
+              closing
+            } else {
+              val base = prior.getOrElse(SessionSnapshot(userId, 0L, new Timestamp(0L)))
+              val lastTs = (base.last_ts +: evs.map(_.ts)).maxBy(_.getTime)
+              val snapshot = SessionSnapshot(userId, base.n_events + evs.size, lastTs)
+              state.update(snapshot)
+              timeoutMinutes.foreach(m => state.setTimeoutDuration(s"$m minutes"))
+              snapshot
+            }
         }
     }
   }

@@ -42,21 +42,25 @@ object StreamingDq {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = new DqValidator(completenessThresholdPct, accuracyThresholdPct)
-          .checkCompleteness(batch, "stream", completenessColumns)
-          .checkAccuracy(batch, "stream", rowRules)
-        if (v.passed) {
-          // null rule result = not a violation (reference filter(~rule) semantics)
-          val violation = rowRules.map { case (_, rule) => !coalesce(rule, lit(true)) }
-            .reduceOption(_ || _).getOrElse(lit(false))
-          val good = batch.filter(!violation)
-          val bad = batch.filter(violation)
-          LakeWriter.idempotentLanding(curatedDir)(good, batchId)
-          if (!bad.isEmpty)
-            LakeWriter.idempotentLanding(quarantineDir)(bad, batchId)
-        } else {
-          LakeWriter.idempotentLanding(quarantineDir)(batch, batchId)
-        }
+        // the batch is read 3-4 times (two validator aggregates + routed writes):
+        // pin it once instead of rescanning the source files per pass
+        batch.persist()
+        try {
+          val v = new DqValidator(completenessThresholdPct, accuracyThresholdPct)
+            .checkCompleteness(batch, "stream", completenessColumns)
+            .checkAccuracy(batch, "stream", rowRules)
+          if (v.passed) {
+            // null rule result = not a violation (reference filter(~rule) semantics)
+            val violation = rowRules.map { case (_, rule) => !coalesce(rule, lit(true)) }
+              .reduceOption(_ || _).getOrElse(lit(false))
+            val bad = batch.filter(violation)
+            LakeWriter.idempotentLanding(curatedDir)(batch.filter(!violation), batchId)
+            if (!bad.isEmpty)
+              LakeWriter.idempotentLanding(quarantineDir)(bad, batchId)
+          } else {
+            LakeWriter.idempotentLanding(quarantineDir)(batch, batchId)
+          }
+        } finally batch.unpersist()
       }
       .start()
   }

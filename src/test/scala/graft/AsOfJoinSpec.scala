@@ -32,6 +32,21 @@ class AsOfJoinSpec extends AnyFunSuite with SharedSpark {
     assert(got.length === 5)
   }
 
+  test("as-of: NULL payload fields come from the matched row, never a stale earlier row") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), Option(1.0), Option(2.0)),
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), Option.empty[Double], Option(3.0))
+    ).toDF("key", "qts", "a", "b")
+    val trades = Seq((10L, 1L, Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("trade_id", "key", "tts")
+    val got = AsOfJoin.asOf(trades, quotes, "key", "key", "tts", "qts", Seq("a", "b"))
+      .first()
+    // the matched row is (ts=Jan2, a=NULL, b=3.0): a must be NULL, not Jan1's 1.0
+    assert(got.isNullAt(got.fieldIndex("a")))
+    assert(got.getAs[Double]("b") === 3.0)
+  }
+
   test("as-of on harness data: match is that customer's max order date <= event time") {
     val result = SparkEntry.queries("q_asof_join")(spark, sf).cache()
     val ev = Tables.eventsMicros(spark, sf)

@@ -40,12 +40,42 @@ class KernelPropertySpec extends AnyFunSuite {
   test("rolling hash: range [0, MOD), deterministic, prefix-sensitive") {
     forAll(asciiText) { s =>
       val h = RollingHash.hashString(s)
-      assert(h >= 0L && h < RollingHash.MOD)
+      assert(h >= 0L && h < RollingHash.RANGE)
       assert(h === RollingHash.hashString(s))
     }
     forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
       // appending a character changes the hash (mod collision probability ~2^-61)
       assert(RollingHash.hashString(s) !== RollingHash.hashString(s + "x"))
+    }
+  }
+
+  test("rolling hash: modular structure holds (no silent long overflow)") {
+    // each 31-bit stream must satisfy the recurrence h' = (h*B + b) mod p exactly
+    val bytes = "abcdefgh".getBytes("UTF-8")
+    var h1 = 0L; var h2 = 0L
+    bytes.foreach { b =>
+      h1 = (h1 * RollingHash.BASE1 + (b & 0xff)) % RollingHash.MOD1
+      h2 = (h2 * RollingHash.BASE2 + (b & 0xff)) % RollingHash.MOD2
+      // invariant the old 61-bit formulation violated: h*base never overflows
+      assert(h1 < RollingHash.MOD1 && h1 * RollingHash.BASE1 > 0)
+      assert(h2 < RollingHash.MOD2 && h2 * RollingHash.BASE2 > 0)
+    }
+    assert(RollingHash.hashBytes(bytes) === ((h1 << 31) | h2))
+  }
+
+  test("native tokenization matches Spark split(trim(s)) on whitespace edge cases") {
+    // Spark trim strips only SPACE; Java String.trim strips all <= U+0020 — these
+    // inputs distinguish the two (and Java split's trailing-empty dropping)
+    val edges = Seq("\thello world", "hello world\n", "  padded  ", "a\t\tb", "\n\n")
+    edges.foreach { s =>
+      val native = SimHash64.sparkTokens(UTF8String.fromString(s)).toSeq
+      val spark = {
+        var from = 0; var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        s.substring(from, to).split("\\s+", -1).toSeq
+      }
+      assert(native === spark, s"for input ${s.map(_.toInt)}")
     }
   }
 
