@@ -363,6 +363,20 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Consistent per-group sampling: the 3 documents per language with the smallest
+    * content hash — identical selection under any partitioning/rerun (custom
+    * TypedImperativeAggregate; oracle = the equivalent window formulation).
+    */
+  private def qDeterministicSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomKByKey.bottom_k_by_key(
+        md5(col("text")), col("text"), 3).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("text"))
+      .withColumn("fingerprint", md5(col("text")))
+      .select("lang", "fingerprint")
+      .orderBy("lang", "fingerprint")
+
   /** S8/K6: file-level metadata scan over the harness tables (driver-side metadata walk;
     * no oracle — DuckDB cannot see the filesystem stats).
     */
@@ -435,6 +449,7 @@ object SparkEntry {
     "q_similarity_topk" -> qSimilarityTopK,
     "q_ann_topk" -> qAnnTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
+    "q_deterministic_sample" -> qDeterministicSample,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_catalog_stats" -> qCatalogStats,
     "q_pricing_summary" -> qPricingSummary,
@@ -623,6 +638,10 @@ object SparkEntry {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_deterministic_sample" ->
+      """SELECT lang, md5(text) AS fingerprint FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), text) <= 3
+        |ORDER BY lang, fingerprint""".stripMargin,
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
