@@ -15,5 +15,11 @@ object Registry {
       exprs => SimHash64(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction("bottom_k_by_key",
+      exprs => BottomKByKey(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -20,6 +20,18 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Long]("sh") !== 0L)
   }
 
+  test("custom aggregate and shingles are callable from spark.sql") {
+    Registry.registerAll(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sql")
+    val agg = spark.sql(
+      """SELECT lang, bottom_k_by_key(md5(text), text, 2) AS sample
+        |FROM docs_sql GROUP BY lang""".stripMargin)
+    assert(agg.count() === 5) // one row per language
+    assert(agg.selectExpr("size(sample)").collect().forall(_.getInt(0) == 2))
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s").first().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+
   test("SQL functions agree with the Column API on real data") {
     Registry.registerAll(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
