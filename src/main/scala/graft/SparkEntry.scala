@@ -363,6 +363,13 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Near-duplicate clusters: connected components over the Jaccard≥0.5 pair graph
+    * (iterative min-label propagation; oracle = recursive-CTE reachability closure).
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ConnectedComponents.nearDuplicateClusters(docs(s, dir), threshold = 0.5)
+      .orderBy("node")
+
   /** Consistent per-group sampling: the 3 documents per language with the smallest
     * content hash — identical selection under any partitioning/rerun (custom
     * TypedImperativeAggregate; oracle = the equivalent window formulation).
@@ -450,6 +457,7 @@ object SparkEntry {
     "q_ann_topk" -> qAnnTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_deterministic_sample" -> qDeterministicSample,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_catalog_stats" -> qCatalogStats,
     "q_pricing_summary" -> qPricingSummary,
@@ -562,8 +570,9 @@ object SparkEntry {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  private val ngramJaccardSql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+  /** Shared CTE chain producing the Jaccard-filtered near-dup pair columns. */
+  private val jaccardPairCtes: String =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
       |  FROM documents),
       |t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
@@ -576,14 +585,30 @@ object SparkEntry {
       |  USING (shingle)),
       |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
       |  FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_common, sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT doc_a, doc_b, n_common,
+      |  sa.n_shingles AS size_a, sb.n_shingles AS size_b,
       |  CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
       |FROM pairs
       |JOIN sizes sa ON pairs.doc_a = sa.doc_id
       |JOIN sizes sb ON pairs.doc_b = sb.doc_id
-      |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5)""".stripMargin
+
+  private val ngramJaccardSql: String =
+    s"""WITH $jaccardPairCtes
+       |SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard FROM scored
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components of the near-dup pair graph via recursive reachability. */
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+       |  UNION SELECT doc_b, doc_a FROM scored),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach AS (SELECT node, node AS r FROM nodes
+       |  UNION SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT node, MIN(r) AS component FROM reach GROUP BY node
+       |ORDER BY node""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -638,6 +663,7 @@ object SparkEntry {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_deterministic_sample" ->
       """SELECT lang, md5(text) AS fingerprint FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), text) <= 3
