@@ -68,7 +68,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // sh is consumed twice (sizes + pairs) but deliberately NOT cached: the native
+    // shingle kernel recomputes at scan speed, which measures no slower than a cache
+    // materialization pass and leaves no storage-pool blocks behind
+    val sh = shingles(df, idCol, textCol, n)
     // per-doc sizes scale with the corpus, so no broadcast hint: AQE converts the final
     // joins to broadcast at runtime when they fit
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -149,7 +152,7 @@ object Dedup {
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val candidates = lshCandidates(
       minHashSignatures(df, idCol, textCol, n, numHashes), numHashes, bands)
