@@ -72,7 +72,11 @@ object SparkEntry {
         col("customer_id")).as("after"),
       lit("c").as("op"),
       (unix_timestamp(col("order_date")) * 1000).as("ts_ms"))
-    Flatten.ordersAfter(envelope).orderBy("order_id")
+    // decimal decode is exercised inside the flatten; surface the money column as
+    // double — the driver's comparator canonicalizes doubles, not DECIMAL(10,2)
+    Flatten.ordersAfter(envelope)
+      .withColumn("order_amount", col("order_amount").cast("double"))
+      .orderBy("order_id")
   }
 
   private def tmpDir(prefix: String): String =
@@ -111,6 +115,7 @@ object SparkEntry {
     val out = tmpDir("graft_avro")
     AvroEnvelopeIO.writeOrdersEnvelopes(refOrders(s, dir), out)
     Flatten.ordersAfter(AvroEnvelopeIO.readOrdersEnvelopes(s, out))
+      .withColumn("order_amount", col("order_amount").cast("double"))
       .orderBy("order_id")
   }
 
@@ -649,7 +654,8 @@ object SparkEntry {
          |ORDER BY order_id""".stripMargin,
     "q_cdc_flatten" ->
       """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
-        |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
+        |  CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) AS order_amount,
+        |  o_custkey AS customer_id
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
     "q_text_stats" -> textStatsSql,
@@ -791,7 +797,8 @@ object SparkEntry {
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_avro_cdc_roundtrip" ->
       """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
-        |  CAST(o_totalprice AS DECIMAL(10,2)) AS order_amount, o_custkey AS customer_id
+        |  CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) AS order_amount,
+        |  o_custkey AS customer_id
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_avro_customers_roundtrip" ->
       s"""WITH c AS ($cSql)
@@ -817,9 +824,9 @@ object SparkEntry {
         |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END
         |    AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT user_id, ts, SUM(is_new) OVER (
+        |s AS (SELECT user_id, ts, CAST(SUM(is_new) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-        |  AS session_seq FROM g)
+        |  AS BIGINT) AS session_seq FROM g)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

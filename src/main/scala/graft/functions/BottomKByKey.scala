@@ -79,11 +79,26 @@ case class BottomKByKey(
     new GenericArrayData(
       buf.toSeq.sorted(ord).map(e => UTF8String.fromString(e._2)).toArray[Any])
 
+  // length-prefixed UTF-8 byte arrays, NOT DataOutputStream.writeUTF: writeUTF caps
+  // strings at 65535 encoded bytes and the payload here is full document text — a
+  // single >64 KB document would crash every partial-aggregate shuffle
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  private def readStr(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   override def serialize(buf: mutable.PriorityQueue[(String, String)]): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
     val out = new DataOutputStream(baos)
     out.writeInt(buf.size)
-    buf.foreach { case (a, b) => out.writeUTF(a); out.writeUTF(b) }
+    buf.foreach { case (a, b) => writeStr(out, a); writeStr(out, b) }
     out.flush()
     baos.toByteArray
   }
@@ -92,7 +107,7 @@ case class BottomKByKey(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.enqueue((in.readUTF(), in.readUTF())))
+    (0 until n).foreach(_ => buf.enqueue((readStr(in), readStr(in))))
     buf
   }
 

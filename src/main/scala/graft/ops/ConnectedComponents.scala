@@ -55,6 +55,11 @@ object ConnectedComponents {
         .localCheckpoint(true)
       i += 1
     }
+    // silent non-convergence would hand downstream dedup WRONG cluster labels (groups
+    // split or mislabeled with no signal) — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge after $maxIterations iterations " +
+        s"($changed labels still changing); raise maxIterations")
     labels
   }
 

@@ -143,20 +143,48 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
-  /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
-    * The bucket equality join replaces the quadratic all-pairs scan.
+  /** Exact embedding near-duplicate pairs: every (a < b) pair with cosine ≥ threshold.
+    * All-pairs — correct recall 1.0, quadratic in corpus size; the reference answer the
+    * LSH variant below is measured against. Broadcast of the deduplicated (id, vector)
+    * projection keeps the big side streaming with no shuffle.
+    */
+  def embeddingNearDuplicatesExact(
+      embeddings: DataFrame, threshold: Double = 0.45,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = normed(embeddings, idCol, vecCol)
+    val right = broadcast(base.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("norm").as("b_norm")))
+    base.join(right, col("vec_id") < col("b_id"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("bv")) / (col("norm") * col("b_norm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs, LSH-bucketed (the 100 TB scale path): a pair is a
+    * candidate when it shares a full bucket in AT LEAST ONE of `tables` signature tables
+    * (OR-amplification — a single long signature has vanishing recall at moderate
+    * thresholds), then exact cosine ≥ threshold filters candidates. Approximate:
+    * recall measured against [[embeddingNearDuplicatesExact]] in tests.
     */
   def embeddingNearDuplicates(
-      embeddings: DataFrame, threshold: Double = 0.95, numPlanes: Int = 12,
+      embeddings: DataFrame, threshold: Double = 0.45,
+      tables: Int = 8, planesPerTable: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = probeDim(embeddings, vecCol)
-    val signed = withSignature(embeddings, hyperplanes(numPlanes, dim), idCol, vecCol)
-      .cache()
-    signed.as("x").join(signed.as("y"),
-        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+    val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
+      idCol, vecCol).cache()
+    val right = signed.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("norm").as("b_norm"), col("table").as("b_table"), col("sig").as("b_sig"))
+    signed.join(right,
+        col("table") === col("b_table") && col("sig") === col("b_sig") &&
+          col("vec_id") < col("b_id"))
+      .select(col("vec_id"), col("b_id"), col("v"), col("bv"),
+        col("norm"), col("b_norm"))
+      .dropDuplicates("vec_id", "b_id")
       .withColumn("cosine",
-        round(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 4))
+        round(dot(col("v"), col("bv")) / (col("norm") * col("b_norm")), 4))
       .filter(col("cosine") >= threshold)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
+      .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"), col("cosine"))
   }
 }

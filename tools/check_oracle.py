@@ -4,8 +4,17 @@
 Runs graft.Verify at a given SF dir, then executes each oracle SQL in DuckDB over the
 same parquet tables and compares: row count, column names, and value-hash with columns
 sorted by name. Usage: python3 tools/check_oracle.py [sfdir] [outdir]
+
+Round-1 lesson: the driver's canonicalization diverged from a naive fetchall() compare
+on DECIMAL and HUGEINT columns (DuckDB SUM(int) window → INT128; pandas renders those
+as float64 while Spark's parquet holds int64/decimal). So besides the value compare,
+this gate FAILS any query whose Spark output or oracle result carries a type the
+driver is known to canonicalize unpredictably: DECIMAL, HUGEINT/UHUGEINT. Queries must
+surface money as DOUBLE and counters as BIGINT on BOTH sides.
 """
-import sys, os, json, subprocess, glob
+import sys, os, json, glob
+from decimal import Decimal
+import datetime
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -13,6 +22,12 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+RISKY_TYPES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def risky(type_names):
+    return [t for t in type_names if any(r in str(t).upper() for r in RISKY_TYPES)]
 
 
 def canon(rows, cols):
@@ -22,8 +37,12 @@ def canon(rows, cols):
     def cv(v):
         if v is None:
             return "NULL"
+        if isinstance(v, Decimal):
+            return repr(float(v))
         if isinstance(v, float):
             return repr(v)
+        if isinstance(v, datetime.datetime):
+            return v.replace(tzinfo=None).isoformat(sep=" ")
         return str(v)
 
     return sorted(tuple(cv(r[i]) for i in order) for r in rows)
@@ -49,16 +68,24 @@ def main():
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         got_cols = [d[0] for d in got.description]
+        got_types = [d[1] for d in got.description]
         got_rows = got.fetchall()
         try:
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
+            exp_types = [d[1] for d in exp.description]
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
         problems = []
+        bad = risky(got_types)
+        if bad:
+            problems.append(f"spark output has driver-risky types {bad}")
+        bad = risky(exp_types)
+        if bad:
+            problems.append(f"oracle result has driver-risky types {bad}")
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
         if len(got_rows) != len(exp_rows):
