@@ -220,7 +220,7 @@ object SparkEntry {
 
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
-      threshold = 0.9, numPlanes = 12).orderBy("vec_a", "vec_b")
+      threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s

@@ -130,12 +130,13 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
     }
-    // cache: both sides of the candidate self-join read this (signature computation
-    // upstream is a full shuffle+aggregate — never run it twice)
+    // No cache: the self-join's two sides canonicalize to the same shuffle, so Spark's
+    // ReuseExchange runs the upstream signature aggregate ONCE and replays the exchange
+    // for the other side — same work as a cache, zero storage-pool residue (a .cache()
+    // here leaked blocks into long-lived sessions and cannot fit at 100 TB anyway).
     val exploded = signatures
       .select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
-      .cache()
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") &&

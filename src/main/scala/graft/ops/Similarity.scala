@@ -119,10 +119,12 @@ object Similarity {
       tables: Int = 16, planesPerTable: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = probeDim(embeddings, vecCol)
-    // cache: corpus side and query side both read the signatures — T×P dot products
-    // per vector are too expensive to compute twice
+    // No cache: the query side's vec_id filter pushes below the signature explode, so
+    // signatures are only recomputed for the numQueries query vectors — cheaper than
+    // pinning the whole signed corpus in the storage pool (which at 100 TB cannot fit
+    // and would leak blocks into any long-lived session).
     val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
-      idCol, vecCol).cache()
+      idCol, vecCol)
     val queries = signed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("table").as("qtable"), col("sig").as("qsig"))
@@ -172,19 +174,24 @@ object Similarity {
       tables: Int = 8, planesPerTable: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = probeDim(embeddings, vecCol)
+    // No cache: the self-join recomputes signatures on each side (T×P dot products per
+    // vector — cheap next to the scan), instead of pinning the signed corpus in the
+    // storage pool, which at 100 TB cannot fit and would leak blocks into a long-lived
+    // session.
     val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
-      idCol, vecCol).cache()
+      idCol, vecCol)
     val right = signed.select(col("vec_id").as("b_id"), col("v").as("bv"),
       col("norm").as("b_norm"), col("table").as("b_table"), col("sig").as("b_sig"))
+    // Cosine BEFORE dropDuplicates: a cross-table duplicate candidate costs one extra
+    // fused dot product, while deduplicating first would shuffle the full vector
+    // payloads (~KB/row) instead of 24-byte scalar rows — mirrors [[annTopK]].
     signed.join(right,
         col("table") === col("b_table") && col("sig") === col("b_sig") &&
           col("vec_id") < col("b_id"))
-      .select(col("vec_id"), col("b_id"), col("v"), col("bv"),
-        col("norm"), col("b_norm"))
-      .dropDuplicates("vec_id", "b_id")
       .withColumn("cosine",
         round(dot(col("v"), col("bv")) / (col("norm") * col("b_norm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"), col("cosine"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 }

@@ -39,8 +39,10 @@ object TextAnalysis {
     val nWords = size(toks)
     val nChars = length(col(textCol))
     val nNonSpace = length(regexp_replace(trim(col(textCol)), "\\s+", ""))
-    val nPunct = size(bpeishTokens(col(textCol))) - size(filter(bpeishTokens(col(textCol)),
-      t => t.rlike("^\\w+$")))
+    // Punct tokens in the BPE-ish segmentation are exactly the [^\w\s] single-char
+    // matches, so count them with ONE regex pass (the previous two regexp_extract_all
+    // passes + per-token rlike made this the slowest per-row query in the bench).
+    val nPunct = size(regexp_extract_all(col(textCol), lit("[^\\w\\s]"), lit(0)))
     val avgWordLen = when(nWords > 0, nNonSpace.cast("double") / nWords).otherwise(0.0)
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
     val stopRatio = when(nWords > 0,
