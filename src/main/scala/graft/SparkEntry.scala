@@ -198,13 +198,14 @@ object SparkEntry {
 
   private def qMinhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(s, dir), numHashes = 32, bands = 16,
-      threshold = 0.5).orderBy("doc_a", "doc_b")
+      threshold = 0.5, hashFn = Dedup.md5HashFn, bandHash = Dedup.md5BandHash)
+      .orderBy("doc_a", "doc_b")
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(docs(s, dir)).orderBy("doc_id")
+    Dedup.simHashMd5(docs(s, dir)).orderBy("doc_id")
 
   private def qSimhashNearPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearPairs(Dedup.simHash(docs(s, dir)), maxHamming = 3)
+    Dedup.simHashNearPairs(Dedup.simHashMd5(docs(s, dir)), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
   private def qFingerprints(s: SparkSession, dir: String): DataFrame =
@@ -615,6 +616,144 @@ object SparkEntry {
        |SELECT node, MIN(r) AS component FROM reach GROUP BY node
        |ORDER BY node""".stripMargin
 
+  /** MinHash+LSH banding replayed in DuckDB: per-seed hash = md5('seed:' || shingle)
+    * (lexicographic MIN over hex strings — exactly [[graft.ops.Dedup.md5HashFn]]), bands
+    * of 2 joined with '|' ([[graft.ops.Dedup.md5BandHash]]), then the Jaccard-verified
+    * pairs are the banding candidates ∩ `scored`. The df-capped `kept` in `scored` is a
+    * no-op below 1000 documents, so common-shingle counts agree with the uncapped Spark
+    * verify join at the gate's sf0.01.
+    */
+  private val minhashNearDupSql: String = {
+    val numHashes = 32
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(s => s"MIN(md5('$s:' || shingle)) AS h$s").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $cols AS bv FROM mins"
+    }.mkString(" UNION ALL ")
+    s"""WITH $jaccardPairCtes,
+       |mins AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |mbands AS ($bandSelects),
+       |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mbands a JOIN mbands b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT s.doc_a, s.doc_b, s.jaccard FROM scored s
+       |JOIN mcand USING (doc_a, doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** 60-bit md5 SimHash CTE chain ([[graft.ops.Dedup.simHashMd5]] replayed in DuckDB):
+    * token hash = first 15 hex chars of md5(token) parsed base-16, per-bit ±1 sums,
+    * bit set where the sum is positive.
+    */
+  private val simhashMd5Ctes: String =
+    """tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 16),
+      |      i -> CAST(strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1
+      |        AS BIGINT))),
+      |    (acc, x) -> acc * 16 + x) AS h FROM tok),
+      |bitsums AS (SELECT doc_id, b,
+      |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN range(0, 60) t(b) GROUP BY doc_id, b),
+      |sims AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+      |      AS simhash
+      |  FROM bitsums GROUP BY doc_id)""".stripMargin
+
+  private val simhashSql: String =
+    s"""WITH $simhashMd5Ctes
+       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  private val simhashNearPairsSql: String =
+    s"""WITH $simhashMd5Ctes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** [[graft.functions.RollingHash]] replayed byte-for-byte in DuckDB: hex(encode(text))
+    * exposes the UTF-8 bytes, two modular polynomial folds over them, packed as
+    * (h1 << 31) | h2 — h2 < 2³¹ makes the OR a plain addition of h1 * 2³¹.
+    */
+  private val fingerprintsSql: String =
+    """WITH t AS (SELECT doc_id, md5(text) AS md5_fingerprint, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n FROM documents),
+      |b AS (SELECT doc_id, md5_fingerprint, list_transform(range(0, n),
+      |    i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) * 16
+      |       + strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 17 AS BIGINT))
+      |    AS bs
+      |  FROM t)
+      |SELECT doc_id, md5_fingerprint,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+      |    (acc, x) -> (acc * 1000003 + x) % 2147483647) * 2147483648
+      |  + list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+      |    (acc, x) -> (acc * 998244353 + x) % 2147483629) AS rolling_fingerprint
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** The seed-42 hyperplanes of [[graft.ops.Similarity.withTableSignatures]] as DuckDB
+    * `(table, planes)` VALUES rows. %.17e round-trips every double exactly, and
+    * scientific notation parses as DOUBLE (a bare decimal literal would become DECIMAL
+    * and trip the driver-risky-type gate).
+    */
+  private def planesValues(tables: Int, planesPerTable: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(planesPerTable, dim, 42L + t)
+      val planesLit = planes
+        .map(_.map(d => f"$d%.17e").mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"($t, $planesLit)"
+    }.mkString(", ")
+
+  /** Multi-table LSH signatures replayed in DuckDB. The embeddings fixtures are dim-64
+    * at every SF (the Spark side probes this; the literal planes must cover it).
+    * Signature fold (acc*2 + bit over plane order) and dot-product summation order
+    * mirror the Spark expressions exactly, so the bucket assignment is bit-identical.
+    */
+  private def lshSigCtes(tables: Int, planesPerTable: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+       |  FROM e),
+       |p(t, planes) AS (VALUES ${planesValues(tables, planesPerTable, 64)}),
+       |sigs AS (SELECT vec_id, v, norm, t,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(planes,
+       |    pl -> CASE WHEN list_sum(list_transform(list_zip(pl, v),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
+       |      THEN 1 ELSE 0 END)), (acc, b) -> acc * 2 + b) AS sig
+       |  FROM n CROSS JOIN p)""".stripMargin
+
+  private val annTopkSql: String =
+    s"""WITH ${lshSigCtes(tables = 16, planesPerTable = 4)},
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, t, sig FROM sigs
+       |  WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.query_id, s.vec_id,
+       |    round(list_sum(list_transform(list_zip(q.qv, s.v),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.qnorm * s.norm), 4)
+       |      AS cosine
+       |  FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val embeddingNearDupSql: String =
+    s"""WITH ${lshSigCtes(tables = 8, planesPerTable = 4)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_sum(list_transform(list_zip(a.v, b.v),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.norm * b.norm), 4)
+       |      AS cosine
+       |  FROM sigs a JOIN sigs b
+       |  ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -669,6 +808,12 @@ object SparkEntry {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_minhash_neardup" -> minhashNearDupSql,
+    "q_simhash" -> simhashSql,
+    "q_simhash_near_pairs" -> simhashNearPairsSql,
+    "q_fingerprints" -> fingerprintsSql,
+    "q_ann_topk" -> annTopkSql,
+    "q_embedding_neardup" -> embeddingNearDupSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_deterministic_sample" ->
       """SELECT lang, md5(text) AS fingerprint FROM documents

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,27 +108,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /** Production per-seed shingle hash: xxhash64 seeded by the hash index. */
+  val xxHashFn: (Int, Column) => Column = (s, c) => xxhash64(lit(s), c)
+
+  /** Oracle-replicable per-seed shingle hash: md5 of "seed:shingle" as a hex string
+    * (min over hex strings is plain lexicographic order — identical in any engine that
+    * has md5, which is how the DuckDB gate can replay the full banding pipeline).
+    */
+  val md5HashFn: (Int, Column) => Column = (s, c) => md5(concat(lit(s"$s:"), c))
+
+  /** Production band fingerprint: xxhash64 over the band's signature columns. */
+  val xxBandHash: Seq[Column] => Column = cs => xxhash64(cs: _*)
+
+  /** Oracle-replicable band fingerprint: the band's signature columns joined with '|'. */
+  val md5BandHash: Seq[Column] => Column = cs => concat_ws("|", cs: _*)
+
   /** MinHash signatures: k independent min-hashes of the shingle set, one pass.
-    * Output: doc_id, h0..h{k-1}.
+    * Output: doc_id, h0..h{k-1}. `hashFn` picks the per-seed hash family
+    * ([[xxHashFn]] production, [[md5HashFn]] oracle-replicable).
     */
   def minHashSignatures(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, numHashes: Int = 32): DataFrame = {
+      n: Int = 3, numHashes: Int = 32,
+      hashFn: (Int, Column) => Column = xxHashFn): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val aggs = (0 until numHashes).map(s =>
-      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+      min(hashFn(s, col("shingle"))).as(s"h$s"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs from banded signatures: docs agreeing on ALL rows of at least
     * one band. bands must divide numHashes.
     */
-  def lshCandidates(signatures: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     val bandHashes = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
+      struct(lit(b).as("band"), bandHash(cols).as("band_hash"))
     }
     // No cache: the self-join's two sides canonicalize to the same shuffle, so Spark's
     // ReuseExchange runs the upstream signature aggregate ONCE and replays the exchange
@@ -152,11 +170,14 @@ object Dedup {
   def minhashNearDuplicates(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      hashFn: (Int, Column) => Column = xxHashFn,
+      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val candidates = lshCandidates(
-      minHashSignatures(df, idCol, textCol, n, numHashes), numHashes, bands)
+      minHashSignatures(df, idCol, textCol, n, numHashes, hashFn), numHashes, bands,
+      bandHash)
     val common = candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sa"),
         Seq("doc_a"))
@@ -197,6 +218,28 @@ object Dedup {
     }
     val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    summed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Oracle-replicable 60-bit SimHash: token hash = first 15 hex chars of md5(token)
+    * parsed base-16 (a 60-bit value both Spark's `conv` and DuckDB hex arithmetic can
+    * produce identically), then the standard per-bit ±1 sums. Production stays on the
+    * native 64-bit [[simHash]] kernel; this variant exists so the DuckDB gate can replay
+    * the signature end-to-end. [[simHashNearPairs]] works unchanged on its output: the
+    * 4×16-bit pigeonhole chunks cover bits 0–63 ⊇ 0–59, so hamming ≤ 3 still guarantees
+    * an equal chunk.
+    */
+  def simHashMd5(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .withColumn("th", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_ + _)
     summed.select(col("doc_id"), sig.as("simhash"))

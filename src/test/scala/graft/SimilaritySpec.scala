@@ -49,6 +49,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall > 0.5, s"recall $recall too low for 16 tables x 4 planes")
   }
 
+  test("embeddingNearDuplicates: non-empty, subset of exact pairs, no cache residue") {
+    val emb = Tables.embeddings(spark, sf)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val exact = Similarity.embeddingNearDuplicatesExact(emb, threshold = 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNearDuplicates(emb, threshold = 0.45,
+        tables = 8, planesPerTable = 4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "threshold 0.45 must yield pairs — a 0-row result verifies nothing")
+    assert(lsh.subsetOf(exact))
+    // the LSH queries must leave nothing newly pinned in the storage pool
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty,
+      s"near-dup queries may not leak cached blocks into a long-lived session: $leaked")
+  }
+
   test("signatures: deterministic across runs, buckets partition the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val planes = Similarity.hyperplanes(8, 64)

@@ -93,6 +93,52 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(lsh.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("minhash LSH md5 variant: same exactness property as the xxhash64 path") {
+    import spark.implicits._
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")))
+    val mutated = (0 until 5).map { i =>
+      val words = base(i)._2.split(" ").toVector.updated(10, "MUT")
+      (100L + i, words.mkString(" "))
+    }
+    val df = (base ++ mutated).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Lsh = Dedup.minhashNearDuplicates(df, numHashes = 32, bands = 16,
+      threshold = 0.5, hashFn = Dedup.md5HashFn, bandHash = Dedup.md5BandHash).collect()
+    val md5Pairs = md5Lsh.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // precision is exact (candidates are Jaccard-verified); recall stays high because
+    // banding probability is hash-family-independent for uniform hashes
+    assert(md5Pairs.subsetOf(exact))
+    assert(md5Pairs.size >= (exact.size * 0.8).toInt)
+    assert(md5Lsh.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash md5 variant: single-token doc equals its 60-bit md5 prefix, near pairs") {
+    // with exactly one token every bit sum is ±1, so the signature must equal the
+    // token's own 60-bit hash — pins the bit order end to end
+    val oneTok = mkDocs(Seq((1L, "hello")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val got = Dedup.simHashMd5(oneTok).collect()(0).getAs[Long]("simhash")
+    assert(got === expected)
+
+    val df = mkDocs(Seq(
+      (1L, "spark query engine for large data"),
+      (2L, "spark query engine for large data"),
+      (3L, "completely different words entirely here now")))
+    val sig = Dedup.simHashMd5(df)
+    val s = sig.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(s(1L) === s(2L))
+    assert(s.values.forall(v => v >= 0L && v < (1L << 60)))
+    // the 4x16-bit pigeonhole banding stays sound on 60-bit signatures
+    val pairs = Dedup.simHashNearPairs(sig, maxHamming = 3).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L &&
+        r.getAs[Int]("hamming") == 0))
+  }
+
   test("simhash: identical docs share signature, near pairs found, hamming sound") {
     val df = mkDocs(Seq(
       (1L, "spark query engine for large data"),
