@@ -147,7 +147,7 @@ object Similarity {
 
   /** Exact embedding near-duplicate pairs: every (a < b) pair with cosine ≥ threshold.
     * All-pairs — correct recall 1.0, quadratic in corpus size; the reference answer the
-    * LSH variant below is measured against. Broadcast of the deduplicated (id, vector)
+    * LSH variant below is measured against. Broadcasting the (id, vector, norm)
     * projection keeps the big side streaming with no shuffle.
     */
   def embeddingNearDuplicatesExact(

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.MetadataScanner
@@ -55,20 +55,24 @@ object Medallion {
         landed.select(col("_metadata.file_path")); col("_metadata.file_path")
       } catch { case _: org.apache.spark.sql.AnalysisException => lit("unknown") }
     }
+    // observe() piggybacks the row count on the write job itself — the previous
+    // read-back-and-count cost a second full scan of the layer per run
+    val obs = Observation()
     val withLineage = landed
       .withColumn("ingestion_timestamp", current_timestamp())
       .withColumn("source_file", lineageCol)
       .withColumn("ingestion_layer", lit("bronze"))
-    val (df, writer) = partitionDate match {
+      .observe(obs, count(lit(1)).as("rows"))
+    val writer = partitionDate match {
       case Some(d) =>
-        val withDate = withLineage.withColumn("ingest_date", d)
-        (withDate, withDate.write.mode("overwrite").partitionBy("ingest_date"))
-      case None => (withLineage, withLineage.write.mode("overwrite"))
+        withLineage.withColumn("ingest_date", d)
+          .write.mode("overwrite").partitionBy("ingest_date")
+      case None => withLineage.write.mode("overwrite")
     }
     writer.parquet(bronzePath)
-    val spark = landed.sparkSession
-    val n = spark.read.parquet(bronzePath).count()
-    MetadataScanner.appendIngestLog(spark, bronzePath, "BRONZE_OVERWRITE", n)
+    val n = obs.get("rows").asInstanceOf[Long]
+    MetadataScanner.appendIngestLog(landed.sparkSession, bronzePath,
+      "BRONZE_OVERWRITE", n)
     n
   }
 
@@ -105,21 +109,28 @@ object Medallion {
     val ok = DqValidator.gate(flat, v, p.silver, p.quarantine,
       partitionColumns = Nil)
     DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_orders")
+    // a passing gate curates the whole frame, whose count the fused checks already
+    // computed — logging it needs no read-back scan of the silver layer
     if (ok) MetadataScanner.appendIngestLog(spark, p.silver, "SILVER_OVERWRITE",
-      spark.read.parquet(p.silver).count())
+      v.totalRows.getOrElse(0L))
     (v, ok)
   }
 
-  /** Silver → both gold tables. */
+  /** Silver → both gold tables. Row counts ride each write via observe() — no
+    * read-back scans.
+    */
   def toGold(spark: SparkSession, silverPath: String, customers: DataFrame,
       p: Paths): (Long, Long) = {
     val silver = spark.read.parquet(silverPath)
+    val obsDaily = Observation()
     val daily = DailySales(silver, customers, stampProcessingTime = true)
+      .observe(obsDaily, count(lit(1)).as("rows"))
     DailySales.write(daily, p.goldDailySales)
+    val obsClv = Observation()
     val clv = CustomerLifetimeValue(silver, customers, stampProcessingTime = true)
+      .observe(obsClv, count(lit(1)).as("rows"))
     CustomerLifetimeValue.write(clv, p.goldClv)
-    (spark.read.parquet(p.goldDailySales).count(),
-      spark.read.parquet(p.goldClv).count())
+    (obsDaily.get("rows").asInstanceOf[Long], obsClv.get("rows").asInstanceOf[Long])
   }
 
   /** Full E1 run: BOTH entities land in bronze and pass their own DQ gates; gold joins
@@ -131,21 +142,23 @@ object Medallion {
     val bronzeRows = toBronze(orders, p.bronze,
       partitionDate = Some(to_date(col("order_date"))))
     toBronze(customers, p.customersBronze)
-    val (_, custOk) = customersToSilver(spark, p.customersBronze, p)
+    val (custV, custOk) = customersToSilver(spark, p.customersBronze, p)
     if (!custOk) {
       // dimension failed its gate: STOP — do not curate orders against unvalidated
       // customers, and leave no silver/gold state that contradicts the summary
       return RunSummary(bronzeRows, 0L, 0L, quarantined = true, 0L, 0L)
     }
+    // both layer counts come from the validators' fused aggregates — the summary adds
+    // no re-read scans on top of the layer writes themselves
+    val customersSilverRows = custV.totalRows.getOrElse(0L)
     val silverCustomers = spark.read.parquet(p.customersSilver)
       .select("customer_id", "name", "email", "region", "customer_tenure_days")
-    val (_, ok) = toSilver(spark, p.bronze, silverCustomers, p)
+    val (v, ok) = toSilver(spark, p.bronze, silverCustomers, p)
     if (!ok) {
-      RunSummary(bronzeRows, 0L, silverCustomers.count(), quarantined = true, 0L, 0L)
+      RunSummary(bronzeRows, 0L, customersSilverRows, quarantined = true, 0L, 0L)
     } else {
-      val silverRows = spark.read.parquet(p.silver).count()
       val (ds, clv) = toGold(spark, p.silver, silverCustomers, p)
-      RunSummary(bronzeRows, silverRows, silverCustomers.count(),
+      RunSummary(bronzeRows, v.totalRows.getOrElse(0L), customersSilverRows,
         quarantined = false, ds, clv)
     }
   }

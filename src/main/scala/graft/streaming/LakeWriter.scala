@@ -101,4 +101,40 @@ object LakeWriter {
     */
   def toJsonMessages(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Rate-limited producer: replays a static dataset as an N-messages-per-second JSON
+    * stream — the reference's throttled CSV→topic producer
+    * (`streaming-source/csv_to_orders_topic.py:27`, `time.sleep(1)` per message; its
+    * 1 msg/s is `rowsPerSecond = 1` here). The `rate` source emits a monotonically
+    * increasing `value`; an inner join against the row-numbered dataset picks each
+    * message in order, so emission stops by itself once the dataset is replayed. The
+    * `text` sink writes the raw JSON lines (swap for `format("kafka")` where the
+    * connector jar is present — the plan upstream of the sink is unchanged).
+    *
+    * The global row_number is fine HERE and only here: a replay producer is a
+    * single-stream, driver-paced tool (the reference's is a sequential CSV loop); the
+    * scale path for ingest is [[ingestKafkaStream]], not this.
+    */
+  def rateProducer(
+      spark: SparkSession,
+      dataset: DataFrame,
+      orderCol: String,
+      outputDir: String,
+      checkpointDir: String,
+      rowsPerSecond: Int = 1): StreamingQuery = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    val indexed = dataset
+      .withColumn("__idx", row_number().over(w).cast("long") - 1)
+      .select(col("__idx"),
+        to_json(struct(dataset.columns.map(col): _*)).as("value"))
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong).load()
+    ticks.join(indexed, ticks("value") === indexed("__idx"))
+      .select(indexed("value"))
+      .writeStream
+      .format("text")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
 }

@@ -12,7 +12,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** A user-facing AnalysisException (the public constructors are error-class based). */
+  /** A user-facing AnalysisException (the public constructors are error-class based).
+    * USER_RAISED_EXCEPTION (SQLSTATE P0001) frames argument-validation failures as user
+    * errors; INTERNAL_ERROR would print Spark's "please report a bug" banner for what is
+    * a caller mistake.
+    */
   def analysisError(msg: String): AnalysisException =
-    new AnalysisException("INTERNAL_ERROR", Map("message" -> msg))
+    new AnalysisException("USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
 }

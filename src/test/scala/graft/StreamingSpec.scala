@@ -42,6 +42,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.schema(outSchema).json(out).count() === src.count())
   }
 
+  test("rate producer: throttled replay delivers every row in order, then goes quiet") {
+    import spark.implicits._
+    val rows = (1 to 6).map(i => (i.toLong, s"msg$i"))
+    val ds = rows.toDF("order_id", "payload")
+    val out = Files.createTempDirectory("rp_out").toString
+    val chk = Files.createTempDirectory("rp_chk").toString
+
+    val t0 = System.nanoTime()
+    val q = LakeWriter.rateProducer(spark, ds, orderCol = "order_id",
+      outputDir = out, checkpointDir = chk, rowsPerSecond = 3)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def landedCount(): Long =
+        try spark.read.textFile(out).count() catch { case _: Throwable => 0L }
+      while (landedCount() < rows.size && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val landed = spark.read.textFile(out).collect().toSeq
+      assert(landed.size === rows.size, s"only ${landed.size} messages landed")
+      // every message is intact JSON and replay preserves dataset order
+      val parsed = spark.read.json(spark.createDataset(landed))
+        .orderBy("order_id").collect()
+      assert(parsed.map(_.getAs[Long]("order_id")).toSeq === rows.map(_._1))
+      assert(parsed.map(_.getAs[String]("payload")).toSeq === rows.map(_._2))
+      // 6 messages at 3/s cannot arrive instantaneously — the throttle is real
+      assert(elapsed >= 1.0, s"6 msgs at 3/s landed in ${elapsed}s — no throttling?")
+    } finally q.stop()
+  }
+
   test("landing is idempotent under batch replay (dynamic partition overwrite)") {
     val src = Tables.eventsMicros(spark, sf)
       .select(col("event_id"), col("user_id"),

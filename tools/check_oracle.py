@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Runs graft.Verify at a given SF dir, then executes each oracle SQL in DuckDB over the
-same parquet tables and compares: row count, column names, and value-hash with columns
-sorted by name. Usage: python3 tools/check_oracle.py [sfdir] [outdir]
+Reads the outputs a prior `graft.Verify` run left in outdir (one parquet dir per query
+plus oracle_sql.json), executes each oracle SQL in DuckDB over the sfdir parquet tables,
+and compares: row count, column names, and value-hash with columns sorted by name.
+Run Verify first: sbt "runMain graft.Verify <sfdir> <outdir>".
+Usage: python3 tools/check_oracle.py [sfdir] [outdir]
 
 Round-1 lesson: the driver's canonicalization diverged from a naive fetchall() compare
 on DECIMAL and HUGEINT columns (DuckDB SUM(int) window → INT128; pandas renders those
