@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -222,6 +222,15 @@ object SparkEntry {
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
+
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Ivf.ivfTopK(emb, Ivf.seedCentroids(emb, nlist = 16),
+      numQueries = 10, k = 5, nprobe = 4).orderBy("query_id", "rank")
+  }
+
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
@@ -461,7 +470,9 @@ object SparkEntry {
     "q_fingerprints" -> qFingerprints,
     "q_similarity_topk" -> qSimilarityTopK,
     "q_ann_topk" -> qAnnTopK,
+    "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
+    "q_repetition" -> qRepetition,
     "q_deterministic_sample" -> qDeterministicSample,
     "q_dedup_clusters" -> qDedupClusters,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -743,6 +754,66 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Fused double dot product — mirrors [[graft.functions.DotProduct]]'s left-to-right
+    * summation (identical doubles ⇒ identical argmax/rank everywhere it is used).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+
+  /** [[graft.ops.Ivf.ivfTopK]] replayed in DuckDB: centroids are the 16 lowest-id
+    * vectors (the deterministic seed path — no floating-point averaging to diverge on),
+    * assignment/probing argmax by (cosine DESC, centroid_id), nprobe=4, exact rerank.
+    */
+  private val ivfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+       |  FROM e),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+       |  WHERE vec_id < 16),
+       |a AS (SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+       |  SELECT n.vec_id, n.v, n.norm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("n.v", "c.cv")} / (n.norm * c.cnorm) DESC, c.centroid_id) AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+       |  WHERE vec_id < 10),
+       |probes AS (SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+       |  SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dotSql("q.qv", "c.cv")} / (q.qnorm * c.cnorm) DESC, c.centroid_id)
+       |      AS prn
+       |  FROM q CROSS JOIN c) WHERE prn <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id,
+       |    round(${dotSql("p.qv", "a.v")} / (p.qnorm * a.norm), 4) AS cosine
+       |  FROM probes p JOIN a ON a.cluster = p.cluster AND a.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** [[graft.ops.TextAnalysis.repetitionStats]] replayed in DuckDB. */
+  private val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct_tokens, MAX(c) AS top FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+      |    list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE [] END) AS b FROM t),
+      |bs AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    COUNT(DISTINCT b) AS n_distinct_bigrams FROM bg GROUP BY 1)
+      |SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+      |  CAST(ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens AS distinct_ratio,
+      |  CAST(ts.top AS DOUBLE) / ts.n_tokens AS top_token_ratio,
+      |  CASE WHEN bs.n_bigrams IS NULL OR bs.n_bigrams = 0 THEN 0.0
+      |    ELSE 1.0 - CAST(bs.n_distinct_bigrams AS DOUBLE) / bs.n_bigrams END
+      |    AS rep_bigram_ratio
+      |FROM ts LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private val embeddingNearDupSql: String =
     s"""WITH ${lshSigCtes(tables = 8, planesPerTable = 4)},
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -813,7 +884,9 @@ object SparkEntry {
     "q_simhash_near_pairs" -> simhashNearPairsSql,
     "q_fingerprints" -> fingerprintsSql,
     "q_ann_topk" -> annTopkSql,
+    "q_ivf_topk" -> ivfTopkSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
+    "q_repetition" -> repetitionSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_deterministic_sample" ->
       """SELECT lang, md5(text) AS fingerprint FROM documents

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat approximate nearest neighbor: coarse quantization (an inverted file over
+  * centroids) restricts each query's exact search to its `nprobe` nearest clusters.
+  * The third ANN tier next to [[Similarity.cosineTopK]] (exact) and
+  * [[Similarity.annTopK]] (LSH): IVF gives data-adaptive buckets where LSH gives
+  * data-oblivious ones, the standard trade at production scale.
+  *
+  * Centroids are a plain `(centroid_id, cv)` DataFrame PARAMETER: train them with
+  * [[trainCentroids]] (Lloyd's), or pass any offline-trained/seeded table. At 100 TB the
+  * centroid table stays tiny (nlist ≤ tens of thousands), so every join below is a
+  * broadcast: assignment is one streaming scan with a map-side argmax — the only
+  * shuffles are the nlist-key mean recomputations inside training.
+  */
+object Ivf {
+
+  /** Deterministic seed centroids: the `nlist` lowest-id vectors. A real deployment
+    * k-means-trains on a sample ([[trainCentroids]]); seeds keep fixtures and the
+    * DuckDB oracle exactly reproducible (no floating-point averaging involved).
+    */
+  def seedCentroids(
+      embeddings: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.filter(col(idCol) < nlist)
+      .select(col(idCol).as("centroid_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("cv"))
+
+  private def withNorm(centroids: DataFrame): DataFrame =
+    centroids.withColumn("cnorm", Similarity.l2Norm(col("cv")))
+
+  /** Assign every vector to its max-cosine centroid: broadcast the centroids, fuse the
+    * dot products into the scan, reduce with a map-side `max_by` argmax (ties break to
+    * the smallest centroid_id). One narrow shuffle of (vec_id, cluster)-sized rows.
+    */
+  def assign(
+      embeddings: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol).as("vec_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("norm", Similarity.l2Norm(col("v")))
+    base.crossJoin(broadcast(withNorm(centroids)))
+      .withColumn("ccos",
+        Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"), first(col("norm")).as("norm"),
+        max_by(col("centroid_id"),
+          struct(col("ccos"), (-col("centroid_id")).cast("double"))).as("cluster"))
+  }
+
+  /** IVF top-k: each query (vec_id < numQueries) probes its `nprobe` max-cosine
+    * clusters and exact-reranks only their members. Recall < 1 by construction EXCEPT
+    * `nprobe = nlist`, which provably equals brute force (tested). Cosine is rounded to
+    * 4 dp with id tie-breaks, as in the other similarity tiers.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, centroids: DataFrame,
+      numQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assign(embeddings, centroids, idCol, vecCol)
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(withNorm(centroids)))
+      .withColumn("pcos",
+        Similarity.dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        col("centroid_id").as("cluster"))
+    // each vector lives in exactly one cluster, so a (query, vector) candidate pair is
+    // unique — no dedup needed before the rerank
+    val cands = assigned.join(broadcast(probes),
+        assigned("cluster") === probes("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Lloyd's k-means refinement of the given centroids (the production path for
+    * centroid quality; not oracle-gated because distributed float summation is not
+    * bit-reproducible). Empty clusters drop out. `iters` small (3–10); each iteration
+    * is one assignment scan plus an nlist×dim-keyed mean — at 100 TB train on a sample,
+    * which is the standard practice this signature supports directly.
+    */
+  def trainCentroids(
+      embeddings: DataFrame, seeds: DataFrame, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var centroids = seeds
+    for (_ <- 0 until iters) {
+      val means = assign(embeddings, centroids, idCol, vecCol)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster").as("centroid_id"),
+          transform(col("pm"), p => p.getField("m")).as("cv"))
+      centroids = means.localCheckpoint() // truncate the per-iteration plan lineage
+    }
+    centroids
+  }
+}

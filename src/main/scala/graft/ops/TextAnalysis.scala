@@ -97,4 +97,75 @@ object TextAnalysis {
       col(idCol),
       md5(col(textCol)).as("md5_fingerprint"),
       graft.functions.RollingHash.rolling_hash(col(textCol)).as("rolling_fingerprint"))
+
+  /** Repetition profile — the boilerplate/degenerate-text quality signal training
+    * pipelines filter on: distinct-token ratio, dominant-token share, and the repeated
+    * bigram fraction.
+    *
+    * Deliberately explode + aggregate (two shuffles keyed on doc_id) rather than
+    * per-row higher-order lambdas: mode frequency via HOFs is O(tokens²) interpreted
+    * work per document, while this shape is linear, map-side-combined, and at 100 TB is
+    * the same pattern as every other aggregation here.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // materialize the token array as an attribute BEFORE any lambda touches it: a
+    // lambda that captures the split() expression itself re-runs the regex split per
+    // element (measured 10x slower on the bench corpus)
+    val withTk = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val tk = col("tk")
+    val toks = withTk.select(col("doc_id"), explode(tk).as("token"))
+    val tokenStats = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top"))
+    // non-distinct bigrams: zip the tokens with their own tail; the final element pairs
+    // with the slice's padding null and is filtered, so 0/1-token docs need no guard
+    val pairs = zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (x, y) => struct(x.as("a"), y.as("b")))
+    val bg = transform(filter(pairs, p => p.getField("b").isNotNull),
+      p => concat_ws(" ", p.getField("a"), p.getField("b")))
+    val bigramStats = withTk.select(col("doc_id"), explode(bg).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct_bigrams"))
+    tokenStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"),
+        (col("top").cast("double") / col("n_tokens")).as("top_token_ratio"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0, 0.0)
+          .otherwise(lit(1.0) -
+            col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("rep_bigram_ratio"))
+  }
+
+  // PII patterns scrubbed by [[scrubPii]], most-specific first (an SSN must not be
+  // half-eaten by the phone pattern).
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b(\\+\\d{1,2}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b")
+
+  /** PII scrubbing for training corpora: masks emails, SSN-shaped ids, phone numbers,
+    * and IPv4 addresses, and reports the per-document redaction count. Pure per-row
+    * regexp work — scan speed, no shuffle. The match count is taken BEFORE replacement
+    * so overlapping patterns can't hide redactions from the audit column.
+    */
+  def scrubPii(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      replacement: String = "<PII>"): DataFrame = {
+    val nRedactions = piiPatterns.map { case (_, p) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+    }.reduce(_ + _)
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, p)) =>
+      regexp_replace(c, lit(p), lit(replacement))
+    }
+    df.withColumn("n_redactions", nRedactions)
+      .withColumn(textCol, scrubbed)
+  }
 }

@@ -153,6 +153,38 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
         r.getAs[Int]("hamming") == 0))
   }
 
+  test("repetition stats: hand-computed ratios, short-doc guards") {
+    val df = mkDocs(Seq(
+      (1L, "a a a a"),            // 4 tokens, 1 distinct; bigrams: "a a" x3 (1 distinct)
+      (2L, "w x y z"),            // all distinct, all bigrams distinct
+      (3L, "solo")))              // 1 token: no bigrams
+    val got = TextAnalysis.repetitionStats(df).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_tokens") === 4L)
+    assert(got(0).getAs[Long]("n_distinct_tokens") === 1L)
+    assert(math.abs(got(0).getAs[Double]("top_token_ratio") - 1.0) < 1e-12)
+    assert(math.abs(got(0).getAs[Double]("rep_bigram_ratio") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("distinct_ratio") - 1.0) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("rep_bigram_ratio")) < 1e-12)
+    assert(got(2).getAs[Long]("n_tokens") === 1L)
+    assert(math.abs(got(2).getAs[Double]("rep_bigram_ratio")) < 1e-12)
+  }
+
+  test("pii scrub: masks emails/ssn/phones/ips and counts redactions") {
+    val df = mkDocs(Seq(
+      (1L, "mail bob@example.com or call 555-867-5309 at 10.0.0.1, ssn 123-45-6789"),
+      (2L, "nothing sensitive here")))
+    val got = TextAnalysis.scrubPii(df).orderBy("doc_id").collect()
+    val scrubbed = got(0).getAs[String]("text")
+    assert(!scrubbed.contains("bob@example.com"))
+    assert(!scrubbed.contains("555-867-5309"))
+    assert(!scrubbed.contains("123-45-6789"))
+    assert(!scrubbed.contains("10.0.0.1"))
+    assert(scrubbed.contains("<PII>"))
+    assert(got(0).getAs[Int]("n_redactions") === 4)
+    assert(got(1).getAs[String]("text") === "nothing sensitive here")
+    assert(got(1).getAs[Int]("n_redactions") === 0)
+  }
+
   test("rolling hash: native expression matches reference implementation, codegen path") {
     import spark.implicits._
     val samples = Seq("", "a", "hello world", "πß中文", "the quick brown fox")
