@@ -232,6 +232,13 @@ object SparkEntry {
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
 
+  /** Contamination sweep of the corpus against a stand-in benchmark set (the 20
+    * lowest-id documents) — exact self-copies surface at containment 1.0.
+    */
+  private def qContamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(docs(s, dir), docs(s, dir).filter(col("doc_id") < 20),
+      threshold = 0.5).orderBy("corpus_doc", "ref_doc")
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.featureTable(docs(s, dir))
@@ -473,6 +480,7 @@ object SparkEntry {
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_repetition" -> qRepetition,
+    "q_contamination" -> qContamination,
     "q_deterministic_sample" -> qDeterministicSample,
     "q_dedup_clusters" -> qDedupClusters,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -793,6 +801,30 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** [[graft.ops.Dedup.contamination]] replayed in DuckDB: corpus shingles df-capped,
+    * reference = doc_id < 20 (uncapped), containment = n_common / ref_shingles ≥ 0.5.
+    */
+  private val contaminationSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> array_to_string(tk[i:i+2], ' ')))
+      |    ELSE [] END AS shs FROM toks),
+      |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM t),
+      |kept AS (SELECT sh.* FROM sh JOIN (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000) k
+      |  USING (shingle)),
+      |refsh AS (SELECT doc_id AS ref_doc, shingle FROM sh WHERE doc_id < 20),
+      |refsize AS (SELECT ref_doc, COUNT(*) AS ref_shingles FROM refsh GROUP BY 1),
+      |common AS (SELECT kept.doc_id AS corpus_doc, refsh.ref_doc, COUNT(*) AS n_common
+      |  FROM kept JOIN refsh USING (shingle) GROUP BY 1, 2)
+      |SELECT corpus_doc, ref_doc, n_common, ref_shingles,
+      |  CAST(n_common AS DOUBLE) / ref_shingles AS containment
+      |FROM common JOIN refsize USING (ref_doc)
+      |WHERE CAST(n_common AS DOUBLE) / ref_shingles >= 0.5
+      |ORDER BY corpus_doc, ref_doc""".stripMargin
+
   /** [[graft.ops.TextAnalysis.repetitionStats]] replayed in DuckDB. */
   private val repetitionSql: String =
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
@@ -887,6 +919,7 @@ object SparkEntry {
     "q_ivf_topk" -> ivfTopkSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_repetition" -> repetitionSql,
+    "q_contamination" -> contaminationSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_deterministic_sample" ->
       """SELECT lang, md5(text) AS fingerprint FROM documents

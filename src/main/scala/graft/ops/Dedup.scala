@@ -198,6 +198,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-corpus contamination sweep: for every (corpus, reference) document pair
+    * sharing word n-gram shingles, the CONTAINMENT score n_common / |reference shingles|
+    * — the standard benchmark-contamination metric (what fraction of the benchmark doc's
+    * n-grams appear in the training doc; Jaccard would under-score a benchmark embedded
+    * inside a long document).
+    *
+    * Scale shape: the reference set (benchmarks/blocklists) is small by definition, so
+    * its shingle stream BROADCASTS — the corpus side streams through a map-side hash
+    * join and only (corpus_doc, ref_doc) pair counts shuffle. The `maxShingleDf` cap
+    * drops corpus boilerplate shingles before the join, as in [[ngramJaccardPairs]].
+    */
+  def contamination(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+    val shC = shingles(corpus, idCol, textCol, n)
+    val keptShingles = shC.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val kept = shC.join(keptShingles, Seq("shingle"))
+    val shR = shingles(reference, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "ref_doc")
+    val refSizes = shR.groupBy("ref_doc").agg(count(lit(1)).as("ref_shingles"))
+    val common = kept.join(broadcast(shR), Seq("shingle"))
+      .groupBy(col("doc_id"), col("ref_doc"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumnRenamed("doc_id", "corpus_doc")
+    common.join(broadcast(refSizes), Seq("ref_doc"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("ref_shingles"))
+      .filter(col("containment") >= threshold)
+      .select("corpus_doc", "ref_doc", "n_common", "ref_shingles", "containment")
+  }
+
   /** 64-bit SimHash per document — single-pass native expression
     * ([[graft.functions.SimHash64]]): scan-speed map work, no explode/shuffle.
     */

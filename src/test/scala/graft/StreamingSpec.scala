@@ -86,6 +86,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.json(out).count() === first + 10)
   }
 
+  test("streaming exact dedup: duplicates within the watermark horizon are dropped") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingDedup.exactDedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), eventTimeCol = "ts", delay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "doc one"),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:10"), "doc two"))
+      q.processAllAvailable()
+      // a later micro-batch re-delivers doc one's text within the horizon
+      mem.addData((3L, Timestamp.valueOf("2024-01-01 10:01:00"), "doc one"),
+        (4L, Timestamp.valueOf("2024-01-01 10:01:10"), "doc three"))
+      q.processAllAvailable()
+      val out = spark.table("sdedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(out === Set(1L, 2L, 4L), "duplicate doc_id 3 must be deduped")
+    } finally q.stop()
+  }
+
   test("streaming DQ gate: violating rows quarantine, clean rows curate") {
     import graft.streaming.StreamingDq
     val src = Tables.eventsMicros(spark, sf)

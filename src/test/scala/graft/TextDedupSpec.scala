@@ -153,6 +153,24 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
         r.getAs[Int]("hamming") == 0))
   }
 
+  test("contamination: planted benchmark copies surface by containment") {
+    val reference = mkDocs(Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "one two three four five six seven")))
+    val corpus = mkDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),                  // exact copy of 900
+      (2L, "prefix words alpha beta gamma delta epsilon zeta more"), // 900 embedded
+      (3L, "totally unrelated text with different words entirely")))
+    val got = Dedup.contamination(corpus, reference, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("corpus_doc"), r.getAs[Long]("ref_doc"),
+        r.getAs[Double]("containment")))
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair((1L, 900L)) === 1.0)
+    assert(byPair((2L, 900L)) === 1.0, "embedded benchmark must score full containment")
+    assert(!got.exists(_._1 == 3L))
+    assert(!got.exists(_._2 == 901L))
+  }
+
   test("repetition stats: hand-computed ratios, short-doc guards") {
     val df = mkDocs(Seq(
       (1L, "a a a a"),            // 4 tokens, 1 distinct; bigrams: "a a" x3 (1 distinct)
