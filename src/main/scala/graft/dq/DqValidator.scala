@@ -43,12 +43,6 @@ final class DqValidator(
     val consistencyThresholdPct: Double = 1.0) {
 
   private val buf = ArrayBuffer.empty[DqResult]
-  private var lastTotal: Option[Long] = None
-
-  /** Row count of the most recently checked frame — the fused check aggregates already
-    * compute it, so callers (e.g. the medallion ingest log) need no extra scan.
-    */
-  def totalRows: Option[Long] = lastTotal
 
   private def pctStatus(pct: Double, threshold: Double): String =
     if (pct < threshold) "PASS" else "FAIL"
@@ -61,7 +55,6 @@ final class DqValidator(
       columns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     val total = row.getLong(0)
-    lastTotal = Some(total)
     columns.zipWithIndex.foreach { case (c, i) =>
       val nulls = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
       val pct = if (total == 0L) 0.0 else 100.0 * nulls / total
@@ -80,7 +73,6 @@ final class DqValidator(
       rules.map { case (n, rule) => sum(when(!rule, 1L).otherwise(0L)).as(s"__n_$n") }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     val total = row.getLong(0)
-    lastTotal = Some(total)
     rules.zipWithIndex.foreach { case ((n, _), i) =>
       val invalid = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
       val pct = if (total == 0L) 0.0 else 100.0 * invalid / total
@@ -97,7 +89,6 @@ final class DqValidator(
       dimension: DataFrame, dimensionTable: String,
       key: Seq[String]): this.type = {
     val total = facts.count()
-    lastTotal = Some(total)
     val orphans = Integrity.orphanCount(facts, dimension, key)
     val pct = if (total == 0L) 0.0 else 100.0 * orphans / total
     buf += DqResult(factsTable, "consistency",
@@ -109,7 +100,6 @@ final class DqValidator(
   /** Q4: row count within [minRows, maxRows]. `metric_value` is the count. */
   def checkVolume(df: DataFrame, table: String, minRows: Long, maxRows: Long): this.type = {
     val n = df.count()
-    lastTotal = Some(n)
     val status = if (n >= minRows && n <= maxRows) "PASS" else "FAIL"
     buf += DqResult(table, "volume", "rows", n.toDouble, status)
     this
@@ -140,15 +130,30 @@ object DqValidator {
       validator: DqValidator,
       curatedPath: String,
       quarantinePath: String,
-      partitionColumns: Seq[String] = Nil): Boolean = {
+      partitionColumns: Seq[String] = Nil): Boolean =
+    gateCounted(df, validator, curatedPath, quarantinePath, partitionColumns)._1
+
+  /** [[gate]] that also returns how many rows the branch wrote (curated on pass,
+    * quarantined on fail). The count rides the write via observe() — callers logging
+    * layer row counts need neither a read-back scan nor any assumption about which
+    * check ran last.
+    */
+  def gateCounted(
+      df: DataFrame,
+      validator: DqValidator,
+      curatedPath: String,
+      quarantinePath: String,
+      partitionColumns: Seq[String] = Nil): (Boolean, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("rows"))
     if (validator.passed) {
-      val w = df.write.mode("overwrite")
+      val w = observed.write.mode("overwrite")
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
         .parquet(curatedPath)
-      true
+      (true, obs.get("rows").asInstanceOf[Long])
     } else {
-      df.write.mode("overwrite").json(quarantinePath)
-      false
+      observed.write.mode("overwrite").json(quarantinePath)
+      (false, obs.get("rows").asInstanceOf[Long])
     }
   }
 

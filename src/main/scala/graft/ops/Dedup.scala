@@ -172,16 +172,25 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5,
       hashFn: (Int, Column) => Column = xxHashFn,
-      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
+      bandHash: Seq[Column] => Column = xxBandHash,
+      maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val candidates = lshCandidates(
       minHashSignatures(df, idCol, textCol, n, numHashes, hashFn), numHashes, bands,
       bandHash)
+    // the common-shingle verify join gets the same stop-shingle df cap as
+    // [[ngramJaccardPairs]]: it bounds the join fan-out of boilerplate shingles AND
+    // keeps the scoring identical to the capped DuckDB oracle at any corpus size
+    // (sizes stay uncapped — they are the pair's true shingle-set sizes)
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"))
     val common = candidates
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sa"),
+      .join(kept.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sa"),
         Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sb"),
+      .join(kept.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sb"),
         Seq("doc_b"))
       .filter(col("sa") === col("sb"))
       .groupBy("doc_a", "doc_b")

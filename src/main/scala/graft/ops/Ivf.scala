@@ -32,9 +32,12 @@ object Ivf {
   private def withNorm(centroids: DataFrame): DataFrame =
     centroids.withColumn("cnorm", Similarity.l2Norm(col("cv")))
 
-  /** Assign every vector to its max-cosine centroid: broadcast the centroids, fuse the
-    * dot products into the scan, reduce with a map-side `max_by` argmax (ties break to
-    * the smallest centroid_id). One narrow shuffle of (vec_id, cluster)-sized rows.
+  /** Assign every vector to its max-cosine centroid, entirely map-side: the centroid
+    * table folds into ONE broadcast row holding an array of (id, vector, norm) structs,
+    * and each corpus row computes its argmax in-place over that array (ties break to
+    * the smallest centroid_id, independent of array order). No shuffle at all — a
+    * groupBy-argmax formulation would push every full vector payload through an
+    * exchange, which at corpus scale is the whole dataset.
     */
   def assign(
       embeddings: DataFrame, centroids: DataFrame,
@@ -42,14 +45,24 @@ object Ivf {
     val base = embeddings.select(col(idCol).as("vec_id"),
       Similarity.toDoubleVec(col(vecCol)).as("v"))
       .withColumn("norm", Similarity.l2Norm(col("v")))
-    base.crossJoin(broadcast(withNorm(centroids)))
-      .withColumn("ccos",
-        Similarity.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("v")).as("v"), first(col("norm")).as("norm"),
-        max_by(col("centroid_id"),
-          struct(col("ccos"), (-col("centroid_id")).cast("double"))).as("cluster"))
+    val centroidRow = withNorm(centroids)
+      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cnorm")))
+        .as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(-2.0).as("bcos"), lit(-1L).as("bid")),
+      (acc, c) => {
+        val ccos = Similarity.dot(col("v"), c.getField("cv")) /
+          (col("norm") * c.getField("cnorm"))
+        val cid = c.getField("centroid_id")
+        when(ccos > acc.getField("bcos") ||
+            (ccos === acc.getField("bcos") && cid < acc.getField("bid")),
+          struct(ccos.as("bcos"), cid.as("bid")))
+          .otherwise(acc)
+      })
+    base.crossJoin(broadcast(centroidRow))
+      .withColumn("cluster", best.getField("bid"))
+      .drop("cents")
   }
 
   /** IVF top-k: each query (vec_id < numQueries) probes its `nprobe` max-cosine

@@ -76,9 +76,11 @@ object Medallion {
     n
   }
 
-  /** Customers bronze → silver through their own DQ gate (completeness + tenure range). */
+  /** Customers bronze → silver through their own DQ gate (completeness + tenure range).
+    * Returns (validator, curatedOk, rows written by the taken branch).
+    */
   def customersToSilver(spark: SparkSession, bronzePath: String, p: Paths):
-      (DqValidator, Boolean) = {
+      (DqValidator, Boolean, Long) = {
     val bronze = spark.read.parquet(bronzePath)
     val flat = Flatten.after(bronze)
       .select("customer_id", "name", "email", "region", "customer_tenure_days")
@@ -87,16 +89,17 @@ object Medallion {
         Seq("customer_id", "name", "email", "region"))
       .checkAccuracy(flat, "customers", Seq(
         "tenure_1_100" -> col("customer_tenure_days").between(1, 100)))
-    val ok = DqValidator.gate(flat, v, p.customersSilver, p.customersQuarantine)
+    val (ok, rows) = DqValidator.gateCounted(flat, v, p.customersSilver,
+      p.customersQuarantine)
     DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_customers")
-    (v, ok)
+    (v, ok, rows)
   }
 
   /** Bronze → silver through the DQ gate (flattening CDC envelopes if present).
-    * Returns (validator, curatedOk).
+    * Returns (validator, curatedOk, rows written by the taken branch).
     */
   def toSilver(spark: SparkSession, bronzePath: String, customers: DataFrame,
-      p: Paths): (DqValidator, Boolean) = {
+      p: Paths): (DqValidator, Boolean, Long) = {
     val bronze = spark.read.parquet(bronzePath)
     val flat = Flatten.after(bronze) // no-op unless an `after` envelope column exists
       .select("order_id", "order_date", "order_amount", "customer_id")
@@ -106,14 +109,13 @@ object Medallion {
       .checkAccuracy(flat, "orders", Seq(
         "amount_positive" -> (col("order_amount") > 0)))
       .checkConsistency(flat, "orders", customers, "customers", Seq("customer_id"))
-    val ok = DqValidator.gate(flat, v, p.silver, p.quarantine,
+    val (ok, rows) = DqValidator.gateCounted(flat, v, p.silver, p.quarantine,
       partitionColumns = Nil)
     DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_orders")
-    // a passing gate curates the whole frame, whose count the fused checks already
-    // computed — logging it needs no read-back scan of the silver layer
-    if (ok) MetadataScanner.appendIngestLog(spark, p.silver, "SILVER_OVERWRITE",
-      v.totalRows.getOrElse(0L))
-    (v, ok)
+    // the gate's observe() metric supplies the curated count — logging it needs no
+    // read-back scan of the silver layer
+    if (ok) MetadataScanner.appendIngestLog(spark, p.silver, "SILVER_OVERWRITE", rows)
+    (v, ok, rows)
   }
 
   /** Silver → both gold tables. Row counts ride each write via observe() — no
@@ -142,23 +144,22 @@ object Medallion {
     val bronzeRows = toBronze(orders, p.bronze,
       partitionDate = Some(to_date(col("order_date"))))
     toBronze(customers, p.customersBronze)
-    val (custV, custOk) = customersToSilver(spark, p.customersBronze, p)
+    val (_, custOk, customersSilverRows) = customersToSilver(spark, p.customersBronze, p)
     if (!custOk) {
       // dimension failed its gate: STOP — do not curate orders against unvalidated
       // customers, and leave no silver/gold state that contradicts the summary
       return RunSummary(bronzeRows, 0L, 0L, quarantined = true, 0L, 0L)
     }
-    // both layer counts come from the validators' fused aggregates — the summary adds
-    // no re-read scans on top of the layer writes themselves
-    val customersSilverRows = custV.totalRows.getOrElse(0L)
+    // every layer count rides its own write (observe() metrics) — the summary adds no
+    // re-read scans on top of the layer writes themselves
     val silverCustomers = spark.read.parquet(p.customersSilver)
       .select("customer_id", "name", "email", "region", "customer_tenure_days")
-    val (v, ok) = toSilver(spark, p.bronze, silverCustomers, p)
+    val (_, ok, silverRows) = toSilver(spark, p.bronze, silverCustomers, p)
     if (!ok) {
       RunSummary(bronzeRows, 0L, customersSilverRows, quarantined = true, 0L, 0L)
     } else {
       val (ds, clv) = toGold(spark, p.silver, silverCustomers, p)
-      RunSummary(bronzeRows, v.totalRows.getOrElse(0L), customersSilverRows,
+      RunSummary(bronzeRows, silverRows, customersSilverRows,
         quarantined = false, ds, clv)
     }
   }

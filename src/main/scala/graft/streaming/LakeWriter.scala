@@ -107,7 +107,8 @@ object LakeWriter {
     * (`streaming-source/csv_to_orders_topic.py:27`, `time.sleep(1)` per message; its
     * 1 msg/s is `rowsPerSecond = 1` here). The `rate` source emits a monotonically
     * increasing `value`; an inner join against the row-numbered dataset picks each
-    * message in order, so emission stops by itself once the dataset is replayed. The
+    * message in order, so OUTPUT stops by itself once the dataset is replayed (the
+    * rate source keeps triggering — stop the query when done, as any producer). The
     * `text` sink writes the raw JSON lines (swap for `format("kafka")` where the
     * connector jar is present — the plan upstream of the sink is unchanged).
     *
@@ -123,10 +124,14 @@ object LakeWriter {
       checkpointDir: String,
       rowsPerSecond: Int = 1): StreamingQuery = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    // localCheckpoint materializes the indexed messages ONCE: a stream-static join
+    // re-evaluates the static plan every micro-batch, which would re-run the global
+    // sort + row_number + JSON encode per trigger for the life of the query
     val indexed = dataset
       .withColumn("__idx", row_number().over(w).cast("long") - 1)
       .select(col("__idx"),
         to_json(struct(dataset.columns.map(col): _*)).as("value"))
+      .localCheckpoint()
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toLong).load()
     ticks.join(indexed, ticks("value") === indexed("__idx"))

@@ -81,7 +81,7 @@ class MedallionSpec extends AnyFunSuite with SharedSpark {
         col("customer_id")).as("after"),
       lit("c").as("op"))
     env.write.mode("overwrite").parquet(p.bronze)
-    val (v, ok) = Medallion.toSilver(spark, p.bronze, c, p)
+    val (v, ok, _) = Medallion.toSilver(spark, p.bronze, c, p)
     assert(ok && v.passed)
     assert(spark.read.parquet(p.silver).count() === o.count())
   }
