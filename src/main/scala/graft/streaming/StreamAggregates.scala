@@ -33,4 +33,35 @@ object StreamAggregates {
         col("window.start").as("bucket_start"),
         col("event_type"), col("n_events"), col("total_value"))
   }
+
+  /** The reference's gold daily-sales aggregation AS A STREAM: orders arrive
+    * continuously, enrich with the customer dimension (stream-STATIC join — the dim
+    * broadcasts each micro-batch, no stream state), then a 1-day event-time tumbling
+    * window per region with the watermark bounding aggregation state. Emits one row per
+    * (day, region) window in update/append mode. `orderTsCol` must be TimestampType.
+    *
+    * Batch backfill uses [[graft.gold.DailySales]] (same aggregate semantics, exact
+    * decimal money math); this is its live-stream face per SURVEY.md §2.9 T7.
+    */
+  def streamingDailySales(
+      orders: DataFrame,
+      customers: DataFrame,
+      orderTsCol: String = "order_date",
+      watermark: String = "1 day"): DataFrame = {
+    val enriched = orders
+      .withWatermark(orderTsCol, watermark)
+      .join(customers.select(col("customer_id"), col("region")), Seq("customer_id"))
+    enriched
+      .groupBy(window(col(orderTsCol), "1 day"), col("region"))
+      .agg(
+        count(col("order_id")).as("total_orders"),
+        sum(col("order_amount").cast(DecimalType(18, 2))).cast("double")
+          .as("total_revenue"),
+        (sum(col("order_amount").cast(DecimalType(18, 2))).cast("double") /
+          count(col("order_id"))).as("avg_order_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("sale_date"),
+        col("region"), col("total_orders"), col("total_revenue"),
+        col("avg_order_value"))
+  }
 }

@@ -182,6 +182,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getAs[String]("event_type") === "view")
   }
 
+  test("streaming daily sales: stream-static dim join + 1-day windows match batch gold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val customers = Seq((1L, "EAST"), (2L, "WEST")).toDF("customer_id", "region")
+    val orders = MemoryStream[(Long, Long, Timestamp, Double)]
+    val df = orders.toDF().toDF("order_id", "customer_id", "order_date", "order_amount")
+    val q = StreamAggregates.streamingDailySales(df, customers)
+      .writeStream.format("memory").queryName("sds_out")
+      .outputMode(OutputMode.Complete()).start()
+    orders.addData(
+      (1L, 1L, Timestamp.valueOf("2024-03-01 09:00:00"), 10.0),
+      (2L, 1L, Timestamp.valueOf("2024-03-01 17:00:00"), 30.0),
+      (3L, 2L, Timestamp.valueOf("2024-03-01 12:00:00"), 5.0),
+      (4L, 1L, Timestamp.valueOf("2024-03-02 08:00:00"), 7.0))
+    q.processAllAvailable()
+    val got = spark.table("sds_out").orderBy("sale_date", "region").collect()
+    q.stop()
+    assert(got.length === 3)
+    val east1 = got(0)
+    assert(east1.getAs[String]("sale_date") === "2024-03-01")
+    assert(east1.getAs[String]("region") === "EAST")
+    assert(east1.getAs[Long]("total_orders") === 2L)
+    assert(east1.getAs[Double]("total_revenue") === 40.0)
+    assert(east1.getAs[Double]("avg_order_value") === 20.0)
+    assert(got(1).getAs[String]("region") === "WEST")
+    assert(got(2).getAs[String]("sale_date") === "2024-03-02")
+  }
+
   test("batch sessionization: gaps split sessions, totals preserved") {
     import spark.implicits._
     val ev = Seq(
