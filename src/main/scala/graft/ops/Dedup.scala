@@ -72,9 +72,11 @@ object Dedup {
     // shingle kernel recomputes at scan speed, which measures no slower than a cache
     // materialization pass and leaves no storage-pool blocks behind
     val sh = shingles(df, idCol, textCol, n)
-    // per-doc sizes scale with the corpus, so no broadcast hint: AQE converts the final
+    // per-doc sizes come straight off the shingle array — map-side, no explode/groupBy
+    // shuffle. Sizes scale with the corpus, so no broadcast hint: AQE converts the final
     // joins to broadcast at runtime when they fit
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val sizes = df.select(col(idCol).as("doc_id"),
+      size(graft.functions.WordShingles.word_shingles(col(textCol), n)).as("n_shingles"))
     val pairs = coOccurrencePairs(sh, maxShingleDf)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -229,7 +231,9 @@ object Dedup {
     val kept = shC.join(keptShingles, Seq("shingle"))
     val shR = shingles(reference, idCol, textCol, n)
       .withColumnRenamed("doc_id", "ref_doc")
-    val refSizes = shR.groupBy("ref_doc").agg(count(lit(1)).as("ref_shingles"))
+    // map-side count off the shingle array — no groupBy shuffle of the reference stream
+    val refSizes = reference.select(col(idCol).as("ref_doc"),
+      size(graft.functions.WordShingles.word_shingles(col(textCol), n)).as("ref_shingles"))
     val common = kept.join(broadcast(shR), Seq("shingle"))
       .groupBy(col("doc_id"), col("ref_doc"))
       .agg(count(lit(1)).as("n_common"))
