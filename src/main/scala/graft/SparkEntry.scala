@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Scd2, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -176,6 +176,16 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
+
+  /** SCD Type 2 history over the events change log: per-user versions with abutting
+    * effective ranges ([[graft.ops.Scd2]], one shuffle on the business key).
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    Scd2.history(
+      Tables.eventsMicros(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts"),
+      key = Seq("user_id"), tsCol = "ts", tieBreak = Seq("event_id"))
+      .orderBy("user_id", "version_seq")
 
   // ---- LLM-data-pipeline operators over documents ----------------------------------
 
@@ -466,6 +476,7 @@ object SparkEntry {
     "q_stream_ingest" -> qStreamIngest,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
+    "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
     "q_token_counts" -> qTokenCounts,
     "q_lang_id" -> qLangId,
@@ -1081,6 +1092,16 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id, event_type, value, ts,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w AS effective_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version_seq,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version_seq""".stripMargin,
     "q_table_counts" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")

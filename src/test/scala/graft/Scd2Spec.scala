@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scd2
+
+class Scd2Spec extends AnyFunSuite with SharedSpark {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def changes = {
+    import spark.implicits._
+    // key 1: create → update → update (current)
+    // key 2: create → delete (no current row)
+    // key 3: create → delete → re-insert (current again)
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), "c", "a"),
+      (1L, ts("2024-01-02 00:00:00"), "u", "b"),
+      (1L, ts("2024-01-03 00:00:00"), "u", "c"),
+      (2L, ts("2024-01-01 12:00:00"), "c", "x"),
+      (2L, ts("2024-01-02 12:00:00"), "d", "x"),
+      (3L, ts("2024-01-01 06:00:00"), "c", "p"),
+      (3L, ts("2024-01-02 06:00:00"), "d", "p"),
+      (3L, ts("2024-01-03 06:00:00"), "c", "q")
+    ).toDF("id", "ts", "op", "attr")
+  }
+
+  test("scd2 history: versions chain, ranges abut, one current per live key") {
+    val h = Scd2.history(changes, key = Seq("id"), tsCol = "ts",
+      opCol = Some("op")).orderBy("id", "version_seq").collect()
+    // key 1: 3 versions; key 2: 1 (closed); key 3: 2 (first closed by delete)
+    assert(h.length === 6)
+    val k1 = h.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getAs[Long]("version_seq")).toSeq === Seq(1L, 2L, 3L))
+    // each version's effective_to equals the next version's effective_from
+    assert(k1(0).getAs[Timestamp]("effective_to") ===
+      k1(1).getAs[Timestamp]("effective_from"))
+    assert(k1(1).getAs[Timestamp]("effective_to") ===
+      k1(2).getAs[Timestamp]("effective_from"))
+    assert(k1.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, false, true))
+    // key 2: the delete closed the only version and emitted none itself
+    val k2 = h.filter(_.getLong(0) == 2L)
+    assert(k2.length === 1)
+    assert(!k2(0).getAs[Boolean]("is_current"))
+    assert(k2(0).getAs[Timestamp]("effective_to") === ts("2024-01-02 12:00:00"))
+    // key 3: delete closed v1; re-insert is v2 and current (gapless numbering)
+    val k3 = h.filter(_.getLong(0) == 3L)
+    assert(k3.map(_.getAs[Long]("version_seq")).toSeq === Seq(1L, 2L))
+    assert(k3.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, true))
+    assert(k3(0).getAs[Timestamp]("effective_to") === ts("2024-01-02 06:00:00"))
+  }
+
+  test("scd2 current: one open row per surviving key, deletes suppress the key") {
+    val c = Scd2.current(changes, key = Seq("id"), tsCol = "ts", opCol = Some("op"))
+      .orderBy("id").collect()
+    assert(c.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(c.map(_.getAs[String]("attr")).toSeq === Seq("c", "q"))
+    // snapshot carries only the change-log columns
+    assert(c.head.schema.fieldNames.toSet === Set("id", "ts", "op", "attr"))
+  }
+
+  test("scd2: same-timestamp changes order by the tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, "second"),
+      (1L, ts("2024-01-01 00:00:00"), 1L, "first")
+    ).toDF("id", "ts", "seq", "attr")
+    val h = Scd2.history(df, key = Seq("id"), tsCol = "ts", tieBreak = Seq("seq"))
+      .orderBy("version_seq").collect()
+    assert(h.map(_.getAs[String]("attr")).toSeq === Seq("first", "second"))
+    assert(h(0).getAs[Timestamp]("effective_to") === ts("2024-01-01 00:00:00"))
+    assert(h.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, true))
+  }
+
+  test("scd2: single shuffle — one Exchange in the physical plan") {
+    val h = Scd2.history(changes, key = Seq("id"), tsCol = "ts", opCol = Some("op"))
+    val plan = h.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}
