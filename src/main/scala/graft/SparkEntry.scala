@@ -177,6 +177,14 @@ object SparkEntry {
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
 
+  /** Engine-native session windows ([[Sessionize.sessionWindows]]): membership matches
+    * the lag/running-sum form exactly (boundary merges pinned in StreamingSpec), so the
+    * oracle replays the same gap logic and reports last-event + gap as the window end.
+    */
+  private def qSessionWindows(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionWindows(Tables.eventsMicros(s, dir), gapMinutes = 30)
+      .orderBy("user_id", "session_start")
+
   /** SCD Type 2 history over the events change log: per-user versions with abutting
     * effective ranges ([[graft.ops.Scd2]], one shuffle on the business key).
     */
@@ -476,6 +484,7 @@ object SparkEntry {
     "q_stream_ingest" -> qStreamIngest,
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
+    "q_session_windows" -> qSessionWindows,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
     "q_token_counts" -> qTokenCounts,
@@ -1092,6 +1101,19 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session_windows" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, SUM(is_new) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |  AS session_seq FROM g)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_start""".stripMargin,
     "q_scd2" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |  CAST(ts AS TIMESTAMP) AS ts FROM events)

@@ -39,6 +39,25 @@ object Sessionize {
         max(col("ts")).as("session_end"))
   }
 
+  /** Session aggregation via Spark's native `session_window` — the engine merges
+    * overlapping [ts, ts+gap) windows per key, in batch AND streaming (where a watermark
+    * bounds the mergeable-session state, the scalable form for endless streams).
+    *
+    * Session membership matches [[batch]] exactly, including the boundary: an event at
+    * precisely `gapMinutes` after the previous one MERGES (the engine merges windows
+    * that touch, pinned in StreamingSpec). Only the reported end differs:
+    * `session_end` here is last-event + gap (the merged window's end); [[batch]]
+    * reports the last event's own timestamp.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionSnapshot(user_id: Long, n_events: Long, last_ts: Timestamp)
 

@@ -225,6 +225,60 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(Sessionize.batch(ev).agg(sum("n_events")).first().getLong(0) === 4)
   }
 
+  test("session_window sessionization: matches batch sessions off-boundary, splits at gap") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L), // merges (10 < 30 min)
+      (3L, Timestamp.valueOf("2024-01-01 11:30:00"), 1L), // splits (80 min gap)
+      (4L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+      (5L, Timestamp.valueOf("2024-01-01 10:30:00"), 2L)  // exactly-at-gap boundary
+    ).toDF("event_id", "ts", "user_id")
+    val got = Sessionize.sessionWindows(ev)
+      .orderBy("user_id", "session_start").collect()
+    // user 1: two sessions, same membership as Sessionize.batch
+    assert(got.count(_.getLong(0) == 1L) === 2)
+    assert(got(0).getAs[Long]("n_events") === 2)
+    // session_end = last event + gap (merged-window end)
+    assert(got(0).getAs[Timestamp]("session_end") ===
+      Timestamp.valueOf("2024-01-01 10:40:00"))
+    // boundary pinned: touching windows MERGE — an event at exactly the gap stays
+    // in-session, agreeing with batch's `gap > threshold` split rule
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2(0).getAs[Long]("n_events") === 2)
+    val batchU2 = Sessionize.batch(ev).filter(col("user_id") === 2L).collect()
+    assert(batchU2.length === 1 && batchU2(0).getAs[Long]("n_events") === 2)
+  }
+
+  test("streaming session_window: watermarked sessions emit on close in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Long)]
+    val df = events.toDF().toDF("event_id", "ts", "user_id")
+    val q = Sessionize.sessionWindows(df.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append()).start()
+    events.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 9L),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 9L))
+    q.processAllAvailable()
+    // watermark still at-or-before session end: nothing final yet
+    events.addData((3L, Timestamp.valueOf("2024-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    // advance watermark past the second session too, closing it
+    events.addData((4L, Timestamp.valueOf("2024-01-01 14:00:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sw_out").orderBy("session_start").collect()
+    assert(out.length >= 2)
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(0).getAs[Timestamp]("session_start") ===
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(out(0).getAs[Timestamp]("session_end") ===
+      Timestamp.valueOf("2024-01-01 10:35:00"))
+    assert(out(1).getAs[Long]("n_events") === 1)
+  }
+
   test("stateful mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
