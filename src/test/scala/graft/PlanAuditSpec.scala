@@ -65,6 +65,40 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact scan") {
+    // At 100 TB a shuffled fact-dim join with a selective dim filter should prefilter
+    // the fact side with Spark's runtime bloom filter (on by default; size-gated).
+    // Locally the 10 MB/10 GB gates never open, so drop them to zero and pin that the
+    // engine's join shape actually receives the injected probe.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // creationSideThreshold is a MAX (dim must be small enough to build the filter);
+      // applicationSideScanSizeThreshold is a MIN (fact must be big enough to bother)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sf).filter(
+        org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, sf)
+        .join(orders, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"fact side should carry the injected bloom probe:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"dim side should build the bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("contamination: reference shingles broadcast so the corpus side never shuffles pre-join") {
     val plan = finalPlan(SparkEntry.queries("q_contamination")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
