@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Scd2, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Scd2, SemiStructured, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -176,6 +176,14 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
+
+  /** Typed extraction from the free-form JSON event payloads via the VARIANT path
+    * ([[graft.ops.SemiStructured]]): parse once, extract typed fields, zero shuffle.
+    */
+  private def qJsonFlatten(s: SparkSession, dir: String): DataFrame =
+    SemiStructured.flattenJson(Tables.events(s, dir), "props",
+      Seq("k" -> (("$.k", "bigint"))))
+      .select("event_id", "event_type", "k").orderBy("event_id")
 
   /** Engine-native session windows ([[Sessionize.sessionWindows]]): membership matches
     * the lag/running-sum form exactly (boundary merges pinned in StreamingSpec), so the
@@ -485,6 +493,7 @@ object SparkEntry {
     "q_events_hourly" -> qEventsHourly,
     "q_sessionize" -> qSessionize,
     "q_session_windows" -> qSessionWindows,
+    "q_json_flatten" -> qJsonFlatten,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
     "q_token_counts" -> qTokenCounts,
@@ -1101,6 +1110,10 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_flatten" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_session_windows" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, ts, event_id,
