@@ -31,6 +31,34 @@ class SketchSpec extends AnyFunSuite with SharedSpark {
       s"approx median $approx too far from exact $exact over span $span")
   }
 
+  test("mergeable HLL sketches: per-day sketches union to the global estimate") {
+    // the incremental-rollup shape for 100 TB: sketch each partition/day once, persist
+    // the binary sketch, and answer cross-day distincts by merging sketches — never by
+    // rescanning history
+    val o = Tables.orders(spark, sf)
+    val exact = o.select(countDistinct(col("o_custkey"))).first().getLong(0)
+    val perDay = o.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = perDay.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_customers"))
+      .first().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
+  test("HLL sketches survive a parquet roundtrip and still merge") {
+    val dir = java.nio.file.Files.createTempDirectory("hll_rt").toString
+    val o = Tables.orders(spark, sf)
+    o.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val exact = o.select(countDistinct(col("o_custkey"))).first().getLong(0)
+    val merged = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .first().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("daily sales HLL variant agrees with exact distinct at small scale") {
     import graft.model.RefAdapter
     val o = RefAdapter.orders(Tables.orders(spark, sf))
