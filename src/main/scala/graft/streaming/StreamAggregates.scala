@@ -34,6 +34,29 @@ object StreamAggregates {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Watermarked stream-stream inner join: each side buffers only rows inside its
+    * watermark horizon, and the event-time range condition lets the engine evict state
+    * as the watermarks advance — the scalable join for two live feeds (e.g. attributing
+    * order events to the user interactions that preceded them).
+    *
+    * The range predicate (`right.ts` within [left.ts − lookback, left.ts]) is REQUIRED
+    * for bounded state: an equi-join alone would buffer both streams forever.
+    * State shuffles once per side, keyed by the join key.
+    */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      lookback: String = "1 hour",
+      leftWatermark: String = "1 hour", rightWatermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs))
+      .drop(r(key))
+  }
+
   /** The reference's gold daily-sales aggregation AS A STREAM: orders arrive
     * continuously, enrich with the customer dimension (stream-STATIC join — the dim
     * broadcasts each micro-batch, no stream state), then a 1-day event-time tumbling

@@ -182,6 +182,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got(1).getAs[String]("event_type") === "view")
   }
 
+  test("stream-stream join: range condition matches within lookback, excludes outside") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val o = orders.toDF().toDF("user_id", "order_ts", "order_id")
+    val c = clicks.toDF().toDF("user_id", "click_ts", "page")
+    val joined = StreamAggregates.streamStreamJoin(
+      o, c, key = "user_id", leftTs = "order_ts", rightTs = "click_ts",
+      lookback = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 09:30:00"), "home"),   // within lookback
+      (1L, Timestamp.valueOf("2024-01-01 07:00:00"), "old"),    // outside lookback
+      (2L, Timestamp.valueOf("2024-01-01 09:45:00"), "search")) // other user
+    orders.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 100L))
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").collect()
+    q.stop()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("page") === "home")
+    assert(got(0).getAs[Long]("order_id") === 100L)
+  }
+
   test("streaming daily sales: stream-static dim join + 1-day windows match batch gold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
