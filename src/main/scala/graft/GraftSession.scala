@@ -32,4 +32,16 @@ object GraftSession {
     graft.functions.Registry.registerAll(spark)
     spark
   }
+
+  /** RocksDB-backed streaming state store provider class. For large stateful streams
+    * (wide dedup horizons, millions of open sessions) the default in-memory HDFS-backed
+    * store holds every key on-heap; RocksDB spills state to local disk with changelog
+    * checkpointing, bounding executor memory by working set, not state size. Set
+    * [[rocksDbStateKey]] to this value (session conf — applies to queries started
+    * after it is set).
+    */
+  val rocksDbStateProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  val rocksDbStateKey: String = "spark.sql.streaming.stateStore.providerClass"
 }

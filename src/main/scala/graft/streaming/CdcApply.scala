@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming CDC apply: maintain a keyed latest-state snapshot table from a change
+  * stream — the upsert sink the reference approximates by overwriting its Delta table
+  * from each consumed batch (`mage-programs/orders_delta_lake.py`), rebuilt on Spark's
+  * `foreachBatch` with replay-idempotent versioned snapshots.
+  *
+  * Design, and why it scales:
+  *  - Each micro-batch reduces to ONE row per key (latest by change time) before it
+  *    touches the snapshot — batch size, not change volume, bounds the merge.
+  *  - The merge is latest-per-key over (previous snapshot ∪ batch): one shuffle keyed
+  *    by the business key.
+  *  - Deletes become TOMBSTONES kept in the snapshot, so a late-arriving older update
+  *    for a deleted key loses to the tombstone instead of resurrecting the row.
+  *    [[readCurrent]] filters tombstones; compaction can expire them past the
+  *    out-of-orderness horizon.
+  *  - Each batch writes a NEW `v=<batchId>` directory and old versions are pruned
+  *    afterwards: a replayed batch (restart between write and checkpoint commit)
+  *    overwrites its own directory — idempotent, and readers never observe a
+  *    half-overwritten snapshot.
+  */
+object CdcApply {
+
+  /** Start the apply stream. `changes` must carry `key ++ (tsCol +: tieBreak)` and
+    * `opCol` (delete rows marked with `deleteOp`).
+    */
+  def start(
+      changes: DataFrame, key: Seq[String], tsCol: String,
+      opCol: String, snapshotRoot: String, checkpointDir: String,
+      tieBreak: Seq[String] = Seq.empty, deleteOp: String = "d",
+      keepVersions: Int = 2): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, key, tsCol, opCol, snapshotRoot, tieBreak,
+          keepVersions)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch: reduce, merge with the previous snapshot, write `v=<batchId>`,
+    * prune old versions. Public for batch-mode backfills and tests.
+    */
+  def applyBatch(
+      batch: DataFrame, batchId: Long, key: Seq[String], tsCol: String,
+      opCol: String, snapshotRoot: String, tieBreak: Seq[String] = Seq.empty,
+      keepVersions: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val reduced = latestPerKey(batch, key, tsCol, tieBreak)
+    // merge from the newest version BEFORE this batch: a replayed batch then repeats
+    // its original merge instead of reading (and overwriting) its own output dir
+    val merged = snapshotBefore(spark, snapshotRoot, batchId) match {
+      case Some(prev) => latestPerKey(prev.unionByName(reduced), key, tsCol, tieBreak)
+      case None       => reduced
+    }
+    merged.write.mode("overwrite").parquet(s"$snapshotRoot/v=$batchId")
+    prune(spark, snapshotRoot, keepVersions)
+  }
+
+  /** The live table: latest state per key, tombstones filtered out. */
+  def readCurrent(spark: SparkSession, snapshotRoot: String, opCol: String = "op",
+      deleteOp: String = "d"): DataFrame =
+    readSnapshot(spark, snapshotRoot)
+      .map(_.filter(col(opCol) =!= lit(deleteOp)))
+      .getOrElse(spark.emptyDataFrame)
+
+  /** The newest snapshot version, tombstones included; None before the first batch. */
+  def readSnapshot(spark: SparkSession, snapshotRoot: String): Option[DataFrame] =
+    versions(spark, snapshotRoot).lastOption.map { v =>
+      spark.read.parquet(s"$snapshotRoot/v=$v")
+    }
+
+  private def snapshotBefore(spark: SparkSession, root: String,
+      batchId: Long): Option[DataFrame] =
+    versions(spark, root).filter(_ < batchId).lastOption.map { v =>
+      spark.read.parquet(s"$root/v=$v")
+    }
+
+  private def latestPerKey(df: DataFrame, key: Seq[String], tsCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val order = (tsCol +: tieBreak).map(c => col(c).desc)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  private def prune(spark: SparkSession, root: String, keep: Int): Unit = {
+    val vs = versions(spark, root)
+    if (vs.length > keep) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(new Configuration())
+      vs.dropRight(keep).foreach(v => fs.delete(new Path(root, s"v=$v"), true))
+    }
+  }
+}

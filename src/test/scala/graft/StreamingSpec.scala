@@ -304,6 +304,39 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(out(1).getAs[Long]("n_events") === 1)
   }
 
+  test("stateful streaming runs on the RocksDB state store (large-state path)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val saved = spark.conf.getOption(GraftSession.rocksDbStateKey)
+    spark.conf.set(GraftSession.rocksDbStateKey, GraftSession.rocksDbStateProvider)
+    try {
+      val events = MemoryStream[(Long, Timestamp, Long)]
+      val df = events.toDF().toDF("event_id", "ts", "user_id")
+      val q = Sessionize.sessionWindows(df.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode(OutputMode.Append()).start()
+      events.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+      events.addData((3L, Timestamp.valueOf("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      q.stop()
+      val out = spark.table("rocks_out").collect()
+      assert(out.length === 1 && out(0).getAs[Long]("n_events") === 2)
+      // the state operator really ran RocksDB-backed
+      assert(progress.stateOperators.nonEmpty)
+      assert(progress.json.contains("rocksdb"),
+        s"expected rocksdb metrics in progress: ${progress.json}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(GraftSession.rocksDbStateKey, v)
+        case None    => spark.conf.unset(GraftSession.rocksDbStateKey)
+      }
+    }
+  }
+
   test("stateful mapGroupsWithState accumulates per-user counts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
