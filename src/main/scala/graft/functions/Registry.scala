@@ -1,12 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Registers the engine's native expressions as SQL functions so `spark.sql` users get
   * them too (same registry path Spark's own built-ins use — no UDF wrapping).
+  *
+  * The canonical list lives in [[injectables]], consumed two ways: [[registerAll]] for
+  * an existing session, and [[graft.GraftExtensions]] for conf-driven injection
+  * (`spark.sql.extensions=graft.GraftExtensions`) at session build time.
   */
 object Registry {
 
@@ -35,19 +40,29 @@ object Registry {
     }
   }
 
+  private def entry(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getCanonicalName, name), builder)
+
+  /** Every native SQL function: (identifier, info, builder). */
+  val injectables: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      entry("rolling_hash", classOf[RollingHash], exprs => RollingHash(exprs.head)),
+      entry("simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head)),
+      entry("dot_product", classOf[DotProduct],
+        exprs => DotProduct(exprs(0), exprs(1))),
+      entry("word_shingles", classOf[WordShingles],
+        exprs => WordShingles(exprs.head,
+          foldableIntArg("word_shingles", "n", exprs(1)))),
+      entry("bottom_k_by_key", classOf[BottomKByKey],
+        exprs => BottomKByKey(exprs(0), exprs(1),
+          foldableIntArg("bottom_k_by_key", "k", exprs(2)))))
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("rolling_hash",
-      exprs => RollingHash(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head,
-        foldableIntArg("word_shingles", "n", exprs(1))), "built-in")
-    registry.createOrReplaceTempFunction("bottom_k_by_key",
-      exprs => BottomKByKey(exprs(0), exprs(1),
-        foldableIntArg("bottom_k_by_key", "k", exprs(2))), "built-in")
+    injectables.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
   }
 }

@@ -8,6 +8,15 @@ import graft.streaming.LakeWriter
 
 class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
 
+  test("GraftExtensions injects every native function into a fresh registry") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.ExtensionsProbe.registeredInto(ext)
+    for ((ident, _, _) <- graft.functions.Registry.injectables)
+      assert(reg.functionExists(ident), s"missing injected function $ident")
+  }
+
   test("custom expressions are callable from spark.sql") {
     Registry.registerAll(spark)
     val r = spark.sql(
