@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Scd2, SemiStructured, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Profile, Scd2, SemiStructured, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -176,6 +176,16 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
+
+  /** Corpus heavy hitters: most document-frequent shingles (boilerplate detector). */
+  private def qTopShingles(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topShingles(docs(s, dir), n = 3, k = 50)
+      .orderBy(col("df_count").desc, col("shingle"))
+
+  /** One-scan numeric column profile over orders. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_totalprice")).orderBy("column")
 
   /** Typed extraction from the free-form JSON event payloads via the VARIANT path
     * ([[graft.ops.SemiStructured]]): parse once, extract typed fields, zero shuffle.
@@ -494,6 +504,8 @@ object SparkEntry {
     "q_sessionize" -> qSessionize,
     "q_session_windows" -> qSessionWindows,
     "q_json_flatten" -> qJsonFlatten,
+    "q_top_shingles" -> qTopShingles,
+    "q_profile" -> qProfile,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
     "q_token_counts" -> qTokenCounts,
@@ -1110,6 +1122,23 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_top_shingles" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> array_to_string(tk[i:i+2], ' ')))
+        |    ELSE [] END AS shs FROM toks),
+        |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM t)
+        |SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY 1
+        |ORDER BY df_count DESC, shingle LIMIT 50""".stripMargin,
+    "q_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_value,
+           |  CAST(MAX($c) AS DOUBLE) AS max_value FROM orders""".stripMargin)
+        .mkString("", " UNION ALL ", """ ORDER BY "column""""),
     "q_json_flatten" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -168,4 +168,17 @@ object TextAnalysis {
     df.withColumn("n_redactions", nRedactions)
       .withColumn(textCol, scrubbed)
   }
+
+  /** Corpus heavy hitters: the k most document-frequent n-gram shingles — the
+    * boilerplate/template detector that feeds `maxShingleDf` tuning and stop-shingle
+    * lists. Map-side partial counts shuffle one row per distinct shingle, and the
+    * top-k is a `TakeOrderedAndProject` (per-partition heads merged on the driver),
+    * never a global sort. Ties break lexicographically for determinism.
+    */
+  def topShingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, k: Int = 50): DataFrame =
+    Dedup.shingles(df, idCol, textCol, n)
+      .groupBy("shingle").agg(count(lit(1)).as("df_count"))
+      .orderBy(col("df_count").desc, col("shingle"))
+      .limit(k)
 }
