@@ -177,7 +177,9 @@ object Dedup {
       bandHash: Seq[Column] => Column = xxBandHash,
       maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // map-side count off the shingle array — same rewrite as [[ngramJaccardPairs]]
+    val sizes = df.select(col(idCol).as("doc_id"),
+      size(graft.functions.WordShingles.word_shingles(col(textCol), n)).as("n_shingles"))
     val candidates = lshCandidates(
       minHashSignatures(df, idCol, textCol, n, numHashes, hashFn), numHashes, bands,
       bandHash)

@@ -40,17 +40,20 @@ object Layout {
     // one sampled pass computes every column's boundaries
     val boundaries = df.stat.approxQuantile(cols.toArray, probs, 0.01)
     val ranks = cols.zip(boundaries).map { case (c, bs) =>
-      // bucket rank = #boundaries ≤ value; nulls fall through to 0
-      bs.distinct.sorted.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(c).cast("double") >= lit(b), 1).otherwise(0)
+      // bucket rank = #boundaries ≤ value; nulls fall through to 0. LONG from the
+      // start: interleaved bit positions reach bitsPerCol*ncols-1, and an int shift
+      // would wrap its distance mod 32 (silently corrupting layouts past 5 columns)
+      bs.distinct.sorted.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
       }
     }
+    require(bitsPerCol * cols.length <= 63,
+      s"z-value overflows a long: $bitsPerCol bits × ${cols.length} cols")
     // interleave: bit i of column j lands at position i*ncols + j
     val terms = for {
       (rank, j) <- ranks.zipWithIndex
       i <- 0 until bitsPerCol
-    } yield shiftleft(shiftright(rank, i).bitwiseAND(lit(1)), i * cols.length + j)
-      .cast("long")
+    } yield shiftleft(shiftright(rank, i).bitwiseAND(lit(1L)), i * cols.length + j)
     terms.reduce(_ + _)
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -28,21 +27,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CdcApply {
 
-  /** Start the apply stream. `changes` must carry `key ++ (tsCol +: tieBreak)` and
-    * `opCol` (delete rows marked with `deleteOp`).
+  /** Start the apply stream. `changes` must carry `key ++ (tsCol +: tieBreak)`; delete
+    * rows travel through the merge as ordinary versions (tombstones) and are
+    * interpreted only by [[readCurrent]].
     */
   def start(
       changes: DataFrame, key: Seq[String], tsCol: String,
-      opCol: String, snapshotRoot: String, checkpointDir: String,
-      tieBreak: Seq[String] = Seq.empty, deleteOp: String = "d",
-      keepVersions: Int = 2): StreamingQuery =
+      snapshotRoot: String, checkpointDir: String,
+      tieBreak: Seq[String] = Seq.empty,
+      keepVersions: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, key, tsCol, opCol, snapshotRoot, tieBreak,
-          keepVersions)
+        applyBatch(batch, batchId, key, tsCol, snapshotRoot, tieBreak, keepVersions)
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** One micro-batch: reduce, merge with the previous snapshot, write `v=<batchId>`,
@@ -50,21 +50,27 @@ object CdcApply {
     */
   def applyBatch(
       batch: DataFrame, batchId: Long, key: Seq[String], tsCol: String,
-      opCol: String, snapshotRoot: String, tieBreak: Seq[String] = Seq.empty,
+      snapshotRoot: String, tieBreak: Seq[String] = Seq.empty,
       keepVersions: Int = 2): Unit = {
+    // fewer than 2 retained versions would let prune delete the very snapshot a
+    // replayed batch must merge from — the data-loss case, not a tuning choice
+    require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     val spark = batch.sparkSession
-    val reduced = latestPerKey(batch, key, tsCol, tieBreak)
+    val reduced = reduceLatest(batch, key, tsCol, tieBreak)
     // merge from the newest version BEFORE this batch: a replayed batch then repeats
     // its original merge instead of reading (and overwriting) its own output dir
     val merged = snapshotBefore(spark, snapshotRoot, batchId) match {
-      case Some(prev) => latestPerKey(prev.unionByName(reduced), key, tsCol, tieBreak)
+      case Some(prev) => reduceLatest(prev.unionByName(reduced), key, tsCol, tieBreak)
       case None       => reduced
     }
     merged.write.mode("overwrite").parquet(s"$snapshotRoot/v=$batchId")
-    prune(spark, snapshotRoot, keepVersions)
+    prune(snapshotRoot, keepVersions)
   }
 
-  /** The live table: latest state per key, tombstones filtered out. */
+  /** The live table: latest state per key, tombstones filtered out. Before the first
+    * batch lands there is no snapshot (and no schema): returns an empty zero-column
+    * frame — gate consumers on [[readSnapshot]] being non-empty if they start early.
+    */
   def readCurrent(spark: SparkSession, snapshotRoot: String, opCol: String = "op",
       deleteOp: String = "d"): DataFrame =
     readSnapshot(spark, snapshotRoot)
@@ -73,24 +79,21 @@ object CdcApply {
 
   /** The newest snapshot version, tombstones included; None before the first batch. */
   def readSnapshot(spark: SparkSession, snapshotRoot: String): Option[DataFrame] =
-    versions(spark, snapshotRoot).lastOption.map { v =>
+    versions(snapshotRoot).lastOption.map { v =>
       spark.read.parquet(s"$snapshotRoot/v=$v")
     }
 
   private def snapshotBefore(spark: SparkSession, root: String,
       batchId: Long): Option[DataFrame] =
-    versions(spark, root).filter(_ < batchId).lastOption.map { v =>
+    versions(root).filter(_ < batchId).lastOption.map { v =>
       spark.read.parquet(s"$root/v=$v")
     }
 
-  private def latestPerKey(df: DataFrame, key: Seq[String], tsCol: String,
-      tieBreak: Seq[String]): DataFrame = {
-    val order = (tsCol +: tieBreak).map(c => col(c).desc)
-    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  private def reduceLatest(df: DataFrame, key: Seq[String], tsCol: String,
+      tieBreak: Seq[String]): DataFrame =
+    graft.ops.Compaction.latestPerKey(df, key, tsCol +: tieBreak)
 
-  private def versions(spark: SparkSession, root: String): Seq[Long] = {
+  private def versions(root: String): Seq[Long] = {
     val p = new Path(root)
     val fs = p.getFileSystem(new Configuration())
     if (!fs.exists(p)) Seq.empty
@@ -100,8 +103,8 @@ object CdcApply {
       .sorted
   }
 
-  private def prune(spark: SparkSession, root: String, keep: Int): Unit = {
-    val vs = versions(spark, root)
+  private def prune(root: String, keep: Int): Unit = {
+    val vs = versions(root)
     if (vs.length > keep) {
       val p = new Path(root)
       val fs = p.getFileSystem(new Configuration())

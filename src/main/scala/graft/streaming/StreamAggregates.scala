@@ -63,6 +63,11 @@ object StreamAggregates {
     * window per region with the watermark bounding aggregation state. Emits one row per
     * (day, region) window in update/append mode. `orderTsCol` must be TimestampType.
     *
+    * Day-boundary parity with batch gold requires a UTC session timezone: `window()`
+    * buckets are epoch-aligned while `date_format` renders in session tz, so a non-UTC
+    * session would shift rows near local midnight into a different `sale_date` than the
+    * batch backfill. [[graft.GraftSession]] pins UTC; keep it pinned on clusters.
+    *
     * Batch backfill uses [[graft.gold.DailySales]] (same aggregate semantics, exact
     * decimal money math); this is its live-stream face per SURVEY.md §2.9 T7.
     */

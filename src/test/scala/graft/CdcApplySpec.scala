@@ -20,15 +20,14 @@ class CdcApplySpec extends AnyFunSuite with SharedSpark {
       (1L, ts("2024-01-01 10:00:00"), "c", "a"),
       (2L, ts("2024-01-01 10:00:00"), "c", "x")
     ).toDF("id", "ts", "op", "attr")
-    CdcApply.applyBatch(b1, 0L, key = Seq("id"), tsCol = "ts", opCol = "op",
-      snapshotRoot = root)
+    CdcApply.applyBatch(b1, 0L, key = Seq("id"), tsCol = "ts", snapshotRoot = root)
 
     val b2 = Seq(
       (1L, ts("2024-01-02 10:00:00"), "u", "b"), // update k1
       (2L, ts("2024-01-02 11:00:00"), "d", "x"), // delete k2
       (3L, ts("2024-01-02 12:00:00"), "c", "z")  // create k3
     ).toDF("id", "ts", "op", "attr")
-    CdcApply.applyBatch(b2, 1L, Seq("id"), "ts", "op", root)
+    CdcApply.applyBatch(b2, 1L, Seq("id"), "ts", root)
 
     val cur = CdcApply.readCurrent(spark, root).orderBy("id").collect()
     assert(cur.map(_.getLong(0)).toSeq === Seq(1L, 3L))
@@ -39,7 +38,7 @@ class CdcApplySpec extends AnyFunSuite with SharedSpark {
 
     // a LATE, OLDER update for the deleted key must lose to the tombstone
     val b3 = Seq((2L, ts("2024-01-02 10:30:00"), "u", "y")).toDF("id", "ts", "op", "attr")
-    CdcApply.applyBatch(b3, 2L, Seq("id"), "ts", "op", root)
+    CdcApply.applyBatch(b3, 2L, Seq("id"), "ts", root)
     assert(CdcApply.readCurrent(spark, root).filter(col("id") === 2L).count() === 0)
   }
 
@@ -48,10 +47,10 @@ class CdcApplySpec extends AnyFunSuite with SharedSpark {
     val root = Files.createTempDirectory("cdc_replay").toString
     val b1 = Seq((1L, ts("2024-01-01 10:00:00"), "c", "a")).toDF("id", "ts", "op", "attr")
     val b2 = Seq((1L, ts("2024-01-02 10:00:00"), "u", "b")).toDF("id", "ts", "op", "attr")
-    CdcApply.applyBatch(b1, 0L, Seq("id"), "ts", "op", root)
-    CdcApply.applyBatch(b2, 1L, Seq("id"), "ts", "op", root)
+    CdcApply.applyBatch(b1, 0L, Seq("id"), "ts", root)
+    CdcApply.applyBatch(b2, 1L, Seq("id"), "ts", root)
     val before = CdcApply.readCurrent(spark, root).collect().toSeq
-    CdcApply.applyBatch(b2, 1L, Seq("id"), "ts", "op", root) // replay
+    CdcApply.applyBatch(b2, 1L, Seq("id"), "ts", root) // replay
     val after = CdcApply.readCurrent(spark, root).collect().toSeq
     assert(before === after)
     assert(after.head.getAs[String]("attr") === "b")
@@ -63,11 +62,20 @@ class CdcApplySpec extends AnyFunSuite with SharedSpark {
     for (i <- 0 until 4) {
       val b = Seq((1L, ts(s"2024-01-0${i + 1} 10:00:00"), "u", s"v$i"))
         .toDF("id", "ts", "op", "attr")
-      CdcApply.applyBatch(b, i.toLong, Seq("id"), "ts", "op", root)
+      CdcApply.applyBatch(b, i.toLong, Seq("id"), "ts", root)
     }
     val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.sorted.toSeq === Seq("v=2", "v=3"))
     assert(CdcApply.readCurrent(spark, root).first().getAs[String]("attr") === "v3")
+  }
+
+  test("cdc apply: keepVersions below 2 is rejected (replay would lose the merge base)") {
+    import spark.implicits._
+    val b = Seq((1L, ts("2024-01-01 10:00:00"), "c", "a")).toDF("id", "ts", "op", "attr")
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.applyBatch(b, 0L, Seq("id"), "ts", "/tmp/never", keepVersions = 1)
+    }
+    assert(e.getMessage.contains("keepVersions"))
   }
 
   test("cdc apply: end-to-end from a stream with AvailableNow") {
@@ -81,7 +89,7 @@ class CdcApplySpec extends AnyFunSuite with SharedSpark {
       (1L, ts("2024-01-02 10:00:00"), "u", "b"),
       (2L, ts("2024-01-01 10:00:00"), "c", "x"))
     val df = changes.toDF().toDF("id", "ts", "op", "attr")
-    CdcApply.start(df, key = Seq("id"), tsCol = "ts", opCol = "op",
+    CdcApply.start(df, key = Seq("id"), tsCol = "ts",
       snapshotRoot = root, checkpointDir = chk).awaitTermination()
     val cur = CdcApply.readCurrent(spark, root).orderBy("id").collect()
     assert(cur.length === 2)

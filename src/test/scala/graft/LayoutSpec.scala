@@ -41,6 +41,20 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       s"zorder price span $zPrice should beat linear-sort $linPrice")
   }
 
+  test("zvalue: bit positions past 31 stay in long arithmetic (6 cols × 6 bits)") {
+    val li = Tables.lineitem(spark, sf).select(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val withZ = li.withColumn("__z", Layout.zvalue(li, cols, bitsPerCol = 6))
+    val row = withZ.agg(min("__z"), max("__z")).first()
+    // an int shift would wrap positions ≥ 32 (negative values, cross-column collisions)
+    assert(row.getLong(0) >= 0L, s"negative z-value: ${row.getLong(0)}")
+    assert(row.getLong(1) < (1L << 36), s"z-value out of range: ${row.getLong(1)}")
+    assert(row.getLong(1) >= (1L << 31), s"top column bits never set: ${row.getLong(1)}")
+  }
+
   test("zvalue: a pure projection — sampled boundaries, no shuffle, no UDF") {
     val o = Tables.orders(spark, sf).select("o_custkey", "o_totalprice")
     val withZ = o.withColumn("__z",
