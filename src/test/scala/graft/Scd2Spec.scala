@@ -75,6 +75,43 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     assert(h.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, true))
   }
 
+  test("scd2 invariants hold on a randomized change log") {
+    import spark.implicits._
+    // deterministic pseudo-random log: 40 keys × up to 25 changes, ~15% deletes
+    val rnd = new scala.util.Random(42)
+    val log = (1 to 40).flatMap { k =>
+      (0 until (1 + rnd.nextInt(25))).map { i =>
+        val op = if (rnd.nextDouble() < 0.15) "d" else "u"
+        (k.toLong, ts(f"2024-01-${1 + rnd.nextInt(28)}%02d 10:00:00"),
+          rnd.nextLong().abs, op, s"v$i")
+      }
+    }
+    val df = log.toDF("id", "ts", "seq", "op", "attr")
+    val h = Scd2.history(df, key = Seq("id"), tsCol = "ts", tieBreak = Seq("seq"),
+      opCol = Some("op")).collect()
+
+    h.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version_seq"))
+      // gapless numbering from 1
+      assert(sorted.map(_.getAs[Long]("version_seq")).toSeq ===
+        (1L to sorted.length).toSeq, s"key $id")
+      // ranges chain: each effective_to equals the NEXT surviving version's
+      // effective_from — unless a delete intervened, which only shortens the gap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val to = a.getAs[Timestamp]("effective_to")
+          assert(to !== null, s"key $id: non-final version left open")
+          assert(!to.after(b.getAs[Timestamp]("effective_from")), s"key $id: overlap")
+        case _ =>
+      }
+      // at most one current version, and only for keys whose final change survived
+      val nCurrent = sorted.count(_.getAs[Boolean]("is_current"))
+      assert(nCurrent <= 1, s"key $id: $nCurrent current rows")
+      val lastOpen = sorted.last.getAs[Timestamp]("effective_to") == null
+      assert((nCurrent == 1) === lastOpen, s"key $id")
+    }
+  }
+
   test("scd2: single shuffle — one Exchange in the physical plan") {
     val h = Scd2.history(changes, key = Seq("id"), tsCol = "ts", opCol = Some("op"))
     val plan = h.queryExecution.executedPlan.toString
