@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Profile, Scd2, SemiStructured, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Outliers, Profile, Scd2, SemiStructured, Similarity, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -176,6 +176,17 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
+
+  /** Distribution-based outlier flags over event values per type ([[Outliers]]):
+    * decimal-exact group moments so the flagged set is deterministic and
+    * oracle-checkable.
+    */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    Outliers.zscoreOutliers(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      valueCol = "value", groupCols = Seq("event_type"), threshold = 3.0)
+      .select("event_id", "event_type", "value", "group_mean", "group_stddev", "zscore")
+      .orderBy("event_id")
 
   /** Corpus heavy hitters: most document-frequent shingles (boilerplate detector). */
   private def qTopShingles(s: SparkSession, dir: String): DataFrame =
@@ -506,6 +517,7 @@ object SparkEntry {
     "q_json_flatten" -> qJsonFlatten,
     "q_top_shingles" -> qTopShingles,
     "q_profile" -> qProfile,
+    "q_outliers" -> qOutliers,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
     "q_token_counts" -> qTokenCounts,
@@ -1122,6 +1134,21 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_outliers" ->
+      """WITH s AS (SELECT event_type, COUNT(value) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,8))) AS sm,
+        |    SUM(CAST(value*value AS DECIMAL(38,10))) AS sq
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT event_type, CAST(sm AS DOUBLE)/n AS group_mean,
+        |    CASE WHEN n > 1 THEN sqrt(
+        |      (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)*(CAST(sm AS DOUBLE)/n))/(n-1))
+        |    END AS group_stddev FROM s)
+        |SELECT e.event_id, e.event_type, e.value, g.group_mean, g.group_stddev,
+        |  (e.value - g.group_mean)/g.group_stddev AS zscore
+        |FROM events e JOIN g USING (event_type)
+        |WHERE g.group_stddev > 0
+        |  AND abs((e.value - g.group_mean)/g.group_stddev) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "q_top_shingles" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |  FROM documents),
