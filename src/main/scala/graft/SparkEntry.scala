@@ -1139,9 +1139,9 @@ object SparkEntry {
         |    SUM(CAST(value AS DECIMAL(28,8))) AS sm,
         |    SUM(CAST(value*value AS DECIMAL(38,10))) AS sq
         |  FROM events GROUP BY 1),
-        |g AS (SELECT event_type, CAST(sm AS DOUBLE)/n AS group_mean,
-        |    CASE WHEN n > 1 THEN sqrt(
-        |      (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)*(CAST(sm AS DOUBLE)/n))/(n-1))
+        |g AS (SELECT event_type, round(CAST(sm AS DOUBLE)/n, 6) AS group_mean,
+        |    CASE WHEN n > 1 THEN round(sqrt(
+        |      (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)*(CAST(sm AS DOUBLE)/n))/(n-1)), 6)
         |    END AS group_stddev FROM s)
         |SELECT e.event_id, e.event_type, e.value, g.group_mean, g.group_stddev,
         |  (e.value - g.group_mean)/g.group_stddev AS zscore

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * scans, one tiny shuffle of per-group rows. The moments sum through DECIMAL, not
   * double: float summation is order-dependent under partitioning, which would make the
   * flagged set nondeterministic run-to-run (and impossible to oracle-check); decimal
-  * sums are exact, and the closing mean/stddev arithmetic is a fixed scalar expression
-  * on those exact inputs. Groups with fewer than 2 rows or zero variance yield null z
-  * and are never flagged.
+  * sums are exact. The derived mean/stddev are then ROUNDED to 6 decimals before use:
+  * past ~15 significant digits, decimal→double casts and fused-multiply-add choices
+  * differ across engines/platforms by an ulp (observed Spark-vs-DuckDB at sf0.1), and
+  * rounding the moments makes every downstream z bit-identical while moving no flag
+  * by a statistically meaningful amount. Groups with fewer than 2 rows or zero
+  * variance yield null z and are never flagged.
   */
 object Outliers {
 
@@ -33,8 +36,8 @@ object Outliers {
         (col("__n") - 1)
     val enriched = stats.select(
       groupCols.map(col) ++ Seq(
-        mean.as("group_mean"),
-        when(col("__n") > 1, sqrt(variance)).as("group_stddev")): _*)
+        round(mean, 6).as("group_mean"),
+        when(col("__n") > 1, round(sqrt(variance), 6)).as("group_stddev")): _*)
     df.join(broadcast(enriched), groupCols)
       .withColumn("zscore",
         when(col("group_stddev") > 0,
