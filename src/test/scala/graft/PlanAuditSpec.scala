@@ -99,6 +99,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("outliers: group stats broadcast back onto the stream, never a cross product") {
+    val plan = finalPlan(SparkEntry.queries("q_outliers")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"stats join should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("contamination: reference shingles broadcast so the corpus side never shuffles pre-join") {
     val plan = finalPlan(SparkEntry.queries("q_contamination")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
