@@ -55,6 +55,43 @@ object Scd2 {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Incrementally fold a batch of NEW changes into an existing [[history]] — the
+    * maintenance path for a persisted dimension: closed versions are immutable and
+    * pass through untouched; only keys present in `changes` are recomputed, from just
+    * their open version plus the new rows. At 100 TB the recomputed side is
+    * batch-sized, not history-sized, and unaffected keys are never shuffled beyond
+    * the anti-join that skips them.
+    *
+    * REQUIRES in-order delivery per key: every change must be at-or-after the open
+    * version's `effective_from` (standard within-watermark CDC). A change older than
+    * the open version would need to splice between immutable closed versions — feed
+    * such late data through a full [[history]] rebuild of the affected keys instead.
+    *
+    * Equivalence `applyChanges(history(b1), b2) == history(b1 ∪ b2)` is pinned in
+    * Scd2Spec for randomized in-order splits.
+    */
+  def applyChanges(
+      existing: DataFrame, changes: DataFrame, key: Seq[String], tsCol: String,
+      tieBreak: Seq[String] = Seq.empty,
+      opCol: Option[String] = None, deleteOp: String = "d"): DataFrame = {
+    val derived = Seq("effective_from", "effective_to", "version_seq", "is_current")
+    val keysC = changes.select(key.map(col): _*).distinct()
+    val untouched = existing.join(keysC, key, "left_anti")
+    val affected = existing.join(keysC, key)
+    val closed = affected.filter(!col("is_current"))
+    // per-key seq offset = closed version count (open re-enters the mini-log as seq 1)
+    val offsets = closed.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("__seq_offset"))
+    val openAsChanges = affected.filter(col("is_current")).drop(derived: _*)
+    val mini = history(openAsChanges.unionByName(changes), key, tsCol, tieBreak,
+      opCol, deleteOp)
+      .join(offsets, key, "left")
+      .withColumn("version_seq",
+        col("version_seq") + coalesce(col("__seq_offset"), lit(0L)))
+      .drop("__seq_offset")
+    untouched.unionByName(closed).unionByName(mini)
+  }
+
   /** Current snapshot: the open version per surviving key. Equivalent to
     * [[Compaction.latestPerKey]] plus delete suppression, derived from [[history]].
     */

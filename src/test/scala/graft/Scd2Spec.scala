@@ -112,6 +112,55 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scd2 applyChanges: incremental fold equals the full rebuild on in-order splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val log = (1 to 30).flatMap { k =>
+      (0 until (1 + rnd.nextInt(12))).map { i =>
+        val op = if (rnd.nextDouble() < 0.2) "d" else "u"
+        (k.toLong, ts(f"2024-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d 10:00:00"),
+          rnd.nextLong().abs, op, s"v$i")
+      }
+    }
+    val cols = Seq("id", "ts", "seq", "op", "attr")
+    // in-order split: per key, batch 1 = changes before the key's median ts
+    val df = log.toDF(cols: _*)
+    val cut = ts("2024-07-01 00:00:00")
+    val b1 = df.filter(col("ts") < lit(cut))
+    val b2 = df.filter(col("ts") >= lit(cut))
+    val full = Scd2.history(df, Seq("id"), "ts", Seq("seq"), Some("op"))
+    val incr = Scd2.applyChanges(
+      Scd2.history(b1, Seq("id"), "ts", Seq("seq"), Some("op")),
+      b2, Seq("id"), "ts", Seq("seq"), Some("op"))
+    val sel = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("id", "ts", "seq", "op", "attr", "effective_from", "effective_to",
+        "version_seq", "is_current").orderBy("id", "version_seq")
+        .collect().map(_.toSeq).toSeq
+    assert(sel(incr) === sel(full))
+  }
+
+  test("scd2 applyChanges: delete then re-insert across the batch boundary") {
+    import spark.implicits._
+    val cols = Seq("id", "ts", "op", "attr")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "c", "a"),
+      (1L, ts("2024-01-02 00:00:00"), "d", "a"),
+      (2L, ts("2024-01-01 00:00:00"), "c", "x")).toDF(cols: _*)
+    val b2 = Seq(
+      (1L, ts("2024-01-03 00:00:00"), "c", "b"), // re-insert deleted key
+      (3L, ts("2024-01-03 00:00:00"), "c", "z")).toDF(cols: _*)
+    val h1 = Scd2.history(b1, Seq("id"), "ts", opCol = Some("op"))
+    val got = Scd2.applyChanges(h1, b2, Seq("id"), "ts", opCol = Some("op"))
+      .orderBy("id", "version_seq").collect()
+    val full = Scd2.history(b1.unionByName(b2), Seq("id"), "ts", opCol = Some("op"))
+      .orderBy("id", "version_seq").collect()
+    assert(got.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    // untouched key 2 still current; key 1's re-insert continues the numbering
+    val k1 = got.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getAs[Long]("version_seq")).toSeq === Seq(1L, 2L))
+    assert(k1.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, true))
+  }
+
   test("scd2: single shuffle — one Exchange in the physical plan") {
     val h = Scd2.history(changes, key = Seq("id"), tsCol = "ts", opCol = Some("op"))
     val plan = h.queryExecution.executedPlan.toString
