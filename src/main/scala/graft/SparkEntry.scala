@@ -286,10 +286,16 @@ object SparkEntry {
     Dedup.contamination(docs(s, dir), docs(s, dir).filter(col("doc_id") < 20),
       threshold = 0.5).orderBy("corpus_doc", "ref_doc")
 
+  /** Real decode gate: text bytes → genuine grayscale PNG ([[Multimodal.encodePng]]) →
+    * `javax.imageio` decode → features read off the DECODED raster. The oracle predicts
+    * what a correct decoder must recover (geometry is a pure function of payload
+    * length; the (0,0) pixel is the first text byte), so a decoder that fabricated
+    * dimensions instead of decoding would hash-mismatch.
+    */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.featureTable(docs(s, dir))
-      .select("doc_id", "n_bytes", "width", "height", "channels", "first_byte")
+      .select("doc_id", "width", "height", "channels", "n_pixels", "first_byte")
       .orderBy("doc_id")
   }
 
@@ -453,8 +459,10 @@ object SparkEntry {
       .select("lang", "fingerprint")
       .orderBy("lang", "fingerprint")
 
-  /** S8/K6: file-level metadata scan over the harness tables (driver-side metadata walk;
-    * no oracle — DuckDB cannot see the filesystem stats).
+  /** S8/K6: file-level metadata scan over the harness tables. Oracle-gated via DuckDB
+    * `read_blob` over the same directory (filename + on-disk size per file); the oracle
+    * SQL recovers the sfdir from the gate's own view definitions, so it tracks whatever
+    * scale factor the gate mounts.
     */
   private def qCatalogStats(s: SparkSession, dir: String): DataFrame = {
     val locations = Tables.all.map(n => n -> s"$dir/$n.parquet").toMap
@@ -995,11 +1003,18 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_multimodal_features" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  32 + octet_length(encode(text)) % 608 AS width,
-        |  32 + (octet_length(encode(text)) * 7) % 448 AS height,
-        |  3 AS channels, ascii(substr(text, 1, 1)) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |    32 + octet_length(encode(text)) % 97 AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, n, w,
+        |    greatest(1, CAST(ceil(n / CAST(w AS DOUBLE)) AS BIGINT)) AS h
+        |  FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  1 AS channels, CAST(w * h AS INT) AS n_pixels,
+        |  ascii(substr(text, 1, 1)) AS first_byte
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       s"""WITH o AS (
          |  SELECT o_custkey AS customer_id, o_orderdate AS order_ts,
@@ -1196,5 +1211,22 @@ object SparkEntry {
     "q_table_counts" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
-        .mkString("", " UNION ALL ", " ORDER BY table_name"))
+        .mkString("", " UNION ALL ", " ORDER BY table_name"),
+    // DuckDB CAN see the filesystem: read_blob exposes filename + on-disk size per
+    // file. The scanned directory is recovered from the gate's own `customer` view
+    // definition (duckdb_views) so the oracle follows whatever sfdir the gate mounted;
+    // if that introspection ever yields nothing, fall back to the driver's sf0.01.
+    "q_catalog_stats" ->
+      """WITH dir AS (
+        |  SELECT coalesce(nullif(
+        |      regexp_extract(sql, '''(.*)/[^/]+\.parquet''', 1), ''),
+        |    '/root/testdata/sf0.01') AS d
+        |  FROM duckdb_views() WHERE view_name = 'customer')
+        |SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(size) AS BIGINT) AS total_bytes
+        |FROM read_blob('/root/testdata/*/*.parquet')
+        |WHERE filename LIKE
+        |  coalesce((SELECT d FROM dir), '/root/testdata/sf0.01') || '/%'
+        |GROUP BY 1 ORDER BY table_name""".stripMargin)
 }

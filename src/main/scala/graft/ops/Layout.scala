@@ -35,6 +35,10 @@ object Layout {
 
   /** The interleaved-bits z-value as a Column (exposed for tests/diagnostics). */
   private[graft] def zvalue(df: DataFrame, cols: Seq[String], bitsPerCol: Int): Column = {
+    // validate BEFORE the approxQuantile scan — an invalid call must not pay a
+    // full sampling pass over the dataset just to fail
+    require(bitsPerCol * cols.length <= 63,
+      s"z-value overflows a long: $bitsPerCol bits × ${cols.length} cols")
     val buckets = 1 << bitsPerCol
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one sampled pass computes every column's boundaries
@@ -47,8 +51,6 @@ object Layout {
         acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
       }
     }
-    require(bitsPerCol * cols.length <= 63,
-      s"z-value overflows a long: $bitsPerCol bits × ${cols.length} cols")
     // interleave: bit i of column j lands at position i*ncols + j
     val terms = for {
       (rank, j) <- ranks.zipWithIndex

@@ -1,76 +1,165 @@
 package graft.ops
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: opaque binary payloads + typed metadata, with the decode /
-  * feature-extract / resize / frame-sample steps STUBBED as deterministic fakes (no media
-  * codecs in this environment — the Spark-side schema, partitioning, and batch shape are
-  * real; swap `decodeStub` internals for a real codec to productionize).
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata, with a REAL
+  * image decode path via `javax.imageio` (in-JDK, zero extra dependencies).
   *
-  * Spark-first notes: binary columns ride Parquet as BYTE_ARRAY untouched; decode runs in
-  * `mapPartitions` so a real implementation amortizes codec init per partition (the same
-  * batch shape `mapInPandas` gives Python). Feature vectors come back as typed columns so
-  * everything downstream (dedup, ANN) is ordinary columnar work. At scale, repartition by
-  * payload-size buckets before decode to even out skew from mixed media sizes.
+  * Images are first-class: [[encodePng]] produces genuine PNG bytes, [[decode]] reads
+  * any ImageIO-supported format (PNG/BMP/JPEG/GIF) and extracts width / height /
+  * channels / pixel histogram from the DECODED RASTER, and [[resizeImage]] is real
+  * bilinear resampling. Only the video path ([[frameSampleStub]]) remains a byte-window
+  * stub — the JDK ships no video codec, and the stub keeps the batch shape honest.
+  *
+  * Spark-first notes: binary columns ride Parquet as BYTE_ARRAY untouched; decode runs
+  * in `mapPartitions` so codec setup (ImageIO disk-cache off) is amortized per
+  * partition — the same batch shape `mapInPandas` gives Python. Feature vectors come
+  * back as typed columns so everything downstream (dedup, ANN) is ordinary columnar
+  * work. At scale, repartition by payload-size buckets before decode to even out skew
+  * from mixed media sizes.
   */
 object Multimodal {
 
   /** An opaque media payload: what an image/audio/video ingest would carry. */
   final case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
 
-  /** Decoded metadata + features (fake, deterministic). */
+  /** Decoded metadata + features. `n_bytes` is the on-the-wire payload size; the
+    * remaining fields come from the decoded image and are null (empty histogram) when
+    * the payload is not a decodable image — undecodable rows are KEPT, not dropped, so
+    * a corrupt-payload audit is one `filter(width.isNull)` away.
+    */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
-      width: Int,
-      height: Int,
-      channels: Int,
-      first_byte: Int,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      n_pixels: Option[Int],
+      first_byte: Option[Int],
       histogram: Array[Double])
 
-  /** Stand-in ingest: treat document text bytes as the opaque payload. */
-  def fromText(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      lit("image/fake").as("media_type"),
-      encode(col(textCol), "UTF-8").as("content"))
-
-  /** STUB decode — deterministic fake in place of a real image codec. A production
-    * implementation replaces the body of the per-record function only; the partition
-    * batching, schema, and downstream contract stay identical.
+  /** Deterministic payload→PNG encoder: bytes become 8-bit grayscale pixels, row-major,
+    * in a `32 + n % 97`-wide image, zero-padded to fill the last row. The output is a
+    * REAL PNG — `file`-identifiable, openable in any viewer — and the geometry is a
+    * pure function of payload length, so an external oracle can predict what a correct
+    * decoder must recover.
     */
-  def decodeStub(records: Dataset[MediaRecord])(
+  def encodePng(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val w = 32 + n % 97
+    val h = math.max(1, (n + w - 1) / w)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val pixels = new Array[Byte](w * h)
+    System.arraycopy(payload, 0, pixels, 0, n)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Stand-in ingest: render each document's text bytes as a real grayscale PNG. */
+  def fromText(df: DataFrame, idCol: String = "doc_id", textCol: String = "text")(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, "image/png",
+          encodePng(Option(text).getOrElse("").getBytes("UTF-8")))
+      }
+  }
+
+  /** REAL decode: `javax.imageio` parses the payload and the features come from the
+    * decoded raster — width/height from the image header, channels from the sample
+    * model, `first_byte` as the (0,0) sample of band 0, and a 16-bucket normalized
+    * histogram over every sample of every band.
+    */
+  def decode(records: Dataset[MediaRecord])(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     records.mapPartitions { it =>
-      // per-partition init would go here (codec handles, model weights, ...)
+      // per-partition codec init: no tmp-file cache churn on executor-local disks
+      ImageIO.setUseCache(false)
       it.map { r =>
-        val b = r.content
-        val n = b.length
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < n) { hist((b(i) & 0xff) % 16) += 1.0; i += 1 }
-        if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
-        MediaFeatures(
-          doc_id = r.doc_id,
-          n_bytes = n,
-          width = 32 + n % 608,
-          height = 32 + (n * 7) % 448,
-          channels = 3,
-          first_byte = if (n > 0) b(0) & 0xff else 0,
-          histogram = hist)
+        val img =
+          try Option(ImageIO.read(new ByteArrayInputStream(r.content)))
+          catch { case NonFatal(_) => None }
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val raster = im.getRaster
+            val bands = raster.getNumBands
+            val hist = new Array[Double](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  hist((raster.getSample(x, y, b) & 0xff) % 16) += 1.0
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val total = w.toDouble * h * bands
+            var j = 0
+            while (j < 16) { hist(j) /= total; j += 1 }
+            MediaFeatures(r.doc_id, r.content.length, Some(w), Some(h), Some(bands),
+              Some(w * h), Some(raster.getSample(0, 0, 0) & 0xff), hist)
+          case None =>
+            MediaFeatures(r.doc_id, r.content.length,
+              None, None, None, None, None, Array.empty)
+        }
       }
     }
   }
 
-  /** STUB resize: deterministic byte-level downsample standing in for pixel resampling. */
+  /** REAL resize: decode, bilinear-resample to `targetW × targetH`, re-encode as PNG.
+    * Throws on an undecodable payload — resize of garbage is a caller bug, not a row
+    * to quarantine silently.
+    */
+  def resizeImage(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val src = Option(ImageIO.read(new ByteArrayInputStream(content)))
+      .getOrElse(throw new IllegalArgumentException("payload is not a decodable image"))
+    val dstType =
+      if (src.getType == BufferedImage.TYPE_CUSTOM) BufferedImage.TYPE_INT_RGB
+      else src.getType
+    val dst = new BufferedImage(targetW, targetH, dstType)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** STUB resize at the BYTE level (kept for opaque non-image payloads): deterministic
+    * downsample standing in for media-specific resampling. For images use
+    * [[resizeImage]] — real pixels.
+    */
   def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
     require(factor > 0)
     content.indices.collect { case i if i % factor == 0 => content(i) }.toArray
   }
 
-  /** STUB frame sampling: every nth "frame" (fixed-size byte window) of a fake video. */
+  /** STUB frame sampling: every nth "frame" (fixed-size byte window) of a fake video.
+    * Honest stub — the JDK has no video codec; the window/stride contract is what a
+    * real demuxer would slot into.
+    */
   def frameSampleStub(content: Array[Byte], frameBytes: Int, everyNth: Int): Seq[Array[Byte]] = {
     require(frameBytes > 0 && everyNth > 0)
     content.grouped(frameBytes).zipWithIndex
@@ -78,9 +167,7 @@ object Multimodal {
       .toSeq
   }
 
-  /** Full pipeline: documents → payloads → decoded feature table. */
-  def featureTable(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    decodeStub(fromText(df).as[MediaRecord]).toDF()
-  }
+  /** Full pipeline: documents → real PNG payloads → decoded feature table. */
+  def featureTable(df: DataFrame)(implicit spark: SparkSession): DataFrame =
+    decode(fromText(df)).toDF()
 }

@@ -37,7 +37,11 @@ object Outliers {
     val enriched = stats.select(
       groupCols.map(col) ++ Seq(
         round(mean, 6).as("group_mean"),
-        when(col("__n") > 1, round(sqrt(variance), 6)).as("group_stddev")): _*)
+        // greatest(variance, 0): a constant-valued group can produce a tiny negative
+        // variance via catastrophic cancellation; sqrt of that is NaN, and NaN > 0 is
+        // TRUE under Spark's ordering — which would falsely flag the whole group.
+        when(col("__n") > 1, round(sqrt(greatest(variance, lit(0.0))), 6))
+          .as("group_stddev")): _*)
     df.join(broadcast(enriched), groupCols)
       .withColumn("zscore",
         when(col("group_stddev") > 0,

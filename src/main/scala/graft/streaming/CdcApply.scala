@@ -64,7 +64,7 @@ object CdcApply {
       case None       => reduced
     }
     merged.write.mode("overwrite").parquet(s"$snapshotRoot/v=$batchId")
-    prune(snapshotRoot, keepVersions)
+    prune(snapshotRoot, keepVersions, hadoopConf(spark))
   }
 
   /** The live table: latest state per key, tombstones filtered out. Before the first
@@ -74,18 +74,19 @@ object CdcApply {
   def readCurrent(spark: SparkSession, snapshotRoot: String, opCol: String = "op",
       deleteOp: String = "d"): DataFrame =
     readSnapshot(spark, snapshotRoot)
-      .map(_.filter(col(opCol) =!= lit(deleteOp)))
+      // null-safe: a row with a NULL op column is live state, not a tombstone
+      .map(_.filter(!col(opCol).eqNullSafe(lit(deleteOp))))
       .getOrElse(spark.emptyDataFrame)
 
   /** The newest snapshot version, tombstones included; None before the first batch. */
   def readSnapshot(spark: SparkSession, snapshotRoot: String): Option[DataFrame] =
-    versions(snapshotRoot).lastOption.map { v =>
+    versions(snapshotRoot, hadoopConf(spark)).lastOption.map { v =>
       spark.read.parquet(s"$snapshotRoot/v=$v")
     }
 
   private def snapshotBefore(spark: SparkSession, root: String,
       batchId: Long): Option[DataFrame] =
-    versions(root).filter(_ < batchId).lastOption.map { v =>
+    versions(root, hadoopConf(spark)).filter(_ < batchId).lastOption.map { v =>
       spark.read.parquet(s"$root/v=$v")
     }
 
@@ -93,9 +94,16 @@ object CdcApply {
       tieBreak: Seq[String]): DataFrame =
     graft.ops.Compaction.latestPerKey(df, key, tsCol +: tieBreak)
 
-  private def versions(root: String): Seq[Long] = {
+  // The session's Hadoop conf, not a bare `new Configuration()`: `spark.hadoop.*`
+  // settings (object-store credentials, filesystem impls) must reach the listing, or
+  // on S3A `versions` can fail / see nothing and applyBatch would silently rebuild
+  // the snapshot from the batch alone.
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  private def versions(root: String, conf: Configuration): Seq[Long] = {
     val p = new Path(root)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
@@ -103,11 +111,11 @@ object CdcApply {
       .sorted
   }
 
-  private def prune(root: String, keep: Int): Unit = {
-    val vs = versions(root)
+  private def prune(root: String, keep: Int, conf: Configuration): Unit = {
+    val vs = versions(root, conf)
     if (vs.length > keep) {
       val p = new Path(root)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(conf)
       vs.dropRight(keep).foreach(v => fs.delete(new Path(root, s"v=$v"), true))
     }
   }

@@ -1,0 +1,98 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaRecord
+
+/** Real-decode evidence: every assertion here is about pixels `javax.imageio` actually
+  * decoded, not about metadata derived from payload length.
+  */
+class MultimodalSpec extends AnyFunSuite with SharedSpark {
+
+  /** A hand-built RGB PNG with known dimensions and a known top-left pixel. */
+  private def rgbPng(w: Int, h: Int, topLeft: (Int, Int, Int)): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val (r, g, b) = topLeft
+    img.setRGB(0, 0, (r << 16) | (g << 8) | b)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decode recovers known dimensions and pixels from hand-built PNGs") {
+    implicit val sp = spark
+    import spark.implicits._
+    val records = Seq(
+      MediaRecord(1L, "image/png", rgbPng(17, 9, (200, 10, 10))),
+      MediaRecord(2L, "image/png", rgbPng(64, 3, (5, 5, 5))),
+      MediaRecord(3L, "application/octet-stream", Array[Byte](1, 2, 3, 4)) // not an image
+    ).toDS()
+    val feats = Multimodal.decode(records).collect().sortBy(_.doc_id)
+
+    assert(feats(0).width === Some(17) && feats(0).height === Some(9))
+    assert(feats(0).channels === Some(3) && feats(0).n_pixels === Some(153))
+    assert(feats(0).first_byte === Some(200)) // band 0 = red of the (0,0) pixel
+
+    assert(feats(1).width === Some(64) && feats(1).height === Some(3))
+
+    // undecodable payloads are kept with null features, not dropped
+    assert(feats(2).width.isEmpty && feats(2).histogram.isEmpty)
+    assert(feats(2).n_bytes === 4)
+  }
+
+  test("encodePng emits a real PNG whose decoded pixels are the payload bytes") {
+    val payload = Array.tabulate(100)(i => (i * 3 % 251).toByte)
+    val png = Multimodal.encodePng(payload)
+    // PNG magic — this is a genuine file, not a tagged blob
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    assert(img.getWidth === 32 + 100 % 97)    // 35
+    assert(img.getHeight === 3)               // ceil(100/35)
+    val raster = img.getRaster
+    for (i <- payload.indices)
+      assert(raster.getSample(i % 35, i / 35, 0) === (payload(i) & 0xff),
+        s"pixel $i must equal payload byte $i")
+    // padding beyond the payload is zero
+    assert(raster.getSample(34, 2, 0) === 0)
+  }
+
+  test("resizeImage really resamples: dimensions change, constant image stays constant") {
+    val img = new BufferedImage(40, 20, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40) img.setRGB(x, y, 0x336699)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val resized = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.resizeImage(out.toByteArray, 10, 5)))
+    assert(resized.getWidth === 10 && resized.getHeight === 5)
+    // bilinear resample of a constant image is the same constant
+    assert((resized.getRGB(4, 2) & 0xffffff) === 0x336699)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage(Array[Byte](9, 9, 9), 4, 4)
+    }
+  }
+
+  test("featureTable at sf0.001: geometry matches the documented encoder contract") {
+    implicit val sp = spark
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.featureTable(docs).cache()
+    try {
+      assert(feats.count() === docs.count())
+      // every payload decoded (all are valid PNGs)
+      assert(feats.filter(col("width").isNull).count() === 0)
+      assert(feats.filter(col("channels") =!= 1).count() === 0)
+      // width histogram bucket range and pixel-count consistency
+      assert(feats.filter(col("width") < 32 || col("width") > 128).count() === 0)
+      assert(feats.filter(col("n_pixels") =!= col("width") * col("height")).count() === 0)
+      val histSum = feats.select(
+        aggregate(col("histogram"), lit(0.0), (a, x) => a + x).as("s"))
+      assert(histSum.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
+    } finally feats.unpersist()
+  }
+}

@@ -75,7 +75,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(sigs.getLong(0) >= 0L && sigs.getLong(1) < 256L) // 8-bit signatures
   }
 
-  test("multimodal: stub decode produces deterministic features and histogram sums to 1") {
+  test("multimodal: real decode produces deterministic features and histogram sums to 1") {
     implicit val sp = spark
     val feats = Multimodal.featureTable(Tables.documents(spark, sf)).cache()
     assert(feats.count() === Tables.documents(spark, sf).count())
@@ -86,7 +86,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(histSum.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
   }
 
-  test("multimodal: resize and frame-sample stubs are deterministic and shape-correct") {
+  test("multimodal: byte-level resize and frame-sample stubs are deterministic and shape-correct") {
     val content = (0 until 100).map(_.toByte).toArray
     val resized = Multimodal.resizeStub(content, 4)
     assert(resized.length === 25)
