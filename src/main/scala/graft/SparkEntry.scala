@@ -478,20 +478,42 @@ object SparkEntry {
     import s.implicits._
     val o = refOrders(s, dir)
     val c = refCustomers(s, dir)
+    // checkAll fuses each table's completeness+accuracy+volume into ONE aggregate job
+    // (2 scans + the consistency join, vs 6 jobs as separate calls); the emitted rows
+    // are identical to the chained formulation and the output is re-sorted anyway
     val v = new graft.dq.DqValidator()
-      .checkCompleteness(o, "orders",
-        Seq("order_id", "order_date", "order_amount", "customer_id"))
-      .checkCompleteness(c, "customers",
-        Seq("customer_id", "name", "email", "region", "customer_tenure_days"))
-      .checkAccuracy(o, "orders", Seq(
-        "amount_positive" -> (col("order_amount") > 0),
-        "date_not_future" -> (col("order_date") <= lit("2026-01-01").cast("timestamp"))))
-      .checkAccuracy(c, "customers", Seq(
-        "tenure_1_100" -> col("customer_tenure_days").between(1, 100)))
+      .checkAll(o, "orders",
+        completenessColumns = Seq("order_id", "order_date", "order_amount", "customer_id"),
+        accuracyRules = Seq(
+          "amount_positive" -> (col("order_amount") > 0),
+          "date_not_future" -> (col("order_date") <= lit("2026-01-01").cast("timestamp"))),
+        volumeBounds = Some((1L, 1000000000000L)))
+      .checkAll(c, "customers",
+        completenessColumns =
+          Seq("customer_id", "name", "email", "region", "customer_tenure_days"),
+        accuracyRules = Seq(
+          "tenure_1_100" -> col("customer_tenure_days").between(1, 100)))
       .checkConsistency(o, "orders", c, "customers", Seq("customer_id"))
-      .checkVolume(o, "orders", 1L, 1000000000000L)
     v.results.toDS().toDF()
       .orderBy("table_name", "check_type", "target")
+  }
+
+  /** K7 time-travel gate: write documents(<100) as version 0, overwrite with the full
+    * table as version 1, then read AS OF version 0 — a correct versioned reader must
+    * recover the pre-overwrite rows, which the oracle states directly. The scratch
+    * table is rebuilt from nothing each run (idempotent under driver re-execution).
+    */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_time_travel"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val v0 = graft.catalog.VersionedTable.write(
+      docs(s, dir).filter(col("doc_id") < 100).select("doc_id", "lang"),
+      loc, "overwrite")
+    graft.catalog.VersionedTable.write(
+      docs(s, dir).select("doc_id", "lang"), loc, "overwrite")
+    graft.catalog.MetadataScanner.readTableAsOf(s, loc, v0).orderBy("doc_id")
   }
 
   private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
@@ -546,6 +568,7 @@ object SparkEntry {
     "q_dedup_clusters" -> qDedupClusters,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_catalog_stats" -> qCatalogStats,
+    "q_time_travel" -> qTimeTravel,
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
@@ -1212,6 +1235,9 @@ object SparkEntry {
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY table_name"),
+    // time travel: version 0 was documents(<100); the as-of read must recover it
+    "q_time_travel" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id",
     // DuckDB CAN see the filesystem: read_blob exposes filename + on-disk size per
     // file. The scanned directory is recovered from the gate's own `customer` view
     // definition (duckdb_views) so the oracle follows whatever sfdir the gate mounted;

@@ -52,8 +52,9 @@ object MetadataScanner {
     scan(spark, tables).toDF()
   }
 
-  /** K7 facsimile of Delta `history()`: append one JSON line per commit to an
-    * `_ingest_log` under the table location.
+  /** K7 lightweight log: append one JSON line per commit to an `_ingest_log` under the
+    * table location — operation history only. For the full Delta shape (history AND
+    * as-of-version reads) use [[VersionedTable]]; [[readTableAsOf]] is the entry point.
     */
   def appendIngestLog(spark: SparkSession, location: String, operation: String,
       rowCount: Long): Unit = {
@@ -65,4 +66,11 @@ object MetadataScanner {
 
   def readIngestLog(spark: SparkSession, location: String): DataFrame =
     spark.read.json(s"$location/_ingest_log")
+
+  /** K7 time travel: the table at `location` exactly as commit `version` left it
+    * (tables written via [[VersionedTable.write]]). Mirrors Delta's
+    * `option("versionAsOf", N)` read (reference `delta_metadata.py:114-116`).
+    */
+  def readTableAsOf(spark: SparkSession, location: String, version: Long): DataFrame =
+    VersionedTable.readAsOf(spark, location, version)
 }

@@ -97,6 +97,43 @@ final class DqValidator(
     this
   }
 
+  /** Q1+Q2+Q4 fused ACROSS check types: every completeness column, accuracy rule, and
+    * the volume bound for ONE table in a single aggregate job — one scan where chained
+    * `checkCompleteness(...).checkAccuracy(...).checkVolume(...)` pays three. The
+    * results are appended in exactly the order the chained calls would produce, so a
+    * caller can swap a chain for `checkAll` without its report changing. Consistency
+    * (Q3) stays separate — it is a join against a second table, not a scan of this one.
+    */
+  def checkAll(
+      df: DataFrame, table: String,
+      completenessColumns: Seq[String] = Nil,
+      accuracyRules: Seq[(String, Column)] = Nil,
+      volumeBounds: Option[(Long, Long)] = None): this.type = {
+    val aggs = count(lit(1)).as("__total") +:
+      (completenessColumns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")) ++
+        accuracyRules.map { case (n, rule) =>
+          sum(when(!rule, 1L).otherwise(0L)).as(s"__bad_$n") })
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val total = row.getLong(0)
+    def at(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    def pct(n: Long): Double = if (total == 0L) 0.0 else 100.0 * n / total
+    completenessColumns.zipWithIndex.foreach { case (c, i) =>
+      val p = pct(at(i + 1))
+      buf += DqResult(table, "completeness", c, p,
+        pctStatus(p, completenessThresholdPct))
+    }
+    accuracyRules.zipWithIndex.foreach { case ((n, _), i) =>
+      val p = pct(at(completenessColumns.size + i + 1))
+      buf += DqResult(table, "accuracy", n, p, pctStatus(p, accuracyThresholdPct))
+    }
+    volumeBounds.foreach { case (minRows, maxRows) =>
+      val status = if (total >= minRows && total <= maxRows) "PASS" else "FAIL"
+      buf += DqResult(table, "volume", "rows", total.toDouble, status)
+    }
+    this
+  }
+
   /** Q4: row count within [minRows, maxRows]. `metric_value` is the count. */
   def checkVolume(df: DataFrame, table: String, minRows: Long, maxRows: Long): this.type = {
     val n = df.count()

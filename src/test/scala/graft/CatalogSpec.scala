@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.catalog.MetadataScanner
+import graft.catalog.{MetadataScanner, VersionedTable}
 
 class CatalogSpec extends AnyFunSuite with SharedSpark {
 
@@ -33,5 +33,64 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     val log = MetadataScanner.readIngestLog(spark, loc)
     assert(log.count() === 2)
     assert(log.columns.toSet === Set("timestamp", "operation", "row_count"))
+  }
+
+  test("versioned table: reading version N-1 after an overwrite sees the old rows") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_overwrite").toString
+    val v0 = VersionedTable.write(
+      Seq((1L, "old"), (2L, "old")).toDF("id", "tag"), loc, "overwrite")
+    val v1 = VersionedTable.write(
+      Seq((10L, "new")).toDF("id", "tag"), loc, "overwrite")
+    assert(v0 === 0L && v1 === 1L)
+    // latest = the overwrite; as-of v0 = exactly the pre-overwrite rows
+    assert(VersionedTable.read(spark, loc).count() === 1)
+    val old = VersionedTable.readAsOf(spark, loc, v0)
+      .orderBy("id").as[(Long, String)].collect()
+    assert(old.toSeq === Seq((1L, "old"), (2L, "old")))
+  }
+
+  test("versioned table: appends accumulate, overwrite resets the visible state") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_append").toString
+    VersionedTable.write(Seq(1L).toDF("id"), loc, "overwrite")   // v0
+    VersionedTable.write(Seq(2L).toDF("id"), loc, "append")      // v1
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")      // v2
+    VersionedTable.write(Seq(9L).toDF("id"), loc, "overwrite")   // v3
+    assert(VersionedTable.readAsOf(spark, loc, 0).count() === 1)
+    assert(VersionedTable.readAsOf(spark, loc, 1).count() === 2)
+    assert(VersionedTable.readAsOf(spark, loc, 2)
+      .orderBy("id").as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, loc).as[Long].collect().toSeq === Seq(9L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, loc, 7)
+    }
+  }
+
+  test("versioned table: history lists commits newest-first with row counts") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_history").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")
+    val h = VersionedTable.history(spark, loc).collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq === Seq(1L, 0L))
+    assert(h.map(_.getAs[String]("operation")).toSeq === Seq("append", "overwrite"))
+    assert(h.map(_.getAs[Long]("row_count")).toSeq === Seq(1L, 2L))
+  }
+
+  test("versioned table: a data dir without a log entry is invisible to readers") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_orphan").toString
+    VersionedTable.write(Seq(1L).toDF("id"), loc, "overwrite")
+    // simulate a crash between data write and commit: data lands, log never does
+    Seq(99L).toDF("id").write.parquet(s"$loc/_data/v=1")
+    assert(VersionedTable.read(spark, loc).as[Long].collect().toSeq === Seq(1L))
+    assert(VersionedTable.commits(spark, loc).map(_.version) === Seq(0L))
+    // the next committed write claims version 1's slot... which is taken on disk,
+    // so the writer must still publish correctly (overwrite of the orphan dir)
+    val v = VersionedTable.write(Seq(2L).toDF("id"), loc, "append")
+    assert(v === 1L)
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
   }
 }

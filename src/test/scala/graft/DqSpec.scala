@@ -60,6 +60,51 @@ class DqSpec extends AnyFunSuite with SharedSpark {
     assert(v.results.last.status == "FAIL") // 0 rows below min volume
   }
 
+  test("checkAll: one fused job for completeness + accuracy + volume; same results as the chain") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async: poll until the count stabilizes
+        var last = -1; var spins = 0
+        while (counter.get != last && spins < 40) {
+          last = counter.get; Thread.sleep(50); spins += 1
+        }
+        counter.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val cols = Seq("order_id", "order_amount")
+    val rules = Seq("positive" -> (col("order_amount") > 0))
+    val fused = new DqValidator()
+    val chained = new DqValidator()
+    val jobsFused = countJobs {
+      fused.checkAll(o, "orders", cols, rules, Some((1L, 1000000000L)))
+    }
+    val jobsOneCheck = countJobs {
+      new DqValidator().checkCompleteness(o, "orders", cols)
+    }
+    val jobsChained = countJobs {
+      chained.checkCompleteness(o, "orders", cols)
+        .checkAccuracy(o, "orders", rules)
+        .checkVolume(o, "orders", 1L, 1000000000L)
+    }
+    // 3 check types cost exactly what ONE fused aggregate costs, and strictly less
+    // than the 3-call chain
+    assert(jobsFused === jobsOneCheck,
+      s"checkAll must be one aggregate job (fused=$jobsFused, single=$jobsOneCheck)")
+    assert(jobsFused < jobsChained,
+      s"checkAll must beat the chain (fused=$jobsFused, chained=$jobsChained)")
+    // drop-in replacement: identical rows in identical order
+    assert(fused.results === chained.results)
+  }
+
   test("gate: all-PASS curates parquet; FAIL quarantines JSON") {
     val tmp = Files.createTempDirectory("dq_gate").toString
     val pass = new DqValidator().checkCompleteness(o, "orders", Seq("order_id"))
