@@ -504,7 +504,10 @@ object SparkEntry {
     * table is rebuilt from nothing each run (idempotent under driver re-execution).
     */
   private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_time_travel"
+    // suffixed with the application id so concurrent drivers on one host can't
+    // race on the same scratch table
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_time_travel_${s.sparkContext.applicationId}"
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)

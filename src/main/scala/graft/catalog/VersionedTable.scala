@@ -1,6 +1,7 @@
 package graft.catalog
 
 import java.nio.charset.StandardCharsets
+import java.time.Instant
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
@@ -12,20 +13,25 @@ import org.apache.spark.sql.functions._
   * log, since delta-spark is unavailable offline.
   *
   * Layout under `location/`:
-  *  - `_data/v=<N>/` — the parquet files commit N added (never rewritten afterwards)
-  *  - `_commit_log/<N>.json` — one file per commit: version, operation, timestamp, rows
+  *  - `_data/d-<uuid>/` — the parquet files one commit added. Dir names are
+  *    writer-unique (Delta-style unique file naming), so concurrent writers NEVER
+  *    touch each other's data files; the commit log maps versions to data dirs.
+  *  - `_commit_log/<N>.json` — one file per commit: version, operation, timestamp,
+  *    rows, data_dir.
   *
   * Semantics:
   *  - `overwrite` starts a new table state; `append` adds to the previous state.
-  *  - The state AS OF version V = the `_data` dirs of every commit in
+  *  - The state AS OF version V = the data dirs of every commit in
   *    (last overwrite ≤ V) .. V — resolved from the log, metadata-only.
   *  - Commit N+1 claims its log file with create-exclusive, so two racing writers
   *    cannot both publish the same version on filesystems with atomic create
   *    (HDFS/local; object stores without atomic create need an external lock, as
-  *    Delta itself does on S3).
+  *    Delta itself does on S3). The log claim is the ONLY race point: data lands in
+  *    a writer-unique dir BEFORE the claim, and the loser's dir is simply never
+  *    referenced — it retries the claim at the next version without rewriting data.
   *  - A data dir with no matching log entry is an uncommitted write (crash between
   *    data and log) and is invisible to every reader — readers resolve the LOG, not
-  *    the directory listing.
+  *    the directory listing. [[vacuum]] reclaims such orphans.
   *
   * Scale notes: the log is one tiny JSON file per commit, listed driver-side (pure
   * metadata); data files stream through the ordinary parquet reader with full
@@ -35,7 +41,15 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   final case class Commit(
-      version: Long, operation: String, timestamp: String, row_count: Long)
+      version: Long, operation: String, timestamp: String, row_count: Long,
+      data_dir: String)
+
+  /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
+    * e.g. a permissions problem that is NOT already-exists — must not spin forever.
+    * Non-already-exists IOExceptions are rethrown from the claim itself; this bound
+    * only caps genuine lost races, so hitting it means pathological contention.
+    */
+  private val MaxClaimAttempts = 64
 
   /** Write `df` as the next commit; returns the committed version.
     * `operation` is "overwrite" or "append".
@@ -45,17 +59,29 @@ object VersionedTable {
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
-    // retry loop: losing an exclusive-create race just means re-claiming version+1
+    // data lands ONCE, in a dir no other writer can name — losing the log race below
+    // never requires rewriting it, and a racer can never delete/interleave these files
+    val dataDir = s"d-${java.util.UUID.randomUUID()}"
+    val obs = Observation(s"vt_rows_$dataDir")
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("errorifexists").parquet(s"$location/_data/$dataDir")
+    val rows = obs.get("rows").asInstanceOf[Long]
     var committed = -1L
+    var attempt = 0
     while (committed < 0) {
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      val obs = Observation(s"vt_rows_$v")
-      df.observe(obs, count(lit(1)).as("rows"))
-        .write.mode("overwrite").parquet(s"$location/_data/v=$v")
-      val rows = obs.get("rows").asInstanceOf[Long]
-      if (claimCommit(fs, location, v, operation, rows)) committed = v
-      // on a lost race the orphan _data/v=<v> dir stays invisible (no log entry) and
-      // the loop retries at the next version
+      if (claimCommit(fs, location, v, operation, rows, dataDir)) committed = v
+      else {
+        attempt += 1
+        if (attempt >= MaxClaimAttempts) {
+          fs.delete(new Path(s"$location/_data/$dataDir"), true)
+          throw new IllegalStateException(
+            s"lost $MaxClaimAttempts consecutive commit races at $location — giving up")
+        }
+        // linear backoff: the blocking claim may be an in-flight writer between
+        // create and close, whose version is intentionally not yet visible
+        Thread.sleep(math.min(500L, 10L * attempt))
+      }
     }
     committed
   }
@@ -67,7 +93,9 @@ object VersionedTable {
     readAsOf(spark, location, cs.last.version)
   }
 
-  /** Time travel: the table exactly as commit `version` left it. */
+  /** Time travel: the table exactly as commit `version` left it. Versions whose data
+    * has been [[vacuum]]ed can no longer be read (as with Delta after VACUUM).
+    */
   def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
     val cs = commits(spark, location)
     require(cs.exists(_.version == version),
@@ -76,13 +104,53 @@ object VersionedTable {
     val base = visible.lastIndexWhere(_.operation == "overwrite")
     val live = if (base < 0) visible else visible.drop(base)
     // one multi-path parquet scan — not a union of per-version DataFrames
-    spark.read.parquet(live.map(c => s"$location/_data/v=${c.version}"): _*)
+    spark.read.parquet(live.map(c => dataPath(location, c)): _*)
   }
 
   /** Delta-style `history()`: one row per commit, newest first. */
   def history(spark: SparkSession, location: String): DataFrame = {
     import spark.implicits._
     commits(spark, location).toDF().orderBy(col("version").desc)
+  }
+
+  /** Reclaim disk from (a) orphan data dirs — no commit references them (a crashed
+    * writer, or a racer that lost every claim) — older than `orphanGraceMs`, and
+    * (b) data dirs of commits superseded by an overwrite that itself committed
+    * before `now - retentionMs`. After (b), as-of reads older than the retention
+    * window fail (exactly Delta's VACUUM contract); the commit log itself is kept,
+    * so `history()` still shows the full lineage. Returns the deleted paths.
+    *
+    * `orphanGraceMs` exists because an in-flight writer's data dir is
+    * indistinguishable from a crashed one's — a grace period longer than any
+    * plausible write keeps live writes safe.
+    */
+  def vacuum(spark: SparkSession, location: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val fs = fileSystem(spark, location)
+    val now = System.currentTimeMillis()
+    val cs = commits(spark, location)
+    val dataRoot = new Path(s"$location/_data")
+    if (!fs.exists(dataRoot)) return Seq.empty
+
+    val referenced = cs.map(c => new Path(dataPath(location, c)).getName).toSet
+    val orphans = fs.listStatus(dataRoot).toSeq
+      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName)
+        && s.getModificationTime <= now - orphanGraceMs)
+      .map(_.getPath)
+
+    // a commit is out of retention iff some LATER overwrite is itself older than the
+    // window: every as-of read that still needs this commit's data targets a version
+    // from before that overwrite, i.e. a state the table left >= retention ago
+    val cutoff = Instant.ofEpochMilli(now - retentionMs)
+    val expired = cs.filter { c =>
+      cs.exists(o => o.version > c.version && o.operation == "overwrite" &&
+        parseInstant(o.timestamp).exists(t => !t.isAfter(cutoff)))
+    }.map(c => new Path(dataPath(location, c)))
+
+    val victims = (orphans ++ expired).filter(fs.exists)
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.toString)
   }
 
   /** The committed log, version-ascending (driver-side metadata walk). */
@@ -92,40 +160,62 @@ object VersionedTable {
     if (!fs.exists(logDir)) Seq.empty
     else fs.listStatus(logDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-      .map { s =>
+      .flatMap { s =>
         val in = fs.open(s.getPath)
         val body =
           try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()
+        // a claim file created but not yet fully written (concurrent writer between
+        // create and close) must block its version slot WITHOUT surfacing as a
+        // commit — readers see the pre-commit state until the body lands
         parseCommit(body)
       }
       .sortBy(_.version)
   }
 
-  /** Exclusive-create the commit file; false if another writer claimed the version. */
+  /** Exclusive-create the commit file; false iff another writer claimed the version.
+    * Any OTHER I/O failure (permissions, quota, connectivity) propagates — retrying
+    * the claim could not succeed and must not loop.
+    */
   private def claimCommit(fs: FileSystem, location: String, version: Long,
-      operation: String, rows: Long): Boolean = {
+      operation: String, rows: Long, dataDir: String): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     try {
       // create(path, overwrite = false) is atomic on HDFS/local — the loser throws
       val out = fs.create(path, false)
       try out.write(
-        s"""{"version":$version,"operation":"$operation","timestamp":"${java.time.Instant.now()}","row_count":$rows}"""
+        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir"}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
+  // pre-data_dir logs (legacy layout) stored data at _data/v=<N>
+  private def dataPath(location: String, c: Commit): String =
+    if (c.data_dir.nonEmpty) s"$location/_data/${c.data_dir}"
+    else s"$location/_data/v=${c.version}"
+
+  private def parseInstant(s: String): Option[Instant] =
+    try Some(Instant.parse(s)) catch { case _: java.time.format.DateTimeParseException => None }
+
   // the log schema is controlled by claimCommit above; a tiny field extractor keeps
-  // the hot path free of a per-file DataFrame read
-  private def parseCommit(body: String): Commit = {
+  // the hot path free of a per-file DataFrame read. Returns None for an incomplete
+  // body (writer crashed or still flushing): completeness = the closing brace is
+  // present and the required fields parse.
+  private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
     def num(k: String) =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
-    Commit(num("version"), str("operation"), str("timestamp"), num("row_count"))
+    val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
+      str("data_dir"))
+    if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
+    else None
   }
 
   private def fileSystem(spark: SparkSession, location: String): FileSystem =

@@ -86,11 +86,61 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     Seq(99L).toDF("id").write.parquet(s"$loc/_data/v=1")
     assert(VersionedTable.read(spark, loc).as[Long].collect().toSeq === Seq(1L))
     assert(VersionedTable.commits(spark, loc).map(_.version) === Seq(0L))
-    // the next committed write claims version 1's slot... which is taken on disk,
-    // so the writer must still publish correctly (overwrite of the orphan dir)
+    // the next committed write claims version 1; its data lands in its own unique
+    // dir, so the stranded orphan can never shadow or block it
     val v = VersionedTable.write(Seq(2L).toDF("id"), loc, "append")
     assert(v === 1L)
     assert(VersionedTable.read(spark, loc).orderBy("id")
       .as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
+  test("versioned table: vacuum removes orphan data dirs but keeps committed reads") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_vacuum_orphan").toString
+    val v0 = VersionedTable.write(Seq(1L).toDF("id"), loc, "overwrite")
+    VersionedTable.write(Seq(2L).toDF("id"), loc, "append")
+    // crash-orphan: data with no commit
+    Seq(99L).toDF("id").write.parquet(s"$loc/_data/d-orphan")
+    val deleted = VersionedTable.vacuum(spark, loc, orphanGraceMs = 0L)
+    assert(deleted.size === 1 && deleted.head.endsWith("d-orphan"))
+    assert(!new java.io.File(s"$loc/_data/d-orphan").exists())
+    // everything inside retention still reads, including as-of the older version
+    assert(VersionedTable.readAsOf(spark, loc, v0).as[Long].collect().toSeq === Seq(1L))
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
+  test("versioned table: vacuum with zero retention drops pre-overwrite data, keeps history") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_vacuum_retention").toString
+    VersionedTable.write(Seq(1L).toDF("id"), loc, "overwrite")   // v0
+    VersionedTable.write(Seq(2L).toDF("id"), loc, "append")      // v1
+    VersionedTable.write(Seq(9L).toDF("id"), loc, "overwrite")   // v2 supersedes v0+v1
+    // a live writer's not-yet-committed dir must survive the default orphan grace
+    Seq(5L).toDF("id").write.parquet(s"$loc/_data/d-inflight")
+    val deleted = VersionedTable.vacuum(spark, loc, retentionMs = 0L)
+    assert(deleted.size === 2)
+    assert(new java.io.File(s"$loc/_data/d-inflight").exists())
+    // current state intact; full lineage still in history; old versions unreadable
+    assert(VersionedTable.read(spark, loc).as[Long].collect().toSeq === Seq(9L))
+    assert(VersionedTable.history(spark, loc).count() === 3)
+    intercept[Exception] { VersionedTable.readAsOf(spark, loc, 0).collect() }
+  }
+
+  test("versioned table: concurrent writers each publish a distinct committed version") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loc = Files.createTempDirectory("vt_race").toString
+    VersionedTable.write(Seq(0L).toDF("id"), loc, "overwrite")
+    val racers = (1 to 4).map { i =>
+      Future(VersionedTable.write(Seq(i.toLong).toDF("id"), loc, "append"))
+    }
+    val versions = Await.result(Future.sequence(racers), 2.minutes)
+    // all four commits land, on distinct versions, and every row is readable
+    assert(versions.toSet.size === 4)
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[Long].collect().toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 }
