@@ -109,12 +109,14 @@ object SparkEntry {
   }
 
   /** S6: full Avro CDC path — orders → Debezium envelope container files on disk
-    * (epoch-days date, decimal-bytes amount) → distributed Avro read → flatten+decode.
+    * (epoch-days date, decimal-bytes amount) → `spark.read.format("avro")` (the
+    * reference's own syntax, `curated/dq_kafka.py:140-141`, served offline by
+    * [[graft.sources.avro.AvroFileFormat]]) → flatten+decode.
     */
   private def qAvroCdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("graft_avro")
     AvroEnvelopeIO.writeOrdersEnvelopes(refOrders(s, dir), out)
-    Flatten.ordersAfter(AvroEnvelopeIO.readOrdersEnvelopes(s, out))
+    Flatten.ordersAfter(s.read.format("avro").load(out))
       .withColumn("order_amount", col("order_amount").cast("double"))
       .orderBy("order_id")
   }

@@ -39,6 +39,44 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(AvroEnvelopeIO.readOrdersEnvelopes(spark, out).rdd.getNumPartitions === 3)
   }
 
+  test("format(avro): DataSource syntax reads the Debezium envelope fixtures") {
+    val out = Files.createTempDirectory("avro_ds").toString
+    AvroEnvelopeIO.writeOrdersEnvelopes(o, out)
+    // the reference's own read syntax (curated/dq_kafka.py:140-141)
+    val env = spark.read.format("avro").load(out)
+    // inferred schema matches the hand-built envelope StructType, including the
+    // decimal logical type buried two records deep
+    assert(env.schema.catalogString ===
+      AvroEnvelopeIO.ordersEnvelopeStructType.catalogString)
+    val viaDs = Flatten.ordersAfter(env)
+    val viaIo = Flatten.ordersAfter(AvroEnvelopeIO.readOrdersEnvelopes(spark, out))
+    assert(viaDs.exceptAll(viaIo).count() === 0)
+    assert(viaIo.exceptAll(viaDs).count() === 0)
+  }
+
+  test("format(avro): column pruning decodes only selected fields") {
+    val out = Files.createTempDirectory("avro_prune").toString
+    AvroEnvelopeIO.writeOrdersEnvelopes(o, out)
+    val pruned = spark.read.format("avro").load(out).select("op", "ts_ms")
+    assert(pruned.schema.fieldNames.toSeq === Seq("op", "ts_ms"))
+    assert(pruned.filter(col("op") === "c").count() === o.count())
+  }
+
+  test("format(avro): write/read roundtrip with nested, decimal and array columns") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, "alpha", BigDecimal("12.34"), Seq(1, 2, 3), ("x", 10L)),
+      (2L, "beta", BigDecimal("0.05"), Seq.empty[Int], ("y", 20L)))
+      .toDF("id", "name", "amount", "xs", "kv")
+      .withColumn("amount", col("amount").cast("decimal(10,2)"))
+      .withColumn("d", to_date(lit("2024-03-01")))
+    val out = Files.createTempDirectory("avro_wr").toString + "/t"
+    src.write.format("avro").save(out)
+    val back = spark.read.format("avro").load(out)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("csv roundtrip preserves values including doubles") {
     val src = Tables.customer(spark, sf)
     val out = Files.createTempDirectory("csv_rt").toString
