@@ -42,7 +42,7 @@ object VersionedTable {
 
   final case class Commit(
       version: Long, operation: String, timestamp: String, row_count: Long,
-      data_dir: String)
+      data_dir: String, partition_by: String = "")
 
   /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
     * e.g. a permissions problem that is NOT already-exists — must not spin forever.
@@ -52,9 +52,13 @@ object VersionedTable {
   private val MaxClaimAttempts = 64
 
   /** Write `df` as the next commit; returns the committed version.
-    * `operation` is "overwrite" or "append".
+    * `operation` is "overwrite" or "append". `partitionBy` lays each commit's data
+    * out Hive-partitioned (readers get partition pruning across every visible
+    * commit — each data dir is its own partitioned root, and the multi-path scan
+    * rediscovers the partition columns).
     */
-  def write(df: DataFrame, location: String, operation: String = "overwrite"): Long = {
+  def write(df: DataFrame, location: String, operation: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Long = {
     require(operation == "overwrite" || operation == "append",
       s"unknown operation: $operation")
     val spark = df.sparkSession
@@ -63,14 +67,17 @@ object VersionedTable {
     // never requires rewriting it, and a racer can never delete/interleave these files
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val obs = Observation(s"vt_rows_$dataDir")
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("errorifexists").parquet(s"$location/_data/$dataDir")
+    val writer = df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(s"$location/_data/$dataDir")
     val rows = obs.get("rows").asInstanceOf[Long]
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      if (claimCommit(fs, location, v, operation, rows, dataDir)) committed = v
+      if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy))
+        committed = v
       else {
         attempt += 1
         if (attempt >= MaxClaimAttempts) {
@@ -103,8 +110,16 @@ object VersionedTable {
     val visible = cs.filter(_.version <= version)
     val base = visible.lastIndexWhere(_.operation == "overwrite")
     val live = if (base < 0) visible else visible.drop(base)
-    // one multi-path parquet scan — not a union of per-version DataFrames
-    spark.read.parquet(live.map(c => dataPath(location, c)): _*)
+    if (live.forall(_.partition_by.isEmpty))
+      // one multi-path parquet scan — not a union of per-version DataFrames
+      spark.read.parquet(live.map(c => dataPath(location, c)): _*)
+    else
+      // hive-partitioned commits: Spark cannot infer partitions across multiple
+      // roots ("conflicting directory structures"), so each commit dir is read as
+      // its own partitioned root and the branches union. Filters push through the
+      // Union into every branch, so partition pruning is intact; the per-commit
+      // fixed cost stays small because overwrite commits reset the live set.
+      live.map(c => spark.read.parquet(dataPath(location, c))).reduce(_.unionByName(_))
   }
 
   /** Delta-style `history()`: one row per commit, newest first. */
@@ -178,14 +193,15 @@ object VersionedTable {
     * the claim could not succeed and must not loop.
     */
   private def claimCommit(fs: FileSystem, location: String, version: Long,
-      operation: String, rows: Long, dataDir: String): Boolean = {
+      operation: String, rows: Long, dataDir: String,
+      partitionBy: Seq[String]): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     try {
       // create(path, overwrite = false) is atomic on HDFS/local — the loser throws
       val out = fs.create(path, false)
       try out.write(
-        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir"}"""
+        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir","partition_by":"${partitionBy.mkString(",")}"}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
       true
@@ -213,7 +229,7 @@ object VersionedTable {
     def num(k: String) =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
-      str("data_dir"))
+      str("data_dir"), str("partition_by"))
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

@@ -167,8 +167,10 @@ object DqValidator {
       validator: DqValidator,
       curatedPath: String,
       quarantinePath: String,
-      partitionColumns: Seq[String] = Nil): Boolean =
-    gateCounted(df, validator, curatedPath, quarantinePath, partitionColumns)._1
+      partitionColumns: Seq[String] = Nil,
+      versioned: Boolean = false): Boolean =
+    gateCounted(df, validator, curatedPath, quarantinePath, partitionColumns,
+      versioned)._1
 
   /** [[gate]] that also returns how many rows the branch wrote (curated on pass,
     * quarantined on fail). The count rides the write via observe() — callers logging
@@ -180,13 +182,22 @@ object DqValidator {
       validator: DqValidator,
       curatedPath: String,
       quarantinePath: String,
-      partitionColumns: Seq[String] = Nil): (Boolean, Long) = {
+      partitionColumns: Seq[String] = Nil,
+      versioned: Boolean = false): (Boolean, Long) = {
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs, count(lit(1)).as("rows"))
     if (validator.passed) {
-      val w = observed.write.mode("overwrite")
-      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
-        .parquet(curatedPath)
+      // versioned: the curated layer becomes a time-travelable VersionedTable —
+      // each gate pass is one overwrite commit, so yesterday's curated state stays
+      // readable as-of its version (Delta-parity for the pipeline tables)
+      if (versioned)
+        graft.catalog.VersionedTable.write(observed, curatedPath, "overwrite",
+          partitionColumns)
+      else {
+        val w = observed.write.mode("overwrite")
+        (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+          .parquet(curatedPath)
+      }
       (true, obs.get("rows").asInstanceOf[Long])
     } else {
       observed.write.mode("overwrite").json(quarantinePath)

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pure-SQL surface for the flagship table-valued operators: each recipe builds ONE
+  * complete SQL statement over named views, using only `spark.sql` constructs plus the
+  * native kernels [[graft.functions.Registry]] registers (`word_shingles`,
+  * `simhash64`). A SQL-first user — BI tool, notebook, `spark-sql` shell — reaches
+  * near-dup pairs, contamination sweeps and SCD2 builds without touching the Scala API,
+  * and gets the same results (equivalence is pinned query-by-query in SqlSurfaceSpec).
+  *
+  * The recipes keep the Scala operators' scale shape, not just their semantics:
+  * `ngramJaccardPairsSql` reproduces the single-shuffle co-occurrence formulation of
+  * [[Dedup.ngramJaccardPairs]] (group-by-shingle + inline pair expansion — not the
+  * naive two-shuffle self-join), `contaminationSql` broadcast-hints the reference
+  * side exactly like [[Dedup.contamination]], and `scd2Sql` is the same one-window
+  * pass as [[Scd2.history]].
+  */
+object SqlRecipes {
+
+  private def q(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Distinct word n-gram shingle stream of a document view — shared CTE body. */
+  private def shinglesCte(view: String, idCol: String, textCol: String, n: Int): String =
+    s"""SELECT ${q(idCol)} AS doc_id, shingle
+       |FROM $view
+       |LATERAL VIEW explode(array_distinct(word_shingles(${q(textCol)}, $n))) t AS shingle""".stripMargin
+
+  /** All pairs (a < b) with n-gram Jaccard ≥ threshold — SQL twin of
+    * [[Dedup.ngramJaccardPairs]]: same stop-shingle df cap, same single-shuffle
+    * co-occurrence pair expansion (lambda `transform` over the per-shingle doc list),
+    * same output columns.
+    */
+  def ngramJaccardPairsSql(
+      docsView: String, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): String =
+    s"""WITH sh AS (
+       |  ${shinglesCte(docsView, idCol, textCol, n)}
+       |),
+       |sizes AS (
+       |  SELECT ${q(idCol)} AS doc_id, size(word_shingles(${q(textCol)}, $n)) AS n_shingles
+       |  FROM $docsView
+       |),
+       |grouped AS (
+       |  SELECT array_sort(collect_list(doc_id)) AS docs
+       |  FROM sh GROUP BY shingle HAVING count(*) <= $maxShingleDf
+       |),
+       |pairs AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+       |  FROM grouped
+       |  LATERAL VIEW explode(flatten(transform(docs, (a, i) ->
+       |    transform(slice(docs, i + 2, greatest(size(docs) - i - 1, 0)),
+       |      b -> named_struct('doc_a', a, 'doc_b', b))))) t AS p
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT p.doc_a, p.doc_b, p.n_common, sa.n_shingles AS size_a,
+       |  sb.n_shingles AS size_b,
+       |  CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common)
+       |  >= $threshold""".stripMargin
+
+  /** Near pairs by SimHash — SQL twin of [[Dedup.simHash]] + [[Dedup.simHashNearPairs]]:
+    * the native `simhash64` kernel, 4×16-bit pigeonhole banding as an equality
+    * self-join, exact `bit_count(xor)` hamming check (complete for maxHamming ≤ 3).
+    */
+  def simhashNearPairsSql(
+      docsView: String, idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3): String = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for hamming <= 3")
+    s"""WITH sim AS (
+       |  SELECT ${q(idCol)} AS doc_id, simhash64(${q(textCol)}) AS simhash FROM $docsView
+       |),
+       |chunks AS (
+       |  SELECT doc_id, simhash, chunk,
+       |    shiftright(simhash, chunk * 16) & 65535 AS chunk_val
+       |  FROM sim LATERAL VIEW explode(array(0, 1, 2, 3)) t AS chunk
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(x.simhash ^ y.simhash) AS hamming
+       |FROM chunks x
+       |JOIN chunks y ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+       |  AND x.doc_id < y.doc_id
+       |WHERE bit_count(x.simhash ^ y.simhash) <= $maxHamming""".stripMargin
+  }
+
+  /** Benchmark-contamination sweep — SQL twin of [[Dedup.contamination]]: containment
+    * n_common / |reference shingles|, stop-shingle cap on the corpus side, reference
+    * stream broadcast-hinted so the corpus never shuffles raw shingles.
+    */
+  def contaminationSql(
+      corpusView: String, referenceView: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): String =
+    s"""WITH sh_c AS (
+       |  ${shinglesCte(corpusView, idCol, textCol, n)}
+       |),
+       |kept AS (
+       |  SELECT s.doc_id, s.shingle
+       |  FROM sh_c s
+       |  JOIN (SELECT shingle FROM sh_c GROUP BY shingle HAVING count(*) <= $maxShingleDf) k
+       |    ON s.shingle = k.shingle
+       |),
+       |sh_r AS (
+       |  SELECT ${q(idCol)} AS ref_doc, shingle
+       |  FROM $referenceView
+       |  LATERAL VIEW explode(array_distinct(word_shingles(${q(textCol)}, $n))) t AS shingle
+       |),
+       |ref_sizes AS (
+       |  SELECT ${q(idCol)} AS ref_doc, size(word_shingles(${q(textCol)}, $n)) AS ref_shingles
+       |  FROM $referenceView
+       |),
+       |common AS (
+       |  SELECT /*+ BROADCAST(r) */ k.doc_id AS corpus_doc, r.ref_doc, count(*) AS n_common
+       |  FROM kept k JOIN sh_r r ON k.shingle = r.shingle
+       |  GROUP BY k.doc_id, r.ref_doc
+       |)
+       |SELECT /*+ BROADCAST(s) */ c.corpus_doc, c.ref_doc, c.n_common, s.ref_shingles,
+       |  CAST(c.n_common AS DOUBLE) / s.ref_shingles AS containment
+       |FROM common c JOIN ref_sizes s ON c.ref_doc = s.ref_doc
+       |WHERE CAST(c.n_common AS DOUBLE) / s.ref_shingles >= $threshold""".stripMargin
+
+  /** SCD2 history — SQL twin of [[Scd2.history]]: one window pass derives
+    * effective_from / effective_to / version_seq / is_current; delete ops close the
+    * prior version and emit none themselves; version numbering is gapless after
+    * delete suppression.
+    */
+  def scd2Sql(
+      changesView: String, key: Seq[String], tsCol: String,
+      tieBreak: Seq[String] = Seq.empty,
+      opCol: Option[String] = None, deleteOp: String = "d"): String = {
+    val part = key.map(q).mkString(", ")
+    val order = (tsCol +: tieBreak).map(q).mkString(", ")
+    val aliveFilter = opCol
+      .map(op => s"WHERE ${q(op)} <> '${deleteOp.replace("'", "''")}'")
+      .getOrElse("")
+    s"""WITH versioned AS (
+       |  SELECT *, ${q(tsCol)} AS effective_from,
+       |    lead(${q(tsCol)}) OVER (PARTITION BY $part ORDER BY $order) AS effective_to
+       |  FROM $changesView
+       |),
+       |alive AS (
+       |  SELECT * FROM versioned $aliveFilter
+       |)
+       |SELECT *,
+       |  CAST(row_number() OVER (PARTITION BY $part ORDER BY $order) AS BIGINT) AS version_seq,
+       |  effective_to IS NULL AS is_current
+       |FROM alive""".stripMargin
+  }
+
+  /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
+    * convenience for chaining recipes from SQL-first code.
+    */
+  def installView(spark: SparkSession, viewName: String, sql: String): DataFrame = {
+    val df = spark.sql(sql)
+    df.createOrReplaceTempView(viewName)
+    df
+  }
+}

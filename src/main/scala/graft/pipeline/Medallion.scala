@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.MetadataScanner
+import graft.catalog.VersionedTable
 import graft.cdc.Flatten
 import graft.dq.DqValidator
 import graft.gold.{CustomerLifetimeValue, DailySales}
@@ -18,9 +18,12 @@ import graft.gold.{CustomerLifetimeValue, DailySales}
   *
   * Spark-first notes: `_metadata.file_path` supplies lineage without the legacy
   * `input_file_name()` (correct under file-source v2); every layer write is partitioned
-  * parquet so downstream scans prune; the ingest log replicates Delta `history()` as an
-  * append-only JSON sidecar. Each layer is a pure DataFrame→write step: at scale each
-  * becomes its own job with no driver-side data movement.
+  * parquet so downstream scans prune. Every layer is a [[VersionedTable]]: each run's
+  * write is one commit, so the pipeline tables themselves carry Delta-parity history
+  * and as-of reads (the reference calls `history()`/version reads on its *pipeline*
+  * tables, `mage-programs/delta_metadata.py:114-116`) — no separate ingest-log sidecar.
+  * Each layer is a pure DataFrame→write step: at scale each becomes its own job with
+  * no driver-side data movement.
   */
 object Medallion {
 
@@ -63,17 +66,14 @@ object Medallion {
       .withColumn("source_file", lineageCol)
       .withColumn("ingestion_layer", lit("bronze"))
       .observe(obs, count(lit(1)).as("rows"))
-    val writer = partitionDate match {
+    partitionDate match {
       case Some(d) =>
-        withLineage.withColumn("ingest_date", d)
-          .write.mode("overwrite").partitionBy("ingest_date")
-      case None => withLineage.write.mode("overwrite")
+        VersionedTable.write(withLineage.withColumn("ingest_date", d), bronzePath,
+          "overwrite", partitionBy = Seq("ingest_date"))
+      case None =>
+        VersionedTable.write(withLineage, bronzePath, "overwrite")
     }
-    writer.parquet(bronzePath)
-    val n = obs.get("rows").asInstanceOf[Long]
-    MetadataScanner.appendIngestLog(landed.sparkSession, bronzePath,
-      "BRONZE_OVERWRITE", n)
-    n
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Customers bronze → silver through their own DQ gate (completeness + tenure range).
@@ -81,7 +81,7 @@ object Medallion {
     */
   def customersToSilver(spark: SparkSession, bronzePath: String, p: Paths):
       (DqValidator, Boolean, Long) = {
-    val bronze = spark.read.parquet(bronzePath)
+    val bronze = VersionedTable.read(spark, bronzePath)
     val flat = Flatten.after(bronze)
       .select("customer_id", "name", "email", "region", "customer_tenure_days")
     val v = new DqValidator()
@@ -90,7 +90,7 @@ object Medallion {
       .checkAccuracy(flat, "customers", Seq(
         "tenure_1_100" -> col("customer_tenure_days").between(1, 100)))
     val (ok, rows) = DqValidator.gateCounted(flat, v, p.customersSilver,
-      p.customersQuarantine)
+      p.customersQuarantine, versioned = true)
     DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_customers")
     (v, ok, rows)
   }
@@ -100,7 +100,7 @@ object Medallion {
     */
   def toSilver(spark: SparkSession, bronzePath: String, customers: DataFrame,
       p: Paths): (DqValidator, Boolean, Long) = {
-    val bronze = spark.read.parquet(bronzePath)
+    val bronze = VersionedTable.read(spark, bronzePath)
     val flat = Flatten.after(bronze) // no-op unless an `after` envelope column exists
       .select("order_id", "order_date", "order_amount", "customer_id")
     val v = new DqValidator()
@@ -110,11 +110,8 @@ object Medallion {
         "amount_positive" -> (col("order_amount") > 0)))
       .checkConsistency(flat, "orders", customers, "customers", Seq("customer_id"))
     val (ok, rows) = DqValidator.gateCounted(flat, v, p.silver, p.quarantine,
-      partitionColumns = Nil)
+      partitionColumns = Nil, versioned = true)
     DqValidator.writeReport(spark, v.report(), s"${p.reports}/dq_orders")
-    // the gate's observe() metric supplies the curated count — logging it needs no
-    // read-back scan of the silver layer
-    if (ok) MetadataScanner.appendIngestLog(spark, p.silver, "SILVER_OVERWRITE", rows)
     (v, ok, rows)
   }
 
@@ -123,15 +120,16 @@ object Medallion {
     */
   def toGold(spark: SparkSession, silverPath: String, customers: DataFrame,
       p: Paths): (Long, Long) = {
-    val silver = spark.read.parquet(silverPath)
+    val silver = VersionedTable.read(spark, silverPath)
     val obsDaily = Observation()
     val daily = DailySales(silver, customers, stampProcessingTime = true)
       .observe(obsDaily, count(lit(1)).as("rows"))
-    DailySales.write(daily, p.goldDailySales)
+    VersionedTable.write(daily, p.goldDailySales, "overwrite",
+      partitionBy = Seq("sale_date", "region"))
     val obsClv = Observation()
     val clv = CustomerLifetimeValue(silver, customers, stampProcessingTime = true)
       .observe(obsClv, count(lit(1)).as("rows"))
-    CustomerLifetimeValue.write(clv, p.goldClv)
+    VersionedTable.write(clv, p.goldClv, "overwrite", partitionBy = Seq("region"))
     (obsDaily.get("rows").asInstanceOf[Long], obsClv.get("rows").asInstanceOf[Long])
   }
 
@@ -152,7 +150,7 @@ object Medallion {
     }
     // every layer count rides its own write (observe() metrics) — the summary adds no
     // re-read scans on top of the layer writes themselves
-    val silverCustomers = spark.read.parquet(p.customersSilver)
+    val silverCustomers = VersionedTable.read(spark, p.customersSilver)
       .select("customer_id", "name", "email", "region", "customer_tenure_days")
     val (_, ok, silverRows) = toSilver(spark, p.bronze, silverCustomers, p)
     if (!ok) {

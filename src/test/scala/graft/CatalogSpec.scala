@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.{MetadataScanner, VersionedTable}
@@ -125,6 +126,28 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).as[Long].collect().toSeq === Seq(9L))
     assert(VersionedTable.history(spark, loc).count() === 3)
     intercept[Exception] { VersionedTable.readAsOf(spark, loc, 0).collect() }
+  }
+
+  test("versioned table: hive-partitioned commits keep partition columns and pruning") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_part").toString
+    VersionedTable.write(Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "d"),
+      loc, "overwrite", partitionBy = Seq("d"))
+    VersionedTable.write(Seq((3L, "2024-01-02")).toDF("id", "d"),
+      loc, "append", partitionBy = Seq("d"))
+    val t = VersionedTable.read(spark, loc)
+    assert(t.columns.toSet === Set("id", "d"))
+    assert(t.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02")))
+    // partition filter prunes: only d=2024-01-02 dirs of both commits are scanned
+    val pruned = t.filter(col("d") === "2024-01-02")
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq === Seq(2L, 3L))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the filter must prune EVERY commit's branch, not just one
+    assert(scans.forall(_.metadata("PartitionFilters").contains("2024-01-02")))
   }
 
   test("versioned table: concurrent writers each publish a distinct committed version") {

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.catalog.VersionedTable
 import graft.model.RefAdapter
 import graft.pipeline.Medallion
 
@@ -22,29 +23,48 @@ class MedallionSpec extends AnyFunSuite with SharedSpark {
     assert(summary.customersSilverRows === c.count())
     assert(summary.dailySalesRows > 0 && summary.clvRows > 0)
     // customers flowed through their own DQ-gated silver layer
-    assert(spark.read.parquet(s"$root/silver/customers").count() === c.count())
+    assert(VersionedTable.read(spark, s"$root/silver/customers").count() === c.count())
     assert(spark.read.json(s"$root/reports/dq_customers").count() === 1)
 
-    val bronze = spark.read.parquet(s"$root/bronze/orders")
+    val bronze = VersionedTable.read(spark, s"$root/bronze/orders")
     assert(bronze.columns.toSet.contains("ingestion_timestamp"))
     assert(bronze.filter(col("ingestion_layer") =!= "bronze").count() === 0)
-    // partitioned layout on disk
-    val dirs = new java.io.File(s"$root/bronze/orders").listFiles()
+    // partitioned layout on disk, inside the commit's data dir
+    val commitDir = VersionedTable.commits(spark, s"$root/bronze/orders").head.data_dir
+    val dirs = new java.io.File(s"$root/bronze/orders/_data/$commitDir").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.exists(_.startsWith("ingest_date=")))
     // gold totals match a direct computation over silver
-    val goldTotal = spark.read.parquet(s"$root/gold/daily_sales")
+    val goldTotal = VersionedTable.read(spark, s"$root/gold/daily_sales")
       .agg(sum("total_revenue")).first().getDouble(0)
-    val direct = spark.read.parquet(s"$root/silver/orders")
+    val direct = VersionedTable.read(spark, s"$root/silver/orders")
       .join(c.select("customer_id"), Seq("customer_id"))
       .agg(sum(col("order_amount").cast("decimal(18,2)")).cast("double"))
       .first().getDouble(0)
     assert(math.abs(goldTotal - direct) < 1e-6)
-    // ingest log recorded both layer commits
-    assert(spark.read.json(s"$root/bronze/orders/_ingest_log").count() === 1)
-    assert(spark.read.json(s"$root/silver/orders/_ingest_log").count() === 1)
+    // every layer is a versioned table with exactly one commit after one run
+    for (t <- Seq("bronze/orders", "silver/orders", "silver/customers",
+        "gold/daily_sales", "gold/customer_lifetime_value"))
+      assert(VersionedTable.history(spark, s"$root/$t").count() === 1, t)
     // DQ report written
     assert(spark.read.json(s"$root/reports/dq_orders").count() === 1)
+  }
+
+  test("re-running the pipeline versions every layer: silver reads as-of the prior run") {
+    val root = Files.createTempDirectory("medallion_tt").toString
+    // run 1: only the first half of the orders
+    val firstHalf = o.filter(col("order_id") % 2 === 0)
+    Medallion.run(spark, firstHalf, c, root)
+    val silverV0 = VersionedTable.commits(spark, s"$root/silver/orders").last.version
+    // run 2: the full order set overwrites every layer with a new commit
+    Medallion.run(spark, o, c, root)
+    val silver = s"$root/silver/orders"
+    assert(VersionedTable.history(spark, silver).count() === 2)
+    assert(VersionedTable.read(spark, silver).count() === o.count())
+    // time travel: the silver table exactly as the previous DQ gate published it
+    assert(VersionedTable.readAsOf(spark, silver, silverV0).count() === firstHalf.count())
+    // gold history advanced in lockstep
+    assert(VersionedTable.history(spark, s"$root/gold/daily_sales").count() === 2)
   }
 
   test("dirty data is quarantined and gold is never written") {
@@ -68,7 +88,7 @@ class MedallionSpec extends AnyFunSuite with SharedSpark {
     val root = Files.createTempDirectory("medallion_local").toString
     val n = Medallion.toBronze(local, s"$root/bronze")
     assert(n === 1)
-    val bronze = spark.read.parquet(s"$root/bronze")
+    val bronze = VersionedTable.read(spark, s"$root/bronze")
     assert(bronze.select("source_file").first().getString(0) === "unknown")
   }
 
@@ -80,9 +100,9 @@ class MedallionSpec extends AnyFunSuite with SharedSpark {
       struct(col("order_id"), col("order_date"), col("order_amount"),
         col("customer_id")).as("after"),
       lit("c").as("op"))
-    env.write.mode("overwrite").parquet(p.bronze)
+    VersionedTable.write(env, p.bronze, "overwrite")
     val (v, ok, _) = Medallion.toSilver(spark, p.bronze, c, p)
     assert(ok && v.passed)
-    assert(spark.read.parquet(p.silver).count() === o.count())
+    assert(VersionedTable.read(spark, p.silver).count() === o.count())
   }
 }

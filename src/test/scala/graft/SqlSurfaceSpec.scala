@@ -51,6 +51,69 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(viaSql.exceptAll(viaApi).count() === 0)
   }
 
+  test("pure-SQL near-dup: ngram Jaccard recipe matches the Scala operator") {
+    Registry.registerAll(spark)
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_recipe")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.ngramJaccardPairsSql(
+      "docs_recipe", threshold = 0.3))
+    val viaApi = graft.ops.Dedup.ngramJaccardPairs(docs, threshold = 0.3)
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
+  test("pure-SQL near-dup: simhash banding recipe matches the Scala operator") {
+    Registry.registerAll(spark)
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_simhash")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.simhashNearPairsSql("docs_simhash"))
+    val viaApi = graft.ops.Dedup.simHashNearPairs(graft.ops.Dedup.simHash(docs))
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
+  test("pure-SQL contamination recipe matches the Scala operator") {
+    Registry.registerAll(spark)
+    val docs = Tables.documents(spark, sf)
+    val reference = docs.filter(col("doc_id") % 25 === 0)
+    docs.createOrReplaceTempView("corpus_recipe")
+    reference.createOrReplaceTempView("ref_recipe")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.contaminationSql(
+      "corpus_recipe", "ref_recipe", threshold = 0.3))
+    val viaApi = graft.ops.Dedup.contamination(docs, reference, threshold = 0.3)
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
+  test("pure-SQL SCD2 build matches Scd2.history, including delete suppression") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "a1", 10L, 1L, "c"),
+      (1L, "a2", 20L, 2L, "u"),
+      (1L, "a3", 30L, 3L, "d"), // delete: closes a2, emits no version
+      (2L, "b1", 15L, 1L, "c"),
+      (2L, "b2", 15L, 2L, "u"), // same-ts tie broken by seq
+      (3L, "c1", 40L, 1L, "c"))
+      .toDF("id", "payload", "ts", "seq", "op")
+    changes.createOrReplaceTempView("scd2_changes")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.scd2Sql(
+      "scd2_changes", key = Seq("id"), tsCol = "ts", tieBreak = Seq("seq"),
+      opCol = Some("op")))
+    val viaApi = graft.ops.Scd2.history(changes, key = Seq("id"), tsCol = "ts",
+      tieBreak = Seq("seq"), opCol = Some("op"))
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+    // chaining: installView makes the history queryable downstream in SQL
+    graft.ops.SqlRecipes.installView(spark, "scd2_hist",
+      graft.ops.SqlRecipes.scd2Sql("scd2_changes", Seq("id"), "ts", Seq("seq"),
+        Some("op")))
+    assert(spark.sql("SELECT count(*) FROM scd2_hist WHERE is_current")
+      .first().getLong(0) === 2) // id=1 deleted, id=2 and id=3 current
+  }
+
   test("producer encoding: to_json messages roundtrip through from_json (K1)") {
     val src = graft.model.RefAdapter.orders(Tables.orders(spark, sf))
     val messages = LakeWriter.toJsonMessages(src)
