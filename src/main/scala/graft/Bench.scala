@@ -72,16 +72,21 @@ object Bench {
         val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      // ANY failed rep marks the query failed (-1.0): a mean over the surviving runs
+      // would make a flaky query look healthy, which is worse than a loud failure
       val secs =
-        if (times.isEmpty) -1.0
+        if (times.length < reps) -1.0
         else if (times.length <= 2) times.sum / times.length
         else { val s = times.sorted; val mid = s.slice(1, s.length - 1); mid.sum / mid.length }
-      name -> secs
+      name -> (secs, reps - times.length)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}""")
+    val failedReps = results.filter(_._2._2 > 0)
+      .map { case (k, (_, f)) => "\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}""")
     spark.stop()
   }
 }

@@ -1030,18 +1030,25 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // first_byte is byte-exact: hex(encode(..)) takes the first UTF-8 BYTE (what the
+    // raster's (0,0) pixel actually holds), not the first character's codepoint —
+    // ascii() would diverge on any document leading with a multi-byte char. NULL text
+    // encodes as the empty payload on the Spark side, hence coalesce + the 0 case.
     "q_multimodal_features" ->
       """WITH d AS (
-        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
-        |    32 + octet_length(encode(text)) % 97 AS w
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    octet_length(encode(coalesce(text, ''))) AS n,
+        |    32 + octet_length(encode(coalesce(text, ''))) % 97 AS w
         |  FROM documents),
         |g AS (
-        |  SELECT doc_id, text, n, w,
+        |  SELECT doc_id, t, n, w,
         |    greatest(1, CAST(ceil(n / CAST(w AS DOUBLE)) AS BIGINT)) AS h
         |  FROM d)
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  1 AS channels, CAST(w * h AS INT) AS n_pixels,
-        |  ascii(substr(text, 1, 1)) AS first_byte
+        |  CASE WHEN n = 0 THEN 0
+        |    ELSE CAST(concat('0x', substring(hex(encode(t)), 1, 2)) AS INT)
+        |  END AS first_byte
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       s"""WITH o AS (
@@ -1244,20 +1251,17 @@ object SparkEntry {
     "q_time_travel" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id",
     // DuckDB CAN see the filesystem: read_blob exposes filename + on-disk size per
-    // file. The scanned directory is recovered from the gate's own `customer` view
-    // definition (duckdb_views) so the oracle follows whatever sfdir the gate mounted;
-    // if that introspection ever yields nothing, fall back to the driver's sf0.01.
+    // file. DuckDB table functions reject subquery arguments, so the scanned glob
+    // cannot be computed inside the SQL — Verify substitutes the __SF_DIR__ token
+    // with its actual sfDir when dumping oracle_sql.json, making the oracle follow
+    // whatever directory the gate mounts. The IN list scopes both sides to exactly
+    // Tables.all, so stray .parquet files in the sfdir cannot diverge the compare.
     "q_catalog_stats" ->
-      """WITH dir AS (
-        |  SELECT coalesce(nullif(
-        |      regexp_extract(sql, '''(.*)/[^/]+\.parquet''', 1), ''),
-        |    '/root/testdata/sf0.01') AS d
-        |  FROM duckdb_views() WHERE view_name = 'customer')
-        |SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
-        |  CAST(count(*) AS BIGINT) AS n_files,
-        |  CAST(sum(size) AS BIGINT) AS total_bytes
-        |FROM read_blob('/root/testdata/*/*.parquet')
-        |WHERE filename LIKE
-        |  coalesce((SELECT d FROM dir), '/root/testdata/sf0.01') || '/%'
-        |GROUP BY 1 ORDER BY table_name""".stripMargin)
+      s"""SELECT regexp_extract(filename, '([^/]+)\\.parquet$$', 1) AS table_name,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(size) AS BIGINT) AS total_bytes
+         |FROM read_blob('__SF_DIR__/*.parquet')
+         |WHERE regexp_extract(filename, '([^/]+)\\.parquet$$', 1) IN
+         |  (${Tables.all.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY 1 ORDER BY table_name""".stripMargin)
 }

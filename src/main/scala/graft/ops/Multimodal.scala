@@ -98,18 +98,22 @@ object Multimodal {
             val raster = im.getRaster
             val bands = raster.getNumBands
             val hist = new Array[Double](16)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                var b = 0
-                while (b < bands) {
-                  hist((raster.getSample(x, y, b) & 0xff) % 16) += 1.0
-                  b += 1
+            // bulk row reads: getSamples fills a reused row buffer straight off the
+            // data buffer — h·bands raster calls instead of w·h·bands getSample calls
+            val rowBuf = new Array[Int](w)
+            var b = 0
+            while (b < bands) {
+              var y = 0
+              while (y < h) {
+                raster.getSamples(0, y, w, 1, b, rowBuf)
+                var x = 0
+                while (x < w) {
+                  hist((rowBuf(x) & 0xff) % 16) += 1.0
+                  x += 1
                 }
-                x += 1
+                y += 1
               }
-              y += 1
+              b += 1
             }
             val total = w.toDouble * h * bands
             var j = 0

@@ -47,6 +47,25 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(feats(2).n_bytes === 4)
   }
 
+  test("non-ASCII lead: first_byte is the first UTF-8 BYTE, not the codepoint") {
+    implicit val sp = spark
+    import spark.implicits._
+    // 'é' = U+00E9 = codepoint 233, but UTF-8 bytes C3 A9 — a codepoint-based
+    // first_byte (oracle ascii()) would report 233 where the raster holds 195
+    val docs = Seq(
+      (1L, "élan vital"),
+      (2L, "日本語 text"), // U+65E5 → E6 97 A5
+      (3L, null.asInstanceOf[String]), // encodes as the empty payload
+      (4L, "ascii lead")).toDF("doc_id", "text")
+    val feats = Multimodal.featureTable(docs).orderBy("doc_id").collect()
+    assert(feats(0).getAs[Int]("first_byte") === 0xC3)
+    assert(feats(1).getAs[Int]("first_byte") === 0xE6)
+    // null text: empty payload → 32×1 zero image, first byte 0 (matches the oracle)
+    assert(feats(2).getAs[Int]("first_byte") === 0)
+    assert(feats(2).getAs[Int]("width") === 32 && feats(2).getAs[Int]("height") === 1)
+    assert(feats(3).getAs[Int]("first_byte") === 'a'.toInt)
+  }
+
   test("encodePng emits a real PNG whose decoded pixels are the payload bytes") {
     val payload = Array.tabulate(100)(i => (i * 3 % 251).toByte)
     val png = Multimodal.encodePng(payload)
