@@ -27,7 +27,12 @@ object Bench {
       graft.ops.Dedup.minhashNearDuplicates(Tables.documents(s, dir),
         numHashes = 32, bands = 16, threshold = 0.5).orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, dir) =>
-      graft.ops.Dedup.simHash(Tables.documents(s, dir)).orderBy("doc_id")))
+      graft.ops.Dedup.simHash(Tables.documents(s, dir)).orderBy("doc_id")),
+    // production shuffles xxhash64 shingle keys (hashShingles default), the
+    // contract query raw strings the oracle can replay
+    "q_ngram_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

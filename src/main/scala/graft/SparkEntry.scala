@@ -242,12 +242,16 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")
 
+  // hashShingles = false on the contract paths: the DuckDB oracle replays raw
+  // n-gram strings; production defaults shuffle xxhash64 keys (Bench measures those)
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5).orderBy("doc_a", "doc_b")
+    Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5, hashShingles = false)
+      .orderBy("doc_a", "doc_b")
 
   private def qMinhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(s, dir), numHashes = 32, bands = 16,
-      threshold = 0.5, hashFn = Dedup.md5HashFn, bandHash = Dedup.md5BandHash)
+      threshold = 0.5, hashFn = Dedup.md5HashFn, bandHash = Dedup.md5BandHash,
+      hashShingles = false)
       .orderBy("doc_a", "doc_b")
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -286,7 +290,7 @@ object SparkEntry {
     */
   private def qContamination(s: SparkSession, dir: String): DataFrame =
     Dedup.contamination(docs(s, dir), docs(s, dir).filter(col("doc_id") < 20),
-      threshold = 0.5).orderBy("corpus_doc", "ref_doc")
+      threshold = 0.5, hashShingles = false).orderBy("corpus_doc", "ref_doc")
 
   /** Real decode gate: text bytes → genuine grayscale PNG ([[Multimodal.encodePng]]) →
     * `javax.imageio` decode → features read off the DECODED raster. The oracle predicts

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *    writer-unique (Delta-style unique file naming), so concurrent writers NEVER
   *    touch each other's data files; the commit log maps versions to data dirs.
   *  - `_commit_log/<N>.json` — one file per commit: version, operation, timestamp,
-  *    rows, data_dir.
+  *    rows, data_dir, partition_by, and the transactional identity (txn_app,
+  *    txn_id) for streaming exactly-once ([[idempotentAppend]]).
   *
   * Semantics:
-  *  - `overwrite` starts a new table state; `append` adds to the previous state.
+  *  - `overwrite` starts a new table state; `append` adds to the previous state;
+  *    `compact` ([[compact]]) is an overwrite whose content is the rewritten live
+  *    set — OPTIMIZE parity, optionally Z-order-clustered.
   *  - The state AS OF version V = the data dirs of every commit in
   *    (last overwrite ≤ V) .. V — resolved from the log, metadata-only.
   *  - Commit N+1 claims its log file with create-exclusive, so two racing writers
@@ -42,7 +45,8 @@ object VersionedTable {
 
   final case class Commit(
       version: Long, operation: String, timestamp: String, row_count: Long,
-      data_dir: String, partition_by: String = "")
+      data_dir: String, partition_by: String = "",
+      txn_app: String = "", txn_id: Long = -1L)
 
   /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
     * e.g. a permissions problem that is NOT already-exists — must not spin forever.
@@ -63,15 +67,7 @@ object VersionedTable {
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
-    // data lands ONCE, in a dir no other writer can name — losing the log race below
-    // never requires rewriting it, and a racer can never delete/interleave these files
-    val dataDir = s"d-${java.util.UUID.randomUUID()}"
-    val obs = Observation(s"vt_rows_$dataDir")
-    val writer = df.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(s"$location/_data/$dataDir")
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val (dataDir, rows) = stageData(df, location, partitionBy)
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
@@ -93,6 +89,101 @@ object VersionedTable {
     committed
   }
 
+  /** Exactly-once append for streaming `foreachBatch` sinks (Delta transactional-
+    * writer parity): a commit already tagged with this `(txnApp, txnId)` makes the
+    * call a no-op, so micro-batch REPLAYS after a crash cannot double-append.
+    * `txnApp` must be stable across restarts of the same logical writer (the
+    * checkpoint location is the natural choice) and distinct between writers.
+    * Returns Some(version) when committed, None when deduplicated.
+    */
+  def idempotentAppend(batch: DataFrame, location: String, txnApp: String,
+      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] = {
+    val spark = batch.sparkSession
+    val fs = fileSystem(spark, location)
+    def alreadyCommitted: Boolean =
+      commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
+    if (alreadyCommitted) return None
+    val (dataDir, rows) = stageData(batch, location, partitionBy)
+    var committed = -1L
+    var attempt = 0
+    while (committed < 0) {
+      // re-check inside the loop: losing a claim may mean OUR replay twin won it
+      if (alreadyCommitted) {
+        fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        return None
+      }
+      val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
+      if (claimCommit(fs, location, v, "append", rows, dataDir, partitionBy,
+          txnApp, txnId)) committed = v
+      else {
+        attempt += 1
+        if (attempt >= MaxClaimAttempts) {
+          fs.delete(new Path(s"$location/_data/$dataDir"), true)
+          throw new IllegalStateException(
+            s"lost $MaxClaimAttempts consecutive commit races at $location — giving up")
+        }
+        Thread.sleep(math.min(500L, 10L * attempt))
+      }
+    }
+    Some(committed)
+  }
+
+  /** OPTIMIZE-parity compaction: rewrite the CURRENT live set as one "compact"
+    * commit — optionally Z-order-clustered ([[graft.ops.Layout.zorderBy]]) — so a
+    * long-running append table stops paying a per-commit scan branch. Older versions
+    * stay readable until [[vacuum]] reclaims them.
+    *
+    * Concurrency: the rewrite may ONLY land at `snapshotVersion + 1`. Claiming any
+    * later slot would publish state that silently drops a concurrent writer's commit,
+    * so on a lost claim the staged rewrite is discarded and the compaction restarts
+    * from a fresh snapshot (same conflict rule Delta's OPTIMIZE follows).
+    */
+  def compact(spark: SparkSession, location: String, zorderBy: Seq[String] = Nil,
+      numFiles: Int = 0, maxAttempts: Int = 3): Long = {
+    val fs = fileSystem(spark, location)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location")
+      val latest = cs.last
+      val current = readAsOf(spark, location, latest.version)
+      val files =
+        if (numFiles > 0) numFiles
+        else spark.sessionState.conf.numShufflePartitions
+      val clustered =
+        if (zorderBy.nonEmpty) graft.ops.Layout.zorderBy(current, zorderBy, files)
+        else if (numFiles > 0) current.repartition(numFiles)
+        else current
+      val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      val (dataDir, rows) = stageData(clustered, location, partitioning)
+      if (claimCommit(fs, location, latest.version + 1, "compact", rows, dataDir,
+          partitioning)) done = latest.version + 1
+      else {
+        fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        attempt += 1
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"compaction of $location lost $maxAttempts snapshot races — giving up")
+      }
+    }
+    done
+  }
+
+  /** Stage `df` once into a writer-unique data dir — no other writer can name it, so
+    * losing a later log race never requires rewriting data, and a racer can never
+    * delete/interleave these files. Returns (dirName, rowCount).
+    */
+  private def stageData(df: DataFrame, location: String,
+      partitionBy: Seq[String]): (String, Long) = {
+    val dataDir = s"d-${java.util.UUID.randomUUID()}"
+    val obs = Observation(s"vt_rows_$dataDir")
+    val writer = df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(s"$location/_data/$dataDir")
+    (dataDir, obs.get("rows").asInstanceOf[Long])
+  }
+
   /** The table as of its newest commit. */
   def read(spark: SparkSession, location: String): DataFrame = {
     val cs = commits(spark, location)
@@ -108,7 +199,8 @@ object VersionedTable {
     require(cs.exists(_.version == version),
       s"version $version does not exist at $location (have ${cs.map(_.version)})")
     val visible = cs.filter(_.version <= version)
-    val base = visible.lastIndexWhere(_.operation == "overwrite")
+    // "overwrite" and "compact" both carry the complete state at their version
+    val base = visible.lastIndexWhere(_.operation != "append")
     val live = if (base < 0) visible else visible.drop(base)
     if (live.forall(_.partition_by.isEmpty))
       // one multi-path parquet scan — not a union of per-version DataFrames
@@ -154,12 +246,13 @@ object VersionedTable {
         && s.getModificationTime <= now - orphanGraceMs)
       .map(_.getPath)
 
-    // a commit is out of retention iff some LATER overwrite is itself older than the
-    // window: every as-of read that still needs this commit's data targets a version
-    // from before that overwrite, i.e. a state the table left >= retention ago
+    // a commit is out of retention iff some LATER full-state commit (overwrite or
+    // compact) is itself older than the window: every as-of read that still needs
+    // this commit's data targets a version from before that reset, i.e. a state the
+    // table left >= retention ago
     val cutoff = Instant.ofEpochMilli(now - retentionMs)
     val expired = cs.filter { c =>
-      cs.exists(o => o.version > c.version && o.operation == "overwrite" &&
+      cs.exists(o => o.version > c.version && o.operation != "append" &&
         parseInstant(o.timestamp).exists(t => !t.isAfter(cutoff)))
     }.map(c => new Path(dataPath(location, c)))
 
@@ -194,14 +287,15 @@ object VersionedTable {
     */
   private def claimCommit(fs: FileSystem, location: String, version: Long,
       operation: String, rows: Long, dataDir: String,
-      partitionBy: Seq[String]): Boolean = {
+      partitionBy: Seq[String],
+      txnApp: String = "", txnId: Long = -1L): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     try {
       // create(path, overwrite = false) is atomic on HDFS/local — the loser throws
       val out = fs.create(path, false)
       try out.write(
-        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir","partition_by":"${partitionBy.mkString(",")}"}"""
+        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir","partition_by":"${partitionBy.mkString(",")}","txn_app":"$txnApp","txn_id":$txnId}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
       true
@@ -229,7 +323,7 @@ object VersionedTable {
     def num(k: String) =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
-      str("data_dir"), str("partition_by"))
+      str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"))
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

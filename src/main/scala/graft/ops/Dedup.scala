@@ -59,6 +59,22 @@ object Dedup {
     df.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** The shingle stream that actually SHUFFLES. Production (`hashShingles = true`)
+    * replaces each raw n-gram string with its xxhash64 — shuffle rows shrink from
+    * (long, ~15-30 byte string) to (long, long), typically 2-3× less shuffle volume
+    * on the hottest exchange of every near-dup pipeline. Set sizes and co-occurrence
+    * counts are preserved modulo 64-bit collisions: at 10^12 distinct shingles the
+    * expected colliding PAIRS are ~3·10^4 corpus-wide, shifting a Jaccard score by
+    * at most ~1/|set| — noise far below the banding approximation already accepted.
+    * Contract/oracle paths pass `false` so DuckDB can replay raw strings exactly.
+    */
+  private def shingleStream(df: DataFrame, idCol: String, textCol: String, n: Int,
+      hashShingles: Boolean): DataFrame = {
+    val raw = shingles(df, idCol, textCol, n)
+    if (hashShingles) raw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    else raw
+  }
+
   /** All pairs (a < b) with n-gram Jaccard similarity ≥ threshold.
     *
     * `maxShingleDf` drops shingles occurring in more than that many documents before the
@@ -67,11 +83,12 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000,
+      hashShingles: Boolean = true): DataFrame = {
     // sh is consumed twice (sizes + pairs) but deliberately NOT cached: the native
     // shingle kernel recomputes at scan speed, which measures no slower than a cache
     // materialization pass and leaves no storage-pool blocks behind
-    val sh = shingles(df, idCol, textCol, n)
+    val sh = shingleStream(df, idCol, textCol, n, hashShingles)
     // per-doc sizes come straight off the shingle array — map-side, no explode/groupBy
     // shuffle. Sizes scale with the corpus, so no broadcast hint: AQE converts the final
     // joins to broadcast at runtime when they fit
@@ -175,8 +192,11 @@ object Dedup {
       threshold: Double = 0.5,
       hashFn: (Int, Column) => Column = xxHashFn,
       bandHash: Seq[Column] => Column = xxBandHash,
-      maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      maxShingleDf: Int = 1000,
+      hashShingles: Boolean = true): DataFrame = {
+    // the verify join below shuffles the shingle stream twice (df cap + common
+    // count) — hashed keys cut that volume exactly as in [[ngramJaccardPairs]]
+    val sh = shingleStream(df, idCol, textCol, n, hashShingles)
     // map-side count off the shingle array — same rewrite as [[ngramJaccardPairs]]
     val sizes = df.select(col(idCol).as("doc_id"),
       size(graft.functions.WordShingles.word_shingles(col(textCol), n)).as("n_shingles"))
@@ -225,13 +245,14 @@ object Dedup {
   def contamination(
       corpus: DataFrame, reference: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
-    val shC = shingles(corpus, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000,
+      hashShingles: Boolean = true): DataFrame = {
+    val shC = shingleStream(corpus, idCol, textCol, n, hashShingles)
     val keptShingles = shC.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf)
       .select("shingle")
     val kept = shC.join(keptShingles, Seq("shingle"))
-    val shR = shingles(reference, idCol, textCol, n)
+    val shR = shingleStream(reference, idCol, textCol, n, hashShingles)
       .withColumnRenamed("doc_id", "ref_doc")
     // map-side count off the shingle array — no groupBy shuffle of the reference stream
     val refSizes = reference.select(col(idCol).as("ref_doc"),

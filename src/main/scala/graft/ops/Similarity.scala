@@ -107,23 +107,26 @@ object Similarity {
     * recall ≈ 1−(1−p^P)^T). Exact cosine re-ranks the candidate union. Recall < 1 by
     * construction — measured against [[cosineTopK]] in tests.
     */
-  /** Embedding dimensionality, probed from the data (one metadata-sized action) so LSH
-    * hyperplanes always cover every dimension — a hard-coded dim would silently hash a
-    * prefix of wider embeddings.
+  /** Embedding dimensionality: the caller's `dim` when given (> 0), else probed from
+    * the data with one metadata-sized limit-1 action. LSH hyperplanes must cover
+    * every dimension — a hard-coded dim would silently hash a prefix of wider
+    * embeddings. Pass `dim` explicitly in per-query serving paths to avoid the probe
+    * job per call; pipelines that know their schema always can.
     */
-  private def probeDim(embeddings: DataFrame, vecCol: String): Int =
-    embeddings.select(size(col(vecCol))).first().getInt(0)
+  private def resolveDim(embeddings: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim else embeddings.select(size(col(vecCol))).first().getInt(0)
 
   def annTopK(
       embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
       tables: Int = 16, planesPerTable: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = probeDim(embeddings, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = -1): DataFrame = {
+    val dim0 = resolveDim(embeddings, vecCol, dim)
     // No cache: the query side's vec_id filter pushes below the signature explode, so
     // signatures are only recomputed for the numQueries query vectors — cheaper than
     // pinning the whole signed corpus in the storage pool (which at 100 TB cannot fit
     // and would leak blocks into any long-lived session).
-    val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
+    val signed = withTableSignatures(embeddings, tables, planesPerTable, dim0,
       idCol, vecCol)
     val queries = signed.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -172,13 +175,14 @@ object Similarity {
   def embeddingNearDuplicates(
       embeddings: DataFrame, threshold: Double = 0.45,
       tables: Int = 8, planesPerTable: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = probeDim(embeddings, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = -1): DataFrame = {
+    val dim0 = resolveDim(embeddings, vecCol, dim)
     // No cache: the self-join recomputes signatures on each side (T×P dot products per
     // vector — cheap next to the scan), instead of pinning the signed corpus in the
     // storage pool, which at 100 TB cannot fit and would leak blocks into a long-lived
     // session.
-    val signed = withTableSignatures(embeddings, tables, planesPerTable, dim,
+    val signed = withTableSignatures(embeddings, tables, planesPerTable, dim0,
       idCol, vecCol)
     val right = signed.select(col("vec_id").as("b_id"), col("v").as("bv"),
       col("norm").as("b_norm"), col("table").as("b_table"), col("sig").as("b_sig"))

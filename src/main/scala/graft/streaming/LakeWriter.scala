@@ -102,6 +102,29 @@ object LakeWriter {
   def toJsonMessages(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Stream → [[graft.catalog.VersionedTable]]: every micro-batch lands as ONE append
+    * commit tagged `(checkpointDir, batchId)`, so a batch replayed after a crash
+    * deduplicates instead of double-appending — exactly-once into the versioned table
+    * (the Delta transactional-streaming-sink shape). Downstream readers get history
+    * and as-of reads over the live stream's table for free.
+    */
+  def streamToVersionedTable(
+      df: DataFrame,
+      location: String,
+      checkpointDir: String,
+      partitionBy: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // txnApp = the checkpoint location: stable across restarts of this query,
+        // distinct between queries — the same identity the engine keys replays on
+        graft.catalog.VersionedTable.idempotentAppend(
+          batch, location, checkpointDir, batchId, partitionBy): Unit
+      }
+      .start()
+
   /** Rate-limited producer: replays a static dataset as an N-messages-per-second JSON
     * stream — the reference's throttled CSV→topic producer
     * (`streaming-source/csv_to_orders_topic.py:27`, `time.sleep(1)` per message; its

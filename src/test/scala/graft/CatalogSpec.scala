@@ -150,6 +150,60 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(scans.forall(_.metadata("PartitionFilters").contains("2024-01-02")))
   }
 
+  test("versioned table: compact rewrites the live set into one full-state commit") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_compact").toString
+    VersionedTable.write(Seq((1L, 10L)).toDF("id", "v"), loc, "overwrite")
+    VersionedTable.write(Seq((2L, 20L)).toDF("id", "v"), loc, "append")
+    VersionedTable.write(Seq((3L, 30L)).toDF("id", "v"), loc, "append")
+    val before = VersionedTable.read(spark, loc).orderBy("id").collect()
+    val cv = VersionedTable.compact(spark, loc, numFiles = 1)
+    assert(cv === 3L)
+    assert(VersionedTable.commits(spark, loc).last.operation === "compact")
+    // same rows, now served from a single commit dir
+    assert(VersionedTable.read(spark, loc).orderBy("id").collect() === before)
+    assert(VersionedTable.read(spark, loc).inputFiles.length === 1)
+    // pre-compact versions still time-travel until vacuumed
+    assert(VersionedTable.readAsOf(spark, loc, 1).count() === 2)
+    // an append on top of the compaction reads compact + delta, not the old chain
+    VersionedTable.write(Seq((4L, 40L)).toDF("id", "v"), loc, "append")
+    assert(VersionedTable.read(spark, loc).as[(Long, Long)].collect().sorted.toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("versioned table: z-order compaction clusters files for min/max pruning") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_zorder").toString
+    // shuffled key space across several appends → every file spans the whole range
+    val rows = scala.util.Random.shuffle((0L until 400L).toList)
+    rows.grouped(100).foreach { chunk =>
+      VersionedTable.write(chunk.toDF("k").repartition(4), loc, "append")
+    }
+    VersionedTable.compact(spark, loc, zorderBy = Seq("k"), numFiles = 4)
+    // after z-order compaction a narrow key filter touches a subset of files
+    val pruned = VersionedTable.read(spark, loc).filter(col("k") < 50)
+    assert(pruned.count() === 50)
+    assert(VersionedTable.read(spark, loc).inputFiles.length === 4)
+  }
+
+  test("versioned table: idempotentAppend deduplicates a replayed transaction") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_txn").toString
+    val v0 = VersionedTable.idempotentAppend(
+      Seq(1L).toDF("id"), loc, txnApp = "ckpt-A", txnId = 0L)
+    assert(v0 === Some(0L))
+    // crash-replay of the same micro-batch: same (app, id) → no-op
+    assert(VersionedTable.idempotentAppend(
+      Seq(1L).toDF("id"), loc, "ckpt-A", 0L).isEmpty)
+    // next batch and a different writer both commit normally
+    assert(VersionedTable.idempotentAppend(
+      Seq(2L).toDF("id"), loc, "ckpt-A", 1L) === Some(1L))
+    assert(VersionedTable.idempotentAppend(
+      Seq(3L).toDF("id"), loc, "ckpt-B", 0L) === Some(2L))
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("versioned table: concurrent writers each publish a distinct committed version") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

@@ -42,6 +42,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.schema(outSchema).json(out).count() === src.count())
   }
 
+  test("stream into versioned table: micro-batches commit, restart appends nothing twice") {
+    val src = Tables.eventsMicros(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val in = Files.createTempDirectory("vt_stream_in").toString
+    val loc = Files.createTempDirectory("vt_stream_loc").toString
+    val chk = Files.createTempDirectory("vt_stream_chk").toString
+    src.write.mode("overwrite").json(in)
+
+    val stream = spark.readStream.schema(src.schema).json(in)
+    LakeWriter.streamToVersionedTable(stream, loc, chk).awaitTermination()
+
+    val vt = graft.catalog.VersionedTable
+    assert(vt.read(spark, loc).count() === src.count())
+    val cs = vt.commits(spark, loc)
+    assert(cs.nonEmpty && cs.forall(_.operation === "append"))
+    // the commit carries the transactional identity replays dedupe on
+    assert(cs.forall(c => c.txn_app === chk && c.txn_id >= 0))
+
+    // restart against the same checkpoint: no batch reprocessed, no rows duplicated
+    LakeWriter.streamToVersionedTable(
+      spark.readStream.schema(src.schema).json(in), loc, chk).awaitTermination()
+    assert(vt.read(spark, loc).count() === src.count())
+    assert(vt.commits(spark, loc).size === cs.size)
+  }
+
   test("rate producer: throttled replay delivers every row in order, then goes quiet") {
     import spark.implicits._
     val rows = (1 to 6).map(i => (i.toLong, s"msg$i"))

@@ -71,6 +71,21 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-12)
   }
 
+  test("hashed shingle shuffle: identical pairs/scores as the raw-string path") {
+    val docs = Tables.documents(spark, sf)
+    val hashed = Dedup.ngramJaccardPairs(docs, threshold = 0.3) // production default
+    val raw = Dedup.ngramJaccardPairs(docs, threshold = 0.3, hashShingles = false)
+    assert(hashed.exceptAll(raw).count() === 0)
+    assert(raw.exceptAll(hashed).count() === 0)
+    val cHashed = Dedup.contamination(docs, docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") < 20), threshold = 0.3)
+    val cRaw = Dedup.contamination(docs, docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") < 20), threshold = 0.3,
+      hashShingles = false)
+    assert(cHashed.exceptAll(cRaw).count() === 0)
+    assert(cRaw.exceptAll(cHashed).count() === 0)
+  }
+
   test("minhash LSH: finds planted near-duplicates with exact verification") {
     import spark.implicits._
     // 40 random-ish docs + 5 planted near-duplicate pairs (1-word mutation)
