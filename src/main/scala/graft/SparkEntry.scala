@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Outliers, Profile, Scd2, SemiStructured, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -323,6 +323,42 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Bin-bucketed range join gate: every event counted against the 1-hour attribution
+    * windows the same user's `purchase` events open. [[RangeJoin.pointInInterval]]
+    * turns the interval containment into an equality join on (user, bin) + exact
+    * refine; the oracle replays the plain inequality join — results must agree
+    * exactly.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hour = 3600L * 1000000L
+    val ev = Tables.eventsMicros(s, dir)
+    val pts = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("start_us"))
+      .withColumn("end_us", col("start_us") + hour)
+    RangeJoin.pointInInterval(pts, iv, "ts_us", "start_us", "end_us",
+        binWidth = hour, keys = Seq("user_id"))
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy("event_id")
+  }
+
+  /** Fixed-token chunking with overlap (64-token windows, 16 overlap) — the
+    * training-data windowing op; the oracle replays the identical token slicing.
+    */
+  private def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(docs(s, dir), chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Deterministic hash-bucketed train/val/test assignment; the oracle recomputes
+    * the md5 bucket and cuts at the same boundaries — engine-independent membership.
+    */
+  private def qDatasetSplit(s: SparkSession, dir: String): DataFrame =
+    Splits.assign(docs(s, dir))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
   /** Rollup subtotals over daily sales (date, region hierarchy + grand total). */
   private def qSalesRollup(s: SparkSession, dir: String): DataFrame = {
     val dec = col("order_amount").cast(DecimalType(18, 2))
@@ -581,6 +617,9 @@ object SparkEntry {
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_doc_chunks" -> qDocChunks,
+    "q_dataset_split" -> qDatasetSplit,
     "q_sales_rollup" -> qSalesRollup,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops" -> qSetOps,
@@ -1073,6 +1112,47 @@ object SparkEntry {
          |FROM o JOIN c USING (customer_id)
          |GROUP BY ROLLUP(1, 2)
          |ORDER BY sale_date NULLS FIRST, region NULLS FIRST""".stripMargin,
+    // the oracle runs the PLAIN inequality join the bin-bucketed equality join must
+    // reproduce exactly (1 hour = 3_600_000_000 µs)
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (SELECT user_id, ts_us AS start_us FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, COUNT(*) AS n_windows
+        |FROM e JOIN w ON e.user_id = w.user_id
+        |  AND w.start_us <= e.ts_us AND e.ts_us < w.start_us + 3600000000
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // 64-token windows, 16 overlap → starts every 48 tokens; DuckDB list slices are
+    // 1-based-inclusive and clamp, exactly like Spark's slice()
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+        |  array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    // split membership is an engine-independent contract: the oracle recomputes the
+    // md5 bucket and cuts at the boundaries Splits.thresholds publishes
+    "q_dataset_split" -> {
+      val cuts = Splits.thresholds(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      val cases = cuts.init
+        .map { case (name, t) => s"WHEN bucket < $t THEN '$name'" }
+        .mkString(" ")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % ${Splits.Buckets} AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE $cases ELSE '${cuts.last._1}' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "q_window_analytics" ->
       s"""WITH o AS ($oSql)
          |SELECT customer_id, order_id, CAST(order_date AS DATE) AS order_date,

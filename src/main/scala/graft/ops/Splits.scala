@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `randomSplit` re-deals rows on every run and partitioning; training data needs the
+  * OPPOSITE: the same document must land in the same split across reruns, engines,
+  * repartitions and incremental loads, or held-out data leaks into training. Hashing
+  * the stable id gives exactly that — assignment is a pure per-row function.
+  *
+  * Spark-first / 100 TB notes: map-side only (no shuffle, no RNG state, whole-stage
+  * codegen); md5 rather than xxhash64 because split assignment is an AUDITABLE
+  * contract — any engine (DuckDB, Python, SQL) can replay `md5(id) % buckets` and
+  * verify membership, which is worth one short-string hash per row.
+  */
+object Splits {
+
+  val Buckets = 1000
+
+  /** The 0-999 assignment bucket: first 15 hex chars of md5(id) parsed base-16
+    * (60 bits — exact in any engine's 64-bit integers), mod 1000.
+    */
+  def bucketOf(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long") % Buckets
+
+  /** Tag every row with `bucket` and a `split` label; `weights` are (label, fraction)
+    * in assignment order and must sum to 1. Fractions resolve to whole buckets
+    * (round(cum·1000)), so every bucket maps to exactly one label.
+    */
+  def assign(df: DataFrame, idCol: String = "doc_id",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val label = splitLabel(col(idCol), weights)
+    df.withColumn("bucket", bucketOf(col(idCol))).withColumn("split", label)
+  }
+
+  /** The split label as a Column (for use inside larger selects). */
+  def splitLabel(idCol: Column, weights: Seq[(String, Double)]): Column = {
+    val b = bucketOf(idCol)
+    thresholds(weights).tail.foldLeft(
+      when(b < thresholds(weights).head._2, thresholds(weights).head._1)) {
+      case (acc, (name, t)) => acc.when(b < t, name)
+    }.otherwise(weights.last._1)
+  }
+
+  /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
+    * engines cut at identical buckets.
+    */
+  def thresholds(weights: Seq[(String, Double)]): Seq[(String, Int)] = {
+    require(weights.nonEmpty, "need at least one split")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    weights.map(_._1).zip(cum.map(c => math.round(c * Buckets).toInt))
+  }
+}

@@ -20,6 +20,36 @@ object TextAnalysis {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
+  /** Fixed-size token windows with overlap — the training-data chunking op (context-
+    * length packing feeds on these). Chunk k starts at token `k·(chunkTokens−overlap)`;
+    * starts run strictly below the token count, so the final chunk may be short.
+    * Output: one row per (doc, chunk) with `chunk_id`, `n_tokens`, `chunk_text`.
+    *
+    * Scale shape: pure per-row array work (split → sequence of starts → explode →
+    * slice), no shuffle, whole-stage codegen; output order inside a document is
+    * implicit in `chunk_id`, so downstream packing can repartition freely.
+    */
+  def chunk(df: DataFrame, chunkTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): got $overlap of $chunkTokens")
+    val step = (chunkTokens - overlap).toLong
+    val toks = tokens(col(textCol))
+    // explicit ascending step: sequence(a, b) alone steps DOWN when b < a
+    val starts = when(size(toks) > 0,
+      sequence(lit(0L), (size(toks) - 1).cast("long"), lit(step)))
+      .otherwise(array().cast("array<long>"))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"),
+        explode(starts).as("__start"))
+      .select(
+        col("doc_id"),
+        (col("__start") / step).cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkTokens))).as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
   // Small public stopword profiles (language-ID heuristic).
   val enStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
   val deStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von")

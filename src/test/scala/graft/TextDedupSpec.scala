@@ -71,6 +71,46 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-12)
   }
 
+  test("chunking: fixed windows with overlap, short trailing chunk, edge cases") {
+    val df = mkDocs(Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "a b")))                 // fits one chunk
+    // chunkTokens=4, overlap=1 → starts every 3: 0, 3, 6
+    val chunks = TextAnalysis.chunk(df, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = chunks.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq ===
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6"))
+    assert(d1.map(_.getAs[Long]("chunk_id")).toSeq === Seq(0L, 1L, 2L))
+    assert(d1.map(_.getAs[Int]("n_tokens")).toSeq === Seq(4, 4, 1))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0).getAs[String]("chunk_text").split(" ").last ===
+      d1(1).getAs[String]("chunk_text").split(" ").head)
+    val d2 = chunks.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.map(_.getAs[String]("chunk_text")).toSeq === Seq("a b"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(df, chunkTokens = 4, overlap = 4)
+    }
+  }
+
+  test("dataset split: deterministic, partition-invariant, proportional") {
+    val docs = Tables.documents(spark, sf)
+    val a = graft.ops.Splits.assign(docs).select("doc_id", "split")
+    val b = graft.ops.Splits.assign(docs.repartition(13)).select("doc_id", "split")
+    // same doc → same split under any partitioning/rerun (the anti-leak property)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    val byLabel = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    // 90/5/5 within generous tolerance at 500 docs
+    assert(math.abs(byLabel("train") / n - 0.9) < 0.06)
+    intercept[IllegalArgumentException] {
+      graft.ops.Splits.assign(docs, weights = Seq("train" -> 0.5, "val" -> 0.1))
+    }
+  }
+
   test("hashed shingle shuffle: identical pairs/scores as the raw-string path") {
     val docs = Tables.documents(spark, sf)
     val hashed = Dedup.ngramJaccardPairs(docs, threshold = 0.3) // production default
