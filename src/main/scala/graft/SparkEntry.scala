@@ -561,6 +561,27 @@ object SparkEntry {
     graft.catalog.MetadataScanner.readTableAsOf(s, loc, v0).orderBy("doc_id")
   }
 
+  /** Compaction gate: three append commits, an OPTIMIZE-style compact, one more
+    * append — the read after compaction must still be exactly the union of every
+    * append, served from the compacted commit + the post-compact delta. The oracle
+    * states the expected content directly; a compact that dropped or duplicated
+    * rows would hash-mismatch.
+    */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_compaction_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 50), loc, "overwrite")
+    vt.write(d.filter(col("doc_id") >= 50 && col("doc_id") < 100), loc, "append")
+    vt.compact(s, loc, numFiles = 2)
+    vt.write(d.filter(col("doc_id") >= 100 && col("doc_id") < 150), loc, "append")
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
     val tables = Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
     tables.map { n =>
@@ -614,6 +635,7 @@ object SparkEntry {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_catalog_stats" -> qCatalogStats,
     "q_time_travel" -> qTimeTravel,
+    "q_compaction" -> qCompaction,
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
@@ -1334,6 +1356,10 @@ object SparkEntry {
     // time travel: version 0 was documents(<100); the as-of read must recover it
     "q_time_travel" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    // compaction: append(<50) + append(50-100) → compact → append(100-150); the
+    // post-compact read must be exactly the union of every append
+    "q_compaction" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 150 ORDER BY doc_id",
     // DuckDB CAN see the filesystem: read_blob exposes filename + on-disk size per
     // file. DuckDB table functions reject subquery arguments, so the scanned glob
     // cannot be computed inside the SQL — Verify substitutes the __SF_DIR__ token

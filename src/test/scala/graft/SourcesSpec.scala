@@ -60,6 +60,15 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     val pruned = spark.read.format("avro").load(out).select("op", "ts_ms")
     assert(pruned.schema.fieldNames.toSeq === Seq("op", "ts_ms"))
     assert(pruned.filter(col("op") === "c").count() === o.count())
+    // the pruned schema reaches the SCAN — the nested before/after records are
+    // never requested from the deserializer
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val readSchema = scan.metadata("ReadSchema")
+    assert(readSchema.contains("op") && readSchema.contains("ts_ms"))
+    assert(!readSchema.contains("before") && !readSchema.contains("after"),
+      s"nested envelope columns must be pruned from the scan: $readSchema")
   }
 
   test("format(avro): write/read roundtrip with nested, decimal and array columns") {
