@@ -86,6 +86,25 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(src.exceptAll(back).count() === 0)
   }
 
+  test("format(avro): hive-partitioned write and SQL DDL USING avro") {
+    import spark.implicits._
+    val src = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"),
+      (3L, "c", "2024-01-02")).toDF("id", "tag", "d")
+    val out = Files.createTempDirectory("avro_part").toString + "/t"
+    src.write.format("avro").partitionBy("d").save(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.toSeq === Seq("d=2024-01-01", "d=2024-01-02"))
+    val back = spark.read.format("avro").load(out)
+    assert(back.columns.toSet === Set("id", "tag", "d"))
+    assert(back.orderBy("id").select("id", "tag", "d").as[(Long, String, String)]
+      .collect().toSeq === Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"),
+        (3L, "c", "2024-01-02")))
+    // SQL-first users get the same surface through DDL
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW avro_t USING avro OPTIONS (path '$out')")
+    assert(spark.sql("SELECT count(*) FROM avro_t WHERE d = '2024-01-02'")
+      .first().getLong(0) === 2)
+  }
+
   test("csv roundtrip preserves values including doubles") {
     val src = Tables.customer(spark, sf)
     val out = Files.createTempDirectory("csv_rt").toString
