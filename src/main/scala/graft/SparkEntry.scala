@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Compaction, Dedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, Dedup, Funnel, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -359,6 +359,32 @@ object SparkEntry {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Per-stratum deterministic sampling: half of English, all of Chinese, none of the
+    * rest — the oracle replays the md5 bucket and the same CASE cuts.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Splits.sampleStratified(docs(s, dir), "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.0)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** 3-step ordered funnel (view → click → purchase) per user, 24 h completion
+    * window; step timestamps surface as epoch micros so the min-recursion chain is
+    * integer-exact in both engines.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.userFunnel(Tables.eventsMicros(s, dir),
+        Seq("view", "click", "purchase"), windowMicros = 24L * 3600 * 1000000)
+      .orderBy("user_id")
+
+  /** BM25 top-20 for a 3-term keyword query; scores rounded to 6 decimals on both
+    * sides (exact-integer tf/df/dl inputs, identical addend order) with doc_id
+    * tiebreak so the ranking hashes identically.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Bm25.topK(docs(s, dir), Seq("hash", "join", "vector"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+
   /** Rollup subtotals over daily sales (date, region hierarchy + grand total). */
   private def qSalesRollup(s: SparkSession, dir: String): DataFrame = {
     val dec = col("order_amount").cast(DecimalType(18, 2))
@@ -642,6 +668,9 @@ object SparkEntry {
     "q_range_join" -> qRangeJoin,
     "q_doc_chunks" -> qDocChunks,
     "q_dataset_split" -> qDatasetSplit,
+    "q_stratified_sample" -> qStratifiedSample,
+    "q_funnel" -> qFunnel,
+    "q_bm25_topk" -> qBm25,
     "q_sales_rollup" -> qSalesRollup,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops" -> qSetOps,
@@ -1174,6 +1203,68 @@ object SparkEntry {
          |SELECT doc_id, bucket,
          |  CASE $cases ELSE '${cuts.last._1}' END AS split
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+    // stratified sampling replays the same md5 bucket against per-stratum cuts
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % ${Splits.Buckets} <
+         |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+    // the funnel oracle is the min-recursion definition itself (correlated MINs),
+    // deliberately NOT the greedy walk the Spark side executes — equality of the two
+    // formulations is exactly what the gate should prove
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (
+        |  SELECT u.user_id,
+        |    (SELECT MIN(ts_us) FROM e
+        |     WHERE e.user_id = u.user_id AND event_type = 'view') AS t1
+        |  FROM u),
+        |s2 AS (
+        |  SELECT s1.*,
+        |    (SELECT MIN(ts_us) FROM e
+        |     WHERE e.user_id = s1.user_id AND event_type = 'click'
+        |       AND ts_us > s1.t1 AND ts_us <= s1.t1 + 86400000000) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT s2.*,
+        |    (SELECT MIN(ts_us) FROM e
+        |     WHERE e.user_id = s2.user_id AND event_type = 'purchase'
+        |       AND ts_us > s2.t2 AND ts_us <= s2.t1 + 86400000000) AS t3
+        |  FROM s2)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+        |            WHEN t3 IS NULL THEN 2 ELSE 3 END AS INT) AS steps_completed,
+        |  t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    // BM25 with the identical left-to-right addend chain (lowercased whitespace
+    // tokens, Lucene +1 idf smoothing, k1=1.2 b=0.75), rounded to 6 decimals
+    "q_bm25_topk" -> {
+      val terms = Seq("hash", "join", "vector")
+      val tf = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val df = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val addends = terms.indices.map { i =>
+        s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2
+           | / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin.replace("\n", "")
+      }.mkString("(", " + ", ")")
+      val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT doc_id, len(toks) AS dl, $tf
+         |  FROM (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $df
+         |  FROM p)
+         |SELECT doc_id, round($addends, 6) AS score
+         |FROM p, st WHERE $anyTf > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
     "q_window_analytics" ->
       s"""WITH o AS ($oSql)

@@ -43,10 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
+  /** `stats` is per-column (min, max) over the commit's NUMERIC top-level columns
+    * (Delta-style data skipping metadata, collected free at write time by the same
+    * `observe` that counts rows). Doubles hold every int up to 2^53 exactly; columns
+    * wider than that, or non-numeric, simply record no stats and are never pruned on.
+    */
   final case class Commit(
       version: Long, operation: String, timestamp: String, row_count: Long,
       data_dir: String, partition_by: String = "",
-      txn_app: String = "", txn_id: Long = -1L)
+      txn_app: String = "", txn_id: Long = -1L,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
     * e.g. a permissions problem that is NOT already-exists — must not spin forever.
@@ -67,12 +73,12 @@ object VersionedTable {
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
-    val (dataDir, rows) = stageData(df, location, partitionBy)
+    val (dataDir, rows, stats) = stageData(df, location, partitionBy)
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy))
+      if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats))
         committed = v
       else {
         attempt += 1
@@ -103,7 +109,7 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
-    val (dataDir, rows) = stageData(batch, location, partitionBy)
+    val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
@@ -113,7 +119,7 @@ object VersionedTable {
         return None
       }
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      if (claimCommit(fs, location, v, "append", rows, dataDir, partitionBy,
+      if (claimCommit(fs, location, v, "append", rows, dataDir, partitionBy, stats,
           txnApp, txnId)) committed = v
       else {
         attempt += 1
@@ -156,9 +162,9 @@ object VersionedTable {
         else if (numFiles > 0) current.repartition(numFiles)
         else current
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val (dataDir, rows) = stageData(clustered, location, partitioning)
+      val (dataDir, rows, stats) = stageData(clustered, location, partitioning)
       if (claimCommit(fs, location, latest.version + 1, "compact", rows, dataDir,
-          partitioning)) done = latest.version + 1
+          partitioning, stats)) done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         attempt += 1
@@ -169,19 +175,42 @@ object VersionedTable {
     done
   }
 
+  /** How many numeric columns get min/max stats (mirrors Delta's
+    * dataSkippingNumIndexedCols default: the first 32 in schema order).
+    */
+  private val MaxStatsColumns = 32
+
   /** Stage `df` once into a writer-unique data dir — no other writer can name it, so
     * losing a later log race never requires rewriting data, and a racer can never
-    * delete/interleave these files. Returns (dirName, rowCount).
+    * delete/interleave these files. The row count AND per-column min/max piggyback on
+    * one `observe` over the write itself (map-side, no extra job or scan).
+    * Returns (dirName, rowCount, columnStats).
     */
   private def stageData(df: DataFrame, location: String,
-      partitionBy: Seq[String]): (String, Long) = {
+      partitionBy: Seq[String]): (String, Long, Map[String, (Double, Double)]) = {
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
+    val statCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name)
+      .filter(_.matches("[A-Za-z0-9_]+")) // names the flat log JSON can round-trip
+      .take(MaxStatsColumns).toSeq
     val obs = Observation(s"vt_rows_$dataDir")
-    val writer = df.observe(obs, count(lit(1)).as("rows"))
+    val aggs = count(lit(1)).as("rows") +: statCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val writer = df.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(s"$location/_data/$dataDir")
-    (dataDir, obs.get("rows").asInstanceOf[Long])
+    val observed = obs.get
+    val stats = statCols.flatMap { c =>
+      (observed.get(s"mn_$c"), observed.get(s"mx_$c")) match {
+        case (Some(mn: Number), Some(mx: Number)) => // all-null columns observe null
+          Some(c -> (mn.doubleValue(), mx.doubleValue()))
+        case _ => None
+      }
+    }.toMap
+    (dataDir, observed("rows").asInstanceOf[Long], stats)
   }
 
   /** The table as of its newest commit. */
@@ -194,14 +223,48 @@ object VersionedTable {
   /** Time travel: the table exactly as commit `version` left it. Versions whose data
     * has been [[vacuum]]ed can no longer be read (as with Delta after VACUUM).
     */
-  def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame =
+    assemble(spark, location, liveCommits(spark, location, version))
+
+  /** Stats-pruned scan of the LATEST version: rows with `lo <= column <= hi`, skipping
+    * every commit whose recorded [min, max] cannot overlap — the commit-granularity
+    * tier of Delta-style data skipping, resolved DRIVER-SIDE from the log before any
+    * file is listed. Commits without stats for the column are scanned (conservative);
+    * the exact predicate is re-applied to whatever survives, so pruning is a pure
+    * optimization, never a semantics change. On a long-appended 100 TB table a
+    * time-range or id-range query touches only the commits that can match.
+    */
+  def readPruned(spark: SparkSession, location: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val live = liveCommits(spark, location, cs.last.version)
+    val kept = live.filter(_.stats.get(column).forall {
+      case (mn, mx) => mx >= lo && mn <= hi
+    })
+    val predicate = col(column) >= lo && col(column) <= hi
+    if (kept.isEmpty)
+      // every commit pruned: keep the full-scan plan for its schema; parquet footer
+      // stats make the (empty) scan cheap and the predicate guarantees zero rows
+      assemble(spark, location, live).filter(predicate)
+    else assemble(spark, location, kept).filter(predicate)
+  }
+
+  /** The commits whose data dirs make up the state at `version`: everything from the
+    * last full-state commit ("overwrite"/"compact") at or before it.
+    */
+  private def liveCommits(spark: SparkSession, location: String,
+      version: Long): Seq[Commit] = {
     val cs = commits(spark, location)
     require(cs.exists(_.version == version),
       s"version $version does not exist at $location (have ${cs.map(_.version)})")
     val visible = cs.filter(_.version <= version)
-    // "overwrite" and "compact" both carry the complete state at their version
     val base = visible.lastIndexWhere(_.operation != "append")
-    val live = if (base < 0) visible else visible.drop(base)
+    if (base < 0) visible else visible.drop(base)
+  }
+
+  private def assemble(spark: SparkSession, location: String,
+      live: Seq[Commit]): DataFrame =
     if (live.forall(_.partition_by.isEmpty))
       // one multi-path parquet scan — not a union of per-version DataFrames
       spark.read.parquet(live.map(c => dataPath(location, c)): _*)
@@ -212,7 +275,6 @@ object VersionedTable {
       // Union into every branch, so partition pruning is intact; the per-commit
       // fixed cost stays small because overwrite commits reset the live set.
       live.map(c => spark.read.parquet(dataPath(location, c))).reduce(_.unionByName(_))
-  }
 
   /** Delta-style `history()`: one row per commit, newest first. */
   def history(spark: SparkSession, location: String): DataFrame = {
@@ -287,15 +349,18 @@ object VersionedTable {
     */
   private def claimCommit(fs: FileSystem, location: String, version: Long,
       operation: String, rows: Long, dataDir: String,
-      partitionBy: Seq[String],
+      partitionBy: Seq[String], stats: Map[String, (Double, Double)] = Map.empty,
       txnApp: String = "", txnId: Long = -1L): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
+    val statsJson = stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
+      .mkString("{", ",", "}")
     try {
       // create(path, overwrite = false) is atomic on HDFS/local — the loser throws
       val out = fs.create(path, false)
       try out.write(
-        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir","partition_by":"${partitionBy.mkString(",")}","txn_app":"$txnApp","txn_id":$txnId}"""
+        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir","partition_by":"${partitionBy.mkString(",")}","txn_app":"$txnApp","txn_id":$txnId,"stats":$statsJson}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
       true
@@ -317,13 +382,21 @@ object VersionedTable {
   // the hot path free of a per-file DataFrame read. Returns None for an incomplete
   // body (writer crashed or still flushing): completeness = the closing brace is
   // present and the required fields parse.
+  private val StatsEntry = """"([A-Za-z0-9_]+)":\[([^,\]]+),([^\]]+)\]""".r
+
   private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
     def num(k: String) =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
+    val stats = """"stats":\{(.*?)\}""".r.findFirstMatchIn(body)
+      .map(m => StatsEntry.findAllMatchIn(m.group(1)).flatMap { e =>
+        try Some(e.group(1) -> (e.group(2).toDouble, e.group(3).toDouble))
+        catch { case _: NumberFormatException => None }
+      }.toMap)
+      .getOrElse(Map.empty[String, (Double, Double)])
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
-      str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"))
+      str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats)
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

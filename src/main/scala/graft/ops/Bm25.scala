@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword relevance over a document corpus — the lexical-retrieval half of a
+  * training-data pipeline (mining documents relevant to a topic, building retrieval
+  * baselines next to the embedding ANN path in [[Similarity]]).
+  *
+  * Scoring is Robertson/Okapi BM25 with the +1 idf smoothing Lucene uses, over the
+  * corpus-wide whitespace segmentation of [[TextAnalysis.tokens]] lowercased:
+  * `score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) · tf · (k1+1) /
+  * (tf + k1·(1 − b + b·dl/avgdl))`.
+  *
+  * Scale shape: the query's term list is tiny and fixed, so there is NO inverted
+  * index and NO explode — per-document `tf` for each term is a map-side
+  * `size(filter(tokens, _ = term))`, `(N, Σdl, df_t…)` reduce to ONE stats row
+  * (partial aggregation, no shuffle of document data), which broadcast-joins back for
+  * a second map-side scoring pass. Top-k lands in `TakeOrderedAndProject`. Two scans
+  * of the text column and zero wide shuffles at any corpus size; all arithmetic on
+  * exact integer (tf, dl, df, N) inputs, so scores are reproducible across engines —
+  * rounded to 6 decimals to absorb last-ulp libm drift.
+  */
+object Bm25 {
+
+  /** `doc_id, score` for every document matching ≥ 1 term (score descending,
+    * doc_id tiebreak). Terms must be lowercase (the text is lowercased before
+    * tokenizing; a mixed-case term would silently never match).
+    */
+  def scores(docs: DataFrame, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.forall(t => t == t.toLowerCase), s"terms must be lowercase: $terms")
+    require(terms.distinct.size == terms.size, "repeated terms double-count")
+
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    def tfCol(i: Int): String = s"__tf$i"
+    val perDoc = docs.select(
+      col(idCol) +: size(toks).as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, tok => tok === lit(t))).as(tfCol(i))
+        }: _*)
+
+    val statAggs = sum(col("__dl")).as("__sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("__n"), statAggs: _*)
+
+    val n = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / n
+    // one addend per term, summed left-to-right — the oracle writes the identical
+    // chain so the float result is bit-stable across engines before rounding
+    val score = terms.indices.map { i =>
+      val tf = col(tfCol(i)).cast("double")
+      val df = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+      idf * tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+    }.reduce(_ + _)
+
+    perDoc.join(broadcast(stats))
+      .filter(terms.indices.map(i => col(tfCol(i))).reduce(_ + _) > 0)
+      .select(col(idCol), round(score, 6).as("score"))
+  }
+
+  /** Top-k matches: `orderBy(score desc, id) limit k` — plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def topK(docs: DataFrame, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scores(docs, terms, k1, b, idCol, textCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

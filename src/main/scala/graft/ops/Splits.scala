@@ -45,6 +45,38 @@ object Splits {
     }.otherwise(weights.last._1)
   }
 
+  /** Deterministic stratified sampling: keep a row iff its md5 bucket falls below the
+    * stratum's cut (`round(fraction·1000)` buckets). The workhorse for rebalancing a
+    * training mix — e.g. keep 10% of English but all of a rare language.
+    *
+    * Same guarantees as [[assign]]: pure per-row function of the stable id, so the
+    * sample is reproducible across runs/engines/partitionings, composable with
+    * [[assign]] (sampling then splitting never leaks across splits), and map-side
+    * only — no shuffle, no RNG state, stays in whole-stage codegen. Unlike
+    * `df.sample`/`sampleBy`, adding rows to the input never changes which EXISTING
+    * rows are kept (incremental-load stability).
+    */
+  def sampleStratified(df: DataFrame, strataCol: String, fractions: Map[String, Double],
+      defaultFraction: Double = 0.0, idCol: String = "doc_id"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    df.filter(bucketOf(col(idCol)) < cutExpr(col(strataCol), fractions, defaultFraction))
+  }
+
+  /** The per-stratum bucket cut as a CASE column (stable key order for plan
+    * determinism); shared with the SQL oracle.
+    */
+  def cutExpr(strata: Column, fractions: Map[String, Double],
+      defaultFraction: Double): Column = {
+    val cuts = fractions.toSeq.sortBy(_._1)
+      .map { case (k, f) => (k, math.round(f * Buckets).toInt) }
+    val default = lit(math.round(defaultFraction * Buckets).toInt)
+    cuts.foldLeft(Option.empty[Column]) {
+      case (acc, (k, c)) =>
+        Some(acc.fold(when(strata === k, c))(_.when(strata === k, c)))
+    }.fold(default)(_.otherwise(default))
+  }
+
   /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
     * engines cut at identical buckets.
     */

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bm25
+
+class Bm25Spec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "hash join hash"),        // tf(hash)=2 tf(join)=1 dl=3
+    (2L, "join the small table"),  // tf(join)=1 dl=4
+    (3L, "scan scan scan scan"),   // no query terms, dl=4
+    (4L, "hash"))                  // tf(hash)=1 dl=1
+    .toDF("doc_id", "text")
+
+  // the textbook formula, written independently of the operator
+  private def expected(tf: Map[String, Long], dl: Long): Double = {
+    val n = 4.0; val avgdl = 12.0 / 4.0; val k1 = 1.2; val b = 0.75
+    val df = Map("hash" -> 2.0, "join" -> 2.0)
+    Seq("hash", "join").map { t =>
+      val f = tf.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+        f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl))
+    }.sum
+  }
+
+  test("scores match a hand-rolled BM25 and exclude no-match docs") {
+    val out = Bm25.scores(corpus, Seq("hash", "join"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 4L)) // doc 3 matches nothing
+    val want = Seq(
+      1L -> expected(Map("hash" -> 2L, "join" -> 1L), 3L),
+      2L -> expected(Map("join" -> 1L), 4L),
+      4L -> expected(Map("hash" -> 1L), 1L))
+    out.zip(want).foreach { case ((id, got), (wid, w)) =>
+      assert(id === wid)
+      // got is rounded to 6 decimals by the operator; w is the unrounded truth
+      assert(math.abs(got - w) < 1e-6, s"doc $id: got $got want $w")
+    }
+  }
+
+  test("matching is case-insensitive on the document side") {
+    val mixed = Seq((1L, "Hash JOIN"), (2L, "HASH")).toDF("doc_id", "text")
+    val ids = Bm25.scores(mixed, Seq("hash")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids === Set(1L, 2L))
+    intercept[IllegalArgumentException] { Bm25.scores(mixed, Seq("Hash")) }
+    intercept[IllegalArgumentException] { Bm25.scores(mixed, Seq("hash", "hash")) }
+  }
+
+  test("topK: score-descending with doc_id tiebreak, TakeOrderedAndProject plan") {
+    val docs = Tables.documents(spark, sf)
+    val top = Bm25.topK(docs, Seq("hash", "join", "vector"), 10)
+    val rows = top.as[(Long, Double)].collect()
+    assert(rows.length === 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    // corpus-sized top-k must not shuffle document rows: the only shuffle exchange is
+    // the single-row stats aggregation (the broadcast exchange is not a shuffle)
+    val shuffles = plan.split("Exchange").length - 1 - (plan.split("BroadcastExchange").length - 1)
+    assert(shuffles <= 1, s"unexpected shuffles:\n$plan")
+  }
+}

@@ -95,6 +95,30 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().toSeq === Seq(1L, 2L))
   }
 
+  test("versioned table: commits carry numeric min/max stats; readPruned skips commits") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_skipping").toString
+    // three appends with disjoint id ranges — an id-range query can only need one
+    VersionedTable.write(spark.range(1, 101).toDF("id"), loc, "overwrite")
+    VersionedTable.write(spark.range(101, 201).toDF("id"), loc, "append")
+    VersionedTable.write(spark.range(201, 301).toDF("id"), loc, "append")
+
+    val cs = VersionedTable.commits(spark, loc)
+    assert(cs.map(_.stats("id")) === Seq((1.0, 100.0), (101.0, 200.0), (201.0, 300.0)))
+
+    val pruned = VersionedTable.readPruned(spark, loc, "id", 150, 160)
+    assert(pruned.orderBy("id").as[Long].collect().toSeq === (150L to 160L))
+    // only the middle commit's dir is in the scan — the other two never list files
+    val dirs = pruned.inputFiles.map(f =>
+      f.split("/_data/")(1).split("/")(0)).distinct.toSeq
+    assert(dirs === Seq(cs(1).data_dir), s"scanned $dirs, wanted ${cs(1).data_dir}")
+
+    // no commit can match → zero rows, still correct
+    assert(VersionedTable.readPruned(spark, loc, "id", 1000, 2000).count() === 0)
+    // a column without stats is scanned conservatively but filters correctly
+    assert(VersionedTable.readPruned(spark, loc, "id", 1, 300).count() === 300)
+  }
+
   test("versioned table: vacuum removes orphan data dirs but keeps committed reads") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_vacuum_orphan").toString

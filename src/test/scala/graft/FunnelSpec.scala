@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnel
+
+class FunnelSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+  private val Second = 1000000L // micros
+
+  // semantics fixture — every edge the min-recursion definition pins
+  private def events = Seq(
+    // u1: clean 3-step completion
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    // u2: purchase BEFORE the click chain point — only 2 steps count
+    (2L, 5L, "click"), (2L, 10L, "view"), (2L, 12L, "purchase"), (2L, 15L, "click"),
+    // u3: skips the middle step — stuck at 1
+    (3L, 10L, "view"), (3L, 20L, "purchase"),
+    // u4: click lands outside the window (window = 100 s)
+    (4L, 10L, "view"), (4L, 200L, "click"),
+    // u5: enters mid-funnel — step 1 never happens
+    (5L, 10L, "purchase"),
+    // u7: same-timestamp events do NOT chain (strict t > t_prev)
+    (7L, 10L, "view"), (7L, 10L, "click"), (7L, 40L, "click"),
+    // u8: no step-typed events at all — not in the population
+    (8L, 10L, "signup"))
+    .toDF("user_id", "sec", "event_type")
+    .withColumn("ts", timestamp_seconds(col("sec")))
+
+  test("userFunnel: chain order, window bound, strictness, population") {
+    val out = Funnel.userFunnel(events, steps, windowMicros = 100L * Second)
+      .orderBy("user_id")
+      .select("user_id", "steps_completed", "t1_us", "t2_us", "t3_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+
+    def us(sec: Long): Option[Any] = Some(sec * Second)
+    assert(out.toSeq === Seq(
+      (1L, 3, us(10), us(20), us(30)),
+      (2L, 2, us(10), us(15), None),
+      (3L, 1, us(10), None, None),
+      (4L, 1, us(10), None, None),
+      (5L, 0, None, None, None),
+      (7L, 2, us(10), us(40), None))) // u8 absent: no step-typed events
+  }
+
+  test("userFunnel: window bounds later steps against t1, not the previous step") {
+    // t1=0s, click at 90s (inside), purchase at 150s: within 100s of the CLICK but
+    // not of t1 — must not count
+    val e = Seq((1L, 0L, "view"), (1L, 90L, "click"), (1L, 150L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Funnel.userFunnel(e, steps, windowMicros = 100L * Second).first()
+    assert(r.getAs[Int]("steps_completed") === 2)
+  }
+
+  test("summary: per-step reach and conversion vs step 1") {
+    val s = Funnel.summary(events, steps, windowMicros = 100L * Second)
+      .orderBy("step_index")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // reached ≥1: u1,u2,u3,u4,u7 = 5; ≥2: u1,u2,u7 = 3; ≥3: u1 = 1
+    assert(s.toSeq === Seq(
+      (1, "view", 5L, 1.0), (2, "click", 3L, 0.6), (3, "purchase", 1L, 0.2)))
+  }
+
+  test("userFunnel: single shuffle, pushed type filter") {
+    val ev = Tables.eventsMicros(spark, sf)
+    val plan = Funnel.userFunnel(ev, steps, windowMicros = 86400L * Second)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1, s"expected 1 shuffle:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type"), s"filter not pushed:\n$plan")
+  }
+
+  test("userFunnel rejects repeated steps and non-positive windows") {
+    intercept[IllegalArgumentException] {
+      Funnel.userFunnel(events, Seq("view", "view"), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.userFunnel(events, steps, 0L)
+    }
+  }
+}

@@ -111,6 +111,37 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("stratified sample: per-stratum fractions, deterministic, incremental-stable") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val fractions = Map("en" -> 0.5, "zh" -> 1.0)
+    val sampled = graft.ops.Splits.sampleStratified(docs, "lang", fractions)
+
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val zhTotal = docs.filter(col("lang") === "zh").count()
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(byLang.keySet === Set("en", "zh")) // default fraction 0 drops the rest
+    assert(byLang("zh") === zhTotal)          // fraction 1.0 keeps everything
+    assert(math.abs(byLang("en").toDouble / enTotal - 0.5) < 0.12)
+
+    // deterministic under repartitioning (no RNG state)
+    val again = graft.ops.Splits.sampleStratified(docs.repartition(13), "lang", fractions)
+    assert(sampled.exceptAll(again).count() === 0)
+    assert(again.exceptAll(sampled).count() === 0)
+
+    // incremental stability: sampling a subset = subsetting the sample
+    val half = docs.filter(col("doc_id") < 250)
+    val sampledHalf = graft.ops.Splits.sampleStratified(half, "lang", fractions)
+    val expected = sampled.filter(col("doc_id") < 250)
+    assert(sampledHalf.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(sampledHalf).count() === 0)
+
+    intercept[IllegalArgumentException] {
+      graft.ops.Splits.sampleStratified(docs, "lang", Map("en" -> 1.5))
+    }
+  }
+
   test("hashed shingle shuffle: identical pairs/scores as the raw-string path") {
     val docs = Tables.documents(spark, sf)
     val hashed = Dedup.ngramJaccardPairs(docs, threshold = 0.3) // production default
