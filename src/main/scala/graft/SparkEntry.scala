@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, Dedup, Funnel, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, Dedup, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -254,6 +254,20 @@ object SparkEntry {
       hashShingles = false)
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental new-batch-vs-index near-dup (docs ≥ 400 probe the signature index of
+    * docs < 400): md5-twin signatures so the oracle replays the banding AND the
+    * agreement estimator; est_jaccard = agreeing hashes / 32 is binary-exact.
+    */
+  private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def sigs(part: DataFrame) = Dedup.minHashSignatures(
+      part, numHashes = 32, hashFn = Dedup.md5HashFn)
+    IncrementalDedup.matchesAgainstIndex(
+        sigs(d.filter(col("doc_id") >= 400)), sigs(d.filter(col("doc_id") < 400)),
+        numHashes = 32, bands = 16, bandHash = Dedup.md5BandHash, threshold = 0.5)
+      .orderBy("new_doc", "index_doc")
+  }
+
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashMd5(docs(s, dir)).orderBy("doc_id")
 
@@ -366,6 +380,15 @@ object SparkEntry {
     Splits.sampleStratified(docs(s, dir), "lang",
         Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.0)
       .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Temperature sampling (alpha=0.5, target 30% of the corpus): the sampled language
+    * mix flattens toward sqrt-proportional shares. The oracle recomputes fractions
+    * from the same counts with the identical fold order, then replays the md5 cut.
+    */
+  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Splits.temperatureSample(docs(s, dir), "lang", alpha = 0.5, targetFraction = 0.3)
+      .select("doc_id", "lang")
       .orderBy("doc_id")
 
   /** 3-step ordered funnel (view → click → purchase) per user, 24 h completion
@@ -647,6 +670,7 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_neardup" -> qMinhashNearDup,
+    "q_incremental_neardup" -> qIncrementalNearDup,
     "q_simhash" -> qSimhash,
     "q_simhash_near_pairs" -> qSimhashNearPairs,
     "q_fingerprints" -> qFingerprints,
@@ -669,6 +693,7 @@ object SparkEntry {
     "q_doc_chunks" -> qDocChunks,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_temperature_sample" -> qTemperatureSample,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_sales_rollup" -> qSalesRollup,
@@ -845,6 +870,44 @@ object SparkEntry {
        |SELECT s.doc_a, s.doc_b, s.jaccard FROM scored s
        |JOIN mcand USING (doc_a, doc_b)
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** [[graft.ops.IncrementalDedup.matchesAgainstIndex]] replayed: md5-twin signatures
+    * over the whole corpus, banded probe of new (doc_id ≥ 400) against index
+    * (doc_id < 400), similarity = fraction of agreeing minhashes (exact: /32 is
+    * binary-representable).
+    */
+  private val incrementalNearDupSql: String = {
+    val numHashes = 32
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(s => s"MIN(md5('$s:' || shingle)) AS h$s").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $cols AS bv FROM mins"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> array_to_string(tk[i:i+2], ' ')))
+       |    ELSE [] END AS shs FROM toks),
+       |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM t),
+       |mins AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |bb AS ($bandSelects),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
+       |  FROM bb n JOIN bb i ON n.band = i.band AND n.bv = i.bv
+       |  WHERE n.doc_id >= 400 AND i.doc_id < 400)
+       |SELECT new_doc, index_doc, ($agree) / 32.0 AS est_jaccard
+       |FROM cand
+       |JOIN mins a ON cand.new_doc = a.doc_id
+       |JOIN mins b ON cand.index_doc = b.doc_id
+       |WHERE ($agree) / 32.0 >= 0.5
+       |ORDER BY new_doc, index_doc""".stripMargin
   }
 
   /** 60-bit md5 SimHash CTE chain ([[graft.ops.Dedup.simHashMd5]] replayed in DuckDB):
@@ -1095,6 +1158,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_neardup" -> minhashNearDupSql,
+    "q_incremental_neardup" -> incrementalNearDupSql,
     "q_simhash" -> simhashSql,
     "q_simhash_near_pairs" -> simhashNearPairsSql,
     "q_fingerprints" -> fingerprintsSql,
@@ -1210,6 +1274,25 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
          |    AS BIGINT) % ${Splits.Buckets} <
          |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+    // temperature fractions recomputed from group counts: pow weights folded in
+    // lexicographic lang order (list_reduce over an ORDER BY list — an unordered SUM
+    // could differ in the last ulp and flip a bucket boundary), same cut replay
+    "q_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, COUNT(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |agg AS (SELECT
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(pow(CAST(n AS DOUBLE), 0.5) ORDER BY lang)), (a, b) -> a + b)
+         |    AS totalw,
+         |  CAST(SUM(n) AS DOUBLE) AS totaln FROM c),
+         |f AS (SELECT lang,
+         |  least(1.0, 0.3 * totaln * pow(CAST(n AS DOUBLE), 0.5) / totalw / n)
+         |    AS frac FROM c, agg)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % ${Splits.Buckets} < round(frac * ${Splits.Buckets})
          |ORDER BY doc_id""".stripMargin,
     // the funnel oracle is the min-recursion definition itself (correlated MINs),
     // deliberately NOT the greedy walk the Spark side executes — equality of the two

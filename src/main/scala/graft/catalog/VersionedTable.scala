@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *    writer-unique (Delta-style unique file naming), so concurrent writers NEVER
   *    touch each other's data files; the commit log maps versions to data dirs.
   *  - `_commit_log/<N>.json` — one file per commit: version, operation, timestamp,
-  *    rows, data_dir, partition_by, and the transactional identity (txn_app,
-  *    txn_id) for streaming exactly-once ([[idempotentAppend]]).
+  *    rows, data_dir, partition_by, per-column min/max stats, and the transactional
+  *    identity (txn_app, txn_id) for streaming exactly-once ([[idempotentAppend]]).
+  *  - `_commit_log/_checkpoint.<N>.jsonl` — consolidated log through version N
+  *    (written automatically every [[CheckpointInterval]] commits, Delta-style);
+  *    readers open the newest checkpoint + only newer commit files.
   *
   * Semantics:
   *  - `overwrite` starts a new table state; `append` adds to the previous state;
@@ -92,6 +95,7 @@ object VersionedTable {
         Thread.sleep(math.min(500L, 10L * attempt))
       }
     }
+    maybeCheckpoint(spark, location, committed)
     committed
   }
 
@@ -131,6 +135,7 @@ object VersionedTable {
         Thread.sleep(math.min(500L, 10L * attempt))
       }
     }
+    maybeCheckpoint(spark, location, committed)
     Some(committed)
   }
 
@@ -172,6 +177,7 @@ object VersionedTable {
           s"compaction of $location lost $maxAttempts snapshot races — giving up")
       }
     }
+    maybeCheckpoint(spark, location, done)
     done
   }
 
@@ -318,29 +324,108 @@ object VersionedTable {
         parseInstant(o.timestamp).exists(t => !t.isAfter(cutoff)))
     }.map(c => new Path(dataPath(location, c)))
 
-    val victims = (orphans ++ expired).filter(fs.exists)
+    // per-commit log files fully covered by the newest checkpoint are redundant —
+    // the checkpoint preserves their bodies verbatim, so history/as-of lose nothing.
+    // (Writers never reclaim old version slots: the next claim is always
+    // max(version) + 1 resolved THROUGH the checkpoint.)
+    val logDir = new Path(s"$location/_commit_log")
+    val logVictims =
+      if (!fs.exists(logDir)) Seq.empty
+      else {
+        val entries = fs.listStatus(logDir).toSeq.filter(_.isFile)
+        val ckptV = entries.flatMap(_.getPath.getName match {
+          case CheckpointName(v) => Some(v.toLong)
+          case _ => None
+        }).maxOption
+        ckptV.fold(Seq.empty[Path]) { cv =>
+          entries.map(_.getPath).filter { p =>
+            p.getName.endsWith(".json") &&
+              p.getName.stripSuffix(".json").toLongOption.exists(_ <= cv)
+          }
+        }
+      }
+
+    val victims = (orphans ++ expired).filter(fs.exists) ++ logVictims
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.toString)
   }
 
-  /** The committed log, version-ascending (driver-side metadata walk). */
+  private val CheckpointName = """_checkpoint\.(\d+)\.jsonl""".r
+
+  /** The committed log, version-ascending (driver-side metadata walk). With a
+    * checkpoint present, this is ONE checkpoint read + opens of only the NEWER
+    * per-commit files — O(tail) instead of O(commits) reads, which is the difference
+    * between milliseconds and minutes on an object store once a streaming sink has
+    * appended tens of thousands of micro-batch commits.
+    */
   def commits(spark: SparkSession, location: String): Seq[Commit] = {
     val fs = fileSystem(spark, location)
     val logDir = new Path(s"$location/_commit_log")
-    if (!fs.exists(logDir)) Seq.empty
-    else fs.listStatus(logDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-      .flatMap { s =>
-        val in = fs.open(s.getPath)
-        val body =
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
-        // a claim file created but not yet fully written (concurrent writer between
-        // create and close) must block its version slot WITHOUT surfacing as a
-        // commit — readers see the pre-commit state until the body lands
-        parseCommit(body)
+    if (!fs.exists(logDir)) return Seq.empty
+    val entries = fs.listStatus(logDir).toSeq.filter(_.isFile)
+    val ckpt = entries.flatMap(s => s.getPath.getName match {
+      case CheckpointName(v) => Some((v.toLong, s.getPath))
+      case _ => None
+    }).sortBy(_._1).lastOption
+    val base = ckpt.toSeq.flatMap { case (_, p) =>
+      readUtf8(fs, p).linesIterator.flatMap(parseCommit)
+    }
+    val after = ckpt.map(_._1).getOrElse(-1L)
+    val tail = entries
+      .filter { s =>
+        val n = s.getPath.getName
+        // filename IS the version — commits covered by the checkpoint are never opened
+        n.endsWith(".json") &&
+          n.stripSuffix(".json").toLongOption.exists(_ > after)
       }
-      .sortBy(_.version)
+      // a claim file created but not yet fully written (concurrent writer between
+      // create and close) must block its version slot WITHOUT surfacing as a
+      // commit — readers see the pre-commit state until the body lands
+      .flatMap(s => parseCommit(readUtf8(fs, s.getPath)))
+    (base ++ tail).sortBy(_.version)
+  }
+
+  /** Consolidate the full log into `_commit_log/_checkpoint.<latest>.jsonl` (one
+    * commit per line — same bodies the per-commit files hold). Readers then open the
+    * newest checkpoint plus only newer commit files. Concurrent checkpointers are
+    * harmless: content for a given version is deterministic (commits are immutable
+    * once claimed) and the exclusive create makes one writer win. Writers trigger
+    * this automatically every [[CheckpointInterval]] commits; call it directly after
+    * bulk maintenance if desired. Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, location: String): Option[Long] = {
+    val cs = commits(spark, location)
+    if (cs.isEmpty) return None
+    val fs = fileSystem(spark, location)
+    val v = cs.last.version
+    val path = new Path(s"$location/_commit_log/_checkpoint.$v.jsonl")
+    try {
+      val out = fs.create(path, false)
+      try out.write(cs.map(commitJson).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+    Some(v)
+  }
+
+  /** Auto-checkpoint cadence (Delta defaults to every 10 commits). */
+  val CheckpointInterval = 10
+
+  /** Best-effort post-commit checkpoint: a failure here must not fail the write the
+    * caller already committed — the next interval (or an explicit call) retries.
+    */
+  private def maybeCheckpoint(spark: SparkSession, location: String,
+      committed: Long): Unit =
+    if ((committed + 1) % CheckpointInterval == 0)
+      try checkpoint(spark, location)
+      catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** Exclusive-create the commit file; false iff another writer claimed the version.
@@ -353,21 +438,25 @@ object VersionedTable {
       txnApp: String = "", txnId: Long = -1L): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
-    val statsJson = stats.toSeq.sortBy(_._1)
-      .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }
-      .mkString("{", ",", "}")
+    val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
+      partitionBy.mkString(","), txnApp, txnId, stats)
     try {
       // create(path, overwrite = false) is atomic on HDFS/local — the loser throws
       val out = fs.create(path, false)
-      try out.write(
-        s"""{"version":$version,"operation":"$operation","timestamp":"${Instant.now()}","row_count":$rows,"data_dir":"$dataDir","partition_by":"${partitionBy.mkString(",")}","txn_app":"$txnApp","txn_id":$txnId,"stats":$statsJson}"""
-          .getBytes(StandardCharsets.UTF_8))
+      try out.write(commitJson(c).getBytes(StandardCharsets.UTF_8))
       finally out.close()
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
     }
+  }
+
+  private def commitJson(c: Commit): String = {
+    val statsJson = c.stats.toSeq.sortBy(_._1)
+      .map { case (k, (mn, mx)) => s""""$k":[$mn,$mx]""" }
+      .mkString("{", ",", "}")
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"stats":$statsJson}"""
   }
 
   // pre-data_dir logs (legacy layout) stored data at _data/v=<N>

@@ -159,21 +159,29 @@ object Dedup {
   /** LSH candidate pairs from banded signatures: docs agreeing on ALL rows of at least
     * one band. bands must divide numHashes.
     */
-  def lshCandidates(signatures: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
+  /** (doc_id, band, band_hash) rows from a signature frame — the LSH bucket keys.
+    * Shared by the self-join candidate path and the incremental new-vs-index path.
+    */
+  private[graft] def bandedSignatures(signatures: DataFrame, numHashes: Int, bands: Int,
+      bandHash: Seq[Column] => Column): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     val bandHashes = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), bandHash(cols).as("band_hash"))
     }
+    signatures
+      .select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
+  }
+
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      bandHash: Seq[Column] => Column = xxBandHash): DataFrame = {
     // No cache: the self-join's two sides canonicalize to the same shuffle, so Spark's
     // ReuseExchange runs the upstream signature aggregate ONCE and replays the exchange
     // for the other side — same work as a cache, zero storage-pool residue (a .cache()
     // here leaked blocks into long-lived sessions and cannot fit at 100 TB anyway).
-    val exploded = signatures
-      .select(col("doc_id"), explode(array(bandHashes: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
+    val exploded = bandedSignatures(signatures, numHashes, bands, bandHash)
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band") === col("y.band") &&

@@ -77,6 +77,45 @@ object Splits {
     }.fold(default)(_.otherwise(default))
   }
 
+  /** Temperature-flattened mixture fractions: per-group keep fractions making the
+    * SAMPLED group shares proportional to n_g^alpha (alpha < 1 flattens a skewed
+    * source mix — the standard multilingual "temperature sampling" recipe, alpha =
+    * 1/T), with the total sample sized at `targetFraction` of the corpus. Fractions
+    * cap at 1 — sampling is without replacement, so a heavily flattened mix whose
+    * rare groups saturate lands under target rather than duplicating rows.
+    *
+    * The group arithmetic runs in lexicographic group order so a replaying engine
+    * (the DuckDB oracle) folds the same doubles in the same order — double addition
+    * is not associative, and an unordered SUM could land a fraction on the other
+    * side of a bucket boundary.
+    */
+  def temperatureFractions(counts: Seq[(String, Long)], alpha: Double,
+      targetFraction: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    require(counts.nonEmpty && counts.forall(_._2 > 0), "need positive group counts")
+    val sorted = counts.sortBy(_._1)
+    val pw = sorted.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    val totalW = pw.foldLeft(0.0)(_ + _)
+    val totalN = sorted.foldLeft(0.0)(_ + _._2.toDouble)
+    sorted.zip(pw).map { case ((g, n), w) =>
+      g -> math.min(1.0, targetFraction * totalN * w / totalW / n)
+    }.toMap
+  }
+
+  /** Count groups (ONE tiny aggregation — group cardinality is sources/langs, i.e.
+    * driver-metadata scale), derive temperature fractions, and sample. Rows with a
+    * NULL group are dropped (no fraction can be assigned to them).
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, alpha: Double,
+      targetFraction: Double, idCol: String = "doc_id"): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull).groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    sampleStratified(df, groupCol, temperatureFractions(counts, alpha, targetFraction),
+      defaultFraction = 0.0, idCol = idCol)
+  }
+
   /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
     * engines cut at identical buckets.
     */

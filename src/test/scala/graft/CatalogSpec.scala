@@ -119,6 +119,41 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.readPruned(spark, loc, "id", 1, 300).count() === 300)
   }
 
+  test("versioned table: checkpoint consolidates the log; reads and writes continue") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_checkpoint").toString
+    // 12 commits: the auto-checkpoint at CheckpointInterval=10 fires at version 9
+    VersionedTable.write(spark.range(0, 10).toDF("id"), loc, "overwrite")
+    (1 to 11).foreach(i =>
+      VersionedTable.write(spark.range(i * 10L, i * 10L + 10).toDF("id"), loc, "append"))
+
+    val ckpts = new java.io.File(s"$loc/_commit_log").listFiles()
+      .map(_.getName).filter(_.startsWith("_checkpoint."))
+    assert(ckpts.toSeq === Seq("_checkpoint.9.jsonl"))
+
+    // the full log resolves identically through the checkpoint: 12 commits, stats intact
+    val cs = VersionedTable.commits(spark, loc)
+    assert(cs.map(_.version) === (0L to 11L))
+    assert(cs.head.stats("id") === ((0.0, 9.0)))
+    assert(VersionedTable.read(spark, loc).count() === 120)
+    assert(VersionedTable.readAsOf(spark, loc, 4).count() === 50)
+
+    // vacuum drops the per-commit files the checkpoint covers; nothing breaks
+    val removed = VersionedTable.vacuum(spark, loc)
+    assert(removed.exists(_.endsWith("/0.json")) && removed.exists(_.endsWith("/9.json")))
+    assert(!removed.exists(_.endsWith("/10.json")), "uncovered tail must survive")
+    assert(VersionedTable.commits(spark, loc).map(_.version) === (0L to 11L))
+    assert(VersionedTable.readAsOf(spark, loc, 4).count() === 50)
+
+    // the next write claims version 12 — resolved THROUGH the checkpoint
+    assert(VersionedTable.write(spark.range(120, 130).toDF("id"), loc, "append") === 12L)
+
+    // explicit checkpoint at the new head; commits() prefers the newest one
+    assert(VersionedTable.checkpoint(spark, loc) === Some(12L))
+    assert(VersionedTable.commits(spark, loc).map(_.version) === (0L to 12L))
+    assert(VersionedTable.read(spark, loc).as[Long].collect().toSet === (0L until 130L).toSet)
+  }
+
   test("versioned table: vacuum removes orphan data dirs but keeps committed reads") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_vacuum_orphan").toString

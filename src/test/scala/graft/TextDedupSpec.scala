@@ -142,6 +142,46 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("temperature sampling flattens the group mix toward n^alpha shares") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count().toDouble
+
+    val sampled = graft.ops.Splits.temperatureSample(
+      docs, "lang", alpha = 0.5, targetFraction = 0.3)
+    val n = sampled.count().toDouble
+    assert(math.abs(n / total - 0.3) < 0.1, s"sampled ${n / total}, wanted ~0.3")
+
+    // the dominant group's share must SHRINK; and the keep-fractions themselves are
+    // strictly anti-monotone in group size (the flattening property — realized
+    // shares on a 500-doc fixture carry bucket noise, fractions do not)
+    def share(df: org.apache.spark.sql.DataFrame, lang: String) =
+      df.filter(col("lang") === lang).count().toDouble / df.count()
+    assert(share(sampled, "en") < share(docs, "en"))
+    val counts = docs.filter(col("lang").isNotNull).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val fr = graft.ops.Splits.temperatureFractions(counts, 0.5, 0.3)
+    counts.sortBy(_._2).sliding(2).foreach {
+      case Seq((ga, na), (gb, nb)) if na < nb =>
+        assert(fr(ga) > fr(gb), s"fraction($ga, n=$na) must exceed fraction($gb, n=$nb)")
+      case _ => ()
+    }
+
+    // alpha = 1 with fraction 1 keeps everything (proportional, uncapped)
+    val all = graft.ops.Splits.temperatureSample(docs, "lang", 1.0, 1.0)
+    assert(all.count() === total.toLong)
+
+    // fractions are computed in sorted-group order regardless of input order
+    val f1 = graft.ops.Splits.temperatureFractions(
+      Seq("b" -> 10L, "a" -> 100L, "c" -> 1L), 0.5, 0.5)
+    val f2 = graft.ops.Splits.temperatureFractions(
+      Seq("c" -> 1L, "a" -> 100L, "b" -> 10L), 0.5, 0.5)
+    assert(f1 === f2)
+    intercept[IllegalArgumentException] {
+      graft.ops.Splits.temperatureFractions(Seq("a" -> 0L), 0.5, 0.5)
+    }
+  }
+
   test("hashed shingle shuffle: identical pairs/scores as the raw-string path") {
     val docs = Tables.documents(spark, sf)
     val hashed = Dedup.ngramJaccardPairs(docs, threshold = 0.3) // production default
