@@ -343,6 +343,24 @@ object SparkEntry {
     * refine; the oracle replays the plain inequality join — results must agree
     * exactly.
     */
+  /** Interval-overlap join: per-user pairs of concurrent 1-hour activity windows
+    * (each event opens a half-open hour). The oracle replays the plain inequality
+    * self-join; the engine's bin-bucketed equality join must agree exactly —
+    * including emitting each overlapping pair exactly once.
+    */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hour = 3600L * 1000000L
+    val ev = Tables.eventsMicros(s, dir)
+    def side(p: String) = ev.select(col("user_id"),
+      col("event_id").as(s"${p}_id"), unix_micros(col("ts")).as(s"${p}_s"),
+      (unix_micros(col("ts")) + hour).as(s"${p}_e"))
+    RangeJoin.intervalOverlap(side("a"), side("b"), "a_s", "a_e", "b_s", "b_e",
+        binWidth = hour, keys = Seq("user_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select("user_id", "a_id", "b_id")
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val hour = 3600L * 1000000L
     val ev = Tables.eventsMicros(s, dir)
@@ -690,6 +708,7 @@ object SparkEntry {
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
+    "q_interval_overlap" -> qIntervalOverlap,
     "q_doc_chunks" -> qDocChunks,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
@@ -1237,6 +1256,16 @@ object SparkEntry {
         |FROM e JOIN w ON e.user_id = w.user_id
         |  AND w.start_us <= e.ts_us AND e.ts_us < w.start_us + 3600000000
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // plain inequality self-join the exactly-once bucketed overlap join must match
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS e FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND a.s < b.e AND b.s < a.e
+        |ORDER BY 1, 2, 3""".stripMargin,
     // 64-token windows, 16 overlap → starts every 48 tokens; DuckDB list slices are
     // 1-based-inclusive and clamp, exactly like Spark's slice()
     "q_doc_chunks" ->

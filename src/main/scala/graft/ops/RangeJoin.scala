@@ -41,4 +41,31 @@ object RangeJoin {
       .filter(col(startCol) <= col(tsCol) && col(tsCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pairs from `left` × `right` whose half-open windows
+    * `[lStart, lEnd)` and `[rStart, rEnd)` intersect, equality-matching `keys`
+    * first — same bin-bucketing rewrite as [[pointInInterval]], so it plans as a
+    * hash join instead of a nested loop.
+    *
+    * Exactly-once without a dedup pass: a pair sharing several bins is emitted only
+    * in the bin of `max(lStart, rStart)` — the overlap's first instant, which both
+    * intervals' bin ranges necessarily cover. The four range columns must have
+    * distinct names (both frames surface in the output row).
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(Seq(lStart, lEnd, rStart, rEnd).distinct.size == 4,
+      "range columns must be distinct names — both sides appear in the output")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bin", explode(sequence(
+        floor(col(s) / binWidth), floor(col(e) / binWidth))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), keys :+ "__bin")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") === floor(greatest(col(lStart), col(rStart)) / binWidth))
+      .drop("__bin")
+  }
 }

@@ -68,4 +68,32 @@ class RangeJoinSpec extends AnyFunSuite with SharedSpark {
       .select("id", "s").as[(Long, Long)].collect().toSet
     assert(r === Set((1L, 0L), (2L, 20L)))
   }
+
+  test("intervalOverlap: matches the naive join exactly-once across bin widths") {
+    val a = Seq((1L, "a", 0L, 50L), (2L, "a", 40L, 60L), (3L, "a", 60L, 70L),
+      (4L, "b", 0L, 100L), (5L, "a", 200L, 300L))
+      .toDF("a_id", "k", "a_s", "a_e")
+    val b = Seq((10L, "a", 45L, 55L),  // overlaps 1 (tail) and 2
+      (11L, "a", 50L, 60L),            // overlaps 2 only (1 is half-open at 50)
+      (12L, "b", 99L, 150L),           // overlaps 4 by one unit
+      (13L, "b", 100L, 150L),          // touches 4 exactly: NOT an overlap
+      (14L, "a", 0L, 400L))            // spans many bins; overlaps 1, 2, 3, 5
+      .toDF("b_id", "k", "b_s", "b_e")
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(naive === Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 12L),
+      (1L, 14L), (2L, 14L), (3L, 14L), (5L, 14L)))
+    // wide-bin, narrow-bin, and pathological width: identical MULTISET each time
+    // (a pair sharing many bins must still be emitted exactly once)
+    Seq(1L, 7L, 64L, 1000L).foreach { w =>
+      val got = RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+        binWidth = w, keys = Seq("k")).select("a_id", "b_id")
+      assert(got.count() === naive.size, s"binWidth=$w emitted duplicates or dropped")
+      assert(got.as[(Long, Long)].collect().toSet === naive, s"binWidth=$w")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, b, "s", "e", "s", "e", 10L)
+    }
+  }
 }
