@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, Dedup, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -400,6 +400,19 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Relative quality floor: each language's top half by composite quality score,
+    * rank-based with doc_id tiebreak (engine-exact, unlike interpolated
+    * percentiles). The oracle recomputes the score and replays the same window.
+    */
+  private def qQualityFloor(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.textStats(docs(s, dir))
+      .select("doc_id", "quality_score")
+      .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+    CorpusCuration.keepTopFractionByGroup(scored, "lang", "quality_score", 0.5)
+      .select("doc_id", "lang", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Temperature sampling (alpha=0.5, target 30% of the corpus): the sampled language
     * mix flattens toward sqrt-proportional shares. The oracle recomputes fractions
     * from the same counts with the identical fold order, then replays the md5 cut.
@@ -683,6 +696,7 @@ object SparkEntry {
     "q_outliers" -> qOutliers,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
+    "q_quality_floor" -> qQualityFloor,
     "q_token_counts" -> qTokenCounts,
     "q_lang_id" -> qLangId,
     "q_dedup_exact" -> qDedupExact,
@@ -1166,6 +1180,19 @@ object SparkEntry {
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
     "q_text_stats" -> textStatsSql,
+    // the same score expression, cut at each language's rank-based median
+    "q_quality_floor" -> {
+      val scored = textStatsSql.replace("ORDER BY doc_id", "")
+      s"""WITH q AS ($scored),
+         |j AS (SELECT q.doc_id AS doc_id, d.lang AS lang,
+         |    q.quality_score AS quality_score
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM j)
+         |SELECT doc_id, lang, quality_score FROM r
+         |WHERE rn <= ceil(0.5 * n) ORDER BY doc_id""".stripMargin
+    },
     "q_token_counts" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens

@@ -25,6 +25,33 @@ object CorpusCuration {
       langs: Option[Set[String]] = None,
       scrubPii: Boolean = true)
 
+  /** Keep each group's top `keepFraction` of rows by `scoreCol` (score descending,
+    * `idCol` tiebreak) — the RELATIVE quality floor: "best half per language" rather
+    * than a fixed threshold, so a strict global cut can't empty out a
+    * low-scoring-on-average group. Rank-based (row_number ≤ ceil(f·n)), NOT an
+    * interpolated percentile — rank semantics are identical in every engine, where
+    * percentile interpolation is not, and ties resolve deterministically.
+    *
+    * Scale: both windows share one hash partitioning on the group — a single
+    * shuffle; the per-group sort is the cost of exactness. For a 100 TB corpus
+    * where even per-group sorts hurt, take the approximate path instead: an
+    * `approx_percentile` cutoff per group (one agg + broadcast join + filter) at
+    * the price of a fuzzy boundary.
+    */
+  def keepTopFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      keepFraction: Double, idCol: String = "doc_id"): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val whole = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") <= ceil(lit(keepFraction) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
   /** Drop every near-duplicate except its cluster's minimum-id canonical document.
     * Pairs come from MinHash+LSH (exact-verified); clusters from min-label
     * connected components, so transitive duplicate chains collapse to one survivor.

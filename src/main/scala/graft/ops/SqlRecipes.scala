@@ -150,6 +150,75 @@ object SqlRecipes {
        |FROM alive""".stripMargin
   }
 
+  /** BM25 top-k — SQL twin of [[Bm25.topK]]: same two-scan/broadcast-stats shape
+    * (the singleton `stats` CTE cross-joins in as one row — Spark broadcasts it),
+    * same Lucene +1 idf smoothing and left-to-right addend order, scores rounded to
+    * 6 decimals with id tiebreak.
+    */
+  def bm25TopKSql(docsView: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    require(terms.nonEmpty && terms.forall(t => t == t.toLowerCase)
+      && terms.distinct.size == terms.size, "terms: nonempty, lowercase, distinct")
+    val lit = terms.map(t => s"'${t.replace("'", "''")}'")
+    val tf = lit.zipWithIndex.map { case (t, i) =>
+      s"size(filter(toks, x -> x = $t)) AS tf$i" }.mkString(", ")
+    val df = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val addends = terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1.0}" +
+        s" / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString("(", " + ", ")")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT ${q(idCol)} AS doc_id, size(toks) AS dl, $tf
+       |  FROM (SELECT ${q(idCol)}, split(trim(lower(${q(textCol)})), '\\\\s+') AS toks
+       |        FROM $docsView)
+       |),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $df
+       |  FROM p
+       |)
+       |SELECT doc_id, round($addends, 6) AS score
+       |FROM p CROSS JOIN stats WHERE $anyTf > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Ordered conversion funnel — SQL twin of [[Funnel.userFunnel]]: the same
+    * single-shuffle collect→sort→aggregate-HOF walk (not k chained self-joins),
+    * same min-recursion semantics and output columns.
+    */
+  def funnelSql(eventsView: String, steps: Seq[String], windowMicros: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): String = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps: nonempty, distinct")
+    val n = steps.size
+    val stepsArr = steps.map(s => s"'${s.replace("'", "''")}'").mkString("array(", ", ", ")")
+    val inList = steps.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
+    val stepCols = steps.indices.map(i =>
+      s"get(ts_arr, $i) AS t${i + 1}_us").mkString(", ")
+    s"""WITH walked AS (
+       |  SELECT ${q(userCol)} AS user_id,
+       |    aggregate(
+       |      array_sort(collect_list(struct(unix_micros(${q(tsCol)}) AS ts,
+       |        ${q(typeCol)} AS et))),
+       |      CAST(array() AS ARRAY<BIGINT>),
+       |      (acc, e) -> IF(
+       |        size(acc) < $n
+       |          AND e.et = element_at($stepsArr, size(acc) + 1)
+       |          AND (size(acc) = 0 OR (e.ts > get(acc, size(acc) - 1)
+       |               AND e.ts <= get(acc, 0) + ${windowMicros}L)),
+       |        concat(acc, array(e.ts)), acc)) AS ts_arr
+       |  FROM $eventsView
+       |  WHERE ${q(typeCol)} IN ($inList)
+       |  GROUP BY ${q(userCol)}
+       |)
+       |SELECT user_id, size(ts_arr) AS steps_completed, $stepCols
+       |FROM walked""".stripMargin
+  }
+
   /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
     * convenience for chaining recipes from SQL-first code.
     */

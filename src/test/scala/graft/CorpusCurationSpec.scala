@@ -56,4 +56,30 @@ class CorpusCurationSpec extends AnyFunSuite with SharedSpark {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(10L, 20L))
   }
+
+  test("keepTopFractionByGroup: per-group rank floor with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: 5 rows, scores 5..1 → ceil(0.5·5)=3 keep ids 1,2,3
+      (1L, "a", 5.0), (2L, "a", 4.0), (3L, "a", 3.0), (4L, "a", 2.0), (5L, "a", 1.0),
+      // group b: all-tied scores → rank falls back to id order, keeps 10,11
+      (10L, "b", 7.0), (11L, "b", 7.0), (12L, "b", 7.0),
+      // group c: single row always survives (ceil(0.5·1)=1)
+      (20L, "c", 0.0))
+      .toDF("doc_id", "grp", "score")
+    val kept = CorpusCuration.keepTopFractionByGroup(df, "grp", "score", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 10L, 11L, 20L))
+
+    // one shuffle: both windows share the group partitioning
+    val plan = CorpusCuration.keepTopFractionByGroup(df, "grp", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.split("Exchange").length - 1 -
+      (plan.split("BroadcastExchange").length - 1)
+    assert(shuffles <= 1, s"expected one shuffle:\n$plan")
+
+    intercept[IllegalArgumentException] {
+      CorpusCuration.keepTopFractionByGroup(df, "grp", "score", 0.0)
+    }
+  }
 }

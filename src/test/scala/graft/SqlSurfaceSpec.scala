@@ -114,6 +114,29 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
       .first().getLong(0) === 2) // id=1 deleted, id=2 and id=3 current
   }
 
+  test("pure-SQL BM25 recipe matches the Scala operator") {
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_bm25")
+    val terms = Seq("hash", "join", "vector")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.bm25TopKSql("docs_bm25", terms, k = 20))
+    val viaApi = graft.ops.Bm25.topK(docs, terms, k = 20)
+    assert(viaSql.count() === 20)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
+  test("pure-SQL funnel recipe matches the Scala operator") {
+    val ev = Tables.eventsMicros(spark, sf)
+    ev.createOrReplaceTempView("events_funnel")
+    val steps = Seq("view", "click", "purchase")
+    val win = 24L * 3600 * 1000000
+    val viaSql = spark.sql(graft.ops.SqlRecipes.funnelSql("events_funnel", steps, win))
+    val viaApi = graft.ops.Funnel.userFunnel(ev, steps, win)
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("producer encoding: to_json messages roundtrip through from_json (K1)") {
     val src = graft.model.RefAdapter.orders(Tables.orders(spark, sf))
     val messages = LakeWriter.toJsonMessages(src)
