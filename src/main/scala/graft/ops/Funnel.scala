@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Ordered multi-step conversion funnel over an event stream — the standard product
   * analytics question "how many users did A, then B, then C within a window?"
@@ -59,6 +60,48 @@ object Funnel {
 
     val stepCols = steps.indices.map(i => get(col("ts_arr"), lit(i)).as(s"t${i + 1}_us"))
     walked.select(col("user_id") +: size(col("ts_arr")).as("steps_completed") +: stepCols: _*)
+  }
+
+  final case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+
+  /** A user's live funnel position: `step_ts(k)` is the epoch-micros instant step
+    * k+1 chained; `steps_completed = step_ts.size`.
+    */
+  final case class FunnelProgress(user_id: Long, steps_completed: Int,
+      step_ts: Seq[Long])
+
+  /** Live per-user funnel progress over a stream (`mapGroupsWithState`, Update
+    * mode): each micro-batch advances the same greedy walk [[userFunnel]] runs in
+    * batch, emitting the user's current position.
+    *
+    * State is O(steps) per user — just the claimed step timestamps, NOT the event
+    * history. The walk sorts within each micro-batch, so intra-batch disorder is
+    * fine; a CROSS-batch straggler older than an already-claimed step cannot
+    * retro-chain (state only advances — the inherent streaming-funnel tradeoff;
+    * run the batch operator over landed data for the authoritative backfill).
+    */
+  def streaming(events: Dataset[FunnelEvent], steps: Seq[String],
+      windowMicros: Long)(implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps: nonempty, distinct")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val n = steps.size
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var acc = state.getOption.map(_.step_ts.toVector).getOrElse(Vector.empty)
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            val k = acc.size
+            if (k < n && e.event_type == steps(k) &&
+                (k == 0 || (e.ts_us > acc.last && e.ts_us <= acc.head + windowMicros)))
+              acc = acc :+ e.ts_us
+          }
+          val p = FunnelProgress(uid, acc.size, acc)
+          state.update(p)
+          p
+      }
   }
 
   /** Funnel summary: one row per step with the users reaching it and the conversion

@@ -77,6 +77,44 @@ class FunnelSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("PushedFilters: [In(event_type"), s"filter not pushed:\n$plan")
   }
 
+  test("streaming funnel advances the same walk across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Funnel.{FunnelEvent, FunnelProgress}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val Second = 1000000L
+    val mem = MemoryStream[FunnelEvent]
+    val q = Funnel.streaming(mem.toDS(), steps, windowMicros = 100L * Second)
+      .writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("update").start()
+    def latest: Map[Long, (Int, Seq[Long])] = spark.table("sfunnel_out")
+      .orderBy(col("steps_completed")) // latest update has the most progress
+      .as[FunnelProgress].collect()
+      .map(p => p.user_id -> (p.steps_completed, p.step_ts)).toMap
+    try {
+      // batch 1: u1 views (out-of-order within the batch: click before view by ts
+      // works because the walk sorts the batch)
+      mem.addData(FunnelEvent(1L, 20L * Second, "click"),
+        FunnelEvent(1L, 10L * Second, "view"))
+      q.processAllAvailable()
+      assert(latest(1L) === ((2, Seq(10L * Second, 20L * Second))))
+      // batch 2: the purchase arrives later, chains from state
+      mem.addData(FunnelEvent(1L, 30L * Second, "purchase"),
+        FunnelEvent(2L, 10L * Second, "view"))
+      q.processAllAvailable()
+      assert(latest(1L) === ((3, Seq(10L, 20L, 30L).map(_ * Second))))
+      assert(latest(2L)._1 === 1)
+      // batch 3: u2's click lands OUTSIDE the window → no advance; a cross-batch
+      // straggler for u1 cannot regress completed state
+      mem.addData(FunnelEvent(2L, 200L * Second, "click"),
+        FunnelEvent(1L, 5L * Second, "view"))
+      q.processAllAvailable()
+      assert(latest(1L)._1 === 3)
+      assert(latest(2L)._1 === 1)
+    } finally q.stop()
+  }
+
   test("userFunnel rejects repeated steps and non-positive windows") {
     intercept[IllegalArgumentException] {
       Funnel.userFunnel(events, Seq("view", "view"), 100L)
