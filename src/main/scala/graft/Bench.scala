@@ -15,7 +15,7 @@ object Bench {
     "q_events_hourly", "q_sessionize", "q_dq_report",
     "q_text_stats", "q_dedup_exact", "q_ngram_jaccard", "q_minhash_neardup",
     "q_simhash", "q_similarity_topk", "q_ann_topk", "q_ivf_topk", "q_repetition",
-    "q_multimodal_features", "q_funnel", "q_bm25_topk")
+    "q_multimodal_features", "q_funnel", "q_bm25_topk", "q_incremental_neardup")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production
@@ -32,7 +32,17 @@ object Bench {
     // contract query raw strings the oracle can replay
     "q_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.5)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+    "q_incremental_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, dir)
+      def sigs(part: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dedup.minHashSignatures(part, numHashes = 32)
+      graft.ops.IncrementalDedup.matchesAgainstIndex(
+          sigs(d.filter(col("doc_id") >= 400)), sigs(d.filter(col("doc_id") < 400)),
+          numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy("new_doc", "index_doc")
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

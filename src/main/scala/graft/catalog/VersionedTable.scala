@@ -325,9 +325,11 @@ object VersionedTable {
     }.map(c => new Path(dataPath(location, c)))
 
     // per-commit log files fully covered by the newest checkpoint are redundant —
-    // the checkpoint preserves their bodies verbatim, so history/as-of lose nothing.
+    // the checkpoint preserves their bodies verbatim, so history/as-of lose nothing
+    // — and so are SUPERSEDED checkpoints (strictly older than the newest).
     // (Writers never reclaim old version slots: the next claim is always
-    // max(version) + 1 resolved THROUGH the checkpoint.)
+    // max(version) + 1 resolved THROUGH the checkpoint. A reader caught between
+    // its listing and these deletes retries off a fresh listing — see [[commits]].)
     val logDir = new Path(s"$location/_commit_log")
     val logVictims =
       if (!fs.exists(logDir)) Seq.empty
@@ -339,8 +341,12 @@ object VersionedTable {
         }).maxOption
         ckptV.fold(Seq.empty[Path]) { cv =>
           entries.map(_.getPath).filter { p =>
-            p.getName.endsWith(".json") &&
-              p.getName.stripSuffix(".json").toLongOption.exists(_ <= cv)
+            (p.getName.endsWith(".json") &&
+              p.getName.stripSuffix(".json").toLongOption.exists(_ <= cv)) ||
+            (p.getName match {
+              case CheckpointName(v) => v.toLong < cv
+              case _ => false
+            })
           }
         }
       }
@@ -357,9 +363,25 @@ object VersionedTable {
     * per-commit files — O(tail) instead of O(commits) reads, which is the difference
     * between milliseconds and minutes on an object store once a streaming sink has
     * appended tens of thousands of micro-batch commits.
+    *
+    * A concurrent [[vacuum]] may delete a listed per-commit file between our listing
+    * and its open (it was covered by a checkpoint newer than the one we listed) —
+    * skipping it would silently drop that commit, so the whole walk retries against
+    * a fresh listing, which necessarily sees the covering checkpoint.
     */
   def commits(spark: SparkSession, location: String): Seq[Commit] = {
     val fs = fileSystem(spark, location)
+    var attempt = 0
+    while (true) {
+      try return commitsOnce(fs, location)
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def commitsOnce(fs: FileSystem, location: String): Seq[Commit] = {
     val logDir = new Path(s"$location/_commit_log")
     if (!fs.exists(logDir)) return Seq.empty
     val entries = fs.listStatus(logDir).toSeq.filter(_.isFile)

@@ -52,6 +52,25 @@ object CorpusCuration {
       .drop("__rn", "__n")
   }
 
+  /** The 100 TB variant of [[keepTopFractionByGroup]]: per-group score cutoffs from
+    * ONE `approx_percentile` aggregation (group cardinality rows), broadcast back,
+    * rows filtered map-side — no per-group sort, no window, the corpus never
+    * shuffles. The boundary is fuzzy by `relativeError` of rank (rows whose score
+    * ties the cutoff all survive), which is the explicit trade against the exact
+    * rank cut.
+    */
+  def keepTopFractionByGroupApprox(df: DataFrame, groupCol: String, scoreCol: String,
+      keepFraction: Double, relativeError: Double = 0.001): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val cutoffs = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepFraction),
+        lit((1.0 / relativeError).toInt)).as("__cutoff"))
+    df.join(broadcast(cutoffs), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** Drop every near-duplicate except its cluster's minimum-id canonical document.
     * Pairs come from MinHash+LSH (exact-verified); clusters from min-label
     * connected components, so transitive duplicate chains collapse to one survivor.

@@ -152,6 +152,14 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.checkpoint(spark, loc) === Some(12L))
     assert(VersionedTable.commits(spark, loc).map(_.version) === (0L to 12L))
     assert(VersionedTable.read(spark, loc).as[Long].collect().toSet === (0L until 130L).toSet)
+
+    // a later vacuum drops the SUPERSEDED checkpoint and the newly covered tail
+    val removed2 = VersionedTable.vacuum(spark, loc)
+    assert(removed2.exists(_.endsWith("_checkpoint.9.jsonl")))
+    assert(removed2.exists(_.endsWith("/12.json")))
+    assert(VersionedTable.commits(spark, loc).map(_.version) === (0L to 12L))
+    val logFiles = new java.io.File(s"$loc/_commit_log").listFiles().map(_.getName)
+    assert(logFiles.count(_.startsWith("_checkpoint.")) === 1)
   }
 
   test("versioned table: vacuum removes orphan data dirs but keeps committed reads") {

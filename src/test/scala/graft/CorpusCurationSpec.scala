@@ -82,4 +82,25 @@ class CorpusCurationSpec extends AnyFunSuite with SharedSpark {
       CorpusCuration.keepTopFractionByGroup(df, "grp", "score", 0.0)
     }
   }
+
+  test("approx quality floor agrees with exact up to the cutoff row; no window shuffle") {
+    import spark.implicits._
+    val df = (0 until 100).flatMap(i =>
+      Seq((i.toLong, "a", i * 2.0), (1000L + i, "b", 500.0 - i)))
+      .toDF("doc_id", "grp", "score")
+    val exact = CorpusCuration.keepTopFractionByGroup(df, "grp", "score", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = CorpusCuration.keepTopFractionByGroupApprox(df, "grp", "score", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // the approx cut is >= the cutoff VALUE, so it keeps every exact survivor plus
+    // at most the cutoff row itself per group — the documented fuzzy boundary
+    assert(exact.subsetOf(approx), "approx must never drop an exact survivor")
+    assert((approx -- exact).size <= 2, s"boundary slack too wide: ${approx -- exact}")
+
+    // the scale property the variant exists for: broadcast cutoffs, no Window
+    val plan = CorpusCuration.keepTopFractionByGroupApprox(df, "grp", "score", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx path must not window-sort:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"cutoffs must broadcast:\n$plan")
+  }
 }
