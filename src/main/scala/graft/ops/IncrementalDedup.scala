@@ -71,4 +71,52 @@ object IncrementalDedup {
       threshold).select(col("new_doc"))
     batch.join(dupIds, batch(idCol) === dupIds("new_doc"), "left_anti")
   }
+
+  /** The build parameters a persisted index was signed with. Signatures from two
+    * different (n, numHashes, family) builds are mutually meaningless — a probe
+    * joining them returns silent garbage (usually zero matches), which is why the
+    * parameters travel WITH the index and are validated on read.
+    */
+  final case class IndexParams(n: Int, numHashes: Int, hashFamily: String)
+
+  private def paramsPath(dir: String) = s"$dir/_index_params.json"
+
+  /** Persist a signature index: [[Dedup.minHashSignatures]] output as parquet plus
+    * the build parameters beside it. Growing the index is an ordinary parquet append
+    * of the novel batch's signatures (same params — enforced by reading through
+    * [[readIndex]]), or a [[graft.catalog.VersionedTable]] if history matters.
+    */
+  def writeIndex(sigs: DataFrame, dir: String, params: IndexParams,
+      mode: String = "overwrite"): Unit = {
+    sigs.write.mode(mode).parquet(s"$dir/signatures")
+    val spark = sigs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(paramsPath(dir)), true)
+    try out.write(
+      s"""{"n":${params.n},"numHashes":${params.numHashes},"hashFamily":"${params.hashFamily}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted index, failing fast unless the caller's expected parameters
+    * match what the index was actually built with.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      expected: IndexParams): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(new org.apache.hadoop.fs.Path(paramsPath(dir)))
+    val body = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    def num(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt).getOrElse(-1)
+    val stored = IndexParams(num("n"), num("numHashes"),
+      """"hashFamily":"([^"]*)"""".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse(""))
+    require(stored == expected,
+      s"signature index at $dir was built with $stored, probe expects $expected — " +
+        "signatures from different builds are mutually meaningless")
+    spark.read.parquet(s"$dir/signatures")
+  }
 }

@@ -69,6 +69,29 @@ class IncrementalDedupSpec extends AnyFunSuite with SharedSpark {
     assert(matched.nonEmpty)
   }
 
+  test("writeIndex/readIndex roundtrip; mismatched build params fail fast") {
+    import graft.ops.IncrementalDedup.IndexParams
+    val (index, batch) = split
+    val dir = java.nio.file.Files.createTempDirectory("sig_index_p").toString
+    val params = IndexParams(n = 3, numHashes = 32, hashFamily = "xxhash64")
+    IncrementalDedup.writeIndex(Dedup.minHashSignatures(index), dir, params)
+    val loaded = IncrementalDedup.readIndex(spark, dir, params)
+    val got = IncrementalDedup.matchesAgainstIndex(
+      Dedup.minHashSignatures(batch), loaded).count()
+    assert(got > 0)
+
+    // growing the index = appending the novel signatures through the same params
+    IncrementalDedup.writeIndex(
+      Dedup.minHashSignatures(batch.limit(10)), dir, params, mode = "append")
+    assert(IncrementalDedup.readIndex(spark, dir, params).count()
+      === index.count() + 10)
+
+    val wrong = intercept[IllegalArgumentException] {
+      IncrementalDedup.readIndex(spark, dir, params.copy(numHashes = 64))
+    }
+    assert(wrong.getMessage.contains("mutually meaningless"))
+  }
+
   test("the probe never reads index text: plan contains no second shingle pass") {
     val (index, batch) = split
     // simulate a persisted index: signatures parquet only, text long gone

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.VersionedTable
+import graft.streaming.NearDupIngest
+
+class NearDupIngestSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  // long distinct documents so MinHash separates them cleanly
+  private val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+  private val docANear = docA.replace("one two", "one three") // near-dup of A
+  private val docB = "entirely different content about distributed query engines " +
+    "columnar storage vectorized execution adaptive planning shuffle partitions " +
+    "broadcast joins predicate pushdown statistics pruning codegen pipelines"
+  private val docC = "a third unrelated corpus document mentioning streaming state " +
+    "watermarks triggers checkpoints exactly once semantics micro batch replay " +
+    "idempotent sinks transactional commit logs versioned tables time travel"
+
+  test("streaming near-dup ingest: novel docs land once, dups are suppressed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Files.createTempDirectory("ndi_corpus").toString
+    val index = Files.createTempDirectory("ndi_index").toString
+    val ckpt = Files.createTempDirectory("ndi_ckpt").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupIngest.start(mem.toDF().toDF("doc_id", "text"),
+      corpus, index, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      // batch 1: A and B are novel; A's near-dup arrives IN THE SAME batch and is
+      // suppressed intra-batch (canonical = min id)
+      mem.addData((1L, docA), (2L, docB), (3L, docANear))
+      q.processAllAvailable()
+      assert(VersionedTable.read(spark, corpus).select("doc_id")
+        .as[Long].collect().toSet === Set(1L, 2L))
+
+      // batch 2: another near-dup of A (cross-batch, caught by the index probe),
+      // an exact dup of B, and novel C
+      mem.addData((4L, docANear), (5L, docB), (6L, docC))
+      q.processAllAvailable()
+      val docs = VersionedTable.read(spark, corpus).select("doc_id")
+        .as[Long].collect().toSet
+      assert(docs === Set(1L, 2L, 6L), s"got $docs")
+
+      // the index holds exactly the admitted docs' signatures
+      assert(VersionedTable.read(spark, index).select("doc_id")
+        .as[Long].collect().toSet === Set(1L, 2L, 6L))
+    } finally q.stop()
+
+    // replaying an already-committed batch through the same identity is a no-op
+    val batch = Seq((6L, docC)).toDF("doc_id", "text")
+    NearDupIngest.ingestBatch(batch, corpus, index, ckpt, txnId = 1L)
+    assert(VersionedTable.read(spark, corpus).count() === 3)
+  }
+}

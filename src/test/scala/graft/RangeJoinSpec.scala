@@ -95,5 +95,12 @@ class RangeJoinSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalOverlap(a, b, "s", "e", "s", "e", 10L)
     }
+    // the rewrite's point: an equality join, never a nested loop
+    val df = RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+      binWidth = 7L, keys = Seq("k"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"interval overlap fell back to a non-equality join:\n$plan")
   }
 }
