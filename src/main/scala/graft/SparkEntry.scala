@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -400,6 +400,19 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Distribution drift: PSI of order value between pre- and post-1998 orders over
+    * fixed 50k-wide bins. The oracle recomputes the identical binning (count of
+    * edges ≤ value), fractions, epsilon floor, and ln chain, rounded to 6 decimals.
+    */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    Drift.psi(
+        o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut),
+        "o_totalprice", edges = (1 to 9).map(_ * 50000.0))
+      .orderBy("bin")
+  }
+
   /** Relative quality floor: each language's top half by composite quality score,
     * rank-based with doc_id tiebreak (engine-exact, unlike interpolated
     * percentiles). The oracle recomputes the score and replays the same window.
@@ -697,6 +710,7 @@ object SparkEntry {
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
     "q_quality_floor" -> qQualityFloor,
+    "q_drift" -> qDrift,
     "q_token_counts" -> qTokenCounts,
     "q_lang_id" -> qLangId,
     "q_dedup_exact" -> qDedupExact,
@@ -1180,6 +1194,33 @@ object SparkEntry {
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
     "q_text_stats" -> textStatsSql,
+    // PSI replay: identical bin chain (count of edges <= value), fraction math,
+    // epsilon floor and ln argument order, rounded to 6 decimals
+    "q_drift" -> {
+      val binExpr = (1 to 9).map(e =>
+        s"CASE WHEN o_totalprice >= ${e * 50000.0} THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH b AS (
+         |  SELECT $binExpr AS bin, COUNT(*) AS base_n FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+         |c AS (
+         |  SELECT $binExpr AS bin, COUNT(*) AS cur_n FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(b.bin, c.bin) AS bin,
+         |    CAST(COALESCE(base_n, 0) AS BIGINT) AS base_n,
+         |    CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+         |  FROM b FULL OUTER JOIN c ON b.bin = c.bin),
+         |t AS (SELECT CAST(SUM(base_n) AS DOUBLE) AS bt,
+         |  CAST(SUM(cur_n) AS DOUBLE) AS ct FROM j)
+         |SELECT bin, base_n, cur_n,
+         |  round((greatest(cur_n / ct, 1e-6) - greatest(base_n / bt, 1e-6))
+         |    * ln(greatest(cur_n / ct, 1e-6) / greatest(base_n / bt, 1e-6)), 6)
+         |    AS psi_term
+         |FROM j, t ORDER BY bin""".stripMargin
+    },
     // the same score expression, cut at each language's rank-based median
     "q_quality_floor" -> {
       val scored = textStatsSql.replace("ORDER BY doc_id", "")

@@ -70,4 +70,72 @@ object Bm25 {
     scores(docs, terms, k1, b, idCol, textCol)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Materialized inverted index for REPEATED queries: one corpus scan builds
+    * `postings` (term, doc_id, tf) and `docs` (doc_id, dl) + a single-row corpus
+    * stats frame. [[topKFromIndex]] then answers any query from index lookups —
+    * per query it touches only the query terms' postings (partition/sort the
+    * postings table by term on write and the scan prunes to them), never the text.
+    * The scan-based [[topK]] stays the right call for one-off queries; the index
+    * pays for itself from the second query on.
+    */
+  final case class Index(postings: DataFrame, docLengths: DataFrame, stats: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val postings = perDoc
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docLengths = perDoc.select("doc_id", "dl")
+    val stats = docLengths.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    Index(postings, docLengths, stats)
+  }
+
+  /** BM25 top-k off a prebuilt [[Index]] — identical scores to the scan-based
+    * [[topK]] (same idf smoothing, same addend order over the terms as given).
+    * Per-term df comes from the postings; documents missing a term contribute a
+    * zero addend exactly as tf=0 does in the scan formulation.
+    */
+  def topKFromIndex(index: Index, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.forall(t => t == t.toLowerCase), s"terms must be lowercase: $terms")
+    require(terms.distinct.size == terms.size, "repeated terms double-count")
+
+    // only the query terms' postings leave the index scan
+    val hits = index.postings.filter(col("term").isin(terms: _*))
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    // per-doc (term, tf) pairs pivot to tf columns so the scoring chain is the
+    // same left-to-right fold as the scan path
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf$i") }
+    val perDoc = hits.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+      .join(index.docLengths, "doc_id")
+
+    // coalesce: aggregating an EMPTY dfs frame (no term matched anything) yields
+    // one all-NULL row, and the scan path's semantics for a matchless term is df=0
+    val dfLit = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("df")).otherwise(0L)), lit(0L))
+        .as(s"__df$i") }
+    val statRow = broadcast(index.stats.crossJoin(
+      broadcast(dfs).agg(dfLit.head, dfLit.tail: _*)))
+
+    val n = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / n
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val df = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+      idf * tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+
+    perDoc.join(statRow)
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two snapshots of a table — the monitoring
+  * primitive a long-running ingest pipeline runs per batch/day: "does today's data
+  * still look like the corpus the model was trained on?"
+  *
+  * Metric: Population Stability Index over EXPLICIT bin edges,
+  * `PSI = Σ_bins (cur% − base%) · ln(cur% / base%)` (common reading: < 0.1 stable,
+  * 0.1–0.25 moderate shift, > 0.25 investigate). Edges are caller-fixed rather than
+  * quantile-derived so the measurement is reproducible run-over-run and replayable
+  * by any engine — a drifting quantile grid would move the ruler with the data.
+  *
+  * Scale shape: one filter+aggregate pass per side with map-side partial counts
+  * (shuffle rows = bins, not data), a bins-sized full-outer join, and a broadcast
+  * single-row totals join. Nothing about the computation grows with table size
+  * except the two scans.
+  */
+object Drift {
+
+  /** Bin index of a value for ascending `edges`: bin k ⇔ value in [e_k, e_k+1)
+    * with e_0 = −∞ — i.e. the count of edges ≤ value. Integer-exact and trivially
+    * replayable (a sum of boolean comparisons).
+    */
+  def binOf(c: Column, edges: Seq[Double]): Column =
+    edges.map(e => when(c >= e, 1).otherwise(0)).reduce(_ + _)
+
+  /** Per-bin PSI contributions (`bin, base_n, cur_n, psi_term` — psi_term rounded
+    * to 6 decimals; total PSI = their sum). NULL values are excluded on both sides;
+    * empty bins are floored at `epsilon` fraction, the standard guard that keeps
+    * ln finite while still penalizing mass appearing where none existed.
+    */
+  def psi(baseline: DataFrame, current: DataFrame, column: String,
+      edges: Seq[Double], epsilon: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      "edges must be strictly ascending")
+    require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
+    def hist(df: DataFrame, cnt: String) = df
+      .filter(col(column).isNotNull)
+      .groupBy(binOf(col(column), edges).as("bin"))
+      .agg(count(lit(1)).as(cnt))
+    val joined = hist(baseline, "base_n")
+      .join(hist(current, "cur_n"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(
+      sum("base_n").as("__bt"), sum("cur_n").as("__ct"))
+    val baseFrac = greatest(col("base_n").cast("double") / col("__bt"), lit(epsilon))
+    val curFrac = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
+    joined.join(broadcast(totals))
+      .select(col("bin"), col("base_n"), col("cur_n"),
+        round((curFrac - baseFrac) * log(curFrac / baseFrac), 6).as("psi_term"))
+  }
+
+  /** The scalar PSI (sum of per-bin contributions) — for alert thresholds. */
+  def psiTotal(baseline: DataFrame, current: DataFrame, column: String,
+      edges: Seq[Double], epsilon: Double = 1e-6): Double =
+    psi(baseline, current, column, edges, epsilon)
+      .agg(sum("psi_term")).first().getDouble(0)
+}

@@ -41,6 +41,41 @@ class Bm25Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("inverted index: topKFromIndex scores identically to the scan path") {
+    val docs = Tables.documents(spark, sf)
+    // persist the index as a real deployment would — queries must run off parquet
+    // postings with the text table long gone
+    val dir = java.nio.file.Files.createTempDirectory("bm25_index").toString
+    val built = Bm25.buildIndex(docs)
+    built.postings.write.partitionBy("term").parquet(s"$dir/postings")
+    built.docLengths.write.parquet(s"$dir/dl")
+    built.stats.write.parquet(s"$dir/stats")
+    val index = Bm25.Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/dl"),
+      spark.read.parquet(s"$dir/stats"))
+
+    val terms = Seq("hash", "join", "vector")
+    val viaScan = Bm25.topK(docs, terms, 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaIndex = Bm25.topKFromIndex(index, terms, 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIndex.toSeq === viaScan.toSeq)
+
+    // a term that matches nothing contributes a zero addend, same as the scan path
+    val scanZ = Bm25.topK(docs, Seq("hash", "zzzznonexistent"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idxZ = Bm25.topKFromIndex(index, Seq("hash", "zzzznonexistent"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(idxZ.toSeq === scanZ.toSeq)
+
+    // per-query cost: the term-partitioned postings scan PRUNES to the query terms,
+    // and the text column is never touched
+    val exec = Bm25.topKFromIndex(index, terms, 20).queryExecution
+    val plan = exec.executedPlan.toString
+    assert(!plan.contains("split("), s"index query must not re-tokenize text:\n$plan")
+    assert("PartitionFilters: \\[term#\\d+ IN \\(hash,join,vector\\)".r
+      .findFirstIn(plan).isDefined, s"postings scan must prune on term:\n$plan")
+  }
+
   test("matching is case-insensitive on the document side") {
     val mixed = Seq((1L, "Hash JOIN"), (2L, "HASH")).toDF("doc_id", "text")
     val ids = Bm25.scores(mixed, Seq("hash")).select("doc_id")

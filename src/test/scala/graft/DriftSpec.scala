@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Drift
+
+class DriftSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  test("psi: identical distributions score ~0, a shifted one scores high") {
+    val base = (1 to 1000).map(i => i % 100).toDF("v")
+    val same = (1 to 1000).map(i => (i * 7) % 100).toDF("v") // same uniform support
+    val edges = Seq(25.0, 50.0, 75.0)
+    assert(Drift.psiTotal(base, same, "v", edges) < 0.01)
+
+    val shifted = (1 to 1000).map(i => 50 + i % 50).toDF("v") // mass leaves bins 0-1
+    assert(Drift.psiTotal(base, shifted, "v", edges) > 0.25)
+  }
+
+  test("psi: per-bin frame covers empty bins via the epsilon floor") {
+    val base = Seq(10.0, 20.0, 30.0, 90.0).toDF("v")
+    val cur = Seq(90.0, 91.0, 92.0, 93.0).toDF("v")
+    val rows = Drift.psi(base, cur, "v", edges = Seq(50.0))
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1))
+    assert(rows(0).getLong(1) === 3L && rows(0).getLong(2) === 0L)
+    // bin 0 lost all its mass: contribution ≈ (eps - 0.75)·ln(eps/0.75) — large
+    assert(rows(0).getDouble(3) > 5.0)
+
+    // binning is the count-of-edges-≤-value contract
+    val binned = base.select(Drift.binOf(col("v"), Seq(15.0, 25.0)).as("b"))
+      .as[Int].collect().toSeq
+    assert(binned === Seq(0, 1, 2, 2))
+
+    intercept[IllegalArgumentException] {
+      Drift.psi(base, cur, "v", edges = Seq(50.0, 10.0))
+    }
+  }
+
+  test("psi: NULLs are excluded, not binned") {
+    val base = Seq(Some(10.0), Some(90.0), None).toDF("v")
+    val cur = Seq(Some(10.0), Some(90.0)).toDF("v")
+    val total = Drift.psiTotal(base, cur, "v", Seq(50.0))
+    assert(math.abs(total) < 1e-9, s"null row must not shift fractions: $total")
+  }
+}
