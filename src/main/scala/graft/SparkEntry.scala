@@ -413,6 +413,16 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Categorical drift: PSI of the language mix between the two halves of the
+    * document corpus (doc_id split) — the training-mix monitor.
+    */
+  private def qDriftCategorical(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Drift.psiCategorical(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1), "lang")
+      .orderBy("category")
+  }
+
   /** Relative quality floor: each language's top half by composite quality score,
     * rank-based with doc_id tiebreak (engine-exact, unlike interpolated
     * percentiles). The oracle recomputes the score and replays the same window.
@@ -711,6 +721,7 @@ object SparkEntry {
     "q_text_stats" -> qTextStats,
     "q_quality_floor" -> qQualityFloor,
     "q_drift" -> qDrift,
+    "q_drift_categorical" -> qDriftCategorical,
     "q_token_counts" -> qTokenCounts,
     "q_lang_id" -> qLangId,
     "q_dedup_exact" -> qDedupExact,
@@ -1221,6 +1232,26 @@ object SparkEntry {
          |    AS psi_term
          |FROM j, t ORDER BY bin""".stripMargin
     },
+    // categorical PSI over the language mix, same replayed math keyed by value
+    "q_drift_categorical" ->
+      """WITH b AS (
+        |  SELECT lang AS category, COUNT(*) AS base_n FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1),
+        |c AS (
+        |  SELECT lang AS category, COUNT(*) AS cur_n FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(b.category, c.category) AS category,
+        |    CAST(COALESCE(base_n, 0) AS BIGINT) AS base_n,
+        |    CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+        |  FROM b FULL OUTER JOIN c ON b.category = c.category),
+        |t AS (SELECT CAST(SUM(base_n) AS DOUBLE) AS bt,
+        |  CAST(SUM(cur_n) AS DOUBLE) AS ct FROM j)
+        |SELECT category, base_n, cur_n,
+        |  round((greatest(cur_n / ct, 1e-6) - greatest(base_n / bt, 1e-6))
+        |    * ln(greatest(cur_n / ct, 1e-6) / greatest(base_n / bt, 1e-6)), 6)
+        |    AS psi_term
+        |FROM j, t ORDER BY category""".stripMargin,
     // the same score expression, cut at each language's rank-based median
     "q_quality_floor" -> {
       val scored = textStatsSql.replace("ORDER BY doc_id", "")

@@ -61,4 +61,31 @@ object Drift {
       edges: Seq[Double], epsilon: Double = 1e-6): Double =
     psi(baseline, current, column, edges, epsilon)
       .agg(sum("psi_term")).first().getDouble(0)
+
+  /** Categorical PSI: same contributions keyed by the column's VALUES instead of
+    * numeric bins — "did the language/source/status mix shift?". A category seen
+    * on only one side still contributes (epsilon floor on the missing side);
+    * NULL is excluded like the numeric path. Cardinality bounds the shuffle
+    * exactly as bins do — guard high-cardinality columns by mapping to a coarser
+    * key first (this is a mix monitor, not a join).
+    */
+  def psiCategorical(baseline: DataFrame, current: DataFrame, column: String,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
+    def hist(df: DataFrame, cnt: String) = df
+      .filter(col(column).isNotNull)
+      .groupBy(col(column).as("category"))
+      .agg(count(lit(1)).as(cnt))
+    val joined = hist(baseline, "base_n")
+      .join(hist(current, "cur_n"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(sum("base_n").as("__bt"), sum("cur_n").as("__ct"))
+    val baseFrac = greatest(col("base_n").cast("double") / col("__bt"), lit(epsilon))
+    val curFrac = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
+    joined.join(broadcast(totals))
+      .select(col("category"), col("base_n"), col("cur_n"),
+        round((curFrac - baseFrac) * log(curFrac / baseFrac), 6).as("psi_term"))
+  }
 }

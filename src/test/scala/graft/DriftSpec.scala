@@ -39,6 +39,19 @@ class DriftSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("psiCategorical: one-sided categories contribute via the epsilon floor") {
+    val base = Seq("en", "en", "en", "de").toDF("lang")
+    val cur = Seq("en", "en", "fr", "fr").toDF("lang")
+    val rows = Drift.psiCategorical(base, cur, "lang").orderBy("category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows.map(_._1) === Seq("de", "en", "fr"))
+    assert(rows.map(r => (r._2, r._3)) === Seq((1L, 0L), (3L, 2L), (0L, 2L)))
+    // de vanished and fr appeared: both one-sided terms are large and positive
+    assert(rows.head._4 > 1.0 && rows.last._4 > 1.0)
+    // the en term is modest (0.75 → 0.5)
+    assert(math.abs(rows(1)._4 - (0.5 - 0.75) * math.log(0.5 / 0.75)) < 1e-6)
+  }
+
   test("psi: NULLs are excluded, not binned") {
     val base = Seq(Some(10.0), Some(90.0), None).toDF("v")
     val cur = Seq(Some(10.0), Some(90.0)).toDF("v")
