@@ -47,13 +47,24 @@ object Drift {
       .select(col("bin"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-    val totals = joined.agg(
-      sum("base_n").as("__bt"), sum("cur_n").as("__ct"))
-    val baseFrac = greatest(col("base_n").cast("double") / col("__bt"), lit(epsilon))
-    val curFrac = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
-    joined.join(broadcast(totals))
-      .select(col("bin"), col("base_n"), col("cur_n"),
-        round((curFrac - baseFrac) * log(curFrac / baseFrac), 6).as("psi_term"))
+    psiTerms(joined, col("bin"), epsilon)
+  }
+
+  /** Shared fraction/ln chain over a (key, base_n, cur_n) frame. Totals come from a
+    * whole-frame window, NOT a separate aggregate: a second aggregate would
+    * re-execute the histogram lineage and scan both snapshots TWICE more (observed
+    * in the plan), while the window reuses the one materialized frame — and that
+    * frame is bins/categories-sized, so its single-partition window is free.
+    */
+  private def psiTerms(joined: DataFrame, key: Column, epsilon: Double): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val bt = sum("base_n").over(whole)
+    val ct = sum("cur_n").over(whole)
+    val baseFrac = greatest(col("base_n").cast("double") / bt, lit(epsilon))
+    val curFrac = greatest(col("cur_n").cast("double") / ct, lit(epsilon))
+    joined.select(key, col("base_n"), col("cur_n"),
+      round((curFrac - baseFrac) * log(curFrac / baseFrac), 6).as("psi_term"))
   }
 
   /** The scalar PSI (sum of per-bin contributions) — for alert thresholds. */
@@ -81,11 +92,6 @@ object Drift {
       .select(col("category"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-    val totals = joined.agg(sum("base_n").as("__bt"), sum("cur_n").as("__ct"))
-    val baseFrac = greatest(col("base_n").cast("double") / col("__bt"), lit(epsilon))
-    val curFrac = greatest(col("cur_n").cast("double") / col("__ct"), lit(epsilon))
-    joined.join(broadcast(totals))
-      .select(col("category"), col("base_n"), col("cur_n"),
-        round((curFrac - baseFrac) * log(curFrac / baseFrac), 6).as("psi_term"))
+    psiTerms(joined, col("category"), epsilon)
   }
 }

@@ -52,6 +52,17 @@ class DriftSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(rows(1)._4 - (0.5 - 0.75) * math.log(0.5 / 0.75)) < 1e-6)
   }
 
+  test("psi: each snapshot is scanned exactly once") {
+    val o = Tables.orders(spark, sf)
+    val cut = lit("1998-01-01").cast("timestamp")
+    val plan = Drift.psi(
+        o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut),
+        "o_totalprice", edges = Seq(100000.0, 200000.0))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 2, s"totals must not re-execute the histogram lineage:\n$plan")
+  }
+
   test("psi: NULLs are excluded, not binned") {
     val base = Seq(Some(10.0), Some(90.0), None).toDF("v")
     val cur = Seq(Some(10.0), Some(90.0)).toDF("v")
