@@ -474,6 +474,20 @@ object SparkEntry {
       .orderBy(asc_nulls_first("sale_date"), asc_nulls_first("region"))
   }
 
+  /** CUBE over the same frame: all four grouping sets — (date, region), date-only,
+    * region-only, grand total — completing §2.7 subtotal parity next to ROLLUP.
+    */
+  private def qSalesCube(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("order_amount").cast(DecimalType(18, 2))
+    refOrders(s, dir)
+      .join(broadcast(refCustomers(s, dir).select("customer_id", "region")),
+        Seq("customer_id"))
+      .withColumn("sale_date", date_format(col("order_date"), "yyyy-MM-dd"))
+      .cube(col("sale_date"), col("region"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("sale_date"), asc_nulls_first("region"))
+  }
+
   /** Analytic window functions: rank / dense_rank / lag / ntile / running decimal total
     * per customer (frame specs beyond the reference's unused Window import).
     */
@@ -755,6 +769,7 @@ object SparkEntry {
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_sales_rollup" -> qSalesRollup,
+    "q_sales_cube" -> qSalesCube,
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops" -> qSetOps,
     "q_pivot_revenue" -> qPivotRevenue,
@@ -1344,6 +1359,14 @@ object SparkEntry {
          |  CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM o JOIN c USING (customer_id)
          |GROUP BY ROLLUP(1, 2)
+         |ORDER BY sale_date NULLS FIRST, region NULLS FIRST""".stripMargin,
+    "q_sales_cube" ->
+      s"""WITH o AS ($oSql), c AS ($cSql)
+         |SELECT strftime(o.order_date, '%Y-%m-%d') AS sale_date, c.region AS region,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM o JOIN c USING (customer_id)
+         |GROUP BY CUBE(1, 2)
          |ORDER BY sale_date NULLS FIRST, region NULLS FIRST""".stripMargin,
     // the oracle runs the PLAIN inequality join the bin-bucketed equality join must
     // reproduce exactly (1 hour = 3_600_000_000 µs)
