@@ -436,6 +436,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted sampling: each document survives with probability equal to
+    * its composite quality score — better documents oversampled, junk culled, all
+    * decided by the deterministic md5 bucket (score steps are exact quarters, so
+    * the cut has no float-boundary risk).
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Splits.sampleByWeight(
+        TextAnalysis.textStats(docs(s, dir)).select("doc_id", "quality_score"),
+        "quality_score")
+      .orderBy("doc_id")
+
   /** Temperature sampling (alpha=0.5, target 30% of the corpus): the sampled language
     * mix flattens toward sqrt-proportional shares. The oracle recomputes fractions
     * from the same counts with the identical fold order, then replays the md5 cut.
@@ -766,6 +777,7 @@ object SparkEntry {
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
     "q_temperature_sample" -> qTemperatureSample,
+    "q_weighted_sample" -> qWeightedSample,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_sales_rollup" -> qSalesRollup,
@@ -1426,6 +1438,16 @@ object SparkEntry {
          |    AS BIGINT) % ${Splits.Buckets} <
          |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
+    // per-row weighted keep: the oracle recomputes the quality score and replays
+    // bucket < round(score*1000) — scores are exact quarters, no boundary risk
+    "q_weighted_sample" -> {
+      val scored = textStatsSql.replace("ORDER BY doc_id", "")
+      s"""WITH q AS ($scored)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % ${Splits.Buckets} < round(quality_score * ${Splits.Buckets})
+         |ORDER BY doc_id""".stripMargin
+    },
     // temperature fractions recomputed from group counts: pow weights folded in
     // lexicographic lang order (list_reduce over an ORDER BY list — an unordered SUM
     // could differ in the last ulp and flip a bucket boundary), same cut replay

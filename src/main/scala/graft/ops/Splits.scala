@@ -104,6 +104,17 @@ object Splits {
     }.toMap
   }
 
+  /** Per-row weighted sampling: keep each row with probability `weightCol` (a
+    * [0, 1] column — e.g. a quality score, so better documents survive more often),
+    * decided by the row's own md5 bucket. Same determinism contract as the other
+    * samplers: pure per-row function of (id, weight), zero shuffle, reproducible
+    * across engines and incremental loads; rows with NULL weight are dropped.
+    * Resolution is 1/[[Buckets]] — weights round to the nearest 0.1%.
+    */
+  def sampleByWeight(df: DataFrame, weightCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.filter(bucketOf(col(idCol)) < round(col(weightCol) * Buckets))
+
   /** Count groups (ONE tiny aggregation — group cardinality is sources/langs, i.e.
     * driver-metadata scale), derive temperature fractions, and sample. Rows with a
     * NULL group are dropped (no fraction can be assigned to them).

@@ -115,6 +115,33 @@ class FunnelSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming funnel over one batch equals the batch walk on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Funnel.{FunnelEvent, FunnelProgress}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val win = 24L * 3600 * 1000000
+    val ev = Tables.eventsMicros(spark, sf)
+    val batchResult = Funnel.userFunnel(ev, steps, win)
+      .select("user_id", "steps_completed").as[(Long, Int)].collect().toMap
+
+    val feed = ev.filter(col("event_type").isInCollection(steps))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent].collect()
+    val mem = MemoryStream[FunnelEvent]
+    val q = Funnel.streaming(mem.toDS(), steps, win)
+      .writeStream.format("memory").queryName("sfunnel_eq")
+      .outputMode("update").start()
+    try {
+      mem.addData(feed.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sfunnel_eq").as[FunnelProgress].collect()
+        .map(p => p.user_id -> p.steps_completed).toMap
+      assert(streamed === batchResult)
+    } finally q.stop()
+  }
+
   test("userFunnel rejects repeated steps and non-positive windows") {
     intercept[IllegalArgumentException] {
       Funnel.userFunnel(events, Seq("view", "view"), 100L)

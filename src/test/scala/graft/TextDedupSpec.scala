@@ -142,6 +142,27 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("weighted sampling: keep probability tracks the weight column") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val n = 4000
+    val df = (1 to n).map(i => (i.toLong, if (i % 2 == 0) 1.0 else 0.25))
+      .toDF("doc_id", "w")
+    val kept = graft.ops.Splits.sampleByWeight(df, "w")
+    // weight 1.0 rows ALL survive; weight 0.25 rows survive at ~25%
+    assert(kept.filter(col("w") === 1.0).count() === n / 2)
+    val frac = kept.filter(col("w") === 0.25).count().toDouble / (n / 2)
+    assert(math.abs(frac - 0.25) < 0.05, s"kept $frac of the 0.25-weight rows")
+    // weight 0 and NULL drop everything
+    assert(graft.ops.Splits.sampleByWeight(
+      df.withColumn("w", lit(0.0)), "w").count() === 0)
+    assert(graft.ops.Splits.sampleByWeight(
+      df.withColumn("w", lit(null).cast("double")), "w").count() === 0)
+    // deterministic under repartitioning
+    val again = graft.ops.Splits.sampleByWeight(df.repartition(7), "w")
+    assert(kept.exceptAll(again).count() === 0 && again.exceptAll(kept).count() === 0)
+  }
+
   test("temperature sampling flattens the group mix toward n^alpha shares") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
