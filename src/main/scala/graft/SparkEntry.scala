@@ -436,6 +436,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Class balancing: every language downsampled toward the rarest language's
+    * count (fraction = min_n/n_g); the oracle recomputes the same fractions from
+    * the same counts and replays the md5 cut.
+    */
+  private def qBalancedSample(s: SparkSession, dir: String): DataFrame =
+    Splits.equalizeGroups(docs(s, dir), "lang")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** Quality-weighted sampling: each document survives with probability equal to
     * its composite quality score — better documents oversampled, junk culled, all
     * decided by the deterministic md5 bucket (score steps are exact quarters, so
@@ -778,6 +787,7 @@ object SparkEntry {
     "q_stratified_sample" -> qStratifiedSample,
     "q_temperature_sample" -> qTemperatureSample,
     "q_weighted_sample" -> qWeightedSample,
+    "q_balanced_sample" -> qBalancedSample,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_sales_rollup" -> qSalesRollup,
@@ -1437,6 +1447,17 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
          |    AS BIGINT) % ${Splits.Buckets} <
          |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+    // class balancing: fractions = min group count / group count, same cut replay
+    "q_balanced_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang, COUNT(*) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |m AS (SELECT MIN(n) AS mn FROM c),
+         |f AS (SELECT lang, CAST(mn AS DOUBLE) / n AS frac FROM c, m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % ${Splits.Buckets} < round(frac * ${Splits.Buckets})
          |ORDER BY doc_id""".stripMargin,
     // per-row weighted keep: the oracle recomputes the quality score and replays
     // bucket < round(score*1000) — scores are exact quarters, no boundary risk

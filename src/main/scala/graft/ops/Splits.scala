@@ -127,6 +127,23 @@ object Splits {
       defaultFraction = 0.0, idCol = idCol)
   }
 
+  /** Class balancing: downsample every group toward the SMALLEST group's size
+    * (fraction_g = min_n / n_g) — the standard equalized training mix for a skewed
+    * label/language distribution. Deterministic md5-bucket membership like every
+    * sampler here; expected (not exact) per-group sizes, since membership must stay
+    * a pure per-row function for reproducibility. One tiny counting aggregation,
+    * then a zero-shuffle filter.
+    */
+  def equalizeGroups(df: DataFrame, groupCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull).groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "no non-null groups to balance")
+    val minN = counts.map(_._2).min
+    val fractions = counts.map { case (g, n) => g -> minN.toDouble / n }.toMap
+    sampleStratified(df, groupCol, fractions, defaultFraction = 0.0, idCol = idCol)
+  }
+
   /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
     * engines cut at identical buckets.
     */

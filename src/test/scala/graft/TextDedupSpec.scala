@@ -163,6 +163,27 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(kept.exceptAll(again).count() === 0 && again.exceptAll(kept).count() === 0)
   }
 
+  test("equalizeGroups downsamples every language toward the rarest") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    val balanced = graft.ops.Splits.equalizeGroups(docs, "lang")
+    val after = balanced.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest group survives whole; every group lands near min_n (bucket noise)
+    val rarest = counts.minBy(_._2)._1
+    assert(after(rarest) === minN)
+    after.foreach { case (g, n) =>
+      assert(math.abs(n - minN).toDouble / minN < 0.25, s"$g: $n vs target $minN")
+    }
+    // deterministic under repartitioning
+    val again = graft.ops.Splits.equalizeGroups(docs.repartition(11), "lang")
+    assert(balanced.exceptAll(again).count() === 0)
+    assert(again.exceptAll(balanced).count() === 0)
+  }
+
   test("temperature sampling flattens the group mix toward n^alpha shares") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
