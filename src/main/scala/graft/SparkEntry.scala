@@ -445,6 +445,16 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Canonical text normalization (NFC, control strip, whitespace collapse, trim,
+    * lower) with the md5 of the result — the fingerprint a normalized-dedup pass
+    * would group on; the oracle replays every step via DuckDB's nfc_normalize.
+    */
+  private def qNormalizeText(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("norm_fingerprint"))
+      .orderBy("doc_id")
+
   /** Quality-weighted sampling: each document survives with probability equal to
     * its composite quality score — better documents oversampled, junk culled, all
     * decided by the deterministic md5 bucket (score steps are exact quarters, so
@@ -787,6 +797,7 @@ object SparkEntry {
     "q_stratified_sample" -> qStratifiedSample,
     "q_temperature_sample" -> qTemperatureSample,
     "q_weighted_sample" -> qWeightedSample,
+    "q_normalize_text" -> qNormalizeText,
     "q_balanced_sample" -> qBalancedSample,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
@@ -1448,6 +1459,14 @@ object SparkEntry {
          |    AS BIGINT) % ${Splits.Buckets} <
          |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000 ELSE 0 END
          |ORDER BY doc_id""".stripMargin,
+    // normalization replay: identical NFC -> control-strip -> ws-collapse -> trim
+    // -> lower chain (explicit byte-range control class on both sides)
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS norm_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // class balancing: fractions = min group count / group count, same cut replay
     "q_balanced_sample" ->
       s"""WITH c AS (

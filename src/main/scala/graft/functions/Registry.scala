@@ -49,6 +49,7 @@ object Registry {
   val injectables: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       entry("rolling_hash", classOf[RollingHash], exprs => RollingHash(exprs.head)),
+      entry("nfc_normalize", classOf[NfcNormalize], exprs => NfcNormalize(exprs.head)),
       entry("simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head)),
       entry("dot_product", classOf[DotProduct],
         exprs => DotProduct(exprs(0), exprs(1))),

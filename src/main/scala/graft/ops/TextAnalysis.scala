@@ -16,6 +16,26 @@ object TextAnalysis {
   /** Whitespace tokens of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Canonical text normalization — run BEFORE any fingerprint/dedup pass so byte
+    * hashes see one encoding of the same human text: Unicode NFC (native
+    * [[graft.functions.NfcNormalize]]), control characters stripped, whitespace
+    * runs collapsed to one space, ends trimmed, lowercased. Pure per-row map work
+    * in whole-stage codegen; every step is engine-replayable (explicit byte-range
+    * control class, not a library-specific \\p alias).
+    */
+  def normalizeText(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nfc = ColumnBridge.column(
+      graft.functions.NfcNormalize(ColumnBridge.expression(c)))
+    // NON-whitespace controls strip first (whitespace controls \t\n\x0B\f\r must
+    // reach the collapse step as separators, not vanish and glue words); the
+    // whitespace class is explicit because Java's \s includes \x0B and RE2's does
+    // not — an alias here would silently diverge between engine and oracle
+    lower(trim(regexp_replace(
+      regexp_replace(nfc, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\x0B\\f\\r]+", " ")))
+  }
+
   /** BPE-ish segmentation: word pieces plus isolated punctuation. */
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
