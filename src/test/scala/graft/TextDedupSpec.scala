@@ -142,6 +142,23 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("normalized dedup catches encoding-variant duplicates raw dedup misses") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val precomposed = "café latte menu"            // é as U+00E9
+    val combining = "café latte  menu"            // e + U+0301, double space
+    val df = Seq((1L, precomposed), (2L, combining), (3L, "other text entirely"))
+      .toDF("doc_id", "text")
+    // raw byte fingerprints: no duplicates found
+    assert(graft.ops.Dedup.exactDedup(df).count() === 3)
+    // normalize first: the two encoding variants collapse to one canonical doc
+    val normalized = df.withColumn("text",
+      graft.ops.TextAnalysis.normalizeText(col("text")))
+    val deduped = graft.ops.Dedup.exactDedup(normalized)
+    assert(deduped.count() === 2)
+    assert(deduped.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("weighted sampling: keep probability tracks the weight column") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
