@@ -484,6 +484,14 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowMicros = 24L * 3600 * 1000000)
       .orderBy("user_id")
 
+  /** Top-100 vocabulary by document frequency (term tiebreak): df, total tf, and
+    * the smoothed idf, each replayed exactly by the oracle.
+    */
+  private def qVocabulary(s: SparkSession, dir: String): DataFrame =
+    Bm25.vocabulary(docs(s, dir))
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+
   /** BM25 top-20 for a 3-term keyword query; scores rounded to 6 decimals on both
     * sides (exact-integer tf/df/dl inputs, identical addend order) with doc_id
     * tiebreak so the ranking hashes identically.
@@ -801,6 +809,7 @@ object SparkEntry {
     "q_balanced_sample" -> qBalancedSample,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
+    "q_vocabulary" -> qVocabulary,
     "q_sales_rollup" -> qSalesRollup,
     "q_sales_cube" -> qSalesCube,
     "q_window_analytics" -> qWindowAnalytics,
@@ -1537,6 +1546,17 @@ object SparkEntry {
         |            WHEN t3 IS NULL THEN 2 ELSE 3 END AS INT) AS steps_completed,
         |  t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
         |FROM s3 ORDER BY user_id""".stripMargin,
+    // vocabulary stats replay: same tokenization, df/tf aggregates, idf chain
+    "q_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+        |  round(ln(1.0 + (n_docs - COUNT(DISTINCT doc_id) + 0.5)
+        |    / (COUNT(DISTINCT doc_id) + 0.5)), 6) AS idf
+        |FROM tok, n GROUP BY term, n_docs
+        |ORDER BY df DESC, term LIMIT 100""".stripMargin,
     // BM25 with the identical left-to-right addend chain (lowercased whitespace
     // tokens, Lucene +1 idf smoothing, k1=1.2 b=0.75), rounded to 6 decimals
     "q_bm25_topk" -> {

@@ -95,6 +95,22 @@ object Bm25 {
     Index(postings, docLengths, stats)
   }
 
+  /** Corpus vocabulary with retrieval statistics: one row per distinct token —
+    * document frequency, total term frequency, and the same smoothed idf the
+    * scorer uses. The lexicon feed for tokenizer training, stopword discovery
+    * (top-df tail), and query planning. One scan + one shuffle keyed by term
+    * (map-side combined); top-k consumers cut with TakeOrderedAndProject.
+    */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.count().toDouble
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
+      .withColumn("idf", round(log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 6))
+  }
+
   /** BM25 top-k off a prebuilt [[Index]] — identical scores to the scan-based
     * [[topK]] (same idf smoothing, same addend order over the terms as given).
     * Per-term df comes from the postings; documents missing a term contribute a
