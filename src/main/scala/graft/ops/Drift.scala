@@ -87,8 +87,18 @@ object Drift {
       .filter(col(column).isNotNull)
       .groupBy(col(column).as("category"))
       .agg(count(lit(1)).as(cnt))
-    val joined = hist(baseline, "base_n")
-      .join(hist(current, "cur_n"), Seq("category"), "full_outer")
+    psiCategoricalFromCounts(hist(baseline, "n"), hist(current, "n"), epsilon)
+  }
+
+  /** Categorical PSI from PRECOMPUTED (category, count) histograms — the streaming
+    * monitor's path, where the baseline histogram is collected once and replayed
+    * per micro-batch instead of re-counted from the baseline table.
+    */
+  def psiCategoricalFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
+    val joined = baseCounts.toDF("category", "base_n")
+      .join(curCounts.toDF("category", "cur_n"), Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))

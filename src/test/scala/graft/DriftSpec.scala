@@ -63,6 +63,38 @@ class DriftSpec extends AnyFunSuite with SharedSpark {
     assert(scans === 2, s"totals must not re-execute the histogram lineage:\n$plan")
   }
 
+  test("streaming drift monitor: per-batch reports, alert fires on a shifted mix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseline = Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(20)("fr")
+    val reportDir = java.nio.file.Files.createTempDirectory("drift_rep").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_ck").toString
+    val mem = MemoryStream[String]
+    val q = graft.streaming.DriftMonitor.start(
+      mem.toDF().toDF("lang"), baseline.toDF("lang"), "lang",
+      reportDir, ckpt, alertThreshold = 0.25,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      // batch 0: same mix → no alert
+      mem.addData(Seq.fill(25)("en") ++ Seq.fill(15)("de") ++ Seq.fill(10)("fr"): _*)
+      q.processAllAvailable()
+      // batch 1: the mix collapses to one language → alert
+      mem.addData(Seq.fill(60)("zh"): _*)
+      q.processAllAvailable()
+      val rep = spark.read.parquet(reportDir)
+      val byBatch = rep.groupBy("batch_id").agg(
+          org.apache.spark.sql.functions.first("alert").as("alert"),
+          org.apache.spark.sql.functions.first("psi_total").as("psi"))
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2))).toMap
+      assert(!byBatch(0L)._1, s"stable mix must not alert: ${byBatch(0L)}")
+      assert(byBatch(1L)._1, s"collapsed mix must alert: ${byBatch(1L)}")
+      assert(byBatch(1L)._2 > byBatch(0L)._2)
+      // per-category terms present for the union of categories
+      assert(rep.filter(col("batch_id") === 1L).select("category")
+        .collect().map(_.getString(0)).toSet === Set("en", "de", "fr", "zh"))
+    } finally q.stop()
+  }
+
   test("psi: NULLs are excluded, not binned") {
     val base = Seq(Some(10.0), Some(90.0), None).toDF("v")
     val cur = Seq(Some(10.0), Some(90.0)).toDF("v")
