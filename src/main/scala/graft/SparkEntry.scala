@@ -484,6 +484,15 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowMicros = 24L * 3600 * 1000000)
       .orderBy("user_id")
 
+  /** Top-50 adjacent token pairs by frequency (pair tiebreak) — one BPE merge
+    * iteration's candidate list; the oracle rebuilds pairs by zipping each token
+    * list with its own tail.
+    */
+  private def qTokenPairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenPairCounts(docs(s, dir))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+
   /** Top-100 vocabulary by document frequency (term tiebreak): df, total tf, and
     * the smoothed idf, each replayed exactly by the oracle.
     */
@@ -810,6 +819,7 @@ object SparkEntry {
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
+    "q_token_pairs" -> qTokenPairs,
     "q_sales_rollup" -> qSalesRollup,
     "q_sales_cube" -> qSalesCube,
     "q_window_analytics" -> qWindowAnalytics,
@@ -1546,6 +1556,16 @@ object SparkEntry {
         |            WHEN t3 IS NULL THEN 2 ELSE 3 END AS INT) AS steps_completed,
         |  t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
         |FROM s3 ORDER BY user_id""".stripMargin,
+    // adjacent-pair replay: zip each token list with its own tail, count, top-50
+    "q_token_pairs" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // vocabulary stats replay: same tokenization, df/tf aggregates, idf chain
     "q_vocabulary" ->
       """WITH tok AS (

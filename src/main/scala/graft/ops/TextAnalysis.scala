@@ -36,6 +36,25 @@ object TextAnalysis {
       "[ \\t\\n\\x0B\\f\\r]+", " ")))
   }
 
+  /** Adjacent token-pair frequencies — the counting step of one BPE/WordPiece merge
+    * iteration ("which two adjacent units co-occur most?") and the bigram feed for
+    * collocation mining. Pairs are generated map-side from each row's token array
+    * (no self-join of an exploded token table, which would shuffle every token
+    * twice and break adjacency); only (pair, partial count) rows reach the one
+    * combine shuffle. Top-k consumers cut with TakeOrderedAndProject.
+    */
+  def tokenPairCounts(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array())
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** BPE-ish segmentation: word pieces plus isolated punctuation. */
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))

@@ -372,6 +372,17 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(got(2).getAs[Double]("rep_bigram_ratio")) < 1e-12)
   }
 
+  test("token pair counts: adjacency preserved, short docs contribute nothing") {
+    val df = mkDocs(Seq(
+      (1L, "a b a b c"),   // pairs: "a b" x2, "b a", "b c"
+      (2L, "B C"),         // lowercased → one pair "b c"
+      (3L, "solo"),        // 1 token: no pairs
+      (4L, "   ")))        // whitespace only: no pairs
+    val got = TextAnalysis.tokenPairCounts(df).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    assert(got === Map("a b" -> 2L, "b a" -> 1L, "b c" -> 2L))
+  }
+
   test("pii scrub: masks emails/ssn/phones/ips and counts redactions") {
     val df = mkDocs(Seq(
       (1L, "mail bob@example.com or call 555-867-5309 at 10.0.0.1, ssn 123-45-6789"),
