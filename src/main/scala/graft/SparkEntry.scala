@@ -233,6 +233,15 @@ object SparkEntry {
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(docs(s, dir)).orderBy("doc_id")
 
+  /** Gopher quality rules with corpus-scaled bounds (the synthetic docs run 10–99
+    * words and carry exactly one Gopher stopword when any): word count in [20, 80],
+    * at least one required stopword; everything else at the published defaults.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(s, dir),
+      minWords = 20, maxWords = 80, minStopHits = 1)
+      .orderBy("doc_id")
+
   private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")
 
@@ -780,6 +789,7 @@ object SparkEntry {
     "q_outliers" -> qOutliers,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
+    "q_gopher_rules" -> qGopherRules,
     "q_quality_floor" -> qQualityFloor,
     "q_drift" -> qDrift,
     "q_drift_categorical" -> qDriftCategorical,
@@ -907,6 +917,53 @@ object SparkEntry {
        |   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
        |   + CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END AS DOUBLE)
        |   AS quality_score
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[TextAnalysis.gopherRules]] at the contract thresholds: same token /
+    * line splits, same engine-portable regexes, same ratio math and rule chain.
+    */
+  private val gopherRulesSql: String = {
+    val stopSum = TextAnalysis.gopherStop.map(w =>
+      s"CASE WHEN list_contains(ltoks, '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |u AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+       |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols,
+       |    len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> regexp_matches(l, '^[ \\t]*[-*•]')))
+       |      AS n_bullet,
+       |    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$')))
+       |      AS n_ellipsis,
+       |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+       |    $stopSum AS stop_hits
+       |  FROM t),
+       |v AS (SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words
+       |      ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words
+       |      ELSE 0.0 END AS symbol_word_ratio,
+       |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_line_ratio,
+       |    CAST(n_ellipsis AS DOUBLE) / n_lines AS ellipsis_line_ratio,
+       |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words
+       |      ELSE 0.0 END AS alpha_word_ratio,
+       |    stop_hits
+       |  FROM u)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+       |  ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+       |  CAST(CASE WHEN n_words BETWEEN 20 AND 80
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_word_ratio <= 0.1
+       |    AND bullet_line_ratio <= 0.9
+       |    AND ellipsis_line_ratio <= 0.3
+       |    AND alpha_word_ratio >= 0.8
+       |    AND stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS passes
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
@@ -1272,6 +1329,7 @@ object SparkEntry {
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
     "q_text_stats" -> textStatsSql,
+    "q_gopher_rules" -> gopherRulesSql,
     // PSI replay: identical bin chain (count of edges <= value), fraction math,
     // epsilon floor and ln argument order, rounded to 6 decimals
     "q_drift" -> {

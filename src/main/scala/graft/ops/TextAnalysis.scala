@@ -131,6 +131,80 @@ object TextAnalysis {
       quality.as("quality_score"))
   }
 
+  /** The Gopher repetition-free quality gate's stopword list (Rae et al. 2021,
+    * "Scaling Language Models", table A1: a document must contain at least two of
+    * these to pass).
+    */
+  val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1, the filter suite most
+    * LLM corpus pipelines start from): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#`, `...`, `…`), bullet-line and ellipsis-line ratios,
+    * alphabetic-word ratio, and required-stopword hits. Emits the raw measurements,
+    * and `passes` = 1 iff every rule holds — callers filter or route to quarantine.
+    *
+    * Defaults are the published thresholds; every bound is a parameter because real
+    * corpora (and the synthetic test corpus) sit at different scales.
+    *
+    * Scale shape: pure per-row string/array expressions — no shuffle, whole-stage
+    * codegen, runs at scan speed on 100 TB. All regexes are single-pass with no
+    * backtracking ambiguity, and each is written in the engine-portable subset
+    * (explicit char classes, no `\w`-style aliases inside line lambdas) so the
+    * DuckDB oracle replays them exactly.
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    // split("") yields [""], so an all-whitespace document needs the explicit zero
+    val nWords = when(length(trim(txt)) === 0, 0).otherwise(size(toks))
+    val nNonSpace = length(regexp_replace(trim(txt), "\\s+", ""))
+    val meanWordLen =
+      when(nWords > 0, nNonSpace.cast("double") / nWords).otherwise(0.0)
+    val nSymbols = size(regexp_extract_all(txt, lit("#|\\.\\.\\.|…"), lit(0)))
+    val symbolRatio =
+      when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(0.0)
+    val lines = split(txt, "\n")
+    val nLines = size(lines) // >= 1 always: split never returns an empty array
+    val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*•]")))
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
+    val bulletRatio = nBullet.cast("double") / nLines
+    val ellipsisRatio = nEllipsis.cast("double") / nLines
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaRatio =
+      when(nWords > 0, nAlpha.cast("double") / nWords).otherwise(0.0)
+    val toksLower = tokens(lower(txt))
+    val stopHits = gopherStop.map(w =>
+      when(array_contains(toksLower, w), 1).otherwise(0)).reduce(_ + _)
+    val passes =
+      nWords.between(minWords, maxWords) &&
+        meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+        symbolRatio <= maxSymbolWordRatio &&
+        bulletRatio <= maxBulletLineRatio &&
+        ellipsisRatio <= maxEllipsisLineRatio &&
+        alphaRatio >= minAlphaWordRatio &&
+        stopHits >= minStopHits
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      // INT not BOOLEAN: the oracle compare stringifies values and boolean
+      // renderings differ across engines
+      passes.cast("int").as("passes"))
+  }
+
   /** Token counts under both segmentations. */
   def tokenCounts(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     df.select(

@@ -383,6 +383,31 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(got === Map("a b" -> 2L, "b a" -> 1L, "b c" -> 2L))
   }
 
+  test("gopher rules: each rule trips on its own pathology, clean doc passes") {
+    val clean = "the quick brown fox jumps over the lazy dog and that " +
+      "dog wags with joy under a warm summer sky every single day"
+    val df = mkDocs(Seq(
+      (1L, clean),                                        // passes everything
+      (2L, "too short"),                                  // word count
+      (3L, ("a " * 30).trim),                             // mean word len < 3
+      (4L, clean + " ### ## # # # #"),                    // symbol ratio
+      (5L, "- the cat\n- of dogs\n- and bats\nplain"),    // 3/4 bullet lines
+      (6L, "the end...\nof that story...\nhas dots...\nplain and with more"),
+      (7L, clean.replace("dog", "123")),                  // alpha ratio intact — still passes
+      (8L, "zz qq ww rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"), // no stopwords
+      (9L, "")))                                          // empty: everything 0, fails
+    val got = TextAnalysis.gopherRules(df,
+        minWords = 10, maxWords = 100, maxBulletLineRatio = 0.5,
+        maxEllipsisLineRatio = 0.5, minStopHits = 2)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Int]("passes")).toSeq === Seq(1, 0, 0, 0, 0, 0, 1, 0, 0))
+    assert(got(4).getAs[Double]("bullet_line_ratio") === 0.75)
+    assert(got(5).getAs[Double]("ellipsis_line_ratio") === 0.75)
+    assert(got(2).getAs[Double]("mean_word_len") === 1.0)
+    assert(got(8).getAs[Int]("n_words") === 0)
+    assert(got(0).getAs[Int]("stop_hits") >= 2)
+  }
+
   test("pii scrub: masks emails/ssn/phones/ips and counts redactions") {
     val df = mkDocs(Seq(
       (1L, "mail bob@example.com or call 555-867-5309 at 10.0.0.1, ssn 123-45-6789"),
