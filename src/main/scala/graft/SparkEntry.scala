@@ -454,6 +454,15 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Per-source hard cap (10 docs per source) via the bottom-k aggregate; the
+    * oracle replays selection as a row_number window over the identical
+    * (md5(id), id) order — the two formulations must pick row-identical sets.
+    */
+  private def qSourceCaps(s: SparkSession, dir: String): DataFrame =
+    Splits.capGroups(docs(s, dir), "source", 10)
+      .select("doc_id", "source")
+      .orderBy("source", "doc_id")
+
   /** Canonical text normalization (NFC, control strip, whitespace collapse, trim,
     * lower) with the md5 of the result — the fingerprint a normalized-dedup pass
     * would group on; the oracle replays every step via DuckDB's nfc_normalize.
@@ -826,6 +835,7 @@ object SparkEntry {
     "q_weighted_sample" -> qWeightedSample,
     "q_normalize_text" -> qNormalizeText,
     "q_balanced_sample" -> qBalancedSample,
+    "q_source_caps" -> qSourceCaps,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1555,6 +1565,16 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
          |    AS BIGINT) % ${Splits.Buckets} < round(frac * ${Splits.Buckets})
          |ORDER BY doc_id""".stripMargin,
+    // per-source cap replay: row_number over (md5(id), id) within each source must
+    // pick the exact rows the bottom-k aggregate keeps
+    "q_source_caps" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
     // per-row weighted keep: the oracle recomputes the quality score and replays
     // bucket < round(score*1000) — scores are exact quarters, no boundary risk
     "q_weighted_sample" -> {

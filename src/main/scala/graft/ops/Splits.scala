@@ -144,6 +144,28 @@ object Splits {
     sampleStratified(df, groupCol, fractions, defaultFraction = 0.0, idCol = idCol)
   }
 
+  /** Hard per-group cap: keep at most `cap` rows per group, chosen deterministically
+    * by md5(id) order — the RefinedWeb-style per-domain/per-source cap that stops any
+    * one origin from dominating a training mix. (The fraction samplers above give
+    * EXPECTED sizes; a cap is a guarantee, so it needs exact per-group top-k.)
+    *
+    * Scale shape: selection runs through [[graft.functions.BottomKByKey]], a
+    * TypedImperativeAggregate — every task reduces its partition to ≤ cap candidate
+    * ids per group map-side, so only cap-sized buffers shuffle even when one hot
+    * source holds billions of rows (the `row_number()` window formulation would
+    * shuffle-and-sort the hot group onto one task). The kept-id set (≤ groups × cap)
+    * then semi-joins back, where AQE broadcasts it whenever it is small.
+    */
+  def capGroups(df: DataFrame, groupCol: String, cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val id = col(idCol).cast("string")
+    val kept = df.groupBy(col(groupCol))
+      .agg(graft.functions.BottomKByKey.bottom_k_by_key(md5(id), id, cap).as("keep"))
+      .select(explode(col("keep")).as("__keep_id"))
+    df.join(kept, id === col("__keep_id"), "left_semi")
+  }
+
   /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
     * engines cut at identical buckets.
     */

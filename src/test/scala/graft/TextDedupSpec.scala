@@ -201,6 +201,29 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(again.exceptAll(balanced).count() === 0)
   }
 
+  test("capGroups: hard per-source cap, deterministic, matches window formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val capped = graft.ops.Splits.capGroups(docs, "source", 7)
+    val sizes = capped.groupBy("source").count().collect()
+    assert(sizes.forall(_.getAs[Long]("count") <= 7L))
+    // a source smaller than the cap survives whole: cap above every group size
+    val all = graft.ops.Splits.capGroups(docs, "source", 1000000)
+    assert(all.count() === docs.count())
+    // deterministic under repartitioning
+    val again = graft.ops.Splits.capGroups(docs.repartition(13), "source", 7)
+    assert(capped.exceptAll(again).count() === 0)
+    assert(again.exceptAll(capped).count() === 0)
+    // row-identical to the row_number window over the same (md5(id), id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id").cast("string"))
+    val viaWindow = docs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7).drop("rn")
+    assert(capped.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(capped).count() === 0)
+  }
+
   test("temperature sampling flattens the group mix toward n^alpha shares") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
