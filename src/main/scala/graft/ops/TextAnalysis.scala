@@ -45,12 +45,15 @@ object TextAnalysis {
     */
   def tokenPairCounts(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    // materialize the token array as an attribute BEFORE the lambda touches it: a
+    // lambda capturing the split() expression re-runs the regex split per element
+    val withTk = df.select(tokens(lower(col(textCol))).as("tk"))
+    val tk = col("tk")
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array())
-    df.select(explode(pairs).as("pair"))
+    withTk.select(explode(pairs).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
   }
@@ -161,8 +164,14 @@ object TextAnalysis {
       maxEllipsisLineRatio: Double = 0.3,
       minAlphaWordRatio: Double = 0.8,
       minStopHits: Int = 2): DataFrame = {
-    val txt = col(textCol)
-    val toks = tokens(txt)
+    // materialize the split arrays as attributes BEFORE any lambda touches them: a
+    // lambda capturing the split() expression re-runs the regex split per element
+    val staged = df.select(col(idCol), col(textCol).as("__txt"),
+      tokens(col(textCol)).as("__toks"),
+      tokens(lower(col(textCol))).as("__ltoks"),
+      split(col(textCol), "\n").as("__lines"))
+    val txt = col("__txt")
+    val toks = col("__toks")
     // split("") yields [""], so an all-whitespace document needs the explicit zero
     val nWords = when(length(trim(txt)) === 0, 0).otherwise(size(toks))
     val nNonSpace = length(regexp_replace(trim(txt), "\\s+", ""))
@@ -171,7 +180,7 @@ object TextAnalysis {
     val nSymbols = size(regexp_extract_all(txt, lit("#|\\.\\.\\.|…"), lit(0)))
     val symbolRatio =
       when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(0.0)
-    val lines = split(txt, "\n")
+    val lines = col("__lines")
     val nLines = size(lines) // >= 1 always: split never returns an empty array
     val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*•]")))
     val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
@@ -180,9 +189,8 @@ object TextAnalysis {
     val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
     val alphaRatio =
       when(nWords > 0, nAlpha.cast("double") / nWords).otherwise(0.0)
-    val toksLower = tokens(lower(txt))
     val stopHits = gopherStop.map(w =>
-      when(array_contains(toksLower, w), 1).otherwise(0)).reduce(_ + _)
+      when(array_contains(col("__ltoks"), w), 1).otherwise(0)).reduce(_ + _)
     val passes =
       nWords.between(minWords, maxWords) &&
         meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
@@ -191,7 +199,7 @@ object TextAnalysis {
         ellipsisRatio <= maxEllipsisLineRatio &&
         alphaRatio >= minAlphaWordRatio &&
         stopHits >= minStopHits
-    df.select(
+    staged.select(
       col(idCol),
       nWords.as("n_words"),
       meanWordLen.as("mean_word_len"),
