@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ (IVFADC, Jégou et al. 2011 §IV): coarse inverted-file clustering prunes the
+  * candidate set, product quantization over RESIDUALS (vector − its coarse centroid)
+  * compresses what remains. The production-scale ANN composition: [[Ivf]] alone still
+  * scans raw vectors inside probed clusters; [[Pq]] alone scans every code; together a
+  * query touches `nprobe/nlist` of the corpus at m bytes per vector.
+  *
+  * All L2 (the PQ-native metric). The coarse quantizer is full-vector k-means — run
+  * through [[Pq.trainCodebooks]] with m = 1, whose single "subspace" IS the whole
+  * vector, so one Lloyd implementation serves both tiers.
+  *
+  * Scale shapes: training shuffles centroid-keyed means only (train both tiers on a
+  * sample); encoding is a pure map against two broadcast codebook rows; search is an
+  * EQUALITY join of the narrow codes table against broadcast (query, probe) rows —
+  * per-candidate cost is m lookup-table reads.
+  */
+object IvfPq {
+
+  /** Coarse centroids as a (cluster, cv) table: full-vector L2 k-means via the
+    * m = 1 product quantizer.
+    */
+  def trainCoarse(embeddings: DataFrame, nlist: Int, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Pq.trainCodebooks(embeddings, m = 1, ksub = nlist, iters = iters, idCol, vecCol)
+      .select(col("code").as("cluster"), col("cw"))
+
+  /** Residual rows `(vec_id, cluster, rv)`: each vector minus its own coarse
+    * centroid — what the PQ tier trains on and encodes. Assignment is the map-side
+    * argmin against one broadcast centroid row.
+    */
+  def residuals(embeddings: DataFrame, coarse: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asCb = coarse.select(lit(0).as("subspace"), col("cluster").as("code"),
+      col("cw"))
+    val sub = Pq.subVecs(Pq.baseVecs(embeddings, idCol, vecCol), 1)
+    val cents = coarse.select(col("cluster").as("r_cluster"), col("cw"))
+    Pq.assignCodes(sub, asCb)
+      .join(broadcast(cents), col("code") === col("r_cluster"))
+      .select(col("vec_id"), col("code").as("cluster"),
+        zip_with(col("sv"), col("cw"), (x, y) => x - y).as("rv"))
+  }
+
+  /** Train the residual PQ codebooks given trained coarse centroids. */
+  def trainResidualPq(embeddings: DataFrame, coarse: DataFrame, m: Int, ksub: Int,
+      iters: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Pq.trainCodebooks(residuals(embeddings, coarse, idCol, vecCol),
+      m, ksub, iters, idCol = "vec_id", vecCol = "rv")
+
+  /** The persisted index rows: `(vec_id, cluster, codes)` — cluster id plus m
+    * residual codes. Pure map over two broadcast codebook rows.
+    */
+  def encode(embeddings: DataFrame, coarse: DataFrame, pqCodebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val res = residuals(embeddings, coarse, idCol, vecCol)
+    Pq.encode(res, pqCodebooks, idCol = "vec_id", vecCol = "rv")
+      .join(res.select(col("vec_id").as("r_id"), col("cluster")),
+        col("vec_id") === col("r_id"))
+      .select(col("vec_id"), col("cluster"), col("codes"))
+  }
+
+  /** IVFADC search: queries (vec_id < numQueries) rank their `nprobe` nearest
+    * coarse clusters, build ONE residual lookup table per (query, probe) — the
+    * residual differs per probed centroid, so each probe carries its own m×ksub
+    * table — then ADC-scan only the probed clusters' codes via an equality join.
+    * Approximate squared-L2 ascending, vec_id tiebreak.
+    */
+  def search(embeddings: DataFrame, coarse: DataFrame, pqCodebooks: DataFrame,
+      numQueries: Int = 10, k: Int = 5, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = encode(embeddings, coarse, pqCodebooks, idCol, vecCol)
+    searchCodes(codes, Pq.baseVecs(embeddings, idCol, vecCol)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      coarse, pqCodebooks, k, nprobe)
+  }
+
+  /** Search a PRE-ENCODED index (`codes` from [[encode]], e.g. read back from
+    * parquet) with an explicit query table `(query_id, qv)` — the repeated-query
+    * path where the corpus is never re-encoded.
+    */
+  def searchCodes(codes: DataFrame, queries: DataFrame, coarse: DataFrame,
+      pqCodebooks: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val centRow = coarse
+      .agg(collect_list(struct(col("cluster"), col("cw"))).as("cents"))
+    val cbRow = pqCodebooks
+      .agg(collect_list(struct(col("subspace"), col("code"), col("cw"))).as("cbs"))
+
+    // nprobe nearest clusters per query (tiny: queries × nlist)
+    val probed = queries.crossJoin(broadcast(centRow))
+      .select(col("query_id"), col("qv"), explode(col("cents")).as("c"))
+      .select(col("query_id"), col("qv"),
+        col("c.cluster").as("cluster"),
+        Pq.sqDist(col("qv"), col("c.cw")).as("cdist"),
+        col("c.cw").as("ccw"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cluster"))
+    val probes = probed.withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+
+    // per-(query, probe) residual LUT: distances from (qv − centroid)'s subvectors
+    // to every residual codeword
+    val mCol = size(array_distinct(transform(col("cbs"), c => c.getField("subspace"))))
+    val luts = probes.crossJoin(broadcast(cbRow))
+      .select(col("query_id"), col("cluster"),
+        map_from_entries(transform(col("cbs"), c => {
+          val dsub = (size(col("qv")) / mCol).cast("int")
+          val qrSub = zip_with(
+            slice(col("qv"), c.getField("subspace") * dsub + 1, dsub),
+            slice(col("ccw"), c.getField("subspace") * dsub + 1, dsub),
+            (x, y) => x - y)
+          struct(Pq.cbKey(c.getField("subspace"), c.getField("code")),
+            Pq.sqDist(qrSub, c.getField("cw")))
+        })).as("lut"),
+        mCol.as("m"))
+
+    // candidates: ONLY probed clusters' codes, by equality join on cluster
+    val cands = codes.join(broadcast(luts), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist",
+        aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
+          (acc, j) => acc + element_at(col("lut"),
+            Pq.cbKey(j, element_at(col("codes"), j + 1)))))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("adist"), 4).as("approx_sq_dist"))
+  }
+}

@@ -29,18 +29,18 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Squared L2 distance between two equal-length double arrays. */
-  private def sqDist(a: Column, b: Column): Column =
+  private[ops] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** codes for (j, code) pack into one map key; ksub ≤ 65536 enforced at train. */
-  private def cbKey(j: Column, code: Column): Column = j * 65536 + code
+  private[ops] def cbKey(j: Column, code: Column): Column = j * 65536 + code
 
-  private def baseVecs(embeddings: DataFrame, idCol: String, vecCol: String) =
+  private[ops] def baseVecs(embeddings: DataFrame, idCol: String, vecCol: String) =
     embeddings.select(col(idCol).as("vec_id"),
       Similarity.toDoubleVec(col(vecCol)).as("v"))
 
   /** Per-subspace rows: (vec_id, j, sv) — the training layout. */
-  private def subVecs(base: DataFrame, m: Int): DataFrame = {
+  private[ops] def subVecs(base: DataFrame, m: Int): DataFrame = {
     val dsub = (size(col("v")) / m).cast("int")
     base.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"),
@@ -63,7 +63,7 @@ object Pq {
   /** Assign every (vec_id, j, sv) row its argmin-L2 codeword (smallest code wins
     * ties). Codebook broadcast as one collected row; assignment is map-side.
     */
-  private def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[ops] def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame = {
     val cbRow = codebooks
       .agg(collect_list(struct(col("subspace"), col("code"), col("cw"))).as("cbs"))
     val mine = filter(col("cbs"), c => c.getField("subspace") === col("j"))

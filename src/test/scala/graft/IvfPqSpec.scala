@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IvfPq
+
+class IvfPqSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  private lazy val coarse = IvfPq.trainCoarse(emb, nlist = 8, iters = 2)
+  private lazy val pqCb = IvfPq.trainResidualPq(emb, coarse, m = 8, ksub = 16,
+    iters = 2)
+
+  test("encode: every vector gets a cluster and m valid residual codes") {
+    val codes = IvfPq.encode(emb, coarse, pqCb).cache()
+    assert(codes.count() === emb.count())
+    assert(codes.select("vec_id").distinct().count() === emb.count())
+    val clusters = coarse.select("cluster").collect().map(_.getInt(0)).toSet
+    val badCluster = codes.filter(!col("cluster").isInCollection(clusters)).count()
+    assert(badCluster === 0)
+    assert(codes.filter(size(col("codes")) =!= 8).count() === 0)
+    assert(codes.filter(exists(col("codes"), c => c < 0 || c >= 16)).count() === 0)
+    codes.unpersist()
+  }
+
+  test("residuals: vector minus its own centroid, zero-sum check vs assignment") {
+    val res = IvfPq.residuals(emb, coarse).cache()
+    assert(res.count() === emb.count())
+    // ||residual|| <= ||v - c|| for EVERY centroid c (it was the argmin)
+    val cents = coarse.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val row = res.filter(col("vec_id") === 42).first()
+    val rv = row.getSeq[Double](2)
+    val cl = row.getInt(1)
+    val v = rv.zip(cents(cl)).map { case (r, c) => r + c } // reconstruct the vector
+    val distTo = (c: Seq[Double]) =>
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val own = distTo(cents(cl))
+    cents.values.foreach(c => assert(own <= distTo(c) + 1e-9))
+    res.unpersist()
+  }
+
+  test("search: k per query, probed-cluster pruning, recall well above chance") {
+    val got = IvfPq.search(emb, coarse, pqCb, numQueries = 10, k = 5, nprobe = 4)
+      .cache()
+    assert(got.count() === 50)
+    assert(got.filter(col("query_id") === col("vec_id")).count() === 0)
+
+    // pruning is real: with nprobe=4 of nlist=8, every result must come from the
+    // query's 4 nearest clusters — spot-check that some corpus cluster is excluded
+    val codes = IvfPq.encode(emb, coarse, pqCb)
+    val q0results = got.filter(col("query_id") === 0)
+      .join(codes, Seq("vec_id")).select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(q0results.size <= 4, s"results from ${q0results.size} clusters > nprobe")
+
+    // recall vs exact L2 (random top-5 of 499 ~ 0.01)
+    val base = emb.select(col("vec_id"),
+      graft.ops.Similarity.toDoubleVec(col("embedding")).as("v"))
+    val q2 = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d = base.crossJoin(broadcast(q2))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", aggregate(
+        zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("vec_id"))
+    val exact = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVFADC recall $recall barely above chance")
+    got.unpersist()
+  }
+
+  test("pre-encoded index search equals the inline path") {
+    val codes = IvfPq.encode(emb, coarse, pqCb)
+    val queries = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.ops.Similarity.toDoubleVec(col("embedding")).as("qv"))
+    val viaIndex = IvfPq.searchCodes(codes, queries, coarse, pqCb, k = 3, nprobe = 4)
+    val inline = IvfPq.search(emb, coarse, pqCb, numQueries = 5, k = 3, nprobe = 4)
+    assert(viaIndex.exceptAll(inline).count() === 0)
+    assert(inline.exceptAll(viaIndex).count() === 0)
+  }
+}
