@@ -454,6 +454,14 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic 8-shard training-order assignment; the oracle replays the md5
+    * mod and the within-shard row_number over the identical (md5, id) order.
+    */
+  private def qShards(s: SparkSession, dir: String): DataFrame =
+    Splits.shardAssign(docs(s, dir), numShards = 8)
+      .select("doc_id", "shard", "position")
+      .orderBy("doc_id")
+
   /** Per-source hard cap (10 docs per source) via the bottom-k aggregate; the
     * oracle replays selection as a row_number window over the identical
     * (md5(id), id) order — the two formulations must pick row-identical sets.
@@ -836,6 +844,7 @@ object SparkEntry {
     "q_normalize_text" -> qNormalizeText,
     "q_balanced_sample" -> qBalancedSample,
     "q_source_caps" -> qSourceCaps,
+    "q_shards" -> qShards,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1565,6 +1574,18 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
          |    AS BIGINT) % ${Splits.Buckets} < round(frac * ${Splits.Buckets})
          |ORDER BY doc_id""".stripMargin,
+    // shard replay: same md5 mod for the shard, same window order for the position
+    "q_shards" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 8 AS INT) AS shard,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY h, CAST(doc_id AS VARCHAR)) AS INT) AS position
+         |FROM s ORDER BY doc_id""".stripMargin,
     // per-source cap replay: row_number over (md5(id), id) within each source must
     // pick the exact rows the bottom-k aggregate keeps
     "q_source_caps" ->

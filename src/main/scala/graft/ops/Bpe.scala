@@ -156,6 +156,27 @@ object Bpe {
     BpeModel(merges.toSeq)
   }
 
+  /** Per-group tokenizer fertility report: mean pieces-per-word, word and piece
+    * totals per group (language, source, …) — the table a corpus report tracks to
+    * see which slices a tokenizer serves poorly (high fertility = more compute per
+    * word for those documents). One encode pass + one tiny group aggregation.
+    */
+  def fertilityByGroup(df: DataFrame, model: BpeModel, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text")(
+      implicit spark: SparkSession): DataFrame = {
+    val enc = encode(df, model, idCol, textCol)
+    df.select(col(idCol).cast("long").as("doc_id"), col(groupCol).as("group"))
+      .join(enc, "doc_id")
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_pieces").cast("double") / col("n_words")).otherwise(0.0))
+  }
+
   /** Encode every document: `(doc_id, pieces, n_words, n_pieces, fertility)`.
     * Fertility (pieces per word) is THE tokenizer-quality metric corpus reports
     * track per language/source. Broadcast model, per-partition memo, no shuffle.

@@ -166,6 +166,30 @@ object Splits {
     df.join(kept, id === col("__keep_id"), "left_semi")
   }
 
+  /** Deterministic training-shard assignment: shard = md5(id) mod `numShards`, and a
+    * 1-based `position` within the shard following md5 order — a reproducible global
+    * shuffle of the corpus into equal-sized shards, which is what a training run
+    * needs for stable data order across reruns and engines (`orderBy(rand())`
+    * re-deals every run; this never does).
+    *
+    * Scale shape: shard assignment is a pure per-row hash; only the within-shard
+    * position pays a shuffle (one exchange on the shard key; the hash makes shards
+    * uniform so no skew). To EMIT shards, follow with
+    * `repartition(numShards, col("shard")).sortWithinPartitions("position")` and a
+    * partitioned write — the same exchange, reused.
+    */
+  def shardAssign(df: DataFrame, numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = md5(col(idCol).cast("string"))
+    val shard =
+      (conv(substring(h, 1, 15), 16, 10).cast("long") % numShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(h, col(idCol).cast("string"))
+    df.withColumn("shard", shard)
+      .withColumn("position", row_number().over(w))
+  }
+
   /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
     * engines cut at identical buckets.
     */

@@ -82,6 +82,20 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     enc.unpersist(); df.unpersist()
   }
 
+  test("fertilityByGroup: totals reconcile with per-doc encode, fertility >= 1") {
+    implicit val s = spark
+    val df = Tables.documents(spark, sf).limit(100).cache()
+    val model = Bpe.train(df, numMerges = 32)
+    val rep = Bpe.fertilityByGroup(df, model, "lang").cache()
+    assert(rep.count() === df.select("lang").distinct().count())
+    assert(rep.filter(col("fertility") < 1.0).count() === 0)
+    val totals = rep.agg(sum("n_words"), sum("n_pieces")).first()
+    val enc = Bpe.encode(df, model).agg(sum("n_words"), sum("n_pieces")).first()
+    assert(totals.getLong(0) === enc.getLong(0))
+    assert(totals.getLong(1) === enc.getLong(1))
+    rep.unpersist(); df.unpersist()
+  }
+
   test("more merges never lengthen the encoding of a trained word") {
     val corpus = Seq("training" -> 9L, "train" -> 7L, "rain" -> 5L, "ring" -> 4L)
     val small = Bpe.trainFromCounts(corpus, numMerges = 3)

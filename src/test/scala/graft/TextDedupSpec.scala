@@ -201,6 +201,29 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(again.exceptAll(balanced).count() === 0)
   }
 
+  test("shardAssign: uniform shards, contiguous positions, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val sharded = graft.ops.Splits.shardAssign(docs, numShards = 8).cache()
+    assert(sharded.count() === docs.count())
+    assert(sharded.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    // positions are exactly 1..n_shard within every shard
+    val bad = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("position").as("mx"),
+        min("position").as("mn"), countDistinct("position").as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+    assert(bad.count() === 0)
+    // roughly uniform: every shard within 2x of the mean on the 500-doc fixture
+    val sizes = sharded.groupBy("shard").count().collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / sizes.length
+    sizes.foreach(n => assert(n > mean / 2 && n < mean * 2, s"skewed shard: $n"))
+    // the assignment AND order are partition-invariant
+    val again = graft.ops.Splits.shardAssign(docs.repartition(13), numShards = 8)
+    assert(sharded.exceptAll(again).count() === 0)
+    assert(again.exceptAll(sharded).count() === 0)
+    sharded.unpersist()
+  }
+
   test("capGroups: hard per-source cap, deterministic, matches window formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
