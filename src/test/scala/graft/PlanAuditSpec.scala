@@ -111,4 +111,47 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"reference side must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("gopher rules: zero shuffles, stays in whole-stage codegen") {
+    val df = SparkEntry.queries("q_gopher_rules")(spark, sf)
+    // the orderBy in the contract query is presentation; audit the operator itself
+    val op = graft.ops.TextAnalysis.gopherRules(Tables.documents(spark, sf),
+      minWords = 20, maxWords = 80, minStopHits = 1)
+    val plan = finalPlan(op)
+    assert(!plan.contains("Exchange"), s"per-row rules must not shuffle:\n$plan")
+    assert(plan.contains("*("), s"rules fell out of codegen:\n$plan")
+    df.collect() // and the gated query still runs
+  }
+
+  test("PQ encode: pure map — broadcast codebook, no shuffle of corpus rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = graft.ops.Pq.seedCodebooks(emb, m = 8, ksub = 16)
+    val plan = finalPlan(graft.ops.Pq.encode(emb, cb))
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"encode must not shuffle corpus rows:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Broadcast"),
+      s"codebook row must broadcast:\n$plan")
+  }
+
+  test("per-source caps: the hot group never shuffle-sorts; kept ids broadcast back") {
+    val plan = finalPlan(
+      graft.ops.Splits.capGroups(Tables.documents(spark, sf), "source", 10))
+    assert(!plan.contains("Window"), s"cap must use the bottom-k aggregate, not a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"bottom-k is a typed imperative aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small kept-id set should broadcast for the semi-join:\n$plan")
+  }
+
+  test("IVF-PQ search: candidate retrieval is an equality join on the cluster id") {
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = graft.ops.IvfPq.trainCoarse(emb, nlist = 8, iters = 1)
+    val pqCb = graft.ops.IvfPq.trainResidualPq(emb, coarse, m = 8, ksub = 16, iters = 1)
+    val plan = finalPlan(
+      graft.ops.IvfPq.search(emb, coarse, pqCb, numQueries = 5, k = 3, nprobe = 2))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe rows must broadcast onto the codes table by cluster equality:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ must never cross-product the corpus:\n$plan")
+  }
 }
