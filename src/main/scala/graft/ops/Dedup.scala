@@ -323,6 +323,61 @@ object Dedup {
     summed.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Exact duplicated-substring spans (the dedup tier of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): every maximal
+    * token range covered by L-token windows that occur MORE THAN ONCE corpus-wide.
+    * Training pipelines cut these spans (boilerplate, licenses, templated headers)
+    * out of documents rather than dropping whole near-duplicate docs.
+    *
+    * Sliding L-token windows fingerprint as md5 of the joined tokens (16-byte keys,
+    * engine-replayable); a window is "duplicated" when its fingerprint's TOTAL
+    * occurrence count (across and within documents) is ≥ 2; adjacent/overlapping
+    * duplicated windows merge per document into maximal spans (gaps-and-islands:
+    * a new island starts when the next duplicated position is > L tokens on).
+    *
+    * Output: `(doc_id, start_token, end_token, n_dup_windows)` — 0-based inclusive
+    * token offsets.
+    *
+    * Scale shapes: windows build map-side from each row's own materialized token
+    * array; the fingerprint count shuffles (fp, partial count) rows; the dup-mark
+    * join reuses the same fingerprint key; span merging shuffles once on doc_id.
+    * A suffix-array formulation finds arbitrary-length duplicates but needs a
+    * global sort of every suffix — the fixed-L window trade (duplicates shorter
+    * than L are invisible; longer ones appear as merged spans) is what makes this
+    * a linear, shuffle-bounded pipeline at 100 TB.
+    */
+  def duplicatedSpans(df: DataFrame, windowTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val l = windowTokens
+    // materialize the token array before any lambda (HOF lambdas re-run a captured
+    // split() per element)
+    val staged = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+    val starts = when(size(col("tk")) >= l,
+      sequence(lit(0), size(col("tk")) - l)).otherwise(array().cast("array<int>"))
+    val wins = staged
+      .select(col("doc_id"), col("tk"), explode(starts).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(l)))).as("fp"))
+    val dupFps = wins.groupBy("fp").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select("fp")
+    val marked = wins.join(dupFps, Seq("fp"), "left_semi")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > l, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_token"),
+        (max(col("pos")) + l - 1).as("end_token"),
+        count(lit(1)).as("n_dup_windows"))
+      .drop("island")
+      .select("doc_id", "start_token", "end_token", "n_dup_windows")
+  }
+
   /** Near pairs by SimHash: pigeonhole banding on 4×16-bit chunks, then exact hamming
     * check `bit_count(a XOR b) <= maxHamming` (sound for maxHamming ≤ 3).
     */
