@@ -174,4 +174,129 @@ object Multimodal {
   /** Full pipeline: documents → real PNG payloads → decoded feature table. */
   def featureTable(df: DataFrame)(implicit spark: SparkSession): DataFrame =
     decode(fromText(df)).toDF()
+
+  // ---- audio: real WAV encode/decode via javax.sound (in-JDK, like imageio) ------
+
+  /** Decoded audio metadata + signal features. Fields are None when the payload is
+    * not a decodable audio stream — undecodable rows are KEPT for corrupt-payload
+    * audits, mirroring [[MediaFeatures]].
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      bits: Option[Int],
+      n_frames: Option[Long],
+      duration_ms: Option[Double],
+      rms: Option[Double],
+      zero_crossings: Option[Long],
+      peak: Option[Int])
+
+  /** Deterministic integer test waveform for `doc_id`: length `4000 + (id % 7)·500`,
+    * sample_i = ((i · k) mod 20001) − 10000 with `k = 37 + (id % 8)·101`. Pure
+    * integer arithmetic, so an external engine can replay every derived feature
+    * (RMS, zero crossings, peak) EXACTLY — which is what lets the decode path be
+    * oracle-gated rather than trusted.
+    */
+  def synthSamples(docId: Long): Array[Short] = {
+    val n = 4000 + (docId % 7).toInt * 500
+    val k = 37 + (docId % 8) * 101
+    Array.tabulate(n)(i => (((i.toLong * k) % 20001) - 10000).toShort)
+  }
+
+  /** REAL WAV encode: mono signed PCM16 little-endian at `sampleRate`, written
+    * through `javax.sound.sampled.AudioSystem` — a genuine RIFF/WAVE container any
+    * player opens.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Stand-in audio ingest: one deterministic WAV per document id. */
+  def audioFromIds(df: DataFrame, idCol: String = "doc_id")(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRecord(id, "audio/wav", encodeWav(synthSamples(id))))
+  }
+
+  /** REAL audio decode: `AudioSystem` parses the container, features come from the
+    * DECODED PCM stream — format fields from the header; RMS = sqrt(Σs²/n) over all
+    * samples, zero crossings as strict sign changes on channel 0, peak = max |s|.
+    * Non-PCM16 payloads and undecodable bytes yield null features (kept rows).
+    * Same `mapPartitions` batch shape as the image path.
+    */
+  def decodeAudio(records: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    records.mapPartitions { it =>
+      import javax.sound.sampled.AudioSystem
+      it.map { r =>
+        val decoded =
+          try {
+            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val data = ais.readAllBytes()
+              val ch = fmt.getChannels
+              val frames = data.length / fmt.getFrameSize
+              val big = fmt.isBigEndian
+              def sampleAt(frame: Int, c: Int): Int = {
+                val off = frame * fmt.getFrameSize + c * 2
+                val lo = data(off + (if (big) 1 else 0)) & 0xff
+                val hi = data(off + (if (big) 0 else 1))
+                (hi << 8) | lo
+              }
+              var sumSq = 0L
+              var zc = 0L
+              var peak = 0
+              var prev0 = 0
+              var f = 0
+              while (f < frames) {
+                var c = 0
+                while (c < ch) {
+                  val s = sampleAt(f, c)
+                  sumSq += s.toLong * s
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  c += 1
+                }
+                val s0 = sampleAt(f, 0)
+                if (f > 0 && s0.toLong * prev0 < 0) zc += 1
+                prev0 = s0
+                f += 1
+              }
+              val n = frames.toLong * ch
+              val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+              Some(AudioFeatures(r.doc_id, r.content.length,
+                Some(fmt.getSampleRate.toInt), Some(ch), Some(16),
+                Some(frames.toLong),
+                Some(frames.toLong * 1000.0 / fmt.getSampleRate.toInt),
+                Some(rms), Some(zc), Some(peak)))
+            }
+          } catch { case NonFatal(_) => None }
+        decoded.getOrElse(AudioFeatures(r.doc_id, r.content.length,
+          None, None, None, None, None, None, None, None))
+      }
+    }
+  }
+
+  /** Full audio pipeline: ids → real WAVs → decoded feature table. */
+  def audioFeatureTable(df: DataFrame)(implicit spark: SparkSession): DataFrame =
+    decodeAudio(audioFromIds(df)).toDF()
 }

@@ -114,4 +114,51 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(histSum.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
     } finally feats.unpersist()
   }
+
+  test("wav round-trip: decoded features match hand-computed signal math") {
+    implicit val sp = spark
+    import spark.implicits._
+    // a hand-built square-ish wave: +1000 x4, -1000 x4, repeated 100 times
+    val sq = Array.tabulate(800)(i => if ((i / 4) % 2 == 0) 1000 else -1000)
+      .map(_.toShort)
+    val wav = Multimodal.encodeWav(sq, sampleRate = 8000)
+    // genuine RIFF/WAVE container
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", wav),
+      Multimodal.MediaRecord(2L, "audio/wav", Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.decodeAudio(recs).collect().sortBy(_.doc_id)
+    val a = got(0)
+    assert(a.sample_rate === Some(8000))
+    assert(a.channels === Some(1))
+    assert(a.n_frames === Some(800L))
+    assert(a.duration_ms === Some(100.0))
+    assert(a.rms === Some(1000.0))        // constant |s| = 1000
+    assert(a.peak === Some(1000))
+    assert(a.zero_crossings === Some(199L)) // sign flips every 4 samples: 800/4 - 1
+    // corrupt payload: kept with null features
+    assert(got(1).sample_rate === None && got(1).n_frames === None)
+  }
+
+  test("audio feature table: synthesized corpus decodes with replayable features") {
+    implicit val sp = spark
+    val docs = Tables.documents(spark, sf).limit(50)
+    val feats = Multimodal.audioFeatureTable(docs).cache()
+    try {
+      assert(feats.count() === 50)
+      assert(feats.filter(col("sample_rate").isNull).count() === 0)
+      // recompute one doc's features from the generator contract
+      val id = 7L
+      val samples = Multimodal.synthSamples(id)
+      val row = feats.filter(col("doc_id") === id).first()
+      assert(row.getAs[Long]("n_frames") === samples.length.toLong)
+      val ss = samples.map(s => s.toLong * s).sum
+      val rms = math.sqrt(ss.toDouble / samples.length)
+      assert(math.abs(row.getAs[Double]("rms") - rms) < 1e-12)
+      val zc = samples.sliding(2).count(p => p(0).toLong * p(1) < 0)
+      assert(row.getAs[Long]("zero_crossings") === zc.toLong)
+      assert(row.getAs[Int]("peak") === samples.map(s => math.abs(s.toInt)).max)
+    } finally feats.unpersist()
+  }
 }
