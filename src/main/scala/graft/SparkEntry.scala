@@ -328,6 +328,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Real WAV round-trip: deterministic integer waveforms encode as genuine RIFF
+    * containers, `javax.sound` decodes them, and every signal feature (RMS, zero
+    * crossings, peak) is recomputed by the oracle from the same integer recurrence —
+    * a decoder that fabricated features instead of reading the PCM stream would
+    * hash-mismatch.
+    */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.audioFeatureTable(docs(s, dir))
+      .select("doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "rms", "zero_crossings", "peak")
+      .orderBy("doc_id")
+  }
+
   /** As-of join: each event enriched with the latest order of the same customer at or
     * before the event time (union + running-last; one shuffle). Orders are pre-compacted
     * to unique (customer, date) so the match is deterministic.
@@ -453,6 +467,14 @@ object SparkEntry {
     Splits.equalizeGroups(docs(s, dir), "lang")
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  /** Maximal duplicated 8-token spans corpus-wide (Lee-et-al-style substring dedup);
+    * the oracle replays window fingerprints, the occurrence threshold, and the
+    * gaps-and-islands merge.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
+      .orderBy("doc_id", "start_token")
 
   /** Deterministic 8-shard training-order assignment; the oracle replays the md5
     * mod and the within-shard row_number over the identical (md5, id) order.
@@ -828,6 +850,7 @@ object SparkEntry {
     "q_deterministic_sample" -> qDeterministicSample,
     "q_dedup_clusters" -> qDedupClusters,
     "q_multimodal_features" -> qMultimodalFeatures,
+    "q_audio_features" -> qAudioFeatures,
     "q_catalog_stats" -> qCatalogStats,
     "q_time_travel" -> qTimeTravel,
     "q_compaction" -> qCompaction,
@@ -845,6 +868,7 @@ object SparkEntry {
     "q_balanced_sample" -> qBalancedSample,
     "q_source_caps" -> qSourceCaps,
     "q_shards" -> qShards,
+    "q_dup_spans" -> qDupSpans,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1470,6 +1494,26 @@ object SparkEntry {
         |    ELSE CAST(concat('0x', substring(hex(encode(t)), 1, 2)) AS INT)
         |  END AS first_byte
         |FROM g ORDER BY doc_id""".stripMargin,
+    // audio replay: the oracle regenerates the integer waveform from doc_id and
+    // recomputes RMS / zero crossings / peak — the Spark side must recover the
+    // identical values from the DECODED WAV PCM stream
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, (4000 + (doc_id % 7) * 500) AS n,
+        |    (37 + (doc_id % 8) * 101) AS k FROM documents),
+        |s AS (SELECT doc_id, n, k, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n, i, ((i * k) % 20001) - 10000 AS smp FROM s),
+        |w AS (SELECT doc_id, n, smp,
+        |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v),
+        |a AS (SELECT doc_id, MAX(n) AS n_frames,
+        |    SUM(smp * smp) AS ss,
+        |    CAST(SUM(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+        |    MAX(ABS(smp)) AS peak
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  n_frames, n_frames * 1000.0 / 8000 AS duration_ms,
+        |  sqrt(CAST(ss AS DOUBLE) / n_frames) AS rms,
+        |  zc AS zero_crossings, CAST(peak AS INT) AS peak
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       s"""WITH o AS (
          |  SELECT o_custkey AS customer_id, o_orderdate AS order_ts,
@@ -1574,6 +1618,27 @@ object SparkEntry {
          |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
          |    AS BIGINT) % ${Splits.Buckets} < round(frac * ${Splits.Buckets})
          |ORDER BY doc_id""".stripMargin,
+    // duplicated-span replay: same window fingerprints (md5 of space-joined token
+    // slice), same >= 2 occurrence threshold, same islands merge (break at gap > L)
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(0, greatest(len(tk) - 8 + 1, 0))) AS pos, tk FROM t),
+        |w2 AS (SELECT doc_id, pos,
+        |    md5(array_to_string(tk[pos+1 : pos+8], ' ')) AS fp FROM w),
+        |d AS (SELECT fp FROM w2 GROUP BY fp HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM w2 WHERE fp IN (SELECT fp FROM d)),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |s AS (SELECT doc_id, pos, SUM(brk)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS start_token,
+        |  CAST(MAX(pos) + 8 - 1 AS INT) AS end_token,
+        |  COUNT(*) AS n_dup_windows
+        |FROM s GROUP BY doc_id, island
+        |ORDER BY doc_id, start_token""".stripMargin,
     // shard replay: same md5 mod for the shard, same window order for the position
     "q_shards" ->
       s"""WITH s AS (

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusCuration {
 
+  /** `gopher` (when set) gates rows BEFORE any dedup work — a zero-shuffle per-row
+    * filter is the cheapest place to shed junk, so it runs first. `sourceCap`
+    * (when set, as (column, cap)) caps every source/domain AFTER curation — it
+    * shapes the surviving mix, so it runs last.
+    */
   final case class Config(
       nGram: Int = 3,
       jaccardThreshold: Double = 0.5,
@@ -23,7 +28,9 @@ object CorpusCuration {
       bands: Int = 16,
       minQuality: Double = 0.5,
       langs: Option[Set[String]] = None,
-      scrubPii: Boolean = true)
+      scrubPii: Boolean = true,
+      gopher: Option[TextAnalysis.GopherConfig] = None,
+      sourceCap: Option[(String, Int)] = None)
 
   /** Keep each group's top `keepFraction` of rows by `scoreCol` (score descending,
     * `idCol` tiebreak) — the RELATIVE quality floor: "best half per language" rather
@@ -93,7 +100,11 @@ object CorpusCuration {
   def curate(
       docs: DataFrame, config: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exact = Dedup.exactDedup(docs, idCol, textCol)
+    val gated = config.gopher match {
+      case Some(g) => TextAnalysis.gopherFilter(docs, g, textCol)
+      case None    => docs
+    }
+    val exact = Dedup.exactDedup(gated, idCol, textCol)
     val nearDeduped = keepNearDupCanonicals(exact, config, idCol, textCol)
     val withQuality = nearDeduped.join(
       TextAnalysis.textStats(nearDeduped, idCol, textCol)
@@ -108,8 +119,13 @@ object CorpusCuration {
       case Some(allowed) => withLang.filter(col("predicted_lang").isin(allowed.toSeq: _*))
       case None => withLang
     }
-    if (config.scrubPii) TextAnalysis.scrubPii(langFiltered, idCol, textCol)
-    else langFiltered
+    val scrubbed =
+      if (config.scrubPii) TextAnalysis.scrubPii(langFiltered, idCol, textCol)
+      else langFiltered
+    config.sourceCap match {
+      case Some((groupCol, cap)) => Splits.capGroups(scrubbed, groupCol, cap, idCol)
+      case None                  => scrubbed
+    }
   }
 
   final case class CurationReport(

@@ -219,6 +219,68 @@ object SqlRecipes {
        |FROM walked""".stripMargin
   }
 
+  /** Gopher quality gate — SQL twin of [[TextAnalysis.gopherFilter]]: same staged
+    * token/line arrays (materialized in a subquery so no lambda re-splits), same
+    * rules and thresholds; returns the PASSING rows of the view.
+    */
+  def gopherFilterSql(docsView: String,
+      g: TextAnalysis.GopherConfig = TextAnalysis.GopherConfig(),
+      textCol: String = "text"): String = {
+    val t = q(textCol)
+    val stopSum = TextAnalysis.gopherStop.map(w =>
+      s"CASE WHEN array_contains(ltoks, '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH staged AS (
+       |  SELECT *, split(trim($t), '\\\\s+') AS toks,
+       |    split(trim(lower($t)), '\\\\s+') AS ltoks,
+       |    split($t, '\\\\n') AS lines
+       |  FROM $docsView
+       |),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN length(trim($t)) = 0 THEN 0 ELSE size(toks) END AS n_words,
+       |    length(regexp_replace(trim($t), '\\\\s+', '')) AS n_nonspace,
+       |    size(regexp_extract_all($t, '#|\\\\.\\\\.\\\\.|…', 0)) AS n_symbols,
+       |    size(lines) AS n_lines,
+       |    size(filter(lines, l -> l rlike '^[ \\\\t]*[-*•]')) AS n_bullet,
+       |    size(filter(lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)[ \\\\t]*$$')) AS n_ellipsis,
+       |    size(filter(toks, x -> x rlike '[A-Za-z]')) AS n_alpha,
+       |    $stopSum AS stop_hits
+       |  FROM staged
+       |)
+       |SELECT * EXCEPT (toks, ltoks, lines, n_words, n_nonspace, n_symbols,
+       |  n_lines, n_bullet, n_ellipsis, n_alpha, stop_hits)
+       |FROM m
+       |WHERE n_words BETWEEN ${g.minWords} AND ${g.maxWords}
+       |  AND (CASE WHEN n_words > 0
+       |    THEN CAST(n_nonspace AS DOUBLE) / n_words ELSE 0.0 END)
+       |    BETWEEN ${g.minMeanWordLen} AND ${g.maxMeanWordLen}
+       |  AND (CASE WHEN n_words > 0
+       |    THEN CAST(n_symbols AS DOUBLE) / n_words ELSE 0.0 END)
+       |    <= ${g.maxSymbolWordRatio}
+       |  AND CAST(n_bullet AS DOUBLE) / n_lines <= ${g.maxBulletLineRatio}
+       |  AND CAST(n_ellipsis AS DOUBLE) / n_lines <= ${g.maxEllipsisLineRatio}
+       |  AND (CASE WHEN n_words > 0
+       |    THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END)
+       |    >= ${g.minAlphaWordRatio}
+       |  AND stop_hits >= ${g.minStopHits}""".stripMargin
+  }
+
+  /** Per-source hard cap — SQL twin of [[Splits.capGroups]] (same deterministic
+    * (md5(id), id) selection order; the window formulation, which the Scala
+    * operator's bottom-k aggregate is proven row-identical to).
+    */
+  def capGroupsSql(docsView: String, groupCol: String, cap: Int,
+      idCol: String = "doc_id"): String = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    s"""SELECT * EXCEPT (__rn) FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY ${q(groupCol)}
+       |    ORDER BY md5(CAST(${q(idCol)} AS STRING)),
+       |      CAST(${q(idCol)} AS STRING)) AS __rn
+       |  FROM $docsView
+       |) WHERE __rn <= $cap""".stripMargin
+  }
+
   /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
     * convenience for chaining recipes from SQL-first code.
     */

@@ -141,11 +141,80 @@ object TextAnalysis {
   val gopherStop: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The Gopher thresholds as one value, so [[gopherFilter]] and the curation
+    * pipeline can carry them around. Defaults are the published numbers.
+    */
+  final case class GopherConfig(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopHits: Int = 2)
+
+  // staged split arrays as attributes BEFORE any lambda touches them: a lambda
+  // capturing the split() expression re-runs the regex split per element
+  private def gopherStaged(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__ltoks", tokens(lower(col(textCol))))
+      .withColumn("__lines", split(col(textCol), "\n"))
+
+  /** The `passes` predicate over [[gopherStaged]] columns. */
+  private def gopherPasses(textCol: String, g: GopherConfig): Column = {
+    val m = gopherMetrics(textCol)
+    m("n_words").between(g.minWords, g.maxWords) &&
+      m("mean_word_len").between(g.minMeanWordLen, g.maxMeanWordLen) &&
+      m("symbol_word_ratio") <= g.maxSymbolWordRatio &&
+      m("bullet_line_ratio") <= g.maxBulletLineRatio &&
+      m("ellipsis_line_ratio") <= g.maxEllipsisLineRatio &&
+      m("alpha_word_ratio") >= g.minAlphaWordRatio &&
+      m("stop_hits") >= g.minStopHits
+  }
+
+  /** Zero-shuffle Gopher gate: the rows of `df` that pass every rule, original
+    * columns untouched — the curation-pipeline form of [[gopherRules]] (which
+    * emits the measurements instead). Pure per-row filter at scan speed.
+    */
+  def gopherFilter(df: DataFrame, config: GopherConfig = GopherConfig(),
+      textCol: String = "text"): DataFrame =
+    gopherStaged(df, textCol)
+      .filter(gopherPasses(textCol, config))
+      .drop("__toks", "__ltoks", "__lines")
+
+  /** Each rule's raw measurement as a named Column over [[gopherStaged]] output. */
+  private def gopherMetrics(textCol: String): Map[String, Column] = {
+    val txt = col(textCol)
+    val toks = col("__toks")
+    // split("") yields [""], so an all-whitespace document needs the explicit zero
+    val nWords = when(length(trim(txt)) === 0, 0).otherwise(size(toks))
+    val nNonSpace = length(regexp_replace(trim(txt), "\\s+", ""))
+    val nSymbols = size(regexp_extract_all(txt, lit("#|\\.\\.\\.|…"), lit(0)))
+    val lines = col("__lines")
+    val nLines = size(lines) // >= 1 always: split never returns an empty array
+    val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*•]")))
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    Map(
+      "n_words" -> nWords,
+      "mean_word_len" ->
+        when(nWords > 0, nNonSpace.cast("double") / nWords).otherwise(0.0),
+      "symbol_word_ratio" ->
+        when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(0.0),
+      "bullet_line_ratio" -> nBullet.cast("double") / nLines,
+      "ellipsis_line_ratio" -> nEllipsis.cast("double") / nLines,
+      "alpha_word_ratio" ->
+        when(nWords > 0, nAlpha.cast("double") / nWords).otherwise(0.0),
+      "stop_hits" -> gopherStop.map(w =>
+        when(array_contains(col("__ltoks"), w), 1).otherwise(0)).reduce(_ + _))
+  }
+
   /** Gopher-style quality rules (Rae et al. 2021 §A1.1, the filter suite most
     * LLM corpus pipelines start from): word-count bounds, mean-word-length bounds,
     * symbol-to-word ratio (`#`, `...`, `…`), bullet-line and ellipsis-line ratios,
     * alphabetic-word ratio, and required-stopword hits. Emits the raw measurements,
-    * and `passes` = 1 iff every rule holds — callers filter or route to quarantine.
+    * and `passes` = 1 iff every rule holds — callers filter or route to quarantine
+    * ([[gopherFilter]] is the keep-the-rows form).
     *
     * Defaults are the published thresholds; every bound is a parameter because real
     * corpora (and the synthetic test corpus) sit at different scales.
@@ -164,53 +233,22 @@ object TextAnalysis {
       maxEllipsisLineRatio: Double = 0.3,
       minAlphaWordRatio: Double = 0.8,
       minStopHits: Int = 2): DataFrame = {
-    // materialize the split arrays as attributes BEFORE any lambda touches them: a
-    // lambda capturing the split() expression re-runs the regex split per element
-    val staged = df.select(col(idCol), col(textCol).as("__txt"),
-      tokens(col(textCol)).as("__toks"),
-      tokens(lower(col(textCol))).as("__ltoks"),
-      split(col(textCol), "\n").as("__lines"))
-    val txt = col("__txt")
-    val toks = col("__toks")
-    // split("") yields [""], so an all-whitespace document needs the explicit zero
-    val nWords = when(length(trim(txt)) === 0, 0).otherwise(size(toks))
-    val nNonSpace = length(regexp_replace(trim(txt), "\\s+", ""))
-    val meanWordLen =
-      when(nWords > 0, nNonSpace.cast("double") / nWords).otherwise(0.0)
-    val nSymbols = size(regexp_extract_all(txt, lit("#|\\.\\.\\.|…"), lit(0)))
-    val symbolRatio =
-      when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(0.0)
-    val lines = col("__lines")
-    val nLines = size(lines) // >= 1 always: split never returns an empty array
-    val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*•]")))
-    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \\t]*$")))
-    val bulletRatio = nBullet.cast("double") / nLines
-    val ellipsisRatio = nEllipsis.cast("double") / nLines
-    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
-    val alphaRatio =
-      when(nWords > 0, nAlpha.cast("double") / nWords).otherwise(0.0)
-    val stopHits = gopherStop.map(w =>
-      when(array_contains(col("__ltoks"), w), 1).otherwise(0)).reduce(_ + _)
-    val passes =
-      nWords.between(minWords, maxWords) &&
-        meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
-        symbolRatio <= maxSymbolWordRatio &&
-        bulletRatio <= maxBulletLineRatio &&
-        ellipsisRatio <= maxEllipsisLineRatio &&
-        alphaRatio >= minAlphaWordRatio &&
-        stopHits >= minStopHits
-    staged.select(
+    val g = GopherConfig(minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolWordRatio, maxBulletLineRatio, maxEllipsisLineRatio,
+      minAlphaWordRatio, minStopHits)
+    val m = gopherMetrics(textCol)
+    gopherStaged(df, textCol).select(
       col(idCol),
-      nWords.as("n_words"),
-      meanWordLen.as("mean_word_len"),
-      symbolRatio.as("symbol_word_ratio"),
-      bulletRatio.as("bullet_line_ratio"),
-      ellipsisRatio.as("ellipsis_line_ratio"),
-      alphaRatio.as("alpha_word_ratio"),
-      stopHits.as("stop_hits"),
+      m("n_words").as("n_words"),
+      m("mean_word_len").as("mean_word_len"),
+      m("symbol_word_ratio").as("symbol_word_ratio"),
+      m("bullet_line_ratio").as("bullet_line_ratio"),
+      m("ellipsis_line_ratio").as("ellipsis_line_ratio"),
+      m("alpha_word_ratio").as("alpha_word_ratio"),
+      m("stop_hits").as("stop_hits"),
       // INT not BOOLEAN: the oracle compare stringifies values and boolean
       // renderings differ across engines
-      passes.cast("int").as("passes"))
+      gopherPasses(textCol, g).cast("int").as("passes"))
   }
 
   /** Token counts under both segmentations. */

@@ -103,4 +103,29 @@ class CorpusCurationSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Window"), s"approx path must not window-sort:\n$plan")
     assert(plan.contains("BroadcastExchange"), s"cutoffs must broadcast:\n$plan")
   }
+
+  test("curate with gopher gate and source cap: junk gated first, mix capped last") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val cfg = CorpusCuration.Config(
+      minQuality = 0.0, // isolate the new stages
+      gopher = Some(graft.ops.TextAnalysis.GopherConfig(
+        minWords = 20, maxWords = 80, minStopHits = 1)),
+      sourceCap = Some(("source", 5)))
+    val out = CorpusCuration.curate(docs, cfg).cache()
+    // every survivor passes the gopher gate (word-count rule is the visible one)
+    val wc = out.select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(col("text")), "\\s+")).as("n"))
+    assert(wc.filter(col("n") < 20 || col("n") > 80).count() === 0)
+    // no source exceeds its cap
+    val over = out.groupBy("source").count().filter(col("count") > 5)
+    assert(over.count() === 0)
+    // gate-off config keeps strictly more rows
+    val unGated = CorpusCuration.curate(docs,
+      cfg.copy(gopher = None, sourceCap = None))
+    assert(unGated.count() > out.count())
+    out.unpersist()
+  }
 }

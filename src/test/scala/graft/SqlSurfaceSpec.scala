@@ -63,6 +63,28 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
 
+  test("pure-SQL gopher filter matches gopherFilter row for row") {
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_gopher")
+    val cfg = graft.ops.TextAnalysis.GopherConfig(
+      minWords = 20, maxWords = 80, minStopHits = 1)
+    val viaSql = spark.sql(graft.ops.SqlRecipes.gopherFilterSql("docs_gopher", cfg))
+    val viaApi = graft.ops.TextAnalysis.gopherFilter(docs, cfg)
+    assert(viaSql.count() > 0 && viaSql.count() < docs.count())
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
+  test("pure-SQL per-source cap matches capGroups row for row") {
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_caps")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.capGroupsSql("docs_caps", "source", 7))
+    val viaApi = graft.ops.Splits.capGroups(docs, "source", 7)
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("pure-SQL near-dup: simhash banding recipe matches the Scala operator") {
     Registry.registerAll(spark)
     val docs = Tables.documents(spark, sf)

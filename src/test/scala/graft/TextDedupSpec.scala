@@ -429,6 +429,32 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(got === Map("a b" -> 2L, "b a" -> 1L, "b c" -> 2L))
   }
 
+  test("duplicated spans: planted cross-doc and within-doc repeats, hand-checked bounds") {
+    // shared license header: tokens 0..9 of docs 1 and 2 (10 tokens > L=4 windows)
+    val header = "copyright acme corp all rights reserved license v2 apache style"
+    val df = mkDocs(Seq(
+      (1L, header + " unique alpha beta gamma delta content one"),
+      (2L, header + " totally different tail words here now two"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),             // no duplicates
+      (4L, "r p q s r p q s r p q s")))                    // within-doc period-4 repeat
+    val got = Dedup.duplicatedSpans(df, windowTokens = 4)
+      .orderBy("doc_id", "start_token").collect()
+    // docs 1 and 2: the 10-token header gives windows at pos 0..6, merged into one
+    // span [0, 9]; their unique tails must NOT extend it
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).length === 1 && byDoc(2L).length === 1)
+    for (d <- Seq(1L, 2L)) {
+      assert(byDoc(d).head.getAs[Int]("start_token") === 0)
+      assert(byDoc(d).head.getAs[Int]("end_token") === 9)
+      assert(byDoc(d).head.getAs[Long]("n_dup_windows") === 7)
+    }
+    assert(!byDoc.contains(3L))
+    // doc 4: "r p q s" repeats 3x — windows 0..8 all duplicated (period 4), one span
+    assert(byDoc(4L).length === 1)
+    assert(byDoc(4L).head.getAs[Int]("start_token") === 0)
+    assert(byDoc(4L).head.getAs[Int]("end_token") === 11)
+  }
+
   test("gopher rules: each rule trips on its own pathology, clean doc passes") {
     val clean = "the quick brown fox jumps over the lazy dog and that " +
       "dog wags with joy under a warm summer sky every single day"
