@@ -16,7 +16,8 @@ object Bench {
     "q_text_stats", "q_dedup_exact", "q_ngram_jaccard", "q_minhash_neardup",
     "q_simhash", "q_similarity_topk", "q_ann_topk", "q_ivf_topk", "q_repetition",
     "q_multimodal_features", "q_funnel", "q_bm25_topk", "q_incremental_neardup",
-    "q_token_pairs", "q_vocabulary", "q_gopher_rules", "q_source_caps")
+    "q_token_pairs", "q_vocabulary", "q_gopher_rules", "q_source_caps",
+    "q_dup_spans", "q_span_cut", "q_audio_features", "q_shards")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production

@@ -476,6 +476,15 @@ object SparkEntry {
     Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
       .orderBy("doc_id", "start_token")
 
+  /** Surgical substring dedup: documents with their duplicated 8-token spans cut
+    * out; the oracle re-derives the spans and replays the token-index filter and
+    * single-space rebuild.
+    */
+  private def qSpanCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(docs(s, dir), windowTokens = 8)
+      .select("doc_id", "text", "n_tokens_removed")
+      .orderBy("doc_id")
+
   /** Deterministic 8-shard training-order assignment; the oracle replays the md5
     * mod and the within-shard row_number over the identical (md5, id) order.
     */
@@ -869,6 +878,7 @@ object SparkEntry {
     "q_source_caps" -> qSourceCaps,
     "q_shards" -> qShards,
     "q_dup_spans" -> qDupSpans,
+    "q_span_cut" -> qSpanCut,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1639,6 +1649,38 @@ object SparkEntry {
         |  COUNT(*) AS n_dup_windows
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, start_token""".stripMargin,
+    // span-cut replay: re-derive the spans, filter token indexes, single-space join
+    "q_span_cut" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ltk FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(0, greatest(len(ltk) - 8 + 1, 0))) AS pos, ltk FROM t),
+        |w2 AS (SELECT doc_id, pos,
+        |    md5(array_to_string(ltk[pos+1 : pos+8], ' ')) AS fp FROM w),
+        |d AS (SELECT fp FROM w2 GROUP BY fp HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM w2 WHERE fp IN (SELECT fp FROM d)),
+        |i AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |s AS (SELECT doc_id, pos, SUM(brk)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+        |spans AS (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 7 AS en
+        |  FROM s GROUP BY doc_id, island),
+        |sp AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS sps
+        |  FROM spans GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, string_split_regex(trim(t.text), '\s+') AS tk,
+        |    coalesce(sp.sps, []) AS sps
+        |  FROM t LEFT JOIN sp USING (doc_id)),
+        |c AS (SELECT doc_id,
+        |    list_filter(range(0, len(tk)),
+        |      i -> len(list_filter(sps, x -> i >= x.st AND i <= x.en)) = 0) AS kept,
+        |    tk, len(tk) AS n FROM j)
+        |SELECT doc_id,
+        |  -- a fully-cut doc is the empty string (concat_ws semantics), not NULL
+        |  coalesce(array_to_string(list_transform(kept, i -> tk[i+1]), ' '), '')
+        |    AS text,
+        |  CAST(n - len(kept) AS INT) AS n_tokens_removed
+        |FROM c ORDER BY doc_id""".stripMargin,
     // shard replay: same md5 mod for the shard, same window order for the position
     "q_shards" ->
       s"""WITH s AS (

@@ -378,6 +378,49 @@ object Dedup {
       .select("doc_id", "start_token", "end_token", "n_dup_windows")
   }
 
+  /** Apply [[duplicatedSpans]] (or any span table) surgically: rebuild each
+    * document's text WITHOUT the tokens covered by its spans, instead of dropping
+    * whole documents. Output keeps every row with the rebuilt `textCol` and an
+    * `n_tokens_removed` audit column; rebuilt text is single-space joined
+    * (whitespace runs do not survive — fingerprints upstream already treat them
+    * as one separator).
+    *
+    * Span positions index the WHITESPACE token array of the original text (the
+    * same boundaries [[duplicatedSpans]] fingerprinted — lowercasing never changes
+    * token positions). Spans aggregate per doc (small lists) and join back on the
+    * id; the cut itself is per-row HOF work over materialized arrays.
+    */
+  def cutSpans(df: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(collect_list(struct(col("start_token").as("st"),
+        col("end_token").as("en"))).as("__sps"))
+    val staged = df.join(sp, col(idCol) === col("__sid"), "left")
+      .drop("__sid")
+      .withColumn("__sps",
+        coalesce(col("__sps"),
+          array().cast("array<struct<st:int,en:int>>")))
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+    val kept = filter(sequence(lit(0), size(col("__tk")) - 1),
+      i => !exists(col("__sps"), x =>
+        i >= x.getField("st") && i <= x.getField("en")))
+    staged
+      .withColumn("__kept", kept)
+      .withColumn(textCol,
+        concat_ws(" ", transform(col("__kept"), i => element_at(col("__tk"), i + 1))))
+      .withColumn("n_tokens_removed",
+        (size(col("__tk")) - size(col("__kept"))).cast("int"))
+      .drop("__sps", "__tk", "__kept")
+  }
+
+  /** The full Lee-et-al-style substring dedup: detect duplicated spans, cut them
+    * from every document. (Keep-one-copy policies pass a filtered span table to
+    * [[cutSpans]] instead.)
+    */
+  def dedupSubstrings(df: DataFrame, windowTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cutSpans(df, duplicatedSpans(df, windowTokens, idCol, textCol), idCol, textCol)
+
   /** Near pairs by SimHash: pigeonhole banding on 4×16-bit chunks, then exact hamming
     * check `bit_count(a XOR b) <= maxHamming` (sound for maxHamming ≤ 3).
     */

@@ -134,6 +134,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("gopher gate composes with a live stream: junk rows never reach the sink") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // a pure per-row filter needs no state/watermark — it must run as-is on a stream
+    val gated = graft.ops.TextAnalysis.gopherFilter(
+      mem.toDF().toDF("doc_id", "text"),
+      graft.ops.TextAnalysis.GopherConfig(minWords = 5, minStopHits = 1))
+    val q = gated.writeStream.format("memory").queryName("gopher_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over that lazy dog with joy"),
+        (2L, "too short"),
+        (3L, "zz qq ww rr tt yy uu ii"))
+      q.processAllAvailable()
+      val out = spark.table("gopher_stream_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(out === Set(1L), "only the clean document may pass the streamed gate")
+    } finally q.stop()
+  }
+
   test("streaming DQ gate: violating rows quarantine, clean rows curate") {
     import graft.streaming.StreamingDq
     val src = Tables.eventsMicros(spark, sf)

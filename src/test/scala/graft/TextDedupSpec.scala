@@ -455,6 +455,29 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(byDoc(4L).head.getAs[Int]("end_token") === 11)
   }
 
+  test("cutSpans: shared header removed from both docs, untouched docs unchanged") {
+    val header = "copyright acme corp all rights reserved license v2 apache style"
+    val df = mkDocs(Seq(
+      (1L, header + " unique alpha beta gamma delta content one"),
+      (2L, header + " totally different tail words here now two"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")))
+    val cut = Dedup.dedupSubstrings(df, windowTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(cut(0).getAs[String]("text") ===
+      "unique alpha beta gamma delta content one")
+    assert(cut(0).getAs[Int]("n_tokens_removed") === 10)
+    assert(cut(1).getAs[String]("text") ===
+      "totally different tail words here now two")
+    assert(cut(2).getAs[String]("text") === "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    assert(cut(2).getAs[Int]("n_tokens_removed") === 0)
+    // cutting again is a no-op: no duplicated window survives the first pass
+    import spark.implicits._
+    val again = Dedup.dedupSubstrings(
+      cut.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text"),
+      windowTokens = 4)
+    assert(again.filter(col("n_tokens_removed") > 0).count() === 0)
+  }
+
   test("gopher rules: each rule trips on its own pathology, clean doc passes") {
     val clean = "the quick brown fox jumps over the lazy dog and that " +
       "dog wags with joy under a warm summer sky every single day"
