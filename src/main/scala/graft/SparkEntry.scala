@@ -476,6 +476,17 @@ object SparkEntry {
     Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
       .orderBy("doc_id", "start_token")
 
+  /** Int8 scalar quantization of every embedding; the oracle replays the max-abs
+    * scale and the exact `round(x·127/scale)` chain (identical operation order →
+    * identical doubles → identical roundings). Codes surface comma-joined so the
+    * compare is engine-neutral on arrays.
+    */
+  private def qInt8Quant(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("codes")).as("codes_csv"))
+      .orderBy("vec_id")
+
   /** Surgical substring dedup: documents with their duplicated 8-token spans cut
     * out; the oracle re-derives the spans and replays the token-index filter and
     * single-space rebuild.
@@ -879,6 +890,7 @@ object SparkEntry {
     "q_shards" -> qShards,
     "q_dup_spans" -> qDupSpans,
     "q_span_cut" -> qSpanCut,
+    "q_int8_quant" -> qInt8Quant,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1649,6 +1661,20 @@ object SparkEntry {
         |  COUNT(*) AS n_dup_windows
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, start_token""".stripMargin,
+    // int8 replay: same max-abs scale, same x*127/scale operation order, same
+    // away-from-zero rounding in both engines
+    "q_int8_quant" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |    list_aggregate(list_transform(dv, x -> abs(x)), 'max') AS scale FROM v)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(dv, x ->
+        |    CASE WHEN scale > 0
+        |      THEN CAST(CAST(round(x * 127.0 / scale) AS TINYINT) AS VARCHAR)
+        |      ELSE '0' END), ',') AS codes_csv
+        |FROM s ORDER BY vec_id""".stripMargin,
     // span-cut replay: re-derive the spans, filter token indexes, single-space join
     "q_span_cut" ->
       """WITH t AS (SELECT doc_id, text,

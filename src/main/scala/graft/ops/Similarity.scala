@@ -198,4 +198,30 @@ object Similarity {
       .select(col("vec_id").as("vec_a"), col("b_id").as("vec_b"), col("cosine"))
       .dropDuplicates("vec_a", "vec_b")
   }
+
+  /** Per-vector max-abs int8 scalar quantization — the simplest embedding
+    * compression (4× over float32): `code_i = round(x_i · 127 / max|x|)`, one
+    * double `scale` per vector. Pure per-row map in codegen, no shuffle; the
+    * arithmetic is written in one fixed operation order so any engine replays the
+    * identical doubles (and therefore identical roundings).
+    *
+    * Output: `(vec_id, scale, codes ARRAY<TINYINT>)`. All-zero vectors quantize to
+    * all-zero codes with scale 0.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val staged = df.select(col(idCol).as("vec_id"),
+      toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))))
+    staged.select(col("vec_id"), col("scale"),
+      transform(col("v"), x =>
+        when(col("scale") > 0, round(x * 127.0 / col("scale")))
+          .otherwise(0.0).cast("tinyint")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `x̂_i = code_i · scale / 127`. */
+  def dequantizeInt8(df: DataFrame): DataFrame =
+    df.withColumn("v_approx",
+      transform(col("codes"), c => c.cast("double") * col("scale") / 127.0))
 }

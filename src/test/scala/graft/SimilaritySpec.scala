@@ -75,6 +75,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(sigs.getLong(0) >= 0L && sigs.getLong(1) < 256L) // 8-bit signatures
   }
 
+  test("int8 quantization: codes bounded, cosine preserved, round trip deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(emb).cache()
+    assert(q.count() === emb.count())
+    assert(q.filter(exists(col("codes"), c => c < -127 || c > 127)).count() === 0)
+    // every vector's max-magnitude coordinate quantizes to ±127 (scale definition)
+    assert(q.filter(col("scale") > 0)
+      .filter(!exists(col("codes"), c => abs(c) === 127)).count() === 0)
+    // dequantized vectors keep cosine with the originals (> 0.99 at 64 dims)
+    val joined = Similarity.dequantizeInt8(q)
+      .join(emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v")), "vec_id")
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("v_approx")) /
+          (Similarity.l2Norm(col("v")) * Similarity.l2Norm(col("v_approx"))))
+    assert(joined.filter(col("cos") < 0.99).count() === 0,
+      "int8 round trip must preserve direction")
+    val again = Similarity.quantizeInt8(emb.repartition(7))
+    assert(q.exceptAll(again).count() === 0)
+    q.unpersist()
+  }
+
   test("multimodal: real decode produces deterministic features and histogram sums to 1") {
     implicit val sp = spark
     val feats = Multimodal.featureTable(Tables.documents(spark, sf)).cache()
