@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, NgramLm, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -476,6 +476,14 @@ object SparkEntry {
     Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
       .orderBy("doc_id", "start_token")
 
+  /** CCNet-style bigram LM self-scoring: documents scored under the corpus's own
+    * add-one bigram statistics; the oracle replays counts, smoothing, and the ln
+    * chain (mean rounded to 6 dp for summation-order neutrality).
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    NgramLm.perplexityScores(docs(s, dir), docs(s, dir))
+      .orderBy("doc_id")
+
   /** Int8 scalar quantization of every embedding; the oracle replays the max-abs
     * scale and the exact `round(x·127/scale)` chain (identical operation order →
     * identical doubles → identical roundings). Codes surface comma-joined so the
@@ -891,6 +899,7 @@ object SparkEntry {
     "q_dup_spans" -> qDupSpans,
     "q_span_cut" -> qSpanCut,
     "q_int8_quant" -> qInt8Quant,
+    "q_lm_score" -> qLmScore,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1661,6 +1670,23 @@ object SparkEntry {
         |  COUNT(*) AS n_dup_windows
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, start_token""".stripMargin,
+    // LM replay: same bigram/unigram counts, same add-one smoothing and ln chain
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |b AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        |u AS (SELECT w, count(*) AS cw
+        |  FROM (SELECT unnest(tk) AS w FROM t) WHERE w <> '' GROUP BY w),
+        |v AS (SELECT count(*) AS vs FROM u),
+        |s AS (SELECT b.doc_id,
+        |    ln(CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE) /
+        |       CAST(coalesce(u.cw, 0) + vs AS DOUBLE)) AS lp
+        |  FROM b LEFT JOIN bc USING (w1, w2) LEFT JOIN u ON b.w1 = u.w
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, round(AVG(lp), 6) AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // int8 replay: same max-abs scale, same x*127/scale operation order, same
     // away-from-zero rounding in both engines
     "q_int8_quant" ->

@@ -455,6 +455,36 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(byDoc(4L).head.getAs[Int]("end_token") === 11)
   }
 
+  test("bigram LM: hand-computed smoothed probabilities; junk scores below fluent") {
+    import graft.ops.NgramLm
+    val ref = mkDocs(Seq((1L, "a b a b")))
+    // unigrams a:2 b:2 -> V=2; bigrams (a,b):2 (b,a):1
+    val scored = NgramLm.perplexityScores(ref, ref).collect()
+    assert(scored.length === 1)
+    val expected = (math.log(3.0 / 4) + math.log(2.0 / 4) + math.log(3.0 / 4)) / 3
+    assert(math.abs(scored(0).getAs[Double]("avg_logprob") -
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9)
+    assert(scored(0).getAs[Long]("n_bigrams") === 3L)
+    // an unseen-vocabulary doc hits the smoothed floor: ln(1/(0+V))
+    val junk = mkDocs(Seq((9L, "zz zz")))
+    val j = NgramLm.scoreDocs(junk, NgramLm.bigramCounts(ref),
+      NgramLm.unigramCounts(ref), vocabSize = 2).collect()
+    assert(math.abs(j(0).getAs[Double]("avg_logprob") - BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // fluent text under its own statistics beats shuffled gibberish under them
+    val fluent = Tables.documents(spark, sf).limit(100)
+    val scores = NgramLm.perplexityScores(fluent, fluent)
+    val junkDocs = mkDocs(Seq((1000L,
+      "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff")))
+    val junkScore = NgramLm.scoreDocs(junkDocs, NgramLm.bigramCounts(fluent),
+      NgramLm.unigramCounts(fluent), NgramLm.unigramCounts(fluent).count())
+      .first().getAs[Double]("avg_logprob")
+    val corpusMean = scores.agg(avg("avg_logprob")).first().getDouble(0)
+    assert(junkScore < corpusMean,
+      s"gibberish ($junkScore) must score below the corpus mean ($corpusMean)")
+  }
+
   test("cutSpans: shared header removed from both docs, untouched docs unchanged") {
     val header = "copyright acme corp all rights reserved license v2 apache style"
     val df = mkDocs(Seq(
