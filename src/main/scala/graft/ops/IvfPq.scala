@@ -53,16 +53,15 @@ object IvfPq {
       m, ksub, iters, idCol = "vec_id", vecCol = "rv")
 
   /** The persisted index rows: `(vec_id, cluster, codes)` — cluster id plus m
-    * residual codes. Pure map over two broadcast codebook rows.
+    * residual codes. Pure map over two broadcast codebook rows; the cluster id
+    * rides through the PQ encode as a passthrough column, so the corpus is
+    * scanned exactly once.
     */
   def encode(embeddings: DataFrame, coarse: DataFrame, pqCodebooks: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val res = residuals(embeddings, coarse, idCol, vecCol)
-    Pq.encode(res, pqCodebooks, idCol = "vec_id", vecCol = "rv")
-      .join(res.select(col("vec_id").as("r_id"), col("cluster")),
-        col("vec_id") === col("r_id"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Pq.encode(residuals(embeddings, coarse, idCol, vecCol), pqCodebooks,
+        idCol = "vec_id", vecCol = "rv", passthrough = Seq("cluster"))
       .select(col("vec_id"), col("cluster"), col("codes"))
-  }
 
   /** IVFADC search: queries (vec_id < numQueries) rank their `nprobe` nearest
     * coarse clusters, build ONE residual lookup table per (query, probe) — the

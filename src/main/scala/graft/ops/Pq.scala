@@ -107,10 +107,13 @@ object Pq {
 
   /** Encode every vector to its m codes — PURE MAP: broadcast codebook row, per-row
     * argmin in each subspace; `m` and `dsub` are derived column-side from the
-    * codebook so no driver action runs. Output: `(vec_id, codes ARRAY<INT>)`.
+    * codebook so no driver action runs. Output: `(vec_id, [passthrough...], codes
+    * ARRAY<INT>)` — `passthrough` columns ride along so callers that need extra
+    * attributes (e.g. IVF-PQ's cluster id) don't pay a second scan + self-join.
     */
   def encode(embeddings: DataFrame, codebooks: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      passthrough: Seq[String] = Nil): DataFrame = {
     val cbRow = codebooks
       .agg(collect_list(struct(col("subspace"), col("code"), col("cw"))).as("cbs"))
     val mCol = size(array_distinct(transform(col("cbs"), c => c.getField("subspace"))))
@@ -128,10 +131,12 @@ object Pq {
             .otherwise(acc)
         }).getField("bc")
     }
-    baseVecs(embeddings, idCol, vecCol)
+    embeddings
+      .select((col(idCol).as("vec_id") +: passthrough.map(col)) :+
+        Similarity.toDoubleVec(col(vecCol)).as("v"): _*)
       .crossJoin(broadcast(cbRow))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), mCol - 1), codeAt).as("codes"))
+      .select((col("vec_id") +: passthrough.map(col)) :+
+        transform(sequence(lit(0), mCol - 1), codeAt).as("codes"): _*)
   }
 
   /** Mean squared reconstruction error over the corpus — the codebook-quality
