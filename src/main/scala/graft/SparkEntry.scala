@@ -484,6 +484,14 @@ object SparkEntry {
     NgramLm.perplexityScores(docs(s, dir), docs(s, dir))
       .orderBy("doc_id")
 
+  /** CCNet head/middle/tail bucketing of the LM scores; the oracle recomputes the
+    * tercile cutoffs with the same interpolated-percentile definition and replays
+    * the CASE.
+    */
+  private def qLmBuckets(s: SparkSession, dir: String): DataFrame =
+    NgramLm.bucketByScore(NgramLm.perplexityScores(docs(s, dir), docs(s, dir)))
+      .orderBy("doc_id")
+
   /** Int8 scalar quantization of every embedding; the oracle replays the max-abs
     * scale and the exact `round(x·127/scale)` chain (identical operation order →
     * identical doubles → identical roundings). Codes surface comma-joined so the
@@ -900,6 +908,7 @@ object SparkEntry {
     "q_span_cut" -> qSpanCut,
     "q_int8_quant" -> qInt8Quant,
     "q_lm_score" -> qLmScore,
+    "q_lm_buckets" -> qLmBuckets,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1687,6 +1696,30 @@ object SparkEntry {
         |  CROSS JOIN v)
         |SELECT doc_id, COUNT(*) AS n_bigrams, round(AVG(lp), 6) AS avg_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bucket replay: same scores, same interpolated tercile cutoffs, same CASE
+    "q_lm_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |b AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        |u AS (SELECT w, count(*) AS cw
+        |  FROM (SELECT unnest(tk) AS w FROM t) WHERE w <> '' GROUP BY w),
+        |v AS (SELECT count(*) AS vs FROM u),
+        |s AS (SELECT b.doc_id,
+        |    ln(CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE) /
+        |       CAST(coalesce(u.cw, 0) + vs AS DOUBLE)) AS lp
+        |  FROM b LEFT JOIN bc USING (w1, w2) LEFT JOIN u ON b.w1 = u.w
+        |  CROSS JOIN v),
+        |scores AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    round(AVG(lp), 6) AS avg_logprob FROM s GROUP BY doc_id),
+        |c AS (SELECT quantile_cont(avg_logprob, 2.0 / 3.0) AS ch,
+        |    quantile_cont(avg_logprob, 1.0 / 3.0) AS cm FROM scores)
+        |SELECT sc.doc_id, sc.n_bigrams, sc.avg_logprob,
+        |  CASE WHEN sc.avg_logprob >= c.ch THEN 'head'
+        |       WHEN sc.avg_logprob >= c.cm THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scores sc CROSS JOIN c ORDER BY doc_id""".stripMargin,
     // int8 replay: same max-abs scale, same x*127/scale operation order, same
     // away-from-zero rounding in both engines
     "q_int8_quant" ->

@@ -80,6 +80,25 @@ object NgramLm {
         round(avg(col("lp")), 6).as("avg_logprob"))
   }
 
+  /** CCNet's head/middle/tail split: bucket scored documents by score terciles.
+    * Scale shape: cutoffs come from ONE aggregation (two exact percentiles over the
+    * already-rounded scores), broadcast back; bucketing is a map-side CASE — never
+    * a global `ntile` sort. Comparisons are boundary-safe: scores are 6-dp-rounded
+    * values, and an interpolated cutoff lands well clear of them in ulp terms.
+    */
+  def bucketByScore(scores: DataFrame,
+      scoreCol: String = "avg_logprob"): DataFrame = {
+    val cuts = scores.agg(
+      expr(s"percentile($scoreCol, 2.0D / 3.0D)").as("__c_head"),
+      expr(s"percentile($scoreCol, 1.0D / 3.0D)").as("__c_mid"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("__c_head"), "head")
+          .when(col(scoreCol) >= col("__c_mid"), "middle")
+          .otherwise("tail"))
+      .drop("__c_head", "__c_mid")
+  }
+
   /** Self-contained convenience: train on `ref`, score `docs`. The vocabulary size
     * is the reference's distinct unigram count (one tiny metadata-scale action over
     * the already-aggregated unigram table).

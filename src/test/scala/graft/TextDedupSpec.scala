@@ -485,6 +485,24 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       s"gibberish ($junkScore) must score below the corpus mean ($corpusMean)")
   }
 
+  test("LM buckets: near-thirds split, monotone score order head > middle > tail") {
+    import graft.ops.NgramLm
+    val docs = Tables.documents(spark, sf)
+    val buckets = NgramLm.bucketByScore(NgramLm.perplexityScores(docs, docs)).cache()
+    val n = buckets.count()
+    val sizes = buckets.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    sizes.values.foreach(c =>
+      assert(math.abs(c - n / 3.0) < n * 0.1, s"lopsided split: $sizes"))
+    val mins = buckets.groupBy("bucket")
+      .agg(min("avg_logprob").as("mn"), max("avg_logprob").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(mins("head")._1 >= mins("middle")._2)
+    assert(mins("middle")._1 >= mins("tail")._2)
+    buckets.unpersist()
+  }
+
   test("cutSpans: shared header removed from both docs, untouched docs unchanged") {
     val header = "copyright acme corp all rights reserved license v2 apache style"
     val df = mkDocs(Seq(
