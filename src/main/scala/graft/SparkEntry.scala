@@ -476,6 +476,17 @@ object SparkEntry {
     Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
       .orderBy("doc_id", "start_token")
 
+  /** N-gram novelty of the "new batch" (doc_id >= 400, the same split as
+    * q_incremental_neardup) against the reference slice; the oracle replays the
+    * shingle sets, the anti-join, and the ratio.
+    */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    IncrementalDedup.shingleNovelty(
+        d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style bigram LM self-scoring: documents scored under the corpus's own
     * add-one bigram statistics; the oracle replays counts, smoothing, and the ln
     * chain (mean rounded to 6 dp for summation-order neutrality).
@@ -909,6 +920,7 @@ object SparkEntry {
     "q_int8_quant" -> qInt8Quant,
     "q_lm_score" -> qLmScore,
     "q_lm_buckets" -> qLmBuckets,
+    "q_novelty" -> qNovelty,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1679,6 +1691,25 @@ object SparkEntry {
         |  COUNT(*) AS n_dup_windows
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, start_token""".stripMargin,
+    // novelty replay: same distinct shingles, same >= 400 split, anti-join, ratio
+    "q_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |t AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> array_to_string(tk[i:i+2], ' ')))
+        |    ELSE [] END AS shs FROM toks),
+        |sh AS (SELECT doc_id, unnest(shs) AS shingle FROM t),
+        |newsh AS (SELECT * FROM sh WHERE doc_id >= 400),
+        |refsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 400),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM newsh GROUP BY 1),
+        |uns AS (SELECT doc_id, COUNT(*) AS n_unseen FROM newsh
+        |  WHERE shingle NOT IN (SELECT shingle FROM refsh) GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(u.n_unseen, 0) AS n_unseen,
+        |  round(CAST(coalesce(u.n_unseen, 0) AS DOUBLE) / t.n_shingles, 6)
+        |    AS novelty
+        |FROM tot t LEFT JOIN uns u USING (doc_id) ORDER BY doc_id""".stripMargin,
     // LM replay: same bigram/unigram counts, same add-one smoothing and ln chain
     "q_lm_score" ->
       """WITH t AS (SELECT doc_id,

@@ -119,4 +119,30 @@ object IncrementalDedup {
         "signatures from different builds are mutually meaningless")
     spark.read.parquet(s"$dir/signatures")
   }
+
+  /** N-gram novelty of a new batch against a reference corpus: per new document,
+    * the fraction of its distinct n-gram shingles never seen in the reference —
+    * the data-freshness signal a mixing pipeline tracks per source/crawl (near-1
+    * novelty = genuinely new material; near-0 = the batch re-crawls what the
+    * corpus already holds). Documents shorter than n emit no row.
+    *
+    * Scale shapes: both shingle streams are the map-side kernel; the reference
+    * side reduces to DISTINCT shingles once (persist it for repeated batches);
+    * the unseen count is a LEFT ANTI equality join on the shingle key — at 100 TB
+    * put a bloom filter of the reference set in front, the join stays the same.
+    */
+  def shingleNovelty(newDocs: DataFrame, refDocs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
+    val refSh = Dedup.shingles(refDocs, idCol, textCol, n)
+      .select("shingle").distinct()
+    val totals = newSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val unseen = newSh.join(refSh, Seq("shingle"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unseen"))
+    totals.join(unseen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        round(coalesce(col("n_unseen"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty"))
+  }
 }

@@ -5,6 +5,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Dedup, IncrementalDedup}
 
+class ShingleNoveltySpec extends org.scalatest.funsuite.AnyFunSuite with SharedSpark {
+
+  test("novelty: copies score 0, fresh text scores 1, mixtures in between") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((1L, "a b c d e f"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b c d e f"),          // exact copy: novelty 0
+      (11L, "p q r s t o"),          // all-new: novelty 1
+      (12L, "a b c d p q r"),        // 2 seen ("a b c", "b c d") of 5
+      (13L, "xy"))                    // too short: no row
+    val got = graft.ops.IncrementalDedup.shingleNovelty(
+        fresh.toDF("doc_id", "text"), ref)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L))
+    assert(got(0).getAs[Double]("novelty") === 0.0)
+    assert(got(1).getAs[Double]("novelty") === 1.0)
+    assert(got(2).getAs[Long]("n_shingles") === 5L)
+    assert(got(2).getAs[Long]("n_unseen") === 3L)
+    assert(got(2).getAs[Double]("novelty") === 0.6)
+  }
+}
+
 class IncrementalDedupSpec extends AnyFunSuite with SharedSpark {
 
   import spark.implicits._
