@@ -156,6 +156,28 @@ object Bpe {
     BpeModel(merges.toSeq)
   }
 
+  /** Persist a trained model: one parquet table of (rank, left, right) — rank IS
+    * the row's merge order, so any engine (or a later session) reloads the exact
+    * tokenizer. Overwrites.
+    */
+  def writeModel(model: BpeModel, dir: String)(
+      implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a model written by [[writeModel]] — rank order restored exactly. */
+  def readModel(dir: String)(implicit spark: SparkSession): BpeModel =
+    BpeModel(spark.read.parquet(dir)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq)
+
   /** Per-group tokenizer fertility report: mean pieces-per-word, word and piece
     * totals per group (language, source, …) — the table a corpus report tracks to
     * see which slices a tokenizer serves poorly (high fertility = more compute per

@@ -96,6 +96,19 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     rep.unpersist(); df.unpersist()
   }
 
+  test("model round trip: written and reloaded merges encode identically") {
+    implicit val s = spark
+    val df = Tables.documents(spark, sf).limit(100)
+    val model = Bpe.train(df, numMerges = 32)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.writeModel(model, dir)
+    val back = Bpe.readModel(dir)
+    assert(back.merges === model.merges)
+    val enc1 = Bpe.encode(df, model).orderBy("doc_id")
+    val enc2 = Bpe.encode(df, back).orderBy("doc_id")
+    assert(enc1.exceptAll(enc2).count() === 0)
+  }
+
   test("more merges never lengthen the encoding of a trained word") {
     val corpus = Seq("training" -> 9L, "train" -> 7L, "rain" -> 5L, "ring" -> 4L)
     val small = Bpe.trainFromCounts(corpus, numMerges = 3)
