@@ -98,6 +98,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     q.unpersist()
   }
 
+  test("int8 search: compressed-code top-k overlaps heavily with exact cosine") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Similarity.quantizeInt8(emb)
+    val approx = Similarity.int8CosineTopK(codes, numQueries = 10, k = 5)
+    assert(approx.count() === 50)
+    val exact = Similarity.cosineTopK(emb, numQueries = 10, k = 5)
+    val a = approx.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (a & e).size.toDouble / e.size
+    assert(overlap > 0.8,
+      s"int8 codes should nearly reproduce the exact top-k, overlap $overlap")
+  }
+
   test("multimodal: real decode produces deterministic features and histogram sums to 1") {
     implicit val sp = spark
     val feats = Multimodal.featureTable(Tables.documents(spark, sf)).cache()

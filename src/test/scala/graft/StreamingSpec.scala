@@ -156,6 +156,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("multimodal decode composes with a live stream: features emitted per batch") {
+    import spark.implicits._
+    implicit val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[graft.ops.Multimodal.MediaRecord]
+    // mapPartitions decode is stateless per-row work — it must run on a stream as-is
+    val feats = graft.ops.Multimodal.decode(mem.toDS()).toDF()
+    val q = feats.writeStream.format("memory").queryName("mm_stream_out")
+      .outputMode("append").start()
+    try {
+      val png = graft.ops.Multimodal.encodePng("stream me".getBytes("UTF-8"))
+      mem.addData(
+        graft.ops.Multimodal.MediaRecord(1L, "image/png", png),
+        graft.ops.Multimodal.MediaRecord(2L, "image/png", Array[Byte](9, 9)))
+      q.processAllAvailable()
+      val out = spark.table("mm_stream_out")
+        .select("doc_id", "width").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+      assert(out(1L) === 32 + 9 % 97, "decoded width must follow the encoder contract")
+      assert(out(2L) === -1, "undecodable payload keeps its row with null features")
+    } finally q.stop()
+  }
+
   test("streaming DQ gate: violating rows quarantine, clean rows curate") {
     import graft.streaming.StreamingDq
     val src = Tables.eventsMicros(spark, sf)
