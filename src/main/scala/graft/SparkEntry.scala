@@ -476,6 +476,13 @@ object SparkEntry {
     Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
       .orderBy("doc_id", "start_token")
 
+  /** Fixed 24-bin histogram of order totals over [0, 600000); the oracle replays
+    * the identical bin arithmetic (same w = (hi-lo)/bins expression, same clamp).
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(Tables.orders(s, dir), "o_totalprice", 0.0, 600000.0, 24)
+      .orderBy("bin")
+
   /** N-gram novelty of the "new batch" (doc_id >= 400, the same split as
     * q_incremental_neardup) against the reference slice; the oracle replays the
     * shingle sets, the anti-join, and the ratio.
@@ -921,6 +928,7 @@ object SparkEntry {
     "q_lm_score" -> qLmScore,
     "q_lm_buckets" -> qLmBuckets,
     "q_novelty" -> qNovelty,
+    "q_histogram" -> qHistogram,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
     "q_vocabulary" -> qVocabulary,
@@ -1691,6 +1699,17 @@ object SparkEntry {
         |  COUNT(*) AS n_dup_windows
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, start_token""".stripMargin,
+    // histogram replay: identical w expression, floor, clamp, and edge arithmetic
+    "q_histogram" ->
+      """WITH p AS (SELECT least(greatest(CAST(floor(
+        |    (CAST(o_totalprice AS DOUBLE) - 0.0) / ((600000.0 - 0.0) / 24))
+        |    AS INT), 0), 23) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bin,
+        |  0.0 + bin * ((600000.0 - 0.0) / 24) AS bin_lo,
+        |  0.0 + (bin + 1) * ((600000.0 - 0.0) / 24) AS bin_hi,
+        |  COUNT(*) AS n
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
     // novelty replay: same distinct shingles, same >= 400 split, anti-join, ratio
     "q_novelty" ->
       """WITH toks AS (SELECT doc_id,

@@ -27,6 +27,33 @@ object Profile {
   def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     unpivot(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Exact fixed-width histogram of a numeric column: `bins` equal buckets over
+    * [lo, hi), out-of-range values clamped into the edge buckets (the usual
+    * behavior for a distribution plot over a known domain). Fixed caller-supplied
+    * edges — like [[Drift]]'s PSI bins — keep the measurement reproducible run to
+    * run; quantile-derived grids would move the ruler with the data.
+    *
+    * One aggregation on the bin id: at most `bins` rows shuffle (map-side
+    * combined) no matter the table size. NULLs are excluded (profile them with
+    * [[profile]]). Only non-empty buckets emit.
+    */
+  def histogram(df: DataFrame, colName: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val x = col(colName).cast("double")
+    val bin = least(greatest(
+      floor((x - lo) / w).cast("int"), lit(0)), lit(bins - 1))
+    df.filter(x.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * w).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * w).as("bin_hi"),
+        col("n"))
+  }
+
   private def unpivot(df: DataFrame, cols: Seq[String],
       distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

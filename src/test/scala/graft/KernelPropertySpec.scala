@@ -117,4 +117,25 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(frames.head.toSeq === content.take(math.min(frameBytes, n)).toSeq)
     }
   }
+
+  test("bpe: training + encoding are lossless and deterministic on random corpora") {
+    import graft.ops.Bpe
+    val word = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus = Gen.choose(1, 15).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(word, Gen.choose(1L, 20L))))
+    forAll(corpus, cases = 60) { wf =>
+      val dedup = wf.toMap.toSeq // unique words, deterministic enough for training
+      val m1 = Bpe.trainFromCounts(dedup, numMerges = 16)
+      val m2 = Bpe.trainFromCounts(dedup, numMerges = 16)
+      assert(m1.merges === m2.merges, "training must be deterministic")
+      dedup.foreach { case (w, _) =>
+        val pieces = m1.encodeWord(w)
+        assert(pieces.mkString === w, s"lossy encode of '$w' via ${m1.merges}")
+        assert(pieces.nonEmpty && pieces.length <= w.length)
+      }
+      // unseen words still encode losslessly (char fallback + learned merges)
+      assert(m1.encodeWord("dcba").mkString === "dcba")
+    }
+  }
 }

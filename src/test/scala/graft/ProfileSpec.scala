@@ -25,6 +25,28 @@ class ProfileSpec extends AnyFunSuite with SharedSpark {
     assert(b.getAs[Double]("max_value") === 20.0)
   }
 
+  test("histogram: counts conserve, edges exact, outliers clamp to edge bins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 99.9, 250.0)
+      .toDF("x")
+    val h = graft.ops.Profile.histogram(df, "x", 0.0, 100.0, 10)
+      .orderBy("bin").collect()
+    // total conserved (outliers clamped in, none dropped)
+    assert(h.map(_.getAs[Long]("n")).sum === 8L)
+    val byBin = h.map(r => r.getAs[Int]("bin") ->
+      (r.getAs[Double]("bin_lo"), r.getAs[Double]("bin_hi"), r.getAs[Long]("n"))).toMap
+    assert(byBin(0)._3 === 4L) // -5 (clamped), 0.0, 1.0, 9.9
+    assert(byBin(0)._1 === 0.0 && byBin(0)._2 === 10.0)
+    assert(byBin(1)._3 === 2L) // 10.0 and 15.0
+    assert(byBin(9)._3 === 2L) // 99.9 and 250 (clamped)
+    // corpus-scale sanity: orders histogram is non-empty and conserves row count
+    val orders = Tables.orders(spark, sf)
+    val oh = graft.ops.Profile.histogram(orders, "o_totalprice", 0.0, 600000.0, 24)
+    assert(oh.agg(sum("n")).first().getLong(0) ===
+      orders.filter(col("o_totalprice").isNotNull).count())
+  }
+
   test("approxProfile: tracks exact distincts, avoids the Expand blow-up") {
     val o = Tables.orders(spark, sf)
     val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
