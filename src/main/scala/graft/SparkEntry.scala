@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, IncrementalDedup, Integrity, Ivf, Multimodal, NgramLm, Outliers, Profile, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, IncrementalDedup, Integrity, Ivf, Multimodal, NgramLm, Outliers, Profile, QualityClassifier, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -245,6 +245,42 @@ object SparkEntry {
   private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")
 
+  /** Shared between the Spark side and the oracle so the two sigmoids are built
+    * from the same literals in the same association order; every weight is an
+    * exact binary double, so literal round-tripping cannot perturb the math.
+    */
+  private val qualityWeights = Seq(-2.0, 0.25, 0.5, -0.25, -4.0, 1.5)
+
+  /** Logistic quality score with pinned weights: the contract gates the scoring
+    * path (feature extraction + sigmoid as one codegen'd expression); training is
+    * covered by QualityClassifierSpec (loss descent + separation), which no SQL
+    * oracle can replay.
+    */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    QualityClassifier.score(docs(s, dir), qualityWeights)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Weighted PageRank over the user-behavior transition graph (event_type →
+    * next event_type per user, deterministic (ts, event_id) ordering): the oracle
+    * replays 5 power iterations as unrolled CTEs with the identical share/teleport
+    * arithmetic, so the dangling-mass term, the damping, and the contribution sums
+    * are all hash-gated.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("src", lag("event_type", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    GraphRank.pageRank(edges, iterations = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")
 
@@ -256,6 +292,20 @@ object SparkEntry {
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5, hashShingles = false)
       .orderBy("doc_a", "doc_b")
+
+  /** Fuzzy entity resolution via FastSS deletion-neighborhood blocking: every
+    * customer-name pair within edit distance 1, found through an equality join on
+    * deletion variants — the oracle brute-forces the same pairs with DuckDB's own
+    * `levenshtein`, so both the blocking (no missed pairs) and the verification
+    * (no false pairs) are gated. The custkey cap keeps the oracle's quadratic
+    * replay bounded at every sf.
+    */
+  private def qFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.editDistancePairs(
+      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 2000),
+      "c_custkey", "c_name", maxDist = 1)
+      .select(col("id_1"), col("id_2"), col("dist"))
+      .orderBy("id_1", "id_2")
 
   private def qMinhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docs(s, dir), numHashes = 32, bands = 16,
@@ -848,6 +898,31 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** MERGE gate: base = documents(<400); changes = upserts for [200,600) with a
+    * rewritten lang plus delete markers for [0,50). The merged table must show
+    * untouched [50,200), the rewritten lang across [200,600) (updates AND
+    * inserts through the same path), and no trace of the deleted keys — the
+    * oracle states that final state directly, so a merge that dropped inserts,
+    * kept deletes, or double-applied updates would hash-mismatch.
+    */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_merge_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "source")
+    vt.write(d.filter(col("doc_id") < 400), loc, "overwrite")
+    val changes = d.filter(col("doc_id") >= 200 && col("doc_id") < 600)
+      .withColumn("lang", concat(col("lang"), lit("+u")))
+      .withColumn("is_delete", lit(false))
+      .unionByName(
+        d.filter(col("doc_id") < 50).withColumn("is_delete", lit(true)))
+    vt.merge(s, loc, changes, Seq("doc_id"), deleteCol = Some("is_delete"))
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
     val tables = Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
     tables.map { n =>
@@ -882,6 +957,8 @@ object SparkEntry {
     "q_outliers" -> qOutliers,
     "q_scd2" -> qScd2,
     "q_text_stats" -> qTextStats,
+    "q_quality_score" -> qQualityScore,
+    "q_pagerank" -> qPageRank,
     "q_gopher_rules" -> qGopherRules,
     "q_quality_floor" -> qQualityFloor,
     "q_drift" -> qDrift,
@@ -891,6 +968,7 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_minhash_neardup" -> qMinhashNearDup,
+    "q_fuzzy_pairs" -> qFuzzyPairs,
     "q_incremental_neardup" -> qIncrementalNearDup,
     "q_simhash" -> qSimhash,
     "q_simhash_near_pairs" -> qSimhashNearPairs,
@@ -908,6 +986,7 @@ object SparkEntry {
     "q_catalog_stats" -> qCatalogStats,
     "q_time_travel" -> qTimeTravel,
     "q_compaction" -> qCompaction,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
@@ -1021,6 +1100,53 @@ object SparkEntry {
        |   + CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END AS DOUBLE)
        |   AS quality_score
        |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[QualityClassifier.score]]: the proven textStats CTE feeds the same
+    * left-associated weighted sum and sigmoid, weights emitted from the one shared
+    * list (`qualityWeights`), so Spark and DuckDB evaluate bit-identical IEEE
+    * expression trees before the 6-dp round.
+    */
+  private val qualityScoreSql: String = {
+    val features = Seq("1.0", "ln(1.0 + n_chars)", "ln(1.0 + n_words)",
+      "avg_word_len", "punct_ratio", "stopword_ratio")
+    val z = qualityWeights.zip(features)
+      .map { case (w, f) => s"$w * $f" }.mkString(" + ")
+    s"""WITH s AS (${textStatsSql.replace("ORDER BY doc_id", "")})
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-($z))), 6) AS quality
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.ops.GraphRank.pageRank]] as unrolled power-iteration CTEs:
+    * identical share precomputation (w/ow once, then rank·share), identical
+    * teleport `(1.0-0.85)/n`, and the explicit `+ 0.0/n` dangling term (zero on
+    * this graph — every event type has out-edges — but kept so the expression
+    * trees match op-for-op).
+    */
+  private val pageRankSql: String = {
+    val iters = 5
+    val body = (1 to iters).map { i =>
+      s"""c$i AS (SELECT sh.dst AS node, SUM(r${i - 1}.rank * sh.share) AS c
+         |  FROM r${i - 1} JOIN sh ON r${i - 1}.node = sh.src GROUP BY sh.dst),
+         |r$i AS (SELECT nodes.node,
+         |  (1.0 - 0.85) / (SELECT n FROM nn)
+         |    + 0.85 * (COALESCE(c$i.c, 0.0) + 0.0 / (SELECT n FROM nn)) AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |    event_type AS dst FROM events),
+       |e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM p
+       |  WHERE src IS NOT NULL GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+       |sh AS (SELECT e.src, e.dst, e.w / ow.ow AS share
+       |  FROM e JOIN ow ON e.src = ow.src),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |$body
+       |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 
   /** Replays [[TextAnalysis.gopherRules]] at the contract thresholds: same token /
@@ -1432,6 +1558,8 @@ object SparkEntry {
         |FROM orders ORDER BY order_id""".stripMargin,
     "q_dq_report" -> dqReportSql,
     "q_text_stats" -> textStatsSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_pagerank" -> pageRankSql,
     "q_gopher_rules" -> gopherRulesSql,
     // PSI replay: identical bin chain (count of edges <= value), fraction math,
     // epsilon floor and ln argument order, rounded to 6 decimals
@@ -1504,6 +1632,15 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_neardup" -> minhashNearDupSql,
+    // the oracle brute-forces what the Spark side finds via deletion-variant
+    // blocking: identical pair sets gate blocking recall exactly
+    "q_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey <= 2000)
+        |SELECT a.id AS id_1, b.id AS id_2,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_1, id_2""".stripMargin,
     "q_incremental_neardup" -> incrementalNearDupSql,
     "q_simhash" -> simhashSql,
     "q_simhash_near_pairs" -> simhashNearPairsSql,
@@ -2128,6 +2265,15 @@ object SparkEntry {
     // post-compact read must be exactly the union of every append
     "q_compaction" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id < 150 ORDER BY doc_id",
+    // merge: base(<400) + upserts[200,600) with rewritten lang + deletes[0,50)
+    // → the exact post-merge state, stated directly
+    "q_merge_upsert" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id >= 50 AND doc_id < 200
+        |UNION ALL
+        |SELECT doc_id, lang || '+u' AS lang, source FROM documents
+        |WHERE doc_id >= 200 AND doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
     // DuckDB CAN see the filesystem: read_blob exposes filename + on-disk size per
     // file. DuckDB table functions reject subquery arguments, so the scanned glob
     // cannot be computed inside the SQL — Verify substitutes the __SF_DIR__ token

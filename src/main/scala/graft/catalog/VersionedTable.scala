@@ -181,6 +181,65 @@ object VersionedTable {
     done
   }
 
+  /** MERGE parity (Delta `whenMatchedUpdate` / `whenNotMatchedInsert` /
+    * `whenMatchedDelete`, the upsert the reference's CDC tables rely on —
+    * `mage-programs/orders_delta_lake.py:53` approximates it with
+    * `overwriteSchema` full replacement): upsert `changes` into the current
+    * snapshot on `keys`. A change row whose `deleteCol` (when given) is true
+    * removes the matching row instead of replacing it; every other change row
+    * replaces its match or is inserted when no match exists.
+    *
+    * `changes` must be key-unique (Delta's own MERGE errors on multiple matches;
+    * here the caller pre-aggregates, e.g. latest-per-key compaction) and, minus
+    * `deleteCol`, column-compatible with the table.
+    *
+    * Plan shape: ONE shuffle on `keys` serves both the left-anti (drop matched
+    * rows) and the union'd upserts; the snapshot streams through the ordinary
+    * multi-path parquet scan. Copy-on-write like Delta: the result lands as a
+    * whole new "merge" commit at snapshotVersion + 1 (same conflict rule as
+    * [[compact]] — a lost claim discards the staged rewrite and re-merges from a
+    * fresh snapshot, never silently dropping a concurrent commit). At 100 TB the
+    * rewrite cost is bounded the same way Delta bounds it: partition the table
+    * and merge per-partition slices (filter both sides to the touched partitions),
+    * so only touched partitions rewrite.
+    */
+  def merge(spark: SparkSession, location: String, changes: DataFrame,
+      keys: Seq[String], deleteCol: Option[String] = None,
+      maxAttempts: Int = 3): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val fs = fileSystem(spark, location)
+    val upserts = deleteCol match {
+      case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => changes
+    }
+    // deletes participate in the anti-join (their keys drop the match) but
+    // contribute no replacement row
+    val changedKeys = deleteCol.fold(changes)(d => changes.drop(d))
+      .select(keys.map(col): _*).dropDuplicates(keys)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location — write a base version first")
+      val latest = cs.last
+      val current = readAsOf(spark, location, latest.version)
+      val merged = current.join(changedKeys, keys, "left_anti")
+        .unionByName(upserts.select(current.columns.map(col): _*))
+      val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      val (dataDir, rows, stats) = stageData(merged, location, partitioning)
+      if (claimCommit(fs, location, latest.version + 1, "merge", rows, dataDir,
+          partitioning, stats)) done = latest.version + 1
+      else {
+        fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        attempt += 1
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"merge into $location lost $maxAttempts snapshot races — giving up")
+      }
+    }
+    maybeCheckpoint(spark, location, done)
+    done
+  }
+
   /** How many numeric columns get min/max stats (mirrors Delta's
     * dataSkippingNumIndexedCols default: the first 32 in schema order).
     */
@@ -272,15 +331,22 @@ object VersionedTable {
   private def assemble(spark: SparkSession, location: String,
       live: Seq[Commit]): DataFrame =
     if (live.forall(_.partition_by.isEmpty))
-      // one multi-path parquet scan — not a union of per-version DataFrames
-      spark.read.parquet(live.map(c => dataPath(location, c)): _*)
+      // one multi-path parquet scan — not a union of per-version DataFrames.
+      // mergeSchema gives appends Delta-style additive schema evolution: a commit
+      // that added columns widens the read schema, older commits surface nulls.
+      // The footer-merge cost is per live commit (bounded by compaction), not per
+      // file — Spark merges one schema per input root's sampled footers.
+      spark.read.option("mergeSchema", "true")
+        .parquet(live.map(c => dataPath(location, c)): _*)
     else
       // hive-partitioned commits: Spark cannot infer partitions across multiple
       // roots ("conflicting directory structures"), so each commit dir is read as
       // its own partitioned root and the branches union. Filters push through the
       // Union into every branch, so partition pruning is intact; the per-commit
       // fixed cost stays small because overwrite commits reset the live set.
-      live.map(c => spark.read.parquet(dataPath(location, c))).reduce(_.unionByName(_))
+      live.map(c => spark.read.option("mergeSchema", "true")
+        .parquet(dataPath(location, c)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Delta-style `history()`: one row per commit, newest first. */
   def history(spark: SparkSession, location: String): DataFrame = {

@@ -281,6 +281,59 @@ object SqlRecipes {
        |) WHERE __rn <= $cap""".stripMargin
   }
 
+  /** Fuzzy entity-resolution pairs — SQL twin of [[FuzzyJoin.editDistancePairs]]
+    * at depth 1: the same deletion-neighborhood blocking (string itself + every
+    * single-character deletion), the same 8-byte `xxhash64` variant key, the same
+    * dedup-then-verify order. Distance-2 needs the nested variant expansion and
+    * stays Scala-API-only.
+    */
+  def fuzzyPairsSql(view: String, idCol: String = "id",
+      strCol: String = "s"): String =
+    s"""WITH base AS (SELECT ${q(idCol)} AS id, ${q(strCol)} AS s FROM $view),
+       |v AS (
+       |  SELECT id, s, xxhash64(variant) AS vh
+       |  FROM base
+       |  LATERAL VIEW explode(array_distinct(
+       |    CASE WHEN length(s) <= 0 THEN array(s)
+       |    ELSE concat(array(s), transform(sequence(0, length(s) - 1), i ->
+       |      concat(substr(s, 1, i), substr(s, i + 2, length(s))))) END)) t AS variant
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_1, b.id AS id_2, a.s AS s_1, b.s AS s_2
+       |  FROM v a JOIN v b ON a.vh = b.vh AND a.id < b.id
+       |)
+       |SELECT id_1, id_2, s_1, s_2, levenshtein(s_1, s_2) AS dist
+       |FROM cand WHERE levenshtein(s_1, s_2) <= 1""".stripMargin
+
+  /** Pinned-weight quality scoring — SQL twin of [[QualityClassifier.score]]:
+    * the same textStats feature math and the same left-associated sigmoid.
+    */
+  def qualityScoreSql(docsView: String, weights: Seq[Double],
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    require(weights.length == 6, s"expected 6 weights, got ${weights.length}")
+    val stop = TextAnalysis.enStop.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val t = q(textCol)
+    val features = Seq("1.0", "ln(1.0 + n_chars)", "ln(1.0 + n_words)",
+      "avg_word_len", "punct_ratio", "stopword_ratio")
+    val z = weights.zip(features).map { case (w, f) => s"$w * $f" }.mkString(" + ")
+    s"""WITH s AS (SELECT ${q(idCol)} AS doc_id, $t AS text,
+       |    split(trim($t), '\\\\s+') AS toks FROM $docsView),
+       |u AS (SELECT doc_id, length(text) AS n_chars, size(toks) AS n_words,
+       |    length(regexp_replace(trim(text), '\\\\s+', '')) AS n_nonspace,
+       |    size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) AS n_punct,
+       |    size(filter(toks, x -> array_contains($stop, x))) AS n_stop
+       |  FROM s),
+       |v AS (SELECT doc_id, n_chars, n_words,
+       |    CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words
+       |      ELSE 0.0 END AS avg_word_len,
+       |    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+       |      ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words
+       |      ELSE 0.0 END AS stopword_ratio
+       |  FROM u)
+       |SELECT doc_id, 1.0 / (1.0 + exp(-($z))) AS quality FROM v""".stripMargin
+  }
+
   /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
     * convenience for chaining recipes from SQL-first code.
     */

@@ -238,6 +238,42 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
   }
 
+  test("versioned table: merge upserts, inserts, and deletes in one commit") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_merge").toString
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), loc, "overwrite")
+    // update id=2, insert id=4, delete id=3
+    val changes = Seq((2L, "B", false), (4L, "d", false), (3L, "", true))
+      .toDF("id", "v", "is_delete")
+    val mv = VersionedTable.merge(spark, loc, changes, Seq("id"),
+      deleteCol = Some("is_delete"))
+    assert(mv === 1L)
+    assert(VersionedTable.commits(spark, loc).last.operation === "merge")
+    assert(VersionedTable.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // the pre-merge snapshot still time-travels
+    assert(VersionedTable.readAsOf(spark, loc, 0).as[(Long, String)]
+      .collect().sorted.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a second merge with no deleteCol is a pure upsert
+    VersionedTable.merge(spark, loc, Seq((1L, "A"), (5L, "e")).toDF("id", "v"),
+      Seq("id"))
+    assert(VersionedTable.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "A"), (2L, "B"), (4L, "d"), (5L, "e")))
+  }
+
+  test("versioned table: appends evolve the schema additively (mergeSchema)") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_evolve").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "v"), loc, "overwrite")
+    VersionedTable.write(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), loc, "append")
+    val now = VersionedTable.read(spark, loc)
+    assert(now.columns.toSet === Set("id", "v", "extra"))
+    // pre-evolution rows surface NULL for the new column; as-of v0 never sees it
+    assert(now.filter(col("id") === 1L).select("extra").first().isNullAt(0))
+    assert(VersionedTable.readAsOf(spark, loc, 0).columns.toSet === Set("id", "v"))
+  }
+
   test("versioned table: z-order compaction clusters files for min/max pruning") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_zorder").toString
@@ -281,7 +317,9 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     val racers = (1 to 4).map { i =>
       Future(VersionedTable.write(Seq(i.toLong).toDF("id"), loc, "append"))
     }
-    val versions = Await.result(Future.sequence(racers), 2.minutes)
+    // generous: under a parallel suite run the shared local[4] session can starve
+    // these four racing jobs for minutes without anything being wrong
+    val versions = Await.result(Future.sequence(racers), 5.minutes)
     // all four commits land, on distinct versions, and every row is readable
     assert(versions.toSet.size === 4)
     assert(VersionedTable.read(spark, loc).orderBy("id")

@@ -136,6 +136,34 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
       .first().getLong(0) === 2) // id=1 deleted, id=2 and id=3 current
   }
 
+  test("pure-SQL fuzzy pairs recipe matches FuzzyJoin at depth 1") {
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey AS id", "c_name AS s")
+    names.createOrReplaceTempView("names_fuzzy")
+    import spark.implicits._
+    // set-compare on the projected key columns: exceptAll over the LATERAL VIEW
+    // plan trips a Spark binding bug (attribute pruned out of GenerateExec)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("id_1", "id_2", "dist").as[(Long, Long, Int)].collect().toSet
+    val viaSql = pairSet(spark.sql(graft.ops.SqlRecipes.fuzzyPairsSql("names_fuzzy")))
+    val viaApi = pairSet(
+      graft.ops.FuzzyJoin.editDistancePairs(names, "id", "s", maxDist = 1))
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaApi)
+  }
+
+  test("pure-SQL quality score matches QualityClassifier.score bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_quality")
+    val w = Seq(-2.0, 0.25, 0.5, -0.25, -4.0, 1.5)
+    val viaSql = spark.sql(graft.ops.SqlRecipes.qualityScoreSql("docs_quality", w))
+    val viaApi = graft.ops.QualityClassifier.score(docs, w)
+    assert(viaSql.count() === docs.count())
+    // identical expression trees → identical doubles, so exact set compare holds
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("pure-SQL BM25 recipe matches the Scala operator") {
     val docs = Tables.documents(spark, sf)
     docs.createOrReplaceTempView("docs_bm25")
