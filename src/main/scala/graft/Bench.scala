@@ -49,6 +49,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (the
+    // driver never sets it, so round benches always cover the full headline set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(headline)(f => headline.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +79,7 @@ object Bench {
     // codegen + JIT are one-time per-plan-shape costs (~10s for the widest expression
     // trees), and AQE re-plans per data size, so warming at a smaller SF doesn't
     // precompile the measured shapes.
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
+    selected.filter(SparkEntry.queries.contains).foreach { name =>
       try force(name, sfDir) catch { case _: Throwable => () }
     }
 
@@ -84,7 +89,7 @@ object Bench {
     // noise — enough to masquerade as a per-query regression round-over-round; the
     // trimmed mean removes exactly those outliers without hiding real shifts.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = selected.filter(SparkEntry.queries.contains).map { name =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }

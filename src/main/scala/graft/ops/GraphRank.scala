@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * no out-edges) is collected by an aggregate and attached via a broadcast
   * single-row cross join — no driver-side collect in the loop.
   *
-  * Lineage is truncated with `localCheckpoint` every `checkpointEvery` iterations;
-  * on a real cluster prefer `spark.sparkContext.setCheckpointDir` + reliable
-  * checkpoints for fault tolerance past executor loss. Ranks partition by node id,
-  * edges by src — both sides hash-partition on their join keys, so AQE reuses the
-  * edge exchange across every iteration.
+  * Each iteration materializes its rank frame with an eager `localCheckpoint`:
+  * the new ranks reference the old THREE times (dangling mass, contributions, and
+  * the node join), so an unmaterialized loop would branch the logical plan
+  * exponentially in the iteration count — one bounded job per iteration is the
+  * textbook trade (GraphX's Pregel makes the same one). On a real cluster prefer
+  * `spark.sparkContext.setCheckpointDir` + reliable checkpoints for fault
+  * tolerance past executor loss.
   */
 object GraphRank {
 
@@ -28,8 +30,8 @@ object GraphRank {
     * `(node, rank)`. Edge weights must be non-negative; parallel edges are summed.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "weight",
-      checkpointEvery: Int = 5): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "weight")
+      : DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
@@ -46,7 +48,7 @@ object GraphRank {
     val teleport = (1.0 - damping) / n
     val srcs = shares.select("src").distinct()
     var ranks = cachedNodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       // dangling nodes hold rank but emit no contributions; their mass spreads
       // uniformly (the standard stochastic-matrix fix), attached as ONE broadcast row
       val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
@@ -59,8 +61,7 @@ object GraphRank {
         .select(col("node"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+        .localCheckpoint() // see object doc: bounds the plan at one job/iteration
     }
     shares.unpersist()
     cachedNodes.unpersist()

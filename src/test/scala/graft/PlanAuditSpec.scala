@@ -57,6 +57,26 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("fuzzy pairs: custkey filter pushes into the scan, schema prunes to (key, name)") {
+    val plan = formatted(SparkEntry.queries("q_fuzzy_pairs")(spark, sf))
+    assert(plan.contains("LessThanOrEqual(c_custkey"),
+      s"custkey cap must push into the customer scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_mktsegment"),
+      s"unused customer columns must not be read: $readSchema")
+    val executed = finalPlan(SparkEntry.queries("q_fuzzy_pairs")(spark, sf))
+    assert(!executed.contains("CartesianProduct"),
+      "variant blocking must stay an equality join")
+  }
+
+  test("quality score: documents scan prunes to (doc_id, text)") {
+    val plan = formatted(SparkEntry.queries("q_quality_score")(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scoring must not read unused document columns: $readSchema")
+  }
+
   test("per-row text analytics stay inside whole-stage codegen") {
     for (q <- Seq("q_text_stats", "q_lang_id", "q_fingerprints")) {
       val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
