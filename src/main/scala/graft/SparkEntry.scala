@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, IncrementalDedup, Integrity, Ivf, Multimodal, NgramLm, Outliers, Profile, QualityClassifier, RangeJoin, Scd2, SemiStructured, Similarity, Splits, TextAnalysis}
+import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, IncrementalDedup, Integrity, Ivf, Multimodal, NgramLm, Outliers, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -179,6 +179,27 @@ object SparkEntry {
     Sessionize.batch(Tables.eventsMicros(s, dir), gapMinutes = 30)
       .orderBy("user_id", "session_seq")
 
+  /** Fixed-grid hourly resampling of the event stream per user ([[TimeSeries.resample]]):
+    * explicit gap rows between a user's first and last active hour, forward-filled
+    * last observation — the regularization step before windowed feature extraction.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resample(Tables.eventsMicros(s, dir).select("user_id", "ts", "value"),
+      keyCol = "user_id", tsCol = "ts", valueCol = "value", unit = "hour")
+      .orderBy("user_id", "bucket")
+
+  /** 30-day trailing revenue per customer at each order ([[TimeSeries.trailingAgg]]):
+    * an event-time RANGE window (peers at the same instant included), the moving-window
+    * companion to the grouped daily-sales rollup.
+    */
+  private def qRollingRevenue(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.trailingAgg(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      keyCol = "o_custkey", tsCol = "o_orderdate", valueCol = "o_totalprice",
+      windowSeconds = 30L * 86400)
+      .drop("o_totalprice")
+      .orderBy("o_orderkey")
+
   /** Distribution-based outlier flags over event values per type ([[Outliers]]):
     * decimal-exact group moments so the flagged set is deterministic and
     * oracle-checkable.
@@ -348,6 +369,16 @@ object SparkEntry {
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
+
+  /** SemDeDup semantic near-dup pairs ([[SemanticDedup.pairs]]): cluster-bucketed
+    * (seed centroids = 8 lowest-id vectors, so the DuckDB oracle can replay the
+    * assignment argmax exactly), intra-cluster cosine ≥ 0.45.
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SemanticDedup.pairs(emb, Ivf.seedCentroids(emb, nlist = 8), threshold = 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
 
   private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -949,6 +980,8 @@ object SparkEntry {
     "q_synthetic_orders" -> qSyntheticOrders,
     "q_stream_ingest" -> qStreamIngest,
     "q_events_hourly" -> qEventsHourly,
+    "q_resample" -> qResample,
+    "q_rolling_revenue" -> qRollingRevenue,
     "q_sessionize" -> qSessionize,
     "q_session_windows" -> qSessionWindows,
     "q_json_flatten" -> qJsonFlatten,
@@ -977,6 +1010,7 @@ object SparkEntry {
     "q_ann_topk" -> qAnnTopK,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
+    "q_semantic_dedup" -> qSemanticDedup,
     "q_repetition" -> qRepetition,
     "q_contamination" -> qContamination,
     "q_deterministic_sample" -> qDeterministicSample,
@@ -1458,6 +1492,28 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** [[graft.ops.SemanticDedup.pairs]] replayed in DuckDB: seed centroids are the 8
+    * lowest-id vectors, assignment argmax by (cosine DESC, centroid_id) exactly as
+    * [[graft.ops.Ivf.assign]] tie-breaks, then intra-cluster pairs at cosine ≥ 0.45.
+    */
+  private val semanticDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+       |  FROM e),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+       |  WHERE vec_id < 8),
+       |a AS (SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+       |  SELECT n.vec_id, n.v, n.norm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("n.v", "c.cv")} / (n.norm * c.cnorm) DESC, c.centroid_id) AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |p AS (SELECT l.cluster, l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    round(${dotSql("l.v", "r.v")} / (l.norm * r.norm), 4) AS cosine
+       |  FROM a l JOIN a r ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+       |SELECT cluster, vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** [[graft.ops.Dedup.contamination]] replayed in DuckDB: corpus shingles df-capped,
     * reference = doc_id < 20 (uncapped), containment = n_common / ref_shingles ≥ 0.5.
     */
@@ -1648,6 +1704,7 @@ object SparkEntry {
     "q_ann_topk" -> annTopkSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,
     "q_contamination" -> contaminationSql,
     "q_dedup_clusters" -> dedupClustersSql,
@@ -2182,6 +2239,33 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id,
+        |    UNNEST(generate_series(MIN(bucket), MAX(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM b GROUP BY user_id)
+        |SELECT s.user_id, s.bucket, COALESCE(b.n_events, 0) AS n_events,
+        |  b.bucket_value AS bucket_value,
+        |  LAST_VALUE(b.bucket_value IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS filled_value,
+        |  b.n_events IS NULL AS gap
+        |FROM s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+        |ORDER BY s.user_id, s.bucket""".stripMargin,
+    "q_rolling_revenue" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  COUNT(*) OVER w AS trailing_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS trailing_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, ts, event_id,
