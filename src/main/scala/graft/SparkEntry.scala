@@ -954,6 +954,47 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** Change-Data-Feed gate: base = documents(<400); ONE merge (changeFeed = true)
+    * rewrites lang for [200,600) and deletes every fifth doc among them. The feed of
+    * that single commit must show exactly the row-level deltas — pre/post images
+    * where the upsert hit, inserts where it missed, deletes (old values) only for
+    * keys that existed, and NOTHING for deletes of missing keys — which the oracle
+    * states directly from the documents table. A feed that diffed snapshots
+    * wholesale, dropped pre-images, or emitted no-op deletes would hash-mismatch.
+    */
+  private def qChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_change_feed_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 400), loc, "overwrite")
+    val changes = d.filter(col("doc_id") >= 200 && col("doc_id") < 600)
+      .withColumn("lang", concat(col("lang"), lit("+u")))
+      .withColumn("is_delete", col("doc_id") % 5 === 0)
+    val mv = vt.merge(s, loc, changes, Seq("doc_id"),
+      deleteCol = Some("is_delete"), changeFeed = true)
+    vt.readChanges(s, loc, mv, mv)
+      .select(col("doc_id"), col("lang"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .orderBy("doc_id", "change_type")
+  }
+
+  /** Heavy-hitters gate: customers with strictly more than 0.1% of all orders
+    * (threshold 15 at sf0.01, where per-customer counts run 1..25 — genuinely
+    * selective). The operator is sketch-then-verify (Misra–Gries candidates, exact
+    * recount); the oracle is the exact GROUP BY/HAVING, so a sketch that LOST a
+    * true heavy hitter — the one failure mode the MG bound forbids — or an
+    * inexact final count would hash-mismatch.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.HeavyHitters
+      .heavyHitters(Tables.load(s, dir, "orders"), "o_custkey", minShare = 0.001)
+      .orderBy("item")
+
   private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
     val tables = Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
     tables.map { n =>
@@ -1021,6 +1062,8 @@ object SparkEntry {
     "q_time_travel" -> qTimeTravel,
     "q_compaction" -> qCompaction,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_change_feed" -> qChangeFeed,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
@@ -2358,6 +2401,34 @@ object SparkEntry {
         |SELECT doc_id, lang || '+u' AS lang, source FROM documents
         |WHERE doc_id >= 200 AND doc_id < 600
         |ORDER BY doc_id""".stripMargin,
+    // change feed: one merge over base(<400) — upserts [200,600) with lang||'+u',
+    // deletes doc_id%5=0 among them. Row-level deltas stated directly; delete
+    // no-ops (missing keys) emit nothing, deletes carry the OLD values.
+    "q_change_feed" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang, 'delete' AS change_type,
+        |    CAST(1 AS BIGINT) AS commit_version
+        |  FROM d WHERE doc_id >= 200 AND doc_id < 400 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'update_preimage', 1
+        |  FROM d WHERE doc_id >= 200 AND doc_id < 400 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang || '+u', 'update_postimage', 1
+        |  FROM d WHERE doc_id >= 200 AND doc_id < 400 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang || '+u', 'insert', 1
+        |  FROM d WHERE doc_id >= 400 AND doc_id < 600 AND doc_id % 5 <> 0
+        |) ORDER BY doc_id, change_type""".stripMargin,
+    // heavy hitters: exact membership + counts above 0.1% of rows; the Spark side
+    // must agree although it counted only sketch-nominated candidates
+    "q_heavy_hitters" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS item,
+        |  count(*) AS item_count,
+        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders) AS share
+        |FROM orders GROUP BY 1
+        |HAVING count(*) > 0.001 * (SELECT count(*) FROM orders)
+        |ORDER BY item""".stripMargin,
     // DuckDB CAN see the filesystem: read_blob exposes filename + on-disk size per
     // file. DuckDB table functions reject subquery arguments, so the scanned glob
     // cannot be computed inside the SQL — Verify substitutes the __SF_DIR__ token

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *  - `_data/d-<uuid>/` — the parquet files one commit added. Dir names are
   *    writer-unique (Delta-style unique file naming), so concurrent writers NEVER
   *    touch each other's data files; the commit log maps versions to data dirs.
+  *  - `_data/c-<uuid>/` — a merge commit's materialized Change-Data-Feed rows
+  *    (when written with `changeFeed = true`); resolved by [[readChanges]].
   *  - `_commit_log/<N>.json` — one file per commit: version, operation, timestamp,
   *    rows, data_dir, partition_by, per-column min/max stats, and the transactional
   *    identity (txn_app, txn_id) for streaming exactly-once ([[idempotentAppend]]).
@@ -55,7 +57,8 @@ object VersionedTable {
       version: Long, operation: String, timestamp: String, row_count: Long,
       data_dir: String, partition_by: String = "",
       txn_app: String = "", txn_id: Long = -1L,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      change_dir: String = "")
 
   /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
     * e.g. a permissions problem that is NOT already-exists — must not spin forever.
@@ -76,6 +79,7 @@ object VersionedTable {
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
+    if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
     val (dataDir, rows, stats) = stageData(df, location, partitionBy)
     var committed = -1L
     var attempt = 0
@@ -113,6 +117,7 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
+    enforceAppendSchema(spark, location, batch, partitionBy)
     val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
     var committed = -1L
     var attempt = 0
@@ -205,7 +210,7 @@ object VersionedTable {
     */
   def merge(spark: SparkSession, location: String, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
-      maxAttempts: Int = 3): Long = {
+      maxAttempts: Int = 3, changeFeed: Boolean = false): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = fileSystem(spark, location)
     val upserts = deleteCol match {
@@ -223,14 +228,23 @@ object VersionedTable {
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
       val current = readAsOf(spark, location, latest.version)
-      val merged = current.join(changedKeys, keys, "left_anti")
-        .unionByName(upserts.select(current.columns.map(col): _*))
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val (dataDir, rows, stats) = stageData(merged, location, partitioning)
+      val staged =
+        if (changeFeed) stageMergeWithFeed(current, changes, keys, deleteCol,
+          location, partitioning)
+        else {
+          val merged = current.join(changedKeys, keys, "left_anti")
+            .unionByName(upserts.select(current.columns.map(col): _*))
+          val (d, r, st) = stageData(merged, location, partitioning)
+          (d, r, st, "")
+        }
+      val (dataDir, rows, stats, changeDir) = staged
       if (claimCommit(fs, location, latest.version + 1, "merge", rows, dataDir,
-          partitioning, stats)) done = latest.version + 1
+          partitioning, stats, changeDir = changeDir)) done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        if (changeDir.nonEmpty)
+          fs.delete(new Path(s"$location/_data/$changeDir"), true)
         attempt += 1
         if (attempt >= maxAttempts) throw new IllegalStateException(
           s"merge into $location lost $maxAttempts snapshot races — giving up")
@@ -238,6 +252,152 @@ object VersionedTable {
     }
     maybeCheckpoint(spark, location, done)
     done
+  }
+
+  /** Merge + Change-Data-Feed capture (Delta CDF parity), both derived from ONE
+    * full-outer join of the snapshot with the change set:
+    *
+    *  - no change row for a key        → snapshot row kept, no feed row
+    *  - change row, no snapshot row    → `insert` (delete of a missing key is a no-op)
+    *  - change row replaces a match    → `update_preimage` (old) + `update_postimage` (new)
+    *  - delete row hits a match        → `delete` (old values)
+    *
+    * The joined result is pinned (MEMORY_AND_DISK) so the new snapshot and the feed
+    * are two cheap scans of one shuffle, not two snapshot joins — the same reason
+    * Delta's merge writes data and CDC files from a single pass. The feed lands in a
+    * writer-unique `_data/c-<uuid>` dir recorded in the commit; [[readChanges]]
+    * resolves it from the log, and [[vacuum]] reclaims it with the commit's data.
+    */
+  private def stageMergeWithFeed(current: DataFrame, changes: DataFrame,
+      keys: Seq[String], deleteCol: Option[String], location: String,
+      partitionBy: Seq[String]): (String, Long, Map[String, (Double, Double)], String) = {
+    val cols = current.columns.toSeq
+    val tagged = deleteCol match {
+      case Some(d) => changes
+        .withColumn("_g_del", coalesce(col(d).cast("boolean"), lit(false)))
+      case None => changes.withColumn("_g_del", lit(false))
+    }
+    val cSide = current.select(
+      keys.map(col) :+ struct(cols.map(col): _*).as("_c"): _*)
+    val gSide = tagged.select(
+      keys.map(col) ++ Seq(struct(cols.map(col): _*).as("_g"), col("_g_del")): _*)
+    val joined = cSide.join(gSide, keys, "full_outer")
+    val isUpdate = col("_c").isNotNull && col("_g").isNotNull && !col("_g_del")
+    // each branch yields (row, change type); nulls (non-matching branches) are
+    // filtered before the explode, so every output row is exactly one tagged case
+    val entries = array(
+      when(col("_g").isNull,
+        struct(col("_c").as("r"), lit("unchanged").as("_change_type"))),
+      when(col("_c").isNull && col("_g").isNotNull && !col("_g_del"),
+        struct(col("_g").as("r"), lit("insert").as("_change_type"))),
+      when(col("_c").isNotNull && col("_g").isNotNull && col("_g_del"),
+        struct(col("_c").as("r"), lit("delete").as("_change_type"))),
+      when(isUpdate,
+        struct(col("_c").as("r"), lit("update_preimage").as("_change_type"))),
+      when(isUpdate,
+        struct(col("_g").as("r"), lit("update_postimage").as("_change_type"))))
+    val cases = joined
+      .select(explode(filter(entries, e => e.isNotNull)).as("e"))
+      .select("e.r.*", "e._change_type")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merged = cases
+        .filter(col("_change_type").isin("unchanged", "insert", "update_postimage"))
+        .select(cols.map(col): _*)
+      val (dataDir, rows, stats) = stageData(merged, location, partitionBy)
+      val feed = cases.filter(col("_change_type") =!= "unchanged")
+      val changeDir = s"c-${java.util.UUID.randomUUID()}"
+      feed.write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
+      (dataDir, rows, stats, changeDir)
+    } finally cases.unpersist()
+  }
+
+  /** Change Data Feed (Delta `table_changes` parity): every row-level change the
+    * commits in `[fromVersion, toVersion]` made, as table columns plus
+    * `_change_type` (`insert` / `delete` / `update_preimage` / `update_postimage`),
+    * `_commit_version`, and `_commit_timestamp` — the incremental-consumption
+    * surface that lets a downstream pipeline process ONLY what changed instead of
+    * diffing 100 TB snapshots.
+    *
+    * Per commit, resolved from the log (metadata-only; no snapshot diffing):
+    *  - `append` — its own data dir, served as `insert` rows (no extra copy ever
+    *    written: the data files ARE the change files, as in Delta's CDF fast path);
+    *  - `merge` written with `changeFeed = true` — its materialized `c-*` dir;
+    *    a merge without it fails the read (its row changes were never captured);
+    *  - `compact` — skipped: a logical no-op that changes no rows;
+    *  - `overwrite` — a reset, not a row-level change; fails unless
+    *    `allowFullRewrites = true`, which serves the new content as `insert`
+    *    (the caller opted into reset semantics, mirroring the streaming
+    *    `ignoreChanges` contract).
+    */
+  def readChanges(spark: SparkSession, location: String, fromVersion: Long,
+      toVersion: Long, allowFullRewrites: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val cs = commits(spark, location)
+    require(cs.exists(_.version == fromVersion) && cs.exists(_.version == toVersion),
+      s"versions [$fromVersion, $toVersion] not all present at $location " +
+        s"(have ${cs.map(_.version)})")
+    val stamp = (df: DataFrame, c: Commit) => df
+      .withColumn("_commit_version", lit(c.version))
+      .withColumn("_commit_timestamp", to_timestamp(lit(c.timestamp)))
+    val parts = cs.filter(c => c.version >= fromVersion && c.version <= toVersion)
+      .flatMap { c =>
+        c.operation match {
+          case "append" =>
+            Some(stamp(spark.read.parquet(dataPath(location, c))
+              .withColumn("_change_type", lit("insert")), c))
+          case "merge" if c.change_dir.nonEmpty =>
+            Some(stamp(spark.read.parquet(s"$location/_data/${c.change_dir}"), c))
+          case "merge" =>
+            throw new IllegalStateException(
+              s"version ${c.version} at $location is a merge committed without " +
+                "changeFeed = true — its row-level changes were not captured")
+          case "compact" => None
+          case _ =>
+            if (allowFullRewrites)
+              Some(stamp(spark.read.parquet(dataPath(location, c))
+                .withColumn("_change_type", lit("insert")), c))
+            else throw new IllegalStateException(
+              s"version ${c.version} at $location is a full rewrite " +
+                s"(${c.operation}) — pass allowFullRewrites = true to read it " +
+                "as inserts (reset semantics)")
+        }
+      }
+    if (parts.isEmpty)
+      // only no-op commits in range: empty frame, same CDF schema
+      read(spark, location).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Delta-style schema enforcement on append: a column shared with the live table
+    * must keep its exact type (a type flip would poison every later mergeSchema
+    * read); columns only one side has are fine — additive evolution, the reader
+    * surfaces nulls for commits that predate a column. Checked against the read
+    * schema (parquet footers), a metadata-only cost paid once per append.
+    * Partition columns are exempt: their read-back type comes from directory-name
+    * inference (e.g. "2024-01-01" dirs read back as DATE), so a type comparison
+    * against the writer's column would reject every partitioned append.
+    */
+  private def enforceAppendSchema(spark: SparkSession, location: String,
+      df: DataFrame, partitionBy: Seq[String]): Unit = {
+    val cs = commits(spark, location)
+    if (cs.isEmpty) return
+    val live = liveCommits(spark, location, cs.last.version)
+    val partCols = (live.flatMap(_.partition_by.split(",")) ++ partitionBy)
+      .filter(_.nonEmpty).map(_.toLowerCase).toSet
+    val existing = assemble(spark, location, live).schema
+    val byName = existing.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    df.schema.fields.filterNot(f => partCols.contains(f.name.toLowerCase)).foreach { f =>
+      byName.get(f.name.toLowerCase).foreach { t =>
+        require(t == f.dataType,
+          s"append schema mismatch on '${f.name}': table has $t, append has " +
+            s"${f.dataType} — appends may add columns but never change a type")
+      }
+    }
   }
 
   /** How many numeric columns get min/max stats (mirrors Delta's
@@ -276,6 +436,16 @@ object VersionedTable {
       }
     }.toMap
     (dataDir, observed("rows").asInstanceOf[Long], stats)
+  }
+
+  /** COUNT(*) of the live state from the log alone (Delta count-from-metadata): the
+    * sum of the live commits' row counts, observed map-side at write time — zero
+    * data files opened, O(commits) driver work, same answer at 100 rows or 100 TB.
+    */
+  def fastCount(spark: SparkSession, location: String): Long = {
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    liveCommits(spark, location, cs.last.version).map(_.row_count).sum
   }
 
   /** The table as of its newest commit. */
@@ -374,7 +544,8 @@ object VersionedTable {
     val dataRoot = new Path(s"$location/_data")
     if (!fs.exists(dataRoot)) return Seq.empty
 
-    val referenced = cs.map(c => new Path(dataPath(location, c)).getName).toSet
+    val referenced = cs.flatMap(c => new Path(dataPath(location, c)).getName +:
+      (if (c.change_dir.nonEmpty) Seq(c.change_dir) else Nil)).toSet
     val orphans = fs.listStatus(dataRoot).toSeq
       .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName)
         && s.getModificationTime <= now - orphanGraceMs)
@@ -384,11 +555,16 @@ object VersionedTable {
     // compact) is itself older than the window: every as-of read that still needs
     // this commit's data targets a version from before that reset, i.e. a state the
     // table left >= retention ago
-    val cutoff = Instant.ofEpochMilli(now - retentionMs)
+    // compared at millisecond grain: commit stamps carry sub-milli precision but
+    // the cutoff is epoch-millis — nano-vs-milli mixing would let a commit in the
+    // cutoff's own millisecond dodge a zero-retention vacuum
+    val cutoffMs = now - retentionMs
     val expired = cs.filter { c =>
       cs.exists(o => o.version > c.version && o.operation != "append" &&
-        parseInstant(o.timestamp).exists(t => !t.isAfter(cutoff)))
-    }.map(c => new Path(dataPath(location, c)))
+        parseInstant(o.timestamp).exists(_.toEpochMilli <= cutoffMs))
+    }.flatMap(c => new Path(dataPath(location, c)) +:
+      (if (c.change_dir.nonEmpty) Seq(new Path(s"$location/_data/${c.change_dir}"))
+       else Nil))
 
     // per-commit log files fully covered by the newest checkpoint are redundant —
     // the checkpoint preserves their bodies verbatim, so history/as-of lose nothing
@@ -435,6 +611,10 @@ object VersionedTable {
     * skipping it would silently drop that commit, so the whole walk retries against
     * a fresh listing, which necessarily sees the covering checkpoint.
     */
+  /** Whether a versioned table (≥ 1 commit) exists at `location`. */
+  def exists(spark: SparkSession, location: String): Boolean =
+    commits(spark, location).nonEmpty
+
   def commits(spark: SparkSession, location: String): Seq[Commit] = {
     val fs = fileSystem(spark, location)
     var attempt = 0
@@ -487,14 +667,9 @@ object VersionedTable {
     val fs = fileSystem(spark, location)
     val v = cs.last.version
     val path = new Path(s"$location/_commit_log/_checkpoint.$v.jsonl")
-    try {
-      val out = fs.create(path, false)
-      try out.write(cs.map(commitJson).mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-      case _: java.nio.file.FileAlreadyExistsException => ()
-    }
+    // losing this race is fine — the winner wrote the same version's checkpoint
+    atomicCreate(fs, path,
+      cs.map(commitJson).mkString("\n").getBytes(StandardCharsets.UTF_8))
     Some(v)
   }
 
@@ -523,28 +698,50 @@ object VersionedTable {
   private def claimCommit(fs: FileSystem, location: String, version: Long,
       operation: String, rows: Long, dataDir: String,
       partitionBy: Seq[String], stats: Map[String, (Double, Double)] = Map.empty,
-      txnApp: String = "", txnId: Long = -1L): Boolean = {
+      txnApp: String = "", txnId: Long = -1L, changeDir: String = ""): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
-      partitionBy.mkString(","), txnApp, txnId, stats)
-    try {
-      // create(path, overwrite = false) is atomic on HDFS/local — the loser throws
-      val out = fs.create(path, false)
-      try out.write(commitJson(c).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
+      partitionBy.mkString(","), txnApp, txnId, stats, changeDir)
+    atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Exclusive-create of the commit file, atomic per filesystem — the one primitive
+    * the whole protocol rests on, and exactly why Delta has a per-FS LogStore:
+    * `fs.create(path, overwrite = false)` is atomic on HDFS (namenode-arbitrated)
+    * but on the LOCAL filesystem it is exists-check-then-open — two racers in the
+    * window both "win" and one silently overwrites the other's commit. For local
+    * paths we go through NIO's CREATE_NEW (O_EXCL — kernel-atomic) instead.
+    * Returns false iff the version was already claimed.
+    */
+  private def atomicCreate(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val p = java.nio.file.Paths.get(path.toUri.getPath)
+        try {
+          val out = java.nio.file.Files.newOutputStream(p,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try {
+          val out = fs.create(path, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
 
   private def commitJson(c: Commit): String = {
     val statsJson = c.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s""""$k":[$mn,$mx]""" }
       .mkString("{", ",", "}")
-    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"stats":$statsJson}"""
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"stats":$statsJson}"""
   }
 
   // pre-data_dir logs (legacy layout) stored data at _data/v=<N>
@@ -573,7 +770,8 @@ object VersionedTable {
       }.toMap)
       .getOrElse(Map.empty[String, (Double, Double)])
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
-      str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats)
+      str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats,
+      str("change_dir"))
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

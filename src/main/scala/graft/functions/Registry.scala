@@ -58,7 +58,10 @@ object Registry {
           foldableIntArg("word_shingles", "n", exprs(1)))),
       entry("bottom_k_by_key", classOf[BottomKByKey],
         exprs => BottomKByKey(exprs(0), exprs(1),
-          foldableIntArg("bottom_k_by_key", "k", exprs(2)))))
+          foldableIntArg("bottom_k_by_key", "k", exprs(2)))),
+      entry("approx_top_items", classOf[ApproxTopItems],
+        exprs => ApproxTopItems(exprs.head,
+          foldableIntArg("approx_top_items", "k", exprs(1)))))
 
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -307,6 +307,108 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("versioned table: change feed captures merge inserts/updates/deletes row-level") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_cdf").toString
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), loc, "overwrite")
+    // update id=2, insert id=4, delete id=3, delete of missing id=9 (a no-op)
+    val changes = Seq((2L, "B", false), (4L, "d", false), (3L, "", true),
+      (9L, "", true)).toDF("id", "v", "is_delete")
+    val mv = VersionedTable.merge(spark, loc, changes, Seq("id"),
+      deleteCol = Some("is_delete"), changeFeed = true)
+    val feed = VersionedTable.readChanges(spark, loc, mv, mv)
+    assert(feed.columns.toSet ===
+      Set("id", "v", "_change_type", "_commit_version", "_commit_timestamp"))
+    val rows = feed.select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // sorted by (id, change_type): "update_postimage" < "update_preimage"
+    assert(rows === Seq(
+      (2L, "B", "update_postimage", 1L),
+      (2L, "b", "update_preimage", 1L),
+      (3L, "c", "delete", 1L),
+      (4L, "d", "insert", 1L)))
+    // merged state agrees with the non-CDF merge semantics
+    assert(VersionedTable.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("versioned table: change feed serves appends as inserts, skips compacts") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_cdf_append").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "v"), loc, "overwrite") // v0
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "v"), loc, "append")    // v1
+    val cv = VersionedTable.compact(spark, loc, numFiles = 1)              // v2
+    VersionedTable.write(Seq((3L, "c")).toDF("id", "v"), loc, "append")    // v3
+    // appends in (v0, v3] are inserts; the compact contributes nothing
+    val feed = VersionedTable.readChanges(spark, loc, 1L, 3L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(feed === Seq((2L, "b", "insert", 1L), (3L, "c", "insert", 3L)))
+    // a compact-only range yields an empty frame with the CDF schema
+    val empty = VersionedTable.readChanges(spark, loc, cv, cv)
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("_change_type"))
+    // full rewrites are resets: refused by default, inserts when opted in
+    intercept[IllegalStateException] {
+      VersionedTable.readChanges(spark, loc, 0L, 3L)
+    }
+    assert(VersionedTable.readChanges(spark, loc, 0L, 0L, allowFullRewrites = true)
+      .select("_change_type").distinct().as[String].collect().toSeq === Seq("insert"))
+    // a merge committed WITHOUT changeFeed cannot serve row-level changes
+    VersionedTable.merge(spark, loc, Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    intercept[IllegalStateException] {
+      VersionedTable.readChanges(spark, loc, 4L, 4L)
+    }
+  }
+
+  test("versioned table: vacuum reclaims change dirs with their expired commits") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_cdf_vacuum").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "v"), loc, "overwrite")
+    val mv = VersionedTable.merge(spark, loc, Seq((2L, "b")).toDF("id", "v"),
+      Seq("id"), changeFeed = true)
+    val changeDir = VersionedTable.commits(spark, loc).last.change_dir
+    assert(changeDir.nonEmpty)
+    // still referenced → survives a vacuum
+    VersionedTable.vacuum(spark, loc, retentionMs = 0L, orphanGraceMs = 0L)
+    assert(new java.io.File(s"$loc/_data/$changeDir").exists())
+    assert(VersionedTable.readChanges(spark, loc, mv, mv).count() === 1)
+    // superseded by an overwrite + zero retention → the merge's data AND feed go
+    VersionedTable.write(Seq((9L, "z")).toDF("id", "v"), loc, "overwrite")
+    VersionedTable.vacuum(spark, loc, retentionMs = 0L, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$loc/_data/$changeDir").exists())
+  }
+
+  test("versioned table: fastCount answers from the log without reading data") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_fastcount").toString
+    VersionedTable.write((1L to 10L).toDF("id"), loc, "overwrite")
+    VersionedTable.write((11L to 15L).toDF("id"), loc, "append")
+    assert(VersionedTable.fastCount(spark, loc) === 15L)
+    // merge rewrites the full state; the log count tracks it
+    VersionedTable.merge(spark, loc,
+      Seq((1L, true), (16L, false)).toDF("id", "is_delete"), Seq("id"),
+      deleteCol = Some("is_delete"))
+    assert(VersionedTable.fastCount(spark, loc) === 15L) // -1 delete, +1 insert
+    assert(VersionedTable.fastCount(spark, loc) ===
+      VersionedTable.read(spark, loc).count())
+  }
+
+  test("versioned table: append with a flipped column type is rejected") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_enforce").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "v"), loc, "overwrite")
+    // same column name, string → long: poison for every later merged read
+    val bad = intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq((2L, 7L)).toDF("id", "v"), loc, "append")
+    }
+    assert(bad.getMessage.contains("schema mismatch"))
+    // additive column still fine; table state untouched by the rejected append
+    VersionedTable.write(Seq((2L, "b", 1L)).toDF("id", "v", "extra"), loc, "append")
+    assert(VersionedTable.read(spark, loc).count() === 2)
+  }
+
   test("versioned table: concurrent writers each publish a distinct committed version") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
