@@ -1,0 +1,116 @@
+package graft.sources.table
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.VersionedTable
+
+/** Batch reads/writes of a [[VersionedTable]] through the DataSource syntax — the
+  * Delta `format("delta")` surface, so a reader never needs the Scala API:
+  *
+  * {{{
+  *   spark.read.format("graft-table").load(loc)                        // latest
+  *   spark.read.format("graft-table").option("versionAsOf", 3).load(loc)
+  *   spark.read.format("graft-table").option("timestampAsOf", "2026-01-01T00:00:00Z").load(loc)
+  *   spark.read.format("graft-table").option("readChangeFeed", "true")
+  *     .option("startingVersion", 1).option("endingVersion", 4).load(loc)
+  *   df.write.format("graft-table").mode("append").save(loc)
+  *   df.write.format("graft-table").option("partitionBy", "d").mode("overwrite").save(loc)
+  *   CREATE TABLE t USING `graft-table` OPTIONS (path '<loc>')         // SQL users
+  * }}}
+  *
+  * Plan quality is the point of the design: [[VersionedTable.readAsOf]] already
+  * resolves to ONE native multi-path parquet scan, so for the common (unpartitioned)
+  * case [[GraftTableRelations.snapshotRelation]] unwraps and returns that scan's own
+  * `HadoopFsRelation` — the DataSource path yields the IDENTICAL vectorized,
+  * pushdown-capable plan as the Scala API, not an RDD[Row] detour. Only the
+  * hive-partitioned union and the change-feed read (a union by construction) use the
+  * [[DataFrameRelation]] fallback, which still pushes column pruning and filters
+  * into the underlying parquet branches before bridging to RDD.
+  */
+object GraftTableRelations {
+
+  def snapshotRelation(ctx: SQLContext, location: String,
+      params: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val version = params.get("versionasof").map(_.toLong)
+      .orElse(params.get("timestampasof").map { ts =>
+        val cutoff = java.time.Instant.parse(ts)
+        val cs = VersionedTable.commits(spark, location)
+          .filter(c => !java.time.Instant.parse(c.timestamp).isAfter(cutoff))
+        require(cs.nonEmpty,
+          s"no commit at $location at or before $ts — earliest is " +
+            VersionedTable.commits(spark, location).head.timestamp)
+        cs.last.version
+      })
+    val df = version match {
+      case Some(v) => VersionedTable.readAsOf(spark, location, v)
+      case None => VersionedTable.read(spark, location)
+    }
+    df.queryExecution.analyzed match {
+      // the unpartitioned fast path: the snapshot IS one parquet relation — serve
+      // it directly, byte-for-byte the plan spark.read.parquet would build
+      case lr: LogicalRelation => lr.relation
+      case _ => new DataFrameRelation(ctx, df)
+    }
+  }
+
+  def changeFeedRelation(ctx: SQLContext, location: String,
+      params: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val cs = VersionedTable.commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val from = params.get("startingversion").map(_.toLong).getOrElse(0L)
+    val to = params.get("endingversion").map(_.toLong).getOrElse(cs.last.version)
+    new DataFrameRelation(ctx, VersionedTable.readChanges(spark, location, from, to,
+      allowFullRewrites = params.get("ignorechanges").exists(_.toBoolean)))
+  }
+}
+
+/** V1 bridge for plans that are not a single file relation (partitioned unions,
+  * change feeds). Column pruning and filters are applied to the DataFrame BEFORE
+  * the RDD bridge, so they reach the parquet branches through the Union — the scan
+  * reads only what survives pushdown; Spark re-applies the filters on top, which is
+  * harmless (handledFilters stays conservative).
+  */
+class DataFrameRelation(ctx: SQLContext, df: DataFrame)
+  extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = df.schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_.filter(_))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.rdd
+  }
+
+  /** Source filters → Column predicates; None for shapes we cannot translate
+    * (Spark evaluates them post-scan either way — translation is pure pushdown).
+    */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

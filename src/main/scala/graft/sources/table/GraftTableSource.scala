@@ -1,0 +1,257 @@
+package graft.sources.table
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.VersionedTable
+
+/** A [[graft.catalog.VersionedTable]] as a Structured Streaming SOURCE — the Delta
+  * streaming-source shape (`spark.readStream.format("delta")`), rebuilt on the
+  * commit log:
+  *
+  * {{{
+  *   spark.readStream.format("graft-table").load(location)                  // appends
+  *   spark.readStream.format("graft-table")
+  *     .option("readChangeFeed", "true").load(location)                     // CDF rows
+  * }}}
+  *
+  * Offsets ARE commit versions: `getOffset` is one driver-side log listing (O(tail)
+  * past a checkpoint, no data files opened), and a micro-batch `(start, end]` is a
+  * multi-path parquet scan of exactly the commits in that version range — late
+  * micro-batches never rescan the table, which is what makes tailing a 100 TB table
+  * cheap: cost tracks the NEW data, not the table size.
+  *
+  * Batch semantics, per commit in `(start, end]`:
+  *  - first batch (no prior offset): the full snapshot AS OF the end version — the
+  *    same initial-snapshot contract Delta's source has — then incremental forever;
+  *  - `append` — its rows (append mode) or `insert` CDF rows (CDF mode);
+  *  - `compact` — skipped: a logical no-op, its rows were all delivered already;
+  *  - `overwrite` / non-CDF `merge` — data was REWRITTEN, not appended; the source
+  *    fails (same contract as Delta without `ignoreChanges`) unless
+  *    `option("ignoreChanges", "true")`, which skips the commit and accepts that
+  *    rewritten rows are not re-delivered;
+  *  - CDF mode serves merge commits' materialized row-level changes exactly.
+  *
+  * This is the v1 `Source` SPI — the same one Delta's own streaming source uses —
+  * because its `getBatch` returns a DataFrame, letting the batch be the ordinary
+  * parquet scan with full pushdown instead of a hand-rolled per-row reader.
+  */
+class GraftTableSource(
+    spark: SparkSession,
+    location: String,
+    changeFeed: Boolean,
+    ignoreChanges: Boolean)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+  with Logging {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit}
+
+  override val schema: StructType = GraftTableSource.schemaFor(spark, location, changeFeed)
+
+  private def currentOffset: Option[Offset] =
+    VersionedTable.commits(spark, location).lastOption
+      .map(c => GraftTableSource.VersionOffset(c.version))
+
+  override def getOffset: Option[Offset] = currentOffset
+
+  /** Trigger.AvailableNow support (the Kafka v1-source pattern): without this,
+    * MicroBatchExecution falls back to SINGLE-batch execution, which silently
+    * stops short when a restart first has to re-run an uncommitted batch from the
+    * WAL — new commits after that batch would wait for the next start. Pinning the
+    * end version here lets the drain run as many batches as it needs while still
+    * terminating (commits racing in after the pin are the next run's work).
+    */
+  @volatile private var availableAtStart: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableAtStart = currentOffset
+    logInfo(s"AvailableNow drain of $location up to $availableAtStart")
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset =
+    availableAtStart.orElse(currentOffset).orNull
+
+  override def reportLatestOffset(): ConnectorOffset = currentOffset.orNull
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    // the contract requires an isStreaming plan; the batch itself is planned (and
+    // pushdown-optimized) as a normal parquet read first, then re-rooted streaming
+    org.apache.spark.sql.graft.ColumnBridge.asStreamingBatch(batchPlan(start, end))
+
+  private def batchPlan(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = GraftTableSource.version(end)
+    start match {
+      case None =>
+        // initial snapshot: the complete state as of endV, one multi-path scan
+        val snap = VersionedTable.readAsOf(spark, location, endV)
+        if (!changeFeed) snap
+        else {
+          val ts = VersionedTable.commits(spark, location)
+            .find(_.version == endV).map(_.timestamp).orNull
+          snap.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(endV))
+            .withColumn("_commit_timestamp", to_timestamp(lit(ts)))
+        }
+      case Some(s) =>
+        val startV = GraftTableSource.version(s)
+        if (startV >= endV) return emptyBatch
+        if (changeFeed)
+          // readChanges already skips compacts and serves merges row-level;
+          // full rewrites only pass when the caller opted into reset semantics
+          VersionedTable.readChanges(spark, location, startV + 1, endV,
+            allowFullRewrites = ignoreChanges)
+        else {
+          val cs = VersionedTable.commits(spark, location)
+            .filter(c => c.version > startV && c.version <= endV)
+          cs.filterNot(c => c.operation == "append" || c.operation == "compact")
+            .foreach { c =>
+              if (!ignoreChanges) throw new IllegalStateException(
+                s"version ${c.version} at $location is a ${c.operation} — data was " +
+                  "rewritten, not appended. Restart the stream from scratch, or set " +
+                  "ignoreChanges=true to skip rewrites (rewritten rows will not be " +
+                  "re-delivered), or read the change feed (readChangeFeed=true).")
+              else logWarning(s"ignoreChanges: skipping ${c.operation} " +
+                s"commit ${c.version} at $location")
+            }
+          val appendDirs = cs.filter(_.operation == "append")
+            .map(c => s"$location/_data/${c.data_dir}")
+          if (appendDirs.isEmpty) emptyBatch
+          else spark.read.option("mergeSchema", "true")
+            .schema(schema).parquet(appendDirs: _*)
+        }
+    }
+  }
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object GraftTableSource {
+
+  /** Offsets serialize into the checkpoint log as the bare version number, so a
+    * restarted query resumes from exactly the commit it last processed.
+    */
+  case class VersionOffset(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+
+  private[table] def version(o: Offset): Long = o match {
+    case VersionOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset replayed from checkpoint
+  }
+
+  private[table] def schemaFor(spark: SparkSession, location: String,
+      changeFeed: Boolean): StructType = {
+    val base = VersionedTable.read(spark, location).schema
+    if (!changeFeed) base
+    else base.add("_change_type", "string").add("_commit_version", "long")
+      .add("_commit_timestamp", "timestamp")
+  }
+}
+
+/** SPI entry point — one provider for the whole `format("graft-table")` surface,
+  * exactly as Delta registers a single source for batch and streaming:
+  * `spark.readStream` (streaming tail / change feed), `spark.read` (snapshot,
+  * time travel, batch change feed), `df.write` (append/overwrite commits), and SQL
+  * `CREATE TABLE ... USING graft-table`. Registered in META-INF/services, so the
+  * short name resolves like any built-in source.
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister
+  with RelationProvider with CreatableRelationProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
+
+  override def shortName(): String = "graft-table"
+
+  private def location(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table requires a path: spark.read[Stream].format(\"graft-table\").load(<table location>)"))
+
+  private def changeFeed(params: Map[String, String]): Boolean =
+    params.get("readchangefeed").exists(_.toBoolean)
+
+  // ---- batch read: latest snapshot, versionAsOf/timestampAsOf, change feed ----
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    if (changeFeed(params)) GraftTableRelations.changeFeedRelation(ctx, location(params), params)
+    else GraftTableRelations.snapshotRelation(ctx, location(params), params)
+  }
+
+  // ---- batch write: every SaveMode maps onto a commit ----
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val loc = location(params)
+    val partitionBy = params.get("partitionby").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val exists = VersionedTable.exists(ctx.sparkSession, loc)
+    mode match {
+      case SaveMode.Append =>
+        VersionedTable.write(data, loc, if (exists) "append" else "overwrite", partitionBy)
+      case SaveMode.Overwrite =>
+        VersionedTable.write(data, loc, "overwrite", partitionBy)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-table at $loc already exists (SaveMode.ErrorIfExists)")
+        VersionedTable.write(data, loc, "overwrite", partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) VersionedTable.write(data, loc, "overwrite", partitionBy)
+    }
+    GraftTableRelations.snapshotRelation(ctx, loc, Map.empty)
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, params: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      GraftTableSource.schemaFor(ctx.sparkSession, location(params), changeFeed(params))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source =
+    new GraftTableSource(ctx.sparkSession, location(params), changeFeed(params),
+      ignoreChanges = params.get("ignorechanges").exists(_.toBoolean))
+
+  // ---- streaming sink: writeStream.format("graft-table").start(location) ----
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink is append-only (each micro-batch is one commit); got $outputMode")
+    val p = params.map { case (k, v) => k.toLowerCase -> v }
+    val partitionBy =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else p.get("partitionby").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new GraftTableSink(location(p), partitionBy,
+      // the writer identity replays dedupe on: stable across restarts of the same
+      // query because it rides the checkpoint location
+      txnApp = p.getOrElse("checkpointlocation", location(p)))
+  }
+}
+
+/** Micro-batches land as exactly-once versioned commits: `(txnApp, batchId)` is the
+  * transactional identity [[VersionedTable.idempotentAppend]] dedupes on, so a
+  * micro-batch REPLAYED after a crash commits nothing the second time — the same
+  * guarantee Delta's streaming sink gets from its transactional writer.
+  */
+class GraftTableSink(location: String, partitionBy: Seq[String], txnApp: String)
+  extends org.apache.spark.sql.execution.streaming.Sink with Logging {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.ColumnBridge.asWritableBatch(data)
+    VersionedTable.idempotentAppend(batch, location, txnApp, batchId, partitionBy) match {
+      case Some(v) => logInfo(s"batch $batchId committed as version $v at $location")
+      case None => logInfo(s"batch $batchId already committed at $location — replay deduped")
+    }
+  }
+}

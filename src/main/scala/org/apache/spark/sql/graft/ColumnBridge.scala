@@ -19,4 +19,29 @@ object ColumnBridge {
     */
   def analysisError(msg: String): AnalysisException =
     new AnalysisException("USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  /** Re-root a batch DataFrame as a streaming one (`isStreaming = true`) — what a v1
+    * streaming `Source.getBatch` must return, and exactly how Delta's source serves
+    * file batches: the batch plan is optimized normally (pushdown, codegen), its
+    * InternalRow RDD is wrapped in a `LogicalRDD` flagged streaming, and
+    * MicroBatchExecution splices that into the incremental plan.
+    */
+  def asStreamingBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    reroot(df, isStreaming = true)
+
+  /** The inverse — what `ForeachBatchSink` does to hand user code a writable
+    * DataFrame inside `Sink.addBatch`: the micro-batch's already-planned RDD is
+    * re-rooted as a BATCH plan, so ordinary `df.write` works on it (the raw
+    * streaming plan would throw "must be executed with writeStream.start()").
+    */
+  def asWritableBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    reroot(df, isStreaming = false)
+
+  private def reroot(df: org.apache.spark.sql.DataFrame,
+      isStreaming: Boolean): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val plan = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, plan)
+  }
 }

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.VersionedTable
+
+/** The versioned table as a Structured Streaming source (`format("graft-table")`):
+  * initial-snapshot-then-incremental, version offsets in the checkpoint, compacts
+  * skipped, rewrites refused without `ignoreChanges`, and change-feed mode serving
+  * merges row-level. Each scenario drains with AvailableNow and restarts against
+  * the SAME checkpoint to prove the offset log carries versions across runs.
+  */
+class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
+
+  private def drain(loc: String, out: String, chk: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = options.foldLeft(spark.readStream.format("graft-table")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    reader.load(loc).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+
+  private def ids(out: String): Seq[Long] = {
+    import spark.implicits._
+    spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+  }
+
+  test("tailing: initial snapshot, then only new appends; compacts skipped") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_tail").toString
+    val out = Files.createTempDirectory("gts_tail_out").toString
+    val chk = Files.createTempDirectory("gts_tail_chk").toString
+    VersionedTable.write(Seq(1L, 2L, 3L).toDF("id"), loc, "overwrite") // v0
+    VersionedTable.write(Seq(4L, 5L).toDF("id"), loc, "append")        // v1
+
+    // first run: the complete snapshot as of the newest version
+    drain(loc, out, chk)
+    assert(ids(out) === Seq(1L, 2L, 3L, 4L, 5L))
+
+    // nothing new → a restart delivers nothing
+    drain(loc, out, chk)
+    assert(ids(out) === Seq(1L, 2L, 3L, 4L, 5L))
+
+    // new append + a compact: only the append's rows arrive, exactly once
+    VersionedTable.write(Seq(6L, 7L).toDF("id"), loc, "append")        // v2
+    VersionedTable.compact(spark, loc, numFiles = 1)                   // v3
+    drain(loc, out, chk)
+    assert(ids(out) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("rewrites: stream fails without ignoreChanges, skips with it") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_rw").toString
+    val out = Files.createTempDirectory("gts_rw_out").toString
+    val chk = Files.createTempDirectory("gts_rw_chk").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")     // v0
+    drain(loc, out, chk)
+    assert(ids(out) === Seq(1L, 2L))
+
+    VersionedTable.write(Seq(9L).toDF("id"), loc, "overwrite")         // v1: rewrite
+    val e = intercept[StreamingQueryException] { drain(loc, out, chk) }
+    assert(e.getMessage.contains("rewritten"))
+
+    // opting in skips the rewrite commit (rewritten rows are NOT re-delivered),
+    // and later appends still flow
+    VersionedTable.write(Seq(10L).toDF("id"), loc, "append")           // v2
+    drain(loc, out, chk, Map("ignoreChanges" -> "true"))
+    assert(ids(out) === Seq(1L, 2L, 10L))
+  }
+
+  test("change feed mode: merges arrive as row-level pre/post images and deletes") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_cdf").toString
+    val out = Files.createTempDirectory("gts_cdf_out").toString
+    val chk = Files.createTempDirectory("gts_cdf_chk").toString
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc, "overwrite")     // v0
+
+    // initial snapshot arrives as inserts with CDF columns
+    drain(loc, out, chk, Map("readChangeFeed" -> "true"))
+    val snap = spark.read.parquet(out)
+    assert(snap.columns.toSet ===
+      Set("id", "v", "_change_type", "_commit_version", "_commit_timestamp"))
+    assert(snap.filter(col("_change_type") === "insert").count() === 2)
+
+    // one merge: update id=2, insert id=3, delete id=1
+    VersionedTable.merge(spark, loc,
+      Seq((2L, "B", false), (3L, "c", false), (1L, "", true))
+        .toDF("id", "v", "is_delete"),
+      Seq("id"), deleteCol = Some("is_delete"), changeFeed = true)     // v1
+    drain(loc, out, chk, Map("readChangeFeed" -> "true"))
+    val feed = spark.read.parquet(out).filter(col("_commit_version") === 1L)
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // sorted by (id, change_type): "update_postimage" < "update_preimage"
+    assert(feed === Seq(
+      (1L, "a", "delete"),
+      (2L, "B", "update_postimage"),
+      (2L, "b", "update_preimage"),
+      (3L, "c", "insert")))
+  }
+
+  test("sink: micro-batches commit exactly-once; checkpoint replay appends nothing") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("gts_sink_in").toString
+    val loc = Files.createTempDirectory("gts_sink_loc").toString + "/t"
+    val chk = Files.createTempDirectory("gts_sink_chk").toString
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    src.write.mode("overwrite").json(in)
+
+    def run(): Unit = spark.readStream.schema(src.schema).json(in)
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start(loc).awaitTermination()
+
+    run()
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val commits1 = VersionedTable.commits(spark, loc)
+    assert(commits1.forall(_.operation == "append"))
+
+    // same checkpoint, no new input: the replayed query commits nothing
+    run()
+    assert(VersionedTable.commits(spark, loc).size === commits1.size)
+    assert(VersionedTable.read(spark, loc).count() === 3)
+  }
+
+  test("table-to-table streaming: graft-table source feeds graft-table sink") {
+    import spark.implicits._
+    val srcLoc = Files.createTempDirectory("gts_t2t_src").toString
+    val dstLoc = Files.createTempDirectory("gts_t2t_dst").toString + "/t"
+    val chk = Files.createTempDirectory("gts_t2t_chk").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), srcLoc, "overwrite")
+
+    def pump(): Unit = spark.readStream.format("graft-table").load(srcLoc)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft-table").option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start(dstLoc).awaitTermination()
+
+    pump()
+    assert(VersionedTable.read(spark, dstLoc).orderBy("id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 2L), (2L, 4L)))
+
+    // incremental: only the new append flows on the next pump
+    VersionedTable.write(Seq(5L).toDF("id"), srcLoc, "append")
+    pump()
+    assert(VersionedTable.read(spark, dstLoc).orderBy("id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 2L), (2L, 4L), (5L, 10L)))
+  }
+}
