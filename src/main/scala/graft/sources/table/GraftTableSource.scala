@@ -44,7 +44,9 @@ class GraftTableSource(
     spark: SparkSession,
     location: String,
     changeFeed: Boolean,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean,
+    maxRowsPerTrigger: Option[Long] = None,
+    maxCommitsPerTrigger: Option[Int] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
   with Logging {
@@ -73,10 +75,59 @@ class GraftTableSource(
     logInfo(s"AvailableNow drain of $location up to $availableAtStart")
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset =
-    availableAtStart.orElse(currentOffset).orNull
+  /** Admission control from the COMMIT LOG alone (`maxRowsPerTrigger` via the
+    * per-commit row counts observed at write time, `maxCommitsPerTrigger` by
+    * construction): bounding a micro-batch costs zero data reads, so a stream
+    * recovering a deep backlog on a 100 TB table paces itself into bounded batches
+    * instead of one giant catch-up batch that overwhelms executor memory. The
+    * first batch (initial snapshot) is never split — it is one multi-path scan
+    * whose size is the table's, not the backlog's. A batch always advances at
+    * least one commit, so a single commit larger than the row budget still flows.
+    */
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val ceiling = availableAtStart.orElse(currentOffset)
+      .map(o => GraftTableSource.version(o.asInstanceOf[Offset]))
+    ceiling match {
+      case None => null
+      case Some(cv) =>
+        val startV = Option(start).map {
+          case o: Offset => GraftTableSource.version(o)
+          case o => o.json.trim.toLong
+        }
+        startV match {
+          case None => GraftTableSource.VersionOffset(cv) // initial snapshot, whole
+          case Some(sv) if sv >= cv => GraftTableSource.VersionOffset(sv) // caught up
+          case Some(sv) =>
+            val pending = VersionedTable.commits(spark, location)
+              .filter(c => c.version > sv && c.version <= cv)
+            val rowBudget = limit match {
+              case r: ReadMaxRows => Some(r.maxRows())
+              case _: ReadAllAvailable => None
+              case _ => None
+            }
+            // a batch is the contiguous range (sv, end] — admission walks commits
+            // in version order and stops at the FIRST one over budget
+            var end = sv
+            var rows = 0L
+            var admitted = 0
+            var stopped = false
+            pending.foreach { c =>
+              if (!stopped) {
+                val commitBudgetOk = maxCommitsPerTrigger.forall(admitted < _)
+                val rowBudgetOk = rowBudget.forall(b => rows + c.row_count <= b)
+                if (end == sv || (commitBudgetOk && rowBudgetOk)) {
+                  end = c.version; rows += c.row_count; admitted += 1
+                } else stopped = true
+              }
+            }
+            GraftTableSource.VersionOffset(end)
+        }
+    }
+  }
 
   override def reportLatestOffset(): ConnectorOffset = currentOffset.orNull
 
@@ -219,7 +270,9 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType], providerName: String,
       params: Map[String, String]): Source =
     new GraftTableSource(ctx.sparkSession, location(params), changeFeed(params),
-      ignoreChanges = params.get("ignorechanges").exists(_.toBoolean))
+      ignoreChanges = params.get("ignorechanges").exists(_.toBoolean),
+      maxRowsPerTrigger = params.get("maxrowspertrigger").map(_.toLong),
+      maxCommitsPerTrigger = params.get("maxcommitspertrigger").map(_.toInt))
 
   // ---- streaming sink: writeStream.format("graft-table").start(location) ----
   override def createSink(ctx: SQLContext, params: Map[String, String],

@@ -106,6 +106,41 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
       (3L, "c", "insert")))
   }
 
+  test("admission control: a backlog drains in bounded batches, never one giant batch") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_adm").toString
+    val out = Files.createTempDirectory("gts_adm_out").toString
+    val chk = Files.createTempDirectory("gts_adm_chk").toString
+    VersionedTable.write(Seq(0L).toDF("id"), loc, "overwrite")            // v0 snapshot
+    drain(loc, out, chk)                                                  // consume v0
+    (1L to 6L).foreach(i =>
+      VersionedTable.write(Seq(i * 10, i * 10 + 1).toDF("id"), loc, "append")) // v1..v6, 2 rows each
+
+    // 6-commit backlog, 1 commit per trigger → exactly 6 batches of 2 rows
+    var batchSizes = Vector.empty[Long]
+    spark.readStream.format("graft-table")
+      .option("maxCommitsPerTrigger", "1").load(loc)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes :+= b.count()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(batchSizes === Vector.fill(6)(2L))
+
+    // row budget: 4 rows/trigger admits two 2-row commits per batch
+    (7L to 8L).foreach(i =>
+      VersionedTable.write(Seq(i * 10, i * 10 + 1).toDF("id"), loc, "append")) // v7, v8
+    var sizes2 = Vector.empty[Long]
+    spark.readStream.format("graft-table")
+      .option("maxRowsPerTrigger", "4").load(loc)
+      .writeStream.option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes2 :+= b.count()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(sizes2 === Vector(4L))
+  }
+
   test("sink: micro-batches commit exactly-once; checkpoint replay appends nothing") {
     import spark.implicits._
     val in = Files.createTempDirectory("gts_sink_in").toString
