@@ -161,6 +161,49 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     assert(k1.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, true))
   }
 
+  test("scd2 maintained incrementally from a versioned table's change feed") {
+    import spark.implicits._
+    import graft.catalog.VersionedTable
+    // the canonical CDC-consumption composition: a dimension table maintained by
+    // merges, and a downstream SCD2 history fed ONLY from the change feed — the
+    // consumer never rereads or diffs snapshots, exactly the 100 TB contract
+    val loc = java.nio.file.Files.createTempDirectory("scd2_cdf").toString
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc) // v0
+    VersionedTable.merge(spark, loc,
+      Seq((1L, "A", false), (3L, "c", false)).toDF("id", "v", "is_delete"),
+      Seq("id"), deleteCol = Some("is_delete"), changeFeed = true)       // v1
+    VersionedTable.merge(spark, loc,
+      Seq((2L, "", true), (3L, "C", false)).toDF("id", "v", "is_delete"),
+      Seq("id"), deleteCol = Some("is_delete"), changeFeed = true)       // v2
+
+    // CDF → SCD2 change log: post-images and inserts upsert, deletes tombstone,
+    // pre-images drop; the commit version is the effective ordering
+    def asLog(feed: org.apache.spark.sql.DataFrame) = feed
+      .filter(col("_change_type") =!= "update_preimage")
+      .select(col("id"), col("v"), col("_commit_version").as("cv"),
+        when(col("_change_type") === "delete", "d").otherwise("u").as("op"))
+    def feed(from: Long, to: Long) = asLog(
+      VersionedTable.readChanges(spark, loc, from, to, allowFullRewrites = true))
+
+    val incr = Seq(1L, 2L).foldLeft(
+      Scd2.history(feed(0, 0), Seq("id"), "cv", opCol = Some("op"))) {
+      (h, v) => Scd2.applyChanges(h, feed(v, v), Seq("id"), "cv", opCol = Some("op"))
+    }
+    val full = Scd2.history(feed(0, 2), Seq("id"), "cv", opCol = Some("op"))
+    val sel = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("id", "v", "cv", "effective_from", "effective_to", "version_seq",
+        "is_current").orderBy("id", "version_seq").collect().map(_.toSeq).toSeq
+    assert(sel(incr) === sel(full))
+    // the history's current rows ARE the table's live state
+    assert(incr.filter(col("is_current")).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      VersionedTable.read(spark, loc).as[(Long, String)].collect().sortBy(_._1).toSeq)
+    // and the closed row carries key 1's pre-update value with a bounded range
+    val k1 = incr.filter(col("id") === 1L).orderBy("version_seq")
+      .select("v", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(k1 === Seq(("a", false), ("A", true)))
+  }
+
   test("scd2: single shuffle — one Exchange in the physical plan") {
     val h = Scd2.history(changes, key = Seq("id"), tsCol = "ts", opCol = Some("op"))
     val plan = h.queryExecution.executedPlan.toString
