@@ -995,6 +995,22 @@ object SparkEntry {
       .heavyHitters(Tables.load(s, dir, "orders"), "o_custkey", minShare = 0.001)
       .orderBy("item")
 
+  /** Bloom-pruned incremental dedup gate: batch (doc_id ≥ 400) keeps only rows whose
+    * text hash never appeared in the corpus (< 400). The bloom prunes the verify
+    * join's probe side; the RESULT is exact anti-join semantics, which is exactly
+    * what the oracle states — a bloom that produced a false NEGATIVE (the one error
+    * its contract forbids) would leak a duplicate row and hash-mismatch.
+    */
+  private def qBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val corpus = d.filter(col("doc_id") < 400)
+    val batch = d.filter(col("doc_id") >= 400)
+    val bloom = graft.ops.BloomIndex.build(corpus, col("text_hash"),
+      expectedItems = 5000, fpp = 0.01)
+    graft.ops.BloomIndex.newKeysOnly(batch, "text_hash", corpus, bloom)
+      .orderBy("doc_id")
+  }
+
   private def qTableCounts(s: SparkSession, dir: String): DataFrame = {
     val tables = Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
     tables.map { n =>
@@ -1064,6 +1080,7 @@ object SparkEntry {
     "q_merge_upsert" -> qMergeUpsert,
     "q_change_feed" -> qChangeFeed,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_bloom_dedup" -> qBloomDedup,
     "q_pricing_summary" -> qPricingSummary,
     "q_top_customers" -> qTopCustomers,
     "q_asof_join" -> qAsofJoin,
@@ -2420,6 +2437,14 @@ object SparkEntry {
         |  SELECT doc_id, lang || '+u', 'insert', 1
         |  FROM d WHERE doc_id >= 400 AND doc_id < 600 AND doc_id % 5 <> 0
         |) ORDER BY doc_id, change_type""".stripMargin,
+    // bloom-pruned dedup is EXACT anti-join semantics — the bloom only prunes the
+    // verify join, so the oracle is the plain NOT EXISTS
+    "q_bloom_dedup" ->
+      """SELECT d.doc_id, md5(d.text) AS text_hash FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id < 400 AND md5(c.text) = md5(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
     // heavy hitters: exact membership + counts above 0.1% of rows; the Spark side
     // must agree although it counted only sketch-nominated candidates
     "q_heavy_hitters" ->

@@ -61,7 +61,21 @@ object Registry {
           foldableIntArg("bottom_k_by_key", "k", exprs(2)))),
       entry("approx_top_items", classOf[ApproxTopItems],
         exprs => ApproxTopItems(exprs.head,
-          foldableIntArg("approx_top_items", "k", exprs(1)))))
+          foldableIntArg("approx_top_items", "k", exprs(1)))),
+      // bloom membership kernels (Spark ships these internally for runtime join
+      // pruning but gives them no SQL name): bloom_filter_agg(key, items, bits)
+      // builds the artifact, might_contain(bloom, key) probes it — both hash the
+      // key through the same xxhash64, so SQL builds and probes stay consistent
+      entry("bloom_filter_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+          exprs(1), exprs(2)).toAggregateExpression()),
+      entry("might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+        exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))))
 
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
