@@ -749,7 +749,7 @@ object VersionedTable {
     if (c.data_dir.nonEmpty) s"$location/_data/${c.data_dir}"
     else s"$location/_data/v=${c.version}"
 
-  private def parseInstant(s: String): Option[Instant] =
+  private[graft] def parseInstant(s: String): Option[Instant] =
     try Some(Instant.parse(s)) catch { case _: java.time.format.DateTimeParseException => None }
 
   // the log schema is controlled by claimCommit above; a tiny field extractor keeps

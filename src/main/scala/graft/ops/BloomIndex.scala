@@ -24,8 +24,15 @@ import org.apache.spark.sql.types.BinaryType
   * negatives), so rows the bloom has never seen skip the verify join ENTIRELY, and
   * only the maybe-seen sliver (true dups + ~fpp of the fresh rows) pays the exact
   * anti-join. The result is EXACT — the bloom only prunes; it never decides.
-  * Artifact size: ~1.2 GB for 10^9 keys at 1% fpp — broadcastable; shard by key
-  * range if the corpus outgrows that.
+  *
+  * Sizing: `BloomFilterAggregate` silently clamps its inputs to
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `.maxNumBits`
+  * (defaults 4M items / 2^26 bits ≈ 8 MB) — a clamp would keep results exact (the
+  * verify join catches the extra false positives) but quietly destroy the pruning
+  * this artifact exists for, so [[build]] fails fast instead when the requested
+  * size exceeds the session caps. For bigger corpora raise both confs for the
+  * build (10^9 keys at 1% fpp needs ~1.2 GB of bits — still broadcastable), or
+  * shard the index by key range.
   */
 object BloomIndex {
 
@@ -38,6 +45,18 @@ object BloomIndex {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1); got $fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate clamps to these session caps with Math.min — no error,
+    // no log — which would silently inflate the effective fpp far past what the
+    // caller asked for. Surface that as a hard failure with the remedy instead.
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom build of $expectedItems items at fpp=$fpp needs $numBits bits, but the " +
+        s"session caps BloomFilterAggregate at $maxItems items / $maxBits bits and " +
+        "would silently clamp (exactness survives, pruning does not). Raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / .maxNumBits for the " +
+        "build, or shard the index by key range.")
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(key))),
       Literal(expectedItems), Literal(numBits))

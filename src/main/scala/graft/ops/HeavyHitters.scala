@@ -46,10 +46,27 @@ object HeavyHitters {
           .add("item", "string", nullable = true)
           .add("item_count", "long", nullable = false)
           .add("share", "double", nullable = false))
-    df.filter(item.isin(candidates: _*))
-      .groupBy(item.as("item"))
+    // k = ceil(1/minShare), so a small minShare means a LARGE candidate set: an
+    // isin() of a million literals is a million-element In embedded in the plan —
+    // driver memory and codegen blow up before any data moves. Past a modest size
+    // the membership test becomes a broadcast semi-join instead: same semantics,
+    // same map-side evaluation, but the candidates ship as a broadcast relation
+    // rather than plan literals.
+    val recount =
+      if (candidates.size <= MaxInListCandidates)
+        df.filter(item.isin(candidates: _*)).select(item.as("item"))
+      else {
+        import df.sparkSession.implicits._
+        df.select(item.as("item"))
+          .join(broadcast(candidates.toDF("item")), Seq("item"), "left_semi")
+      }
+    recount
+      .groupBy("item")
       .agg(count(lit(1)).as("item_count"))
       .filter(col("item_count") > minShare * n)
       .withColumn("share", col("item_count") / lit(n.toDouble))
   }
+
+  /** Above this, candidate membership is a broadcast semi-join, not an In-list. */
+  private val MaxInListCandidates = 1000
 }

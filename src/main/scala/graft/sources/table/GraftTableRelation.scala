@@ -39,9 +39,12 @@ object GraftTableRelations {
     val spark = ctx.sparkSession
     val version = params.get("versionasof").map(_.toLong)
       .orElse(params.get("timestampasof").map { ts =>
-        val cutoff = java.time.Instant.parse(ts)
+        val cutoff = java.time.Instant.parse(ts) // user input: fail loudly if malformed
+        // commit stamps go through the defensive parse (same policy as vacuum and
+        // the retention sweep): one legacy/corrupt stamp in the log must not take
+        // down every timestampAsOf read — such commits just never match a cutoff
         val cs = VersionedTable.commits(spark, location)
-          .filter(c => !java.time.Instant.parse(c.timestamp).isAfter(cutoff))
+          .filter(c => VersionedTable.parseInstant(c.timestamp).exists(!_.isAfter(cutoff)))
         require(cs.nonEmpty,
           s"no commit at $location at or before $ts — earliest is " +
             VersionedTable.commits(spark, location).head.timestamp)

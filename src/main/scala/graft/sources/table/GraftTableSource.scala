@@ -287,8 +287,13 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       else p.get("partitionby").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     new GraftTableSink(location(p), partitionBy,
       // the writer identity replays dedupe on: stable across restarts of the same
-      // query because it rides the checkpoint location
-      txnApp = p.getOrElse("checkpointlocation", location(p)))
+      // query because it rides the checkpoint location. When the checkpoint is set
+      // via conf instead of an option it is not visible here — the sink then falls
+      // back to the streaming QUERY id (persisted in the checkpoint metadata, so
+      // also restart-stable), never the table location: two independent queries
+      // sharing a location must NOT share a transactional identity, or their
+      // overlapping batchIds would dedupe each other's micro-batches away.
+      explicitTxnApp = p.get("checkpointlocation"))
   }
 }
 
@@ -297,12 +302,32 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
   * micro-batch REPLAYED after a crash commits nothing the second time — the same
   * guarantee Delta's streaming sink gets from its transactional writer.
   */
-class GraftTableSink(location: String, partitionBy: Seq[String], txnApp: String)
+class GraftTableSink(location: String, partitionBy: Seq[String],
+    explicitTxnApp: Option[String])
   extends org.apache.spark.sql.execution.streaming.Sink with Logging {
+
+  /** The per-query transactional identity. Preference order: the explicit
+    * `checkpointLocation` option (backwards-compatible with existing tables), else
+    * the streaming query id — StreamExecution publishes it as a local property on
+    * the batch thread, and it is minted once and persisted in the checkpoint's
+    * metadata file, so it is stable across restarts and unique per checkpoint.
+    * There is deliberately NO fallback to the table location: that identity is
+    * shared by every query writing to the table, which turns batchId-based replay
+    * dedupe into silent cross-query data loss.
+    */
+  private def resolveTxnApp(data: DataFrame): String =
+    explicitTxnApp.orElse {
+      import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+      Option(data.sparkSession.sparkContext.getLocalProperty(StreamExecution.QUERY_ID_KEY))
+    }.getOrElse(throw new IllegalStateException(
+      s"graft-table sink at $location cannot derive a transactional identity: no " +
+        "checkpointLocation option and no streaming query id on this thread. Pass " +
+        ".option(\"checkpointLocation\", ...) on the writeStream."))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.ColumnBridge.asWritableBatch(data)
-    VersionedTable.idempotentAppend(batch, location, txnApp, batchId, partitionBy) match {
+    VersionedTable.idempotentAppend(batch, location, resolveTxnApp(data), batchId,
+        partitionBy) match {
       case Some(v) => logInfo(s"batch $batchId committed as version $v at $location")
       case None => logInfo(s"batch $batchId already committed at $location — replay deduped")
     }

@@ -25,6 +25,17 @@ class BloomIndexSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("a build past the session bloom caps fails fast instead of silently clamping") {
+    // BloomFilterAggregate would Math.min the size down to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits (4M / 2^26
+    // by default) with no signal — the fpp quietly explodes. build() must refuse.
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.build(keysDf(Seq("a")), col("k"),
+        expectedItems = 50_000_000L, fpp = 0.01)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("false-positive rate on fresh keys stays near the configured fpp") {
     val corpus = (1 to 5000).map(i => s"key_$i")
     val bloom = BloomIndex.build(keysDf(corpus), col("k"), 5000, fpp = 0.01)

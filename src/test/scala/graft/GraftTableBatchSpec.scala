@@ -29,6 +29,24 @@ class GraftTableBatchSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("timestampAsOf tolerates a corrupt commit timestamp in the log") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gtb_badts").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")   // v0
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")          // v1
+    val t1 = VersionedTable.commits(spark, loc).last.timestamp
+
+    // corrupt v0's stamp — one legacy/garbled commit must not take down every
+    // timestampAsOf read; it just never matches a cutoff
+    val logFile = java.nio.file.Paths.get(loc, "_commit_log", "0.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+    java.nio.file.Files.write(logFile, txt.replaceFirst(
+      "\"timestamp\":\"[^\"]*\"", "\"timestamp\":\"not-a-timestamp\"").getBytes("UTF-8"))
+
+    assert(spark.read.format("graft-table").option("timestampAsOf", t1).load(loc)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("unpartitioned read IS the native parquet scan — pushdown and vectorization") {
     import spark.implicits._
     val loc = Files.createTempDirectory("gtb_plan").toString

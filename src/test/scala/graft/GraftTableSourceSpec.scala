@@ -166,6 +166,35 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).count() === 3)
   }
 
+  test("sink: conf-based checkpoints give two queries on one table distinct identities") {
+    import spark.implicits._
+    val in1 = Files.createTempDirectory("gts_qid_in1").toString
+    val in2 = Files.createTempDirectory("gts_qid_in2").toString
+    val loc = Files.createTempDirectory("gts_qid_loc").toString + "/t"
+    val chkRoot = Files.createTempDirectory("gts_qid_chk").toString
+    val df1 = Seq((1L, "a")).toDF("id", "v")
+    df1.write.mode("overwrite").json(in1)
+    Seq((2L, "b")).toDF("id", "v").write.mode("overwrite").json(in2)
+
+    // checkpoint via session conf: createSink never sees a checkpointLocation
+    // option, so the sink must derive its transactional identity from the query
+    // id — NOT the shared table location, or these two queries' identical
+    // batchId 0 would dedupe one another and silently drop a micro-batch
+    spark.conf.set("spark.sql.streaming.checkpointLocation", chkRoot)
+    try {
+      def run(in: String, name: String): Unit =
+        spark.readStream.schema(df1.schema).json(in)
+          .writeStream.format("graft-table").queryName(name)
+          .trigger(Trigger.AvailableNow()).start(loc).awaitTermination()
+      run(in1, "gts_qid_q1")
+      run(in2, "gts_qid_q2") // also batchId 0 — must still land
+      assert(VersionedTable.read(spark, loc).select("id")
+        .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+      val apps = VersionedTable.commits(spark, loc).map(_.txn_app).distinct
+      assert(apps.size === 2, s"expected two distinct txn identities, got $apps")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("table-to-table streaming: graft-table source feeds graft-table sink") {
     import spark.implicits._
     val srcLoc = Files.createTempDirectory("gts_t2t_src").toString

@@ -58,6 +58,22 @@ class HeavyHittersSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty && got.size < 300) // selective, non-vacuous
   }
 
+  test("heavyHitters: a tiny minShare routes through the broadcast semi-join, exactly") {
+    import spark.implicits._
+    // minShare = 1e-4 → k = 10,000 candidates — far past the In-list cutoff, so
+    // the recount must take the semi-join branch and still be exact
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(4000)(s"w${rnd.nextInt(150)}")
+    val df = data.toDF("w").repartition(5)
+    val got = HeavyHitters.heavyHitters(df, "w", minShare = 1e-4)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = data.groupBy(identity).toSeq
+      .map { case (k, v) => (k, v.size.toLong, v.size.toDouble / data.size) }
+      .filter(_._2 > 1e-4 * data.size).sortBy(_._1)
+    assert(got === want)
+  }
+
   test("heavyHitters: empty input and all-null column yield an empty result") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("v")
