@@ -9,19 +9,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark has no native type for;
-    // read nanos as long and convert at use sites (see eventsMicros).
+    // harness generations have shipped events.parquet as TIMESTAMP(NANOS); the flag
+    // makes those read as long nanos instead of failing (no-op on µs generations)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with ts decoded from raw parquet NANOS to a proper microsecond timestamp.
-    * Integer `div` (not `/`) — double division would lose precision on ~1.7e18 ns values.
+  /** events with `ts` normalized to a session-zone TIMESTAMP regardless of how the
+    * harness generation stored it — as TIMESTAMP(NANOS) (read as long nanos under
+    * `nanosAsLong`; integer `div`, double division would lose precision at ~1.7e18),
+    * as TIMESTAMP_NTZ (µs, naive — cast is wall-clock identity under the UTC
+    * session zone), or already as TIMESTAMP.
     */
   def eventsMicros(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
