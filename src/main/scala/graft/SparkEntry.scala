@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, IncrementalDedup, Integrity, Ivf, Multimodal, NgramLm, Outliers, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, IncrementalDedup, Integrity, Ivf, Mixture, Multimodal, NgramLm, Outliers, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -619,6 +619,41 @@ object SparkEntry {
       .select("doc_id", "shard", "position")
       .orderBy("doc_id")
 
+  /** C4-style corpus-level chunk dedup: 20-word chunks occurring more than once
+    * corpus-wide keep only their first occurrence, documents reassemble from the
+    * survivors. The oracle replays the chunking, the corpus-wide count, the
+    * first-occurrence tiebreak, and the in-order rebuild.
+    */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame =
+    ChunkDedup.dedupChunks(docs(s, dir), chunkWords = 20, maxOccurrences = 1)
+      .orderBy("doc_id")
+
+  // targets and budget shared verbatim by the Spark plan and the oracle SQL —
+  // src_books is deliberately absent from the corpus (exercises 'missing'), and
+  // most corpus sources carry no weight (exercise 'unused')
+  private val mixtureTargets = Seq(
+    "src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.15, "src_books" -> 0.1)
+  private val mixtureBudget = 5000L
+
+  /** Pre-training mixture plan: per-source token inventories vs target weights
+    * over a fixed budget — sampling rates, upsample epochs, and status flags.
+    * The oracle replays the token sums and every arithmetic step.
+    */
+  private def qMixturePlan(s: SparkSession, dir: String): DataFrame =
+    Mixture.plan(docs(s, dir), mixtureTargets.toMap, mixtureBudget)
+      .orderBy("source")
+
+  /** k-anonymity / l-diversity audit of the customer table over the
+    * (nation, market segment) quasi-identifier with account balance as the
+    * sensitive attribute; thresholds chosen so both flags split non-vacuously
+    * at sf0.01 (class sizes straddle k=8, distinct balances straddle l=6).
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Privacy.equivalenceClasses(Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 8,
+        sensitiveCol = Some("c_acctbal"), l = 6)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** Per-source hard cap (10 docs per source) via the bottom-k aggregate; the
     * oracle replays selection as a row_number window over the identical
     * (md5(id), id) order — the two formulations must pick row-identical sets.
@@ -1111,7 +1146,10 @@ object SparkEntry {
     "q_window_analytics" -> qWindowAnalytics,
     "q_set_ops" -> qSetOps,
     "q_pivot_revenue" -> qPivotRevenue,
-    "q_value_percentiles" -> qValuePercentiles)
+    "q_value_percentiles" -> qValuePercentiles,
+    "q_chunk_dedup" -> qChunkDedup,
+    "q_mixture_plan" -> qMixturePlan,
+    "q_k_anonymity" -> qKAnonymity)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2460,6 +2498,72 @@ object SparkEntry {
     // with its actual sfDir when dumping oracle_sql.json, making the oracle follow
     // whatever directory the gate mounts. The IN list scopes both sides to exactly
     // Tables.all, so stray .parquet files in the sfdir cannot diverge the compare.
+    // C4-style chunk dedup: corpus-wide count + first-occurrence keep, replayed
+    // with window functions (the semantics, not the plan — Spark counts via a
+    // map-side-combined groupBy and joins back)
+    "q_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 20)) AS start
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(start / 20 AS BIGINT) AS chunk_id,
+        |    array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text FROM s),
+        |f AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    count(*) OVER (PARTITION BY md5(chunk_text)) AS cnt,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |                       ORDER BY doc_id, chunk_id) AS rn
+        |  FROM c)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cnt <= 1 OR rn = 1 THEN chunk_text END,
+        |                      ' ' ORDER BY chunk_id), '') AS clean_text,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN cnt <= 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mixture plan: identical token sums, rounding chain, and status CASE;
+    // the VALUES list is generated from the same Scala constants the query uses
+    "q_mixture_plan" -> {
+      val values = mixtureTargets
+        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      s"""WITH avail AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS available_tokens
+         |  FROM documents GROUP BY 1),
+         |t(source, weight) AS (VALUES $values),
+         |j AS (
+         |  SELECT coalesce(a.source, t.source) AS source,
+         |    coalesce(a.n_docs, 0) AS n_docs,
+         |    coalesce(a.available_tokens, 0) AS available_tokens,
+         |    coalesce(CAST(t.weight AS DOUBLE), 0.0) AS weight
+         |  FROM avail a FULL OUTER JOIN t ON a.source = t.source),
+         |p AS (
+         |  SELECT *, CAST(round(weight * $mixtureBudget) AS BIGINT) AS target_tokens
+         |  FROM j),
+         |r AS (
+         |  SELECT *, CASE WHEN available_tokens > 0
+         |      THEN round(CAST(target_tokens AS DOUBLE) / available_tokens, 6)
+         |    END AS sampling_rate
+         |  FROM p)
+         |SELECT source, n_docs, available_tokens, weight, target_tokens, sampling_rate,
+         |  CAST(ceil(coalesce(sampling_rate, 0.0)) AS INT) AS epochs,
+         |  CASE WHEN weight = 0 THEN 'unused'
+         |       WHEN available_tokens = 0 THEN 'missing'
+         |       WHEN sampling_rate > 1 THEN 'upsample'
+         |       WHEN sampling_rate < 1 THEN 'downsample'
+         |       ELSE 'exact' END AS status
+         |FROM r ORDER BY source""".stripMargin
+    },
+    // k-anonymity / l-diversity: one grouped aggregation, engine-identical
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS class_size,
+        |  count(DISTINCT c_acctbal) AS distinct_sensitive,
+        |  count(*) >= 8 AS k_anonymous,
+        |  count(DISTINCT c_acctbal) >= 6 AS l_diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_catalog_stats" ->
       s"""SELECT regexp_extract(filename, '([^/]+)\\.parquet$$', 1) AS table_name,
          |  CAST(count(*) AS BIGINT) AS n_files,

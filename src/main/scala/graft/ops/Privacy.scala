@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk audit of structured training data: k-anonymity and l-diversity
+  * (Sweeney 2002; Machanavajjhala et al. 2007) over a set of quasi-identifier
+  * columns. A row is re-identifiable when its quasi-identifier combination is
+  * rare (its equivalence class has fewer than k members), and a class leaks its
+  * sensitive attribute when that attribute barely varies inside the class
+  * (fewer than l distinct values). Both reduce to ONE hash aggregation over the
+  * quasi-identifier key — at 100 TB this is a single shuffle whose key is the
+  * handful of audit columns, with map-side partial aggregation doing the heavy
+  * lifting; the distinct-sensitive count uses the same partial-distinct
+  * machinery as any `count(distinct)`.
+  *
+  * This complements the unstructured-text side of the pipeline
+  * ([[TextAnalysis.scrubPii]] removes pattern-matched PII from text); here the
+  * risk is structural — which COMBINATIONS of innocuous columns single people
+  * out — which no per-row scrub can see.
+  */
+object Privacy {
+
+  /** Per-equivalence-class audit: the quasi-identifier columns plus
+    * `(class_size, k_anonymous[, distinct_sensitive, l_diverse])`.
+    * `sensitiveCol = None` skips the l-diversity columns.
+    */
+  def equivalenceClasses(df: DataFrame, quasiCols: Seq[String], k: Int,
+      sensitiveCol: Option[String] = None, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must not be empty")
+    require(k >= 2, s"k must be >= 2 (k=1 is vacuous); got $k")
+    require(l >= 2, s"l must be >= 2 (l=1 is vacuous); got $l")
+    val base = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        sensitiveCol.map(c => countDistinct(col(c)).as("distinct_sensitive")).toSeq: _*)
+      .withColumn("k_anonymous", col("class_size") >= k)
+    sensitiveCol.fold(base)(_ =>
+      base.withColumn("l_diverse", col("distinct_sensitive") >= l))
+  }
+
+  /** One-row corpus summary: `(n_rows, n_classes, classes_below_k, rows_at_risk,
+    * min_class_size, k_anonymous)` — `rows_at_risk` is the row count inside
+    * under-k classes (the release-blocking number), and `k_anonymous` says the
+    * whole table meets k. Second aggregation runs over the per-class table, so
+    * it costs one more tiny exchange, not another corpus scan.
+    */
+  def riskSummary(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =
+    equivalenceClasses(df, quasiCols, k)
+      .agg(
+        sum(col("class_size")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(when(!col("k_anonymous"), 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(!col("k_anonymous"), col("class_size")).otherwise(0L)).as("rows_at_risk"),
+        min(col("class_size")).as("min_class_size"))
+      .withColumn("k_anonymous", col("classes_below_k") === 0)
+}
