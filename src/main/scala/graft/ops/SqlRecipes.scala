@@ -334,6 +334,39 @@ object SqlRecipes {
        |SELECT doc_id, 1.0 / (1.0 + exp(-($z))) AS quality FROM v""".stripMargin
   }
 
+  /** C4-style corpus-level chunk dedup — SQL twin of [[ChunkDedup.dedupChunks]]:
+    * the same map-side-combined count groupBy on md5 keys (not a window sort), the
+    * same `min(struct)` first-occurrence tiebreak, the same in-order rebuild.
+    */
+  def chunkDedupSql(docsView: String, chunkWords: Int, maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val kept = s"""g.corpus_count <= $maxOccurrences
+       |      OR (g.first_occ.doc_id = ch.doc_id AND g.first_occ.chunk_id = ch.chunk_id)""".stripMargin
+    s"""WITH ch AS (
+       |  SELECT doc_id, pe.chunk_id, pe.chunk_text, md5(pe.chunk_text) AS h
+       |  FROM (SELECT ${q(idCol)} AS doc_id,
+       |          split(trim(${q(textCol)}), '\\\\s+') AS toks FROM $docsView)
+       |  LATERAL VIEW posexplode(transform(
+       |    sequence(0, (size(toks) - 1) div $chunkWords),
+       |    i -> array_join(slice(toks, i * $chunkWords + 1, $chunkWords), ' ')))
+       |    pe AS chunk_id, chunk_text
+       |),
+       |g AS (
+       |  SELECT h, count(*) AS corpus_count,
+       |    min(named_struct('doc_id', doc_id, 'chunk_id', chunk_id)) AS first_occ
+       |  FROM ch GROUP BY h
+       |)
+       |SELECT ch.doc_id,
+       |  array_join(transform(array_sort(collect_list(
+       |    CASE WHEN $kept
+       |      THEN named_struct('chunk_id', ch.chunk_id, 'chunk_text', ch.chunk_text)
+       |    END)), x -> x.chunk_text), ' ') AS clean_text,
+       |  count(*) AS n_chunks,
+       |  sum(CASE WHEN $kept THEN 1 ELSE 0 END) AS n_kept
+       |FROM ch JOIN g ON ch.h = g.h
+       |GROUP BY ch.doc_id""".stripMargin
+  }
+
   /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
     * convenience for chaining recipes from SQL-first code.
     */

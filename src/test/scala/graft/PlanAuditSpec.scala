@@ -163,6 +163,15 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"the small kept-id set should broadcast for the semi-join:\n$plan")
   }
 
+  test("chunk dedup: counts via map-side-combined groupBy, never a window sort") {
+    val plan = finalPlan(
+      graft.ops.ChunkDedup.dedupChunks(Tables.documents(spark, sf), chunkWords = 10))
+    assert(!plan.contains("Window"),
+      s"corpus counts must come from a groupBy (partial agg), not a window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"the md5 count must be a hash aggregate with map-side partials:\n$plan")
+  }
+
   test("IVF-PQ search: candidate retrieval is an equality join on the cluster id") {
     val emb = Tables.embeddings(spark, sf)
     val coarse = graft.ops.IvfPq.trainCoarse(emb, nlist = 8, iters = 1)

@@ -63,6 +63,20 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
 
+  test("pure-SQL chunk dedup recipe matches the Scala operator") {
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_chunkdedup")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.chunkDedupSql(
+      "docs_chunkdedup", chunkWords = 10))
+    val viaApi = graft.ops.ChunkDedup.dedupChunks(docs, chunkWords = 10)
+    assert(viaSql.count() === docs.count())
+    // non-vacuous: the corpus must actually contain over-replicated chunks
+    assert(viaApi.filter(org.apache.spark.sql.functions
+      .col("n_kept") < org.apache.spark.sql.functions.col("n_chunks")).count() > 0)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("pure-SQL gopher filter matches gopherFilter row for row") {
     val docs = Tables.documents(spark, sf)
     docs.createOrReplaceTempView("docs_gopher")
