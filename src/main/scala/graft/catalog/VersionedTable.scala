@@ -373,6 +373,47 @@ object VersionedTable {
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Row-level diff of two snapshots — the "what changed between v1 and v2" answer
+    * when the commits in between carry no change feed (full rewrites, merges
+    * written without `changeFeed = true`, externally imported data). Same
+    * `_change_type` vocabulary as [[readChanges]] (`insert` / `delete` /
+    * `update_preimage` / `update_postimage`); unchanged rows emit nothing.
+    *
+    * One full-outer shuffle join on `keys` with null-safe whole-row comparison.
+    * Keys must identify at most one row per snapshot (the [[merge]] assumption).
+    * Prefer [[readChanges]] whenever the feed exists: it resolves change files
+    * from the log, while this scans BOTH snapshots — at 100 TB that is the
+    * expensive-but-honest fallback, and it still prunes columns/partitions
+    * through the ordinary parquet scans underneath.
+    */
+  def diffSnapshots(spark: SparkSession, location: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): DataFrame = {
+    val from = readAsOf(spark, location, fromVersion)
+    val to = readAsOf(spark, location, toVersion)
+    val cols = from.columns.toSeq
+    require(keys.nonEmpty, "keys must not be empty")
+    require(keys.forall(cols.contains), s"keys $keys not all in ${cols.mkString(",")}")
+    require(to.columns.toSeq == cols,
+      s"snapshot schemas differ between v$fromVersion and v$toVersion — diff " +
+        "requires a stable column set (read the range with readChanges instead)")
+    val a = from.select(keys.map(col) :+ struct(cols.map(col): _*).as("_a"): _*)
+    val b = to.select(keys.map(col) :+ struct(cols.map(col): _*).as("_b"): _*)
+    val joined = a.join(b, keys, "full_outer")
+    val isUpdate = col("_a").isNotNull && col("_b").isNotNull &&
+      !(col("_a") <=> col("_b"))
+    val entries = array(
+      when(col("_a").isNull,
+        struct(col("_b").as("r"), lit("insert").as("_change_type"))),
+      when(col("_b").isNull,
+        struct(col("_a").as("r"), lit("delete").as("_change_type"))),
+      when(isUpdate,
+        struct(col("_a").as("r"), lit("update_preimage").as("_change_type"))),
+      when(isUpdate,
+        struct(col("_b").as("r"), lit("update_postimage").as("_change_type"))))
+    joined.select(explode(filter(entries, e => e.isNotNull)).as("e"))
+      .select("e.r.*", "e._change_type")
+  }
+
   /** Delta-style schema enforcement on append: a column shared with the live table
     * must keep its exact type (a type flip would poison every later mergeSchema
     * read); columns only one side has are fine — additive evolution, the reader

@@ -409,6 +409,29 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).count() === 2)
   }
 
+  test("versioned table: snapshot diff recovers row-level changes without a feed") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_diff").toString
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), loc, "overwrite") // v0
+    // a FULL REWRITE — the case readChanges cannot serve row-level
+    VersionedTable.write(
+      Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("id", "v"), loc, "overwrite") // v1
+
+    val got = VersionedTable.diffSnapshots(spark, loc, 0L, 1L, Seq("id"))
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // id=1 deleted, id=2 updated (pre+post), id=3 unchanged (absent), id=4 inserted
+    assert(got === Seq(
+      (1L, "a", "delete"),
+      (2L, "B", "update_postimage"),
+      (2L, "b", "update_preimage"),
+      (4L, "d", "insert")))
+
+    // identical snapshots diff to nothing
+    assert(VersionedTable.diffSnapshots(spark, loc, 1L, 1L, Seq("id")).count() === 0)
+  }
+
   test("versioned table: concurrent writers each publish a distinct committed version") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
