@@ -144,6 +144,46 @@ object VersionedTable {
     Some(committed)
   }
 
+  /** Exactly-once full replacement for streaming maintainers that publish a NEW
+    * state per micro-batch (e.g. an incrementally-maintained aggregate view,
+    * [[graft.streaming.LiveView]]): same `(txnApp, txnId)` replay dedupe as
+    * [[idempotentAppend]], but the commit is an `overwrite` — the batch IS the
+    * next complete state, not a delta to append. No append-schema enforcement:
+    * an overwrite legitimately resets the schema.
+    */
+  def idempotentOverwrite(batch: DataFrame, location: String, txnApp: String,
+      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] = {
+    val spark = batch.sparkSession
+    val fs = fileSystem(spark, location)
+    def alreadyCommitted: Boolean =
+      commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
+    if (alreadyCommitted) return None
+    val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
+    var committed = -1L
+    var attempt = 0
+    while (committed < 0) {
+      // re-check inside the loop: losing a claim may mean OUR replay twin won it
+      if (alreadyCommitted) {
+        fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        return None
+      }
+      val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
+      if (claimCommit(fs, location, v, "overwrite", rows, dataDir, partitionBy, stats,
+          txnApp, txnId)) committed = v
+      else {
+        attempt += 1
+        if (attempt >= MaxClaimAttempts) {
+          fs.delete(new Path(s"$location/_data/$dataDir"), true)
+          throw new IllegalStateException(
+            s"lost $MaxClaimAttempts consecutive commit races at $location — giving up")
+        }
+        Thread.sleep(math.min(500L, 10L * attempt))
+      }
+    }
+    maybeCheckpoint(spark, location, committed)
+    Some(committed)
+  }
+
   /** OPTIMIZE-parity compaction: rewrite the CURRENT live set as one "compact"
     * commit — optionally Z-order-clustered ([[graft.ops.Layout.zorderBy]]) — so a
     * long-running append table stops paying a per-commit scan branch. Older versions
