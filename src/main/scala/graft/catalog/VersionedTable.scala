@@ -226,6 +226,46 @@ object VersionedTable {
     done
   }
 
+  /** RESTORE parity (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the table
+    * back to its state as of `version`, published as a NEW "restore" commit —
+    * history stays append-only, so the rollback is itself versioned and
+    * auditable, and time travel to the rolled-back versions keeps working until
+    * [[vacuum]] reclaims them. Readers, the streaming source, and vacuum all
+    * treat "restore" as a full-state reset (the same class as overwrite/compact).
+    *
+    * Copy-on-restore by design: a commit references exactly ONE data dir, so
+    * sharing the historical dirs would let vacuum reclaim data a live commit
+    * still needs. The rewrite costs one scan of the restored snapshot — bounded
+    * by table size, not history length. Same lost-race rule as [[compact]]: the
+    * restore only lands at the version it was computed against + 1; a concurrent
+    * commit discards the staged copy and the restore re-reads a fresh snapshot.
+    */
+  def restore(spark: SparkSession, location: String, version: Long,
+      maxAttempts: Int = 3): Long = {
+    val fs = fileSystem(spark, location)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val latest = commits(spark, location).last
+      require(version <= latest.version,
+        s"cannot restore $location to $version — newest is ${latest.version}")
+      val snap = readAsOf(spark, location, version)
+      val partitioning = liveCommits(spark, location, version)
+        .head.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      val (dataDir, rows, stats) = stageData(snap, location, partitioning)
+      if (claimCommit(fs, location, latest.version + 1, "restore", rows, dataDir,
+          partitioning, stats)) done = latest.version + 1
+      else {
+        fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        attempt += 1
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"restore of $location lost $maxAttempts snapshot races — giving up")
+      }
+    }
+    maybeCheckpoint(spark, location, done)
+    done
+  }
+
   /** MERGE parity (Delta `whenMatchedUpdate` / `whenNotMatchedInsert` /
     * `whenMatchedDelete`, the upsert the reference's CDC tables rely on —
     * `mage-programs/orders_delta_lake.py:53` approximates it with

@@ -409,6 +409,27 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).count() === 2)
   }
 
+  test("versioned table: restore rolls back as a new auditable commit") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_restore").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")   // v0
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")          // v1
+    VersionedTable.write(Seq(99L).toDF("id"), loc, "overwrite")      // v2: the mistake
+
+    val v = VersionedTable.restore(spark, loc, 1L)                   // v3
+    assert(v === 3L)
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // append-only history: the mistake stays time-travelable, the restore is logged
+    assert(VersionedTable.commits(spark, loc).last.operation === "restore")
+    assert(VersionedTable.readAsOf(spark, loc, 2L)
+      .as[Long].collect().toSeq === Seq(99L))
+    // appends continue on top of the restored state
+    VersionedTable.write(Seq(4L).toDF("id"), loc, "append")          // v4
+    assert(VersionedTable.read(spark, loc).orderBy("id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("versioned table: snapshot diff recovers row-level changes without a feed") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_diff").toString
