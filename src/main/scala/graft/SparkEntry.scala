@@ -1018,6 +1018,39 @@ object SparkEntry {
       .orderBy("doc_id", "change_type")
   }
 
+  /** Incremental-view-maintenance gate: a scratch versioned table goes through an
+    * overwrite base, a CDF merge (updates + deletes + inserts + delete no-ops),
+    * and a plain append; the view bootstrapped from version 0 and maintained
+    * PURELY from the change feed must equal the aggregate the oracle states
+    * directly from the final row set — a maintenance that double-applied a
+    * replay, missed delete retractions, or mis-signed pre-images would
+    * hash-mismatch.
+    */
+  private def qIncrementalView(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivm_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+    vt.write(d.filter(col("doc_id") < 300), loc, "overwrite")            // v0
+    val view0 = graft.ops.IncrementalAgg.recompute(
+      vt.readAsOf(s, loc, 0), Seq("lang"), Seq("n_chars"))
+    // updates [100,300) %3!=0, deletes [100,300) %3=0, inserts [300,400) %3!=0,
+    // delete no-ops [300,400) %3=0 (missing keys must emit nothing)
+    val changes = d.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+      .withColumn("n_chars", col("n_chars") + 1)
+      .withColumn("is_delete", col("doc_id") % 3 === 0)
+    vt.merge(s, loc, changes, Seq("doc_id"),
+      deleteCol = Some("is_delete"), changeFeed = true)                  // v1
+    vt.write(d.filter(col("doc_id") >= 400 && col("doc_id") < 500),
+      loc, "append")                                                     // v2
+    graft.ops.IncrementalAgg.applyFeed(
+        view0, vt.readChanges(s, loc, 1, 2), Seq("lang"), Seq("n_chars"))
+      .orderBy("lang")
+  }
+
   /** Heavy-hitters gate: customers with strictly more than 0.1% of all orders
     * (threshold 15 at sf0.01, where per-customer counts run 1..25 — genuinely
     * selective). The operator is sketch-then-verify (Misra–Gries candidates, exact
@@ -1149,7 +1182,8 @@ object SparkEntry {
     "q_value_percentiles" -> qValuePercentiles,
     "q_chunk_dedup" -> qChunkDedup,
     "q_mixture_plan" -> qMixturePlan,
-    "q_k_anonymity" -> qKAnonymity)
+    "q_k_anonymity" -> qKAnonymity,
+    "q_incremental_view" -> qIncrementalView)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2556,6 +2590,20 @@ object SparkEntry {
          |       ELSE 'exact' END AS status
          |FROM r ORDER BY source""".stripMargin
     },
+    // incremental view maintenance: the oracle states the FINAL row set the
+    // feed-maintained view must aggregate to — base rows untouched below 100,
+    // updated (+1) where the merge hit and did not delete, appended [400,500)
+    "q_incremental_view" ->
+      """WITH final AS (
+        |  SELECT lang, n_chars FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT lang, n_chars + 1 FROM documents
+        |  WHERE doc_id >= 100 AND doc_id < 400 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id >= 400 AND doc_id < 500)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
     // k-anonymity / l-diversity: one grouped aggregation, engine-identical
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
