@@ -79,6 +79,7 @@ object VersionedTable {
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
+    enforceConstraints(spark, location, df)
     if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
     val (dataDir, rows, stats) = stageData(df, location, partitionBy)
     var committed = -1L
@@ -103,6 +104,73 @@ object VersionedTable {
     committed
   }
 
+  /** CHECK-constraint surface (Delta `ALTER TABLE ... ADD CONSTRAINT` parity):
+    * named SQL predicates stored beside the log in `_constraints.json` and
+    * enforced on every batch of NEW rows before it stages — [[write]],
+    * [[idempotentAppend]], [[idempotentOverwrite]], and the change side of
+    * [[merge]]; compact/restore rewrite already-validated data and skip the
+    * check. SQL CHECK semantics: a row passes when the predicate is TRUE or
+    * NULL; only FALSE violates. Enforcement costs one short-circuiting pass
+    * over the BATCH (stops at the first violation) — batch-sized, never
+    * table-sized.
+    */
+  def addConstraint(spark: SparkSession, location: String, name: String,
+      checkSql: String): Unit = {
+    require(name.nonEmpty && !name.contains("\""), s"bad constraint name: $name")
+    // validate the expression parses before persisting it
+    org.apache.spark.sql.functions.expr(checkSql)
+    writeConstraints(spark, location, constraints(spark, location) + (name -> checkSql))
+  }
+
+  def dropConstraint(spark: SparkSession, location: String, name: String): Unit =
+    writeConstraints(spark, location, constraints(spark, location) - name)
+
+  /** The table's named CHECK constraints (empty when none were ever added). */
+  def constraints(spark: SparkSession, location: String): Map[String, String] = {
+    val p = new Path(s"$location/_constraints.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // one {"name": "sql", ...} object; names and exprs are json-escaped on write
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(body)
+      .map(m => unescapeJson(m.group(1)) -> unescapeJson(m.group(2))).toMap
+  }
+
+  private def writeConstraints(spark: SparkSession, location: String,
+      all: Map[String, String]): Unit = {
+    val p = new Path(s"$location/_constraints.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val body = all.toSeq.sortBy(_._1)
+      .map { case (n, c) => s""""${escapeJson(n)}": "${escapeJson(c)}"""" }
+      .mkString("{", ", ", "}")
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def escapeJson(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Fail fast when a batch of new rows violates any table constraint. A batch
+    * that lacks a constrained column fails analysis loudly — a constraint pins
+    * the columns it references (Delta's contract as well).
+    */
+  private def enforceConstraints(spark: SparkSession, location: String,
+      batch: DataFrame): Unit = {
+    val cs = constraints(spark, location)
+    if (cs.isEmpty) return
+    cs.foreach { case (name, checkSql) =>
+      val violation = !coalesce(expr(checkSql), lit(true))
+      val hit = batch.filter(violation).limit(1).collect()
+      if (hit.nonEmpty) throw new IllegalArgumentException(
+        s"""CHECK constraint "$name" ($checkSql) violated at $location — first bad row: ${hit.head}""")
+    }
+  }
+
   /** Exactly-once append for streaming `foreachBatch` sinks (Delta transactional-
     * writer parity): a commit already tagged with this `(txnApp, txnId)` makes the
     * call a no-op, so micro-batch REPLAYS after a crash cannot double-append.
@@ -117,6 +185,7 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
+    enforceConstraints(spark, location, batch)
     enforceAppendSchema(spark, location, batch, partitionBy)
     val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
     var committed = -1L
@@ -158,6 +227,7 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
+    enforceConstraints(spark, location, batch)
     val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
     var committed = -1L
     var attempt = 0
@@ -297,6 +367,8 @@ object VersionedTable {
       case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
       case None => changes
     }
+    // only rows that will LAND are checked — delete markers carry no new data
+    enforceConstraints(spark, location, upserts)
     // deletes participate in the anti-join (their keys drop the match) but
     // contribute no replacement row
     val changedKeys = deleteCol.fold(changes)(d => changes.drop(d))

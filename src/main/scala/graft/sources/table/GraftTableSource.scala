@@ -46,10 +46,20 @@ class GraftTableSource(
     changeFeed: Boolean,
     ignoreChanges: Boolean,
     maxRowsPerTrigger: Option[Long] = None,
-    maxCommitsPerTrigger: Option[Int] = None)
+    maxCommitsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
   with Logging {
+
+  /** Delta `startingVersion` parity: a FRESH stream (no checkpointed offset)
+    * starts incrementally from this commit instead of serving the initial
+    * snapshot — expressed as a synthetic prior offset of `startingVersion - 1`.
+    * Checkpointed restarts carry real offsets and never consult this. The same
+    * incremental contract applies from there: full rewrites in range fail
+    * without `ignoreChanges` (or are served row-level in change-feed mode).
+    */
+  private val syntheticStart: Option[Long] = startingVersion.map(_ - 1)
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit}
 
@@ -97,7 +107,7 @@ class GraftTableSource(
         val startV = Option(start).map {
           case o: Offset => GraftTableSource.version(o)
           case o => o.json.trim.toLong
-        }
+        }.orElse(syntheticStart)
         startV match {
           case None => GraftTableSource.VersionOffset(cv) // initial snapshot, whole
           case Some(sv) if sv >= cv => GraftTableSource.VersionOffset(sv) // caught up
@@ -138,7 +148,7 @@ class GraftTableSource(
 
   private def batchPlan(start: Option[Offset], end: Offset): DataFrame = {
     val endV = GraftTableSource.version(end)
-    start match {
+    start.map(GraftTableSource.version).orElse(syntheticStart) match {
       case None =>
         // initial snapshot: the complete state as of endV, one multi-path scan
         val snap = VersionedTable.readAsOf(spark, location, endV)
@@ -150,8 +160,7 @@ class GraftTableSource(
             .withColumn("_commit_version", lit(endV))
             .withColumn("_commit_timestamp", to_timestamp(lit(ts)))
         }
-      case Some(s) =>
-        val startV = GraftTableSource.version(s)
+      case Some(startV) =>
         if (startV >= endV) return emptyBatch
         if (changeFeed)
           // readChanges already skips compacts and serves merges row-level;
@@ -272,7 +281,8 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     new GraftTableSource(ctx.sparkSession, location(params), changeFeed(params),
       ignoreChanges = params.get("ignorechanges").exists(_.toBoolean),
       maxRowsPerTrigger = params.get("maxrowspertrigger").map(_.toLong),
-      maxCommitsPerTrigger = params.get("maxcommitspertrigger").map(_.toInt))
+      maxCommitsPerTrigger = params.get("maxcommitspertrigger").map(_.toInt),
+      startingVersion = params.get("startingversion").map(_.toLong))
 
   // ---- streaming sink: writeStream.format("graft-table").start(location) ----
   override def createSink(ctx: SQLContext, params: Map[String, String],

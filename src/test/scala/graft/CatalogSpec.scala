@@ -409,6 +409,45 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).count() === 2)
   }
 
+  test("versioned table: CHECK constraints gate appends, overwrites, and merges") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_check").toString
+    VersionedTable.write(Seq((1L, 10.0)).toDF("id", "amount"), loc, "overwrite")
+    VersionedTable.addConstraint(spark, loc, "amount_positive", "amount > 0")
+    assert(VersionedTable.constraints(spark, loc) ===
+      Map("amount_positive" -> "amount > 0"))
+
+    // violating append fails fast, naming the constraint; nothing lands
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq((2L, -5.0)).toDF("id", "amount"), loc, "append")
+    }
+    assert(e.getMessage.contains("amount_positive"))
+    assert(VersionedTable.read(spark, loc).count() === 1)
+
+    // clean append and a NULL (SQL CHECK: null passes) both land
+    VersionedTable.write(Seq((2L, 7.0)).toDF("id", "amount"), loc, "append")
+    VersionedTable.write(Seq((3L, Option.empty[Double])).toDF("id", "amount"),
+      loc, "append")
+    assert(VersionedTable.read(spark, loc).count() === 3)
+
+    // merge: a violating upsert is refused, a delete marker is not checked
+    val bad = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, loc,
+        Seq((2L, -1.0, false)).toDF("id", "amount", "del"),
+        Seq("id"), deleteCol = Some("del"))
+    }
+    assert(bad.getMessage.contains("amount_positive"))
+    VersionedTable.merge(spark, loc,
+      Seq((3L, -999.0, true)).toDF("id", "amount", "del"), // delete: dummy amount ok
+      Seq("id"), deleteCol = Some("del"))
+    assert(VersionedTable.read(spark, loc).count() === 2)
+
+    // dropping the constraint lifts the gate
+    VersionedTable.dropConstraint(spark, loc, "amount_positive")
+    VersionedTable.write(Seq((4L, -5.0)).toDF("id", "amount"), loc, "append")
+    assert(VersionedTable.read(spark, loc).count() === 3)
+  }
+
   test("versioned table: restore rolls back as a new auditable commit") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_restore").toString

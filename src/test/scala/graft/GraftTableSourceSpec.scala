@@ -141,6 +141,25 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
     assert(sizes2 === Vector(4L))
   }
 
+  test("startingVersion: a fresh stream skips the snapshot and tails from there") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_sv").toString
+    val out = Files.createTempDirectory("gts_sv_out").toString
+    val chk = Files.createTempDirectory("gts_sv_chk").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")     // v0
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")            // v1
+    VersionedTable.write(Seq(4L).toDF("id"), loc, "append")            // v2
+
+    // from v1: no initial snapshot — only the appends from v1 on arrive
+    drain(loc, out, chk, Map("startingVersion" -> "1"))
+    assert(ids(out) === Seq(3L, 4L))
+
+    // the checkpointed offset governs restarts: only NEW commits flow
+    VersionedTable.write(Seq(5L).toDF("id"), loc, "append")            // v3
+    drain(loc, out, chk, Map("startingVersion" -> "1"))
+    assert(ids(out) === Seq(3L, 4L, 5L))
+  }
+
   test("sink: micro-batches commit exactly-once; checkpoint replay appends nothing") {
     import spark.implicits._
     val in = Files.createTempDirectory("gts_sink_in").toString
