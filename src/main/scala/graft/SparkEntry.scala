@@ -1051,6 +1051,29 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** RESTORE gate: base (docs < 200) + append [200,300), then a destructive
+    * overwrite (docs < 50), then restore to the pre-mistake version and one more
+    * append [300,350). The read must be exactly base+appends — the oracle states
+    * it directly — and a restore that resurrected the overwrite, lost the
+    * appended commit, or restored the wrong version would hash-mismatch.
+    */
+  private def qRestore(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_restore_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 200), loc, "overwrite")             // v0
+    val good = vt.write(
+      d.filter(col("doc_id") >= 200 && col("doc_id") < 300), loc, "append") // v1
+    vt.write(d.filter(col("doc_id") < 50), loc, "overwrite")              // v2: mistake
+    vt.restore(s, loc, good)                                              // v3
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 350), loc, "append") // v4
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   /** Heavy-hitters gate: customers with strictly more than 0.1% of all orders
     * (threshold 15 at sf0.01, where per-customer counts run 1..25 — genuinely
     * selective). The operator is sketch-then-verify (Misra–Gries candidates, exact
@@ -1183,7 +1206,8 @@ object SparkEntry {
     "q_chunk_dedup" -> qChunkDedup,
     "q_mixture_plan" -> qMixturePlan,
     "q_k_anonymity" -> qKAnonymity,
-    "q_incremental_view" -> qIncrementalView)
+    "q_incremental_view" -> qIncrementalView,
+    "q_restore" -> qRestore)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2604,6 +2628,12 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+    // restore: the oracle states the post-rollback content directly — the base,
+    // the pre-mistake append, and the post-restore append; the overwritten
+    // mistake must leave no trace
+    "q_restore" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id < 350
+        |ORDER BY doc_id""".stripMargin,
     // k-anonymity / l-diversity: one grouped aggregation, engine-identical
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
