@@ -29,6 +29,20 @@ class GraftTableBatchSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("CHECK constraints gate DataSource writes too") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gtb_check").toString
+    Seq((1L, 5.0)).toDF("id", "amount").write.format("graft-table")
+      .mode("overwrite").save(loc)
+    VersionedTable.addConstraint(spark, loc, "amount_positive", "amount > 0")
+    val e = intercept[Exception] {
+      Seq((2L, -1.0)).toDF("id", "amount").write.format("graft-table")
+        .mode("append").save(loc)
+    }
+    assert(e.getMessage.contains("amount_positive"))
+    assert(spark.read.format("graft-table").load(loc).count() === 1)
+  }
+
   test("timestampAsOf tolerates a corrupt commit timestamp in the log") {
     import spark.implicits._
     val loc = Files.createTempDirectory("gtb_badts").toString

@@ -21,6 +21,43 @@ class LiveViewSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1).toSeq
 
+  test("the reference's gold daily-sales aggregate runs as a live view") {
+    import spark.implicits._
+    // the reference recomputes daily sales from the full curated table per run
+    // (enriched/daily_sales_aggregation.py); here the same (date, region) keys
+    // and additive aggregates stay current from the change feed alone
+    val src = Files.createTempDirectory("lv_ds_src").toString
+    val view = Files.createTempDirectory("lv_ds_view").toString + "/v"
+    val chk = Files.createTempDirectory("lv_ds_chk").toString
+    def drain(): Unit = LiveView.maintain(
+      spark, src, view, Seq("sale_date", "region"), Seq("order_amount"), chk)
+      .awaitTermination()
+
+    VersionedTable.write(Seq(
+        (1L, "2025-01-01", "EU", 10.0), (2L, "2025-01-01", "EU", 20.0),
+        (3L, "2025-01-01", "US", 5.0)).toDF("order_id", "sale_date", "region", "order_amount"),
+      src, "overwrite")
+    drain()
+    // late-arriving orders append; a correction merges (CDF) an amount in place
+    VersionedTable.write(Seq((4L, "2025-01-02", "EU", 7.0))
+      .toDF("order_id", "sale_date", "region", "order_amount"), src, "append")
+    VersionedTable.merge(spark, src, Seq((2L, "2025-01-01", "EU", 25.0, false))
+        .toDF("order_id", "sale_date", "region", "order_amount", "del"),
+      Seq("order_id"), deleteCol = Some("del"), changeFeed = true)
+    drain()
+
+    val got = VersionedTable.read(spark, view)
+      .select(col("sale_date"), col("region"), col("n_rows"),
+        col("sum_order_amount"),
+        (col("sum_order_amount") / col("n_rows")).as("avg_order_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      ("2025-01-01", "EU", 2L, 35.0, 17.5),
+      ("2025-01-01", "US", 1L, 5.0, 5.0),
+      ("2025-01-02", "EU", 1L, 7.0, 7.0)))
+  }
+
   test("live view tracks the source across snapshot bootstrap, merges, and appends") {
     import spark.implicits._
     val src = Files.createTempDirectory("lv_src").toString
