@@ -711,6 +711,27 @@ object VersionedTable {
         .parquet(dataPath(location, c)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Delta `GENERATE symlink_format_manifest` parity: write the CURRENT
+    * snapshot's data-file list to `_symlink_format_manifest/manifest` (one
+    * absolute path per line), so engines that cannot read the commit log —
+    * Trino/Presto/Athena external tables over raw parquet — get a consistent
+    * snapshot instead of whatever uncommitted or superseded files a directory
+    * listing would surface. Metadata-only (the file list comes from the log
+    * resolution, no data reads). Regenerate after commits; readers of a stale
+    * manifest see an older consistent snapshot, never a torn one — though
+    * [[vacuum]] can reclaim files a sufficiently old manifest still lists
+    * (Delta's own caveat).
+    */
+  def generateManifest(spark: SparkSession, location: String): Seq[String] = {
+    val files = read(spark, location).inputFiles.toSeq.sorted
+    val p = new Path(s"$location/_symlink_format_manifest/manifest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    files
+  }
+
   /** Delta-style `history()`: one row per commit, newest first. */
   def history(spark: SparkSession, location: String): DataFrame = {
     import spark.implicits._

@@ -409,6 +409,26 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).count() === 2)
   }
 
+  test("versioned table: symlink manifest lists exactly the live snapshot's files") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_manifest").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")
+    val listed = VersionedTable.generateManifest(spark, loc)
+    assert(listed.toSet === VersionedTable.read(spark, loc).inputFiles.toSet)
+
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(loc, "_symlink_format_manifest", "manifest")), "UTF-8")
+    assert(body.trim.split("\n").toSet === listed.map(_.trim).toSet)
+
+    // an overwrite resets the live set; regeneration follows it
+    VersionedTable.write(Seq(9L).toDF("id"), loc, "overwrite")
+    val after = VersionedTable.generateManifest(spark, loc)
+    assert(after.toSet === VersionedTable.read(spark, loc).inputFiles.toSet)
+    assert(after.toSet.intersect(listed.toSet).isEmpty,
+      "old snapshot files must leave the manifest after an overwrite")
+  }
+
   test("versioned table: CHECK constraints gate appends, overwrites, and merges") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_check").toString

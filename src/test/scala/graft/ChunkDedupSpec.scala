@@ -42,6 +42,38 @@ class ChunkDedupSpec extends AnyFunSuite with SharedSpark {
       (2L, "a b c", 1L, 1L)))
   }
 
+  test("property: random corpora — each duplicated chunk keeps exactly one copy") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // small vocabulary forces chunk collisions; varying doc lengths exercise tails
+    for (trial <- 1 to 3) {
+      val docs = (0L until 40L).map { id =>
+        val words = Seq.fill(1 + rnd.nextInt(12))(s"w${rnd.nextInt(4)}")
+        (id, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(1 + trial)
+      val flagged = ChunkDedup.flaggedChunks(df, chunkWords = 2)
+      val keptPerDup = flagged
+        .filter(org.apache.spark.sql.functions.col("corpus_count") > 1)
+        .groupBy("chunk_text")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .collect()
+      assert(keptPerDup.nonEmpty, s"trial $trial: vocabulary too wide, test vacuous")
+      keptPerDup.foreach(r =>
+        assert(r.getLong(1) === 1L,
+          s"trial $trial: duplicated chunk '${r.getString(0)}' kept ${r.getLong(1)} copies"))
+      // a maxOccurrences above any count is the identity transform
+      val roundTrip = ChunkDedup.dedupChunks(df, chunkWords = 2,
+          maxOccurrences = Long.MaxValue)
+        .select("doc_id", "clean_text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(roundTrip === docs.sortBy(_._1),
+        s"trial $trial: identity reassembly must reproduce every document")
+    }
+  }
+
   test("dedupChunks invariants on real docs: kept ⊆ chunks, survivors unique-or-first") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val flagged = ChunkDedup.flaggedChunks(docs, chunkWords = 10)

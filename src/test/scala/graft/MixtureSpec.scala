@@ -47,6 +47,17 @@ class MixtureSpec extends AnyFunSuite with SharedSpark {
     assert(got === Seq(("a", "exact"), ("b", "downsample"), ("d", "unused")))
   }
 
+  test("property: target tokens sum to the budget within per-source rounding") {
+    for (budget <- Seq(100L, 999L, 12345L)) {
+      val targets = Map("a" -> 0.37, "b" -> 0.23, "c" -> 0.4)
+      val total = Mixture.plan(corpus, targets, budget)
+        .agg(org.apache.spark.sql.functions.sum("target_tokens"))
+        .collect().head.getLong(0)
+      assert(math.abs(total - budget) <= targets.size / 2 + 1,
+        s"budget $budget: targets sum to $total")
+    }
+  }
+
   test("plan rejects weights that do not sum to 1") {
     val e = intercept[IllegalArgumentException] {
       Mixture.plan(corpus, targets = Map("a" -> 0.5, "b" -> 0.2), budgetTokens = 10)
