@@ -68,10 +68,14 @@ object IncrementalAgg {
 
   /** The same view from scratch — the bootstrap and the correctness oracle for the
     * incremental path (applyFeed over a change history must land row-identical).
+    * Null sum values contribute nothing and an all-null group reports 0.0, not
+    * NULL — the delta algebra cannot distinguish "no contribution" from "zero"
+    * without tracking a per-column non-null count, so BOTH paths pin the 0.0
+    * convention and the equivalence holds even on null-bearing data.
     */
   def recompute(source: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
-      sumCols.map(c => sum(col(c)).cast("double").as(s"sum_$c"))
+      sumCols.map(c => coalesce(sum(col(c)).cast("double"), lit(0.0)).as(s"sum_$c"))
     source.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

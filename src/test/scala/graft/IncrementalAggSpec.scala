@@ -70,6 +70,24 @@ class IncrementalAggSpec extends AnyFunSuite with SharedSpark {
     assert(sortedRows(incremental) === sortedRows(recomputed))
   }
 
+  test("null sum values: both paths pin the 0.0 convention, equivalence holds") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("ivm_null").toString
+    VersionedTable.write(Seq(
+        (1L, "a", Some(2.0)), (2L, "n", Option.empty[Double])).toDF("id", "grp", "v"),
+      loc, "overwrite")                                                   // v0
+    val view0 = viewOf(VersionedTable.readAsOf(spark, loc, 0))
+    assert(sortedRows(view0).find(_._1 == "n").map(_._3) === Some(0.0))
+    // another all-null insert into the null group
+    VersionedTable.merge(spark, loc,
+      Seq((3L, "n", Option.empty[Double], false)).toDF("id", "grp", "v", "del"),
+      Seq("id"), deleteCol = Some("del"), changeFeed = true)              // v1
+    val incremental = IncrementalAgg.applyFeed(view0,
+      VersionedTable.readChanges(spark, loc, 1, 1), keys, sums)
+    assert(sortedRows(incremental) ===
+      sortedRows(viewOf(VersionedTable.read(spark, loc))))
+  }
+
   test("an empty feed leaves the view untouched; a non-CDF feed fails loudly") {
     import spark.implicits._
     val base = Seq((1L, "a", 2.0)).toDF("id", "grp", "v")
