@@ -110,15 +110,20 @@ object VersionedTable {
     * [[idempotentAppend]], [[idempotentOverwrite]], and the change side of
     * [[merge]]; compact/restore rewrite already-validated data and skip the
     * check. SQL CHECK semantics: a row passes when the predicate is TRUE or
-    * NULL; only FALSE violates. Enforcement costs one short-circuiting pass
-    * over the BATCH (stops at the first violation) — batch-sized, never
-    * table-sized.
+    * NULL; only FALSE violates. Enforcement is ONE job over the BATCH, all
+    * constraints in a single filter that stops at the first violating row —
+    * batch-sized, never table-sized.
     */
   def addConstraint(spark: SparkSession, location: String, name: String,
       checkSql: String): Unit = {
     require(name.nonEmpty && !name.contains("\""), s"bad constraint name: $name")
     // validate the expression parses before persisting it
     org.apache.spark.sql.functions.expr(checkSql)
+    // Delta's ADD CONSTRAINT contract: EXISTING rows must already satisfy the
+    // predicate, or the table would advertise a check its live data violates
+    // (and restore/compact would re-stage that data unchecked)
+    if (exists(spark, location))
+      checkAgainst(location, read(spark, location), Map(name -> checkSql))
     writeConstraints(spark, location, constraints(spark, location) + (name -> checkSql))
   }
 
@@ -162,12 +167,28 @@ object VersionedTable {
   private def enforceConstraints(spark: SparkSession, location: String,
       batch: DataFrame): Unit = {
     val cs = constraints(spark, location)
-    if (cs.isEmpty) return
-    cs.foreach { case (name, checkSql) =>
-      val violation = !coalesce(expr(checkSql), lit(true))
-      val hit = batch.filter(violation).limit(1).collect()
-      if (hit.nonEmpty) throw new IllegalArgumentException(
-        s"""CHECK constraint "$name" ($checkSql) violated at $location — first bad row: ${hit.head}""")
+    if (cs.nonEmpty) checkAgainst(location, batch, cs)
+  }
+
+  /** One job for ALL constraints: a single filter on the OR of the violation
+    * predicates finds the first bad row; per-constraint flags selected alongside
+    * name the culprits without a second pass or a re-executed plan.
+    */
+  private def checkAgainst(location: String, df: DataFrame,
+      cs: Map[String, String]): Unit = {
+    val ordered = cs.toSeq.sortBy(_._1)
+    val flags = ordered.map { case (_, c) => !coalesce(expr(c), lit(true)) }
+    val hit = df
+      .withColumns(ordered.map(_._1 + "__viol").zip(flags).toMap)
+      .filter(flags.reduce(_ || _))
+      .limit(1).collect()
+    hit.headOption.foreach { row =>
+      val fired = ordered.collect {
+        case (n, c) if row.getAs[Boolean](n + "__viol") => s""""$n" ($c)"""
+      }
+      throw new IllegalArgumentException(
+        s"CHECK constraint ${fired.mkString(", ")} violated at $location — " +
+          s"first bad row: $row")
     }
   }
 
@@ -179,39 +200,8 @@ object VersionedTable {
     * Returns Some(version) when committed, None when deduplicated.
     */
   def idempotentAppend(batch: DataFrame, location: String, txnApp: String,
-      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] = {
-    val spark = batch.sparkSession
-    val fs = fileSystem(spark, location)
-    def alreadyCommitted: Boolean =
-      commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
-    if (alreadyCommitted) return None
-    enforceConstraints(spark, location, batch)
-    enforceAppendSchema(spark, location, batch, partitionBy)
-    val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
-    var committed = -1L
-    var attempt = 0
-    while (committed < 0) {
-      // re-check inside the loop: losing a claim may mean OUR replay twin won it
-      if (alreadyCommitted) {
-        fs.delete(new Path(s"$location/_data/$dataDir"), true)
-        return None
-      }
-      val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      if (claimCommit(fs, location, v, "append", rows, dataDir, partitionBy, stats,
-          txnApp, txnId)) committed = v
-      else {
-        attempt += 1
-        if (attempt >= MaxClaimAttempts) {
-          fs.delete(new Path(s"$location/_data/$dataDir"), true)
-          throw new IllegalStateException(
-            s"lost $MaxClaimAttempts consecutive commit races at $location — giving up")
-        }
-        Thread.sleep(math.min(500L, 10L * attempt))
-      }
-    }
-    maybeCheckpoint(spark, location, committed)
-    Some(committed)
-  }
+      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] =
+    idempotentCommit(batch, location, "append", txnApp, txnId, partitionBy)
 
   /** Exactly-once full replacement for streaming maintainers that publish a NEW
     * state per micro-batch (e.g. an incrementally-maintained aggregate view,
@@ -221,13 +211,25 @@ object VersionedTable {
     * an overwrite legitimately resets the schema.
     */
   def idempotentOverwrite(batch: DataFrame, location: String, txnApp: String,
-      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] = {
+      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] =
+    idempotentCommit(batch, location, "overwrite", txnApp, txnId, partitionBy)
+
+  /** The shared exactly-once commit loop behind [[idempotentAppend]] and
+    * [[idempotentOverwrite]] — ONE implementation of the replay-dedupe /
+    * claim-retry / staged-data-cleanup protocol, so the two streaming commit
+    * paths cannot silently diverge. Appends additionally enforce the additive
+    * schema contract; overwrites legitimately reset the schema.
+    */
+  private def idempotentCommit(batch: DataFrame, location: String,
+      operation: String, txnApp: String, txnId: Long,
+      partitionBy: Seq[String]): Option[Long] = {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, location)
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
     enforceConstraints(spark, location, batch)
+    if (operation == "append") enforceAppendSchema(spark, location, batch, partitionBy)
     val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
     var committed = -1L
     var attempt = 0
@@ -238,7 +240,7 @@ object VersionedTable {
         return None
       }
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      if (claimCommit(fs, location, v, "overwrite", rows, dataDir, partitionBy, stats,
+      if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats,
           txnApp, txnId)) committed = v
       else {
         attempt += 1
@@ -320,8 +322,11 @@ object VersionedTable {
       require(version <= latest.version,
         s"cannot restore $location to $version — newest is ${latest.version}")
       val snap = readAsOf(spark, location, version)
+      // partitioning convention of the restored state = its NEWEST live commit
+      // (same choice compact makes) — under a heterogeneous live set the head
+      // (base) commit may predate the layout later appends established
       val partitioning = liveCommits(spark, location, version)
-        .head.partition_by.split(",").toSeq.filter(_.nonEmpty)
+        .last.partition_by.split(",").toSeq.filter(_.nonEmpty)
       val (dataDir, rows, stats) = stageData(snap, location, partitioning)
       if (claimCommit(fs, location, latest.version + 1, "restore", rows, dataDir,
           partitioning, stats)) done = latest.version + 1

@@ -162,15 +162,38 @@ class GraftTableSource(
         }
       case Some(startV) =>
         if (startV >= endV) return emptyBatch
-        if (changeFeed)
-          // readChanges already skips compacts and serves merges row-level;
-          // full rewrites only pass when the caller opted into reset semantics
-          VersionedTable.readChanges(spark, location, startV + 1, endV,
-            allowFullRewrites = ignoreChanges)
-        else {
+        // the commit the user's startingVersion points AT is the stream's chosen
+        // starting content: a full-state commit there (overwrite/restore/merge)
+        // serves as inserts instead of failing — without this, startingVersion
+        // could never include a table's creating commit. Compacts stay excluded
+        // (dataChange=false, exactly Delta's rule). Only a FRESH stream resolves
+        // a batch that starts at the synthetic offset.
+        def isChosenStart(c: VersionedTable.Commit): Boolean =
+          startingVersion.contains(c.version) && c.operation != "compact"
+        if (changeFeed) {
+          val fromV = startV + 1
+          val first = VersionedTable.commits(spark, location)
+            .find(_.version == fromV)
+          val resetStart = first.exists(c => isChosenStart(c) &&
+            c.operation != "append" && c.change_dir.isEmpty)
+          if (resetStart) {
+            val head = VersionedTable.readChanges(spark, location, fromV, fromV,
+              allowFullRewrites = true)
+            if (fromV == endV) head
+            else head.unionByName(
+              VersionedTable.readChanges(spark, location, fromV + 1, endV,
+                allowFullRewrites = ignoreChanges),
+              allowMissingColumns = true)
+          } else
+            // readChanges already skips compacts and serves merges row-level;
+            // full rewrites only pass when the caller opted into reset semantics
+            VersionedTable.readChanges(spark, location, fromV, endV,
+              allowFullRewrites = ignoreChanges)
+        } else {
           val cs = VersionedTable.commits(spark, location)
             .filter(c => c.version > startV && c.version <= endV)
-          cs.filterNot(c => c.operation == "append" || c.operation == "compact")
+          cs.filterNot(c => c.operation == "append" || c.operation == "compact" ||
+              isChosenStart(c))
             .foreach { c =>
               if (!ignoreChanges) throw new IllegalStateException(
                 s"version ${c.version} at $location is a ${c.operation} — data was " +
@@ -180,7 +203,8 @@ class GraftTableSource(
               else logWarning(s"ignoreChanges: skipping ${c.operation} " +
                 s"commit ${c.version} at $location")
             }
-          val appendDirs = cs.filter(_.operation == "append")
+          val appendDirs = cs
+            .filter(c => c.operation == "append" || isChosenStart(c))
             .map(c => s"$location/_data/${c.data_dir}")
           if (appendDirs.isEmpty) emptyBatch
           else spark.read.option("mergeSchema", "true")
@@ -336,6 +360,19 @@ class GraftTableSink(location: String, partitionBy: Seq[String],
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.ColumnBridge.asWritableBatch(data)
+    // migration guard: conf-checkpointed sinks once fell back to the TABLE
+    // LOCATION as their identity. A batch committed under that legacy identity
+    // before an upgrade, replayed after it (crash between sink commit and
+    // offset commit), would not match the query-id identity and double-append —
+    // so the legacy tag is honored as already-committed, read-only.
+    val legacyReplay = explicitTxnApp.isEmpty &&
+      VersionedTable.commits(data.sparkSession, location)
+        .exists(c => c.txn_app == location && c.txn_id == batchId)
+    if (legacyReplay) {
+      logInfo(s"batch $batchId already committed at $location under the legacy " +
+        "location identity — replay deduped")
+      return
+    }
     VersionedTable.idempotentAppend(batch, location, resolveTxnApp(data), batchId,
         partitionBy) match {
       case Some(v) => logInfo(s"batch $batchId committed as version $v at $location")

@@ -466,6 +466,13 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     VersionedTable.dropConstraint(spark, loc, "amount_positive")
     VersionedTable.write(Seq((4L, -5.0)).toDF("id", "amount"), loc, "append")
     assert(VersionedTable.read(spark, loc).count() === 3)
+
+    // adding a constraint the EXISTING data violates is refused (Delta contract)
+    val retro = intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, loc, "amount_positive", "amount > 0")
+    }
+    assert(retro.getMessage.contains("amount_positive"))
+    assert(VersionedTable.constraints(spark, loc).isEmpty)
   }
 
   test("versioned table: restore rolls back as a new auditable commit") {

@@ -160,6 +160,27 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
     assert(ids(out) === Seq(3L, 4L, 5L))
   }
 
+  test("startingVersion=0 replays the full history, creating commit included") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_sv0").toString
+    val out = Files.createTempDirectory("gts_sv0_out").toString
+    val chk = Files.createTempDirectory("gts_sv0_chk").toString
+    VersionedTable.write(Seq(1L, 2L).toDF("id"), loc, "overwrite")     // v0: creation
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")            // v1
+    // v0 is an overwrite, but as the CHOSEN starting commit it serves as the
+    // stream's initial content instead of failing
+    drain(loc, out, chk, Map("startingVersion" -> "0"))
+    assert(ids(out) === Seq(1L, 2L, 3L))
+
+    // change-feed mode: same rule, v0 arrives as insert rows
+    val outCdf = Files.createTempDirectory("gts_sv0_cdf_out").toString
+    val chkCdf = Files.createTempDirectory("gts_sv0_cdf_chk").toString
+    drain(loc, outCdf, chkCdf,
+      Map("startingVersion" -> "0", "readChangeFeed" -> "true"))
+    val feed = spark.read.parquet(outCdf)
+    assert(feed.filter(col("_change_type") === "insert").count() === 3)
+  }
+
   test("sink: micro-batches commit exactly-once; checkpoint replay appends nothing") {
     import spark.implicits._
     val in = Files.createTempDirectory("gts_sink_in").toString
