@@ -110,7 +110,70 @@ object Bench {
       .map { case (k, (_, f)) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_reps":$failedReps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}""")
+    val tableOps = benchTableOps(spark, sfDir)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}""")
     spark.stop()
+  }
+
+  /** Table-layer (commit protocol) timings, separate from the analytic-query
+    * loop so a regression in merge/CDF/restore is visible per round. Each rep
+    * rebuilds a fresh versioned table from the SF's orders (so every op sees
+    * identical state), then times: a CDF-capturing MERGE of a ~1% change set, a
+    * batch change-feed read of the captured commit, a partition-SCOPED merge on
+    * a hive-partitioned copy (the path that must stay O(touched slice)), and
+    * RESTORE back past the merge. Medians over 3 reps; setup is not timed.
+    */
+  private def benchTableOps(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.catalog.VersionedTable
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val reps = 3
+    val runs = (1 to reps).map { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_tops")
+      val loc = s"$root/t"
+      val locP = s"$root/tp"
+      try {
+        val orders = Tables.orders(spark, sfDir)
+        VersionedTable.write(orders, loc, "overwrite")
+        // ~1% of keys: updates (priority flip) + deletes + fresh inserts
+        val changes = orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderstatus", lit("B"))
+          .withColumn("__del", col("o_orderkey") % 300 === 0)
+          .unionByName(orders.filter(col("o_orderkey") % 100 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+            .withColumn("__del", lit(false)))
+        val preMerge = VersionedTable.commits(spark, loc).last.version
+        val tMerge = timed { VersionedTable.merge(spark, loc, changes,
+          Seq("o_orderkey"), deleteCol = Some("__del"), changeFeed = true) }
+        val mv = VersionedTable.commits(spark, loc).last.version
+        val tChanges = timed {
+          VersionedTable.readChanges(spark, loc, mv, mv)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val tRestore = timed { VersionedTable.restore(spark, loc, preMerge) }
+        // scoped merge: partitioned table, change set touching ONE priority
+        VersionedTable.write(orders, locP, "overwrite",
+          partitionBy = Seq("o_orderpriority"))
+        val scoped = orders.filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("S"))
+        val tScoped = timed { VersionedTable.merge(spark, locP, scoped,
+          Seq("o_orderkey", "o_orderpriority")) }
+        require(VersionedTable.commits(spark, locP).last.replace_where.nonEmpty,
+          "scoped merge fell back to a full rewrite — bench precondition broken")
+        Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
+          "restore" -> tRestore, "merge_scoped" -> tScoped)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      }
+    }
+    runs.head.map(_._1).map { k =>
+      val xs = runs.map(_.toMap.apply(k)).sorted
+      k -> xs(xs.length / 2)
+    }
   }
 }

@@ -654,6 +654,21 @@ object SparkEntry {
         sensitiveCol = Some("c_acctbal"), l = 6)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Entropy l-diversity over (nation → market segment): the distinct count
+    * passes everywhere (all 5 segments appear in every nation) while the
+    * entropy flag splits on how BALANCED each nation's segment mix is — the
+    * distinction the entropy variant exists to draw. The entropy value is
+    * rounded to 6 decimals so the double arithmetic hashes identically across
+    * engines; the flags compare the unrounded value (a class within 1e-15 of
+    * ln(l) is the only way they could diverge).
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Privacy.equivalenceClasses(Tables.load(s, dir, "customer"),
+        Seq("c_nationkey"), k = 8,
+        sensitiveCol = Some("c_mktsegment"), l = 5, entropy = true)
+      .withColumn("sensitive_entropy", round(col("sensitive_entropy"), 6))
+      .orderBy("c_nationkey")
+
   /** Per-source hard cap (10 docs per source) via the bottom-k aggregate; the
     * oracle replays selection as a row_number window over the identical
     * (md5(id), id) order — the two formulations must pick row-identical sets.
@@ -1206,6 +1221,7 @@ object SparkEntry {
     "q_chunk_dedup" -> qChunkDedup,
     "q_mixture_plan" -> qMixturePlan,
     "q_k_anonymity" -> qKAnonymity,
+    "q_l_diversity" -> qLDiversity,
     "q_incremental_view" -> qIncrementalView,
     "q_restore" -> qRestore)
 
@@ -2642,6 +2658,20 @@ object SparkEntry {
         |  count(*) >= 8 AS k_anonymous,
         |  count(DISTINCT c_acctbal) >= 6 AS l_diverse
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // entropy l-diversity: per-(class, value) counts, then the per-class fold
+    // H = ln(N) - Σ n·ln(n)/N — the oracle replays the identical arithmetic
+    "q_l_diversity" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |  CAST(sum(n) AS BIGINT) AS class_size,
+        |  count(*) AS distinct_sensitive,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS sensitive_entropy,
+        |  sum(n) >= 8 AS k_anonymous,
+        |  count(*) >= 5 AS l_diverse,
+        |  (ln(sum(n)) - sum(n * ln(n)) / sum(n)) >= ln(5) AS entropy_l_diverse
+        |FROM counts GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_catalog_stats" ->
       s"""SELECT regexp_extract(filename, '([^/]+)\\.parquet$$', 1) AS table_name,
          |  CAST(count(*) AS BIGINT) AS n_files,

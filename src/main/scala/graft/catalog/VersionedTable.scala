@@ -52,13 +52,30 @@ object VersionedTable {
     * (Delta-style data skipping metadata, collected free at write time by the same
     * `observe` that counts rows). Doubles hold every int up to 2^53 exactly; columns
     * wider than that, or non-numeric, simply record no stats and are never pruned on.
+    *
+    * `replace_where` marks a PARTITION-SCOPED commit (a merge that rewrote only
+    * the partitions its change set touched): a ';'-joined list of hive partition
+    * paths (`k=v` or `k1=v1/k2=v2`). Readers serve the state by shadowing those
+    * partitions out of every EARLIER live commit; empty means full-state
+    * semantics (today's overwrite/compact/merge contract). `replaced_rows` is
+    * the pre-merge row count of the touched partitions, observed during the
+    * rewrite, so [[fastCount]] stays metadata-only.
     */
   final case class Commit(
       version: Long, operation: String, timestamp: String, row_count: Long,
       data_dir: String, partition_by: String = "",
       txn_app: String = "", txn_id: Long = -1L,
       stats: Map[String, (Double, Double)] = Map.empty,
-      change_dir: String = "")
+      change_dir: String = "", replace_where: String = "",
+      replaced_rows: Long = 0L) {
+    /** Parsed `replace_where`: one `Seq[(partitionCol, value)]` per touched partition. */
+    def replacedPartitions: Seq[Seq[(String, String)]] =
+      if (replace_where.isEmpty) Seq.empty
+      else replace_where.split(";").toSeq.map(_.split("/").toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        (kv.substring(0, i), kv.substring(i + 1))
+      })
+  }
 
   /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
     * e.g. a permissions problem that is NOT already-exists — must not spin forever.
@@ -79,9 +96,9 @@ object VersionedTable {
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
-    enforceConstraints(spark, location, df)
     if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
-    val (dataDir, rows, stats) = stageData(df, location, partitionBy)
+    val (dataDir, rows, stats) =
+      stageData(df, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
@@ -106,13 +123,14 @@ object VersionedTable {
 
   /** CHECK-constraint surface (Delta `ALTER TABLE ... ADD CONSTRAINT` parity):
     * named SQL predicates stored beside the log in `_constraints.json` and
-    * enforced on every batch of NEW rows before it stages — [[write]],
-    * [[idempotentAppend]], [[idempotentOverwrite]], and the change side of
-    * [[merge]]; compact/restore rewrite already-validated data and skip the
-    * check. SQL CHECK semantics: a row passes when the predicate is TRUE or
-    * NULL; only FALSE violates. Enforcement is ONE job over the BATCH, all
-    * constraints in a single filter that stops at the first violating row —
-    * batch-sized, never table-sized.
+    * enforced on every batch of rows that LANDS — [[write]],
+    * [[idempotentAppend]], [[idempotentOverwrite]], the staged result of
+    * [[merge]], and [[restore]] (a restore may resurrect data that predates a
+    * constraint); [[compact]] rewrites the already-validated live set and skips
+    * the check. SQL CHECK semantics: a row passes when the predicate is TRUE or
+    * NULL; only FALSE violates. Enforcement is FUSED into the staged write
+    * ([[withCheckGuard]]): the batch lineage executes exactly once, with a
+    * `raise_error` guard aborting on the first violating row.
     */
   def addConstraint(spark: SparkSession, location: String, name: String,
       checkSql: String): Unit = {
@@ -143,15 +161,32 @@ object VersionedTable {
       .map(m => unescapeJson(m.group(1)) -> unescapeJson(m.group(2))).toMap
   }
 
+  /** Publish the constraint set via write-temp-then-rename, so a reader never
+    * sees a torn file and a crashed writer leaves the old set intact. Known
+    * deliberate gaps vs Delta (which versions constraints in table metadata):
+    * concurrent addConstraint/dropConstraint calls are last-rename-wins — the
+    * loser's edit is dropped whole, never interleaved — and the file is
+    * UNVERSIONED, so time travel and restore see the CURRENT constraint set,
+    * not the one in force at the target version (restore enforces the current
+    * set against the restored data for exactly this reason).
+    */
   private def writeConstraints(spark: SparkSession, location: String,
       all: Map[String, String]): Unit = {
     val p = new Path(s"$location/_constraints.json")
+    val tmp = new Path(s"$location/_constraints.json.tmp-${java.util.UUID.randomUUID()}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val body = all.toSeq.sortBy(_._1)
       .map { case (n, c) => s""""${escapeJson(n)}": "${escapeJson(c)}"""" }
       .mkString("{", ", ", "}")
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    // Hadoop rename won't clobber an existing destination on all FS; delete-then-
+    // rename leaves at worst a missing-file window, never a torn body
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"failed to publish constraints at $p")
+    }
   }
 
   private def escapeJson(s: String): String =
@@ -160,19 +195,11 @@ object VersionedTable {
   private def unescapeJson(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  /** Fail fast when a batch of new rows violates any table constraint. A batch
-    * that lacks a constrained column fails analysis loudly — a constraint pins
-    * the columns it references (Delta's contract as well).
-    */
-  private def enforceConstraints(spark: SparkSession, location: String,
-      batch: DataFrame): Unit = {
-    val cs = constraints(spark, location)
-    if (cs.nonEmpty) checkAgainst(location, batch, cs)
-  }
-
   /** One job for ALL constraints: a single filter on the OR of the violation
     * predicates finds the first bad row; per-constraint flags selected alongside
-    * name the culprits without a second pass or a re-executed plan.
+    * name the culprits without a second pass or a re-executed plan. Used only by
+    * [[addConstraint]] (validating EXISTING data is read-only); batch writes
+    * enforce inline via [[withCheckGuard]] instead, which costs zero extra jobs.
     */
   private def checkAgainst(location: String, df: DataFrame,
       cs: Map[String, String]): Unit = {
@@ -190,6 +217,48 @@ object VersionedTable {
         s"CHECK constraint ${fired.mkString(", ")} violated at $location — " +
           s"first bad row: $row")
     }
+  }
+
+  /** Constraint enforcement FUSED into the staged write (the Delta
+    * CheckDeltaInvariant shape): the batch's first column is wrapped in a
+    * `raise_error` guard that fires on the first violating row, so validation
+    * rides the write's own pass over the data — a constrained commit executes
+    * the batch lineage ONCE, instead of a validation job followed by a
+    * re-executed write. The guard preserves the column's value and type on
+    * every passing row, and a batch that lacks a constrained column still
+    * fails analysis loudly (a constraint pins the columns it references).
+    * SQL CHECK semantics: TRUE or NULL passes; only FALSE violates.
+    */
+  private def withCheckGuard(df: DataFrame, location: String,
+      cs: Map[String, String]): DataFrame = {
+    if (cs.isEmpty) return df
+    val ordered = cs.toSeq.sortBy(_._1)
+    val flags = ordered.map { case (_, c) => !coalesce(expr(c), lit(true)) }
+    val msg = concat(
+      lit("CHECK constraint "),
+      concat_ws(", ", ordered.zip(flags).map { case ((n, c), f) =>
+        when(f, lit(s""""$n" ($c)""")) }: _*),
+      lit(s" violated at $location — first bad row: "),
+      to_json(struct(df.columns.map(col): _*)))
+    val guard = df.columns.head
+    df.withColumn(guard,
+      when(flags.reduce(_ || _), raise_error(msg).cast(df.schema.head.dataType))
+        .otherwise(col(guard)))
+  }
+
+  /** A write job aborted by a [[withCheckGuard]] `raise_error` surfaces as a
+    * SparkException chain; surface the original CHECK message with the same
+    * exception type the pre-fusion validation threw. Anything else rethrows.
+    */
+  private def translateCheckFailure(e: Throwable): Nothing = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = Option(t.getMessage).getOrElse("")
+      val i = m.indexOf("CHECK constraint ")
+      if (i >= 0) throw new IllegalArgumentException(m.substring(i), e)
+      t = t.getCause
+    }
+    throw e
   }
 
   /** Exactly-once append for streaming `foreachBatch` sinks (Delta transactional-
@@ -228,9 +297,9 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
-    enforceConstraints(spark, location, batch)
     if (operation == "append") enforceAppendSchema(spark, location, batch, partitionBy)
-    val (dataDir, rows, stats) = stageData(batch, location, partitionBy)
+    val (dataDir, rows, stats) =
+      stageData(batch, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
@@ -327,7 +396,12 @@ object VersionedTable {
       // (base) commit may predate the layout later appends established
       val partitioning = liveCommits(spark, location, version)
         .last.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val (dataDir, rows, stats) = stageData(snap, location, partitioning)
+      // CURRENT constraints are enforced on the restored snapshot: restoring to
+      // a version that predates addConstraint must not put rows live that the
+      // table currently advertises as impossible. The check is fused into the
+      // copy-on-restore scan, so it costs no extra pass.
+      val (dataDir, rows, stats) =
+        stageData(snap, location, partitioning, constraints(spark, location))
       if (claimCommit(fs, location, latest.version + 1, "restore", rows, dataDir,
           partitioning, stats)) done = latest.version + 1
       else {
@@ -358,10 +432,19 @@ object VersionedTable {
     * multi-path parquet scan. Copy-on-write like Delta: the result lands as a
     * whole new "merge" commit at snapshotVersion + 1 (same conflict rule as
     * [[compact]] — a lost claim discards the staged rewrite and re-merges from a
-    * fresh snapshot, never silently dropping a concurrent commit). At 100 TB the
-    * rewrite cost is bounded the same way Delta bounds it: partition the table
-    * and merge per-partition slices (filter both sides to the touched partitions),
-    * so only touched partitions rewrite.
+    * fresh snapshot, never silently dropping a concurrent commit).
+    *
+    * PARTITION-SCOPED rewrite (how the cost stays bounded at 100 TB, the same
+    * way Delta's merge prunes to matched files): when the table is
+    * hive-partitioned, every partition column is part of `keys` (so a key can
+    * never move between partitions and matching is exact), and the change set
+    * touches a bounded, cleanly-representable set of partition values, the
+    * merge rewrites ONLY the touched partitions — the commit records them in
+    * `replace_where`, untouched partitions' files are carried by reference
+    * (byte-identical, same paths), and readers shadow the touched partitions
+    * out of earlier commits. Cost then tracks the touched slice, not the
+    * table. Any precondition failing falls back to the full-snapshot rewrite,
+    * which is always correct.
     */
   def merge(spark: SparkSession, location: String, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
@@ -372,8 +455,11 @@ object VersionedTable {
       case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
       case None => changes
     }
-    // only rows that will LAND are checked — delete markers carry no new data
-    enforceConstraints(spark, location, upserts)
+    // CHECK constraints ride the staged write of the merged snapshot (fused,
+    // zero extra jobs): only rows that LAND are checked — delete markers never
+    // reach the staged data, and surviving pre-merge rows pass by the
+    // addConstraint invariant
+    val checks = constraints(spark, location)
     // deletes participate in the anti-join (their keys drop the match) but
     // contribute no replacement row
     val changedKeys = deleteCol.fold(changes)(d => changes.drop(d))
@@ -384,20 +470,35 @@ object VersionedTable {
       val cs = commits(spark, location)
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
-      val current = readAsOf(spark, location, latest.version)
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      val scope = mergeScope(spark, location, latest, changes, partitioning, keys)
+      val current = {
+        val snap = readAsOf(spark, location, latest.version)
+        scope.fold(snap) { case (pred, _, _) => snap.filter(pred) }
+      }
+      // replaced_rows observed on the touched slice as it streams through the
+      // staged rewrite — no extra job; full rewrites replace the whole prior
+      // state, whose size the log already knows, so they skip the observation
+      val obs = scope.map(_ => Observation(
+        s"vt_replaced_${java.util.UUID.randomUUID()}"))
+      val observed = obs.fold(current)(o =>
+        current.observe(o, count(lit(1)).as("rows")))
       val staged =
-        if (changeFeed) stageMergeWithFeed(current, changes, keys, deleteCol,
-          location, partitioning)
+        if (changeFeed) stageMergeWithFeed(observed, changes, keys, deleteCol,
+          location, partitioning, checks)
         else {
-          val merged = current.join(changedKeys, keys, "left_anti")
-            .unionByName(upserts.select(current.columns.map(col): _*))
-          val (d, r, st) = stageData(merged, location, partitioning)
+          val merged = observed.join(changedKeys, keys, "left_anti")
+            .unionByName(upserts.select(observed.columns.map(col): _*))
+          val (d, r, st) = stageData(merged, location, partitioning, checks)
           (d, r, st, "")
         }
       val (dataDir, rows, stats, changeDir) = staged
+      val replaceWhere = scope.map(_._2).getOrElse("")
+      val replacedRows = scope.map(_ => obs.get.get("rows").asInstanceOf[Long])
+        .getOrElse(0L)
       if (claimCommit(fs, location, latest.version + 1, "merge", rows, dataDir,
-          partitioning, stats, changeDir = changeDir)) done = latest.version + 1
+          partitioning, stats, changeDir = changeDir, replaceWhere = replaceWhere,
+          replacedRows = replacedRows)) done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         if (changeDir.nonEmpty)
@@ -409,6 +510,49 @@ object VersionedTable {
     }
     maybeCheckpoint(spark, location, done)
     done
+  }
+
+  /** At most this many touched partitions take the scoped path: the touched set
+    * is collected driver-side (it becomes the commit's `replace_where` and the
+    * snapshot filter), so it must stay metadata-sized. A change set touching
+    * more partitions than this rewrites the full snapshot instead.
+    */
+  val MaxScopedPartitions = 1024
+
+  /** Partition values the scoped path can represent in the flat commit log and
+    * re-derive as an equality filter (hive dir names round-trip these exactly).
+    */
+  private val SafePartitionValue = "[A-Za-z0-9_.:+ -]+".r
+
+  /** Decide whether this merge can be partition-scoped; when yes, returns
+    * (touched-partition predicate, replace_where spec, touched count).
+    * Preconditions (any failing → None → full-snapshot rewrite):
+    * every live commit shares the table's partition layout (heterogeneous live
+    * sets can't be filtered uniformly), partition columns ⊆ keys (a key then
+    * determines its partition, so matching inside the slice is exact), and the
+    * touched values are bounded, non-null, and log-representable.
+    */
+  private def mergeScope(spark: SparkSession, location: String, latest: Commit,
+      changes: DataFrame, partitioning: Seq[String], keys: Seq[String])
+      : Option[(org.apache.spark.sql.Column, String, Int)] = {
+    if (partitioning.isEmpty) return None
+    if (!partitioning.forall(keys.contains)) return None
+    val live = liveCommits(spark, location, latest.version)
+    if (!live.forall(_.partition_by == latest.partition_by)) return None
+    val touched = changes.select(partitioning.map(col): _*).distinct()
+      .limit(MaxScopedPartitions + 1).collect()
+    if (touched.length > MaxScopedPartitions) return None
+    val values = touched.map(row => partitioning.indices.map { i =>
+      if (row.isNullAt(i)) return None // null partitions: hive-default dirs don't round-trip
+      String.valueOf(row.get(i))
+    })
+    if (!values.forall(_.forall(SafePartitionValue.matches))) return None
+    val spec = values.map(vs => partitioning.zip(vs)
+      .map { case (k, v) => s"$k=$v" }.mkString("/")).sorted.mkString(";")
+    val pred = values.map(vs => partitioning.zip(vs)
+        .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
+    Some((pred, spec, values.length))
   }
 
   /** Merge + Change-Data-Feed capture (Delta CDF parity), both derived from ONE
@@ -427,7 +571,8 @@ object VersionedTable {
     */
   private def stageMergeWithFeed(current: DataFrame, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String], location: String,
-      partitionBy: Seq[String]): (String, Long, Map[String, (Double, Double)], String) = {
+      partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
+      : (String, Long, Map[String, (Double, Double)], String) = {
     val cols = current.columns.toSeq
     val tagged = deleteCol match {
       case Some(d) => changes
@@ -461,7 +606,7 @@ object VersionedTable {
       val merged = cases
         .filter(col("_change_type").isin("unchanged", "insert", "update_postimage"))
         .select(cols.map(col): _*)
-      val (dataDir, rows, stats) = stageData(merged, location, partitionBy)
+      val (dataDir, rows, stats) = stageData(merged, location, partitionBy, checks)
       val feed = cases.filter(col("_change_type") =!= "unchanged")
       val changeDir = s"c-${java.util.UUID.randomUUID()}"
       feed.write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
@@ -506,19 +651,21 @@ object VersionedTable {
               .withColumn("_change_type", lit("insert")), c))
           case "merge" if c.change_dir.nonEmpty =>
             Some(stamp(spark.read.parquet(s"$location/_data/${c.change_dir}"), c))
-          case "merge" =>
-            throw new IllegalStateException(
-              s"version ${c.version} at $location is a merge committed without " +
-                "changeFeed = true — its row-level changes were not captured")
           case "compact" => None
           case _ =>
+            // overwrite / restore / merge-without-feed: data was rewritten, not
+            // changed row-level. A feedless merge's row changes were never
+            // captured, so under allowFullRewrites its post-merge state is served
+            // as inserts — the same reset semantics as an overwrite, and the
+            // contract the streaming source's startingVersion path relies on.
             if (allowFullRewrites)
               Some(stamp(spark.read.parquet(dataPath(location, c))
                 .withColumn("_change_type", lit("insert")), c))
             else throw new IllegalStateException(
               s"version ${c.version} at $location is a full rewrite " +
-                s"(${c.operation}) — pass allowFullRewrites = true to read it " +
-                "as inserts (reset semantics)")
+                s"(${c.operation}${if (c.operation == "merge") " committed without changeFeed = true" else ""}) — " +
+                "pass allowFullRewrites = true to read it as inserts (reset " +
+                "semantics)")
         }
       }
     if (parts.isEmpty)
@@ -606,11 +753,14 @@ object VersionedTable {
   /** Stage `df` once into a writer-unique data dir — no other writer can name it, so
     * losing a later log race never requires rewriting data, and a racer can never
     * delete/interleave these files. The row count AND per-column min/max piggyback on
-    * one `observe` over the write itself (map-side, no extra job or scan).
-    * Returns (dirName, rowCount, columnStats).
+    * one `observe` over the write itself (map-side, no extra job or scan), and CHECK
+    * constraints (when given) ride the same pass via [[withCheckGuard]] — a failed
+    * check aborts the write, deletes the partial staging dir, and rethrows as the
+    * caller-facing IllegalArgumentException. Returns (dirName, rowCount, columnStats).
     */
   private def stageData(df: DataFrame, location: String,
-      partitionBy: Seq[String]): (String, Long, Map[String, (Double, Double)]) = {
+      partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
+      : (String, Long, Map[String, (Double, Double)]) = {
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val statCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -621,10 +771,22 @@ object VersionedTable {
     val aggs = count(lit(1)).as("rows") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
       max(col(c)).cast("double").as(s"mx_$c")))
-    val writer = df.observe(obs, aggs.head, aggs.tail: _*)
+    val writer = withCheckGuard(df, location, checks)
+      .observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(s"$location/_data/$dataDir")
+    try
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(s"$location/_data/$dataDir")
+    catch {
+      case e: Throwable =>
+        // the Observation's listener stays registered when its query fails
+        // (Spark offers no public unregister) — one dormant listener per
+        // REFUSED write, on a path that throws to the caller anyway
+        try fileSystem(df.sparkSession, location)
+          .delete(new Path(s"$location/_data/$dataDir"), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        translateCheckFailure(e)
+    }
     val observed = obs.get
     val stats = statCols.flatMap { c =>
       (observed.get(s"mn_$c"), observed.get(s"mx_$c")) match {
@@ -643,7 +805,10 @@ object VersionedTable {
   def fastCount(spark: SparkSession, location: String): Long = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
-    liveCommits(spark, location, cs.last.version).map(_.row_count).sum
+    // a scoped merge contributes its own rows and retires the touched
+    // partitions' prior rows — the count it observed at rewrite time
+    val live = liveCommits(spark, location, cs.last.version)
+    live.map(_.row_count).sum - live.map(_.replaced_rows).sum
   }
 
   /** The table as of its newest commit. */
@@ -672,9 +837,10 @@ object VersionedTable {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     val live = liveCommits(spark, location, cs.last.version)
-    val kept = live.filter(_.stats.get(column).forall {
-      case (mn, mx) => mx >= lo && mn <= hi
-    })
+    // scoped merges are kept regardless of stats: dropping one would also drop
+    // its SHADOW over earlier commits and resurrect replaced rows
+    val kept = live.filter(c => c.replace_where.nonEmpty ||
+      c.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val predicate = col(column) >= lo && col(column) <= hi
     if (kept.isEmpty)
       // every commit pruned: keep the full-scan plan for its schema; parquet footer
@@ -684,7 +850,9 @@ object VersionedTable {
   }
 
   /** The commits whose data dirs make up the state at `version`: everything from the
-    * last full-state commit ("overwrite"/"compact") at or before it.
+    * last FULL-state commit at or before it. A partition-scoped merge
+    * (`replace_where` nonEmpty) does not reset the base — it shadows the touched
+    * partitions of earlier commits instead ([[assemble]]).
     */
   private def liveCommits(spark: SparkSession, location: String,
       version: Long): Seq[Commit] = {
@@ -692,7 +860,8 @@ object VersionedTable {
     require(cs.exists(_.version == version),
       s"version $version does not exist at $location (have ${cs.map(_.version)})")
     val visible = cs.filter(_.version <= version)
-    val base = visible.lastIndexWhere(_.operation != "append")
+    val base = visible.lastIndexWhere(c =>
+      c.operation != "append" && c.replace_where.isEmpty)
     if (base < 0) visible else visible.drop(base)
   }
 
@@ -704,6 +873,7 @@ object VersionedTable {
       // that added columns widens the read schema, older commits surface nulls.
       // The footer-merge cost is per live commit (bounded by compaction), not per
       // file — Spark merges one schema per input root's sampled footers.
+      // (Scoped merges require a partitioned table, so no shadowing here.)
       spark.read.option("mergeSchema", "true")
         .parquet(live.map(c => dataPath(location, c)): _*)
     else
@@ -712,28 +882,53 @@ object VersionedTable {
       // its own partitioned root and the branches union. Filters push through the
       // Union into every branch, so partition pruning is intact; the per-commit
       // fixed cost stays small because overwrite commits reset the live set.
-      live.map(c => spark.read.option("mergeSchema", "true")
-        .parquet(dataPath(location, c)))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      // Partitions a LATER partition-scoped merge rewrote are shadowed out of
+      // each earlier branch with a partition-column filter — pure partition
+      // pruning, no data rows read from the shadowed directories.
+      live.zipWithIndex.map { case (c, i) =>
+        val branch = spark.read.option("mergeSchema", "true")
+          .parquet(dataPath(location, c))
+        val shadowed = live.drop(i + 1).flatMap(_.replacedPartitions)
+        val hit = shadowed.map(_.map { case (k, v) => col(k) === lit(v) }
+          .reduce(_ && _)).reduceOption(_ || _)
+        hit.fold(branch)(p => branch.filter(!coalesce(p, lit(false))))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Delta `GENERATE symlink_format_manifest` parity: write the CURRENT
-    * snapshot's data-file list to `_symlink_format_manifest/manifest` (one
-    * absolute path per line), so engines that cannot read the commit log —
+    * snapshot's data-file list under `_symlink_format_manifest/` (one absolute
+    * path per line), so engines that cannot read the commit log —
     * Trino/Presto/Athena external tables over raw parquet — get a consistent
     * snapshot instead of whatever uncommitted or superseded files a directory
-    * listing would surface. Metadata-only (the file list comes from the log
-    * resolution, no data reads). Regenerate after commits; readers of a stale
-    * manifest see an older consistent snapshot, never a torn one — though
-    * [[vacuum]] can reclaim files a sufficiently old manifest still lists
-    * (Delta's own caveat).
+    * listing would surface. The layout matches what those engines expect:
+    * an UNPARTITIONED table writes a single `manifest`; a hive-partitioned
+    * table writes one `<partition-path>/manifest` PER partition (external
+    * engines map manifests to partitions by directory, so a flat file cannot
+    * express a partitioned table). Metadata-only (the file list comes from the
+    * log resolution, no data reads). Regenerate after commits; the old tree is
+    * replaced wholesale so dropped partitions do not leave stale manifests.
+    * Readers of a stale manifest see an older consistent snapshot, never a
+    * torn one — though [[vacuum]] can reclaim files a sufficiently old
+    * manifest still lists (Delta's own caveat).
     */
   def generateManifest(spark: SparkSession, location: String): Seq[String] = {
     val files = read(spark, location).inputFiles.toSeq.sorted
-    val p = new Path(s"$location/_symlink_format_manifest/manifest")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    val root = new Path(s"$location/_symlink_format_manifest")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // the hive partition path of a data file = the k=v directory segments
+    // between its commit's _data/<dir> root and the file name
+    def partitionPath(f: String): String = {
+      val segs = new Path(f).toUri.getPath.split("/").toSeq
+      val i = segs.lastIndexOf("_data")
+      if (i < 0) ""
+      else segs.slice(i + 2, segs.length - 1).filter(_.contains("=")).mkString("/")
+    }
+    fs.delete(root, true)
+    files.groupBy(partitionPath).foreach { case (pp, group) =>
+      val dir = if (pp.isEmpty) root else new Path(root, pp)
+      val out = fs.create(new Path(dir, "manifest"), true)
+      try out.write(group.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     files
   }
 
@@ -773,13 +968,16 @@ object VersionedTable {
     // a commit is out of retention iff some LATER full-state commit (overwrite or
     // compact) is itself older than the window: every as-of read that still needs
     // this commit's data targets a version from before that reset, i.e. a state the
-    // table left >= retention ago
+    // table left >= retention ago. A partition-SCOPED merge is not a reset — it
+    // still references earlier commits' untouched partitions — so it never expires
+    // anything on its own.
     // compared at millisecond grain: commit stamps carry sub-milli precision but
     // the cutoff is epoch-millis — nano-vs-milli mixing would let a commit in the
     // cutoff's own millisecond dodge a zero-retention vacuum
     val cutoffMs = now - retentionMs
     val expired = cs.filter { c =>
       cs.exists(o => o.version > c.version && o.operation != "append" &&
+        o.replace_where.isEmpty &&
         parseInstant(o.timestamp).exists(_.toEpochMilli <= cutoffMs))
     }.flatMap(c => new Path(dataPath(location, c)) +:
       (if (c.change_dir.nonEmpty) Seq(new Path(s"$location/_data/${c.change_dir}"))
@@ -917,11 +1115,13 @@ object VersionedTable {
   private def claimCommit(fs: FileSystem, location: String, version: Long,
       operation: String, rows: Long, dataDir: String,
       partitionBy: Seq[String], stats: Map[String, (Double, Double)] = Map.empty,
-      txnApp: String = "", txnId: Long = -1L, changeDir: String = ""): Boolean = {
+      txnApp: String = "", txnId: Long = -1L, changeDir: String = "",
+      replaceWhere: String = "", replacedRows: Long = 0L): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
-      partitionBy.mkString(","), txnApp, txnId, stats, changeDir)
+      partitionBy.mkString(","), txnApp, txnId, stats, changeDir,
+      replaceWhere, replacedRows)
     atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
 
@@ -960,7 +1160,7 @@ object VersionedTable {
     val statsJson = c.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s""""$k":[$mn,$mx]""" }
       .mkString("{", ",", "}")
-    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"stats":$statsJson}"""
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson}"""
   }
 
   // pre-data_dir logs (legacy layout) stored data at _data/v=<N>
@@ -980,8 +1180,9 @@ object VersionedTable {
   private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
-    def num(k: String) =
-      s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(-1L)
+    def num(k: String, default: Long = -1L) =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+        .getOrElse(default)
     val stats = """"stats":\{(.*?)\}""".r.findFirstMatchIn(body)
       .map(m => StatsEntry.findAllMatchIn(m.group(1)).flatMap { e =>
         try Some(e.group(1) -> (e.group(2).toDouble, e.group(3).toDouble))
@@ -990,7 +1191,9 @@ object VersionedTable {
       .getOrElse(Map.empty[String, (Double, Double)])
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
       str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats,
-      str("change_dir"))
+      str("change_dir"), str("replace_where"),
+      // pre-scoped-merge logs lack the field; they replaced nothing
+      num("replaced_rows", default = 0L))
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

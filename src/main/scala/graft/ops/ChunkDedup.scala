@@ -50,10 +50,26 @@ object ChunkDedup {
     * its corpus count is within `maxOccurrences`, or this occurrence is the
     * first (lowest `(doc_id, chunk_id)` — so exactly ONE copy of over-replicated
     * text remains, per the C4 rule, rather than none).
+    *
+    * `maxChunkDf` is the SKEW guard (the [[Dedup]] `maxShingleDf` pattern, but
+    * output-preserving): without it, a universal boilerplate chunk — one header
+    * present in a double-digit fraction of all documents — lands its ENTIRE
+    * occurrence set on one reducer of the count join back. With a cap, chunk
+    * hashes whose corpus count exceeds it are resolved driver-side (at most
+    * totalChunks / maxChunkDf of them can exist, so the collect is small by
+    * construction) and their occurrences take a BROADCAST join instead; the
+    * shuffle join's probe side excludes them via a broadcast anti-join, so its
+    * per-key row count is bounded by `maxChunkDf`. Flags are IDENTICAL to the
+    * uncapped path — the cap changes the plan, never the answer — at the cost
+    * of one extra aggregation pass to find the hot set. Pick a cap well above
+    * any legitimate duplication level (e.g. 10k) so the hot set stays tiny.
     */
   def flaggedChunks(df: DataFrame, chunkWords: Int, maxOccurrences: Long = 1,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxChunkDf: Option[Long] = None): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1; got $maxOccurrences")
+    maxChunkDf.foreach(cap => require(cap >= maxOccurrences,
+      s"maxChunkDf ($cap) must be >= maxOccurrences ($maxOccurrences)"))
     val ch = chunks(df, chunkWords, idCol, textCol)
       .withColumn("__h", md5(col("chunk_text")))
     // min(struct) = lexicographically-first occurrence, found in the SAME
@@ -61,12 +77,29 @@ object ChunkDedup {
     val groups = ch.groupBy("__h").agg(
       count(lit(1)).as("corpus_count"),
       min(struct(col("doc_id"), col("chunk_id"))).as("__first"))
-    ch.join(groups, "__h")
-      .withColumn("kept",
-        col("corpus_count") <= maxOccurrences ||
-          (col("__first.doc_id") === col("doc_id") &&
-            col("__first.chunk_id") === col("chunk_id")))
-      .select("doc_id", "chunk_id", "chunk_text", "corpus_count", "kept")
+    val kept = col("corpus_count") <= maxOccurrences ||
+      (col("__first.doc_id") === col("doc_id") &&
+        col("__first.chunk_id") === col("chunk_id"))
+    val out = Seq("doc_id", "chunk_id", "chunk_text", "corpus_count", "kept")
+    val hotRows = maxChunkDf
+      .map(cap => groups.filter(col("corpus_count") > cap).collect())
+      .getOrElse(Array.empty)
+    if (hotRows.isEmpty)
+      ch.join(groups, "__h").withColumn("kept", kept).select(out.map(col): _*)
+    else {
+      val spark = df.sparkSession
+      val hot = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), groups.schema))
+      // hot keys: map-side broadcast join, no shuffle of their occurrence sets
+      val hotFlagged = ch.join(hot, "__h")
+      // cold keys: the ordinary shuffle join, with hot keys anti-joined out of
+      // the probe BEFORE the exchange — max rows per join key <= maxChunkDf
+      val coldFlagged = ch
+        .join(hot.select("__h"), Seq("__h"), "left_anti")
+        .join(groups, "__h")
+      hotFlagged.unionByName(coldFlagged)
+        .withColumn("kept", kept).select(out.map(col): _*)
+    }
   }
 
   /** Documents rebuilt from their surviving chunks:

@@ -24,18 +24,50 @@ object Privacy {
   /** Per-equivalence-class audit: the quasi-identifier columns plus
     * `(class_size, k_anonymous[, distinct_sensitive, l_diverse])`.
     * `sensitiveCol = None` skips the l-diversity columns.
+    *
+    * `entropy = true` adds the ENTROPY l-diversity variant (Machanavajjhala
+    * et al. 2007 §4.2): distinct-count l-diversity is the weak form — a class
+    * with values `[a,a,a,a,a,b,c]` counts 3 distinct yet an attacker is right
+    * guessing `a` 5 times in 7 — so the entropy form requires
+    * `H(sensitive | class) >= ln(l)`, which only a reasonably BALANCED
+    * distribution satisfies. Emitted as `sensitive_entropy` (nats; NULL counts
+    * as its own category, so the value reflects what a release actually
+    * reveals) and `entropy_l_diverse`. Plan shape: the entropy needs per-value
+    * counts, so this path is TWO hash aggregations — `(quasi, sensitive)`
+    * counts, then the per-class fold `H = ln(N) - Σ n·ln(n) / N` — both
+    * map-side combined; the second exchange's input is one row per distinct
+    * (class, value) pair, not per row of the corpus.
     */
   def equivalenceClasses(df: DataFrame, quasiCols: Seq[String], k: Int,
-      sensitiveCol: Option[String] = None, l: Int = 2): DataFrame = {
+      sensitiveCol: Option[String] = None, l: Int = 2,
+      entropy: Boolean = false): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must not be empty")
     require(k >= 2, s"k must be >= 2 (k=1 is vacuous); got $k")
     require(l >= 2, s"l must be >= 2 (l=1 is vacuous); got $l")
-    val base = df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("class_size"),
-        sensitiveCol.map(c => countDistinct(col(c)).as("distinct_sensitive")).toSeq: _*)
-      .withColumn("k_anonymous", col("class_size") >= k)
-    sensitiveCol.fold(base)(_ =>
-      base.withColumn("l_diverse", col("distinct_sensitive") >= l))
+    require(!entropy || sensitiveCol.nonEmpty,
+      "entropy l-diversity needs a sensitiveCol")
+    if (!entropy) {
+      val base = df.groupBy(quasiCols.map(col): _*)
+        .agg(count(lit(1)).as("class_size"),
+          sensitiveCol.map(c => countDistinct(col(c)).as("distinct_sensitive")).toSeq: _*)
+        .withColumn("k_anonymous", col("class_size") >= k)
+      sensitiveCol.fold(base)(_ =>
+        base.withColumn("l_diverse", col("distinct_sensitive") >= l))
+    } else {
+      val s = sensitiveCol.get
+      val n = col("__n")
+      df.groupBy((quasiCols :+ s).map(col): _*).agg(count(lit(1)).as("__n"))
+        .groupBy(quasiCols.map(col): _*)
+        .agg(
+          sum(n).as("class_size"),
+          // parity with the countDistinct path: nulls don't count as a value
+          sum(when(col(s).isNotNull, 1L).otherwise(0L)).as("distinct_sensitive"),
+          (log(sum(n)) - sum(n * log(n)) / sum(n)).as("sensitive_entropy"))
+        .withColumn("k_anonymous", col("class_size") >= k)
+        .withColumn("l_diverse", col("distinct_sensitive") >= l)
+        .withColumn("entropy_l_diverse",
+          col("sensitive_entropy") >= log(lit(l.toDouble)))
+    }
   }
 
   /** One-row corpus summary: `(n_rows, n_classes, classes_below_k, rows_at_risk,

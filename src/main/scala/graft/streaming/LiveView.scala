@@ -26,8 +26,14 @@ import graft.ops.IncrementalAgg
   * The first micro-batch is the source's initial snapshot served as inserts, so
   * bootstrapping and steady-state run through the identical code path.
   *
-  * One maintainer per view: the exactly-once guarantee is per streaming query
-  * (concurrent maintainers of the same view would interleave read-modify-write).
+  * One maintainer per view, ENFORCED from the commit metadata that already
+  * exists: every maintenance commit carries its maintainer's identity (txnApp =
+  * the checkpoint path), so a batch whose view was last committed by a DIFFERENT
+  * maintainer fails fast instead of interleaving read-modify-write and silently
+  * corrupting the aggregate. A view whose newest commit carries no txnApp (a
+  * manual write, or a fresh table) is adoptable. The check closes the standing
+  * second-maintainer mistake; a maintainer racing INSIDE one batch window is
+  * narrowed, not eliminated (full CAS would need conditional commits).
   */
 object LiveView {
 
@@ -42,6 +48,7 @@ object LiveView {
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        requireSoleMaintainer(spark, viewLocation, checkpoint)
         val next = IncrementalAgg.applyFeed(
           currentView(spark, viewLocation, batch, keys, sumCols),
           batch, keys, sumCols)
@@ -52,6 +59,22 @@ object LiveView {
       .trigger(trigger)
       .start()
   }
+
+  /** Fail fast when the view's newest commit was published by a different
+    * maintainer identity. Checked per micro-batch (a rival can appear mid-run,
+    * not just at start), driver-side from the commit log — metadata-only.
+    */
+  private def requireSoleMaintainer(spark: SparkSession, viewLocation: String,
+      checkpoint: String): Unit =
+    VersionedTable.commits(spark, viewLocation).lastOption
+      .filter(c => c.txn_app.nonEmpty && c.txn_app != checkpoint)
+      .foreach { c =>
+        throw new IllegalStateException(
+          s"view at $viewLocation is maintained by '${c.txn_app}' (its newest " +
+            s"commit v${c.version}) — refusing to run a second maintainer " +
+            s"('$checkpoint'): one maintainer per view, or the interleaved " +
+            "read-modify-write corrupts the aggregate")
+      }
 
   /** The view's current state, or an empty frame with the view schema before the
     * first commit (derived from the batch, so bootstrap needs no special case).

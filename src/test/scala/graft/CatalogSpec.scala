@@ -355,11 +355,19 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     }
     assert(VersionedTable.readChanges(spark, loc, 0L, 0L, allowFullRewrites = true)
       .select("_change_type").distinct().as[String].collect().toSeq === Seq("insert"))
-    // a merge committed WITHOUT changeFeed cannot serve row-level changes
+    // a merge committed WITHOUT changeFeed cannot serve row-level changes…
     VersionedTable.merge(spark, loc, Seq((1L, "A")).toDF("id", "v"), Seq("id"))
     intercept[IllegalStateException] {
       VersionedTable.readChanges(spark, loc, 4L, 4L)
     }
+    // …but allowFullRewrites serves its post-merge state as inserts (reset
+    // semantics, same contract as overwrite) — the startingVersion path needs it
+    val reset = VersionedTable.readChanges(spark, loc, 4L, 4L,
+        allowFullRewrites = true)
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(reset === Seq((1L, "A", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert")))
   }
 
   test("versioned table: vacuum reclaims change dirs with their expired commits") {
@@ -429,6 +437,166 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       "old snapshot files must leave the manifest after an overwrite")
   }
 
+  test("partition-scoped merge: untouched partitions keep their exact files") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_scoped_merge").toString
+    def part(df: org.apache.spark.sql.DataFrame, op: String) =
+      VersionedTable.write(df, loc, op, partitionBy = Seq("p"))
+    part(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "a", 40.0))
+      .toDF("id", "p", "v"), "overwrite")                                  // v0
+    part(Seq((5L, "b", 50.0)).toDF("id", "p", "v"), "append")              // v1
+
+    def filesIn(pv: String): Set[String] =
+      VersionedTable.read(spark, loc).inputFiles.toSet.filter(_.contains(s"/p=$pv/"))
+    val bBefore = filesIn("b"); val cBefore = filesIn("c")
+    assert(bBefore.nonEmpty && cBefore.nonEmpty)
+
+    // touch only p=a: update id=1, insert id=6, delete id=4 — partition col in keys
+    val mv = VersionedTable.merge(spark, loc,
+      Seq((1L, "a", 11.0, false), (6L, "a", 60.0, false), (4L, "a", 0.0, true))
+        .toDF("id", "p", "v", "del"),
+      Seq("id", "p"), deleteCol = Some("del"))                             // v2
+    val mc = VersionedTable.commits(spark, loc).last
+    assert(mc.replace_where === "p=a", "merge must have taken the scoped path")
+    assert(mc.replaced_rows === 2L, "p=a held 2 rows pre-merge")
+
+    // THE point: untouched partitions were carried by reference, not rewritten
+    assert(filesIn("b") === bBefore, "p=b files must be byte-identical (same paths)")
+    assert(filesIn("c") === cBefore, "p=c files must be byte-identical (same paths)")
+
+    // semantics identical to a full merge
+    assert(VersionedTable.read(spark, loc).select("id", "p", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq === Seq(
+        (1L, "a", 11.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "b", 50.0),
+        (6L, "a", 60.0)))
+    // log-only count still agrees after a scoped merge
+    assert(VersionedTable.fastCount(spark, loc) ===
+      VersionedTable.read(spark, loc).count())
+    // time travel still serves the PRE-merge p=a
+    assert(VersionedTable.readAsOf(spark, loc, 1L).filter(col("p") === "a")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+
+    // a second scoped merge over p=b shadows transitively; p=c still untouched
+    VersionedTable.merge(spark, loc,
+      Seq((2L, "b", 22.0, false)).toDF("id", "p", "v", "del"),
+      Seq("id", "p"), deleteCol = Some("del"))                             // v3
+    assert(filesIn("c") === cBefore)
+    assert(VersionedTable.read(spark, loc).filter(col("p") === "b")
+      .select("id", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+      === Seq((2L, 22.0), (5L, 50.0)))
+    assert(VersionedTable.fastCount(spark, loc) ===
+      VersionedTable.read(spark, loc).count())
+
+    // keys NOT covering the partition column → the always-correct full rewrite
+    VersionedTable.merge(spark, loc,
+      Seq((3L, "c", 33.0)).toDF("id", "p", "v"), Seq("id"))                // v4
+    assert(VersionedTable.commits(spark, loc).last.replace_where === "",
+      "partition col outside keys must fall back to the full-snapshot merge")
+    assert(VersionedTable.read(spark, loc).filter(col("p") === "c")
+      .select("v").as[Double].collect().toSeq === Seq(33.0))
+  }
+
+  test("partition-scoped merge captures an exact change feed for the touched slice") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_scoped_cdf").toString
+    VersionedTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "v"), loc,
+      "overwrite", partitionBy = Seq("p"))
+    val mv = VersionedTable.merge(spark, loc,
+      Seq((1L, "a", 11.0, false), (3L, "a", 30.0, false))
+        .toDF("id", "p", "v", "del"),
+      Seq("id", "p"), deleteCol = Some("del"), changeFeed = true)
+    assert(VersionedTable.commits(spark, loc).last.replace_where === "p=a")
+    val feed = VersionedTable.readChanges(spark, loc, mv, mv)
+      .select("id", "v", "_change_type")
+      .as[(Long, Double, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(feed === Seq(
+      (1L, 11.0, "update_postimage"), (1L, 10.0, "update_preimage"),
+      (3L, 30.0, "insert")))
+  }
+
+  test("versioned table: partitioned tables get one manifest per partition directory") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_manifest_part").toString
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "p"), loc, "overwrite",
+      partitionBy = Seq("p"))
+    VersionedTable.write(Seq((4L, "c")).toDF("id", "p"), loc, "append",
+      partitionBy = Seq("p"))
+    val listed = VersionedTable.generateManifest(spark, loc)
+    assert(listed.toSet === VersionedTable.read(spark, loc).inputFiles.toSet)
+
+    // the Hive/Trino/Athena layout: <root>/<partition>/manifest, no flat file
+    val root = java.nio.file.Paths.get(loc, "_symlink_format_manifest")
+    assert(!java.nio.file.Files.exists(root.resolve("manifest")),
+      "a partitioned table must not emit a flat manifest")
+    Seq("a", "b", "c").foreach { v =>
+      val m = root.resolve(s"p=$v").resolve("manifest")
+      assert(java.nio.file.Files.exists(m), s"missing manifest for p=$v")
+      val body = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+      val expected = listed.filter(_.contains(s"/p=$v/"))
+      assert(body.trim.split("\n").toSet === expected.toSet)
+    }
+
+    // regeneration replaces the tree: a dropped partition's manifest disappears
+    VersionedTable.write(Seq((9L, "a")).toDF("id", "p"), loc, "overwrite",
+      partitionBy = Seq("p"))
+    VersionedTable.generateManifest(spark, loc)
+    assert(java.nio.file.Files.exists(root.resolve("p=a").resolve("manifest")))
+    assert(!java.nio.file.Files.exists(root.resolve("p=b").resolve("manifest")),
+      "stale partition manifests must not survive regeneration")
+  }
+
+  test("CHECK constraints are fused into the write: no extra job, message preserved") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def countJobs(body: => Unit): Int = {
+      // flush in-flight events from whatever ran before this window
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async: drain it, then read once
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        counter.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val plain = Files.createTempDirectory("vt_fuse_plain").toString
+    val checked = Files.createTempDirectory("vt_fuse_checked").toString
+    Seq(plain, checked).foreach { loc =>
+      VersionedTable.write(Seq((1L, 10.0)).toDF("id", "amount"), loc, "overwrite")
+    }
+    VersionedTable.addConstraint(spark, checked, "amount_positive", "amount > 0")
+
+    val batch = Seq((2L, 7.0), (3L, 8.0)).toDF("id", "amount")
+    val jobsPlain = countJobs { VersionedTable.write(batch, plain, "append") }
+    val jobsChecked = countJobs { VersionedTable.write(batch, checked, "append") }
+    assert(jobsChecked === jobsPlain,
+      s"constrained append must not re-execute the batch lineage " +
+        s"(plain=$jobsPlain, checked=$jobsChecked)")
+
+    // the violation contract survives fusion: same exception type, constraint
+    // named, nothing lands (not even a partial staging dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq((4L, -1.0)).toDF("id", "amount"), checked, "append")
+    }
+    assert(e.getMessage.contains("amount_positive"))
+    assert(e.getMessage.contains("CHECK constraint"))
+    // base row + the 2-row measured append; the refused batch added nothing
+    assert(VersionedTable.read(spark, checked).count() === 3)
+    val staged = new java.io.File(s"$checked/_data").listFiles().toSeq
+      .map(_.getName)
+    val referenced = VersionedTable.commits(spark, checked).map(_.data_dir).toSet
+    assert(staged.forall(referenced.contains),
+      s"aborted write left an orphan staging dir: $staged vs $referenced")
+  }
+
   test("versioned table: CHECK constraints gate appends, overwrites, and merges") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_check").toString
@@ -473,6 +641,23 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     }
     assert(retro.getMessage.contains("amount_positive"))
     assert(VersionedTable.constraints(spark, loc).isEmpty)
+  }
+
+  test("restore enforces CURRENT constraints against the restored snapshot") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_restore_check").toString
+    VersionedTable.write(Seq((1L, -5.0)).toDF("id", "amount"), loc, "overwrite") // v0
+    VersionedTable.write(Seq((2L, 10.0)).toDF("id", "amount"), loc, "overwrite") // v1
+    // valid against the LIVE data (v1) — but v0 predates it and violates it
+    VersionedTable.addConstraint(spark, loc, "amount_positive", "amount > 0")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, loc, 0L)
+    }
+    assert(e.getMessage.contains("amount_positive"))
+    // the refused restore must leave no trace: no commit, state unchanged
+    assert(VersionedTable.commits(spark, loc).last.version === 1L)
+    assert(VersionedTable.read(spark, loc).as[(Long, Double)].collect().toSeq
+      === Seq((2L, 10.0)))
   }
 
   test("versioned table: restore rolls back as a new auditable commit") {

@@ -74,6 +74,40 @@ class ChunkDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("maxChunkDf: a 50%-df boilerplate chunk takes the broadcast path, same answer") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one universal header chunk in half the docs — the join-key skew case —
+    // plus organic low-df duplicates that must stay on the shuffle path
+    val docs = (0L until 200L).map { id =>
+      val header = if (id % 2 == 0) "universal header boilerplate " else ""
+      val body = s"body w${id % 29} w${id % 31}"
+      (id, header + body)
+    }
+    val df = docs.toDF("doc_id", "text").repartition(8)
+    val uncapped = ChunkDedup.flaggedChunks(df, chunkWords = 3)
+    val capped = ChunkDedup.flaggedChunks(df, chunkWords = 3,
+      maxChunkDf = Some(20L))
+    // the cap changes the PLAN, never the answer
+    val key = Seq("doc_id", "chunk_id")
+    assert(capped.orderBy(key.map(col): _*).collect().toSeq ===
+      uncapped.orderBy(key.map(col): _*).collect().toSeq)
+    // the hot chunk really is over the cap (the test is non-vacuous)…
+    assert(capped.filter(col("corpus_count") > 20).count() === 100L)
+    // …and the capped plan routes it through a broadcast join: the shuffle
+    // join's probe side carries only under-cap keys, so its max per-key row
+    // count is bounded by maxChunkDf
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"capped path must broadcast the hot chunk set:\n$plan")
+
+    // a cap below maxOccurrences is self-contradictory
+    intercept[IllegalArgumentException] {
+      ChunkDedup.flaggedChunks(df, chunkWords = 3, maxOccurrences = 30,
+        maxChunkDf = Some(20L))
+    }
+  }
+
   test("dedupChunks invariants on real docs: kept ⊆ chunks, survivors unique-or-first") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val flagged = ChunkDedup.flaggedChunks(docs, chunkWords = 10)

@@ -181,6 +181,30 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
     assert(feed.filter(col("_change_type") === "insert").count() === 3)
   }
 
+  test("startingVersion at a feedless merge serves its post-merge state as inserts") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_svm").toString
+    VersionedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc, "overwrite")     // v0
+    VersionedTable.merge(spark, loc,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))            // v1: NO feed
+    VersionedTable.write(Seq((4L, "d")).toDF("id", "v"), loc, "append") // v2
+
+    // change-feed stream anchored AT the feedless merge: the documented contract
+    // is that the chosen-start commit's full state arrives as inserts (reset
+    // semantics) — it must not die on "changes were not captured"
+    val out = Files.createTempDirectory("gts_svm_out").toString
+    val chk = Files.createTempDirectory("gts_svm_chk").toString
+    drain(loc, out, chk,
+      Map("startingVersion" -> "1", "readChangeFeed" -> "true"))
+    val rows = spark.read.parquet(out)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq(
+      (1L, "a", "insert", 1L), (2L, "B", "insert", 1L),
+      (3L, "c", "insert", 1L), (4L, "d", "insert", 2L)))
+  }
+
   test("sink: micro-batches commit exactly-once; checkpoint replay appends nothing") {
     import spark.implicits._
     val in = Files.createTempDirectory("gts_sink_in").toString

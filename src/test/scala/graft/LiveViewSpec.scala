@@ -94,4 +94,33 @@ class LiveViewSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.idempotentOverwrite(
       VersionedTable.read(spark, view), view, txnApp = chk, txnId = 0L).isEmpty)
   }
+
+  test("a second maintainer of the same view fails fast instead of corrupting it") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("lv2_src").toString
+    val view = Files.createTempDirectory("lv2_view").toString + "/v"
+    val chk1 = Files.createTempDirectory("lv2_chk1").toString
+    val chk2 = Files.createTempDirectory("lv2_chk2").toString
+
+    VersionedTable.write(Seq((1L, "a", 10.0), (2L, "b", 5.0)).toDF("id", "grp", "v"),
+      src, "overwrite")
+    LiveView.maintain(spark, src, view, Seq("grp"), Seq("v"), chk1).awaitTermination()
+    val owned = sortedRows(VersionedTable.read(spark, view))
+
+    // a RIVAL maintainer (different checkpoint = different identity) must throw
+    // on its first batch, and the view must be byte-for-byte what chk1 left
+    VersionedTable.write(Seq((3L, "a", 1.0)).toDF("id", "grp", "v"), src, "append")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      LiveView.maintain(spark, src, view, Seq("grp"), Seq("v"), chk2).awaitTermination()
+    }
+    assert(e.getMessage.contains("second maintainer") ||
+      Option(e.getCause).exists(_.getMessage.contains("second maintainer")))
+    assert(sortedRows(VersionedTable.read(spark, view)) === owned,
+      "the rejected rival must not have committed anything")
+
+    // the legitimate maintainer keeps working
+    LiveView.maintain(spark, src, view, Seq("grp"), Seq("v"), chk1).awaitTermination()
+    assert(sortedRows(VersionedTable.read(spark, view)) === sortedRows(
+      IncrementalAgg.recompute(VersionedTable.read(spark, src), Seq("grp"), Seq("v"))))
+  }
 }

@@ -43,6 +43,38 @@ class PrivacySpec extends AnyFunSuite with SharedSpark {
     assert(ok.getBoolean(5), "grouping only by city, every class has >= 2 rows")
   }
 
+  test("entropy l-diversity catches a skewed class that distinct-count passes") {
+    import spark.implicits._
+    // class A: [a,a,a,a,a,b,c] — 3 distinct values (distinct-l=3 passes) but an
+    // attacker guessing 'a' is right 5/7 of the time:
+    //   H = ln(7) - (5·ln5 + 1·ln1 + 1·ln1)/7 = 0.7963… < ln(3) = 1.0986…
+    // class B: [a,a,b,b,c,c] — balanced: H = ln(3) exactly, entropy-l=3 passes
+    val rows = (Seq.fill(5)("a") ++ Seq("b", "c")).map(("A", _)) ++
+      Seq("a", "a", "b", "b", "c", "c").map(("B", _))
+    val got = Privacy.equivalenceClasses(rows.toDF("grp", "s"), Seq("grp"),
+        k = 2, sensitiveCol = Some("s"), l = 3, entropy = true)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        r.getBoolean(5), r.getBoolean(6))).toSeq
+    val hA = BigDecimal(math.log(7) - 5 * math.log(5) / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got === Seq(
+      ("A", 7L, 3L, hA, true, false),  // l_diverse yet NOT entropy_l_diverse
+      ("B", 6L, 3L, BigDecimal(math.log(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        true, true)))
+  }
+
+  test("entropy path treats NULL as its own category but not a distinct value") {
+    import spark.implicits._
+    val rows = Seq(("A", Some("a")), ("A", Some("a")), ("A", None), ("A", None))
+    val r = Privacy.equivalenceClasses(rows.toDF("grp", "s"), Seq("grp"),
+        k = 2, sensitiveCol = Some("s"), l = 2, entropy = true).collect().head
+    assert(r.getLong(1) === 4L)              // class_size counts null rows
+    assert(r.getLong(2) === 1L)              // distinct_sensitive does not
+    assert(math.abs(r.getDouble(3) - math.log(2)) < 1e-12) // 50/50 split → ln 2
+  }
+
   test("vacuous thresholds are rejected") {
     intercept[IllegalArgumentException] {
       Privacy.equivalenceClasses(people, Seq("age"), k = 1)
