@@ -278,10 +278,20 @@ object VersionedTable {
     * [[idempotentAppend]], but the commit is an `overwrite` — the batch IS the
     * next complete state, not a delta to append. No append-schema enforcement:
     * an overwrite legitimately resets the schema.
+    *
+    * `expectedVersion` makes the publish a COMPARE-AND-SWAP: the commit only
+    * lands while the table's newest version is still the one the new state was
+    * computed FROM (`Some(-1)` = table must not exist yet). A read-modify-write
+    * maintainer passes the version it read; a rival that committed in between
+    * then fails this publish loudly (ConcurrentModificationException) instead
+    * of being silently overwritten — the remaining race the txnApp ownership
+    * check alone cannot close.
     */
   def idempotentOverwrite(batch: DataFrame, location: String, txnApp: String,
-      txnId: Long, partitionBy: Seq[String] = Nil): Option[Long] =
-    idempotentCommit(batch, location, "overwrite", txnApp, txnId, partitionBy)
+      txnId: Long, partitionBy: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Option[Long] =
+    idempotentCommit(batch, location, "overwrite", txnApp, txnId, partitionBy,
+      expectedVersion)
 
   /** The shared exactly-once commit loop behind [[idempotentAppend]] and
     * [[idempotentOverwrite]] — ONE implementation of the replay-dedupe /
@@ -291,7 +301,8 @@ object VersionedTable {
     */
   private def idempotentCommit(batch: DataFrame, location: String,
       operation: String, txnApp: String, txnId: Long,
-      partitionBy: Seq[String]): Option[Long] = {
+      partitionBy: Seq[String],
+      expectedVersion: Option[Long] = None): Option[Long] = {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, location)
     def alreadyCommitted: Boolean =
@@ -308,7 +319,18 @@ object VersionedTable {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         return None
       }
-      val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
+      val newest = commits(spark, location).lastOption.map(_.version).getOrElse(-1L)
+      // CAS: the state this batch was computed from must still be the newest —
+      // checked inside the retry loop, so a rival winning a claim race is also
+      // caught (its commit bumps the version this iteration observes)
+      expectedVersion.filter(_ != newest).foreach { ev =>
+        fs.delete(new Path(s"$location/_data/$dataDir"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"$location moved to version $newest while this $operation was " +
+            s"computed against $ev — a concurrent writer got in between; " +
+            "recompute from the current state")
+      }
+      val v = newest + 1
       if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats,
           txnApp, txnId)) committed = v
       else {
@@ -636,6 +658,7 @@ object VersionedTable {
       toVersion: Long, allowFullRewrites: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
+    requireReadable(spark, location, fromVersion)
     val cs = commits(spark, location)
     require(cs.exists(_.version == fromVersion) && cs.exists(_.version == toVersion),
       s"versions [$fromVersion, $toVersion] not all present at $location " +
@@ -819,10 +842,49 @@ object VersionedTable {
   }
 
   /** Time travel: the table exactly as commit `version` left it. Versions whose data
-    * has been [[vacuum]]ed can no longer be read (as with Delta after VACUUM).
+    * has been [[vacuum]]ed can no longer be read (as with Delta after VACUUM) — the
+    * vacuum floor makes that failure LOUD even when only partition subdirectories
+    * were reclaimed (a silent partial read would otherwise be possible).
     */
-  def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame =
+  def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
+    requireReadable(spark, location, version)
     assemble(spark, location, liveCommits(spark, location, version))
+  }
+
+  /** Oldest version whose data is still guaranteed complete on disk; -1 before
+    * any vacuum ran. Raised by [[vacuum]] when it reclaims data an older
+    * version still needs.
+    */
+  def minReadableVersion(spark: SparkSession, location: String): Long = {
+    val p = new Path(s"$location/_commit_log/_vacuum_floor.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return -1L
+    """"min_readable_version":(-?\d+)""".r
+      .findFirstMatchIn(readUtf8(fs, p)).map(_.group(1).toLong).getOrElse(-1L)
+  }
+
+  private def requireReadable(spark: SparkSession, location: String,
+      version: Long): Unit = {
+    val floor = minReadableVersion(spark, location)
+    if (version < floor) throw new IllegalStateException(
+      s"version $version at $location was vacuumed — the oldest readable " +
+        s"version is $floor")
+  }
+
+  private def raiseVacuumFloor(fs: FileSystem, location: String,
+      floor: Long): Unit = {
+    val p = new Path(s"$location/_commit_log/_vacuum_floor.json")
+    val current = if (!fs.exists(p)) -1L
+      else """"min_readable_version":(-?\d+)""".r
+        .findFirstMatchIn(readUtf8(fs, p)).map(_.group(1).toLong).getOrElse(-1L)
+    if (floor <= current) return
+    val tmp = new Path(s"$location/_commit_log/_vacuum_floor.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"min_readable_version":$floor}""".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
 
   /** Stats-pruned scan of the LATEST version: rows with `lo <= column <= hi`, skipping
     * every commit whose recorded [min, max] cannot overlap — the commit-granularity
@@ -939,11 +1001,17 @@ object VersionedTable {
   }
 
   /** Reclaim disk from (a) orphan data dirs — no commit references them (a crashed
-    * writer, or a racer that lost every claim) — older than `orphanGraceMs`, and
+    * writer, or a racer that lost every claim) — older than `orphanGraceMs`,
     * (b) data dirs of commits superseded by an overwrite that itself committed
-    * before `now - retentionMs`. After (b), as-of reads older than the retention
-    * window fail (exactly Delta's VACUUM contract); the commit log itself is kept,
-    * so `history()` still shows the full lineage. Returns the deleted paths.
+    * before `now - retentionMs`, and (c) partition SUBDIRS whose content an
+    * out-of-retention partition-scoped merge replaced — the rule that lets a
+    * table maintained only by scoped merges reclaim shadowed data without ever
+    * paying a full-state reset. After (b) or (c), as-of reads older than the
+    * retention window fail loudly against the raised vacuum floor
+    * ([[minReadableVersion]] — exactly Delta's VACUUM contract, made explicit
+    * because (c) would otherwise fail silently-partial rather than
+    * missing-path); the commit log itself is kept, so `history()` still shows
+    * the full lineage. Returns the deleted paths.
     *
     * `orphanGraceMs` exists because an in-flight writer's data dir is
     * indistinguishable from a crashed one's — a grace period longer than any
@@ -983,6 +1051,24 @@ object VersionedTable {
       (if (c.change_dir.nonEmpty) Seq(new Path(s"$location/_data/${c.change_dir}"))
        else Nil))
 
+    // partition-GRANULAR reclamation under scoped merges: a partition subdir
+    // whose content an out-of-retention scoped merge REPLACED is dead weight —
+    // without this rule, a table maintained only by scoped merges (no full
+    // resets) would never free shadowed data. Only commits the merge actually
+    // shadowed qualify (no full-state reset between them), and the vacuum
+    // floor is raised so older as-of reads fail LOUDLY instead of silently
+    // missing a partition.
+    val scopedOld = cs.filter(o => o.replace_where.nonEmpty &&
+      parseInstant(o.timestamp).exists(_.toEpochMilli <= cutoffMs))
+    val partVictims: Seq[(Long, Path)] = scopedOld.flatMap { o =>
+      cs.filter(c => c.version < o.version &&
+          !cs.exists(f => f.version > c.version && f.version < o.version &&
+            f.operation != "append" && f.replace_where.isEmpty))
+        .flatMap(c => o.replace_where.split(";").toSeq
+          .map(spec => o.version -> new Path(s"${dataPath(location, c)}/$spec")))
+    }
+    val livePartVictims = partVictims.filter { case (_, p) => fs.exists(p) }
+
     // per-commit log files fully covered by the newest checkpoint are redundant —
     // the checkpoint preserves their bodies verbatim, so history/as-of lose nothing
     // — and so are SUPERSEDED checkpoints (strictly older than the newest).
@@ -1010,8 +1096,18 @@ object VersionedTable {
         }
       }
 
-    val victims = (orphans ++ expired).filter(fs.exists) ++ logVictims
+    val victims = (orphans ++ expired).filter(fs.exists) ++
+      livePartVictims.map(_._2) ++ logVictims
     victims.foreach(p => fs.delete(p, true))
+    // reads below the floor can no longer be served complete — make them loud
+    val floorFromExpired =
+      if (expired.isEmpty) -1L
+      else cs.filter(f => f.operation != "append" && f.replace_where.isEmpty &&
+        parseInstant(f.timestamp).exists(_.toEpochMilli <= cutoffMs))
+        .map(_.version).max
+    val floor = math.max(floorFromExpired,
+      livePartVictims.map(_._1).maxOption.getOrElse(-1L))
+    if (floor >= 0) raiseVacuumFloor(fs, location, floor)
     victims.map(_.toString)
   }
 

@@ -31,9 +31,12 @@ import graft.ops.IncrementalAgg
   * the checkpoint path), so a batch whose view was last committed by a DIFFERENT
   * maintainer fails fast instead of interleaving read-modify-write and silently
   * corrupting the aggregate. A view whose newest commit carries no txnApp (a
-  * manual write, or a fresh table) is adoptable. The check closes the standing
-  * second-maintainer mistake; a maintainer racing INSIDE one batch window is
-  * narrowed, not eliminated (full CAS would need conditional commits).
+  * manual write, or a fresh table) is adoptable. The publish itself is a
+  * COMPARE-AND-SWAP ([[VersionedTable.idempotentOverwrite]] `expectedVersion` =
+  * the version the batch's deltas were applied against), so even a rival racing
+  * INSIDE one batch window cannot be silently overwritten — the late publisher
+  * crashes with ConcurrentModificationException and its batch is retried by the
+  * stream runner against fresh state.
   */
 object LiveView {
 
@@ -49,11 +52,14 @@ object LiveView {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         requireSoleMaintainer(spark, viewLocation, checkpoint)
+        val readVersion = VersionedTable.commits(spark, viewLocation)
+          .lastOption.map(_.version).getOrElse(-1L)
         val next = IncrementalAgg.applyFeed(
           currentView(spark, viewLocation, batch, keys, sumCols),
           batch, keys, sumCols)
         VersionedTable.idempotentOverwrite(next, viewLocation,
-          txnApp = checkpoint, txnId = batchId)
+          txnApp = checkpoint, txnId = batchId,
+          expectedVersion = Some(readVersion))
         ()
       }
       .trigger(trigger)

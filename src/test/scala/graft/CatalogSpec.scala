@@ -307,6 +307,33 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("idempotentOverwrite CAS: a publish computed against a stale version is refused") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_cas").toString + "/t"
+    // bootstrap: expectedVersion -1 = "table must not exist yet"
+    assert(VersionedTable.idempotentOverwrite(Seq(1L).toDF("id"), loc,
+      txnApp = "m1", txnId = 0L, expectedVersion = Some(-1L)) === Some(0L))
+    // read v0, compute next state… but a rival commits v1 in between
+    VersionedTable.write(Seq(99L).toDF("id"), loc, "overwrite")          // v1
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.idempotentOverwrite(Seq(2L).toDF("id"), loc,
+        txnApp = "m1", txnId = 1L, expectedVersion = Some(0L))
+    }
+    assert(e.getMessage.contains("version 1"))
+    // nothing landed: the rival's state survives, no orphan staging dir
+    assert(VersionedTable.read(spark, loc).as[Long].collect().toSeq === Seq(99L))
+    val staged = new java.io.File(s"$loc/_data").listFiles().toSeq.map(_.getName)
+    val referenced = VersionedTable.commits(spark, loc).map(_.data_dir).toSet
+    assert(staged.forall(referenced.contains))
+    // a REPLAY of an already-committed batch short-circuits BEFORE the CAS:
+    // exactly-once wins over staleness (the work is already durable)
+    assert(VersionedTable.idempotentOverwrite(Seq(1L).toDF("id"), loc,
+      txnApp = "m1", txnId = 0L, expectedVersion = Some(0L)).isEmpty)
+    // and a publish against the CURRENT version lands
+    assert(VersionedTable.idempotentOverwrite(Seq(3L).toDF("id"), loc,
+      txnApp = "m1", txnId = 2L, expectedVersion = Some(1L)) === Some(2L))
+  }
+
   test("versioned table: change feed captures merge inserts/updates/deletes row-level") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_cdf").toString
@@ -513,6 +540,41 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(feed === Seq(
       (1L, 11.0, "update_postimage"), (1L, 10.0, "update_preimage"),
       (3L, 30.0, "insert")))
+  }
+
+  test("vacuum reclaims partitions shadowed by an out-of-retention scoped merge") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_scoped_vacuum").toString
+    VersionedTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "v"), loc,
+      "overwrite", partitionBy = Seq("p"))                                 // v0
+    val mv = VersionedTable.merge(spark, loc,
+      Seq((1L, "a", 11.0)).toDF("id", "p", "v"), Seq("id", "p"))           // v1 scoped
+    assert(VersionedTable.commits(spark, loc).last.replace_where === "p=a")
+    val v0Dir = s"$loc/_data/${VersionedTable.commits(spark, loc).head.data_dir}"
+    assert(new java.io.File(s"$v0Dir/p=a").exists())
+
+    // within retention: nothing reclaimed, old version fully readable
+    VersionedTable.vacuum(spark, loc, retentionMs = 3600000L, orphanGraceMs = 0L)
+    assert(new java.io.File(s"$v0Dir/p=a").exists())
+    assert(VersionedTable.readAsOf(spark, loc, 0L).count() === 2)
+
+    // out of retention: ONLY the shadowed subdir goes; p=b stays (still live)
+    VersionedTable.vacuum(spark, loc, retentionMs = 0L, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$v0Dir/p=a").exists(),
+      "the shadowed partition must be reclaimed")
+    assert(new java.io.File(s"$v0Dir/p=b").exists(),
+      "the still-live partition must survive")
+
+    // current state is untouched; pre-merge reads now fail LOUDLY, not partially
+    assert(VersionedTable.read(spark, loc).select("id", "v")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 11.0), (2L, 20.0)))
+    assert(VersionedTable.minReadableVersion(spark, loc) === mv)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.readAsOf(spark, loc, 0L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("versioned table: partitioned tables get one manifest per partition directory") {
