@@ -155,6 +155,14 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
         }
         val tRestore = timed { VersionedTable.restore(spark, loc, preMerge) }
+        // merge-on-read delete of ~1% of keys (no file rewritten), then a read
+        // that resolves the deletion vector — the steady-state DV tax
+        val tDelete = timed {
+          VersionedTable.deleteWhere(spark, loc, "o_orderkey % 97 = 0") }
+        val tDvRead = timed {
+          VersionedTable.read(spark, loc)
+            .write.format("noop").mode("overwrite").save()
+        }
         // scoped merge: partitioned table, change set touching ONE priority
         VersionedTable.write(orders, locP, "overwrite",
           partitionBy = Seq("o_orderpriority"))
@@ -166,7 +174,8 @@ object Bench {
         require(VersionedTable.commits(spark, locP).last.replace_where.nonEmpty,
           "scoped merge fell back to a full rewrite — bench precondition broken")
         Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
-          "restore" -> tRestore, "merge_scoped" -> tScoped)
+          "restore" -> tRestore, "delete_dv" -> tDelete,
+          "read_with_dv" -> tDvRead, "merge_scoped" -> tScoped)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }

@@ -1089,6 +1089,113 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** Deletion-vector DELETE gate: base = documents(<600); two merge-on-read
+    * deletes (every 7th doc, then German docs among the survivors) that rewrite
+    * NO data files — the read must apply both deletion vectors, and the oracle
+    * states the surviving rows directly, so a DV that leaked a deleted row,
+    * dropped a live one, or mis-composed across commits would hash-mismatch.
+    */
+  private def qDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_delete_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "source")
+    vt.write(d.filter(col("doc_id") < 600), loc, "overwrite")   // v0
+    vt.deleteWhere(s, loc, "doc_id % 7 = 0")                    // v1 (DV)
+    vt.deleteWhere(s, loc, "lang = 'de'")                       // v2 (DV)
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
+  /** Deletion-vector UPDATE gate: base = documents(<600); one merge-on-read
+    * update rewrites n_chars (+1000) for English docs only — matched rows are
+    * DV'd out and re-land as the commit's own files, everything else is served
+    * untouched from the original files. The oracle states the post-update state
+    * with a CASE, so an update that missed rows, double-applied, or leaked the
+    * pre-image would hash-mismatch.
+    */
+  private def qUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_update_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+    vt.write(d.filter(col("doc_id") < 600), loc, "overwrite")   // v0
+    vt.updateWhere(s, loc, "lang = 'en'",
+      Map("n_chars" -> "n_chars + 1000"))                        // v1 (DV + new rows)
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
+  /** DV change-feed reconstruction gate: a delete committed WITHOUT a
+    * materialized feed must still serve exact row-level deletes through
+    * readChanges — reconstructed on demand from the deletion vector and the
+    * pre-delete snapshot. The oracle states the deleted rows directly.
+    */
+  private def qDeleteCdf(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_delete_cdf_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 400), loc, "overwrite")   // v0
+    vt.deleteWhere(s, loc, "doc_id % 9 = 4")                    // v1, no feed
+    vt.readChanges(s, loc, 1, 1)
+      .select(col("doc_id"), col("lang"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .orderBy("doc_id")
+  }
+
+  /** Priority-dedup gate: the corpus unioned with a mirrored copy (same text,
+    * shifted id, different source) so every text exists exactly twice; priority
+    * = doc_id % 3 varies per pair, so sometimes the original wins, sometimes
+    * the mirror. The operator keeps the min-(priority, doc_id) copy per content
+    * hash via one min_by aggregation; the oracle replays the rule with a window
+    * — an operator that kept an arbitrary copy would hash-mismatch.
+    */
+  private def qDedupPriority(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "source")
+    val mirror = d
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("source", concat(lit("mirror_"), col("source")))
+    val all = d.unionByName(mirror)
+      .withColumn("priority", col("doc_id") % 3)
+    graft.ops.Dedup.dedupByPriority(all, "priority")
+      .select("doc_id", "source", "priority")
+      .orderBy("doc_id")
+  }
+
+  /** Shallow-clone gate: source = documents(<300) minus a DV delete; the clone
+    * is metadata-only (borrowed files), then diverges with its own append
+    * [300,350). The read must show the source's DV-filtered state plus only the
+    * clone's append — the oracle states it directly, so a clone that copied
+    * stale state, dropped the borrowed DV, or leaked divergent writes back
+    * would hash-mismatch.
+    */
+  private def qShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_clone_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 300), s"$root/src", "overwrite")
+    vt.deleteWhere(s, s"$root/src", "doc_id % 11 = 2")
+    vt.shallowClone(s, s"$root/src", s"$root/dst")
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+      s"$root/dst", "append")
+    // divergence after the clone must NOT surface in the clone's read
+    vt.write(d.filter(col("doc_id") >= 900), s"$root/src", "append")
+    vt.read(s, s"$root/dst").orderBy("doc_id")
+  }
+
   /** Heavy-hitters gate: customers with strictly more than 0.1% of all orders
     * (threshold 15 at sf0.01, where per-customer counts run 1..25 — genuinely
     * selective). The operator is sketch-then-verify (Misra–Gries candidates, exact
@@ -1223,7 +1330,12 @@ object SparkEntry {
     "q_k_anonymity" -> qKAnonymity,
     "q_l_diversity" -> qLDiversity,
     "q_incremental_view" -> qIncrementalView,
-    "q_restore" -> qRestore)
+    "q_restore" -> qRestore,
+    "q_delete_where" -> qDeleteWhere,
+    "q_update_where" -> qUpdateWhere,
+    "q_delete_cdf" -> qDeleteCdf,
+    "q_shallow_clone" -> qShallowClone,
+    "q_dedup_priority" -> qDedupPriority)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2644,6 +2756,49 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+    // deletion vectors: base(<600) minus two DV deletes (every 7th doc, then
+    // German docs) — the oracle states the survivors; NO file was rewritten on
+    // the Spark side, so a leaked or lost row is a DV resolution bug
+    "q_delete_where" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id < 600 AND doc_id % 7 <> 0 AND lang <> 'de'
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read update: English docs' n_chars shifted by +1000, everything
+    // else untouched — served from the ORIGINAL files plus the update commit
+    "q_update_where" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
+    // DV delete committed WITHOUT a feed: readChanges must reconstruct the
+    // deleted rows exactly (old values, 'delete' type, the delete's version)
+    "q_delete_cdf" ->
+      """SELECT doc_id, lang, 'delete' AS change_type,
+        |  CAST(1 AS BIGINT) AS commit_version
+        |FROM documents WHERE doc_id < 400 AND doc_id % 9 = 4
+        |ORDER BY doc_id""".stripMargin,
+    // priority dedup: per content hash keep the min-(priority, doc_id) copy;
+    // the oracle replays the rule with a window (semantics, not the plan —
+    // Spark keeps winners via a map-side-combined min_by agg, never a sort)
+    "q_dedup_priority" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'mirror_' || source FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, doc_id % 3 AS priority,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |                       ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM all_docs)
+        |SELECT doc_id, source, priority FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // shallow clone: source(<300) minus the DV delete, plus ONLY the clone's
+    // own append [300,350); the source's post-clone append (>=900) must not leak
+    "q_shallow_clone" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id < 300 AND doc_id % 11 <> 2)
+        |   OR (doc_id >= 300 AND doc_id < 350)
+        |ORDER BY doc_id""".stripMargin,
     // restore: the oracle states the post-rollback content directly — the base,
     // the pre-mistake append, and the post-restore append; the overwritten
     // mistake must leave no trace

@@ -60,6 +60,15 @@ object VersionedTable {
     * semantics (today's overwrite/compact/merge contract). `replaced_rows` is
     * the pre-merge row count of the touched partitions, observed during the
     * rewrite, so [[fastCount]] stays metadata-only.
+    *
+    * `dv_dir` marks a MERGE-ON-READ commit ([[deleteWhere]] / [[updateWhere]]):
+    * a `_data/v-<uuid>/` parquet of (file, pos) DELETION-VECTOR entries —
+    * fully-qualified data-file path + row index within the file — that readers
+    * subtract from the scan with an anti-join instead of any file being
+    * rewritten. For these commits `replaced_rows` is the number of DV'd rows
+    * (so [[fastCount]] stays metadata-only under the same subtraction rule as
+    * scoped merges) and `row_count` counts only rows the commit ADDED (0 for a
+    * pure delete; the updated rows for an update).
     */
   final case class Commit(
       version: Long, operation: String, timestamp: String, row_count: Long,
@@ -67,14 +76,22 @@ object VersionedTable {
       txn_app: String = "", txn_id: Long = -1L,
       stats: Map[String, (Double, Double)] = Map.empty,
       change_dir: String = "", replace_where: String = "",
-      replaced_rows: Long = 0L) {
+      replaced_rows: Long = 0L, dv_dir: String = "") {
     /** Parsed `replace_where`: one `Seq[(partitionCol, value)]` per touched partition. */
     def replacedPartitions: Seq[Seq[(String, String)]] =
       if (replace_where.isEmpty) Seq.empty
       else replace_where.split(";").toSeq.map(_.split("/").toSeq.map { kv =>
         val i = kv.indexOf('=')
-        (kv.substring(0, i), kv.substring(i + 1))
+          (kv.substring(0, i), kv.substring(i + 1))
       })
+
+    /** Whether this commit RESETS the table state (overwrite / compact / restore /
+      * full-rewrite merge). Appends, partition-scoped merges, and merge-on-read
+      * delete/update commits all layer ON TOP of earlier commits instead.
+      */
+    def isFullState: Boolean =
+      operation != "append" && operation != "delete" && operation != "update" &&
+        replace_where.isEmpty
   }
 
   /** Claim retries are cheap (one exclusive-create each), but a persistent failure —
@@ -437,6 +454,66 @@ object VersionedTable {
     done
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` parity): materialize
+    * a NEW independent table at `target` that serves exactly the source's state
+    * as of `version` (default: newest) — METADATA-ONLY, zero data copied. The
+    * clone's log re-creates the source's live window with every data/DV dir
+    * borrowed by absolute reference (`abs:` prefix), so at 100 TB a dev/test
+    * sandbox over a production table costs O(live commits) driver-side log
+    * writes and is ready in milliseconds.
+    *
+    * Independence semantics (Delta's): writes/merges/deletes on the clone touch
+    * only the clone; the source never sees them. [[compact]] on the clone
+    * rewrites its live set into clone-owned files, completing the copy lazily.
+    * The clone's [[vacuum]] never reclaims borrowed dirs; the SOURCE's vacuum
+    * can, breaking clones that still reference them — Delta's documented
+    * shallow-clone caveat, mitigated the same way (retention windows longer
+    * than clone lifetimes, or compact the clone to sever the dependency).
+    *
+    * Change feeds are not borrowed: the clone starts its own history (feed
+    * consumers tail the SOURCE for pre-clone changes), and its cloned commits
+    * carry fresh timestamps — the clone's history begins at clone time.
+    *
+    * The target must not already be a table. Cloned commits land version-by-
+    * version via the same exclusive-create claims as every writer; the target
+    * is complete when the call returns (a concurrent writer racing the build
+    * fails the claim and aborts the clone loudly — a half-built clone serves a
+    * consistent PREFIX of the source's live window, never a torn state).
+    * Returns the clone's newest version.
+    */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+      version: Option[Long] = None): Long = {
+    val fs = fileSystem(spark, target)
+    require(!exists(spark, target),
+      s"shallowClone target $target already has commits")
+    val cs = commits(spark, source)
+    require(cs.nonEmpty, s"no commits at $source")
+    val v = version.getOrElse(cs.last.version)
+    requireReadable(spark, source, v)
+    val live = liveCommits(spark, source, v)
+    def borrow(dir: String, resolved: String): String =
+      if (dir.isEmpty) "" else if (isBorrowed(dir)) dir else AbsRef + resolved
+    live.zipWithIndex.foreach { case (c, i) =>
+      val cloned = c.copy(version = i, timestamp = Instant.now().toString,
+        data_dir = borrow(c.data_dir, dataPath(source, c)),
+        dv_dir = borrow(c.dv_dir, dvPath(source, c)),
+        change_dir = "", txn_app = "", txn_id = -1L)
+      val path = new Path(s"$target/_commit_log/$i.json")
+      fs.mkdirs(path.getParent)
+      if (!atomicCreate(fs, path,
+          commitJson(cloned).getBytes(StandardCharsets.UTF_8)))
+        throw new IllegalStateException(
+          s"shallowClone of $source lost the claim for version $i at $target — " +
+            "a concurrent writer is building the same target")
+    }
+    // constraints advertised by the source hold on the cloned snapshot (they
+    // were enforced on every landing batch) and keep holding for new writes
+    val srcConstraints = constraints(spark, source)
+    if (srcConstraints.nonEmpty)
+      writeConstraints(spark, target, srcConstraints)
+    live.length - 1L
+  }
+
   /** MERGE parity (Delta `whenMatchedUpdate` / `whenNotMatchedInsert` /
     * `whenMatchedDelete`, the upsert the reference's CDC tables rely on —
     * `mage-programs/orders_delta_lake.py:53` approximates it with
@@ -636,6 +713,147 @@ object VersionedTable {
     } finally cases.unpersist()
   }
 
+  /** DELETE ... WHERE with DELETION VECTORS (Delta merge-on-read parity): remove
+    * every current row matching `condition` (a SQL boolean expression) WITHOUT
+    * rewriting a single data file. The commit records only a parquet of
+    * (file, row-index) entries for the matched rows; readers subtract them with
+    * one anti-join ([[applyDvs]]). This is the 100 TB path for small deletes —
+    * GDPR erasure, bad-batch retraction, dedup-kill lists — where copy-on-write
+    * would rewrite terabytes to drop a few thousand rows: the write cost is one
+    * filtered scan of the snapshot (with full predicate/partition pushdown) plus
+    * a DV-sized output, and the steady-state read cost is one anti-join against
+    * the live DV total, reclaimed at the next [[compact]] (which materializes
+    * deletions away, exactly Delta's OPTIMIZE-after-DV contract).
+    *
+    * SQL DELETE semantics: rows where `condition` is NULL are NOT deleted.
+    * Matched rows are counted into the commit's `replaced_rows` ([[fastCount]]
+    * subtracts metadata-only); `changeFeed = true` additionally materializes the
+    * deleted rows for [[readChanges]] — without it the feed is RECONSTRUCTED
+    * from the DV on demand (one semi-join against the pre-delete snapshot).
+    * Zero matches still commits (a versioned no-op, as Delta does). Constraints
+    * are not consulted: removing rows cannot violate a CHECK.
+    *
+    * Returns the committed version. Same lost-race rule as [[merge]]: the DV is
+    * only valid against the snapshot it was computed from, so a concurrent
+    * commit discards it and the delete recomputes.
+    */
+  def deleteWhere(spark: SparkSession, location: String, condition: String,
+      changeFeed: Boolean = false, maxAttempts: Int = 3): Long = {
+    val fs = fileSystem(spark, location)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location — write a base version first")
+      val latest = cs.last
+      val snap = snapshotWithMeta(spark, location, latest.version)
+      val matched = snap.filter(expr(condition))
+      val dvDir = s"v-${java.util.UUID.randomUUID()}"
+      val changeDir = if (changeFeed) s"c-${java.util.UUID.randomUUID()}" else ""
+      val obs = Observation(s"vt_dv_$dvDir")
+      val dvRows = matched
+        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .observe(obs, count(lit(1)).as("rows"))
+      val pinned =
+        if (changeFeed)
+          Some(matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      try {
+        pinned.foreach { m =>
+          m.drop(DvFileCol, DvPosCol).withColumn("_change_type", lit("delete"))
+            .write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
+        }
+        dvRows.write.mode("errorifexists").parquet(s"$location/_data/$dvDir")
+      } finally pinned.foreach(_.unpersist())
+      val deleted = obs.get("rows").asInstanceOf[Long]
+      if (claimCommit(fs, location, latest.version + 1, "delete", 0L, "",
+          Nil, changeDir = changeDir, replacedRows = deleted, dvDir = dvDir))
+        done = latest.version + 1
+      else {
+        fs.delete(new Path(s"$location/_data/$dvDir"), true)
+        if (changeDir.nonEmpty)
+          fs.delete(new Path(s"$location/_data/$changeDir"), true)
+        attempt += 1
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"delete at $location lost $maxAttempts snapshot races — giving up")
+      }
+    }
+    maybeCheckpoint(spark, location, done)
+    done
+  }
+
+  /** UPDATE ... SET ... WHERE, merge-on-read: matched rows are deletion-vectored
+    * out ([[deleteWhere]] mechanics) and their updated images land as the
+    * commit's own data files — cost tracks the MATCHED rows, not the table.
+    * `assignments` maps column name → SQL expression evaluated against the old
+    * row (so `"n" -> "n + 1"` increments); assigned expressions are cast back to
+    * the column's existing type, keeping the table schema stable under
+    * mergeSchema reads. CHECK constraints are enforced on the updated rows
+    * (fused into their staged write); `changeFeed = true` materializes
+    * `update_preimage` / `update_postimage` rows for [[readChanges]].
+    */
+  def updateWhere(spark: SparkSession, location: String, condition: String,
+      assignments: Map[String, String], changeFeed: Boolean = false,
+      maxAttempts: Int = 3): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val fs = fileSystem(spark, location)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location — write a base version first")
+      val latest = cs.last
+      val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      val snap = snapshotWithMeta(spark, location, latest.version)
+      val dataCols = snap.schema.fields
+        .filter(f => f.name != DvFileCol && f.name != DvPosCol)
+      val byName = dataCols.map(f => f.name -> f.dataType).toMap
+      assignments.keys.foreach(k => require(byName.contains(k),
+        s"updateWhere assigns unknown column '$k' (table has " +
+          s"${dataCols.map(_.name).mkString(", ")})"))
+      val matched = snap.filter(expr(condition))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val updated = matched.select(dataCols.map { f =>
+          assignments.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }.toSeq: _*)
+        val (dataDir, rows, stats) = stageData(updated, location, partitioning,
+          constraints(spark, location))
+        val dvDir = s"v-${java.util.UUID.randomUUID()}"
+        val obs = Observation(s"vt_dv_$dvDir")
+        matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.mode("errorifexists").parquet(s"$location/_data/$dvDir")
+        val changeDir = if (changeFeed) s"c-${java.util.UUID.randomUUID()}" else ""
+        if (changeFeed) {
+          val pre = matched.drop(DvFileCol, DvPosCol)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = updated.withColumn("_change_type", lit("update_postimage"))
+          pre.unionByName(post).write.mode("errorifexists")
+            .parquet(s"$location/_data/$changeDir")
+        }
+        val updatedRows = obs.get("rows").asInstanceOf[Long]
+        if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
+            partitioning, stats, changeDir = changeDir,
+            replacedRows = updatedRows, dvDir = dvDir))
+          done = latest.version + 1
+        else {
+          fs.delete(new Path(s"$location/_data/$dataDir"), true)
+          fs.delete(new Path(s"$location/_data/$dvDir"), true)
+          if (changeDir.nonEmpty)
+            fs.delete(new Path(s"$location/_data/$changeDir"), true)
+          attempt += 1
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"update at $location lost $maxAttempts snapshot races — giving up")
+        }
+      } finally matched.unpersist()
+    }
+    maybeCheckpoint(spark, location, done)
+    done
+  }
+
   /** Change Data Feed (Delta `table_changes` parity): every row-level change the
     * commits in `[fromVersion, toVersion]` made, as table columns plus
     * `_change_type` (`insert` / `delete` / `update_preimage` / `update_postimage`),
@@ -674,21 +892,42 @@ object VersionedTable {
               .withColumn("_change_type", lit("insert")), c))
           case "merge" if c.change_dir.nonEmpty =>
             Some(stamp(spark.read.parquet(s"$location/_data/${c.change_dir}"), c))
+          case "delete" | "update" if c.change_dir.nonEmpty =>
+            Some(stamp(spark.read.parquet(s"$location/_data/${c.change_dir}"), c))
+          case "delete" =>
+            // a DV delete without a materialized feed is still fully resolvable:
+            // the deleted rows ARE the pre-delete snapshot's rows at the DV's
+            // (file, pos) entries — one semi-join reconstructs them on demand.
+            // Costs a scan of that snapshot (vs. the log-resolved feed), but
+            // never wrong; requires the pre-delete version to not be vacuumed.
+            requireReadable(spark, location, c.version - 1)
+            val pre = snapshotWithMeta(spark, location, c.version - 1)
+            val dv = spark.read.parquet(dvPath(location, c))
+            val hinted =
+              if (c.replaced_rows <= DvBroadcastMaxRows) broadcast(dv) else dv
+            Some(stamp(pre.join(hinted,
+                pre(DvFileCol) === hinted("file") && pre(DvPosCol) === hinted("pos"),
+                "left_semi")
+              .drop(DvFileCol, DvPosCol)
+              .withColumn("_change_type", lit("delete")), c))
           case "compact" => None
           case _ =>
-            // overwrite / restore / merge-without-feed: data was rewritten, not
-            // changed row-level. A feedless merge's row changes were never
-            // captured, so under allowFullRewrites its post-merge state is served
-            // as inserts — the same reset semantics as an overwrite, and the
-            // contract the streaming source's startingVersion path relies on.
+            // overwrite / restore / merge-without-feed / update-without-feed:
+            // data was rewritten, not captured row-level. A feedless merge's or
+            // update's row changes were never materialized, so under
+            // allowFullRewrites the commit's own data files are served as
+            // inserts — reset semantics for full rewrites, Delta's
+            // ignoreChanges semantics for a feedless update (postimages
+            // delivered, preimage retractions lost) — the contract the
+            // streaming source's startingVersion/ignoreChanges paths rely on.
             if (allowFullRewrites)
               Some(stamp(spark.read.parquet(dataPath(location, c))
                 .withColumn("_change_type", lit("insert")), c))
             else throw new IllegalStateException(
-              s"version ${c.version} at $location is a full rewrite " +
-                s"(${c.operation}${if (c.operation == "merge") " committed without changeFeed = true" else ""}) — " +
-                "pass allowFullRewrites = true to read it as inserts (reset " +
-                "semantics)")
+              s"version ${c.version} at $location is a ${c.operation} whose row " +
+                s"changes were not captured${if (c.operation == "merge" || c.operation == "update") " (committed without changeFeed = true)" else ""} — " +
+                "pass allowFullRewrites = true to read its data files as " +
+                "inserts (reset semantics)")
         }
       }
     if (parts.isEmpty)
@@ -828,8 +1067,10 @@ object VersionedTable {
   def fastCount(spark: SparkSession, location: String): Long = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
-    // a scoped merge contributes its own rows and retires the touched
-    // partitions' prior rows — the count it observed at rewrite time
+    // a scoped merge contributes its own rows and retires replaced_rows prior
+    // rows; the SAME subtraction serves DV commits — a delete adds 0 and
+    // retires its matched count, an update adds its rewritten rows and retires
+    // the same number
     val live = liveCommits(spark, location, cs.last.version)
     live.map(_.row_count).sum - live.map(_.replaced_rows).sum
   }
@@ -900,8 +1141,9 @@ object VersionedTable {
     require(cs.nonEmpty, s"no commits at $location")
     val live = liveCommits(spark, location, cs.last.version)
     // scoped merges are kept regardless of stats: dropping one would also drop
-    // its SHADOW over earlier commits and resurrect replaced rows
-    val kept = live.filter(c => c.replace_where.nonEmpty ||
+    // its SHADOW over earlier commits and resurrect replaced rows. DV-carrying
+    // commits likewise — dropping one would resurrect its deleted rows.
+    val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
       c.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val predicate = col(column) >= lo && col(column) <= hi
     if (kept.isEmpty)
@@ -922,22 +1164,53 @@ object VersionedTable {
     require(cs.exists(_.version == version),
       s"version $version does not exist at $location (have ${cs.map(_.version)})")
     val visible = cs.filter(_.version <= version)
-    val base = visible.lastIndexWhere(c =>
-      c.operation != "append" && c.replace_where.isEmpty)
+    val base = visible.lastIndexWhere(_.isFullState)
     if (base < 0) visible else visible.drop(base)
   }
 
   private def assemble(spark: SparkSession, location: String,
-      live: Seq[Commit]): DataFrame =
-    if (live.forall(_.partition_by.isEmpty))
+      live: Seq[Commit]): DataFrame = {
+    val dvs = live.filter(_.dv_dir.nonEmpty)
+    if (dvs.isEmpty) assembleScan(spark, location, live, keepMeta = false)
+    else applyDvs(spark, location,
+        assembleScan(spark, location, live, keepMeta = true), dvs)
+      .drop(DvFileCol, DvPosCol)
+  }
+
+  /** Internal column names carrying each scanned row's (file, row-index) identity
+    * for deletion-vector resolution — projected from the parquet reader's
+    * `_metadata` struct, which whole-stage codegen materializes for free.
+    */
+  private val DvFileCol = "_gr_dv_file"
+  private val DvPosCol = "_gr_dv_pos"
+
+  /** Above this many live DV entries the anti-join falls back to a shuffle
+    * (AQE-planned) instead of a broadcast — ~4M (file, pos) rows is a few hundred
+    * MB broadcast, the practical executor-memory ceiling. Known driver-side from
+    * the commits' `replaced_rows`, no data read.
+    */
+  private val DvBroadcastMaxRows = 4L * 1000 * 1000
+
+  /** The multi-commit scan WITHOUT deletion vectors applied; `keepMeta` adds the
+    * (file, row-index) identity columns the DV anti-join needs.
+    */
+  private def assembleScan(spark: SparkSession, location: String,
+      live: Seq[Commit], keepMeta: Boolean): DataFrame = {
+    // pure-delete commits carry no data of their own
+    val scans = live.filter(c => !(c.operation == "delete" && c.data_dir.isEmpty))
+    def meta(df: DataFrame): DataFrame =
+      if (!keepMeta) df
+      else df.withColumn(DvFileCol, col("_metadata.file_path"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+    if (scans.forall(_.partition_by.isEmpty))
       // one multi-path parquet scan — not a union of per-version DataFrames.
       // mergeSchema gives appends Delta-style additive schema evolution: a commit
       // that added columns widens the read schema, older commits surface nulls.
       // The footer-merge cost is per live commit (bounded by compaction), not per
       // file — Spark merges one schema per input root's sampled footers.
       // (Scoped merges require a partitioned table, so no shadowing here.)
-      spark.read.option("mergeSchema", "true")
-        .parquet(live.map(c => dataPath(location, c)): _*)
+      meta(spark.read.option("mergeSchema", "true")
+        .parquet(scans.map(c => dataPath(location, c)): _*))
     else
       // hive-partitioned commits: Spark cannot infer partitions across multiple
       // roots ("conflicting directory structures"), so each commit dir is read as
@@ -947,14 +1220,44 @@ object VersionedTable {
       // Partitions a LATER partition-scoped merge rewrote are shadowed out of
       // each earlier branch with a partition-column filter — pure partition
       // pruning, no data rows read from the shadowed directories.
-      live.zipWithIndex.map { case (c, i) =>
-        val branch = spark.read.option("mergeSchema", "true")
-          .parquet(dataPath(location, c))
-        val shadowed = live.drop(i + 1).flatMap(_.replacedPartitions)
+      scans.map { c =>
+        val branch = meta(spark.read.option("mergeSchema", "true")
+          .parquet(dataPath(location, c)))
+        val shadowed = live.filter(_.version > c.version)
+          .flatMap(_.replacedPartitions)
         val hit = shadowed.map(_.map { case (k, v) => col(k) === lit(v) }
           .reduce(_ && _)).reduceOption(_ || _)
         hit.fold(branch)(p => branch.filter(!coalesce(p, lit(false))))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Subtract the live deletion vectors from a meta-carrying scan: ONE anti-join
+    * on (file, pos) — broadcast while the DV total (known from the log) is small,
+    * shuffle beyond that. Entries whose file a later scoped merge shadowed or a
+    * compact retired simply never match — a DV can remove rows, never resurrect.
+    */
+  private def applyDvs(spark: SparkSession, location: String, scan: DataFrame,
+      dvCommits: Seq[Commit]): DataFrame = {
+    val dv = spark.read.parquet(dvCommits.map(c => dvPath(location, c)): _*)
+    val hinted =
+      if (dvCommits.map(_.replaced_rows).sum <= DvBroadcastMaxRows) broadcast(dv)
+      else dv
+    scan.join(hinted,
+      scan(DvFileCol) === hinted("file") && scan(DvPosCol) === hinted("pos"),
+      "left_anti")
+  }
+
+  /** The state at `version` WITH the DV identity columns still attached — the
+    * snapshot a new delete/update computes its matches against (existing DVs
+    * applied, so re-matching an already-deleted row is impossible).
+    */
+  private def snapshotWithMeta(spark: SparkSession, location: String,
+      version: Long): DataFrame = {
+    val live = liveCommits(spark, location, version)
+    val scan = assembleScan(spark, location, live, keepMeta = true)
+    val dvs = live.filter(_.dv_dir.nonEmpty)
+    if (dvs.isEmpty) scan else applyDvs(spark, location, scan, dvs)
+  }
 
   /** Delta `GENERATE symlink_format_manifest` parity: write the CURRENT
     * snapshot's data-file list under `_symlink_format_manifest/` (one absolute
@@ -973,6 +1276,15 @@ object VersionedTable {
     * manifest still lists (Delta's own caveat).
     */
   def generateManifest(spark: SparkSession, location: String): Seq[String] = {
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    // a symlink manifest lists whole files — row-level deletion vectors cannot
+    // be expressed in it, and emitting the files anyway would resurrect deleted
+    // rows for external engines (the same reason Delta refuses manifest
+    // generation on DV-bearing tables). Compaction materializes DVs away.
+    require(liveCommits(spark, location, cs.last.version).forall(_.dv_dir.isEmpty),
+      s"$location carries live deletion vectors (deleteWhere/updateWhere) — a " +
+        "symlink manifest cannot express row-level deletes; run compact() first")
     val files = read(spark, location).inputFiles.toSeq.sorted
     val root = new Path(s"$location/_symlink_format_manifest")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1027,7 +1339,7 @@ object VersionedTable {
     if (!fs.exists(dataRoot)) return Seq.empty
 
     val referenced = cs.flatMap(c => new Path(dataPath(location, c)).getName +:
-      (if (c.change_dir.nonEmpty) Seq(c.change_dir) else Nil)).toSet
+      (Seq(c.change_dir, c.dv_dir).filter(_.nonEmpty))).toSet
     val orphans = fs.listStatus(dataRoot).toSeq
       .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName)
         && s.getModificationTime <= now - orphanGraceMs)
@@ -1042,14 +1354,20 @@ object VersionedTable {
     // compared at millisecond grain: commit stamps carry sub-milli precision but
     // the cutoff is epoch-millis — nano-vs-milli mixing would let a commit in the
     // cutoff's own millisecond dodge a zero-retention vacuum
+    // BORROWED dirs (a shallow clone's abs: references into its source's _data
+    // tree) are never reclaimed by the borrowing table — only the source's own
+    // vacuum may delete them (and can, breaking the clone: Delta's documented
+    // shallow-clone caveat, which [[shallowClone]] restates)
     val cutoffMs = now - retentionMs
     val expired = cs.filter { c =>
-      cs.exists(o => o.version > c.version && o.operation != "append" &&
-        o.replace_where.isEmpty &&
+      cs.exists(o => o.version > c.version && o.isFullState &&
         parseInstant(o.timestamp).exists(_.toEpochMilli <= cutoffMs))
-    }.flatMap(c => new Path(dataPath(location, c)) +:
-      (if (c.change_dir.nonEmpty) Seq(new Path(s"$location/_data/${c.change_dir}"))
-       else Nil))
+    }.flatMap { c =>
+      val own = if (isBorrowed(c.data_dir)) Nil
+        else Seq(new Path(dataPath(location, c)))
+      own ++ Seq(c.change_dir, c.dv_dir).filter(d => d.nonEmpty && !isBorrowed(d))
+        .map(d => new Path(s"$location/_data/$d"))
+    }
 
     // partition-GRANULAR reclamation under scoped merges: a partition subdir
     // whose content an out-of-retention scoped merge REPLACED is dead weight —
@@ -1061,9 +1379,9 @@ object VersionedTable {
     val scopedOld = cs.filter(o => o.replace_where.nonEmpty &&
       parseInstant(o.timestamp).exists(_.toEpochMilli <= cutoffMs))
     val partVictims: Seq[(Long, Path)] = scopedOld.flatMap { o =>
-      cs.filter(c => c.version < o.version &&
+      cs.filter(c => c.version < o.version && !isBorrowed(c.data_dir) &&
           !cs.exists(f => f.version > c.version && f.version < o.version &&
-            f.operation != "append" && f.replace_where.isEmpty))
+            f.isFullState))
         .flatMap(c => o.replace_where.split(";").toSeq
           .map(spec => o.version -> new Path(s"${dataPath(location, c)}/$spec")))
     }
@@ -1102,7 +1420,7 @@ object VersionedTable {
     // reads below the floor can no longer be served complete — make them loud
     val floorFromExpired =
       if (expired.isEmpty) -1L
-      else cs.filter(f => f.operation != "append" && f.replace_where.isEmpty &&
+      else cs.filter(f => f.isFullState &&
         parseInstant(f.timestamp).exists(_.toEpochMilli <= cutoffMs))
         .map(_.version).max
     val floor = math.max(floorFromExpired,
@@ -1212,12 +1530,13 @@ object VersionedTable {
       operation: String, rows: Long, dataDir: String,
       partitionBy: Seq[String], stats: Map[String, (Double, Double)] = Map.empty,
       txnApp: String = "", txnId: Long = -1L, changeDir: String = "",
-      replaceWhere: String = "", replacedRows: Long = 0L): Boolean = {
+      replaceWhere: String = "", replacedRows: Long = 0L,
+      dvDir: String = ""): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
       partitionBy.mkString(","), txnApp, txnId, stats, changeDir,
-      replaceWhere, replacedRows)
+      replaceWhere, replacedRows, dvDir)
     atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
 
@@ -1256,13 +1575,27 @@ object VersionedTable {
     val statsJson = c.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s""""$k":[$mn,$mx]""" }
       .mkString("{", ",", "}")
-    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson}"""
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson}"""
   }
+
+  /** Directory references beginning with this prefix are ABSOLUTE paths into
+    * another table's `_data` tree — how [[shallowClone]] borrows the source's
+    * files without copying. Borrowed dirs are never vacuum-reclaimed by the
+    * borrowing table ([[ownedDataDirs]]).
+    */
+  private val AbsRef = "abs:"
+
+  private def isBorrowed(dir: String): Boolean = dir.startsWith(AbsRef)
 
   // pre-data_dir logs (legacy layout) stored data at _data/v=<N>
   private def dataPath(location: String, c: Commit): String =
-    if (c.data_dir.nonEmpty) s"$location/_data/${c.data_dir}"
+    if (isBorrowed(c.data_dir)) c.data_dir.stripPrefix(AbsRef)
+    else if (c.data_dir.nonEmpty) s"$location/_data/${c.data_dir}"
     else s"$location/_data/v=${c.version}"
+
+  private def dvPath(location: String, c: Commit): String =
+    if (isBorrowed(c.dv_dir)) c.dv_dir.stripPrefix(AbsRef)
+    else s"$location/_data/${c.dv_dir}"
 
   private[graft] def parseInstant(s: String): Option[Instant] =
     try Some(Instant.parse(s)) catch { case _: java.time.format.DateTimeParseException => None }
@@ -1289,7 +1622,7 @@ object VersionedTable {
       str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats,
       str("change_dir"), str("replace_where"),
       // pre-scoped-merge logs lack the field; they replaced nothing
-      num("replaced_rows", default = 0L))
+      num("replaced_rows", default = 0L), str("dv_dir"))
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

@@ -35,6 +35,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Priority-aware exact dedup: keep the BEST copy of each duplicated content,
+    * not an arbitrary one — the cross-source rule curation pipelines apply when
+    * the same document arrives from multiple crawls/sources of differing trust
+    * (e.g. curated dump beats CommonCrawl beats scrape). `priorityCol` ranks
+    * candidates ascending (lower wins); `tieCol` breaks ties deterministically.
+    *
+    * Plan shape: ONE hash aggregation on the 16-byte content md5 using
+    * `min_by(struct(all columns), struct(priority, tie))` — map-side combine
+    * keeps one winner per key per task, so a content duplicated a million times
+    * shuffles one partial row per map task, where the window formulation
+    * (row_number over a sort) would shuffle and SORT every copy. At 100 TB this
+    * is the difference between an agg and a quadrillion-row sort.
+    */
+  def dedupByPriority(df: DataFrame, priorityCol: String,
+      tieCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(priorityCol), col(tieCol))).as("__w"))
+      .select(cols.map(c => col(s"__w.$c")): _*)
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, shingle). Native kernel
     * ([[graft.functions.WordShingles]]); docs shorter than n yield no rows.
     */

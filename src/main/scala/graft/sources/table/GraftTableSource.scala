@@ -197,14 +197,20 @@ class GraftTableSource(
             .foreach { c =>
               if (!ignoreChanges) throw new IllegalStateException(
                 s"version ${c.version} at $location is a ${c.operation} — data was " +
-                  "rewritten, not appended. Restart the stream from scratch, or set " +
-                  "ignoreChanges=true to skip rewrites (rewritten rows will not be " +
-                  "re-delivered), or read the change feed (readChangeFeed=true).")
+                  "rewritten or deleted, not appended. Restart the stream from " +
+                  "scratch, or set ignoreChanges=true to skip rewrites and deletes " +
+                  "(update commits re-deliver their rewritten rows; deleted rows " +
+                  "are not retracted), or read the change feed (readChangeFeed=true).")
               else logWarning(s"ignoreChanges: skipping ${c.operation} " +
                 s"commit ${c.version} at $location")
             }
+          // under ignoreChanges a DV update's rewritten rows are served like
+          // Delta's ignoreChanges serves rewritten files; pure deletes add no
+          // rows (data_dir empty) and are skipped by the nonEmpty guard
           val appendDirs = cs
-            .filter(c => c.operation == "append" || isChosenStart(c))
+            .filter(c => c.operation == "append" || isChosenStart(c) ||
+              (ignoreChanges && c.operation == "update"))
+            .filter(_.data_dir.nonEmpty)
             .map(c => s"$location/_data/${c.data_dir}")
           if (appendDirs.isEmpty) emptyBatch
           else spark.read.option("mergeSchema", "true")

@@ -54,6 +54,30 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(deduped.filter(col("doc_id") === 10L).count() === 0)
   }
 
+  test("priority dedup: keeps the min-(priority, tie) copy per content, via an agg not a sort") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "dup text", "cc", 2),       // loses on priority
+      (2L, "dup text", "curated", 1),  // wins
+      (9L, "dup text", "scrape", 1),   // ties on priority, loses on doc_id
+      (5L, "unique", "cc", 2)
+    ).toDF("doc_id", "text", "source", "priority")
+    val kept = Dedup.dedupByPriority(df, "priority").collect()
+    assert(kept.length === 2)
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === Set(2L, 5L))
+    assert(kept.find(_.getAs[Long]("doc_id") == 2L).get
+      .getAs[String]("source") === "curated")
+    // all original columns survive
+    assert(Dedup.dedupByPriority(df, "priority").columns.toSeq
+      === Seq("doc_id", "text", "source", "priority"))
+    // plan shape: one aggregation, no window sort over the duplicate groups
+    val plan = Dedup.dedupByPriority(df, "priority")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("Aggregate") || plan.contains("HashAggregate") ||
+      plan.contains("ObjectHashAggregate"))
+  }
+
   test("shingles: correct 3-gram set, short docs yield none") {
     val df = mkDocs(Seq((1L, "a b c d"), (2L, "x y")))
     val sh = Dedup.shingles(df).collect()
