@@ -120,9 +120,11 @@ object Bench {
     * loop so a regression in merge/CDF/restore is visible per round. Each rep
     * rebuilds a fresh versioned table from the SF's orders (so every op sees
     * identical state), then times: a CDF-capturing MERGE of a ~1% change set, a
-    * batch change-feed read of the captured commit, a partition-SCOPED merge on
-    * a hive-partitioned copy (the path that must stay O(touched slice)), and
-    * RESTORE back past the merge. Medians over 3 reps; setup is not timed.
+    * batch change-feed read of the captured commit, RESTORE back past the
+    * merge, a merge-on-read upsert of the same change set (DV path, no
+    * rewrite), a DV delete of ~1% of keys plus the DV-resolving read, and a
+    * partition-SCOPED merge on a hive-partitioned copy (the path that must
+    * stay O(touched slice)). Medians over 3 reps; setup is not timed.
     */
   private def benchTableOps(spark: SparkSession,
       sfDir: String): Seq[(String, Double)] = {
@@ -155,6 +157,10 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
         }
         val tRestore = timed { VersionedTable.restore(spark, loc, preMerge) }
+        // merge-on-read upsert of the same ~1% change set (DV + change-row
+        // append, no rewrite) — contrast with merge_cdf's copy-on-write cost
+        val tMor = timed { VersionedTable.mergeOnRead(spark, loc, changes,
+          Seq("o_orderkey"), deleteCol = Some("__del")) }
         // merge-on-read delete of ~1% of keys (no file rewritten), then a read
         // that resolves the deletion vector — the steady-state DV tax
         val tDelete = timed {
@@ -174,8 +180,9 @@ object Bench {
         require(VersionedTable.commits(spark, locP).last.replace_where.nonEmpty,
           "scoped merge fell back to a full rewrite — bench precondition broken")
         Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
-          "restore" -> tRestore, "delete_dv" -> tDelete,
-          "read_with_dv" -> tDvRead, "merge_scoped" -> tScoped)
+          "restore" -> tRestore, "merge_on_read" -> tMor,
+          "delete_dv" -> tDelete, "read_with_dv" -> tDvRead,
+          "merge_scoped" -> tScoped)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }

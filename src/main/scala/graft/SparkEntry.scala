@@ -1004,6 +1004,30 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** Merge-on-read MERGE gate: the exact q_merge_upsert scenario driven through
+    * mergeOnRead — matched rows deletion-vectored, change rows landing as the
+    * commit's own files, zero pre-existing files rewritten. The oracle states
+    * the same final state, so DV-based matching that dropped an insert, kept a
+    * deleted key, or double-served an updated row would hash-mismatch.
+    */
+  private def qMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_mor_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "source")
+    vt.write(d.filter(col("doc_id") < 400), loc, "overwrite")
+    val changes = d.filter(col("doc_id") >= 200 && col("doc_id") < 600)
+      .withColumn("lang", concat(col("lang"), lit("+u")))
+      .withColumn("is_delete", lit(false))
+      .unionByName(
+        d.filter(col("doc_id") < 50).withColumn("is_delete", lit(true)))
+    vt.mergeOnRead(s, loc, changes, Seq("doc_id"), deleteCol = Some("is_delete"))
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   /** Change-Data-Feed gate: base = documents(<400); ONE merge (changeFeed = true)
     * rewrites lang for [200,600) and deletes every fifth doc among them. The feed of
     * that single commit must show exactly the row-level deltas — pre/post images
@@ -1335,7 +1359,8 @@ object SparkEntry {
     "q_update_where" -> qUpdateWhere,
     "q_delete_cdf" -> qDeleteCdf,
     "q_shallow_clone" -> qShallowClone,
-    "q_dedup_priority" -> qDedupPriority)
+    "q_dedup_priority" -> qDedupPriority,
+    "q_merge_on_read" -> qMergeOnRead)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2636,6 +2661,15 @@ object SparkEntry {
     // merge: base(<400) + upserts[200,600) with rewritten lang + deletes[0,50)
     // → the exact post-merge state, stated directly
     "q_merge_upsert" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id >= 50 AND doc_id < 200
+        |UNION ALL
+        |SELECT doc_id, lang || '+u' AS lang, source FROM documents
+        |WHERE doc_id >= 200 AND doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
+    // merge-on-read merge: identical final-state contract as q_merge_upsert,
+    // reached through deletion vectors + change-row appends instead of a rewrite
+    "q_merge_on_read" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id >= 50 AND doc_id < 200
         |UNION ALL

@@ -611,6 +611,98 @@ object VersionedTable {
     done
   }
 
+  /** MERGE-ON-READ merge: the same upsert/delete semantics as [[merge]], but
+    * matched rows are DELETION-VECTORED out and the change rows land as the
+    * commit's own files — NO pre-existing file is rewritten, so the write cost
+    * tracks the CHANGE volume (one snapshot semi-join to locate matches + one
+    * change-sized staged write), not the snapshot or even the touched
+    * partitions. The read-side tax is the DV anti-join until the next
+    * [[compact]]. This is the CDC-apply path at 100 TB: continuously upserting
+    * a 0.01% change stream into a huge table with copy-on-write rewrites the
+    * touched slice every batch; merge-on-read writes megabytes.
+    *
+    * Commits as an "update"-class commit (DV + own data): readers, streaming,
+    * fastCount, vacuum, and restore treat it exactly like [[updateWhere]].
+    * `changes` must be key-unique (the [[merge]] contract); CHECK constraints
+    * are enforced on the landing change rows; `changeFeed = true` materializes
+    * the same insert / delete / update_preimage / update_postimage vocabulary
+    * as [[merge]] (delete markers for missing keys emit nothing).
+    */
+  def mergeOnRead(spark: SparkSession, location: String, changes: DataFrame,
+      keys: Seq[String], deleteCol: Option[String] = None,
+      maxAttempts: Int = 3, changeFeed: Boolean = false): Long = {
+    require(keys.nonEmpty, "mergeOnRead needs at least one key column")
+    val fs = fileSystem(spark, location)
+    val tagged = deleteCol match {
+      case Some(d) => changes
+        .withColumn("_g_del", coalesce(col(d).cast("boolean"), lit(false))).drop(d)
+      case None => changes.withColumn("_g_del", lit(false))
+    }
+    val changedKeys = tagged.select(keys.map(col): _*).dropDuplicates(keys)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location — write a base version first")
+      val latest = cs.last
+      val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      val snap = snapshotWithMeta(spark, location, latest.version)
+      val dataCols = snap.columns.filterNot(c => c == DvFileCol || c == DvPosCol).toSeq
+      // ONE semi-join locates every matched row (preimage + DV identity); the
+      // change set streams against the DV-resolved snapshot scan
+      val matched = snap.join(changedKeys, keys, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val upserts = tagged.filter(!col("_g_del"))
+          .select(dataCols.map(col): _*)
+        val (dataDir, rows, stats) = stageData(upserts, location, partitioning,
+          constraints(spark, location))
+        val dvDir = s"v-${java.util.UUID.randomUUID()}"
+        val obs = Observation(s"vt_dv_$dvDir")
+        matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.mode("errorifexists").parquet(s"$location/_data/$dvDir")
+        val changeDir = if (changeFeed) s"c-${java.util.UUID.randomUUID()}" else ""
+        if (changeFeed) {
+          // classification joins run on CHANGE-bounded inputs (matched is
+          // pinned): matched+delete → delete, matched+upsert → pre/post
+          // images, unmatched upsert → insert, unmatched delete → nothing
+          val pre = matched.drop(DvFileCol, DvPosCol)
+          val flags = tagged.select(keys.map(col) :+ col("_g_del"): _*)
+          val preTyped = pre.join(flags, keys, "inner")
+            .withColumn("_change_type",
+              when(col("_g_del"), "delete").otherwise("update_preimage"))
+            .drop("_g_del")
+          val matchedKeys = pre.select(keys.map(col): _*)
+          val post = tagged.filter(!col("_g_del")).select(dataCols.map(col): _*)
+            .join(matchedKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = tagged.filter(!col("_g_del")).select(dataCols.map(col): _*)
+            .join(matchedKeys, keys, "left_anti")
+            .withColumn("_change_type", lit("insert"))
+          preTyped.unionByName(post).unionByName(ins)
+            .write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
+        }
+        val matchedRows = obs.get("rows").asInstanceOf[Long]
+        if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
+            partitioning, stats, changeDir = changeDir,
+            replacedRows = matchedRows, dvDir = dvDir))
+          done = latest.version + 1
+        else {
+          fs.delete(new Path(s"$location/_data/$dataDir"), true)
+          fs.delete(new Path(s"$location/_data/$dvDir"), true)
+          if (changeDir.nonEmpty)
+            fs.delete(new Path(s"$location/_data/$changeDir"), true)
+          attempt += 1
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"mergeOnRead into $location lost $maxAttempts snapshot races — giving up")
+        }
+      } finally matched.unpersist()
+    }
+    maybeCheckpoint(spark, location, done)
+    done
+  }
+
   /** At most this many touched partitions take the scoped path: the touched set
     * is collected driver-side (it becomes the commit's `replace_where` and the
     * snapshot filter), so it must stay metadata-sized. A change set touching

@@ -195,6 +195,50 @@ class DeletionVectorSpec extends AnyFunSuite with SharedSpark {
       (1L, "delete", 0L, 10L), (2L, "update", 1L, 1L)))
   }
 
+  test("mergeOnRead: upsert semantics identical to copy-on-write merge, zero files rewritten") {
+    import spark.implicits._
+    val locA = freshLoc("mor_a"); val locB = freshLoc("mor_b")
+    val baseDf = (0 until 100).map(i => (i.toLong, s"v0_$i", i % 10)).toDF("id", "name", "grp")
+    VersionedTable.write(baseDf, locA, "overwrite")
+    VersionedTable.write(baseDf, locB, "overwrite")
+    // updates [50,80), inserts [100,110), deletes [0,10), delete no-ops [200,205)
+    val changes = (50 until 80).map(i => (i.toLong, s"v1_$i", i % 10, false))
+      .++((100 until 110).map(i => (i.toLong, s"new_$i", i % 10, false)))
+      .++((0 until 10).map(i => (i.toLong, "", 0, true)))
+      .++((200 until 205).map(i => (i.toLong, "", 0, true)))
+      .toDF("id", "name", "grp", "is_del")
+    val before = dataFiles(locA)
+    VersionedTable.mergeOnRead(spark, locA, changes, Seq("id"),
+      deleteCol = Some("is_del"))
+    assert(before.subsetOf(dataFiles(locA))) // nothing rewritten
+    VersionedTable.merge(spark, locB, changes, Seq("id"),
+      deleteCol = Some("is_del"))
+    val a = VersionedTable.read(spark, locA).orderBy("id").collect().toSeq
+    val b = VersionedTable.read(spark, locB).orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(VersionedTable.fastCount(spark, locA) === 100L)
+    assert(VersionedTable.fastCount(spark, locA)
+      === VersionedTable.read(spark, locA).count())
+  }
+
+  test("mergeOnRead change feed matches the copy-on-write merge feed") {
+    import spark.implicits._
+    val locA = freshLoc("morf_a"); val locB = freshLoc("morf_b")
+    val baseDf = (0 until 50).map(i => (i.toLong, s"v0_$i")).toDF("id", "name")
+    VersionedTable.write(baseDf, locA, "overwrite")
+    VersionedTable.write(baseDf, locB, "overwrite")
+    val changes = (40 until 60).map(i => (i.toLong, s"v1_$i", i % 4 == 0))
+      .toDF("id", "name", "is_del")
+    VersionedTable.mergeOnRead(spark, locA, changes, Seq("id"),
+      deleteCol = Some("is_del"), changeFeed = true)
+    VersionedTable.merge(spark, locB, changes, Seq("id"),
+      deleteCol = Some("is_del"), changeFeed = true)
+    def feed(loc: String) = VersionedTable.readChanges(spark, loc, 1, 1)
+      .select("id", "name", "_change_type").orderBy("id", "_change_type")
+      .collect().toSeq
+    assert(feed(locA) === feed(locB))
+  }
+
   test("checkpointed log round-trips dv_dir") {
     val loc = freshLoc("ckpt")
     base(loc)
