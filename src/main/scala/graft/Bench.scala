@@ -179,10 +179,13 @@ object Bench {
           Seq("o_orderkey", "o_orderpriority")) }
         require(VersionedTable.commits(spark, locP).last.replace_where.nonEmpty,
           "scoped merge fell back to a full rewrite — bench precondition broken")
+        // metadata-only table copy — must stay O(live commits), data-size-blind
+        val tClone = timed {
+          VersionedTable.shallowClone(spark, locP, s"$root/clone") }
         Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
           "restore" -> tRestore, "merge_on_read" -> tMor,
           "delete_dv" -> tDelete, "read_with_dv" -> tDvRead,
-          "merge_scoped" -> tScoped)
+          "merge_scoped" -> tScoped, "shallow_clone" -> tClone)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }

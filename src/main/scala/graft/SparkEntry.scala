@@ -1176,6 +1176,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DP count-release gate: per-(lang, source) counts with seeded Laplace noise
+    * (ε = 1). The noise is a keyed-hash inverse-CDF draw, so the oracle replays
+    * the identical md5 → uniform → Laplace arithmetic — an implementation that
+    * drew real randomness, mis-scaled the noise, or broke determinism would
+    * hash-mismatch.
+    */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpCounts(docs(s, dir), Seq("lang", "source"),
+      epsilon = 1.0, seed = "r7")
+      .orderBy("lang", "source")
+
+  /** Length-bucketed batching gate: docs bucket to the next power of two of
+    * their whitespace token count (clamped [16, 1024]), batches of 8 form
+    * inside each bucket in doc order, padding = cap − tokens. The bucket edge
+    * is PURE INTEGER (2^bitlength) so both engines agree exactly at powers of
+    * two — the place a float log2 would diverge.
+    */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    graft.ops.Packing.lengthBuckets(d, batchSize = 8, minCap = 16, maxCap = 1024)
+      .select("doc_id", "n_tokens", "bucket_cap", "batch_id", "padding")
+      .orderBy("doc_id")
+  }
+
   /** Priority-dedup gate: the corpus unioned with a mirrored copy (same text,
     * shifted id, different source) so every text exists exactly twice; priority
     * = doc_id % 3 varies per pair, so sometimes the original wins, sometimes
@@ -1360,7 +1385,9 @@ object SparkEntry {
     "q_delete_cdf" -> qDeleteCdf,
     "q_shallow_clone" -> qShallowClone,
     "q_dedup_priority" -> qDedupPriority,
-    "q_merge_on_read" -> qMergeOnRead)
+    "q_merge_on_read" -> qMergeOnRead,
+    "q_dp_counts" -> qDpCounts,
+    "q_length_buckets" -> qLengthBuckets)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2811,6 +2838,39 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS commit_version
         |FROM documents WHERE doc_id < 400 AND doc_id % 9 = 4
         |ORDER BY doc_id""".stripMargin,
+    // DP counts: identical md5(seed, key) -> 10^6-quantized uniform -> Laplace
+    // inverse-CDF arithmetic, rounded to 6dp on both engines
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS true_count FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, (CAST(concat('0x', substring(
+        |      md5('r7' || chr(1) || lang || chr(1) || source), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0 AS uu
+        |  FROM c)
+        |SELECT lang, source, true_count,
+        |  round(true_count + (-1.0) * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6)
+        |    AS dp_count
+        |FROM u ORDER BY lang, source""".stripMargin,
+    // length-bucketed batching: identical integer bucket edge (2^bitlength via
+    // bin()), window batch numbering, and padding arithmetic
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, least(greatest(
+        |      (CAST(1 AS BIGINT) << length(bin(greatest(n_tokens, 2) - 1))),
+        |      16), 1024) AS bucket_cap
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket_cap,
+        |  concat(bucket_cap, '#', (rn - 1) // 8) AS batch_id,
+        |  greatest(bucket_cap - n_tokens, 0) AS padding
+        |FROM r ORDER BY doc_id""".stripMargin,
     // priority dedup: per content hash keep the min-(priority, doc_id) copy;
     // the oracle replays the rule with a window (semantics, not the plan —
     // Spark keeps winners via a map-side-combined min_by agg, never a sort)

@@ -1398,6 +1398,49 @@ object VersionedTable {
     files
   }
 
+  /** Delta `DESCRIBE DETAIL` parity: ONE row summarizing the current snapshot —
+    * version, operation, row count (log-resolved, no scan), live file count and
+    * bytes (driver-side listing of the live dirs only), partition columns,
+    * constraint count, live deletion-vector entries, and how many live dirs are
+    * borrowed from a clone source. Metadata-only: no data file is opened.
+    */
+  def detail(spark: SparkSession, location: String): DataFrame = {
+    import spark.implicits._
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val latest = cs.last
+    val live = liveCommits(spark, location, latest.version)
+    val fs = fileSystem(spark, location)
+    def filesUnder(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    val dataDirs = live.filter(c => !(c.operation == "delete" && c.data_dir.isEmpty))
+      .map(c => dataPath(location, c))
+    val stats = dataDirs.flatMap(filesUnder)
+    Seq((
+      location,
+      latest.version,
+      latest.operation,
+      latest.timestamp,
+      fastCount(spark, location),
+      stats.length.toLong,
+      stats.map(_.getLen).sum,
+      live.last.partition_by,
+      constraints(spark, location).size.toLong,
+      live.filter(_.dv_dir.nonEmpty).map(_.replaced_rows).sum,
+      live.count(c => isBorrowed(c.data_dir) || isBorrowed(c.dv_dir)).toLong
+    )).toDF("location", "version", "operation", "last_modified", "num_rows",
+      "num_files", "size_bytes", "partition_columns", "num_constraints",
+      "live_dv_rows", "borrowed_commits")
+  }
+
   /** Delta-style `history()`: one row per commit, newest first. */
   def history(spark: SparkSession, location: String): DataFrame = {
     import spark.implicits._

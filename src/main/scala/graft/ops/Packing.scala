@@ -57,4 +57,41 @@ object Packing {
       }
       .toDF()
   }
+
+  /** Length-bucketed INFERENCE batching (the serving-side twin of training
+    * packing): pad-to-bucket batching wastes `bucket_cap − n_tokens` per row,
+    * so rows are bucketed to the next power of two of their token count
+    * (clamped to [`minCap`, `maxCap`]) and batches of `batchSize` form inside
+    * each bucket in deterministic doc order. Emits per row: `bucket_cap` (what
+    * the batch pads to), `batch_id` (globally unique: bucket-prefixed), and
+    * `padding` (the waste this row pays) — feed the sum to capacity planning.
+    *
+    * Plan shape: one shuffle partitioned by bucket with an in-bucket sort
+    * (row_number) — the latest-per-key shape. Buckets are ~log2(maxCap/minCap)
+    * keys, so at 100 TB the per-bucket streams are large but UNIFORM (each
+    * holds a contiguous length band); Spark's window sorts spill gracefully,
+    * and a skewed band can be salted by further range-splitting doc_id without
+    * changing batch semantics (batch ids stay deterministic per salt range).
+    */
+  def lengthBuckets(df: DataFrame, batchSize: Int, minCap: Int = 16,
+      maxCap: Int = 8192, idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(minCap > 0 && maxCap >= minCap, s"bad caps [$minCap, $maxCap]")
+    // next power of two >= n, clamped. PURE INTEGER arithmetic — floating log2
+    // sits within an ulp of an integer exactly at the bucket boundaries, where
+    // engines may disagree; 2^bitlength(n-1) (via bin()) cannot
+    val cap = expr(
+      s"least(greatest(shiftleft(CAST(1 AS BIGINT), " +
+        s"length(bin(greatest(CAST($tokensCol AS BIGINT), 2L) - 1))), " +
+        s"${minCap}L), ${maxCap}L)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_cap")).orderBy(col(idCol))
+    df.withColumn("bucket_cap", cap)
+      .withColumn("batch_id",
+        concat_ws("#", col("bucket_cap"),
+          ((row_number().over(w) - 1) / batchSize).cast("long")))
+      .withColumn("padding",
+        greatest(col("bucket_cap") - col(tokensCol), lit(0L)))
+  }
 }

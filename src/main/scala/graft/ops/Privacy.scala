@@ -70,6 +70,40 @@ object Privacy {
     }
   }
 
+  /** Differentially-private count release (Laplace mechanism): per-group counts
+    * plus Laplace(1/ε) noise — COUNT has sensitivity 1, so the release is ε-DP
+    * per the standard bound (Dwork et al. 2006). The "randomness" is a KEYED
+    * HASH draw: u is derived from md5(seed, group key) (60 bits → 10⁶
+    * quantization), and the noise is the Laplace inverse CDF at u,
+    * `-(1/ε)·sign(u−½)·ln(1−2|u−½|)`. Deterministic by design: the same
+    * (seed, group) yields the same release on any cluster layout or re-run —
+    * what an auditable published statistic needs — while a fresh seed draws
+    * fresh noise. Treat the seed like a key: an adversary who knows it can
+    * subtract the noise (the same caveat as any PRG-seeded DP release).
+    *
+    * Plan shape: the one map-side-combined groupBy the counts need; the noise
+    * is per-GROUP arithmetic on the post-agg rows. Release `dp_count` only —
+    * `true_count` is returned for pipeline-internal utility accounting and
+    * must not leave the trust boundary. Rounded to 6 decimals so any engine
+    * replays it bit-identically.
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    // null-safe key material: encode NULL distinctly from the string "NULL"
+    // and delimit columns so ("a","bc") never collides with ("ab","c")
+    val keyParts = lit(seed) +: groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0002")))
+    val u = ((conv(substring(md5(concat_ws("\u0001", keyParts: _*)), 1, 15),
+      16, 10).cast("long") % 1000000).cast("double") + 0.5) / 1000000.0
+    val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("dp_count", round(col("true_count") + noise, 6))
+  }
+
   /** One-row corpus summary: `(n_rows, n_classes, classes_below_k, rows_at_risk,
     * min_class_size, k_anonymous)` — `rows_at_risk` is the row count inside
     * under-k classes (the release-blocking number), and `k_anonymous` says the

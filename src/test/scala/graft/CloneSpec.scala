@@ -135,6 +135,23 @@ class CloneSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("grp_ok"))
   }
 
+  test("detail summarizes snapshot metadata, DV rows, and borrowed commits") {
+    val root = fresh("detail")
+    val src = s"$root/src"; val dst = s"$root/dst"
+    mk(src)
+    VersionedTable.deleteWhere(spark, src, "id < 10")
+    VersionedTable.shallowClone(spark, src, dst)
+    val d = VersionedTable.detail(spark, dst).collect()(0)
+    assert(d.getAs[Long]("num_rows") === 90L)
+    assert(d.getAs[Long]("live_dv_rows") === 10L)
+    assert(d.getAs[Long]("borrowed_commits") === 2L) // data commit + dv commit
+    assert(d.getAs[Long]("num_files") > 0)
+    assert(d.getAs[Long]("size_bytes") > 0)
+    val s = VersionedTable.detail(spark, src).collect()(0)
+    assert(s.getAs[Long]("borrowed_commits") === 0L)
+    assert(s.getAs[Long]("num_constraints") === 0L)
+  }
+
   test("clone refuses an existing target and a vacuumed source version") {
     val root = fresh("refuse")
     val src = s"$root/src"; val dst = s"$root/dst"

@@ -22,6 +22,35 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(packed.map(_.getAs[Long]("seq_id")).toSeq === Seq(0L, 0L, 1L, 2L, 3L))
   }
 
+  test("length buckets: exact power-of-two edges, batch size respected, deterministic") {
+    val rows = Seq(
+      (1L, 1L), (2L, 15L), (3L, 16L),   // all clamp/fit to cap 16
+      (4L, 17L),                         // 17 -> 32
+      (5L, 64L),                         // exactly 64 -> 64 (edge case)
+      (6L, 65L),                         // 65 -> 128
+      (7L, 5000L))                       // clamped to 1024
+      .toDF("doc_id", "n_tokens")
+    val b = Packing.lengthBuckets(rows, batchSize = 2, minCap = 16, maxCap = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket_cap"), r.getAs[String]("batch_id"),
+          r.getAs[Long]("padding"))).toMap
+    assert(b(1L)._1 === 16L && b(2L)._1 === 16L && b(3L)._1 === 16L)
+    assert(b(4L)._1 === 32L)
+    assert(b(5L)._1 === 64L) // a float log2 ulp error would put this in 128
+    assert(b(6L)._1 === 128L)
+    assert(b(7L)._1 === 1024L)
+    assert(b(7L)._3 === 0L) // padding never negative after clamping
+    assert(b(1L)._3 === 15L)
+    // cap-16 bucket holds docs 1,2,3 with batchSize 2: two batches
+    assert(b(1L)._2 === "16#0" && b(2L)._2 === "16#0" && b(3L)._2 === "16#1")
+    // deterministic across reruns
+    val again = Packing.lengthBuckets(rows, batchSize = 2, minCap = 16, maxCap = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bucket_cap"), r.getAs[String]("batch_id"),
+          r.getAs[Long]("padding"))).toMap
+    assert(again === b)
+  }
+
   test("corpus chunks: every chunk packed once, bins within capacity, deterministic") {
     val docs = Tables.documents(spark, sf)
     val chunks = TextAnalysis.chunk(docs, chunkTokens = 64, overlap = 0)

@@ -75,6 +75,33 @@ class PrivacySpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(r.getDouble(3) - math.log(2)) < 1e-12) // 50/50 split → ln 2
   }
 
+  test("dpCounts: deterministic keyed noise, seed-sensitive, scale tracks 1/epsilon") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i, s"g${i % 200}")).toDF("id", "grp")
+    def release(eps: Double, seed: String) =
+      Privacy.dpCounts(df, Seq("grp"), eps, seed)
+        .collect().map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("true_count"), r.getAs[Double]("dp_count"))).toMap
+    val a = release(1.0, "s1")
+    assert(a.size === 200)
+    assert(a.values.forall(_._1 == 10L))
+    // deterministic: identical release on a re-run
+    assert(release(1.0, "s1") === a)
+    // a different seed draws different noise for most groups
+    val b = release(1.0, "s2")
+    assert(a.keys.count(k => a(k)._2 != b(k)._2) > 150)
+    // noise centered near zero: mean |bias| over 200 groups well under the
+    // Laplace scale b=1 (stderr = sqrt(2)/sqrt(200) ~ 0.1)
+    val bias = a.values.map { case (t, d) => d - t }.sum / a.size
+    assert(math.abs(bias) < 0.5, s"noise bias $bias")
+    // epsilon=0.1 noise is ~10x wider than epsilon=10 noise on average
+    val wide = release(0.1, "s1").values.map { case (t, d) => math.abs(d - t) }
+    val tight = release(10.0, "s1").values.map { case (t, d) => math.abs(d - t) }
+    assert(wide.sum / wide.size > 10 * (tight.sum / tight.size))
+    // epsilon must be positive
+    intercept[IllegalArgumentException] { Privacy.dpCounts(df, Seq("grp"), 0.0, "s") }
+  }
+
   test("vacuous thresholds are rejected") {
     intercept[IllegalArgumentException] {
       Privacy.equivalenceClasses(people, Seq("age"), k = 1)
