@@ -239,6 +239,25 @@ class DeletionVectorSpec extends AnyFunSuite with SharedSpark {
     assert(feed(locA) === feed(locB))
   }
 
+  test("a delete that loses every claim cleans up its staged DV and change dirs") {
+    val loc = freshLoc("race")
+    base(loc)
+    // an in-flight writer holds the next version slot (incomplete commit body —
+    // exactly what a crashed/flushing writer leaves): every claim attempt loses
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$loc/_commit_log/1.json"), "{\"version\":1")
+    intercept[IllegalStateException] {
+      VersionedTable.deleteWhere(spark, loc, "id < 5", changeFeed = true,
+        maxAttempts = 2)
+    }
+    val dirs = new java.io.File(s"$loc/_data").listFiles().map(_.getName)
+    assert(!dirs.exists(_.startsWith("v-")), s"staged DV dir leaked: ${dirs.toSeq}")
+    assert(!dirs.exists(_.startsWith("c-")), s"staged feed dir leaked: ${dirs.toSeq}")
+    // the table is untouched
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$loc/_commit_log/1.json"))
+    assert(VersionedTable.read(spark, loc).count() === 100)
+  }
+
   test("checkpointed log round-trips dv_dir") {
     val loc = freshLoc("ckpt")
     base(loc)

@@ -87,6 +87,23 @@ class GraftTableBatchSpec extends AnyFunSuite with SharedSpark {
     assert(q.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
   }
 
+  test("DataSource reads resolve deletion vectors (snapshot, as-of, and SQL)") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gtb_dv").toString + "/t"
+    val df = (0 until 40).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    VersionedTable.write(df, loc, "overwrite")
+    VersionedTable.deleteWhere(spark, loc, "id % 4 = 0")
+    val read = spark.read.format("graft-table").load(loc)
+    assert(read.count() === 30)
+    assert(read.filter(col("id") % 4 === 0).count() === 0)
+    // time travel through the DataSource sees the pre-delete state
+    assert(spark.read.format("graft-table").option("versionAsOf", 0)
+      .load(loc).count() === 40)
+    // filters still prune through the DV anti-join plan
+    assert(read.filter(col("id") > 20).count() ===
+      (21 until 40).count(_ % 4 != 0))
+  }
+
   test("batch change feed reads a version range") {
     import spark.implicits._
     val loc = Files.createTempDirectory("gtb_cdf").toString

@@ -106,6 +106,39 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
       (3L, "c", "insert")))
   }
 
+  test("DV commits: append stream fails on a delete, skips it with ignoreChanges; CDF serves it row-level") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_dv").toString
+    val out = Files.createTempDirectory("gts_dv_out").toString
+    val chk = Files.createTempDirectory("gts_dv_chk").toString
+    VersionedTable.write(Seq(1L, 2L, 3L, 4L).toDF("id"), loc, "overwrite") // v0
+    drain(loc, out, chk)
+    assert(ids(out) === Seq(1L, 2L, 3L, 4L))
+
+    VersionedTable.deleteWhere(spark, loc, "id <= 2")                      // v1
+    VersionedTable.write(Seq(5L).toDF("id"), loc, "append")                // v2
+    // append-mode streams cannot retract: fail loudly by default
+    val e = intercept[StreamingQueryException] { drain(loc, out, chk) }
+    assert(e.getMessage.contains("delete") || e.getCause.getMessage.contains("delete"))
+    // ignoreChanges: the delete is skipped (no retraction), the append arrives
+    drain(loc, out, chk, Map("ignoreChanges" -> "true"))
+    assert(ids(out) === Seq(1L, 2L, 3L, 4L, 5L))
+
+    // change-feed mode reconstructs the feedless delete from its DV
+    val out2 = Files.createTempDirectory("gts_dv_out2").toString
+    val chk2 = Files.createTempDirectory("gts_dv_chk2").toString
+    val reader = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+    reader.load(loc).writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", chk2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val feed = spark.read.parquet(out2)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed === Set((1L, "delete", 1L), (2L, "delete", 1L),
+      (5L, "insert", 2L)))
+  }
+
   test("admission control: a backlog drains in bounded batches, never one giant batch") {
     import spark.implicits._
     val loc = Files.createTempDirectory("gts_adm").toString
