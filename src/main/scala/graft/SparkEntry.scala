@@ -1201,6 +1201,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Generated-columns gate: `len_class` declared GENERATED ALWAYS AS a CASE
+    * over n_chars BEFORE the first write; the writer never materializes it —
+    * the staged write computes it, an appended batch goes through the same
+    * path, and the read shows it everywhere. The oracle states the expression
+    * directly, so a generation that skipped a batch or computed at read time
+    * from a stale rule would hash-mismatch.
+    */
+  private def qGeneratedColumns(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_gencol_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+    vt.addGeneratedColumn(s, loc, "len_class",
+      "CASE WHEN n_chars < 500 THEN 'short' ELSE 'long' END")
+    vt.write(d.filter(col("doc_id") < 300), loc, "overwrite")
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 500), loc, "append")
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   /** Priority-dedup gate: the corpus unioned with a mirrored copy (same text,
     * shifted id, different source) so every text exists exactly twice; priority
     * = doc_id % 3 varies per pair, so sometimes the original wins, sometimes
@@ -1387,7 +1409,8 @@ object SparkEntry {
     "q_dedup_priority" -> qDedupPriority,
     "q_merge_on_read" -> qMergeOnRead,
     "q_dp_counts" -> qDpCounts,
-    "q_length_buckets" -> qLengthBuckets)
+    "q_length_buckets" -> qLengthBuckets,
+    "q_generated_columns" -> qGeneratedColumns)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2837,6 +2860,13 @@ object SparkEntry {
       """SELECT doc_id, lang, 'delete' AS change_type,
         |  CAST(1 AS BIGINT) AS commit_version
         |FROM documents WHERE doc_id < 400 AND doc_id % 9 = 4
+        |ORDER BY doc_id""".stripMargin,
+    // generated columns: the oracle states the declared expression over the
+    // written rows — both commits must carry the computed value
+    "q_generated_columns" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN n_chars < 500 THEN 'short' ELSE 'long' END AS len_class
+        |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // DP counts: identical md5(seed, key) -> 10^6-quantized uniform -> Laplace
     // inverse-CDF arithmetic, rounded to 6dp on both engines

@@ -166,8 +166,12 @@ object VersionedTable {
     writeConstraints(spark, location, constraints(spark, location) - name)
 
   /** The table's named CHECK constraints (empty when none were ever added). */
-  def constraints(spark: SparkSession, location: String): Map[String, String] = {
-    val p = new Path(s"$location/_constraints.json")
+  def constraints(spark: SparkSession, location: String): Map[String, String] =
+    readKeyedJson(spark, location, "_constraints.json")
+
+  private def readKeyedJson(spark: SparkSession, location: String,
+      file: String): Map[String, String] = {
+    val p = new Path(s"$location/$file")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
@@ -188,9 +192,13 @@ object VersionedTable {
     * set against the restored data for exactly this reason).
     */
   private def writeConstraints(spark: SparkSession, location: String,
-      all: Map[String, String]): Unit = {
-    val p = new Path(s"$location/_constraints.json")
-    val tmp = new Path(s"$location/_constraints.json.tmp-${java.util.UUID.randomUUID()}")
+      all: Map[String, String]): Unit =
+    writeKeyedJson(spark, location, "_constraints.json", all)
+
+  private def writeKeyedJson(spark: SparkSession, location: String,
+      file: String, all: Map[String, String]): Unit = {
+    val p = new Path(s"$location/$file")
+    val tmp = new Path(s"$location/$file.tmp-${java.util.UUID.randomUUID()}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val body = all.toSeq.sortBy(_._1)
       .map { case (n, c) => s""""${escapeJson(n)}": "${escapeJson(c)}"""" }
@@ -202,8 +210,66 @@ object VersionedTable {
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"failed to publish constraints at $p")
+      throw new java.io.IOException(s"failed to publish $file at $p")
     }
+  }
+
+  /** GENERATED COLUMNS (Delta `GENERATED ALWAYS AS` parity): named SQL
+    * expressions stored in `_generated.json`. Every landing batch that LACKS a
+    * declared column gets it COMPUTED (fused into the staged write's pass);
+    * a batch that carries it explicitly is VALIDATED against the expression
+    * (null-safe equality, via the same raise_error guard as CHECK constraints).
+    * The flagship use is Delta's own: declare `order_date = CAST(ts AS DATE)`
+    * and partition by it — writers never materialize the column by hand, and
+    * readers get hive partition pruning on it across every commit.
+    *
+    * Declared-after-data caveat: commits written BEFORE the declaration lack
+    * the column and surface NULL through mergeSchema reads — backfill with
+    * [[updateWhere]] (any update recomputes undeclared-assigned generated
+    * columns) or [[compact]] (the rewrite passes through the staged write,
+    * which computes absent columns). Expressions may reference only
+    * non-generated columns. The file shares `_constraints.json`'s publish
+    * protocol and its documented unversioned/last-rename-wins gaps.
+    */
+  def addGeneratedColumn(spark: SparkSession, location: String, name: String,
+      genSql: String): Unit = {
+    require(name.nonEmpty && !name.contains("\""), s"bad column name: $name")
+    expr(genSql) // parse before persisting
+    // a column the live data already carries must match the expression now —
+    // otherwise the table would advertise a generation rule its data violates
+    if (exists(spark, location) &&
+        read(spark, location).columns.exists(_.equalsIgnoreCase(name)))
+      checkAgainst(location, read(spark, location),
+        Map(s"generated column $name" -> s"$name <=> ($genSql)"))
+    writeKeyedJson(spark, location, GeneratedFile,
+      generatedColumns(spark, location) + (name -> genSql))
+  }
+
+  def dropGeneratedColumn(spark: SparkSession, location: String,
+      name: String): Unit =
+    writeKeyedJson(spark, location, GeneratedFile,
+      generatedColumns(spark, location) - name)
+
+  private val GeneratedFile = "_generated.json"
+
+  /** The table's generated-column declarations (empty when none). */
+  def generatedColumns(spark: SparkSession, location: String): Map[String, String] =
+    readKeyedJson(spark, location, GeneratedFile)
+
+  /** Compute declared generated columns a batch LACKS; return the transformed
+    * batch plus validation checks for the ones it CARRIES (null-safe equality,
+    * enforced by the same fused guard as CHECK constraints).
+    */
+  private def applyGenerated(df: DataFrame, gen: Map[String, String])
+      : (DataFrame, Map[String, String]) = {
+    if (gen.isEmpty) return (df, Map.empty)
+    val present = df.columns.map(_.toLowerCase).toSet
+    val computed = gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, g)) =>
+      if (present.contains(n.toLowerCase)) d else d.withColumn(n, expr(g))
+    }
+    val checks = gen.collect { case (n, g) if present.contains(n.toLowerCase) =>
+      s"generated column $n" -> s"$n <=> ($g)" }
+    (computed, checks)
   }
 
   private def escapeJson(s: String): String =
@@ -550,9 +616,13 @@ object VersionedTable {
       maxAttempts: Int = 3, changeFeed: Boolean = false): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = fileSystem(spark, location)
+    // change rows may omit declared generated columns (Delta's merge contract);
+    // compute them here so the staged select and the feed structs line up
+    val changes1 =
+      applyGenerated(changes, generatedColumns(spark, location))._1
     val upserts = deleteCol match {
-      case Some(d) => changes.filter(!coalesce(col(d), lit(false))).drop(d)
-      case None => changes
+      case Some(d) => changes1.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None => changes1
     }
     // CHECK constraints ride the staged write of the merged snapshot (fused,
     // zero extra jobs): only rows that LAND are checked — delete markers never
@@ -561,7 +631,7 @@ object VersionedTable {
     val checks = constraints(spark, location)
     // deletes participate in the anti-join (their keys drop the match) but
     // contribute no replacement row
-    val changedKeys = deleteCol.fold(changes)(d => changes.drop(d))
+    val changedKeys = deleteCol.fold(changes1)(d => changes1.drop(d))
       .select(keys.map(col): _*).dropDuplicates(keys)
     var done = -1L
     var attempt = 0
@@ -570,7 +640,7 @@ object VersionedTable {
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val scope = mergeScope(spark, location, latest, changes, partitioning, keys)
+      val scope = mergeScope(spark, location, latest, changes1, partitioning, keys)
       val current = {
         val snap = readAsOf(spark, location, latest.version)
         scope.fold(snap) { case (pred, _, _) => snap.filter(pred) }
@@ -583,7 +653,7 @@ object VersionedTable {
       val observed = obs.fold(current)(o =>
         current.observe(o, count(lit(1)).as("rows")))
       val staged =
-        if (changeFeed) stageMergeWithFeed(observed, changes, keys, deleteCol,
+        if (changeFeed) stageMergeWithFeed(observed, changes1, keys, deleteCol,
           location, partitioning, checks)
         else {
           val merged = observed.join(changedKeys, keys, "left_anti")
@@ -633,10 +703,13 @@ object VersionedTable {
       maxAttempts: Int = 3, changeFeed: Boolean = false): Long = {
     require(keys.nonEmpty, "mergeOnRead needs at least one key column")
     val fs = fileSystem(spark, location)
+    // same generated-column computation contract as [[merge]]
+    val changes1 =
+      applyGenerated(changes, generatedColumns(spark, location))._1
     val tagged = deleteCol match {
-      case Some(d) => changes
+      case Some(d) => changes1
         .withColumn("_g_del", coalesce(col(d).cast("boolean"), lit(false))).drop(d)
-      case None => changes.withColumn("_g_del", lit(false))
+      case None => changes1.withColumn("_g_del", lit(false))
     }
     val changedKeys = tagged.select(keys.map(col): _*).dropDuplicates(keys)
     var done = -1L
@@ -906,11 +979,16 @@ object VersionedTable {
       val matched = snap.filter(expr(condition))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val updated = matched.select(dataCols.map { f =>
+        val updated0 = matched.select(dataCols.map { f =>
           assignments.get(f.name)
             .map(e => expr(e).cast(f.dataType).as(f.name))
             .getOrElse(col(f.name))
         }.toSeq: _*)
+        // generated columns the caller did NOT assign must track their source
+        // columns through the update: drop them so the staged write recomputes
+        val gen = generatedColumns(spark, location)
+        val updated = gen.keys.filterNot(assignments.contains)
+          .foldLeft(updated0)((d, g) => d.drop(g))
         val (dataDir, rows, stats) = stageData(updated, location, partitioning,
           constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
@@ -922,7 +1000,9 @@ object VersionedTable {
         if (changeFeed) {
           val pre = matched.drop(DvFileCol, DvPosCol)
             .withColumn("_change_type", lit("update_preimage"))
-          val post = updated.withColumn("_change_type", lit("update_postimage"))
+          // postimages carry the recomputed generated values the staged data has
+          val post = applyGenerated(updated, gen)._1
+            .withColumn("_change_type", lit("update_postimage"))
           pre.unionByName(post).write.mode("errorifexists")
             .parquet(s"$location/_data/$changeDir")
         }
@@ -1112,9 +1192,15 @@ object VersionedTable {
     * check aborts the write, deletes the partial staging dir, and rethrows as the
     * caller-facing IllegalArgumentException. Returns (dirName, rowCount, columnStats).
     */
-  private def stageData(df: DataFrame, location: String,
+  private def stageData(df0: DataFrame, location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
       : (String, Long, Map[String, (Double, Double)]) = {
+    // generated columns ride the same staged pass: absent ones are computed
+    // (so partitionBy on a generated column just works), present ones add a
+    // null-safe-equality validation to the fused check guard
+    val (df, genChecks) =
+      applyGenerated(df0, generatedColumns(df0.sparkSession, location))
+    val allChecks = checks ++ genChecks
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val statCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -1125,7 +1211,7 @@ object VersionedTable {
     val aggs = count(lit(1)).as("rows") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
       max(col(c)).cast("double").as(s"mx_$c")))
-    val writer = withCheckGuard(df, location, checks)
+    val writer = withCheckGuard(df, location, allChecks)
       .observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("errorifexists")
     try
