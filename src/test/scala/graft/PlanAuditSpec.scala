@@ -85,6 +85,24 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("DV read: the deletion-vector anti-join broadcasts the small DV side") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("pa_dv").toString + "/t"
+    val vt = graft.catalog.VersionedTable
+    vt.write((0 until 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name"),
+      loc, "overwrite")
+    vt.deleteWhere(spark, loc, "id % 100 = 0")
+    val read = vt.read(spark, loc)
+    val plan = finalPlan(read)
+    // the DV total is log-known small -> broadcast anti-join, not a shuffle
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // data-column filters still push into the parquet scan under the join
+    val filtered = read.filter($"id" > 500)
+    assert(formatted(filtered).contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)"),
+      formatted(filtered))
+  }
+
   test("runtime bloom filter: a selective dim filter injects a bloom probe into the fact scan") {
     // At 100 TB a shuffled fact-dim join with a selective dim filter should prefilter
     // the fact side with Spark's runtime bloom filter (on by default; size-gated).
