@@ -258,6 +258,35 @@ class DeletionVectorSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.read(spark, loc).count() === 100)
   }
 
+  test("mixed concurrent appends, DV deletes, and an update keep the log linear and counts exact") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loc = freshLoc("stress")
+    base(loc) // ids 0..99
+    // operand sets are disjoint, so the final state is deterministic no matter
+    // how the 9 writers interleave; every lost claim must recompute, not corrupt
+    val ops: Seq[() => Any] =
+      (0 until 4).map(i => () => VersionedTable.write(
+        (100 + i * 10 until 110 + i * 10).map(j => (j.toLong, s"a$j", j % 10))
+          .toDF("id", "name", "grp"), loc, "append")) ++
+      (0 until 4).map(i => () => VersionedTable.deleteWhere(spark, loc,
+        s"id >= ${i * 10} AND id < ${i * 10 + 10}", maxAttempts = 64)) :+
+      (() => VersionedTable.updateWhere(spark, loc, "id >= 90 AND id < 100",
+        Map("name" -> "'upd'"), maxAttempts = 64))
+    Await.result(Future.sequence(ops.map(f => Future(f()))), 5.minutes)
+    val cs = VersionedTable.commits(spark, loc)
+    assert(cs.map(_.version) === (0L to 9L))
+    val now = VersionedTable.read(spark, loc)
+    assert(now.count() === 100) // 100 - 40 deleted + 40 appended
+    assert(VersionedTable.fastCount(spark, loc) === 100)
+    assert(now.filter(col("id") < 40).count() === 0)
+    assert(now.filter(col("id") >= 100).count() === 40)
+    assert(now.filter(col("id") >= 90 && col("id") < 100 &&
+      col("name") =!= "upd").count() === 0)
+  }
+
   test("checkpointed log round-trips dv_dir") {
     val loc = freshLoc("ckpt")
     base(loc)
