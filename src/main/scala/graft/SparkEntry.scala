@@ -1223,6 +1223,29 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** Column-mapping gate: base commit written under `lang`, the column renamed
+    * to `language` (metadata-only), a second commit written under the NEW name,
+    * and `n_chars` dropped — the read must serve one logical schema across
+    * both file generations with the dropped column gone. The oracle states
+    * that schema directly; files rewritten, columns leaked, or a generation
+    * served under the wrong name would hash-mismatch.
+    */
+  private def qRenameColumn(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_colmap_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+    vt.write(d.filter(col("doc_id") < 300), loc, "overwrite")
+    vt.renameColumn(s, loc, "lang", "language")
+    vt.dropColumn(s, loc, "n_chars")
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      .withColumnRenamed("lang", "language").drop("n_chars"), loc, "append")
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   /** Priority-dedup gate: the corpus unioned with a mirrored copy (same text,
     * shifted id, different source) so every text exists exactly twice; priority
     * = doc_id % 3 varies per pair, so sometimes the original wins, sometimes
@@ -1410,7 +1433,8 @@ object SparkEntry {
     "q_merge_on_read" -> qMergeOnRead,
     "q_dp_counts" -> qDpCounts,
     "q_length_buckets" -> qLengthBuckets,
-    "q_generated_columns" -> qGeneratedColumns)
+    "q_generated_columns" -> qGeneratedColumns,
+    "q_rename_column" -> qRenameColumn)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2860,6 +2884,11 @@ object SparkEntry {
       """SELECT doc_id, lang, 'delete' AS change_type,
         |  CAST(1 AS BIGINT) AS commit_version
         |FROM documents WHERE doc_id < 400 AND doc_id % 9 = 4
+        |ORDER BY doc_id""".stripMargin,
+    // column mapping: one logical schema across pre- and post-rename commits,
+    // dropped column absent
+    "q_rename_column" ->
+      """SELECT doc_id, lang AS language FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // generated columns: the oracle states the declared expression over the
     // written rows — both commits must carry the computed value

@@ -272,6 +272,177 @@ object VersionedTable {
     (computed, checks)
   }
 
+  /** COLUMN MAPPING (Delta name-mode column mapping parity): RENAME and DROP
+    * columns as METADATA operations — no data file is rewritten. The registry
+    * (`_columns.json`) maps each column's PHYSICAL name (what the parquet files
+    * carry, fixed at first write) to its current LOGICAL name ("" = dropped).
+    * Every API surface speaks logical names: reads translate physical→logical
+    * after the scan, writes translate logical→physical before the files land,
+    * so files written before and after a rename stay mutually consistent (and
+    * commit stats stay keyed physically — [[readPruned]] translates its probe).
+    *
+    * Scoped contract, enforced loudly rather than half-supported:
+    *  - PARTITION columns cannot be renamed or dropped (their physical names
+    *    are baked into hive directory layouts and scoped-merge specs);
+    *  - a column referenced by a CHECK constraint or a generated-column
+    *    expression must have those declarations dropped first;
+    *  - a batch may not land a column whose name collides with a renamed-away
+    *    or dropped PHYSICAL name (re-using a dropped name needs a [[compact]]
+    *    — which materializes the current logical schema — followed by
+    *    [[clearColumnMapping]]);
+    *  - change feeds materialize the logical names in force at capture time.
+    */
+  def renameColumn(spark: SparkSession, location: String, oldName: String,
+      newName: String): Unit = {
+    require(newName.nonEmpty && !newName.contains("\"") &&
+      !newName.contains("."), s"bad column name: $newName")
+    val schema = read(spark, location).columns
+    require(schema.exists(_.equalsIgnoreCase(oldName)),
+      s"column '$oldName' does not exist at $location (have ${schema.mkString(", ")})")
+    require(!schema.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists at $location")
+    requireUnmapped(spark, location, oldName)
+    val mapping = columnMapping(spark, location)
+    // the physical name is the one the files carry: either this logical name
+    // was itself a rename target (chain), or it IS the physical name
+    val physical = mapping.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(oldName) => p
+    }.getOrElse(oldName)
+    writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> newName))
+  }
+
+  /** DROP COLUMN as metadata: the column disappears from every read (old and
+    * new commits alike) without touching a file. Same scoped contract as
+    * [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, location: String, name: String): Unit = {
+    val schema = read(spark, location).columns
+    require(schema.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist at $location (have ${schema.mkString(", ")})")
+    requireUnmapped(spark, location, name)
+    val mapping = columnMapping(spark, location)
+    val physical = mapping.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(name) => p
+    }.getOrElse(name)
+    writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> ""))
+  }
+
+  /** Forget the registry — only safe when the live files already carry the
+    * logical names, which is exactly what [[materializeMapping]] arranges
+    * (an ordinary [[compact]] would NOT: its staged write translates back to
+    * physical names to stay consistent with the other live files).
+    */
+  private def clearColumnMapping(spark: SparkSession, location: String): Unit =
+    writeKeyedJson(spark, location, ColumnsFile, Map.empty)
+
+  /** Rewrite the live set with today's LOGICAL schema materialized into the
+    * files, then clear the mapping — the escape hatch that makes dropped
+    * names reusable and hands external engines files whose column names match
+    * the table's. One live-set rewrite (the [[compact]] cost shape).
+    */
+  def materializeMapping(spark: SparkSession, location: String): Long = {
+    val fs = fileSystem(spark, location)
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val latest = cs.last
+    val snap = read(spark, location) // logical view
+    val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+    // clear FIRST in a staged sense: write the data bypassing the logical->
+    // physical translation by staging AFTER clearing the registry; a lost
+    // claim leaves the cleared registry with the old files still live, which
+    // reads translate as before only if the registry exists — so order
+    // matters: stage the materialized copy, claim, then clear.
+    val dataDir = s"d-${java.util.UUID.randomUUID()}"
+    val obs = Observation(s"vt_rows_$dataDir")
+    val writer = snap.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("errorifexists")
+    (if (partitioning.nonEmpty) writer.partitionBy(partitioning: _*) else writer)
+      .parquet(s"$location/_data/$dataDir")
+    val rows = obs.get("rows").asInstanceOf[Long]
+    if (!claimCommit(fs, location, latest.version + 1, "compact", rows, dataDir,
+        partitioning)) {
+      fs.delete(new Path(s"$location/_data/$dataDir"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"a concurrent commit raced materializeMapping at $location — retry")
+    }
+    clearColumnMapping(spark, location)
+    maybeCheckpoint(spark, location, latest.version + 1)
+    latest.version + 1
+  }
+
+  private val ColumnsFile = "_columns.json"
+
+  /** The physical→logical column mapping ("" logical = dropped); empty when no
+    * rename/drop was ever made.
+    */
+  def columnMapping(spark: SparkSession, location: String): Map[String, String] =
+    readKeyedJson(spark, location, ColumnsFile)
+
+  private def requireUnmapped(spark: SparkSession, location: String,
+      name: String): Unit = {
+    val partCols = commits(spark, location)
+      .flatMap(_.partition_by.split(",")).filter(_.nonEmpty)
+      .map(_.toLowerCase).toSet
+    require(!partCols.contains(name.toLowerCase),
+      s"'$name' is a partition column at $location — partition columns cannot " +
+        "be renamed or dropped (their physical names are baked into the layout)")
+    val refs = (constraints(spark, location) ++
+      generatedColumns(spark, location)).filter { case (_, sql) =>
+      s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b".r
+        .findFirstIn(sql).isDefined
+    }
+    require(refs.isEmpty,
+      s"'$name' is referenced by ${refs.keys.mkString(", ")} at $location — " +
+        "drop those declarations first")
+  }
+
+  /** Translate a post-scan (physical-named) frame to the logical schema. */
+  private def toLogical(df: DataFrame,
+      mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (p, l)) =>
+      if (!d.columns.exists(_.equalsIgnoreCase(p))) d
+      else if (l.isEmpty) d.drop(p)
+      else d.withColumnRenamed(p, l)
+    }
+
+  /** Translate a logical-named batch to physical names for the file writer,
+    * refusing collisions with renamed-away or dropped physical names.
+    */
+  private def toPhysical(df: DataFrame,
+      mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (p, l)) =>
+      val carriesPhysical = d.columns.exists(c =>
+        c.equalsIgnoreCase(p) && !p.equalsIgnoreCase(l))
+      if (carriesPhysical) throw new IllegalArgumentException(
+        s"batch carries column '$p', which is the PHYSICAL name of a " +
+          (if (l.isEmpty) "dropped column" else s"column renamed to '$l'") +
+          " — run materializeMapping() to free the name")
+      if (l.nonEmpty && d.columns.exists(_.equalsIgnoreCase(l)))
+        d.withColumnRenamed(l, p)
+      else d
+    }
+
+  /** Raw data-dir read for the streaming source's append fast path: serves the
+    * files under the table's LOGICAL schema (identity when no column was ever
+    * renamed/dropped — then the fixed-schema parquet read is used verbatim,
+    * keeping the zero-copy behavior).
+    */
+  private[graft] def readDataDirsLogical(spark: SparkSession, location: String,
+      dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val mapping = columnMapping(spark, location)
+    if (mapping.isEmpty)
+      spark.read.option("mergeSchema", "true").schema(schema).parquet(dirs: _*)
+    else {
+      val raw = toLogical(
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*), mapping)
+      schema.fields.foldLeft(raw) { (d, f) =>
+        if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
   private def escapeJson(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
@@ -572,11 +743,18 @@ object VersionedTable {
           s"shallowClone of $source lost the claim for version $i at $target — " +
             "a concurrent writer is building the same target")
     }
-    // constraints advertised by the source hold on the cloned snapshot (they
-    // were enforced on every landing batch) and keep holding for new writes
+    // constraints, generated columns, and the column mapping advertised by the
+    // source hold on the cloned snapshot (all were in force for every landing
+    // batch) and keep holding for the clone's own writes
     val srcConstraints = constraints(spark, source)
     if (srcConstraints.nonEmpty)
       writeConstraints(spark, target, srcConstraints)
+    val srcGenerated = generatedColumns(spark, source)
+    if (srcGenerated.nonEmpty)
+      writeKeyedJson(spark, target, GeneratedFile, srcGenerated)
+    val srcMapping = columnMapping(spark, source)
+    if (srcMapping.nonEmpty)
+      writeKeyedJson(spark, target, ColumnsFile, srcMapping)
     live.length - 1L
   }
 
@@ -1056,11 +1234,14 @@ object VersionedTable {
     val stamp = (df: DataFrame, c: Commit) => df
       .withColumn("_commit_version", lit(c.version))
       .withColumn("_commit_timestamp", to_timestamp(lit(c.timestamp)))
+    // data files carry PHYSICAL column names; the feed surfaces logical ones.
+    // Materialized change dirs were written logically at capture time already.
+    val mapping = columnMapping(spark, location)
     val parts = cs.filter(c => c.version >= fromVersion && c.version <= toVersion)
       .flatMap { c =>
         c.operation match {
           case "append" =>
-            Some(stamp(spark.read.parquet(dataPath(location, c))
+            Some(stamp(toLogical(spark.read.parquet(dataPath(location, c)), mapping)
               .withColumn("_change_type", lit("insert")), c))
           case "merge" if c.change_dir.nonEmpty =>
             Some(stamp(spark.read.parquet(s"$location/_data/${c.change_dir}"), c))
@@ -1093,7 +1274,8 @@ object VersionedTable {
             // delivered, preimage retractions lost) — the contract the
             // streaming source's startingVersion/ignoreChanges paths rely on.
             if (allowFullRewrites)
-              Some(stamp(spark.read.parquet(dataPath(location, c))
+              Some(stamp(toLogical(spark.read.parquet(dataPath(location, c)),
+                  mapping)
                 .withColumn("_change_type", lit("insert")), c))
             else throw new IllegalStateException(
               s"version ${c.version} at $location is a ${c.operation} whose row " +
@@ -1198,9 +1380,14 @@ object VersionedTable {
     // generated columns ride the same staged pass: absent ones are computed
     // (so partitionBy on a generated column just works), present ones add a
     // null-safe-equality validation to the fused check guard
-    val (df, genChecks) =
+    val (df1, genChecks) =
       applyGenerated(df0, generatedColumns(df0.sparkSession, location))
     val allChecks = checks ++ genChecks
+    // the guard speaks LOGICAL names (constraints/generated are declared
+    // logically); the files and their stats land under PHYSICAL names so every
+    // live file agrees regardless of renames since
+    val df = toPhysical(withCheckGuard(df1, location, allChecks),
+      columnMapping(df0.sparkSession, location))
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val statCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -1211,7 +1398,7 @@ object VersionedTable {
     val aggs = count(lit(1)).as("rows") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"mn_$c"),
       max(col(c)).cast("double").as(s"mx_$c")))
-    val writer = withCheckGuard(df, location, allChecks)
+    val writer = df
       .observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("errorifexists")
     try
@@ -1318,11 +1505,16 @@ object VersionedTable {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     val live = liveCommits(spark, location, cs.last.version)
+    // commit stats are keyed by PHYSICAL column name; the caller's probe is
+    // logical — translate before the lookup (identity when never renamed)
+    val physical = columnMapping(spark, location).collectFirst {
+      case (p, l) if l.equalsIgnoreCase(column) => p
+    }.getOrElse(column)
     // scoped merges are kept regardless of stats: dropping one would also drop
     // its SHADOW over earlier commits and resurrect replaced rows. DV-carrying
     // commits likewise — dropping one would resurrect its deleted rows.
     val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
-      c.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      c.stats.get(physical).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val predicate = col(column) >= lo && col(column) <= hi
     if (kept.isEmpty)
       // every commit pruned: keep the full-scan plan for its schema; parquet footer
@@ -1373,6 +1565,11 @@ object VersionedTable {
     * (file, row-index) identity columns the DV anti-join needs.
     */
   private def assembleScan(spark: SparkSession, location: String,
+      live: Seq[Commit], keepMeta: Boolean): DataFrame =
+    toLogical(assembleScanPhysical(spark, location, live, keepMeta),
+      columnMapping(spark, location))
+
+  private def assembleScanPhysical(spark: SparkSession, location: String,
       live: Seq[Commit], keepMeta: Boolean): DataFrame = {
     // pure-delete commits carry no data of their own
     val scans = live.filter(c => !(c.operation == "delete" && c.data_dir.isEmpty))

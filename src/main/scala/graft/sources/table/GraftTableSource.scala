@@ -213,8 +213,8 @@ class GraftTableSource(
             .filter(_.data_dir.nonEmpty)
             .map(c => s"$location/_data/${c.data_dir}")
           if (appendDirs.isEmpty) emptyBatch
-          else spark.read.option("mergeSchema", "true")
-            .schema(schema).parquet(appendDirs: _*)
+          else VersionedTable.readDataDirsLogical(spark, location, appendDirs,
+            schema)
         }
     }
   }
