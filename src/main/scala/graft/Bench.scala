@@ -19,7 +19,9 @@ object Bench {
     "q_token_pairs", "q_vocabulary", "q_gopher_rules", "q_source_caps",
     "q_dup_spans", "q_span_cut", "q_audio_features", "q_shards", "q_lm_score",
     "q_novelty", "q_fuzzy_pairs", "q_quality_score", "q_pagerank",
-    "q_heavy_hitters", "q_chunk_dedup", "q_mixture_plan", "q_k_anonymity")
+    "q_heavy_hitters", "q_chunk_dedup", "q_mixture_plan", "q_k_anonymity",
+    "q_dedup_priority", "q_curation_pipeline", "q_length_buckets",
+    "q_dp_counts")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production

@@ -1246,6 +1246,35 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** End-to-end curation-pipeline gate: the composition proof that the LLM-data
+    * operators chain — quality gate (token count + mean word length) →
+    * priority dedup over a mirrored corpus → exact benchmark decontamination →
+    * deterministic stratified sampling — in ONE lazy plan (no materialization
+    * between stages; Catalyst fuses the per-row stages into the scan). The
+    * oracle replays all four stages, so a stage reordering, a dedup winner
+    * flip, or a sampling-cut drift anywhere in the chain hash-mismatches.
+    */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+    val withTok = d.withColumn("n_tokens",
+      size(split(trim(col("text")), "\\s+")).cast("long"))
+    val quality = withTok.filter(col("n_tokens") >= 50 &&
+      (col("n_chars").cast("double") / col("n_tokens")).between(3.0, 12.0))
+    val mirror = quality.withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("source", concat(lit("mirror_"), col("source")))
+    val all = quality.unionByName(mirror)
+      .withColumn("priority", col("doc_id") % 3)
+    val deduped = graft.ops.Dedup.dedupByPriority(all, "priority")
+    val bench = d.filter(col("doc_id") % 97 === 13)
+      .select(md5(col("text")).as("bh"))
+    val clean = deduped.join(bench,
+      md5(deduped("text")) === bench("bh"), "left_anti")
+    graft.ops.Splits.sampleStratified(clean, "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      .select("doc_id", "lang", "source", "priority", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Priority-dedup gate: the corpus unioned with a mirrored copy (same text,
     * shifted id, different source) so every text exists exactly twice; priority
     * = doc_id % 3 varies per pair, so sometimes the original wins, sometimes
@@ -1434,7 +1463,8 @@ object SparkEntry {
     "q_dp_counts" -> qDpCounts,
     "q_length_buckets" -> qLengthBuckets,
     "q_generated_columns" -> qGeneratedColumns,
-    "q_rename_column" -> qRenameColumn)
+    "q_rename_column" -> qRenameColumn,
+    "q_curation_pipeline" -> qCurationPipeline)
 
   // ---- oracle SQL -------------------------------------------------------------------
 
@@ -2884,6 +2914,38 @@ object SparkEntry {
       """SELECT doc_id, lang, 'delete' AS change_type,
         |  CAST(1 AS BIGINT) AS commit_version
         |FROM documents WHERE doc_id < 400 AND doc_id % 9 = 4
+        |ORDER BY doc_id""".stripMargin,
+    // curation pipeline: all four stages replayed in one SQL chain — quality
+    // gate, window-replayed priority dedup, NOT-IN decontamination, md5-cut
+    // stratified sampling
+    "q_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 50
+        |    AND CAST(n_chars AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
+        |        BETWEEN 3.0 AND 12.0),
+        |a AS (
+        |  SELECT doc_id, text, lang, source, n_tokens FROM q
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, 'mirror_' || source, n_tokens FROM q),
+        |p AS (
+        |  SELECT *, doc_id % 3 AS priority,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |                       ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM a),
+        |d AS (SELECT * FROM p WHERE rn = 1),
+        |c AS (
+        |  SELECT * FROM d WHERE md5(text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 97 = 13)),
+        |s AS (
+        |  SELECT * FROM c
+        |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 1000
+        |    < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 1000
+        |           ELSE 250 END)
+        |SELECT doc_id, lang, source, priority, n_tokens FROM s
         |ORDER BY doc_id""".stripMargin,
     // column mapping: one logical schema across pre- and post-rename commits,
     // dropped column absent
