@@ -1230,6 +1230,35 @@ object SparkEntry {
     * that schema directly; files rewritten, columns leaked, or a generation
     * served under the wrong name would hash-mismatch.
     */
+  /** DSv2 catalog gate: the versioned table's PURE-SQL lifecycle — CTAS, INSERT
+    * INTO (append commit), DELETE FROM (a deletion-vector commit, no rewrite), and
+    * native `VERSION AS OF` time travel — all through `spark.sql` against a
+    * [[graft.sources.table.GraftCatalog]] warehouse, zero Scala table calls. The
+    * result carries the table head AND the pre-delete snapshot, so the oracle
+    * pins both the DV subtraction and SQL time travel in one hash.
+    */
+  private def qSqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    // the catalog instance (and its warehouse conf) is minted once per JVM on
+    // first reference; the applicationId suffix keeps concurrent drivers apart
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.docs")
+    docs(s, dir).select("doc_id", "lang", "source").createOrReplaceTempView("sqlcat_docs")
+    // CTAS = empty v0 + append v1; the INSERT is v2, the DELETE a DV-only v3
+    s.sql("CREATE TABLE gsqlc.contract.docs AS SELECT * FROM sqlcat_docs WHERE doc_id < 300")
+    s.sql("INSERT INTO gsqlc.contract.docs SELECT * FROM sqlcat_docs " +
+      "WHERE doc_id >= 300 AND doc_id < 500")
+    s.sql("DELETE FROM gsqlc.contract.docs WHERE lang = 'en'")
+    s.sql("""SELECT 'head' AS state, doc_id, lang, source FROM gsqlc.contract.docs
+            |UNION ALL
+            |SELECT 'pre_delete' AS state, doc_id, lang, source
+            |FROM gsqlc.contract.docs VERSION AS OF 2""".stripMargin)
+      .orderBy("state", "doc_id")
+  }
+
   private def qRenameColumn(s: SparkSession, dir: String): DataFrame = {
     val vt = graft.catalog.VersionedTable
     val loc =
@@ -1464,6 +1493,7 @@ object SparkEntry {
     "q_length_buckets" -> qLengthBuckets,
     "q_generated_columns" -> qGeneratedColumns,
     "q_rename_column" -> qRenameColumn,
+    "q_sql_catalog" -> qSqlCatalog,
     "q_curation_pipeline" -> qCurationPipeline)
 
   // ---- oracle SQL -------------------------------------------------------------------
@@ -2952,6 +2982,15 @@ object SparkEntry {
     "q_rename_column" ->
       """SELECT doc_id, lang AS language FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
+    // DSv2 SQL catalog: head = post-DELETE survivors, pre_delete = the VERSION AS
+    // OF 2 snapshot (CTAS + INSERT, before the DV commit) — stated directly
+    "q_sql_catalog" ->
+      """SELECT 'head' AS state, doc_id, lang, source FROM documents
+        |WHERE doc_id < 500 AND lang <> 'en'
+        |UNION ALL
+        |SELECT 'pre_delete' AS state, doc_id, lang, source FROM documents
+        |WHERE doc_id < 500
+        |ORDER BY state, doc_id""".stripMargin,
     // generated columns: the oracle states the declared expression over the
     // written rows — both commits must carry the computed value
     "q_generated_columns" ->

@@ -169,6 +169,21 @@ object VersionedTable {
   def constraints(spark: SparkSession, location: String): Map[String, String] =
     readKeyedJson(spark, location, "_constraints.json")
 
+  /** Declared table spec — the DSv2 catalog's sidecar ([[graft.sources.table.GraftCatalog]]):
+    * currently just the CREATE TABLE partition columns (`"partition_by" -> "a,b"`), so an
+    * empty CREATE (whose version-0 commit is written flat — zero rows lay out no
+    * partition directories) still advertises and applies its declared partitioning on
+    * every later INSERT. Same atomic temp+rename publish discipline as the constraint
+    * file; absent for tables created through the Scala API (callers fall back to the
+    * latest commit's `partition_by`).
+    */
+  def tableSpec(spark: SparkSession, location: String): Map[String, String] =
+    readKeyedJson(spark, location, "_table_spec.json")
+
+  def writeTableSpec(spark: SparkSession, location: String,
+      spec: Map[String, String]): Unit =
+    writeKeyedJson(spark, location, "_table_spec.json", spec)
+
   private def readKeyedJson(spark: SparkSession, location: String,
       file: String): Map[String, String] = {
     val p = new Path(s"$location/$file")

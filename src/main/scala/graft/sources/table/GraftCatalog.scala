@@ -1,0 +1,382 @@
+package graft.sources.table
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.VersionedTable
+
+/** DataSource V2 [[TableCatalog]] over [[VersionedTable]] — the pure-SQL surface of
+  * the table layer, mirroring how Delta/Iceberg plug their formats into Spark's
+  * catalog API so a SQL-only user (Thrift server, notebook, `spark-sql`) gets the
+  * full versioned-table lifecycle with zero Scala:
+  *
+  * {{{
+  *   spark.sql.catalog.graft                = graft.sources.table.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse      = /data/graft
+  *
+  *   CREATE NAMESPACE graft.curated;
+  *   CREATE TABLE graft.curated.docs (doc_id BIGINT, lang STRING, d DATE)
+  *     PARTITIONED BY (d);
+  *   INSERT INTO graft.curated.docs SELECT ...;           -- append commit
+  *   INSERT OVERWRITE graft.curated.docs SELECT ...;      -- overwrite commit
+  *   CREATE TABLE graft.curated.top AS SELECT ...;        -- CTAS
+  *   SELECT * FROM graft.curated.docs VERSION AS OF 0;    -- native SQL time travel
+  *   SELECT * FROM graft.curated.docs TIMESTAMP AS OF '2026-01-01';
+  *   DELETE FROM graft.curated.docs WHERE lang = 'und';   -- deletion-vector commit
+  *   TRUNCATE TABLE graft.curated.docs;
+  *   ALTER TABLE graft.curated.docs RENAME COLUMN lang TO language;  -- metadata-only
+  *   DROP TABLE graft.curated.docs;
+  * }}}
+  *
+  * Identifiers are laid out `warehouse/<namespace>/<table>` — the catalog is
+  * filesystem-backed exactly like the commit log itself, so there is no extra
+  * metastore to coordinate with and the same layout works on HDFS/S3A at any scale
+  * (namespace operations are directory operations; table existence is the presence
+  * of a `_commit_log`).
+  *
+  * Read path: the scan builder accepts column pruning and filter pushdown at the
+  * DSv2 layer, applies both to the snapshot DataFrame (so they reach the parquet
+  * branches BEFORE the bridge), and serves rows through [[V1Scan]] — the supported
+  * migration shim Spark itself uses for JDBC v2. The DataFrame/`format("graft-table")`
+  * path keeps the fully native plan; this SQL path trades the codegen'd scan root for
+  * catalog semantics while keeping pushdown intact (asserted in DSv2CatalogSpec).
+  *
+  * Write path: [[V1Write]] → one [[VersionedTable.write]] commit per INSERT, with the
+  * declared partitioning from the create-time spec sidecar. DELETE maps pushable
+  * predicates onto [[VersionedTable.deleteWhere]] — a merge-on-read deletion-vector
+  * commit, zero files rewritten; an unpushable DELETE condition fails analysis
+  * loudly rather than silently rewriting the table. UPDATE/MERGE SQL would need
+  * `SupportsRowLevelOperations`; those verbs stay on the Scala API
+  * ([[VersionedTable.updateWhere]]/[[VersionedTable.merge]]) for now.
+  *
+  * CREATE TABLE commits an EMPTY version 0 written flat (zero rows lay out no
+  * partition directories, so the declared partitioning is persisted in the
+  * `_table_spec.json` sidecar and applied to every later INSERT); `LOCATION` is
+  * refused because a filesystem catalog cannot re-resolve external paths without a
+  * metastore of its own.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(s"catalog '$name' needs a warehouse " +
+        s"directory: set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+  private def nsPath(ns: Array[String]): Path = {
+    ns.foreach(n => require(n.nonEmpty && !n.contains("/") && !n.startsWith("_"),
+      s"bad namespace element: '$n'"))
+    ns.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+  }
+  private def tablePath(ident: Identifier): Path = {
+    require(ident.name.nonEmpty && !ident.name.contains("/") &&
+      !ident.name.startsWith("_"), s"bad table name: '${ident.name}'")
+    new Path(nsPath(ident.namespace), ident.name)
+  }
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- tables ----
+
+  override def tableExists(ident: Identifier): Boolean =
+    VersionedTable.exists(spark, tablePath(ident).toString)
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val p = nsPath(ns)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(p).filter(_.isDirectory)
+      .filter(st => VersionedTable.exists(spark, st.getPath.toString))
+      .map(st => Identifier.of(ns, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val loc = tablePath(ident).toString
+    if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(fullName(ident), loc, None)
+  }
+
+  /** `VERSION AS OF <v>` — Spark hands the raw token through; only numeric commit
+    * versions are meaningful here (Delta also accepts them; we have no branch refs).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val loc = tablePath(ident).toString
+    if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw ColumnBridge.analysisError(
+        s"VERSION AS OF '$version' on ${fullName(ident)}: expected a numeric commit version")
+    }
+    new GraftSqlTable(fullName(ident), loc, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark passes microseconds since the epoch; resolve to
+    * the newest commit at or before it (same defensive stamp parse as the DataSource
+    * option: one corrupt legacy stamp must not take down every timestamp read).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = tablePath(ident).toString
+    if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+    val cutoff = java.time.Instant.EPOCH.plus(timestamp, java.time.temporal.ChronoUnit.MICROS)
+    val cs = VersionedTable.commits(spark, loc)
+      .filter(c => VersionedTable.parseInstant(c.timestamp).exists(!_.isAfter(cutoff)))
+    if (cs.isEmpty) throw ColumnBridge.analysisError(
+      s"no commit at ${fullName(ident)} at or before $cutoff")
+    new GraftSqlTable(fullName(ident), loc, Some(cs.last.version))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val loc = tablePath(ident).toString
+    if (VersionedTable.exists(spark, loc)) throw new TableAlreadyExistsException(ident)
+    if (properties.containsKey(TableCatalog.PROP_LOCATION) &&
+        !"true".equalsIgnoreCase(
+          String.valueOf(properties.get(TableCatalog.PROP_IS_MANAGED_LOCATION))))
+      throw ColumnBridge.analysisError(
+        s"${fullName(ident)}: LOCATION is not supported — a filesystem catalog " +
+          "cannot re-resolve external paths; tables live under the warehouse")
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw ColumnBridge.analysisError(
+        s"${fullName(ident)}: only identity PARTITIONED BY columns are supported, got $t")
+    }
+    partitionBy.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"partition column '$c' is not in the table schema"))
+    if (!fs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    // the empty v0 is written FLAT (see class doc) but with one real parquet file,
+    // so schema inference on the empty table works; repartition(1) forces the file
+    val empty = spark.createDataFrame(new util.ArrayList[Row](), schema).repartition(1)
+    VersionedTable.write(empty, loc, "overwrite", partitionBy = Nil)
+    if (partitionBy.nonEmpty)
+      VersionedTable.writeTableSpec(spark, loc,
+        Map("partition_by" -> partitionBy.mkString(",")))
+    new GraftSqlTable(fullName(ident), loc, None)
+  }
+
+  /** Metadata-only column DDL rides the table layer's column mapping; everything
+    * else (type changes, property churn) is refused rather than faked.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val loc = tablePath(ident).toString
+    if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1, "nested column rename is not supported")
+        VersionedTable.renameColumn(spark, loc, c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1, "nested column drop is not supported")
+        VersionedTable.dropColumn(spark, loc, c.fieldNames.head)
+      case c => throw ColumnBridge.analysisError(
+        s"${fullName(ident)}: unsupported ALTER TABLE change $c — the SQL surface " +
+          "covers RENAME COLUMN and DROP COLUMN (metadata-only); use the Scala API " +
+          "for constraints, generated columns, and maintenance operations")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    VersionedTable.exists(spark, p.toString) && fs.delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tablePath(from)
+    val dst = tablePath(to)
+    if (!VersionedTable.exists(spark, src.toString)) throw new NoSuchTableException(from)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(to)
+    if (!fs.exists(dst.getParent)) throw new NoSuchNamespaceException(to.namespace)
+    if (!fs.rename(src, dst)) throw new java.io.IOException(
+      s"failed to rename ${fullName(from)} to ${fullName(to)}")
+  }
+
+  // ---- namespaces: plain directories under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      .filterNot(n => VersionedTable.exists(spark, s"$warehouse/$n"))
+      .map(Array(_))
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (namespaceExists(ns)) Array.empty // single-level namespaces
+    else throw new NoSuchNamespaceException(ns)
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || fs.exists(nsPath(ns))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(ns).toString).asJava
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1, s"only single-level namespaces are supported, got " +
+      ns.mkString("."))
+    fs.mkdirs(nsPath(ns))
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw ColumnBridge.analysisError(
+      s"namespace properties are not supported on ${ns.mkString(".")}")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(ns)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        ns, "drop with CASCADE to remove its tables", None)
+    fs.delete(p, true)
+  }
+}
+
+/** One versioned table (optionally pinned to a time-travel version) through the DSv2
+  * [[Table]] API. Reads and writes delegate to the same [[VersionedTable]] code paths
+  * as the Scala and DataSource surfaces, so SQL users get identical semantics —
+  * commits, CHECK constraints, generated columns, column mapping, deletion vectors.
+  */
+class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def snapshot: DataFrame = versionAsOf
+    .map(VersionedTable.readAsOf(spark, location, _))
+    .getOrElse(VersionedTable.read(spark, location))
+
+  /** Declared partitioning: the create-time spec when present, else whatever the
+    * latest commit used (tables created through the Scala API).
+    */
+  private def partitionCols: Seq[String] =
+    VersionedTable.tableSpec(spark, location).get("partition_by")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(VersionedTable.commits(spark, location)
+        .lastOption.map(_.partition_by.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil))
+
+  override def name(): String = tableName
+  override def schema(): StructType = snapshot.schema
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(Expressions.identity).toArray
+  override def version(): String =
+    VersionedTable.commits(spark, location).lastOption.map(_.version.toString).orNull
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> location,
+      TableCatalog.PROP_PROVIDER -> "graft-table").asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(snapshot)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    versionAsOf.foreach(v => throw ColumnBridge.analysisError(
+      s"$tableName VERSION AS OF $v is a read-only snapshot — write to the table head"))
+    new GraftWriteBuilder(location, partitionCols)
+  }
+
+  // ---- DELETE FROM / TRUNCATE TABLE: a deletion-vector commit, no rewrite ----
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterTranslation.toSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    versionAsOf.foreach(v => throw ColumnBridge.analysisError(
+      s"$tableName VERSION AS OF $v is a read-only snapshot"))
+    val condition = filters.flatMap(FilterTranslation.toSql)
+      .reduceOption((l, r) => s"($l AND $r)")
+      .getOrElse("true") // DELETE with no WHERE / TRUNCATE
+    VersionedTable.deleteWhere(spark, location, condition)
+  }
+}
+
+/** DSv2 scan with column pruning and filter pushdown applied to the snapshot plan
+  * BEFORE the V1 bridge — the filters and projection reach the underlying parquet
+  * branches (through the partitioned union when there is one), so partition pruning
+  * and `PushedFilters` behave as on the native path. `pushFilters` keeps every
+  * filter as post-scan residual (conservative, like the V1 relation's
+  * unhandled-filter contract), so pushdown is a pure optimization.
+  */
+class GraftScanBuilder(df: DataFrame) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = new V1Scan {
+    private val readSchemaV: StructType = required.getOrElse(df.schema)
+    override def readSchema(): StructType = readSchemaV
+    override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T = {
+      val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(df)(_.filter(_))
+      // empty projection (COUNT(*) pruning) is a valid zero-column select
+      val pruned = filtered.select(readSchemaV.fieldNames.toIndexedSeq.map(col): _*)
+      new V1SnapshotScan(ctx, pruned, readSchemaV).asInstanceOf[T]
+    }
+  }
+}
+
+private class V1SnapshotScan(ctx: SQLContext, df: DataFrame,
+    override val schema: StructType) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def buildScan(): RDD[Row] = df.rdd
+}
+
+/** INSERT INTO → append commit; INSERT OVERWRITE → overwrite commit (Spark signals
+  * static full-table overwrite through [[SupportsTruncate]]). One commit per INSERT,
+  * laid out with the table's declared partitioning.
+  */
+class GraftWriteBuilder(location: String, partitionBy: Seq[String])
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ignored: Boolean): Unit = {
+        VersionedTable.write(data,
+          location, if (overwrite) "overwrite" else "append", partitionBy)
+      }
+    }
+  }
+}

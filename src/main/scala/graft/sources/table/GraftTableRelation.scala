@@ -88,17 +88,55 @@ class DataFrameRelation(ctx: SQLContext, df: DataFrame)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(toColumn).foldLeft(df)(_.filter(_))
+    val filtered = filters.flatMap(FilterTranslation.toColumn).foldLeft(df)(_.filter(_))
     val pruned =
       if (requiredColumns.isEmpty) filtered
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     pruned.rdd
   }
+}
 
-  /** Source filters → Column predicates; None for shapes we cannot translate
-    * (Spark evaluates them post-scan either way — translation is pure pushdown).
+/** Source filters → Column predicates; None for shapes we cannot translate
+  * (Spark evaluates them post-scan either way — translation is pure pushdown).
+  * Shared by the V1 relation, the DSv2 scan builder, and the DSv2 DELETE path.
+  */
+private[table] object FilterTranslation {
+
+  /** Source filters → an ANSI SQL predicate string — the DSv2 DELETE path hands
+    * conditions to [[graft.catalog.VersionedTable.deleteWhere]] as SQL text.
+    * Literals render through Catalyst's `Literal.sql` (typed, escaped: strings get
+    * quotes, dates/timestamps their type prefix), column names are backtick-quoted.
+    * None for untranslatable shapes — the DELETE then fails analysis loudly instead
+    * of guessing.
     */
-  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+  def toSql(f: Filter): Option[String] = {
+    def lit(v: Any): String =
+      org.apache.spark.sql.catalyst.expressions.Literal(v).sql
+    def q(a: String): String =
+      a.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    f match {
+      case EqualTo(a, v) => Some(s"(${q(a)} = ${lit(v)})")
+      case EqualNullSafe(a, v) => Some(s"(${q(a)} <=> ${lit(v)})")
+      case GreaterThan(a, v) => Some(s"(${q(a)} > ${lit(v)})")
+      case GreaterThanOrEqual(a, v) => Some(s"(${q(a)} >= ${lit(v)})")
+      case LessThan(a, v) => Some(s"(${q(a)} < ${lit(v)})")
+      case LessThanOrEqual(a, v) => Some(s"(${q(a)} <= ${lit(v)})")
+      case In(a, vs) => Some(s"(${q(a)} IN (${vs.map(lit).mkString(", ")}))")
+      case IsNull(a) => Some(s"(${q(a)} IS NULL)")
+      case IsNotNull(a) => Some(s"(${q(a)} IS NOT NULL)")
+      case StringStartsWith(a, v) => Some(s"startswith(${q(a)}, ${lit(v)})")
+      case StringEndsWith(a, v) => Some(s"endswith(${q(a)}, ${lit(v)})")
+      case StringContains(a, v) => Some(s"contains(${q(a)}, ${lit(v)})")
+      case And(l, r) => for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls AND $rs)"
+      case Or(l, r) => for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls OR $rs)"
+      case Not(c) => toSql(c).map(s => s"(NOT $s)")
+      case AlwaysTrue() => Some("true")
+      case AlwaysFalse() => Some("false")
+      case _ => None
+    }
+  }
+
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.VersionedTable
+
+/** The DSv2 TableCatalog surface: full SQL lifecycle over versioned tables —
+  * CREATE/INSERT/CTAS/SELECT with time travel/DELETE/TRUNCATE/ALTER/DROP — with
+  * the same commit-log semantics as the Scala API underneath.
+  */
+class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
+
+  /** One warehouse per JVM: catalog instances are cached per name, so the
+    * warehouse conf must be stable for the session's lifetime.
+    */
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.gsql", classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql.t")
+    wh
+  }
+
+  private def loc(table: String): String = s"$warehouse/t/$table"
+
+  private def dataFiles(table: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val dir = new java.io.File(loc(table), "_data")
+    if (!dir.exists()) Set.empty
+    else walk(dir).filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .filter(_.contains("/_data/d-")).toSet // data dirs only, not DV (v-) parquet
+  }
+
+  test("create, insert, select round-trip through pure SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.basic (id BIGINT, name STRING)")
+    // empty create is immediately selectable with the declared schema
+    val empty = spark.sql("SELECT * FROM gsql.t.basic")
+    assert(empty.columns.toSeq === Seq("id", "name"))
+    assert(empty.count() === 0)
+    spark.sql("INSERT INTO gsql.t.basic VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gsql.t.basic VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM gsql.t.basic ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // each INSERT is one commit on top of the empty v0
+    assert(VersionedTable.commits(spark, loc("basic")).map(_.version) === Seq(0L, 1L, 2L))
+    spark.sql("INSERT OVERWRITE gsql.t.basic VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM gsql.t.basic").collect().map(_.getLong(0)).toSeq
+      === Seq(9L))
+    assert(VersionedTable.commits(spark, loc("basic")).last.operation === "overwrite")
+  }
+
+  test("CTAS and SQL time travel (VERSION AS OF / TIMESTAMP AS OF)") {
+    warehouse
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE gsql.t.ctas AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM gsql.t.ctas").head.getLong(0) === 2L)
+    spark.sql("INSERT OVERWRITE gsql.t.ctas VALUES (3, 'z')")
+    // CTAS = empty create (v0) + append (v1); the overwrite is v2
+    assert(spark.sql("SELECT id FROM gsql.t.ctas VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(spark.sql("SELECT id FROM gsql.t.ctas ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // a timestamp far in the future resolves to the latest commit
+    assert(spark.sql("SELECT id FROM gsql.t.ctas TIMESTAMP AS OF '2200-01-01' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // writes to a pinned snapshot are refused (the SQL parser already blocks
+    // INSERT ... VERSION AS OF; the table object itself also refuses)
+    val pinned = new graft.sources.table.GraftSqlTable("gsql.t.ctas", loc("ctas"), Some(1L))
+    val e = intercept[Exception](pinned.newWriteBuilder(null))
+    assert(e.getMessage.contains("read-only"))
+  }
+
+  test("DELETE FROM commits a deletion vector — no data file rewritten") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.del (id BIGINT, grp STRING)")
+    spark.sql("INSERT INTO gsql.t.del SELECT id, CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END" +
+      " FROM range(100)")
+    val before = dataFiles("del")
+    spark.sql("DELETE FROM gsql.t.del WHERE grp = 'o'")
+    assert(dataFiles("del") === before) // merge-on-read: zero rewrite
+    val last = VersionedTable.commits(spark, loc("del")).last
+    assert(last.operation === "delete" && last.dv_dir.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM gsql.t.del").head.getLong(0) === 50L)
+    assert(spark.sql("SELECT min(id), max(id) FROM gsql.t.del").head.toSeq === Seq(0L, 98L))
+    spark.sql("TRUNCATE TABLE gsql.t.del")
+    assert(spark.sql("SELECT count(*) FROM gsql.t.del").head.getLong(0) === 0L)
+  }
+
+  test("partitioned create: declared layout survives the empty v0 and prunes reads") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.part (id BIGINT, d STRING) PARTITIONED BY (d)")
+    // the declared partitioning is advertised before any row lands
+    assert(spark.sql("DESCRIBE TABLE gsql.t.part").collect()
+      .map(_.getString(0)).contains("# Partition Information") ||
+      VersionedTable.tableSpec(spark, loc("part"))("partition_by") === "d")
+    spark.sql("INSERT INTO gsql.t.part SELECT id, concat('d', cast(id % 3 AS STRING)) " +
+      "FROM range(90)")
+    // data landed hive-partitioned under the declared column
+    assert(dataFiles("part").exists(_.contains("/d=d0/")))
+    assert(spark.sql("SELECT count(*) FROM gsql.t.part WHERE d = 'd1'").head.getLong(0) === 30L)
+    // filter pushdown reaches the scan: the physical plan advertises the pushed filter
+    val plan = spark.sql("SELECT id FROM gsql.t.part WHERE d = 'd1'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(d,d1)"), plan)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN is metadata-only through SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.alt (id BIGINT, tag STRING, junk STRING)")
+    spark.sql("INSERT INTO gsql.t.alt VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val before = dataFiles("alt")
+    spark.sql("ALTER TABLE gsql.t.alt RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE gsql.t.alt DROP COLUMN junk")
+    assert(dataFiles("alt") === before) // no rewrite
+    assert(spark.sql("SELECT * FROM gsql.t.alt ORDER BY id").columns.toSeq
+      === Seq("id", "label"))
+    assert(spark.sql("SELECT label FROM gsql.t.alt WHERE id = 2").head.getString(0) === "b")
+  }
+
+  test("catalog listing, drop, and rename") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql.listing")
+    spark.sql("CREATE TABLE gsql.listing.a (id BIGINT)")
+    spark.sql("CREATE TABLE gsql.listing.b (id BIGINT)")
+    val shown = spark.sql("SHOW TABLES IN gsql.listing").collect().map(_.getString(1)).toSet
+    assert(shown === Set("a", "b"))
+    // the rename target is catalog-relative (Spark hands the multipart name to the
+    // catalog verbatim, so a gsql. prefix would read as a nested namespace)
+    spark.sql("ALTER TABLE gsql.listing.a RENAME TO listing.c")
+    assert(spark.sql("SHOW TABLES IN gsql.listing").collect().map(_.getString(1)).toSet
+      === Set("b", "c"))
+    spark.sql("DROP TABLE gsql.listing.b")
+    assert(spark.sql("SHOW TABLES IN gsql.listing").collect().map(_.getString(1)).toSet
+      === Set("c"))
+    assert(spark.sql("SHOW NAMESPACES IN gsql").collect().map(_.getString(0)).toSet
+      .contains("listing"))
+  }
+
+  test("SQL inserts honor CHECK constraints declared on the table") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.con (id BIGINT, qty BIGINT)")
+    VersionedTable.addConstraint(spark, loc("con"), "qty_pos", "qty > 0")
+    spark.sql("INSERT INTO gsql.t.con VALUES (1, 5)")
+    val e = intercept[Exception](spark.sql("INSERT INTO gsql.t.con VALUES (2, -1)"))
+    assert(e.getMessage.contains("qty_pos"))
+    assert(spark.sql("SELECT count(*) FROM gsql.t.con").head.getLong(0) === 1L)
+  }
+}
