@@ -1247,16 +1247,40 @@ object SparkEntry {
     s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
     s.sql("DROP TABLE IF EXISTS gsqlc.contract.docs")
     docs(s, dir).select("doc_id", "lang", "source").createOrReplaceTempView("sqlcat_docs")
-    // CTAS = empty v0 + append v1; the INSERT is v2, the DELETE a DV-only v3
+    // CTAS = empty v0 + append v1; the INSERT is v2, the CALLed OPTIMIZE a
+    // content-preserving v3, the DELETE a DV-only v4
     s.sql("CREATE TABLE gsqlc.contract.docs AS SELECT * FROM sqlcat_docs WHERE doc_id < 300")
     s.sql("INSERT INTO gsqlc.contract.docs SELECT * FROM sqlcat_docs " +
       "WHERE doc_id >= 300 AND doc_id < 500")
+    s.sql("CALL gsqlc.system.compact(table => 'contract.docs', num_files => 2)")
     s.sql("DELETE FROM gsqlc.contract.docs WHERE lang = 'en'")
     s.sql("""SELECT 'head' AS state, doc_id, lang, source FROM gsqlc.contract.docs
             |UNION ALL
             |SELECT 'pre_delete' AS state, doc_id, lang, source
-            |FROM gsqlc.contract.docs VERSION AS OF 2""".stripMargin)
+            |FROM gsqlc.contract.docs VERSION AS OF 3""".stripMargin)
       .orderBy("state", "doc_id")
+  }
+
+  /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
+    * carrying ONLY lang='en' rows replaces exactly that partition (a `"replace"`
+    * commit — every other partition carried by reference, zero rewrite). The
+    * oracle states the final mixed state directly: untouched partitions from the
+    * base, the replaced partition from the new batch — an overwrite that leaked
+    * into other partitions, appended instead of replacing, or dropped the
+    * untouched slice would hash-mismatch.
+    */
+  private def qReplacePartition(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_replace_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "source")
+    vt.write(d.filter(col("doc_id") < 400), loc, "overwrite", partitionBy = Seq("lang"))
+    vt.overwritePartitions(
+      d.filter(col("doc_id") >= 400 && col("doc_id") < 500 && col("lang") === "en"), loc)
+    vt.read(s, loc).orderBy("doc_id")
   }
 
   private def qRenameColumn(s: SparkSession, dir: String): DataFrame = {
@@ -1494,6 +1518,7 @@ object SparkEntry {
     "q_generated_columns" -> qGeneratedColumns,
     "q_rename_column" -> qRenameColumn,
     "q_sql_catalog" -> qSqlCatalog,
+    "q_replace_partition" -> qReplacePartition,
     "q_curation_pipeline" -> qCurationPipeline)
 
   // ---- oracle SQL -------------------------------------------------------------------
@@ -2981,6 +3006,15 @@ object SparkEntry {
     // dropped column absent
     "q_rename_column" ->
       """SELECT doc_id, lang AS language FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+    // dynamic partition overwrite: untouched partitions from the base, the
+    // replaced 'en' partition from the new batch — stated directly
+    "q_replace_partition" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id < 400 AND lang <> 'en'
+        |UNION ALL
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id >= 400 AND doc_id < 500 AND lang = 'en'
         |ORDER BY doc_id""".stripMargin,
     // DSv2 SQL catalog: head = post-DELETE survivors, pre_delete = the VERSION AS
     // OF 2 snapshot (CTAS + INSERT, before the DV commit) — stated directly

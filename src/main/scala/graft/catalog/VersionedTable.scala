@@ -989,6 +989,113 @@ object VersionedTable {
     * determines its partition, so matching inside the slice is exact), and the
     * touched values are bounded, non-null, and log-representable.
     */
+  /** Dynamic partition overwrite (Delta/Hive `partitionOverwriteMode=dynamic`,
+    * the INSERT OVERWRITE semantics every warehouse job wants on a partitioned
+    * table): atomically replace EXACTLY the partitions present in `df` — rows in
+    * other partitions are untouched, carried by reference with zero rewrite, so
+    * the write cost tracks `df` plus one partition-pruned count of the replaced
+    * slice (for metadata-only `fastCount`), never the table. The commit records
+    * the touched set in `replace_where` (operation `"replace"`), and readers
+    * shadow those partitions out of earlier commits exactly as partition-scoped
+    * merges do.
+    *
+    * Preconditions fail LOUDLY — unlike [[merge]]'s scope there is no safe
+    * fallback here: a full overwrite would silently delete the untouched
+    * partitions, an append would duplicate the touched ones. Required: the
+    * table is hive-partitioned with a consistent live layout
+    * (zero-row commits exempt), `df` touches at most [[MaxScopedPartitions]]
+    * partitions, and every touched value round-trips as a directory name.
+    * `replacedValues` (when given — the static `INSERT OVERWRITE ... PARTITION`
+    * path) REPLACES the data-derived touched set: each tuple must bind every
+    * partition column, and every `df` row must land inside the set (enforced
+    * inside the staged write via the fused check guard, Delta's `replaceWhere`
+    * contract) — an empty `df` then CLEARS those partitions.
+    */
+  def overwritePartitions(df: DataFrame, location: String,
+      replacedValues: Option[Seq[Seq[(String, String)]]] = None,
+      maxAttempts: Int = 3): Long = {
+    val spark = df.sparkSession
+    val fs = fileSystem(spark, location)
+    var done = -1L
+    var attempt = 0
+    while (done < 0) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location — write a base version first")
+      val latest = cs.last
+      val fromCommit = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      // SQL-created tables: the empty v0 is flat, the spec sidecar holds the layout
+      val partitioning =
+        if (fromCommit.nonEmpty) fromCommit
+        else tableSpec(spark, location).get("partition_by")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      require(partitioning.nonEmpty,
+        s"$location is not partitioned — dynamic partition overwrite needs a " +
+          "hive-partitioned table (use a plain overwrite instead)")
+      val live = liveCommits(spark, location, latest.version)
+      require(live.forall(c => c.row_count == 0 ||
+          c.partition_by == partitioning.mkString(",")),
+        s"$location has mixed live partition layouts — compact first")
+      enforceAppendSchema(spark, location, df, partitioning)
+      val values = replacedValues.getOrElse {
+        val touched = df.select(partitioning.map(col): _*).distinct()
+          .limit(MaxScopedPartitions + 1).collect()
+        require(touched.length <= MaxScopedPartitions,
+          s"dynamic overwrite touches more than $MaxScopedPartitions partitions " +
+            s"of $location — use a full overwrite")
+        touched.toSeq.map(row => partitioning.zipWithIndex.map { case (k, i) =>
+          require(!row.isNullAt(i),
+            s"dynamic overwrite of $location: null value for partition column $k")
+          k -> String.valueOf(row.get(i))
+        })
+      }
+      require(values.forall(_.map(_._1) == partitioning),
+        s"replaced partitions must bind every partition column of $location in " +
+          s"order (${partitioning.mkString(",")}); got " +
+          values.map(_.map(_._1).mkString(",")).distinct.mkString(" | "))
+      values.flatMap(_.map(_._2)).foreach(v =>
+        require(SafePartitionValue.matches(v),
+          s"partition value '$v' does not round-trip as a directory name — " +
+            "a scoped overwrite would corrupt the shadow predicate"))
+      val spec = values.map(_.map { case (k, v) => s"$k=$v" }.mkString("/"))
+        .sorted.mkString(";")
+      val pred = values.map(_.map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
+      // an explicit replaced set must CONTAIN the data (Delta replaceWhere rule);
+      // the check rides the staged write's fused guard — zero extra jobs
+      val boundsCheck = replacedValues.map { vs =>
+        val sql = vs.map(_.map { case (k, v) =>
+            s"`$k` = ${org.apache.spark.sql.catalyst.expressions.Literal(v).sql}" }
+          .mkString("(", " AND ", ")")).mkString("(", " OR ", ")")
+        Map("replace_where_bounds" -> sql)
+      }.getOrElse(Map.empty)
+      // the retired row count, observed from a partition-pruned scan of the
+      // replaced slice only — fastCount stays exact and metadata-only
+      val replaced = readAsOf(spark, location, latest.version).filter(pred).count()
+      val (dataDir0, rows, stats) = stageData(df, location, partitioning,
+        constraints(spark, location) ++ boundsCheck)
+      // a zero-row batch (explicit set clearing partitions) lays out NO files —
+      // commit with an empty data dir, the pure-delete convention, so readers
+      // never point a parquet scan at a file-less directory
+      val dataDir = if (rows == 0L) {
+        fs.delete(new Path(s"$location/_data/$dataDir0"), true)
+        ""
+      } else dataDir0
+      if (claimCommit(fs, location, latest.version + 1, "replace", rows, dataDir,
+          partitioning, stats, replaceWhere = spec, replacedRows = replaced))
+        done = latest.version + 1
+      else {
+        // dataDir0, not dataDir: the zero-row case already blanked dataDir and
+        // deleted its dir ("" would resolve to _data/ itself)
+        fs.delete(new Path(s"$location/_data/$dataDir0"), true)
+        attempt += 1
+        if (attempt >= maxAttempts) throw new IllegalStateException(
+          s"dynamic overwrite of $location lost $maxAttempts snapshot races — giving up")
+      }
+    }
+    maybeCheckpoint(spark, location, done)
+    done
+  }
+
   private def mergeScope(spark: SparkSession, location: String, latest: Commit,
       changes: DataFrame, partitioning: Seq[String], keys: Seq[String])
       : Option[(org.apache.spark.sql.Column, String, Int)] = {
@@ -1279,6 +1386,15 @@ object VersionedTable {
               .drop(DvFileCol, DvPosCol)
               .withColumn("_change_type", lit("delete")), c))
           case "compact" => None
+          case "replace" if c.data_dir.isEmpty =>
+            // a clearing scoped overwrite (empty batch over an explicit
+            // partition set): pure retraction, nothing to serve as inserts —
+            // but only under reset semantics, like every other rewrite
+            if (allowFullRewrites) None
+            else throw new IllegalStateException(
+              s"version ${c.version} at $location is a partition-clearing " +
+                "replace whose row changes were not captured — pass " +
+                "allowFullRewrites = true to skip it (reset semantics)")
           case _ =>
             // overwrite / restore / merge-without-feed / update-without-feed:
             // data was rewritten, not captured row-level. A feedless merge's or
@@ -1587,7 +1703,8 @@ object VersionedTable {
   private def assembleScanPhysical(spark: SparkSession, location: String,
       live: Seq[Commit], keepMeta: Boolean): DataFrame = {
     // pure-delete commits carry no data of their own
-    val scans = live.filter(c => !(c.operation == "delete" && c.data_dir.isEmpty))
+    val scans = live.filter(c =>
+      !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
     def meta(df: DataFrame): DataFrame =
       if (!keepMeta) df
       else df.withColumn(DvFileCol, col("_metadata.file_path"))
@@ -1719,7 +1836,8 @@ object VersionedTable {
         buf.toSeq.filter(_.getPath.getName.endsWith(".parquet"))
       }
     }
-    val dataDirs = live.filter(c => !(c.operation == "delete" && c.data_dir.isEmpty))
+    val dataDirs = live.filter(c =>
+        !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
       .map(c => dataPath(location, c))
     val stats = dataDirs.flatMap(filesUnder)
     Seq((

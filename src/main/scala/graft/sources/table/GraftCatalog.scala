@@ -70,7 +70,8 @@ import graft.catalog.VersionedTable
   * refused because a filesystem catalog cannot re-resolve external paths without a
   * metastore of its own.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -213,6 +214,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"failed to rename ${fullName(from)} to ${fullName(to)}")
   }
 
+  // ---- stored procedures: CALL <catalog>.system.<proc>(...) ----
+
+  /** `ns.table` strings inside procedure arguments resolve against this catalog's
+    * warehouse — same layout rule as identifiers, so `CALL gsql.system.compact(
+    * table => 'curated.docs')` maintains the table `gsql.curated.docs`.
+    */
+  private def resolveTableArg(name: String): String = {
+    val parts = name.split('.')
+    require(parts.length >= 1 && parts.forall(_.nonEmpty), s"bad table name: '$name'")
+    val ident =
+      if (parts.length == 1) Identifier.of(defaultNamespace(), parts.head)
+      else Identifier.of(parts.init, parts.last)
+    val loc = tablePath(ident).toString
+    if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+    loc
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace.sameElements(Array("system")) &&
+        GraftProcedures.byName.contains(ident.name)))
+      throw ColumnBridge.analysisError(
+        s"unknown procedure ${fullName(ident)} — available: " +
+          GraftProcedures.all.map(p => s"$catalogName.system.${p.procName}").mkString(", "))
+    GraftProcedures.unbound(GraftProcedures.byName(ident.name), resolveTableArg)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      GraftProcedures.all.map(p => Identifier.of(Array("system"), p.procName)).toArray
+    else Array.empty
+
   // ---- namespaces: plain directories under the warehouse ----
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -296,7 +329,7 @@ class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Lon
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot)
@@ -362,20 +395,72 @@ private class V1SnapshotScan(ctx: SQLContext, df: DataFrame,
 }
 
 /** INSERT INTO → append commit; INSERT OVERWRITE → overwrite commit (Spark signals
-  * static full-table overwrite through [[SupportsTruncate]]). One commit per INSERT,
-  * laid out with the table's declared partitioning.
+  * static full-table overwrite through [[SupportsTruncate]]); `INSERT OVERWRITE
+  * ... PARTITION (k = v)` → a partition-scoped `"replace"` commit that rewrites
+  * nothing outside the named partitions ([[SupportsOverwrite]] on the static
+  * filters). SQL `partitionOverwriteMode=dynamic` is deliberately NOT advertised:
+  * `OverwritePartitionsDynamic` cannot execute over the V1 write bridge (Spark
+  * plans it only for native DSv2 BatchWrites) — data-driven partition replacement
+  * is served by [[VersionedTable.overwritePartitions]] and the
+  * `format("graft-table")` writer's `partitionOverwriteMode=dynamic` option
+  * instead. One commit per INSERT, laid out with the table's declared
+  * partitioning.
   */
 class GraftWriteBuilder(location: String, partitionBy: Seq[String])
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
-  private var overwrite = false
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  private sealed trait Mode
+  private case object Append extends Mode
+  private case object Truncate extends Mode
+  private case class Static(values: Seq[Seq[(String, String)]]) extends Mode
+
+  private var mode: Mode = Append
+
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode =
+      if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) Truncate
+      else Static(filters.toSeq.map(partitionTuple))
+    this
+  }
+
+  /** One overwrite filter → one fully-bound partition tuple. The scoped commit's
+    * shadow predicate and vacuum reclamation both speak whole partition
+    * directories, so anything but conjunctions of partition-column equalities
+    * (per disjunct, every partition column bound) is refused with the fix named.
+    */
+  private def partitionTuple(f: Filter): Seq[(String, String)] = {
+    def eqs(f0: Filter): Seq[(String, String)] = f0 match {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if v != null =>
+        Seq(a -> String.valueOf(v))
+      // the SQL PARTITION (col = value) spec arrives null-safe
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) if v != null =>
+        Seq(a -> String.valueOf(v))
+      case org.apache.spark.sql.sources.And(l, r) => eqs(l) ++ eqs(r)
+      case other => throw ColumnBridge.analysisError(
+        s"INSERT OVERWRITE condition $other on $location is not a partition " +
+          "spec — scoped overwrite supports PARTITION (col = value, ...) with " +
+          "every partition column bound; for data-driven partition replacement " +
+          "set spark.sql.sources.partitionOverwriteMode=dynamic")
+    }
+    val bound = eqs(f).toMap
+    if (bound.keySet.map(_.toLowerCase) != partitionBy.map(_.toLowerCase).toSet)
+      throw ColumnBridge.analysisError(
+        s"INSERT OVERWRITE on $location must bind exactly the partition columns " +
+          s"(${partitionBy.mkString(", ")}); got ${bound.keySet.mkString(", ")}")
+    partitionBy.map(k => k ->
+      bound.collectFirst { case (a, v) if a.equalsIgnoreCase(k) => v }.get)
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: DataFrame, ignored: Boolean): Unit = {
-        VersionedTable.write(data,
-          location, if (overwrite) "overwrite" else "append", partitionBy)
+      override def insert(data: DataFrame, ignored: Boolean): Unit = mode match {
+        case Append => VersionedTable.write(data, location, "append", partitionBy)
+        case Truncate => VersionedTable.write(data, location, "overwrite", partitionBy)
+        case Static(values) =>
+          VersionedTable.overwritePartitions(data, location, Some(values))
       }
     }
   }

@@ -1,0 +1,168 @@
+package graft.sources.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.VersionedTable
+
+/** The table-maintenance surface as DSv2 stored procedures — Spark 4's `CALL`
+  * statement (the API Iceberg's `CALL catalog.system.rewrite_data_files` rides), so
+  * OPTIMIZE/VACUUM/RESTORE-class operations need no Scala either:
+  *
+  * {{{
+  *   CALL gsql.system.compact(table => 'ns.t', zorder_by => 'a,b')
+  *   CALL gsql.system.vacuum(table => 'ns.t', retention_hours => 0, orphan_grace_hours => 0)
+  *   CALL gsql.system.restore(table => 'ns.t', version => 3)
+  *   CALL gsql.system.history(table => 'ns.t')
+  *   CALL gsql.system.fast_count(table => 'ns.t')
+  *   CALL gsql.system.add_constraint(table => 'ns.t', name => 'qty_pos', check_sql => 'qty > 0')
+  *   CALL gsql.system.drop_constraint(table => 'ns.t', name => 'qty_pos')
+  *   CALL gsql.system.generate_manifest(table => 'ns.t')
+  * }}}
+  *
+  * Each procedure delegates to the [[VersionedTable]] entry point and returns its
+  * outcome as a driver-local result set ([[LocalScan]] — these are all
+  * metadata-sized outputs: a committed version, a count, the history rows). The
+  * heavy lifting (compaction's rewrite, restore's copy) runs as the same
+  * distributed jobs the Scala API plans; the procedure layer adds zero data work.
+  */
+private[table] object GraftProcedures {
+
+  /** One procedure: `params` in declaration order, `resultSchema` for the result
+    * scan, `run` maps the bound argument values (JVM types: String/Long/Int) to
+    * result rows. `resolve` turns a catalog-relative `ns.table` string into the
+    * table location.
+    */
+  final case class GraftProcedure(
+      procName: String,
+      describe: String,
+      params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      run: (SparkSession, String => String, Seq[Any]) => Seq[Seq[Any]])
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def hours(h: Long): Long = h * 3600L * 1000L
+
+  val all: Seq[GraftProcedure] = Seq(
+    GraftProcedure("compact",
+      "OPTIMIZE: rewrite the live set as one compacted commit, optionally Z-ordered",
+      Seq(in("table", StringType),
+        inDefault("num_files", IntegerType, "0"),
+        inDefault("zorder_by", StringType, "''")),
+      StructType(Seq(StructField("version", LongType))),
+      (s, resolve, args) => {
+        val zorder = args(2).asInstanceOf[String].split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val v = VersionedTable.compact(s, resolve(args(0).asInstanceOf[String]),
+          zorderBy = zorder, numFiles = args(1).asInstanceOf[Int])
+        Seq(Seq(v))
+      }),
+    GraftProcedure("vacuum",
+      "reclaim unreferenced and out-of-retention data dirs; returns deleted paths",
+      Seq(in("table", StringType),
+        inDefault("retention_hours", LongType, "168"),
+        inDefault("orphan_grace_hours", LongType, "24")),
+      StructType(Seq(StructField("deleted_path", StringType))),
+      (s, resolve, args) => {
+        VersionedTable.vacuum(s, resolve(args(0).asInstanceOf[String]),
+            retentionMs = hours(args(1).asInstanceOf[Long]),
+            orphanGraceMs = hours(args(2).asInstanceOf[Long]))
+          .map(Seq(_))
+      }),
+    GraftProcedure("restore",
+      "roll the table back to a version as a new commit (history stays intact)",
+      Seq(in("table", StringType), in("version", LongType)),
+      StructType(Seq(StructField("version", LongType))),
+      (s, resolve, args) => Seq(Seq(VersionedTable.restore(s,
+        resolve(args(0).asInstanceOf[String]), args(1).asInstanceOf[Long])))),
+    GraftProcedure("history",
+      "DESCRIBE HISTORY: every commit, newest first",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("timestamp", StringType), StructField("operation", StringType),
+        StructField("row_count", LongType))),
+      (s, resolve, args) =>
+        VersionedTable.commits(s, resolve(args(0).asInstanceOf[String]))
+          .sortBy(-_.version)
+          .map(c => Seq(c.version, c.timestamp, c.operation, c.row_count))),
+    GraftProcedure("fast_count",
+      "live row count from commit metadata alone — zero files opened",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("count", LongType))),
+      (s, resolve, args) => Seq(Seq(VersionedTable.fastCount(s,
+        resolve(args(0).asInstanceOf[String]))))),
+    GraftProcedure("add_constraint",
+      "declare a named CHECK constraint (validates live data, then gates every commit)",
+      Seq(in("table", StringType), in("name", StringType), in("check_sql", StringType)),
+      StructType(Seq(StructField("name", StringType))),
+      (s, resolve, args) => {
+        VersionedTable.addConstraint(s, resolve(args(0).asInstanceOf[String]),
+          args(1).asInstanceOf[String], args(2).asInstanceOf[String])
+        Seq(Seq(args(1)))
+      }),
+    GraftProcedure("drop_constraint",
+      "drop a named CHECK constraint",
+      Seq(in("table", StringType), in("name", StringType)),
+      StructType(Seq(StructField("name", StringType))),
+      (s, resolve, args) => {
+        VersionedTable.dropConstraint(s, resolve(args(0).asInstanceOf[String]),
+          args(1).asInstanceOf[String])
+        Seq(Seq(args(1)))
+      }),
+    GraftProcedure("generate_manifest",
+      "write the symlink manifest tree for log-blind external engines",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("manifest_path", StringType))),
+      (s, resolve, args) =>
+        VersionedTable.generateManifest(s, resolve(args(0).asInstanceOf[String]))
+          .map(Seq(_))))
+
+  val byName: Map[String, GraftProcedure] = all.map(p => p.procName -> p).toMap
+
+  /** Bind a procedure definition into Spark's procedure API. Argument extraction
+    * walks `params` by position (the analyzer has already reordered named args and
+    * filled defaults); result rows convert to catalyst form for the LocalScan.
+    */
+  def unbound(p: GraftProcedure, resolve: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = p.procName
+      override def description(): String = p.describe
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = p.procName
+        override def description(): String = p.describe
+        override def parameters(): Array[ProcedureParameter] = p.params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val args = p.params.zipWithIndex.map { case (param, i) =>
+            param.dataType() match {
+              case StringType => input.getUTF8String(i).toString
+              case LongType => input.getLong(i)
+              case IntegerType => input.getInt(i)
+              case dt => throw new IllegalStateException(s"unsupported param type $dt")
+            }
+          }
+          // named so the LocalScan's own `rows()` member cannot shadow it (a
+          // same-named local turns the override into a self-recursive loop)
+          val resultRows = p.run(SparkSession.active, resolve, args).map { vals =>
+            InternalRow.fromSeq(vals.map {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            })
+          }.toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = resultRows
+            override def readSchema(): StructType = p.resultSchema
+            override def description(): String = s"graft.system.${p.procName}"
+          }).iterator()
+        }
+      }
+    }
+}

@@ -289,7 +289,12 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       case SaveMode.Append =>
         VersionedTable.write(data, loc, if (exists) "append" else "overwrite", partitionBy)
       case SaveMode.Overwrite =>
-        VersionedTable.write(data, loc, "overwrite", partitionBy)
+        // Delta-style dynamic partition overwrite: replace only the partitions
+        // present in the batch, carry the rest by reference (a "replace" commit)
+        if (params.get("partitionoverwritemode").exists(_.equalsIgnoreCase("dynamic"))
+            && exists)
+          VersionedTable.overwritePartitions(data, loc)
+        else VersionedTable.write(data, loc, "overwrite", partitionBy)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft-table at $loc already exists (SaveMode.ErrorIfExists)")

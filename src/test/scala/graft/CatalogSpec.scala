@@ -766,6 +766,36 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(VersionedTable.diffSnapshots(spark, loc, 1L, 1L, Seq("id")).count() === 0)
   }
 
+  test("overwritePartitions: replaces exactly the data's partitions, explicit set can clear") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_dynover").toString
+    val base = (0 until 90).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "d")
+    VersionedTable.write(base, loc, "overwrite", partitionBy = Seq("d"))
+    // dynamic: the batch only carries d1 → only d1 replaced
+    val v = VersionedTable.overwritePartitions(
+      Seq((500L, "d1"), (501L, "d1")).toDF("id", "d"), loc)
+    assert(v === 1L)
+    assert(VersionedTable.read(spark, loc).filter(col("d") === "d1")
+      .select("id").as[Long].collect().toSet === Set(500L, 501L))
+    assert(VersionedTable.read(spark, loc).count() === 62L)
+    assert(VersionedTable.fastCount(spark, loc) === 62L)
+    // explicit replaced set with an EMPTY batch clears the partition
+    VersionedTable.overwritePartitions(base.filter(col("id") < 0), loc,
+      Some(Seq(Seq("d" -> "d0"))))
+    assert(VersionedTable.read(spark, loc).filter(col("d") === "d0").count() === 0L)
+    assert(VersionedTable.fastCount(spark, loc) === 32L)
+    // out-of-bounds rows are refused when the set is explicit
+    val e = intercept[Exception](VersionedTable.overwritePartitions(
+      Seq((1L, "d2")).toDF("id", "d"), loc, Some(Seq(Seq("d" -> "d1")))))
+    assert(e.getMessage.contains("replace_where_bounds"))
+    // unpartitioned tables fail loudly — there is no safe fallback
+    val flat = Files.createTempDirectory("vt_dynover_flat").toString
+    VersionedTable.write(Seq(1L).toDF("id"), flat, "overwrite")
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.overwritePartitions(Seq(2L).toDF("id"), flat))
+    assert(e2.getMessage.contains("not partitioned"))
+  }
+
   test("versioned table: concurrent writers each publish a distinct committed version") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

@@ -143,6 +143,97 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
       .contains("listing"))
   }
 
+  test("CALL procedures: compact, history, fast_count, restore through SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.proc (id BIGINT)")
+    spark.sql("INSERT INTO gsql.t.proc SELECT id FROM range(50)")
+    spark.sql("INSERT INTO gsql.t.proc SELECT id + 50 FROM range(50)")
+    // history: empty create (v0) + two inserts
+    val hist = spark.sql("CALL gsql.system.history(table => 't.proc')").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+    assert(hist.map(_.getString(2)).toSeq === Seq("append", "append", "overwrite"))
+    assert(spark.sql("CALL gsql.system.fast_count(table => 't.proc')")
+      .head.getLong(0) === 100L)
+    // compact folds the three commits into one rewritten v3
+    val v = spark.sql("CALL gsql.system.compact(table => 't.proc', num_files => 1)")
+      .head.getLong(0)
+    assert(v === 3L)
+    assert(spark.sql("SELECT count(*) FROM gsql.t.proc").head.getLong(0) === 100L)
+    // restore rolls back to the 50-row state as a NEW commit
+    spark.sql("CALL gsql.system.restore(table => 't.proc', version => 1)")
+    assert(spark.sql("SELECT count(*), max(id) FROM gsql.t.proc").head.toSeq
+      === Seq(50L, 49L))
+    assert(spark.sql("SELECT count(*) FROM gsql.t.proc VERSION AS OF 3")
+      .head.getLong(0) === 100L) // rolled-back state stays time-travelable
+  }
+
+  test("CALL procedures: constraints and vacuum through SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.proc2 (id BIGINT)")
+    spark.sql("CALL gsql.system.add_constraint(table => 't.proc2', name => 'id_pos'," +
+      " check_sql => 'id >= 0')")
+    val e = intercept[Exception](spark.sql("INSERT INTO gsql.t.proc2 VALUES (-1)"))
+    assert(e.getMessage.contains("id_pos"))
+    spark.sql("CALL gsql.system.drop_constraint(table => 't.proc2', name => 'id_pos')")
+    spark.sql("INSERT INTO gsql.t.proc2 VALUES (-1)") // gate lifted
+    // overwrite then vacuum with zero retention reclaims the superseded commit dirs
+    spark.sql("INSERT OVERWRITE gsql.t.proc2 VALUES (7)")
+    val deleted = spark.sql("CALL gsql.system.vacuum(table => 't.proc2'," +
+      " retention_hours => 0, orphan_grace_hours => 0)").collect()
+    assert(deleted.nonEmpty)
+    assert(spark.sql("SELECT id FROM gsql.t.proc2").head.getLong(0) === 7L)
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces only the named partition") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.powr (id BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql("INSERT INTO gsql.t.powr SELECT id, concat('d', cast(id % 3 AS STRING))" +
+      " FROM range(90)")
+    val before = dataFiles("powr")
+    // a fully-static PARTITION spec: the SELECT carries only the data columns
+    spark.sql("INSERT OVERWRITE gsql.t.powr PARTITION (d = 'd1') SELECT 1000")
+    // untouched partitions' files carried by reference — byte-identical paths
+    assert(before.filterNot(_.contains("/d=d1/")).subsetOf(dataFiles("powr")))
+    assert(spark.sql("SELECT count(*) FROM gsql.t.powr WHERE d = 'd1'")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gsql.t.powr").head.getLong(0) === 61L)
+    val last = graft.catalog.VersionedTable.commits(spark, loc("powr")).last
+    assert(last.operation === "replace" && last.replace_where === "d=d1"
+      && last.replaced_rows === 30L)
+    assert(graft.catalog.VersionedTable.fastCount(spark, loc("powr")) === 61L)
+    // time travel still serves the pre-replace partition content
+    assert(spark.sql("SELECT count(*) FROM gsql.t.powr VERSION AS OF 1 WHERE d = 'd1'")
+      .head.getLong(0) === 30L)
+    // an empty batch under a static PARTITION spec CLEARS the partition
+    // (the bounds-contract refusal itself is pinned in CatalogSpec)
+    spark.sql("INSERT OVERWRITE gsql.t.powr PARTITION (d = 'd0') SELECT id FROM range(0)")
+    assert(spark.sql("SELECT count(*) FROM gsql.t.powr WHERE d = 'd0'")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM gsql.t.powr").head.getLong(0) === 31L)
+  }
+
+  test("dynamic partition overwrite through the DataFrame writer option") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.pdyn (id BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql("INSERT INTO gsql.t.pdyn SELECT id, concat('d', cast(id % 3 AS STRING))" +
+      " FROM range(90)")
+    import spark.implicits._
+    // the Delta-shaped writer surface: overwrite mode + partitionOverwriteMode=
+    // dynamic replaces only the partitions present in the batch (the SQL
+    // OverwritePartitionsDynamic plan needs a native DSv2 BatchWrite, so the
+    // catalog deliberately does not advertise it — this option is the dynamic path)
+    (0 until 5).map(i => (i.toLong, "d2")).toDF("id", "d")
+      .write.format("graft-table").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .save(loc("pdyn"))
+    // d0/d1 intact, d2 replaced by the 5 new rows
+    assert(spark.sql("SELECT d, count(*) AS n FROM gsql.t.pdyn GROUP BY d ORDER BY d")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("d0", 30L), ("d1", 30L), ("d2", 5L)))
+    assert(graft.catalog.VersionedTable.commits(spark, loc("pdyn"))
+      .last.replace_where === "d=d2")
+  }
+
   test("SQL inserts honor CHECK constraints declared on the table") {
     warehouse
     spark.sql("CREATE TABLE gsql.t.con (id BIGINT, qty BIGINT)")
