@@ -184,10 +184,20 @@ object Bench {
         // metadata-only table copy — must stay O(live commits), data-size-blind
         val tClone = timed {
           VersionedTable.shallowClone(spark, locP, s"$root/clone") }
+        // dynamic partition overwrite: replace ONE priority partition — the
+        // write must cost the batch + a pruned count, never the table
+        val replacement = orders
+          .filter(col("o_orderpriority") === "5-LOW" && col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("R"))
+        val tReplace = timed {
+          VersionedTable.overwritePartitions(replacement, locP) }
+        require(VersionedTable.commits(spark, locP).last.operation == "replace",
+          "dynamic overwrite did not commit a replace — bench precondition broken")
         Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
           "restore" -> tRestore, "merge_on_read" -> tMor,
           "delete_dv" -> tDelete, "read_with_dv" -> tDvRead,
-          "merge_scoped" -> tScoped, "shallow_clone" -> tClone)
+          "merge_scoped" -> tScoped, "shallow_clone" -> tClone,
+          "replace_partition" -> tReplace)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }

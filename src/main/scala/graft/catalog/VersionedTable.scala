@@ -1857,6 +1857,30 @@ object VersionedTable {
       "live_dv_rows", "borrowed_commits")
   }
 
+  /** Log-resolved (rows, bytes) of the snapshot at `version` (latest when None) —
+    * the DSv2 scan's planning statistics ([[graft.sources.table.GraftScanBuilder]]).
+    * Rows are exact (commit metadata, the [[fastCount]] subtraction); bytes are a
+    * driver-side listing of the live data dirs — an overestimate when scoped
+    * merges shadow partition slices or DVs hide rows, which errs on the safe side
+    * for join planning (never broadcasts something bigger than reported). No data
+    * file is opened; cost is O(live files) namenode metadata.
+    */
+  def snapshotStats(spark: SparkSession, location: String,
+      version: Option[Long] = None): (Long, Long) = {
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val live = liveCommits(spark, location, version.getOrElse(cs.last.version))
+    val rows = live.map(_.row_count).sum - live.map(_.replaced_rows).sum
+    val fs = fileSystem(spark, location)
+    val bytes = live.filter(c =>
+        !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
+      .map(c => new Path(dataPath(location, c)))
+      .filter(fs.exists)
+      .map(p => fs.getContentSummary(p).getLength)
+      .sum
+    (rows, bytes)
+  }
+
   /** Delta-style `history()`: one row per commit, newest first. */
   def history(spark: SparkSession, location: String): DataFrame = {
     import spark.implicits._

@@ -60,9 +60,12 @@ import graft.catalog.VersionedTable
   * declared partitioning from the create-time spec sidecar. DELETE maps pushable
   * predicates onto [[VersionedTable.deleteWhere]] — a merge-on-read deletion-vector
   * commit, zero files rewritten; an unpushable DELETE condition fails analysis
-  * loudly rather than silently rewriting the table. UPDATE/MERGE SQL would need
-  * `SupportsRowLevelOperations`; those verbs stay on the Scala API
-  * ([[VersionedTable.updateWhere]]/[[VersionedTable.merge]]) for now.
+  * loudly rather than silently rewriting the table. The UPDATE / MERGE INTO
+  * statements would need `SupportsRowLevelOperations` over a native DSv2 write;
+  * those verbs ride the stored-procedure surface instead
+  * (`CALL <cat>.system.update_where/merge` — [[GraftProcedures]]). The scan
+  * reports log-resolved statistics ([[VersionedTable.snapshotStats]]), so SQL
+  * joins against small graft tables broadcast exactly as native sources do.
   *
   * CREATE TABLE commits an EMPTY version 0 written flat (zero rows lay out no
   * partition directories, so the declared partitioning is persisted in the
@@ -332,7 +335,7 @@ class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Lon
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapshot)
+    new GraftScanBuilder(snapshot, location, versionAsOf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     versionAsOf.foreach(v => throw ColumnBridge.analysisError(
@@ -362,7 +365,8 @@ class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Lon
   * filter as post-scan residual (conservative, like the V1 relation's
   * unhandled-filter contract), so pushdown is a pure optimization.
   */
-class GraftScanBuilder(df: DataFrame) extends ScanBuilder
+class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long])
+  extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -376,9 +380,28 @@ class GraftScanBuilder(df: DataFrame) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private val readSchemaV: StructType = required.getOrElse(df.schema)
     override def readSchema(): StructType = readSchemaV
+
+    /** Log-resolved planning statistics — without these the V1 bridge reports
+      * nothing and Spark assumes the-whole-cluster-sized defaults, so a 1 MB
+      * dimension table in a SQL join would never broadcast. Rows are exact from
+      * commit metadata, bytes a driver-side live-dir listing (pre-pushdown, as
+      * the DSv2 contract specifies for post-pruning estimates Spark scales
+      * itself); no data file is opened.
+      */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val (rows, bytes) =
+        graft.catalog.VersionedTable.snapshotStats(df.sparkSession, location, versionAsOf)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes max 1L)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      }
+    }
+
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T = {
       val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(df)(_.filter(_))
       // empty projection (COUNT(*) pruning) is a valid zero-column select

@@ -22,7 +22,17 @@ import graft.catalog.VersionedTable
   *   CALL gsql.system.add_constraint(table => 'ns.t', name => 'qty_pos', check_sql => 'qty > 0')
   *   CALL gsql.system.drop_constraint(table => 'ns.t', name => 'qty_pos')
   *   CALL gsql.system.generate_manifest(table => 'ns.t')
+  *   CALL gsql.system.update_where(table => 'ns.t', condition => 'id < 5',
+  *                                 assignments => 'qty = qty * 2')
+  *   CALL gsql.system.merge(table => 'ns.t', source => 'changes_view', keys => 'id')
   * }}}
+  *
+  * `update_where` and `merge` are the UPDATE / MERGE INTO verbs: Spark only plans
+  * those statements against tables with native DSv2 row-level-operation writes,
+  * which the V1 write bridge cannot provide — so they ride the procedure surface
+  * (exactly how Iceberg shipped maintenance verbs before the plans existed).
+  * `merge`'s source is any registered view or table name resolvable by
+  * `spark.table`.
   *
   * Each procedure delegates to the [[VersionedTable]] entry point and returns its
   * outcome as a driver-local result set ([[LocalScan]] — these are all
@@ -116,6 +126,37 @@ private[table] object GraftProcedures {
         VersionedTable.dropConstraint(s, resolve(args(0).asInstanceOf[String]),
           args(1).asInstanceOf[String])
         Seq(Seq(args(1)))
+      }),
+    GraftProcedure("update_where",
+      "merge-on-read UPDATE: SET assignments on matching rows via a deletion " +
+        "vector + change-row append, no file rewritten ('col = expr, ...' syntax)",
+      Seq(in("table", StringType), in("condition", StringType),
+        in("assignments", StringType)),
+      StructType(Seq(StructField("version", LongType))),
+      (s, resolve, args) => {
+        val sets = args(2).asInstanceOf[String].split(",").toSeq.map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"bad assignment '$a' — expected 'col = expr, ...'")
+          a.substring(0, i).trim -> a.substring(i + 1).trim
+        }
+        Seq(Seq(VersionedTable.updateWhere(s, resolve(args(0).asInstanceOf[String]),
+          args(1).asInstanceOf[String], sets.toMap)))
+      }),
+    GraftProcedure("merge",
+      "MERGE INTO: upsert (and optionally delete) the rows of a registered " +
+        "view/table into the target, keyed on the given columns",
+      Seq(in("table", StringType), in("source", StringType), in("keys", StringType),
+        inDefault("delete_col", StringType, "''"),
+        inDefault("change_feed", StringType, "'false'")),
+      StructType(Seq(StructField("version", LongType))),
+      (s, resolve, args) => {
+        val keys = args(2).asInstanceOf[String].split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val deleteCol = Option(args(3).asInstanceOf[String]).map(_.trim)
+          .filter(_.nonEmpty)
+        Seq(Seq(VersionedTable.merge(s, resolve(args(0).asInstanceOf[String]),
+          s.table(args(1).asInstanceOf[String]), keys, deleteCol,
+          changeFeed = args(4).asInstanceOf[String].trim.toBoolean)))
       }),
     GraftProcedure("generate_manifest",
       "write the symlink manifest tree for log-blind external engines",

@@ -184,6 +184,30 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(spark.sql("SELECT id FROM gsql.t.proc2").head.getLong(0) === 7L)
   }
 
+  test("CALL procedures: update_where and merge are the SQL UPDATE/MERGE verbs") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.dml (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.dml SELECT id, id * 10 FROM range(10)")
+    val files = dataFiles("dml")
+    spark.sql("CALL gsql.system.update_where(table => 't.dml'," +
+      " condition => 'id < 3', assignments => 'qty = qty + 1')")
+    // merge-on-read: the pre-update files are untouched (the update ADDS a dir
+    // carrying the rewritten images; nothing is rewritten in place)
+    assert(files.subsetOf(dataFiles("dml")))
+    assert(spark.sql("SELECT sum(qty) FROM gsql.t.dml WHERE id < 3")
+      .head.getLong(0) === 33L) // 1 + 11 + 21
+    // MERGE: upsert id 5 (update) and 100 (insert), delete id 9
+    Seq((5L, 999L, false), (100L, 1L, false), (9L, 0L, true))
+      .toDF("id", "qty", "del").createOrReplaceTempView("dml_changes")
+    spark.sql("CALL gsql.system.merge(table => 't.dml', source => 'dml_changes'," +
+      " keys => 'id', delete_col => 'del')")
+    val out = spark.sql("SELECT id, qty FROM gsql.t.dml ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(5L) === 999L && out(100L) === 1L && !out.contains(9L))
+    assert(out.size === 10) // 10 - deleted + inserted
+  }
+
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
     warehouse
     spark.sql("CREATE TABLE gsql.t.powr (id BIGINT, d STRING) PARTITIONED BY (d)")
@@ -232,6 +256,22 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
       === Seq(("d0", 30L), ("d1", 30L), ("d2", 5L)))
     assert(graft.catalog.VersionedTable.commits(spark, loc("pdyn"))
       .last.replace_where === "d=d2")
+  }
+
+  test("scan reports log-resolved statistics: a small graft table broadcasts in SQL joins") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO gsql.t.dim SELECT id, concat('n', cast(id AS STRING)) " +
+      "FROM range(20)")
+    (0L until 5000L).map(i => (i, i % 20)).toDF("id", "k")
+      .createOrReplaceTempView("stats_fact")
+    val plan = spark.sql(
+      "SELECT f.id, d.name FROM stats_fact f JOIN gsql.t.dim d ON f.k = d.k")
+      .queryExecution.executedPlan.toString
+    // without estimateStatistics the V1 bridge defaults to cluster-sized
+    // estimates and this join could never broadcast the 20-row dimension
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("SQL inserts honor CHECK constraints declared on the table") {
