@@ -1283,6 +1283,27 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** ADD COLUMN gate: a column declared after the base commit must read as typed
+    * NULL across the pre-declaration rows and carry real values from the append
+    * that lands it (metadata-only — no base file rewritten). The oracle states
+    * both halves directly.
+    */
+  private def qAddColumn(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_addcol_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir)
+    vt.write(d.filter(col("doc_id") < 300).select("doc_id", "lang"), loc, "overwrite")
+    vt.addColumn(s, loc, "score", "DOUBLE")
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"), (col("n_chars") / 1000.0).as("score")),
+      loc, "append")
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   private def qRenameColumn(s: SparkSession, dir: String): DataFrame = {
     val vt = graft.catalog.VersionedTable
     val loc =
@@ -1519,6 +1540,7 @@ object SparkEntry {
     "q_rename_column" -> qRenameColumn,
     "q_sql_catalog" -> qSqlCatalog,
     "q_replace_partition" -> qReplacePartition,
+    "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
 
   // ---- oracle SQL -------------------------------------------------------------------
@@ -3006,6 +3028,14 @@ object SparkEntry {
     // dropped column absent
     "q_rename_column" ->
       """SELECT doc_id, lang AS language FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+    // ADD COLUMN: typed NULL before the declaring append, real values after
+    "q_add_column" ->
+      """SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS score FROM documents
+        |WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars / 1000.0 AS score FROM documents
+        |WHERE doc_id >= 300 AND doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // dynamic partition overwrite: untouched partitions from the base, the
     // replaced 'en' partition from the new batch — stated directly

@@ -307,6 +307,68 @@ object VersionedTable {
     *    [[clearColumnMapping]]);
     *  - change feeds materialize the logical names in force at capture time.
     */
+  /** Keys of spec-registered added columns ([[addColumn]]): `added_col.<seq>.<name>`
+    * — the zero-padded sequence preserves declaration order through the sorted
+    * keyed-JSON publish.
+    */
+  private val AddedColPrefix = "added_col."
+
+  /** ALTER TABLE ADD COLUMN as metadata — Delta parity: no file is touched, the
+    * new column reads as NULL everywhere until a write carries it (additive
+    * mergeSchema evolution then takes over file-side; the spec fill only applies
+    * while the column is physically absent). Registered in the `_table_spec.json`
+    * sidecar; `typeDdl` is a Spark DDL type string (`BIGINT`, `DECIMAL(10,2)`,
+    * ...). Declaration order is preserved; columns append at the end of the
+    * schema, as Delta's ADD COLUMN does by default.
+    */
+  def addColumn(spark: SparkSession, location: String, name: String,
+      typeDdl: String): Unit = {
+    require(name.nonEmpty && !name.contains("\"") && !name.contains("."),
+      s"bad column name: $name")
+    org.apache.spark.sql.types.DataType.fromDDL(typeDdl) // parses or throws now
+    val schema = read(spark, location).columns
+    require(!schema.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists at $location")
+    // a RETIRED physical name (renamed/dropped) still lives in the files; a new
+    // added column may not shadow it until materializeMapping frees the name
+    columnMapping(spark, location).keys.find(_.equalsIgnoreCase(name)).foreach(p =>
+      throw new IllegalArgumentException(s"'$p' is a retired physical column " +
+        s"name at $location — run materializeMapping first to reuse it"))
+    val spec = tableSpec(spark, location)
+    val seq = spec.keys.count(_.startsWith(AddedColPrefix))
+    writeTableSpec(spark, location, spec + (f"$AddedColPrefix$seq%03d.$name" -> typeDdl))
+  }
+
+  /** Spec-registered added columns in declaration order. */
+  private def addedColumns(spark: SparkSession,
+      location: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    tableSpec(spark, location).toSeq
+      .filter(_._1.startsWith(AddedColPrefix)).sortBy(_._1)
+      .map { case (k, ddl) =>
+        k.stripPrefix(AddedColPrefix).dropWhile(_ != '.').drop(1) ->
+          org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      }
+
+  /** Fill declared-but-not-yet-materialized added columns with typed NULLs —
+    * applied to every snapshot read, so the declared schema is visible the
+    * moment the DDL lands. A column some files already carry is left alone
+    * (mergeSchema surfaces it with per-file nulls).
+    */
+  private def withAddedColumns(spark: SparkSession, location: String,
+      df: DataFrame): DataFrame =
+    addedColumns(spark, location).foldLeft(df) { case (d, (n, t)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(n))) d
+      else d.withColumn(n, lit(null).cast(t))
+    }
+
+  /** The added-spec entry for `name`, if the column is registry-only. */
+  private def addedColKey(spark: SparkSession, location: String,
+      name: String): Option[String] =
+    tableSpec(spark, location).keys
+      .find(k => k.startsWith(AddedColPrefix) &&
+        k.stripPrefix(AddedColPrefix).dropWhile(_ != '.').drop(1)
+          .equalsIgnoreCase(name))
+
   def renameColumn(spark: SparkSession, location: String, oldName: String,
       newName: String): Unit = {
     require(newName.nonEmpty && !newName.contains("\"") &&
@@ -316,6 +378,21 @@ object VersionedTable {
       s"column '$oldName' does not exist at $location (have ${schema.mkString(", ")})")
     require(!schema.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists at $location")
+    // a registry-only added column renames inside the spec — the mapping file
+    // must never reference a physical name no file carries
+    addedColKey(spark, location, oldName) match {
+      case Some(k) =>
+        val spec = tableSpec(spark, location)
+        val seq = k.stripPrefix(AddedColPrefix).takeWhile(_ != '.')
+        writeTableSpec(spark, location,
+          spec - k + (s"$AddedColPrefix$seq.$newName" -> spec(k)))
+      case None =>
+        renameMaterializedColumn(spark, location, oldName, newName)
+    }
+  }
+
+  private def renameMaterializedColumn(spark: SparkSession, location: String,
+      oldName: String, newName: String): Unit = {
     requireUnmapped(spark, location, oldName)
     val mapping = columnMapping(spark, location)
     // the physical name is the one the files carry: either this logical name
@@ -334,6 +411,16 @@ object VersionedTable {
     val schema = read(spark, location).columns
     require(schema.exists(_.equalsIgnoreCase(name)),
       s"column '$name' does not exist at $location (have ${schema.mkString(", ")})")
+    // dropping a registry-only added column just forgets the spec entry
+    addedColKey(spark, location, name) match {
+      case Some(k) =>
+        writeTableSpec(spark, location, tableSpec(spark, location) - k)
+      case None => dropMaterializedColumn(spark, location, name)
+    }
+  }
+
+  private def dropMaterializedColumn(spark: SparkSession, location: String,
+      name: String): Unit = {
     requireUnmapped(spark, location, name)
     val mapping = columnMapping(spark, location)
     val physical = mapping.collectFirst {
@@ -1022,8 +1109,14 @@ object VersionedTable {
       val cs = commits(spark, location)
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
-      val fromCommit = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      // SQL-created tables: the empty v0 is flat, the spec sidecar holds the layout
+      val live = liveCommits(spark, location, latest.version)
+      // the layout is the newest live commit that RECORDS one — pure-DV commits
+      // (delete) record none, and the SQL catalog's empty v0 is written flat
+      // with the declared layout in the spec sidecar
+      val fromCommit = live.reverse.collectFirst {
+        case c if c.partition_by.nonEmpty =>
+          c.partition_by.split(",").toSeq.filter(_.nonEmpty)
+      }.getOrElse(Nil)
       val partitioning =
         if (fromCommit.nonEmpty) fromCommit
         else tableSpec(spark, location).get("partition_by")
@@ -1031,7 +1124,6 @@ object VersionedTable {
       require(partitioning.nonEmpty,
         s"$location is not partitioned — dynamic partition overwrite needs a " +
           "hive-partitioned table (use a plain overwrite instead)")
-      val live = liveCommits(spark, location, latest.version)
       require(live.forall(c => c.row_count == 0 ||
           c.partition_by == partitioning.mkString(",")),
         s"$location has mixed live partition layouts — compact first")
@@ -1697,8 +1789,9 @@ object VersionedTable {
     */
   private def assembleScan(spark: SparkSession, location: String,
       live: Seq[Commit], keepMeta: Boolean): DataFrame =
-    toLogical(assembleScanPhysical(spark, location, live, keepMeta),
-      columnMapping(spark, location))
+    withAddedColumns(spark, location,
+      toLogical(assembleScanPhysical(spark, location, live, keepMeta),
+        columnMapping(spark, location)))
 
   private def assembleScanPhysical(spark: SparkSession, location: String,
       live: Seq[Commit], keepMeta: Boolean): DataFrame = {

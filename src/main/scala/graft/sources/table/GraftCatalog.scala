@@ -194,13 +194,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1, "nested column drop is not supported")
         VersionedTable.dropColumn(spark, loc, c.fieldNames.head)
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1, "nested column add is not supported")
+        require(c.position == null,
+          "column position is not supported — added columns append at the end")
+        require(c.defaultValue == null,
+          "DEFAULT is not supported — an added column reads as NULL until data lands")
+        require(c.isNullable,
+          "added columns must be nullable (existing rows carry no value)")
+        VersionedTable.addColumn(spark, loc, c.fieldNames.head, c.dataType.sql)
+      case c: TableChange.AddConstraint => c.constraint match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(chk.enforced,
+            s"constraint ${chk.name} must be ENFORCED — NOT ENFORCED CHECKs are " +
+              "not recorded (the table layer always enforces on write)")
+          VersionedTable.addConstraint(spark, loc, chk.name, chk.predicateSql)
+        case other => throw ColumnBridge.analysisError(
+          s"${fullName(ident)}: only CHECK constraints are supported, got $other")
+      }
+      case c: TableChange.DropConstraint =>
+        // dropConstraint is a no-op for unknown names, which covers IF EXISTS
+        VersionedTable.dropConstraint(spark, loc, c.name)
       case c => throw ColumnBridge.analysisError(
         s"${fullName(ident)}: unsupported ALTER TABLE change $c — the SQL surface " +
-          "covers RENAME COLUMN and DROP COLUMN (metadata-only); use the Scala API " +
-          "for constraints, generated columns, and maintenance operations")
+          "covers ADD/RENAME/DROP COLUMN and ADD/DROP CONSTRAINT (metadata-only); " +
+          "use the Scala API for generated columns and maintenance operations")
     }
     loadTable(ident)
   }
+
+  /** Advertises CHECK-constraint DDL support so Spark routes
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` through [[alterTable]].
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -22,6 +22,7 @@ import graft.catalog.VersionedTable
   *   CALL gsql.system.add_constraint(table => 'ns.t', name => 'qty_pos', check_sql => 'qty > 0')
   *   CALL gsql.system.drop_constraint(table => 'ns.t', name => 'qty_pos')
   *   CALL gsql.system.generate_manifest(table => 'ns.t')
+  *   CALL gsql.system.maintain(table => 'ns.t', max_live_commits => 16)
   *   CALL gsql.system.update_where(table => 'ns.t', condition => 'id < 5',
   *                                 assignments => 'qty = qty * 2')
   *   CALL gsql.system.merge(table => 'ns.t', source => 'changes_view', keys => 'id')
@@ -126,6 +127,29 @@ private[table] object GraftProcedures {
         VersionedTable.dropConstraint(s, resolve(args(0).asInstanceOf[String]),
           args(1).asInstanceOf[String])
         Seq(Seq(args(1)))
+      }),
+    GraftProcedure("maintain",
+      "threshold-driven auto-OPTIMIZE: compact when the live commit count or " +
+        "live deletion-vector rows cross their caps (both log-resolved, no data " +
+        "read when nothing fires); returns the action taken",
+      Seq(in("table", StringType),
+        inDefault("max_live_commits", LongType, "16"),
+        inDefault("max_dv_rows", LongType, "1000000")),
+      StructType(Seq(StructField("action", StringType),
+        StructField("version", LongType))),
+      (s, resolve, args) => {
+        val loc = resolve(args(0).asInstanceOf[String])
+        val cs = VersionedTable.commits(s, loc)
+        require(cs.nonEmpty, s"no commits at $loc")
+        val live = cs.lastIndexWhere(_.isFullState) match {
+          case i if i < 0 => cs
+          case i => cs.drop(i)
+        }
+        val dvRows = live.filter(_.dv_dir.nonEmpty).map(_.replaced_rows).sum
+        if (live.length > args(1).asInstanceOf[Long] ||
+            dvRows > args(2).asInstanceOf[Long])
+          Seq(Seq("compacted", VersionedTable.compact(s, loc)))
+        else Seq(Seq("noop", cs.last.version))
       }),
     GraftProcedure("update_where",
       "merge-on-read UPDATE: SET assignments on matching rows via a deletion " +

@@ -74,6 +74,30 @@ class GraftTableSourceSpec extends AnyFunSuite with SharedSpark {
     assert(ids(out) === Seq(1L, 2L, 10L))
   }
 
+  test("replace commits: append stream fails without ignoreChanges, skips with it") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gts_rp").toString
+    val out = Files.createTempDirectory("gts_rp_out").toString
+    val chk = Files.createTempDirectory("gts_rp_chk").toString
+    VersionedTable.write((1L to 6L).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
+      loc, "overwrite", partitionBy = Seq("grp"))                      // v0
+    drain(loc, out, chk)
+    assert(ids(out) === (1L to 6L))
+
+    // v1: dynamic partition overwrite of g0 — rows were retired, not appended,
+    // so an append-only tail must refuse rather than silently diverge
+    VersionedTable.overwritePartitions(
+      Seq((90L, "g0")).toDF("id", "grp"), loc)
+    val e = intercept[StreamingQueryException] { drain(loc, out, chk) }
+    assert(e.getMessage.contains("replace"))
+
+    // opting in skips the replace (its rows are not delivered, the retired ones
+    // not retracted — the documented reset gap); later appends still flow
+    VersionedTable.write(Seq((100L, "g1")).toDF("id", "grp"), loc, "append") // v2
+    drain(loc, out, chk, Map("ignoreChanges" -> "true"))
+    assert(ids(out) === ((1L to 6L) :+ 100L))
+  }
+
   test("change feed mode: merges arrive as row-level pre/post images and deletes") {
     import spark.implicits._
     val loc = Files.createTempDirectory("gts_cdf").toString

@@ -98,4 +98,89 @@ class ProtocolPropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  /** The same net over a HIVE-PARTITIONED table, with dynamic partition
+    * overwrite in the mix — the interactions no targeted spec enumerates:
+    * a replace shadowing rows a later restore resurrects, a delete DV'ing
+    * rows a replace then retires wholesale, a compact folding replace
+    * commits, scoped merges stacking on replaces.
+    */
+  test("random op sequences on a partitioned table incl. replace (seed 7)") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val loc = Files.createTempDirectory("proto_prop_part").toString + "/t"
+
+    var model = Map.empty[Long, (String, Int)] // id -> (grp, value)
+    var history = Vector.empty[Map[Long, (String, Int)]]
+    var nextId = 0L
+
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = nextId until (nextId + n)
+      nextId += n
+      ids
+    }
+    def toDf(m: Seq[(Long, (String, Int))]) =
+      m.map { case (id, (g, v)) => (id, g, v) }.toDF("id", "grp", "value")
+
+    def check(step: String): Unit = {
+      val actual = VersionedTable.read(spark, loc).select("id", "grp", "value")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(actual === model, s"state diverged after: $step")
+      assert(VersionedTable.fastCount(spark, loc) === model.size.toLong,
+        s"fastCount diverged after: $step")
+      history :+= model
+    }
+
+    val baseIds = freshIds(60)
+    model = baseIds.map(id => id -> (s"g${id % 4}", 0)).toMap
+    VersionedTable.write(toDf(model.toSeq), loc, "overwrite",
+      partitionBy = Seq("grp"))
+    check("base overwrite")
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // append fresh rows across groups
+          val rows = freshIds(1 + rnd.nextInt(8))
+            .map(id => id -> (s"g${id % 4}", rnd.nextInt(100)))
+          VersionedTable.write(toDf(rows), loc, "append", partitionBy = Seq("grp"))
+          model ++= rows
+          check(s"$step append")
+        case 1 => // DV delete by modulus
+          val k = 2 + rnd.nextInt(5); val r = rnd.nextInt(k)
+          VersionedTable.deleteWhere(spark, loc, s"id % $k = $r")
+          model = model.filter { case (id, _) => id % k != r }
+          check(s"$step delete id%$k=$r")
+        case 2 => // dynamic partition overwrite of one group; sometimes an
+          // explicit clearing replace instead
+          val g = s"g${rnd.nextInt(4)}"
+          if (rnd.nextInt(4) == 0) {
+            VersionedTable.overwritePartitions(
+              toDf(Nil), loc, Some(Seq(Seq("grp" -> g))))
+            model = model.filter { case (_, (mg, _)) => mg != g }
+            check(s"$step clear $g")
+          } else {
+            val rows = freshIds(2 + rnd.nextInt(5))
+              .map(id => id -> (g, rnd.nextInt(100)))
+            VersionedTable.overwritePartitions(toDf(rows), loc)
+            model = model.filter { case (_, (mg, _)) => mg != g } ++ rows
+            check(s"$step replace $g")
+          }
+        case 3 => // merge keyed (id, grp): updates over a sample + fresh inserts
+          val hits = model.toSeq.sortBy(_._1).take(5)
+            .map { case (id, (g, _)) => id -> (g, rnd.nextInt(100)) }
+          val ins = freshIds(2).map(id => id -> (s"g${id % 4}", rnd.nextInt(100)))
+          VersionedTable.merge(spark, loc, toDf(hits ++ ins), Seq("id", "grp"))
+          model ++= hits ++ ins
+          check(s"$step merge")
+        case 4 => // compact (pure rewrite, state unchanged)
+          VersionedTable.compact(spark, loc)
+          check(s"$step compact")
+        case 5 => // restore to a random earlier version
+          val v = rnd.nextInt(history.length)
+          VersionedTable.restore(spark, loc, v.toLong)
+          model = history(v)
+          check(s"$step restore -> v$v")
+      }
+    }
+  }
 }
