@@ -362,6 +362,15 @@ object SparkEntry {
     Similarity.cosineTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** Hard-negative mining gate: per query, the top-5 most-similar DIFFERENT-label
+    * vectors — the contrastive-training data-prep step. The oracle replays the
+    * cosine arithmetic with the label-inequality join, so a wrong label filter,
+    * a self-match leak, or a ranking drift hash-mismatches.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, dir), numQueries = 10, k = 5)
+      .orderBy("query_id", "rank")
+
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
       tables = 16, planesPerTable = 4).orderBy("query_id", "rank")
@@ -617,6 +626,17 @@ object SparkEntry {
   private def qShards(s: SparkSession, dir: String): DataFrame =
     Splits.shardAssign(docs(s, dir), numShards = 8)
       .select("doc_id", "shard", "position")
+      .orderBy("doc_id")
+
+  /** Curriculum-schedule gate: easy→hard phase bands by exact percentile cutoffs
+    * over document length, md5 shard + position within each (phase, shard). The
+    * oracle replays the interpolated cutoffs, the tie-to-lower-phase rule, and
+    * the md5 ordering, so a cutoff drift or an order instability hash-mismatches.
+    */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    Splits.curriculumSchedule(docs(s, dir), scoreCol = "n_chars",
+        phases = 3, numShards = 4)
+      .select("doc_id", "phase", "shard", "position")
       .orderBy("doc_id")
 
   /** C4-style corpus-level chunk dedup: 20-word chunks occurring more than once
@@ -1474,6 +1494,7 @@ object SparkEntry {
     "q_simhash_near_pairs" -> qSimhashNearPairs,
     "q_fingerprints" -> qFingerprints,
     "q_similarity_topk" -> qSimilarityTopK,
+    "q_hard_negatives" -> qHardNegatives,
     "q_ann_topk" -> qAnnTopK,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
@@ -1505,6 +1526,7 @@ object SparkEntry {
     "q_balanced_sample" -> qBalancedSample,
     "q_source_caps" -> qSourceCaps,
     "q_shards" -> qShards,
+    "q_curriculum" -> qCurriculum,
     "q_dup_spans" -> qDupSpans,
     "q_span_cut" -> qSpanCut,
     "q_int8_quant" -> qInt8Quant,
@@ -2501,6 +2523,41 @@ object SparkEntry {
         |  CAST(n - len(kept) AS INT) AS n_tokens_removed
         |FROM c ORDER BY doc_id""".stripMargin,
     // shard replay: same md5 mod for the shard, same window order for the position
+    // hard negatives: same cosine replay as q_similarity_topk, with the label
+    // inequality in the join (self-match exclusion is implied: same label)
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv, norm AS qnorm
+        |  FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.qnorm * n.norm), 4) AS cosine
+        |  FROM q JOIN n ON n.label <> q.qlbl)
+        |SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // curriculum: interpolated tercile cutoffs over n_chars (ties stay in the
+    // lower phase), md5 shard + within-(phase, shard) md5 order
+    "q_curriculum" ->
+      """WITH c AS (SELECT quantile_cont(n_chars, 1.0 / 3.0) AS c1,
+        |    quantile_cont(n_chars, 2.0 / 3.0) AS c2 FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN n_chars > c2 THEN 2 WHEN n_chars > c1 THEN 1
+        |      ELSE 0 END AS INT) AS phase,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 4 AS INT) AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents CROSS JOIN c)
+        |SELECT doc_id, phase, shard,
+        |  CAST(row_number() OVER (PARTITION BY phase, shard
+        |    ORDER BY h, CAST(doc_id AS VARCHAR)) AS INT) AS position
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_shards" ->
       s"""WITH s AS (
          |  SELECT doc_id,

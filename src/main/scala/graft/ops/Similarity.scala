@@ -63,6 +63,38 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training (the data-prep step behind
+    * DPR/SimCSE-style retrieval and embedding fine-tuning): for each query
+    * vector, the top-k MOST-similar vectors carrying a DIFFERENT label — "hard"
+    * because they resemble the query yet must be pushed apart, which is where
+    * contrastive gradients come from (random negatives are trivially separable).
+    * Same plan shape as [[cosineTopK]]: queries broadcast, the corpus streams
+    * through one codegen'd dot product per (query, candidate) with the label
+    * inequality fused into the join condition, and the only wide op is the
+    * per-query top-k window (numQueries partitions). The [[annTopK]] bucketing
+    * composes in front of this for the 100 TB path — probe candidates first,
+    * then label-filter + re-rank.
+    */
+  def hardNegatives(
+      embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val base = embeddings.select(col(idCol).as("vec_id"),
+        toDoubleVec(col(vecCol)).as("v"), col(labelCol).as("lbl"))
+      .withColumn("norm", l2Norm(col("v")))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("lbl").as("qlbl"))
+    val sims = base.join(broadcast(queries), col("lbl") =!= col("qlbl"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed → reproducible runs
     * and cluster-order independence).
     */

@@ -190,6 +190,39 @@ object Splits {
       .withColumn("position", row_number().over(w))
   }
 
+  /** Curriculum schedule (curriculum-learning data prep): order the corpus
+    * easy→hard without ever sorting it globally. `phases` equal-mass difficulty
+    * bands are cut by broadcast exact-percentile cutoffs over `scoreCol`
+    * (phase 0 = lowest scores; ties at a cutoff stay in the lower phase), then
+    * each phase gets the [[shardAssign]] treatment — deterministic md5 shard and
+    * within-(phase, shard) position — so a trainer streams phase 0's shards,
+    * then phase 1's, in a byte-reproducible order. Scale shape: one tiny
+    * percentile agg broadcast back, one narrow md5 projection, and the position
+    * window over (phase, shard) partitions of ~corpus/(phases·numShards) rows —
+    * the same bound as plain shard assignment, never a global sort.
+    */
+  def curriculumSchedule(df: DataFrame, scoreCol: String, phases: Int = 3,
+      numShards: Int = 8, idCol: String = "doc_id"): DataFrame = {
+    require(phases >= 2, s"need at least 2 phases, got $phases")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val cutCols = (1 until phases).map(i =>
+      expr(s"percentile($scoreCol, $i.0D / $phases)").as(s"__cut_$i"))
+    val cuts = df.agg(cutCols.head, cutCols.tail: _*)
+    val h = md5(col(idCol).cast("string"))
+    val shard =
+      (conv(substring(h, 1, 15), 16, 10).cast("long") % numShards).cast("int")
+    val phase = (1 until phases).foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(scoreCol) > col(s"__cut_$i"), 1).otherwise(0) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phase"), col("shard"))
+      .orderBy(h, col(idCol).cast("string"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("phase", phase)
+      .withColumn("shard", shard)
+      .withColumn("position", row_number().over(w))
+      .drop((1 until phases).map(i => s"__cut_$i"): _*)
+  }
+
   /** (label, exclusive upper bucket) boundaries — shared with the SQL oracle so both
     * engines cut at identical buckets.
     */

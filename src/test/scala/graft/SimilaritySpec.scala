@@ -34,6 +34,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(topk(0).getAs[Double]("cosine") === 1.0)
   }
 
+  test("hardNegatives: every negative crosses labels and outranks unpicked ones") {
+    val emb = Tables.embeddings(spark, sf)
+    val hn = Similarity.hardNegatives(emb, numQueries = 5, k = 3).cache()
+    assert(hn.count() === 15)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hn.collect().foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("vec_id")
+      assert(labels(q) !== labels(n),
+        s"negative $n shares label ${labels(q)} with query $q")
+    }
+    // the top hard negative is at least as similar as every other cross-label
+    // candidate (spot-check query 0 against a brute-force fold)
+    import spark.implicits._
+    val top0 = hn.filter(col("query_id") === 0 && col("rank") === 1)
+      .select("cosine").as[Double].head()
+    val all0 = Similarity.cosineTopK(emb, numQueries = 1, k = Int.MaxValue)
+    val bestCross = all0.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") =!= labels(0L))
+      .agg(max("cosine")).as[Double].head()
+    assert(top0 === bestCross)
+  }
+
   test("annTopK: results are a subset of brute force with reasonable recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.cosineTopK(emb, numQueries = 10, k = 5)

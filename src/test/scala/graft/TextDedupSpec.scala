@@ -225,6 +225,39 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(again.exceptAll(balanced).count() === 0)
   }
 
+  test("curriculumSchedule: equal-mass phases monotone in score, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val sched = graft.ops.Splits.curriculumSchedule(docs, scoreCol = "n_chars",
+      phases = 3, numShards = 4).cache()
+    assert(sched.count() === docs.count())
+    // phases are score-monotone: max score of phase p <= min score of phase p+1
+    val bounds = sched.groupBy("phase")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("phase").collect()
+      .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(bounds.map(_._1).toSeq === Seq(0, 1, 2))
+    bounds.sliding(2).foreach { case Array((_, _, hi), (_, lo, _)) =>
+      assert(hi <= lo, s"phase bands overlap: $hi > $lo")
+    }
+    // near-equal mass (interpolated cutoffs; ties can skew a band slightly)
+    val sizes = sched.groupBy("phase").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(sizes.max - sizes.min <= sizes.sum / 5,
+      s"phase masses too skewed: ${sizes.mkString(",")}")
+    // positions are contiguous 1..n within each (phase, shard)
+    val bad = sched.groupBy("phase", "shard")
+      .agg(count(lit(1)).as("n"), max("position").as("mx"), min("position").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() === 0)
+    // deterministic under repartitioning
+    val again = graft.ops.Splits.curriculumSchedule(docs.repartition(13),
+      scoreCol = "n_chars", phases = 3, numShards = 4)
+      .select("doc_id", "phase", "shard", "position")
+    assert(again.exceptAll(
+      sched.select("doc_id", "phase", "shard", "position")).count() === 0)
+  }
+
   test("shardAssign: uniform shards, contiguous positions, repartition-invariant") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
