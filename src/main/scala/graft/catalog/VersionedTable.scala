@@ -745,6 +745,23 @@ object VersionedTable {
     done
   }
 
+  /** OPTIMIZE with a TARGET FILE SIZE instead of a file count — the form a
+    * maintenance job actually wants (Delta's `optimize.maxFileSize` shape): the
+    * output file count derives from the LOG-RESOLVED live byte size
+    * ([[snapshotStats]] — no data read to size the job), so the same call works
+    * unchanged on a 1 GB table (8 files) and a 1 TB one (8192 files) at the
+    * 128 MB default that keeps one scan task per file under
+    * `spark.sql.files.maxPartitionBytes`.
+    */
+  def compactToFileSize(spark: SparkSession, location: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val (_, bytes) = snapshotStats(spark, location)
+    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    compact(spark, location, zorderBy, numFiles = files.toInt)
+  }
+
   /** RESTORE parity (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the table
     * back to its state as of `version`, published as a NEW "restore" commit —
     * history stays append-only, so the rollback is itself versioned and

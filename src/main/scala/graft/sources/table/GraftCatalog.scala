@@ -359,6 +359,19 @@ class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Lon
     Map(TableCatalog.PROP_LOCATION -> location,
       TableCatalog.PROP_PROVIDER -> "graft-table").asJava
 
+  /** The table's CHECK constraints, surfaced through the DSv2 metadata API so
+    * DESCRIBE and catalog tooling see what the write path enforces. Every graft
+    * CHECK is enforced-on-write and validated against live data when declared.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    VersionedTable.constraints(spark, location).toSeq.sortBy(_._1).map {
+      case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+          .predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)

@@ -134,7 +134,8 @@ private[table] object GraftProcedures {
         "read when nothing fires); returns the action taken",
       Seq(in("table", StringType),
         inDefault("max_live_commits", LongType, "16"),
-        inDefault("max_dv_rows", LongType, "1000000")),
+        inDefault("max_dv_rows", LongType, "1000000"),
+        inDefault("target_file_mb", LongType, "128")),
       StructType(Seq(StructField("action", StringType),
         StructField("version", LongType))),
       (s, resolve, args) => {
@@ -148,7 +149,8 @@ private[table] object GraftProcedures {
         val dvRows = live.filter(_.dv_dir.nonEmpty).map(_.replaced_rows).sum
         if (live.length > args(1).asInstanceOf[Long] ||
             dvRows > args(2).asInstanceOf[Long])
-          Seq(Seq("compacted", VersionedTable.compact(s, loc)))
+          Seq(Seq("compacted", VersionedTable.compactToFileSize(s, loc,
+            targetFileBytes = args(3).asInstanceOf[Long] * 1024 * 1024)))
         else Seq(Seq("noop", cs.last.version))
       }),
     GraftProcedure("update_where",

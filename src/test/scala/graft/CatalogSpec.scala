@@ -796,6 +796,24 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(e2.getMessage.contains("not partitioned"))
   }
 
+  test("compactToFileSize sizes the rewrite from log-resolved bytes") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_sizecompact").toString
+    (0 until 3).foreach { i =>
+      VersionedTable.write(
+        (0 until 2000).map(j => (i * 2000L + j, s"payload_$i$j")).toDF("id", "s"),
+        loc, if (i == 0) "overwrite" else "append")
+    }
+    val (rows, bytes) = VersionedTable.snapshotStats(spark, loc)
+    assert(rows === 6000L && bytes > 0L)
+    // target a third of the live bytes → ceil gives 3 (or 4 on rounding) files
+    VersionedTable.compactToFileSize(spark, loc, targetFileBytes = bytes / 3)
+    val detail = VersionedTable.detail(spark, loc).head()
+    val expected = (bytes + bytes / 3 - 1) / (bytes / 3)
+    assert(detail.getAs[Long]("num_files") === expected)
+    assert(VersionedTable.read(spark, loc).count() === 6000L)
+  }
+
   test("versioned table: concurrent writers each publish a distinct committed version") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

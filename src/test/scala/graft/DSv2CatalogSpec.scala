@@ -311,6 +311,11 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     val e2 = intercept[Exception](
       spark.sql("ALTER TABLE gsql.t.addcon ADD CONSTRAINT id_big CHECK (id > 100)"))
     assert(e2.getMessage.contains("id > 100"))
+    // the DSv2 metadata API reports the declared CHECKs
+    val reported = new graft.sources.table.GraftSqlTable(
+      "gsql.t.addcon", loc("addcon"), None).constraints()
+    assert(reported.map(_.name).toSeq === Seq("qty_pos"))
+    assert(reported.head.enforced())
     spark.sql("ALTER TABLE gsql.t.addcon DROP CONSTRAINT qty_pos")
     spark.sql("INSERT INTO gsql.t.addcon VALUES (2, -1)") // gate lifted
     assert(spark.sql("SELECT count(*) FROM gsql.t.addcon").head.getLong(0) === 2L)
