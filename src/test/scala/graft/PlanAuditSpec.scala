@@ -137,6 +137,33 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("hard negatives: queries broadcast with the label filter in the join, no cartesian") {
+    val plan = finalPlan(graft.ops.Similarity.hardNegatives(
+      Tables.embeddings(spark, sf), numQueries = 5, k = 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the query set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"label-inequality join must not plan a cartesian product:\n$plan")
+  }
+
+  test("curriculum schedule: broadcast cutoffs, one window shuffle, no global sort") {
+    val sched = graft.ops.Splits.curriculumSchedule(
+      Tables.documents(spark, sf), scoreCol = "n_chars", phases = 3, numShards = 4)
+    // executedPlan.toString prints the Final AND Initial AQE sections — audit
+    // only the final one
+    val plan = finalPlan(sched).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange"),
+      s"percentile cutoffs must broadcast back, not re-join wide:\n$plan")
+    // the only Exchange beyond the cutoff broadcast is the (phase, shard)
+    // window's hash partitioning — a global ORDER BY would add a range exchange
+    assert(!plan.contains("rangepartitioning"),
+      s"a curriculum must not globally sort the corpus:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected at most one hash exchange (the window), " +
+      s"got $shuffles:\n$plan")
+  }
+
   test("outliers: group stats broadcast back onto the stream, never a cross product") {
     val plan = finalPlan(SparkEntry.queries("q_outliers")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"stats join should broadcast:\n$plan")
