@@ -63,6 +63,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -114,7 +115,16 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val tableOps = benchTableOps(spark, sfDir)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}"""
+    // durability: the caller's log-tail capture once truncated the result line
+    // mid-JSON (round 7) — land it on disk FIRST, then print and flush before
+    // spark.stop() can interleave shutdown logging
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("tools/bench_latest.json"), json + "\n")
+    catch { case _: Throwable => () } // a read-only cwd must not fail the bench
+    println(json)
+    Console.out.flush()
     spark.stop()
   }
 

@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.Registry.injectables.foreach(ext.injectFunction)
+    // native SQL UPDATE/MERGE INTO on graft catalog tables: a post-hoc
+    // resolution rule (runs before CheckAnalysis would refuse them for
+    // non-row-level DSv2 tables) routes the resolved commands into the
+    // versioned table's merge-on-read commit paths
+    ext.injectPostHocResolutionRule(session =>
+      new sources.table.GraftRowLevelSqlRule(session))
+  }
 }

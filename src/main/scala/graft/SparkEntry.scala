@@ -1221,6 +1221,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sharded length-bucketed batching gate: same contract as
+    * [[qLengthBuckets]] but with the 100 TB parallelism knob engaged
+    * (`numShards = 4`) — each bucket's window splits into four independent
+    * md5-keyed shards, so the oracle must replay the shard assignment AND the
+    * per-(bucket, shard) batch numbering byte-for-byte. A salt that leaked
+    * rows across shards, renumbered batches globally, or used a
+    * non-replayable hash would hash-mismatch.
+    */
+  private def qLengthBucketsSharded(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    graft.ops.Packing.lengthBuckets(d, batchSize = 8, minCap = 16, maxCap = 1024,
+      numShards = 4)
+      .select("doc_id", "n_tokens", "bucket_cap", "batch_id", "padding")
+      .orderBy("doc_id")
+  }
+
   /** Generated-columns gate: `len_class` declared GENERATED ALWAYS AS a CASE
     * over n_chars BEFORE the first write; the writer never materializes it —
     * the staged write computes it, an appended batch goes through the same
@@ -1279,6 +1296,61 @@ object SparkEntry {
             |SELECT 'pre_delete' AS state, doc_id, lang, source
             |FROM gsqlc.contract.docs VERSION AS OF 3""".stripMargin)
       .orderBy("state", "doc_id")
+  }
+
+  /** Native SQL UPDATE gate: `UPDATE ... SET ... WHERE` as plain SQL against the
+    * DSv2 catalog — no CALL procedure. The extension rule routes the resolved
+    * UpdateTable into the deletion-vector merge-on-read commit
+    * ([[graft.sources.table.GraftRowLevelSqlRule]]); the oracle states the final
+    * table with a CASE, so an update that missed rows, hit extra rows, or
+    * mangled an expression would hash-mismatch.
+    */
+  private def qSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.upd")
+    docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlupd_docs")
+    s.sql("CREATE TABLE gsqlc.contract.upd AS " +
+      "SELECT * FROM sqlupd_docs WHERE doc_id < 500")
+    s.sql("UPDATE gsqlc.contract.upd " +
+      "SET source = concat(source, '+u'), n_chars = n_chars + 10 " +
+      "WHERE lang = 'en' AND doc_id < 300")
+    s.sql("SELECT doc_id, lang, source, n_chars FROM gsqlc.contract.upd")
+      .orderBy("doc_id")
+  }
+
+  /** Native SQL MERGE INTO gate: the full CDC-apply shape as plain SQL —
+    * conditional DELETE on the change marker, `UPDATE SET *` for matched
+    * upserts, guarded `INSERT *` for unmatched — one merge-on-read commit.
+    * The oracle states the final table directly; a merge that inserted
+    * delete-marked rows, deleted the wrong matches, or dropped the unmatched
+    * inserts would hash-mismatch.
+    */
+  private def qSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.mrg")
+    docs(s, dir).select("doc_id", "lang", "source")
+      .createOrReplaceTempView("sqlmrg_docs")
+    s.sql("CREATE TABLE gsqlc.contract.mrg AS " +
+      "SELECT * FROM sqlmrg_docs WHERE doc_id < 400")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlmrg_src AS
+            |SELECT doc_id, concat(lang, '+u') AS lang, source,
+            |  doc_id % 5 = 0 AS kill
+            |FROM sqlmrg_docs WHERE doc_id >= 200 AND doc_id < 600""".stripMargin)
+    s.sql("""MERGE INTO gsqlc.contract.mrg t USING sqlmrg_src s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND s.kill THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED AND NOT (s.kill) THEN INSERT *""".stripMargin)
+    s.sql("SELECT doc_id, lang, source FROM gsqlc.contract.mrg").orderBy("doc_id")
   }
 
   /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
@@ -1558,9 +1630,12 @@ object SparkEntry {
     "q_merge_on_read" -> qMergeOnRead,
     "q_dp_counts" -> qDpCounts,
     "q_length_buckets" -> qLengthBuckets,
+    "q_length_buckets_sharded" -> qLengthBucketsSharded,
     "q_generated_columns" -> qGeneratedColumns,
     "q_rename_column" -> qRenameColumn,
     "q_sql_catalog" -> qSqlCatalog,
+    "q_sql_update" -> qSqlUpdate,
+    "q_sql_merge" -> qSqlMerge,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
@@ -2905,6 +2980,23 @@ object SparkEntry {
         |SELECT doc_id, lang || '+u' AS lang, source FROM documents
         |WHERE doc_id >= 200 AND doc_id < 600
         |ORDER BY doc_id""".stripMargin,
+    // native SQL UPDATE: the final table stated with a CASE over the base
+    "q_sql_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' AND doc_id < 300
+        |       THEN source || '+u' ELSE source END AS source,
+        |  CASE WHEN lang = 'en' AND doc_id < 300
+        |       THEN n_chars + 10 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+    // native SQL MERGE (CDC shape): base(<400); changes [200,600) with lang+'+u',
+    // kill marker on doc_id%5=0 — matched kills delete, matched others update,
+    // unmatched non-kill insert, unmatched kills no-op
+    "q_sql_merge" ->
+      """SELECT doc_id, lang, source FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT doc_id, lang || '+u' AS lang, source FROM documents
+        |WHERE doc_id >= 200 AND doc_id < 600 AND doc_id % 5 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // merge-on-read merge: identical final-state contract as q_merge_upsert,
     // reached through deletion vectors + change-row appends instead of a rewrite
     "q_merge_on_read" ->
@@ -3149,7 +3241,29 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id) AS rn
         |  FROM b)
         |SELECT doc_id, n_tokens, bucket_cap,
-        |  concat(bucket_cap, '#', (rn - 1) // 8) AS batch_id,
+        |  concat(bucket_cap, '#0#', (rn - 1) // 8) AS batch_id,
+        |  greatest(bucket_cap - n_tokens, 0) AS padding
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // sharded variant: the oracle replays the md5 shard assignment (same
+    // formula as q_shards) and numbers batches within (bucket_cap, shard)
+    "q_length_buckets_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 4 AS INT) AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, least(greatest(
+        |      (CAST(1 AS BIGINT) << length(bin(greatest(n_tokens, 2) - 1))),
+        |      16), 1024) AS bucket_cap
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket_cap, shard
+        |    ORDER BY doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket_cap,
+        |  concat(bucket_cap, '#', shard, '#', (rn - 1) // 8) AS batch_id,
         |  greatest(bucket_cap - n_tokens, 0) AS padding
         |FROM r ORDER BY doc_id""".stripMargin,
     // priority dedup: per content hash keep the min-(priority, doc_id) copy;

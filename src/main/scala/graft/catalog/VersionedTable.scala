@@ -361,13 +361,35 @@ object VersionedTable {
       else d.withColumn(n, lit(null).cast(t))
     }
 
-  /** The added-spec entry for `name`, if the column is registry-only. */
+  /** The added-spec entry for `name`, if the column is spec-registered. */
   private def addedColKey(spark: SparkSession, location: String,
       name: String): Option[String] =
     tableSpec(spark, location).keys
       .find(k => k.startsWith(AddedColPrefix) &&
         k.stripPrefix(AddedColPrefix).dropWhile(_ != '.').drop(1)
           .equalsIgnoreCase(name))
+
+  /** Whether any LIVE data file physically carries `name` (under the current
+    * mapping's logical view). This — not registry presence — decides whether a
+    * rename/drop of a spec-registered added column can stay spec-only: after
+    * ADD COLUMN → a write that carries the column, the files own the data, and
+    * a spec-key-only rename would keep surfacing the old physical column WITH
+    * its data (mergeSchema) while [[withAddedColumns]] resurrects an all-NULL
+    * twin under the new name — a silent data loss. Cost: a footer-schema
+    * resolve over the live commit roots, paid only on DDL.
+    */
+  private def materializedInFiles(spark: SparkSession, location: String,
+      name: String): Boolean = {
+    val cs = commits(spark, location)
+    cs.nonEmpty && {
+      val live = liveCommits(spark, location, cs.last.version)
+      val hasData = live.exists(c =>
+        !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
+      hasData &&
+        toLogical(assembleScanPhysical(spark, location, live, keepMeta = false),
+          columnMapping(spark, location)).columns.exists(_.equalsIgnoreCase(name))
+    }
+  }
 
   def renameColumn(spark: SparkSession, location: String, oldName: String,
       newName: String): Unit = {
@@ -378,10 +400,26 @@ object VersionedTable {
       s"column '$oldName' does not exist at $location (have ${schema.mkString(", ")})")
     require(!schema.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists at $location")
-    // a registry-only added column renames inside the spec — the mapping file
-    // must never reference a physical name no file carries
+    // the new name may not shadow a RETIRED physical name still living in the
+    // files (renaming BACK to oldName's own physical carrier is fine)
+    val mapping = columnMapping(spark, location)
+    val physicalOfOld = mapping.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(oldName) => p
+    }.getOrElse(oldName)
+    mapping.keys.find(k => k.equalsIgnoreCase(newName) &&
+        !k.equalsIgnoreCase(physicalOfOld)).foreach(p =>
+      throw new IllegalArgumentException(s"'$p' is a retired physical column " +
+        s"name at $location — run materializeMapping first to reuse it"))
+    // a spec-registered added column renames inside the spec ONLY while no
+    // live file carries it (the mapping file must never reference a physical
+    // name no file holds); once a write materialized it, the rename goes
+    // through the column mapping — data follows the new name — AND the spec
+    // key renames too, so withAddedColumns cannot resurrect a NULL column
+    // under the old name
     addedColKey(spark, location, oldName) match {
       case Some(k) =>
+        if (materializedInFiles(spark, location, oldName))
+          renameMaterializedColumn(spark, location, oldName, newName)
         val spec = tableSpec(spark, location)
         val seq = k.stripPrefix(AddedColPrefix).takeWhile(_ != '.')
         writeTableSpec(spark, location,
@@ -411,9 +449,14 @@ object VersionedTable {
     val schema = read(spark, location).columns
     require(schema.exists(_.equalsIgnoreCase(name)),
       s"column '$name' does not exist at $location (have ${schema.mkString(", ")})")
-    // dropping a registry-only added column just forgets the spec entry
+    // dropping a spec-registered added column forgets the spec entry; if a
+    // write already materialized it into files, the mapping must ALSO retire
+    // the physical column, else mergeSchema keeps surfacing it with its data
+    // and the DROP silently no-ops
     addedColKey(spark, location, name) match {
       case Some(k) =>
+        if (materializedInFiles(spark, location, name))
+          dropMaterializedColumn(spark, location, name)
         writeTableSpec(spark, location, tableSpec(spark, location) - k)
       case None => dropMaterializedColumn(spark, location, name)
     }
@@ -1691,6 +1734,19 @@ object VersionedTable {
     * has been [[vacuum]]ed can no longer be read (as with Delta after VACUUM) — the
     * vacuum floor makes that failure LOUD even when only partition subdirectories
     * were reclaimed (a silent partial read would otherwise be possible).
+    *
+    * DOCUMENTED DIVERGENCE from Delta — schema DDL is NOT versioned: the
+    * column mapping (`_columns.json`) and the added-column/generated-column
+    * spec (`_table_spec.json`) are single current-state sidecars, applied to
+    * EVERY snapshot read. A `VERSION AS OF` read therefore shows historical
+    * ROWS under the table's CURRENT logical schema — columns added/renamed
+    * after `version` appear (added ones as typed NULL where no file carries
+    * them), dropped ones are gone — where Delta would reconstruct the schema
+    * in force at `version`. Data content is exact; only the column-level view
+    * is current-schema. Versioning the DDL would mean recording a spec/mapping
+    * snapshot per commit; the current contract trades that for one sidecar
+    * read per scan and is pinned by ColumnMappingSpec ("renames compose with
+    * ... time travel").
     */
   def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
     requireReadable(spark, location, version)

@@ -66,18 +66,27 @@ object Packing {
     * the batch pads to), `batch_id` (globally unique: bucket-prefixed), and
     * `padding` (the waste this row pays) — feed the sum to capacity planning.
     *
-    * Plan shape: one shuffle partitioned by bucket with an in-bucket sort
-    * (row_number) — the latest-per-key shape. Buckets are ~log2(maxCap/minCap)
-    * keys, so at 100 TB the per-bucket streams are large but UNIFORM (each
-    * holds a contiguous length band); Spark's window sorts spill gracefully,
-    * and a skewed band can be salted by further range-splitting doc_id without
-    * changing batch semantics (batch ids stay deterministic per salt range).
+    * Plan shape: one shuffle partitioned by (bucket, shard) with an in-partition
+    * sort (row_number) — the latest-per-key shape. Buckets alone are only
+    * ~log2(maxCap/minCap) keys (~10 with the defaults), which at 100 TB would
+    * funnel the corpus through ~10 reducer tasks; `numShards` salts each bucket
+    * into `numShards` independent windows keyed by a deterministic md5 shard of
+    * the doc id, making parallelism a knob: the window partitions hold
+    * ~corpus/(buckets·numShards) rows. Batches never span shards, so a batch
+    * still pads to one `bucket_cap` and holds at most `batchSize` rows; the only
+    * cost of salting is up to one under-full batch per (bucket, shard) instead
+    * of per bucket — noise against 100 TB. `batch_id` is bucket#shard#index,
+    * deterministic for a given (input, numShards) under any partitioning or
+    * rerun — the same reproducibility contract as [[Splits.shardAssign]], whose
+    * md5 shard formula this reuses (md5, not xxhash64, so external engines can
+    * replay the assignment byte-for-byte).
     */
   def lengthBuckets(df: DataFrame, batchSize: Int, minCap: Int = 16,
       maxCap: Int = 8192, idCol: String = "doc_id",
-      tokensCol: String = "n_tokens"): DataFrame = {
+      tokensCol: String = "n_tokens", numShards: Int = 1): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     require(minCap > 0 && maxCap >= minCap, s"bad caps [$minCap, $maxCap]")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
     // next power of two >= n, clamped. PURE INTEGER arithmetic — floating log2
     // sits within an ulp of an integer exactly at the bucket boundaries, where
     // engines may disagree; 2^bitlength(n-1) (via bin()) cannot
@@ -85,13 +94,17 @@ object Packing {
       s"least(greatest(shiftleft(CAST(1 AS BIGINT), " +
         s"length(bin(greatest(CAST($tokensCol AS BIGINT), 2L) - 1))), " +
         s"${minCap}L), ${maxCap}L)")
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % numShards).cast("int")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket_cap")).orderBy(col(idCol))
+      .partitionBy(col("bucket_cap"), col("__shard")).orderBy(col(idCol))
     df.withColumn("bucket_cap", cap)
+      .withColumn("__shard", shard)
       .withColumn("batch_id",
-        concat_ws("#", col("bucket_cap"),
+        concat_ws("#", col("bucket_cap"), col("__shard"),
           ((row_number().over(w) - 1) / batchSize).cast("long")))
       .withColumn("padding",
         greatest(col("bucket_cap") - col(tokensCol), lit(0L)))
+      .drop("__shard")
   }
 }

@@ -81,6 +81,21 @@ object Privacy {
     * fresh noise. Treat the seed like a key: an adversary who knows it can
     * subtract the noise (the same caveat as any PRG-seeded DP release).
     *
+    * ==Seed governance — the determinism is a loaded gun==
+    * The ε-DP guarantee is for ONE release under ONE seed. Reusing a seed
+    * breaks the accounting silently in two ways: (1) re-releasing after the
+    * data changed — the noise is unchanged (same keyed hash), so the pair of
+    * releases differences to the exact true-count delta of the changed rows;
+    * (2) two overlapping group-bys under one seed — groups sharing key
+    * material share noise, and the correlated releases compose WORSE than the
+    * ε + ε the analyst budgets for (sequential composition assumes
+    * independent draws). Rules: one fresh seed per (dataset version, release);
+    * never re-derive a release from live data — republish the stored
+    * artifact; account ε across every release that touched the same rows.
+    * [[dpRelease]] folds these rules into the API: the seed derives from a
+    * `release_id` that refuses same-session reuse, and the output carries the
+    * (release_id, epsilon) provenance the budget ledger needs.
+    *
     * Plan shape: the one map-side-combined groupBy the counts need; the noise
     * is per-GROUP arithmetic on the post-agg rows. Release `dp_count` only —
     * `true_count` is returned for pipeline-internal utility accounting and
@@ -102,6 +117,34 @@ object Privacy {
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("true_count"))
       .withColumn("dp_count", round(col("true_count") + noise, 6))
+  }
+
+  /** Same-session ledger of spent release ids — the guard that makes seed
+    * reuse a loud error instead of a silent privacy break.
+    */
+  private val spentReleases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[dpCounts]] with the seed-governance rules folded in: the noise seed
+    * derives from `releaseId` (never caller-supplied, so two releases cannot
+    * accidentally share key material), a same-session `releaseId` reuse is
+    * REFUSED (re-releasing under one seed breaks the ε accounting — republish
+    * the stored artifact instead), and the output rows carry
+    * `(release_id, epsilon)` so a downstream budget ledger can sum ε per
+    * dataset without out-of-band bookkeeping. Cross-session reuse is on the
+    * caller's ledger — persist the release table, don't recompute it.
+    */
+  def dpRelease(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      releaseId: String): DataFrame = {
+    require(releaseId.nonEmpty, "dpRelease needs a non-empty releaseId")
+    require(spentReleases.add(releaseId),
+      s"release_id '$releaseId' was already spent in this session — each DP " +
+        "release must draw fresh noise under a fresh id (seed reuse lets two " +
+        "releases difference to exact counts and voids sequential " +
+        "composition); republish the stored artifact or mint a new id")
+    dpCounts(df, groupCols, epsilon, seed = s"dp-release:$releaseId")
+      .withColumn("release_id", lit(releaseId))
+      .withColumn("epsilon", lit(epsilon))
   }
 
   /** One-row corpus summary: `(n_rows, n_classes, classes_below_k, rows_at_risk,

@@ -192,7 +192,7 @@ object Splits {
 
   /** Curriculum schedule (curriculum-learning data prep): order the corpus
     * easy→hard without ever sorting it globally. `phases` equal-mass difficulty
-    * bands are cut by broadcast exact-percentile cutoffs over `scoreCol`
+    * bands are cut by broadcast percentile cutoffs over `scoreCol`
     * (phase 0 = lowest scores; ties at a cutoff stay in the lower phase), then
     * each phase gets the [[shardAssign]] treatment — deterministic md5 shard and
     * within-(phase, shard) position — so a trainer streams phase 0's shards,
@@ -200,13 +200,29 @@ object Splits {
     * percentile agg broadcast back, one narrow md5 projection, and the position
     * window over (phase, shard) partitions of ~corpus/(phases·numShards) rows —
     * the same bound as plain shard assignment, never a global sort.
+    *
+    * `exact` picks the cutoff aggregate — the same dual path as the
+    * per-group quality floor (see SCALE.md): `true` (default) uses exact
+    * `percentile`, whose buffer is a value→count map — fine whenever the score
+    * has bounded distinct values (int lengths, bucketed scores), and the
+    * contract-replayable choice; `false` uses `approx_percentile`
+    * (t-digest-style sketch, constant memory), the 100 TB path for CONTINUOUS
+    * scores where distinct values ≈ rows and the exact buffer is an OOM shape.
+    * Approx cutoffs move phase boundaries by the sketch's rank error (~1/acc);
+    * everything else — shard, position, determinism — is unchanged.
     */
   def curriculumSchedule(df: DataFrame, scoreCol: String, phases: Int = 3,
-      numShards: Int = 8, idCol: String = "doc_id"): DataFrame = {
+      numShards: Int = 8, idCol: String = "doc_id",
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(phases >= 2, s"need at least 2 phases, got $phases")
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val cutCols = (1 until phases).map(i =>
-      expr(s"percentile($scoreCol, $i.0D / $phases)").as(s"__cut_$i"))
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val cutCols = (1 until phases).map { i =>
+      val agg =
+        if (exact) s"percentile($scoreCol, $i.0D / $phases)"
+        else s"approx_percentile($scoreCol, $i.0D / $phases, $accuracy)"
+      expr(agg).as(s"__cut_$i")
+    }
     val cuts = df.agg(cutCols.head, cutCols.tail: _*)
     val h = md5(col(idCol).cast("string"))
     val shard =

@@ -175,9 +175,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // so schema inference on the empty table works; repartition(1) forces the file
     val empty = spark.createDataFrame(new util.ArrayList[Row](), schema).repartition(1)
     VersionedTable.write(empty, loc, "overwrite", partitionBy = Nil)
-    if (partitionBy.nonEmpty)
-      VersionedTable.writeTableSpec(spark, loc,
-        Map("partition_by" -> partitionBy.mkString(",")))
+    // persist user-declared properties (TBLPROPERTIES, COMMENT, USING provider,
+    // Spark-stamped owner) in the spec sidecar — declaring metadata and having
+    // it silently dropped is worse than a refusal; engine-internal location
+    // keys are the only ones elided (location IS the identity here)
+    val userProps = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val specProps = userProps.map { case (k, v) => s"prop.$k" -> v }
+    val spec = (if (partitionBy.nonEmpty)
+      Map("partition_by" -> partitionBy.mkString(","))
+    else Map.empty[String, String]) ++ specProps
+    if (spec.nonEmpty) VersionedTable.writeTableSpec(spark, loc, spec)
     new GraftSqlTable(fullName(ident), loc, None)
   }
 
@@ -329,8 +337,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * as the Scala and DataSource surfaces, so SQL users get identical semantics —
   * commits, CHECK constraints, generated columns, column mapping, deletion vectors.
   */
-class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Long])
+class GraftSqlTable(tableName: String, val location: String,
+    versionAsOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** Pinned time-travel version, if this relation was resolved `VERSION AS OF`
+    * — row-level SQL refuses such targets ([[GraftRowLevelSql]]).
+    */
+  def asOfVersion: Option[Long] = versionAsOf
 
   private def spark: SparkSession = SparkSession.active
 
@@ -355,9 +369,15 @@ class GraftSqlTable(tableName: String, location: String, versionAsOf: Option[Lon
   override def version(): String =
     VersionedTable.commits(spark, location).lastOption.map(_.version.toString).orNull
 
-  override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_LOCATION -> location,
-      TableCatalog.PROP_PROVIDER -> "graft-table").asJava
+  override def properties(): util.Map[String, String] = {
+    // create-time user properties (TBLPROPERTIES/COMMENT/...) ride the spec
+    // sidecar under `prop.` keys; engine identity keys are computed
+    val stored = VersionedTable.tableSpec(spark, location).collect {
+      case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v
+    }
+    (stored ++ Map(TableCatalog.PROP_LOCATION -> location,
+      TableCatalog.PROP_PROVIDER -> "graft-table")).asJava
+  }
 
   /** The table's CHECK constraints, surfaced through the DSv2 metadata API so
     * DESCRIBE and catalog tooling see what the write path enforces. Every graft
@@ -485,16 +505,23 @@ class GraftWriteBuilder(location: String, partitionBy: Seq[String])
   override def truncate(): WriteBuilder = { mode = Truncate; this }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // the DSv2 SupportsOverwrite contract is CONJUNCTIVE: Spark splits the
+    // overwrite condition on AND before the call, so a multi-column
+    // PARTITION (a = 1, b = 2) arrives as [EqualNullSafe(a,1),
+    // EqualNullSafe(b,2)] meaning a=1 AND b=2 — ONE partition tuple, never
+    // one tuple per array element
+    val conjuncts = filters.filterNot(_ == org.apache.spark.sql.sources.AlwaysTrue)
     mode =
-      if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) Truncate
-      else Static(filters.toSeq.map(partitionTuple))
+      if (conjuncts.isEmpty) Truncate
+      else Static(Seq(partitionTuple(
+        conjuncts.reduce(org.apache.spark.sql.sources.And(_, _)))))
     this
   }
 
-  /** One overwrite filter → one fully-bound partition tuple. The scoped commit's
-    * shadow predicate and vacuum reclamation both speak whole partition
-    * directories, so anything but conjunctions of partition-column equalities
-    * (per disjunct, every partition column bound) is refused with the fix named.
+  /** The ANDed overwrite condition → one fully-bound partition tuple. The scoped
+    * commit's shadow predicate and vacuum reclamation both speak whole partition
+    * directories, so anything but a conjunction of partition-column equalities
+    * (every partition column bound) is refused with the fix named.
     */
   private def partitionTuple(f: Filter): Seq[(String, String)] = {
     def eqs(f0: Filter): Seq[(String, String)] = f0 match {

@@ -160,7 +160,7 @@ private[table] object GraftProcedures {
         in("assignments", StringType)),
       StructType(Seq(StructField("version", LongType))),
       (s, resolve, args) => {
-        val sets = args(2).asInstanceOf[String].split(",").toSeq.map { a =>
+        val sets = splitTopLevel(args(2).asInstanceOf[String]).map { a =>
           val i = a.indexOf('=')
           require(i > 0, s"bad assignment '$a' — expected 'col = expr, ...'")
           a.substring(0, i).trim -> a.substring(i + 1).trim
@@ -191,6 +191,35 @@ private[table] object GraftProcedures {
       (s, resolve, args) =>
         VersionedTable.generateManifest(s, resolve(args(0).asInstanceOf[String]))
           .map(Seq(_))))
+
+  /** Split an assignment list on TOP-LEVEL commas only — `qty = greatest(qty,
+    * 0), v = concat(a, ',')` is two assignments, not four: commas inside
+    * parentheses/brackets or single/double/backtick quotes don't split
+    * (backslash escapes respected inside quotes).
+    */
+  private[table] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) { cur += c; i += 1; cur += s.charAt(i) }
+        else { cur += c; if (c == quote) quote = 0 }
+      } else c match {
+        case '\'' | '"' | '`'   => quote = c; cur += c
+        case '(' | '['          => depth += 1; cur += c
+        case ')' | ']'          => depth -= 1; cur += c
+        case ',' if depth == 0  => out += cur.toString; cur.clear()
+        case _                  => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   val byName: Map[String, GraftProcedure] = all.map(p => p.procName -> p).toMap
 

@@ -12,6 +12,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an already-resolved logical plan (`Dataset.ofRows` moved
+    * behind `private[sql]` in Spark 4) — how the row-level SQL rewrite hands a
+    * resolved MERGE source plan to the DataFrame-based commit paths.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** A user-facing AnalysisException (the public constructors are error-class based).
     * USER_RAISED_EXCEPTION (SQLSTATE P0001) frames argument-validation failures as user
     * errors; INTERNAL_ERROR would print Spark's "please report a bug" banner for what is

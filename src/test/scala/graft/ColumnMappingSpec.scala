@@ -74,6 +74,57 @@ class ColumnMappingSpec extends AnyFunSuite with SharedSpark {
     assert(rows(1).getAs[Int]("n") === 9)
   }
 
+  test("materialized added column: rename keeps the data, drop actually drops") {
+    import spark.implicits._
+    val loc = fresh("addmat")
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "name"), loc, "overwrite")
+    VersionedTable.addColumn(spark, loc, "score", "BIGINT")
+    // a write MATERIALIZES the added column into files — from here on the
+    // registry entry alone no longer owns the column
+    VersionedTable.write(Seq((2L, "b", 7L)).toDF("id", "name", "score"),
+      loc, "append")
+    VersionedTable.renameColumn(spark, loc, "score", "rating")
+    val afterRename = VersionedTable.read(spark, loc).orderBy("id")
+    // the rename must carry the DATA to the new name — not surface the old
+    // column with its data plus an all-NULL twin
+    assert(afterRename.columns.toSeq === Seq("id", "name", "rating"))
+    val rows = afterRename.collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("rating"))) // pre-ADD file
+    assert(rows(1).getAs[Long]("rating") === 7L)           // materialized file
+    // a batch under the new logical name stays physically consistent
+    VersionedTable.write(Seq((3L, "c", 9L)).toDF("id", "name", "rating"),
+      loc, "append")
+    assert(VersionedTable.read(spark, loc).filter(col("rating") === 9L)
+      .count() === 1)
+    // DROP of the (renamed, materialized) column removes it from reads AND
+    // blocks physical-name reuse like any mapped drop
+    VersionedTable.dropColumn(spark, loc, "rating")
+    assert(VersionedTable.read(spark, loc).columns.toSeq === Seq("id", "name"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.write(Seq((4L, "d", 1L)).toDF("id", "name", "score"),
+        loc, "append")
+    }
+    // and the spec entry is gone: nothing resurrects a NULL column
+    VersionedTable.write(Seq((4L, "d")).toDF("id", "name"), loc, "append")
+    assert(VersionedTable.read(spark, loc).columns.toSeq === Seq("id", "name"))
+  }
+
+  test("added column still spec-only: rename/drop stay metadata-only in the spec") {
+    import spark.implicits._
+    val loc = fresh("addspec")
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "name"), loc, "overwrite")
+    VersionedTable.addColumn(spark, loc, "score", "BIGINT")
+    VersionedTable.renameColumn(spark, loc, "score", "rating")
+    // no file carries the column → the mapping must stay empty (it may never
+    // reference a physical name no file holds)
+    assert(VersionedTable.columnMapping(spark, loc).isEmpty)
+    assert(VersionedTable.read(spark, loc).columns.toSeq ===
+      Seq("id", "name", "rating"))
+    VersionedTable.dropColumn(spark, loc, "rating")
+    assert(VersionedTable.columnMapping(spark, loc).isEmpty)
+    assert(VersionedTable.read(spark, loc).columns.toSeq === Seq("id", "name"))
+  }
+
   test("partition columns and constraint/generated references are protected") {
     import spark.implicits._
     val loc = fresh("guards")

@@ -208,6 +208,131 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(out.size === 10) // 10 - deleted + inserted
   }
 
+  test("CREATE TABLE persists TBLPROPERTIES and COMMENT; SHOW TBLPROPERTIES surfaces them") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.props (id BIGINT) " +
+      "COMMENT 'scratch table' TBLPROPERTIES ('team' = 'data', 'pii' = 'false')")
+    val props = spark.sql("SHOW TBLPROPERTIES gsql.t.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("data"))
+    assert(props.get("pii").contains("false"))
+    // COMMENT is a SHOW-reserved key — assert it through the catalog load
+    // (fresh Table instance, so this also proves persistence)
+    val cat = spark.sessionState.catalogManager.catalog("gsql")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("t"), "props"))
+    assert(tbl.properties().get("comment") === "scratch table")
+  }
+
+  test("update_where procedure: commas inside SET expressions do not split assignments") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.dmlc (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gsql.t.dmlc SELECT id, id - 5, concat('t', id) FROM range(10)")
+    spark.sql("CALL gsql.system.update_where(table => 't.dmlc', " +
+      "condition => 'id < 3', " +
+      "assignments => 'qty = greatest(qty, 0), tag = concat(tag, \"-\", \"x\")')")
+    val out = spark.sql("SELECT id, qty, tag FROM gsql.t.dmlc ORDER BY id").collect()
+    assert(out.take(3).map(_.getLong(1)).toSeq === Seq(0L, 0L, 0L)) // clamped
+    assert(out(0).getString(2) === "t0-x" && out(4).getString(2) === "t4")
+  }
+
+  test("native SQL UPDATE: merge-on-read commit, expressions and no-op identity sets") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.supd (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gsql.t.supd SELECT id, id * 10, concat('t', id) FROM range(10)")
+    val files = dataFiles("supd")
+    spark.sql("UPDATE gsql.t.supd SET qty = greatest(qty + 1, 0)," +
+      " tag = concat(tag, '!') WHERE id < 3")
+    // merge-on-read: pre-update files untouched, a DV + change-row commit lands
+    assert(files.subsetOf(dataFiles("supd")))
+    val last = VersionedTable.commits(spark, loc("supd")).last
+    assert(last.operation === "update" && last.dv_dir.nonEmpty)
+    val out = spark.sql("SELECT id, qty, tag FROM gsql.t.supd ORDER BY id").collect()
+    assert(out.take(3).map(_.getLong(1)).toSeq === Seq(1L, 11L, 21L))
+    assert(out(0).getString(2) === "t0!" && out(5).getString(2) === "t5")
+    // UPDATE with only identity assignments is a SQL no-op, not an error
+    val v = VersionedTable.commits(spark, loc("supd")).last.version
+    spark.sql("UPDATE gsql.t.supd SET qty = qty WHERE id = 1")
+    assert(VersionedTable.commits(spark, loc("supd")).last.version === v)
+  }
+
+  test("native SQL MERGE: upsert, matched-only, insert-only, delete-only shapes") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.smrg (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.smrg SELECT id, id * 10 FROM range(10)")
+    // canonical upsert: UPDATE SET * + INSERT *
+    Seq((5L, 999L), (100L, 1L)).toDF("id", "qty")
+      .createOrReplaceTempView("smrg_up")
+    spark.sql("MERGE INTO gsql.t.smrg t USING smrg_up s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    var out = spark.sql("SELECT id, qty FROM gsql.t.smrg ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(5L) === 999L && out(100L) === 1L && out.size === 11)
+    // matched-only merge: unmatched source rows are IGNORED, not inserted
+    Seq((5L, 50L), (200L, 2L)).toDF("id", "qty")
+      .createOrReplaceTempView("smrg_mo")
+    spark.sql("MERGE INTO gsql.t.smrg t USING smrg_mo s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.id = s.id, t.qty = s.qty")
+    out = spark.sql("SELECT id, qty FROM gsql.t.smrg ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(5L) === 50L && !out.contains(200L) && out.size === 11)
+    // insert-only merge: matched rows untouched, unmatched insert
+    Seq((5L, 77L), (300L, 3L)).toDF("id", "qty")
+      .createOrReplaceTempView("smrg_io")
+    spark.sql("MERGE INTO gsql.t.smrg t USING smrg_io s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    out = spark.sql("SELECT id, qty FROM gsql.t.smrg ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(5L) === 50L && out(300L) === 3L && out.size === 12)
+    // delete-only merge: matched keys removed via a DV commit
+    Seq(Tuple1(300L), Tuple1(999L)).toDF("id").createOrReplaceTempView("smrg_del")
+    spark.sql("MERGE INTO gsql.t.smrg t USING smrg_del s ON t.id = s.id " +
+      "WHEN MATCHED THEN DELETE")
+    out = spark.sql("SELECT id, qty FROM gsql.t.smrg ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!out.contains(300L) && out.size === 11)
+    assert(VersionedTable.commits(spark, loc("smrg")).last.dv_dir.nonEmpty)
+  }
+
+  test("native SQL MERGE: unsupported shapes refuse loudly, never drift") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.smrgx (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.smrgx SELECT id, id FROM range(5)")
+    Seq((1L, 9L, true)).toDF("id", "qty", "kill")
+      .createOrReplaceTempView("smrgx_src")
+    // non-equi ON
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id > s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e1.getMessage.contains("conjunction"))
+    // conditional DELETE without the NOT-guard on INSERT
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.kill THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+    }
+    assert(e2.getMessage.contains("NOT"))
+    // partial-row SET references target columns (merge-on-read can't keep them)
+    val e3 = intercept[Exception] {
+      spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET t.qty = t.qty + s.qty")
+    }
+    assert(e3.getMessage.contains("SOURCE"))
+    // and the guarded CDC shape DOES work end-to-end
+    spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.kill THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED AND NOT (s.kill) THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+    val out = spark.sql("SELECT id FROM gsql.t.smrgx ORDER BY id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!out.contains(1L) && out.size === 4)
+  }
+
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
     warehouse
     spark.sql("CREATE TABLE gsql.t.powr (id BIGINT, d STRING) PARTITIONED BY (d)")
@@ -234,6 +359,34 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(spark.sql("SELECT count(*) FROM gsql.t.powr WHERE d = 'd0'")
       .head.getLong(0) === 0L)
     assert(spark.sql("SELECT count(*) FROM gsql.t.powr").head.getLong(0) === 31L)
+  }
+
+  test("INSERT OVERWRITE PARTITION on a multi-column-partitioned table") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.powr2 (id BIGINT, a STRING, b STRING) " +
+      "PARTITIONED BY (a, b)")
+    spark.sql("INSERT INTO gsql.t.powr2 SELECT id, " +
+      "concat('a', cast(id % 2 AS STRING)), concat('b', cast(id % 3 AS STRING)) " +
+      "FROM range(60)")
+    val before = dataFiles("powr2")
+    // Spark splits the overwrite condition on AND: the two partition
+    // equalities arrive as SEPARATE conjunctive filters and must bind as ONE
+    // (a, b) tuple — not one tuple per filter
+    spark.sql("INSERT OVERWRITE gsql.t.powr2 PARTITION (a = 'a1', b = 'b2') " +
+      "SELECT 1000")
+    assert(before.filterNot(f => f.contains("/a=a1/") && f.contains("/b=b2/"))
+      .subsetOf(dataFiles("powr2")))
+    assert(spark.sql(
+      "SELECT count(*) FROM gsql.t.powr2 WHERE a = 'a1' AND b = 'b2'")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gsql.t.powr2").head.getLong(0) === 51L)
+    val last = graft.catalog.VersionedTable.commits(spark, loc("powr2")).last
+    assert(last.operation === "replace" && last.replace_where === "a=a1/b=b2")
+    // binding only ONE of the two partition columns is still refused
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gsql.t.powr2 PARTITION (a = 'a0') SELECT 1, 'b0'")
+    }
+    assert(e.getMessage.contains("partition columns"))
   }
 
   test("dynamic partition overwrite through the DataFrame writer option") {

@@ -41,14 +41,47 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     assert(b(7L)._1 === 1024L)
     assert(b(7L)._3 === 0L) // padding never negative after clamping
     assert(b(1L)._3 === 15L)
-    // cap-16 bucket holds docs 1,2,3 with batchSize 2: two batches
-    assert(b(1L)._2 === "16#0" && b(2L)._2 === "16#0" && b(3L)._2 === "16#1")
+    // cap-16 bucket holds docs 1,2,3 with batchSize 2: two batches (shard 0 —
+    // the default numShards = 1 puts every row in shard 0)
+    assert(b(1L)._2 === "16#0#0" && b(2L)._2 === "16#0#0" && b(3L)._2 === "16#0#1")
     // deterministic across reruns
     val again = Packing.lengthBuckets(rows, batchSize = 2, minCap = 16, maxCap = 1024)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("bucket_cap"), r.getAs[String]("batch_id"),
           r.getAs[Long]("padding"))).toMap
     assert(again === b)
+  }
+
+  test("length buckets: shard salt preserves caps/padding, batch size, determinism") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val flat = Packing.lengthBuckets(docs, batchSize = 8, minCap = 16, maxCap = 1024)
+    val salted = Packing.lengthBuckets(docs, batchSize = 8, minCap = 16,
+      maxCap = 1024, numShards = 4)
+    // salting never changes what a row pads to — bucket_cap and padding are
+    // per-row functions of n_tokens, identical with and without the salt
+    val flatCaps = flat.select("doc_id", "bucket_cap", "padding")
+    val saltedCaps = salted.select("doc_id", "bucket_cap", "padding")
+    assert(flatCaps.exceptAll(saltedCaps).count() === 0)
+    assert(saltedCaps.exceptAll(flatCaps).count() === 0)
+    // batches respect batchSize and never span (bucket, shard): every batch_id
+    // holds ≤ 8 rows of a single bucket_cap
+    val bad = salted.groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), countDistinct("bucket_cap").as("caps"))
+      .filter(col("n") > 8 || col("caps") =!= 1)
+    assert(bad.count() === 0)
+    // the salt actually fans out: more distinct shard prefixes than buckets
+    val shards = salted.select(split(col("batch_id"), "#").as("p"))
+      .select(concat_ws("#", element_at(col("p"), 1), element_at(col("p"), 2))
+        .as("bucket_shard")).distinct().count()
+    val buckets = salted.select("bucket_cap").distinct().count()
+    assert(shards > buckets, s"salt produced $shards (bucket, shard) keys for $buckets buckets")
+    // deterministic under a different input partitioning
+    val again = Packing.lengthBuckets(docs.repartition(17), batchSize = 8,
+      minCap = 16, maxCap = 1024, numShards = 4)
+    assert(salted.exceptAll(again).count() === 0)
+    assert(again.exceptAll(salted).count() === 0)
   }
 
   test("corpus chunks: every chunk packed once, bins within capacity, deterministic") {

@@ -164,6 +164,27 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"got $shuffles:\n$plan")
   }
 
+  test("length buckets: salted window exchange partitions on (bucket, shard)") {
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text")), "\\s+"))
+          .cast("long").as("n_tokens"))
+    val salted = graft.ops.Packing.lengthBuckets(docs, batchSize = 8,
+      minCap = 16, maxCap = 1024, numShards = 4)
+    val plan = finalPlan(salted).split("== Initial Plan ==").head
+    // the window's hash exchange must key on BOTH bucket_cap and the shard —
+    // bucket_cap alone is the ~10-task parallelism ceiling the salt removes
+    val exchange = plan.linesIterator
+      .find(l => l.contains("Exchange hashpartitioning"))
+      .getOrElse(fail(s"no hash exchange found:\n$plan"))
+    assert(exchange.contains("bucket_cap") && exchange.contains("__shard"),
+      s"window exchange must partition on (bucket_cap, __shard):\n$exchange")
+    assert(!plan.contains("rangepartitioning"),
+      s"batching must not globally sort:\n$plan")
+  }
+
   test("outliers: group stats broadcast back onto the stream, never a cross product") {
     val plan = finalPlan(SparkEntry.queries("q_outliers")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"stats join should broadcast:\n$plan")

@@ -102,6 +102,25 @@ class PrivacySpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] { Privacy.dpCounts(df, Seq("grp"), 0.0, "s") }
   }
 
+  test("dpRelease: fresh ids draw independent noise; a reused id is refused") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i, s"g${i % 100}")).toDF("id", "grp")
+    def rel(id: String) = Privacy.dpRelease(df, Seq("grp"), 1.0, id)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("dp_count"), r.getAs[String]("release_id"),
+          r.getAs[Double]("epsilon"))).toMap
+    val a = rel("2026-08-r1")
+    val b = rel("2026-08-r2")
+    // provenance rides every row
+    assert(a.values.forall { case (_, id, eps) => id == "2026-08-r1" && eps == 1.0 })
+    // distinct ids → independent draws (different noise for most groups)
+    assert(a.keys.count(k => a(k)._1 != b(k)._1) > 75)
+    // same-session reuse of a spent id is flagged loudly — seed reuse would
+    // let the two releases difference to exact counts
+    val e = intercept[IllegalArgumentException] { rel("2026-08-r1") }
+    assert(e.getMessage.contains("already spent"))
+  }
+
   test("vacuous thresholds are rejected") {
     intercept[IllegalArgumentException] {
       Privacy.equivalenceClasses(people, Seq("age"), k = 1)

@@ -183,4 +183,119 @@ class ProtocolPropertySpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  /** CONCURRENT races through the optimistic claim loop: merge-on-read, DV
+    * deletes (overlapping predicates), a DV update, and appends all run at
+    * once on touching-but-deterministic key ranges. The exclusive-create log
+    * claim serializes them in SOME order; losers must re-read the new head and
+    * recompute their matches (the retry loop), so the final state is the
+    * range-algebra answer regardless of interleaving. A stale DV double-apply,
+    * a match set computed against a lost head, or a dropped commit all surface
+    * as a wrong final map. Three rounds to vary the interleavings.
+    */
+  test("concurrent mergeOnRead/deleteWhere/updateWhere/appends race to a serializable state") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    (1 to 3).foreach { round =>
+      val loc = Files.createTempDirectory(s"proto_race_$round").toString + "/t"
+      val base = (0L until 100L).map(_ -> 0)
+      VersionedTable.write(base.toDF("id", "value"), loc, "overwrite")
+
+      val ops = Seq(
+        // upsert 0..9 → 1000+id, insert 1000..1004, delete-mark 90..94
+        Future {
+          val ch = (0L until 10L).map(id => (id, 1000 + id.toInt, false)) ++
+            (1000L until 1005L).map(id => (id, id.toInt, false)) ++
+            (90L until 95L).map(id => (id, 0, true))
+          VersionedTable.mergeOnRead(spark, loc, ch.toDF("id", "value", "del"),
+            Seq("id"), deleteCol = Some("del"), maxAttempts = 20)
+        },
+        // two OVERLAPPING DV deletes: 50..59 and 55..64 — the loser must
+        // recompute against the winner's head, never re-apply stale matches
+        Future { VersionedTable.deleteWhere(spark, loc,
+          "id >= 50 AND id < 60", maxAttempts = 20) },
+        Future { VersionedTable.deleteWhere(spark, loc,
+          "id >= 55 AND id < 65", maxAttempts = 20) },
+        Future { VersionedTable.updateWhere(spark, loc, "id >= 20 AND id < 30",
+          Map("value" -> "value + 7"), maxAttempts = 20) },
+        Future { VersionedTable.write(
+          (200L until 210L).map(_ -> 1).toDF("id", "value"), loc, "append") })
+      Await.result(Future.sequence(ops), 10.minutes)
+
+      // range algebra: every op's effect is order-independent by construction
+      val expected =
+        (0L until 10L).map(id => id -> (1000 + id.toInt)).toMap ++
+        (10L until 100L).map(_ -> 0).toMap --
+        (50L until 65L) -- (90L until 95L) ++
+        (20L until 30L).map(_ -> 7).toMap ++
+        (1000L until 1005L).map(id => id -> id.toInt).toMap ++
+        (200L until 210L).map(_ -> 1).toMap
+      val actual = VersionedTable.read(spark, loc).select("id", "value")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(actual === expected, s"round $round diverged")
+      assert(VersionedTable.fastCount(spark, loc) === expected.size.toLong)
+      // all five commits landed, each at a distinct version
+      val cs = VersionedTable.commits(spark, loc)
+      assert(cs.length === 6, s"round $round: ${cs.map(_.operation)}")
+      assert(cs.map(_.version) === cs.map(_.version).distinct)
+    }
+  }
+
+  /** Scoped replaces racing merge-on-read and appends on a partitioned table:
+    * the replace shadows one partition wholesale while a concurrent
+    * merge-on-read rewrites rows of another and an append lands a third —
+    * disjoint partitions, so the serialized result is deterministic. Proves
+    * the replace's shadow predicate and the merge's DV entries compose under
+    * races, not just in sequence.
+    */
+  test("concurrent scoped replace vs mergeOnRead vs append on a partitioned table") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    (1 to 2).foreach { round =>
+      val loc = Files.createTempDirectory(s"proto_race_part_$round").toString + "/t"
+      val base = (0L until 90L).map(id => (id, s"g${id % 3}", 0))
+      VersionedTable.write(base.toDF("id", "grp", "value"), loc, "overwrite",
+        partitionBy = Seq("grp"))
+
+      val ops = Seq(
+        // rewrite g0 rows 0,3,6,...,27 via merge-on-read + delete-mark 60..69∩g0
+        Future {
+          val ch = (0L until 30L by 3).map(id => (id, "g0", 500, false)) ++
+            (60L until 70L).filter(_ % 3 == 0).map(id => (id, "g0", 0, true))
+          VersionedTable.mergeOnRead(spark, loc,
+            ch.toDF("id", "grp", "value", "del"), Seq("id"),
+            deleteCol = Some("del"), maxAttempts = 20)
+        },
+        // replace partition g1 wholesale with 5 fresh rows
+        Future { VersionedTable.overwritePartitions(
+          (2000L until 2005L).map(id => (id, "g1", 9)).toDF("id", "grp", "value"),
+          loc, maxAttempts = 20) },
+        // append fresh g2 rows
+        Future { VersionedTable.write(
+          (3000L until 3010L).map(id => (id, "g2", 1)).toDF("id", "grp", "value"),
+          loc, "append", partitionBy = Seq("grp")) })
+      Await.result(Future.sequence(ops), 10.minutes)
+
+      val expected =
+        base.filter(r => r._2 != "g1")
+          .map { case (id, g, v) => id -> (g, v) }.toMap ++
+        (0L until 30L by 3).map(id => id -> ("g0", 500)).toMap --
+        (60L until 70L).filter(_ % 3 == 0) ++
+        (2000L until 2005L).map(id => id -> ("g1", 9)).toMap ++
+        (3000L until 3010L).map(id => id -> ("g2", 1)).toMap
+      val actual = VersionedTable.read(spark, loc).select("id", "grp", "value")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(actual === expected, s"round $round diverged")
+      assert(VersionedTable.fastCount(spark, loc) === expected.size.toLong)
+      assert(VersionedTable.commits(spark, loc).length === 4)
+    }
+  }
 }

@@ -258,6 +258,38 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       sched.select("doc_id", "phase", "shard", "position")).count() === 0)
   }
 
+  test("curriculumSchedule: approx path keeps phase masses within sketch tolerance on a skewed score") {
+    import org.apache.spark.sql.functions._
+    // heavily skewed continuous score: exp of a hash-uniform — the distinct-value
+    // count ≈ row count, exactly the shape where exact percentile's value→count
+    // buffer is the 100 TB OOM and approx_percentile is the answer
+    val docs = Tables.documents(spark, sf).withColumn("skew_score",
+      exp(pmod(xxhash64(col("doc_id")), lit(1000L)).cast("double") / 100.0))
+    val approx = graft.ops.Splits.curriculumSchedule(docs,
+      scoreCol = "skew_score", phases = 4, numShards = 4, exact = false)
+    val n = docs.count()
+    // equal-mass within the sketch's rank tolerance (generous: 10% of corpus)
+    val sizes = approx.groupBy("phase").count().orderBy("phase").collect()
+      .map(_.getAs[Long]("count"))
+    assert(sizes.length === 4)
+    sizes.foreach(sz => assert(math.abs(sz - n / 4.0) <= n / 10.0,
+      s"approx phase mass $sz too far from ${n / 4.0}: ${sizes.mkString(",")}"))
+    // still score-monotone across phases
+    val bounds = approx.groupBy("phase")
+      .agg(min("skew_score").as("lo"), max("skew_score").as("hi"))
+      .orderBy("phase").collect()
+      .map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    bounds.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"approx phase bands overlap: $hi > $lo")
+    }
+    // exact default on the same frame stays the contract behavior
+    val exact = graft.ops.Splits.curriculumSchedule(docs,
+      scoreCol = "skew_score", phases = 4, numShards = 4)
+    val exactSizes = exact.groupBy("phase").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(exactSizes.max - exactSizes.min <= n / 5)
+  }
+
   test("shardAssign: uniform shards, contiguous positions, repartition-invariant") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
