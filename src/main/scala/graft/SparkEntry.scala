@@ -1207,6 +1207,37 @@ object SparkEntry {
       epsilon = 1.0, seed = "r7")
       .orderBy("lang", "source")
 
+  /** Score-calibration gate: each doc's n_chars mapped to its within-SOURCE
+    * percent_rank quantile — the normalization that makes per-source quality
+    * scores comparable before a global floor. Exact path; ties share a rank,
+    * so the value is engine-replayable (the oracle is the same window).
+    */
+  private def qScoreCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusCuration.calibrateScores(
+      docs(s, dir).select("doc_id", "source", "n_chars"), "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** DP sum-release gate: per-(lang, source) sums of n_chars CLIPPED to
+    * [0, 500] plus Laplace(500/ε) keyed-hash noise. The oracle replays the
+    * clip, the exact DECIMAL summation (order-independent — a double sum
+    * would drift by partition order), and the tagged md5 → uniform → Laplace
+    * arithmetic; a release that skipped the clip, mis-scaled to the wrong
+    * sensitivity, or shared noise with the count release would hash-mismatch.
+    */
+  private def qDpSums(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpSums(docs(s, dir), Seq("lang", "source"), "n_chars",
+      lo = 0.0, hi = 500.0, epsilon = 1.0, seed = "r8")
+      .orderBy("lang", "source")
+
+  /** DP mean-release gate: the split-budget quotient — sum at ε/2, count at
+    * ε/2, dp_mean = dp_sum / max(dp_count, 1). The oracle replays BOTH halves
+    * (the sum draw tagged, the count draw untagged) and the guarded division.
+    */
+  private def qDpMeans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.dpMeans(docs(s, dir), Seq("lang", "source"), "n_chars",
+      lo = 0.0, hi = 500.0, epsilon = 1.0, seed = "r8m")
+      .orderBy("lang", "source")
+
   /** Length-bucketed batching gate: docs bucket to the next power of two of
     * their whitespace token count (clamped [16, 1024]), batches of 8 form
     * inside each bucket in doc order, padding = cap − tokens. The bucket edge
@@ -1629,6 +1660,9 @@ object SparkEntry {
     "q_dedup_priority" -> qDedupPriority,
     "q_merge_on_read" -> qMergeOnRead,
     "q_dp_counts" -> qDpCounts,
+    "q_dp_sums" -> qDpSums,
+    "q_dp_means" -> qDpMeans,
+    "q_score_calibration" -> qScoreCalibration,
     "q_length_buckets" -> qLengthBuckets,
     "q_length_buckets_sharded" -> qLengthBucketsSharded,
     "q_generated_columns" -> qGeneratedColumns,
@@ -3225,6 +3259,55 @@ object SparkEntry {
         |  round(true_count + (-1.0) * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6)
         |    AS dp_count
         |FROM u ORDER BY lang, source""".stripMargin,
+    // score calibration: identical percent_rank window in both engines
+    "q_score_calibration" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS score_cal
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // DP sum release: replay clip → DECIMAL-exact sum → tagged md5 Laplace
+    "q_dp_sums" ->
+      """WITH g AS (
+        |  SELECT lang, source,
+        |    CAST(SUM(CAST(round(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
+        |      500.0), 6) AS DECIMAL(28,6))) AS DOUBLE) AS true_sum
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, (CAST(concat('0x', substring(
+        |      md5('r8' || chr(1) || 'sum:n_chars' || chr(1) || lang || chr(1)
+        |        || source), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0 AS uu
+        |  FROM g)
+        |SELECT lang, source, true_sum,
+        |  round(true_sum + (-500.0) * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6)
+        |    AS dp_sum
+        |FROM u ORDER BY lang, source""".stripMargin,
+    // DP mean release: both split-budget halves replayed, guarded quotient
+    "q_dp_means" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS true_count,
+        |    CAST(SUM(CAST(round(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
+        |      500.0), 6) AS DECIMAL(28,6))) AS DOUBLE) AS true_sum
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *,
+        |    (CAST(concat('0x', substring(
+        |      md5('r8m' || chr(1) || 'sum:n_chars' || chr(1) || lang || chr(1)
+        |        || source), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0 AS us,
+        |    (CAST(concat('0x', substring(
+        |      md5('r8m' || chr(1) || lang || chr(1) || source), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0 AS uc
+        |  FROM g),
+        |r AS (
+        |  SELECT lang, source, true_sum, true_count,
+        |    round(true_sum + (-1000.0) * sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5)), 6)
+        |      AS dp_sum,
+        |    round(true_count + (-2.0) * sign(uc - 0.5) * ln(1 - 2 * abs(uc - 0.5)), 6)
+        |      AS dp_count
+        |  FROM u)
+        |SELECT lang, source, true_sum, true_count, dp_sum, dp_count,
+        |  round(dp_sum / greatest(dp_count, 1.0), 6) AS dp_mean
+        |FROM r ORDER BY lang, source""".stripMargin,
     // length-bucketed batching: identical integer bucket edge (2^bitlength via
     // bin()), window batch numbering, and padding arithmetic
     "q_length_buckets" ->

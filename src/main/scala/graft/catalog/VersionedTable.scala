@@ -76,7 +76,10 @@ object VersionedTable {
       txn_app: String = "", txn_id: Long = -1L,
       stats: Map[String, (Double, Double)] = Map.empty,
       change_dir: String = "", replace_where: String = "",
-      replaced_rows: Long = 0L, dv_dir: String = "") {
+      replaced_rows: Long = 0L, dv_dir: String = "",
+      // string-column min/max (ASCII-safe values only — see stageData); absent
+      // in pre-existing logs, which parse to empty = prune nothing
+      sstats: Map[String, (String, String)] = Map.empty) {
     /** Parsed `replace_where`: one `Seq[(partitionCol, value)]` per touched partition. */
     def replacedPartitions: Seq[Seq[(String, String)]] =
       if (replace_where.isEmpty) Seq.empty
@@ -114,13 +117,14 @@ object VersionedTable {
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
     if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
-    val (dataDir, rows, stats) =
+    val (dataDir, rows, stats, sstats) =
       stageData(df, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
-      if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats))
+      if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy,
+          stats, sstats = sstats))
         committed = v
       else {
         attempt += 1
@@ -708,7 +712,7 @@ object VersionedTable {
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
     if (operation == "append") enforceAppendSchema(spark, location, batch, partitionBy)
-    val (dataDir, rows, stats) =
+    val (dataDir, rows, stats, sstats) =
       stageData(batch, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
@@ -731,7 +735,7 @@ object VersionedTable {
       }
       val v = newest + 1
       if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats,
-          txnApp, txnId)) committed = v
+          txnApp, txnId, sstats = sstats)) committed = v
       else {
         attempt += 1
         if (attempt >= MaxClaimAttempts) {
@@ -774,9 +778,10 @@ object VersionedTable {
         else if (numFiles > 0) current.repartition(numFiles)
         else current
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val (dataDir, rows, stats) = stageData(clustered, location, partitioning)
+      val (dataDir, rows, stats, sstats) =
+        stageData(clustered, location, partitioning)
       if (claimCommit(fs, location, latest.version + 1, "compact", rows, dataDir,
-          partitioning, stats)) done = latest.version + 1
+          partitioning, stats, sstats = sstats)) done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         attempt += 1
@@ -838,10 +843,10 @@ object VersionedTable {
       // a version that predates addConstraint must not put rows live that the
       // table currently advertises as impossible. The check is fused into the
       // copy-on-restore scan, so it costs no extra pass.
-      val (dataDir, rows, stats) =
+      val (dataDir, rows, stats, sstats) =
         stageData(snap, location, partitioning, constraints(spark, location))
       if (claimCommit(fs, location, latest.version + 1, "restore", rows, dataDir,
-          partitioning, stats)) done = latest.version + 1
+          partitioning, stats, sstats = sstats)) done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         attempt += 1
@@ -998,16 +1003,16 @@ object VersionedTable {
         else {
           val merged = observed.join(changedKeys, keys, "left_anti")
             .unionByName(upserts.select(observed.columns.map(col): _*))
-          val (d, r, st) = stageData(merged, location, partitioning, checks)
-          (d, r, st, "")
+          val (d, r, st, ss) = stageData(merged, location, partitioning, checks)
+          (d, r, st, ss, "")
         }
-      val (dataDir, rows, stats, changeDir) = staged
+      val (dataDir, rows, stats, sstats, changeDir) = staged
       val replaceWhere = scope.map(_._2).getOrElse("")
       val replacedRows = scope.map(_ => obs.get.get("rows").asInstanceOf[Long])
         .getOrElse(0L)
       if (claimCommit(fs, location, latest.version + 1, "merge", rows, dataDir,
           partitioning, stats, changeDir = changeDir, replaceWhere = replaceWhere,
-          replacedRows = replacedRows)) done = latest.version + 1
+          replacedRows = replacedRows, sstats = sstats)) done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         if (changeDir.nonEmpty)
@@ -1068,8 +1073,8 @@ object VersionedTable {
       try {
         val upserts = tagged.filter(!col("_g_del"))
           .select(dataCols.map(col): _*)
-        val (dataDir, rows, stats) = stageData(upserts, location, partitioning,
-          constraints(spark, location))
+        val (dataDir, rows, stats, sstats) = stageData(upserts, location,
+          partitioning, constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
         val obs = Observation(s"vt_dv_$dvDir")
         matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
@@ -1099,7 +1104,7 @@ object VersionedTable {
         val matchedRows = obs.get("rows").asInstanceOf[Long]
         if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
             partitioning, stats, changeDir = changeDir,
-            replacedRows = matchedRows, dvDir = dvDir))
+            replacedRows = matchedRows, dvDir = dvDir, sstats = sstats))
           done = latest.version + 1
         else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -1223,7 +1228,7 @@ object VersionedTable {
       // the retired row count, observed from a partition-pruned scan of the
       // replaced slice only — fastCount stays exact and metadata-only
       val replaced = readAsOf(spark, location, latest.version).filter(pred).count()
-      val (dataDir0, rows, stats) = stageData(df, location, partitioning,
+      val (dataDir0, rows, stats, sstats) = stageData(df, location, partitioning,
         constraints(spark, location) ++ boundsCheck)
       // a zero-row batch (explicit set clearing partitions) lays out NO files —
       // commit with an empty data dir, the pure-delete convention, so readers
@@ -1233,7 +1238,8 @@ object VersionedTable {
         ""
       } else dataDir0
       if (claimCommit(fs, location, latest.version + 1, "replace", rows, dataDir,
-          partitioning, stats, replaceWhere = spec, replacedRows = replaced))
+          partitioning, stats, replaceWhere = spec, replacedRows = replaced,
+          sstats = sstats))
         done = latest.version + 1
       else {
         // dataDir0, not dataDir: the zero-row case already blanked dataDir and
@@ -1288,7 +1294,8 @@ object VersionedTable {
   private def stageMergeWithFeed(current: DataFrame, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String], location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
-      : (String, Long, Map[String, (Double, Double)], String) = {
+      : (String, Long, Map[String, (Double, Double)],
+         Map[String, (String, String)], String) = {
     val cols = current.columns.toSeq
     val tagged = deleteCol match {
       case Some(d) => changes
@@ -1322,11 +1329,12 @@ object VersionedTable {
       val merged = cases
         .filter(col("_change_type").isin("unchanged", "insert", "update_postimage"))
         .select(cols.map(col): _*)
-      val (dataDir, rows, stats) = stageData(merged, location, partitionBy, checks)
+      val (dataDir, rows, stats, sstats) =
+        stageData(merged, location, partitionBy, checks)
       val feed = cases.filter(col("_change_type") =!= "unchanged")
       val changeDir = s"c-${java.util.UUID.randomUUID()}"
       feed.write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
-      (dataDir, rows, stats, changeDir)
+      (dataDir, rows, stats, sstats, changeDir)
     } finally cases.unpersist()
   }
 
@@ -1441,8 +1449,8 @@ object VersionedTable {
         val gen = generatedColumns(spark, location)
         val updated = gen.keys.filterNot(assignments.contains)
           .foldLeft(updated0)((d, g) => d.drop(g))
-        val (dataDir, rows, stats) = stageData(updated, location, partitioning,
-          constraints(spark, location))
+        val (dataDir, rows, stats, sstats) = stageData(updated, location,
+          partitioning, constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
         val obs = Observation(s"vt_dv_$dvDir")
         matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
@@ -1461,7 +1469,7 @@ object VersionedTable {
         val updatedRows = obs.get("rows").asInstanceOf[Long]
         if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
             partitioning, stats, changeDir = changeDir,
-            replacedRows = updatedRows, dvDir = dvDir))
+            replacedRows = updatedRows, dvDir = dvDir, sstats = sstats))
           done = latest.version + 1
         else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -1657,9 +1665,21 @@ object VersionedTable {
     * check aborts the write, deletes the partial staging dir, and rethrows as the
     * caller-facing IllegalArgumentException. Returns (dirName, rowCount, columnStats).
     */
+  /** String columns whose min/max land in the commit log — capped separately
+    * from the numeric set, and only values that are ASCII-safe and short
+    * survive ([[SafeStatValue]]): the flat log JSON round-trips them without
+    * escaping, and ASCII is where Spark's UTF8String binary min/max ordering
+    * and the driver's String comparison agree, which the pruning compare
+    * relies on. A column whose min or max fails the gate simply records no
+    * stats — conservative (scanned, never wrongly skipped). Values are NEVER
+    * truncated: a truncated max underestimates and would prune wrongly.
+    */
+  private val MaxStringStatsColumns = 8
+  private val SafeStatValue = "[A-Za-z0-9 _.:+/@-]{1,64}".r
+
   private def stageData(df0: DataFrame, location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
-      : (String, Long, Map[String, (Double, Double)]) = {
+      : (String, Long, Map[String, (Double, Double)], Map[String, (String, String)]) = {
     // generated columns ride the same staged pass: absent ones are computed
     // (so partitionBy on a generated column just works), present ones add a
     // null-safe-equality validation to the fused check guard
@@ -1677,10 +1697,19 @@ object VersionedTable {
       .map(_.name)
       .filter(_.matches("[A-Za-z0-9_]+")) // names the flat log JSON can round-trip
       .take(MaxStatsColumns).toSeq
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+      .filter(_.matches("[A-Za-z0-9_]+"))
+      .take(MaxStringStatsColumns).toSeq
     val obs = Observation(s"vt_rows_$dataDir")
-    val aggs = count(lit(1)).as("rows") +: statCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c")))
+    val aggs = count(lit(1)).as("rows") +:
+      (statCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).as(s"smn_$c"),
+        max(col(c)).as(s"smx_$c"))))
     val writer = df
       .observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("errorifexists")
@@ -1705,7 +1734,15 @@ object VersionedTable {
         case _ => None
       }
     }.toMap
-    (dataDir, observed("rows").asInstanceOf[Long], stats)
+    val sstats = strCols.flatMap { c =>
+      (observed.get(s"smn_$c"), observed.get(s"smx_$c")) match {
+        case (Some(mn: String), Some(mx: String))
+            if SafeStatValue.matches(mn) && SafeStatValue.matches(mx) =>
+          Some(c -> (mn, mx))
+        case _ => None // all-null, unsafe, or over-long values: no stats
+      }
+    }.toMap
+    (dataDir, observed("rows").asInstanceOf[Long], stats, sstats)
   }
 
   /** COUNT(*) of the live state from the log alone (Delta count-from-metadata): the
@@ -1816,6 +1853,35 @@ object VersionedTable {
       // every commit pruned: keep the full-scan plan for its schema; parquet footer
       // stats make the (empty) scan cheap and the predicate guarantees zero rows
       assemble(spark, location, live).filter(predicate)
+    else assemble(spark, location, kept).filter(predicate)
+  }
+
+  /** [[readPruned]] for STRING columns: drop whole commits whose recorded
+    * `[min, max]` cannot intersect `[lo, hi]` (inclusive; point lookup =
+    * `lo == hi`). Stats exist only when a commit's values were ASCII-safe
+    * ([[SafeStatValue]]) — exactly where the log's lexicographic compare and
+    * Spark's UTF8String min/max agree — so a stat-less column scans
+    * conservatively and the exact predicate always re-applies after pruning.
+    * The 100 TB use: date-string partitions-in-content, id prefixes, source
+    * tags — an equality or range probe on an append-mostly table touches only
+    * the commits that can overlap.
+    */
+  def readPrunedString(spark: SparkSession, location: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    require(lo <= hi, s"empty range: '$lo' > '$hi'")
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val live = liveCommits(spark, location, cs.last.version)
+    // stats are keyed by PHYSICAL column name; the probe is logical
+    val physical = columnMapping(spark, location).collectFirst {
+      case (p, l) if l.equalsIgnoreCase(column) => p
+    }.getOrElse(column)
+    // same keep rules as the numeric path: scoped merges shadow, DVs subtract —
+    // neither may be dropped on stats alone
+    val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
+      c.sstats.get(physical).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val predicate = col(column) >= lo && col(column) <= hi
+    if (kept.isEmpty) assemble(spark, location, live).filter(predicate)
     else assemble(spark, location, kept).filter(predicate)
   }
 
@@ -2272,12 +2338,13 @@ object VersionedTable {
       partitionBy: Seq[String], stats: Map[String, (Double, Double)] = Map.empty,
       txnApp: String = "", txnId: Long = -1L, changeDir: String = "",
       replaceWhere: String = "", replacedRows: Long = 0L,
-      dvDir: String = ""): Boolean = {
+      dvDir: String = "",
+      sstats: Map[String, (String, String)] = Map.empty): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
       partitionBy.mkString(","), txnApp, txnId, stats, changeDir,
-      replaceWhere, replacedRows, dvDir)
+      replaceWhere, replacedRows, dvDir, sstats)
     atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
 
@@ -2316,7 +2383,11 @@ object VersionedTable {
     val statsJson = c.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s""""$k":[$mn,$mx]""" }
       .mkString("{", ",", "}")
-    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson}"""
+    // values are ASCII-safe by construction (stageData filters), so no escaping
+    val sstatsJson = c.sstats.toSeq.sortBy(_._1)
+      .map { case (k, (mn, mx)) => s""""$k":["$mn","$mx"]""" }
+      .mkString("{", ",", "}")
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson,"sstats":$sstatsJson}"""
   }
 
   /** Directory references beginning with this prefix are ABSOLUTE paths into
@@ -2345,7 +2416,8 @@ object VersionedTable {
   // the hot path free of a per-file DataFrame read. Returns None for an incomplete
   // body (writer crashed or still flushing): completeness = the closing brace is
   // present and the required fields parse.
-  private val StatsEntry = """"([A-Za-z0-9_]+)":\[([^,\]]+),([^\]]+)\]""".r
+  private val StatsEntry = """"([A-Za-z0-9_]+)":\[([^,\]"]+),([^\]"]+)\]""".r
+  private val SStatsEntry = """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
 
   private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
@@ -2359,11 +2431,17 @@ object VersionedTable {
         catch { case _: NumberFormatException => None }
       }.toMap)
       .getOrElse(Map.empty[String, (Double, Double)])
+    // string stats: values are ASCII-safe (no quotes/backslashes) by writer
+    // contract, so the flat regex round-trips them; absent in older logs
+    val sstats = """"sstats":\{(.*?)\}""".r.findFirstMatchIn(body)
+      .map(m => SStatsEntry.findAllMatchIn(m.group(1))
+        .map(e => e.group(1) -> (e.group(2), e.group(3))).toMap)
+      .getOrElse(Map.empty[String, (String, String)])
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
       str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats,
       str("change_dir"), str("replace_where"),
       // pre-scoped-merge logs lack the field; they replaced nothing
-      num("replaced_rows", default = 0L), str("dv_dir"))
+      num("replaced_rows", default = 0L), str("dv_dir"), sstats)
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

@@ -59,6 +59,46 @@ object CorpusCuration {
       .drop("__rn", "__n")
   }
 
+  /** Per-group SCORE CALIBRATION: map each row's raw score to its within-group
+    * quantile (`score_cal` ∈ [0, 1]), so scores from different sources become
+    * comparable before any GLOBAL floor or mixture decision. Raw quality
+    * scores are not comparable across sources — a web-crawl classifier and a
+    * books classifier put their mass in different ranges, so one global
+    * threshold silently over-prunes whichever source scores low — the same
+    * reason CCNet buckets perplexity PER LANGUAGE rather than globally.
+    *
+    * Exact path (default): `percent_rank` over the (group, score) window —
+    * ties share a rank, the calibrated value is exactly replayable by any
+    * engine, and the cost is one shuffle with per-group sorts (the
+    * [[keepTopFractionByGroup]] shape). 100 TB path (`exact = false`): B
+    * `approx_percentile` cutoffs per group in ONE aggregation (group
+    * cardinality × B values), broadcast back, each row binary-searched into
+    * its bucket map-side — the corpus never shuffles, and the calibrated
+    * value is quantized to 1/B with the sketch's rank error at bucket edges.
+    */
+  def calibrateScores(df: DataFrame, groupCol: String, scoreCol: String,
+      exact: Boolean = true, buckets: Int = 1000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      df.withColumn("score_cal", percent_rank().over(w))
+    } else {
+      val fracs = (1 until buckets).map(_.toDouble / buckets)
+      val cutoffs = df.groupBy(col(groupCol))
+        .agg(percentile_approx(col(scoreCol),
+          typedLit(fracs), lit(10000)).as("__cuts"))
+      // bucket index = count of cutoffs <= score; aggregate() keeps the
+      // search inside codegen (B is bounded, the scan stays map-side)
+      df.join(broadcast(cutoffs), Seq(groupCol))
+        .withColumn("score_cal",
+          aggregate(col("__cuts"), lit(0),
+            (acc, c) => acc + when(col(scoreCol) >= c, 1).otherwise(0))
+            .cast("double") / buckets)
+        .drop("__cuts")
+    }
+  }
+
   /** The 100 TB variant of [[keepTopFractionByGroup]]: per-group score cutoffs from
     * ONE `approx_percentile` aggregation (group cardinality rows), broadcast back,
     * rows filtered map-side — no per-group sort, no window, the corpus never

@@ -119,6 +119,82 @@ object Privacy {
       .withColumn("dp_count", round(col("true_count") + noise, 6))
   }
 
+  /** The keyed-hash uniform draw shared by every DP release: md5 over
+    * (seed, mechanism tag, group key) → 60 bits → 10⁶ quantization → (0, 1).
+    * The tag keeps a count release and a sum release over the SAME groups and
+    * seed from sharing noise (correlated noise voids the composition bound).
+    */
+  private def keyedUniform(groupCols: Seq[String], seed: String,
+      tag: String): org.apache.spark.sql.Column = {
+    val keyParts = lit(seed) +: lit(tag) +: groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0002")))
+    ((conv(substring(md5(concat_ws("\u0001", keyParts: _*)), 1, 15),
+      16, 10).cast("long") % 1000000).cast("double") + 0.5) / 1000000.0
+  }
+
+  /** Laplace(b) inverse CDF at `u` — the noise column for a sensitivity-b
+    * release.
+    */
+  private def laplaceNoise(u: org.apache.spark.sql.Column,
+      scale: Double): org.apache.spark.sql.Column =
+    lit(-scale) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+
+  /** ε-DP SUM release with BOUNDED CONTRIBUTION (Laplace mechanism): each
+    * row's value is clipped to [`lo`, `hi`] before summing — the clip is what
+    * makes the release possible at all (an unbounded SUM has unbounded
+    * sensitivity; no finite-ε noise covers it), and `max(|lo|, |hi|)` is then
+    * the add/remove-one-row sensitivity that scales the noise. The clipped
+    * bias is the caller's modeling decision (tight bounds → less noise, more
+    * bias), the standard DP-SQL trade.
+    *
+    * Determinism: values are rounded to 6 decimals and summed as
+    * DECIMAL(28,6) — exact, order-independent arithmetic, so the release is
+    * identical under ANY partitioning and replayable by the oracle (a double
+    * sum would drift by summation order across engines and runs). Noise is
+    * the same keyed-hash Laplace draw as [[dpCounts]], tagged with the value
+    * column so overlapping count+sum releases under one seed still draw
+    * independent noise. `true_sum` stays inside the trust boundary; release
+    * `dp_sum` only. Same seed-governance rules as [[dpCounts]].
+    *
+    * Plan shape: ONE map-side-combined groupBy (decimal sum partials);
+    * noise is per-group post-agg arithmetic.
+    */
+  def dpSums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpSums needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
+    val exact = round(clipped, 6).cast("decimal(28,6)")
+    val sensitivity = math.max(math.abs(lo), math.abs(hi))
+    val noise = laplaceNoise(keyedUniform(groupCols, seed, s"sum:$valueCol"),
+      sensitivity / epsilon)
+    df.withColumn("__clip", exact)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__clip")).cast("double").as("true_sum"))
+      .withColumn("dp_sum", round(col("true_sum") + noise, 6))
+  }
+
+  /** ε-DP MEAN release: the standard split-budget quotient — a [[dpSums]]
+    * release at ε/2 over clipped values and a [[dpCounts]] release at ε/2,
+    * joined on the group, `dp_mean = dp_sum / max(dp_count, 1)` (the max
+    * guards the released — hence possibly non-positive — denominator). Total
+    * privacy cost is ε by sequential composition; both draws are tagged, so
+    * one seed serves the pair WITHOUT correlation (they are one release).
+    * Two tiny post-agg tables join on the group key — group-cardinality
+    * rows, never the corpus.
+    */
+  def dpMeans(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
+    val sums = dpSums(df, groupCols, valueCol, lo, hi, epsilon / 2, seed)
+    val counts = dpCounts(df, groupCols, epsilon / 2, seed)
+    sums.join(counts, groupCols)
+      .withColumn("dp_mean",
+        round(col("dp_sum") / greatest(col("dp_count"), lit(1.0)), 6))
+      .select((groupCols.map(col) :+ col("true_sum") :+ col("true_count") :+
+        col("dp_sum") :+ col("dp_count") :+ col("dp_mean")): _*)
+  }
+
   /** Same-session ledger of spent release ids — the guard that makes seed
     * reuse a loud error instead of a silent privacy break.
     */

@@ -223,10 +223,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.DropConstraint =>
         // dropConstraint is a no-op for unknown names, which covers IF EXISTS
         VersionedTable.dropConstraint(spark, loc, c.name)
+      case c: TableChange.SetProperty =>
+        require(c.property != TableCatalog.PROP_LOCATION,
+          "LOCATION cannot be changed — tables live under the warehouse")
+        VersionedTable.writeTableSpec(spark, loc,
+          VersionedTable.tableSpec(spark, loc) + (s"prop.${c.property}" -> c.value))
+      case c: TableChange.RemoveProperty =>
+        VersionedTable.writeTableSpec(spark, loc,
+          VersionedTable.tableSpec(spark, loc) - s"prop.${c.property}")
       case c => throw ColumnBridge.analysisError(
         s"${fullName(ident)}: unsupported ALTER TABLE change $c — the SQL surface " +
-          "covers ADD/RENAME/DROP COLUMN and ADD/DROP CONSTRAINT (metadata-only); " +
-          "use the Scala API for generated columns and maintenance operations")
+          "covers ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT, and SET/UNSET " +
+          "TBLPROPERTIES (metadata-only); use the Scala API for generated " +
+          "columns and maintenance operations")
     }
     loadTable(ident)
   }

@@ -79,6 +79,17 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       graftTarget(u.table).map(t => rewriteUpdate(t, u)).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map(t => rewriteMerge(t, m)).getOrElse(m)
+    // a DELETE whose condition pushed down as source filters became
+    // DeleteFromTableWithFilters in the main resolution batch (the
+    // SupportsDelete fast path — untouched here); one still standing at
+    // post-hoc time has an UNPUSHABLE condition (expressions, functions) that
+    // would otherwise fail CheckAnalysis — the DV path evaluates any
+    // deterministic predicate, so route it there
+    case d: DeleteFromTable if d.resolved =>
+      graftTarget(d.table).map { t =>
+        noSubquery(d.condition, "DELETE")
+        GraftDeleteCommand(t.location, bareSql(d.condition)): LogicalPlan
+      }.getOrElse(d)
     case _ => plan
   }
 
@@ -239,6 +250,19 @@ case class GraftUpdateCommand(location: String, condition: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     if (sets.nonEmpty)
       VersionedTable.updateWhere(sparkSession, location, condition, sets)
+    Seq.empty
+  }
+}
+
+/** SQL DELETE with a condition the filter API cannot express →
+  * [[VersionedTable.deleteWhere]] (deletion-vector commit; the snapshot filter
+  * evaluates the full expression, not just source filters).
+  */
+case class GraftDeleteCommand(location: String, condition: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq.empty
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.deleteWhere(sparkSession, location, condition)
     Seq.empty
   }
 }

@@ -95,6 +95,42 @@ class CatalogSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().toSeq === Seq(1L, 2L))
   }
 
+  test("versioned table: string min/max stats; readPrunedString skips commits") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("vt_sskipping").toString
+    // three appends with disjoint month prefixes — a date-range probe needs one
+    def batch(m: String, n: Int) =
+      (1 to n).map(d => (f"2024-$m%s-$d%02d", d.toLong)).toDF("day", "v")
+    VersionedTable.write(batch("01", 20), loc, "overwrite")
+    VersionedTable.write(batch("02", 20), loc, "append")
+    VersionedTable.write(batch("03", 20), loc, "append")
+    val cs = VersionedTable.commits(spark, loc)
+    assert(cs.map(_.sstats("day")) === Seq(
+      ("2024-01-01", "2024-01-20"), ("2024-02-01", "2024-02-20"),
+      ("2024-03-01", "2024-03-20")))
+    // the log round-trips through parse (stats survive checkpoint-style reread)
+    val pruned = VersionedTable.readPrunedString(spark, loc, "day",
+      "2024-02-05", "2024-02-10")
+    assert(pruned.orderBy("day").select("day").as[String].collect().toSeq ===
+      (5 to 10).map(d => f"2024-02-$d%02d"))
+    val dirs = pruned.inputFiles.map(f =>
+      f.split("/_data/")(1).split("/")(0)).distinct.toSeq
+    assert(dirs === Seq(cs(1).data_dir), s"scanned $dirs, wanted ${cs(1).data_dir}")
+    // point lookup prunes to one commit too
+    assert(VersionedTable.readPrunedString(spark, loc, "day",
+      "2024-03-07", "2024-03-07").count() === 1)
+    // out-of-range: zero rows, still correct
+    assert(VersionedTable.readPrunedString(spark, loc, "day",
+      "2025-01-01", "2025-12-31").count() === 0)
+    // a batch with an UNSAFE value (embedded quote) records no stats for the
+    // column — conservative: it is scanned by every later probe, never skipped
+    VersionedTable.write(Seq(("bad\"quote", 99L)).toDF("day", "v"), loc, "append")
+    val cs2 = VersionedTable.commits(spark, loc)
+    assert(!cs2.last.sstats.contains("day"))
+    assert(VersionedTable.readPrunedString(spark, loc, "day",
+      "bad", "bae").count() === 1) // stat-less commit scanned, predicate applies
+  }
+
   test("versioned table: commits carry numeric min/max stats; readPruned skips commits") {
     import spark.implicits._
     val loc = Files.createTempDirectory("vt_skipping").toString

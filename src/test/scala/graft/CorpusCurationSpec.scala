@@ -104,6 +104,53 @@ class CorpusCurationSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastExchange"), s"cutoffs must broadcast:\n$plan")
   }
 
+  test("calibrateScores: within-group quantiles comparable across skewed sources") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two sources whose raw score ranges don't overlap at all — a global
+    // threshold would keep everything from 'hi' and nothing from 'lo'; after
+    // calibration both groups cover [0, 1]
+    val df = ((0 until 100).map(i => (i.toLong, "lo", i / 100.0)) ++
+      (0 until 100).map(i => (i.toLong + 100, "hi", 50.0 + i / 100.0)))
+      .toDF("doc_id", "source", "score")
+    val cal = graft.ops.CorpusCuration.calibrateScores(df, "source", "score")
+    val byGroup = cal.groupBy("source")
+      .agg(min("score_cal").as("lo"), max("score_cal").as("hi"),
+        count(when(col("score_cal") >= 0.9, 1)).as("top"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    byGroup.values.foreach { case (lo, hi, top) =>
+      assert(lo === 0.0 && hi === 1.0)
+      assert(top === 10L) // percent_rank k/99 >= 0.9 → k = 90..99, ten rows
+    }
+    // monotone within each group: higher raw score never calibrates lower
+    val viol = cal.as[(Long, String, Double, Double)].collect()
+      .groupBy(_._2).values.flatMap { rows =>
+        rows.sortBy(_._3).sliding(2).collect {
+          case Array(a, b) if b._4 < a._4 => (a, b) } }
+    assert(viol.isEmpty)
+    // approx path: quantized but within 1.5 buckets of exact on a real column
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      col("source"), col("n_chars").cast("double").as("score"))
+    val exact = graft.ops.CorpusCuration.calibrateScores(docs, "source", "score")
+      .select("doc_id", "score_cal").as[(Long, Double)].collect().toMap
+    val approx = graft.ops.CorpusCuration.calibrateScores(docs, "source",
+      "score", exact = false, buckets = 100)
+      .select("doc_id", "score_cal").as[(Long, Double)].collect().toMap
+    assert(exact.keySet === approx.keySet)
+    // tolerance is small-sample discreteness, not sketch error: the fixture's
+    // groups hold ~50 rows, so one rank step is ~0.02 and tied scores shift
+    // percent_rank (first-of-tie) vs bucket-count (last-of-tie) by several
+    // steps; at corpus scale the gap shrinks as 1/group size
+    val worst = exact.keys.map(k => math.abs(exact(k) - approx(k))).max
+    assert(worst <= 0.15, s"approx calibration off by $worst")
+    // approx plan never shuffles the corpus: no hash exchange on the doc side
+    val plan = graft.ops.CorpusCuration.calibrateScores(docs, "source",
+      "score", exact = false, buckets = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx path must not window:\n$plan")
+  }
+
   test("curate with gopher gate and source cap: junk gated first, mix capped last") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

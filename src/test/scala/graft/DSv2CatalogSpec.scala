@@ -223,6 +223,14 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
       .of(Array("t"), "props"))
     assert(tbl.properties().get("comment") === "scratch table")
+    // SET/UNSET TBLPROPERTIES round-trip through the spec sidecar
+    spark.sql("ALTER TABLE gsql.t.props SET TBLPROPERTIES ('team' = 'ml', 'tier' = 'gold')")
+    spark.sql("ALTER TABLE gsql.t.props UNSET TBLPROPERTIES ('pii')")
+    val after = spark.sql("SHOW TBLPROPERTIES gsql.t.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.get("team").contains("ml"))
+    assert(after.get("tier").contains("gold"))
+    assert(!after.contains("pii"))
   }
 
   test("update_where procedure: commas inside SET expressions do not split assignments") {
@@ -255,6 +263,12 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     val v = VersionedTable.commits(spark, loc("supd")).last.version
     spark.sql("UPDATE gsql.t.supd SET qty = qty WHERE id = 1")
     assert(VersionedTable.commits(spark, loc("supd")).last.version === v)
+    // subqueries in SET or WHERE refuse loudly (the condition replays over
+    // the snapshot frame, which cannot re-resolve a subquery)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gsql.t.supd SET qty = (SELECT 41 + 1) WHERE id = 1")
+    }
+    assert(e.getMessage.contains("subquer"))
   }
 
   test("native SQL MERGE: upsert, matched-only, insert-only, delete-only shapes") {
@@ -294,6 +308,23 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(!out.contains(300L) && out.size === 11)
     assert(VersionedTable.commits(spark, loc("smrg")).last.dv_dir.nonEmpty)
+  }
+
+  test("DELETE FROM with an unpushable condition rides the DV path") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.delx (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gsql.t.delx SELECT id, concat('n', repeat('x', CAST(id AS INT))) FROM range(6)")
+    val files = dataFiles("delx")
+    // length(name) > 3 is not expressible as a source Filter — the
+    // SupportsDelete fast path can't take it; the rule routes it to the DV
+    // commit instead of failing analysis
+    spark.sql("DELETE FROM gsql.t.delx WHERE length(name) > 3 AND id % 2 = 0")
+    val out = spark.sql("SELECT id FROM gsql.t.delx ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(out === Seq(0L, 1L, 2L, 3L, 5L)) // ids 4 (nxxxx…) even+long deleted
+    assert(files.subsetOf(dataFiles("delx"))) // no rewrite
+    val last = VersionedTable.commits(spark, loc("delx")).last
+    assert(last.operation === "delete" && last.dv_dir.nonEmpty)
   }
 
   test("native SQL MERGE: unsupported shapes refuse loudly, never drift") {

@@ -164,6 +164,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"got $shuffles:\n$plan")
   }
 
+  test("dp sums: one map-side-combined exchange, noise stays post-agg arithmetic") {
+    val plan = finalPlan(graft.ops.Privacy.dpSums(Tables.documents(spark, sf),
+      Seq("lang", "source"), "n_chars", lo = 0.0, hi = 500.0, epsilon = 1.0,
+      seed = "audit")).split("== Initial Plan ==").head
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected one group-by exchange, got $shuffles:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"sum must combine map-side (partial_sum):\n$plan")
+    assert(!plan.contains("Window"), s"a DP release must never window:\n$plan")
+  }
+
   test("length buckets: salted window exchange partitions on (bucket, shard)") {
     val docs = Tables.documents(spark, sf)
       .select(org.apache.spark.sql.functions.col("doc_id"),

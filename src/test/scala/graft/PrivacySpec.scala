@@ -102,6 +102,58 @@ class PrivacySpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] { Privacy.dpCounts(df, Seq("grp"), 0.0, "s") }
   }
 
+  test("dpSums: clipping bounds contribution, noise scales with sensitivity/epsilon, partition-invariant") {
+    import spark.implicits._
+    // values far outside [0, 10] MUST enter as the clip bound, not raw
+    val df = Seq(("a", -100.0), ("a", 5.0), ("a", 3.0), ("b", 1e9), ("b", 2.0))
+      .toDF("grp", "v")
+    val out = Privacy.dpSums(df, Seq("grp"), "v", lo = 0.0, hi = 10.0,
+      epsilon = 1000.0, seed = "s") // huge epsilon → near-zero noise
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("true_sum"), r.getAs[Double]("dp_sum"))).toMap
+    assert(out("a")._1 === 8.0)  // -100 clips to 0, 5 + 3
+    assert(out("b")._1 === 12.0) // 1e9 clips to 10, + 2
+    assert(math.abs(out("a")._2 - 8.0) < 0.1)
+    // deterministic under repartitioning (decimal-exact sums + keyed noise)
+    val big = (0 until 5000).map(i => (s"g${i % 50}", i % 17 * 1.5)).toDF("grp", "v")
+    val one = Privacy.dpSums(big, Seq("grp"), "v", 0.0, 20.0, 1.0, "s2").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val two = Privacy.dpSums(big.repartition(13), Seq("grp"), "v", 0.0, 20.0, 1.0, "s2")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(one === two)
+    // noise magnitude tracks sensitivity/epsilon: scale 20/0.1 vs 20/10
+    def absNoise(eps: Double) =
+      Privacy.dpSums(big, Seq("grp"), "v", 0.0, 20.0, eps, "s2").collect()
+        .map(r => math.abs(r.getDouble(2) - r.getDouble(1)))
+    val wide = absNoise(0.1); val tight = absNoise(10.0)
+    assert(wide.sum / wide.length > 10 * (tight.sum / tight.length))
+    // the sum draw is TAGGED: under one seed, sum noise is not the count
+    // noise rescaled (independent u draws)
+    val sumN = Privacy.dpSums(big, Seq("grp"), "v", 0.0, 20.0, 1.0, "s3")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2) - r.getDouble(1)) / 20.0).toMap
+    val cntN = Privacy.dpCounts(big, Seq("grp"), 1.0, "s3")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("dp_count") - r.getAs[Long]("true_count"))).toMap
+    assert(sumN.keys.count(k => math.abs(sumN(k) - cntN(k)) > 1e-9) > 40)
+  }
+
+  test("dpMeans: split-budget quotient lands near the clipped mean") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (s"g${i % 4}", (i % 100).toDouble)).toDF("grp", "v")
+    val out = Privacy.dpMeans(df, Seq("grp"), "v", lo = 0.0, hi = 100.0,
+      epsilon = 2.0, seed = "m1")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("dp_mean"), r.getAs[Double]("true_sum"),
+          r.getAs[Long]("true_count"))).toMap
+    assert(out.size === 4)
+    out.values.foreach { case (mean, ts, tc) =>
+      val trueMean = ts / tc
+      // 1000 rows/group, sum noise scale 100, count scale 1 → mean noise ~0.1
+      assert(math.abs(mean - trueMean) < 2.0,
+        s"dp_mean $mean too far from $trueMean")
+    }
+  }
+
   test("dpRelease: fresh ids draw independent noise; a reused id is refused") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i, s"g${i % 100}")).toDF("id", "grp")
