@@ -23,7 +23,7 @@ object Bench {
     "q_dedup_priority", "q_curation_pipeline", "q_length_buckets",
     "q_dp_counts", "q_hard_negatives", "q_curriculum",
     "q_length_buckets_sharded", "q_dp_sums", "q_score_calibration",
-    "q_sql_update", "q_sql_merge")
+    "q_sql_update", "q_sql_merge", "q_keyword_tags")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production

@@ -1217,6 +1217,18 @@ object SparkEntry {
       docs(s, dir).select("doc_id", "source", "n_chars"), "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Keyword-tagging gate: one Aho–Corasick pass counts every end-position
+    * match of a keyword set per document. The set is chosen adversarially for
+    * the semantics: "a" (overlaps everywhere), "win" nested inside "window"
+    * (both must count at their own end positions). The oracle replays the
+    * counts POSITIONALLY (substr at every offset), so an automaton that missed
+    * overlapping or nested matches, or a non-automaton shortcut with
+    * non-overlap semantics, would hash-mismatch.
+    */
+  private def qKeywordTags(s: SparkSession, dir: String): DataFrame =
+    graft.ops.KeywordTag.tagKeywords(docs(s, dir),
+      Seq("a", "data", "merge", "win", "window")).orderBy("doc_id")
+
   /** DP sum-release gate: per-(lang, source) sums of n_chars CLIPPED to
     * [0, 500] plus Laplace(500/ε) keyed-hash noise. The oracle replays the
     * clip, the exact DECIMAL summation (order-independent — a double sum
@@ -1663,6 +1675,7 @@ object SparkEntry {
     "q_dp_sums" -> qDpSums,
     "q_dp_means" -> qDpMeans,
     "q_score_calibration" -> qScoreCalibration,
+    "q_keyword_tags" -> qKeywordTags,
     "q_length_buckets" -> qLengthBuckets,
     "q_length_buckets_sharded" -> qLengthBucketsSharded,
     "q_generated_columns" -> qGeneratedColumns,
@@ -3259,6 +3272,21 @@ object SparkEntry {
         |  round(true_count + (-1.0) * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6)
         |    AS dp_count
         |FROM u ORDER BY lang, source""".stripMargin,
+    // keyword tagging: positional replay of every end-position match
+    "q_keyword_tags" ->
+      """WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+        |k AS (SELECT unnest(['a', 'data', 'merge', 'win', 'window']) AS kw),
+        |m AS (
+        |  SELECT t.doc_id, k.kw,
+        |    len([i for i in range(1, len(t.s) - len(k.kw) + 2)
+        |         if substr(t.s, i, len(k.kw)) = k.kw]) AS hits
+        |  FROM t CROSS JOIN k)
+        |SELECT doc_id,
+        |  CAST(sum(hits) AS BIGINT) AS kw_total,
+        |  CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS kw_distinct,
+        |  coalesce(string_agg(kw, ',' ORDER BY kw) FILTER (WHERE hits > 0), '')
+        |    AS kw_list
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // score calibration: identical percent_rank window in both engines
     "q_score_calibration" ->
       """SELECT doc_id, source, n_chars,

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.KeywordTag
+
+/** Aho–Corasick keyword tagging: exact end-position match semantics
+  * (overlapping, nested, case-insensitive), determinism, zero-shuffle plan.
+  */
+class KeywordTagSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  private def tag(rows: Seq[(Long, String)], kws: Seq[String]) =
+    KeywordTag.tagKeywords(rows.toDF("doc_id", "text"), kws)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("hand-checked counts: overlap, nesting, case, misses") {
+    val out = tag(Seq(
+      (1L, "aaa"),                 // "aa" ends at positions 2 and 3 → 2 hits
+      (2L, "the Window wins"),     // "win" ×2 (inside Window, wins), "window" ×1
+      (3L, "no matches here!"),    // nothing
+      (4L, "AA aa aA")),           // case-insensitive: three "aa"
+      Seq("aa", "win", "window"))
+    assert(out(1L) === ((2L, 1L, "aa")))
+    assert(out(2L) === ((3L, 2L, "win,window")))
+    assert(out(3L) === ((0L, 0L, "")))
+    assert(out(4L) === ((3L, 1L, "aa")))
+  }
+
+  test("single-char keyword counts every occurrence; keyword equal to text") {
+    val out = tag(Seq((1L, "banana"), (2L, "b")), Seq("a", "b", "banana"))
+    assert(out(1L) === ((5L, 3L, "a,b,banana"))) // 3×a + 1×b + 1×banana
+    assert(out(2L) === ((1L, 1L, "b")))
+  }
+
+  test("null text, empty text, duplicate keywords deduplicate") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val out = KeywordTag.tagKeywords(df, Seq("x", "X", "x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("corpus: deterministic across partitionings, matches contains() ground truth") {
+    val docs = Tables.documents(spark, sf)
+    val kws = Seq("merge", "window", "stream")
+    val a = KeywordTag.tagKeywords(docs, kws)
+    val b = KeywordTag.tagKeywords(docs.repartition(13), kws)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // distinct-hit flags agree with per-keyword contains() on every doc
+    import org.apache.spark.sql.functions._
+    val truth = docs.select(col("doc_id"),
+      kws.map(k => when(lower(col("text")).contains(k), 1).otherwise(0))
+        .reduce(_ + _).cast("long").as("d"))
+    val joined = a.select(col("doc_id"), col("kw_distinct")).join(truth, "doc_id")
+      .filter(col("kw_distinct") =!= col("d"))
+    assert(joined.count() === 0)
+  }
+
+  test("plan: zero shuffle — one mapPartitions pass over the scan") {
+    val plan = KeywordTag.tagKeywords(Tables.documents(spark, sf), Seq("merge"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tagging must not shuffle:\n$plan")
+  }
+}
