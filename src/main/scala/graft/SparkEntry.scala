@@ -1217,6 +1217,42 @@ object SparkEntry {
       docs(s, dir).select("doc_id", "source", "n_chars"), "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Schema-time-travel gate: DDL history is versioned — a column added after
+    * v0 and renamed after v2 must show each snapshot under the schema in force
+    * AT that version (v0 without the column, v1 with its pre-rename name, head
+    * renamed), not today's. The result pins each state's exact column list as
+    * a literal string plus row/valued counts, so an engine that applied
+    * current DDL to history (the pre-versioning behavior) or lost the added
+    * column's data through the rename would hash-mismatch.
+    */
+  private def qSchemaTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ddlver_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 200), loc, "overwrite")             // v0
+    vt.write(d.filter(col("doc_id") >= 200 && col("doc_id") < 250), loc,
+      "append")                                                           // v1
+    vt.addColumn(s, loc, "note", "STRING")             // bound at head 1
+    vt.write(d.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .withColumn("note", col("lang")), loc, "append")                    // v2
+    vt.renameColumn(s, loc, "note", "comment")         // bound at head 2
+    def state(name: String, df: DataFrame, valued: Option[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        valued.map(c => count(col(c))).getOrElse(lit(0L)).cast("long")
+          .as("n_valued"))
+        .select(lit(name).as("state"),
+          lit(df.columns.mkString("|")).as("table_schema"),
+          col("n_rows"), col("n_valued"))
+    state("v0", vt.readAsOf(s, loc, 0), None)
+      .unionByName(state("v1", vt.readAsOf(s, loc, 1), Some("note")))
+      .unionByName(state("head", vt.read(s, loc), Some("comment")))
+      .orderBy("state")
+  }
+
   /** Keyword-tagging gate: one Aho–Corasick pass counts every end-position
     * match of a keyword set per document. The set is chosen adversarially for
     * the semantics: "a" (overlaps everywhere), "win" nested inside "window"
@@ -1676,6 +1712,7 @@ object SparkEntry {
     "q_dp_means" -> qDpMeans,
     "q_score_calibration" -> qScoreCalibration,
     "q_keyword_tags" -> qKeywordTags,
+    "q_schema_time_travel" -> qSchemaTimeTravel,
     "q_length_buckets" -> qLengthBuckets,
     "q_length_buckets_sharded" -> qLengthBucketsSharded,
     "q_generated_columns" -> qGeneratedColumns,
@@ -3272,6 +3309,19 @@ object SparkEntry {
         |  round(true_count + (-1.0) * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6)
         |    AS dp_count
         |FROM u ORDER BY lang, source""".stripMargin,
+    // schema time travel: each state's column list stated literally
+    "q_schema_time_travel" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents)
+        |SELECT 'head' AS state, 'doc_id|lang|comment' AS table_schema,
+        |  (SELECT count(*) FROM d WHERE doc_id < 300) AS n_rows,
+        |  (SELECT count(*) FROM d WHERE doc_id >= 250 AND doc_id < 300) AS n_valued
+        |UNION ALL
+        |SELECT 'v0', 'doc_id|lang',
+        |  (SELECT count(*) FROM d WHERE doc_id < 200), CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'v1', 'doc_id|lang|note',
+        |  (SELECT count(*) FROM d WHERE doc_id < 250), CAST(0 AS BIGINT)
+        |ORDER BY state""".stripMargin,
     // keyword tagging: positional replay of every end-position match
     "q_keyword_tags" ->
       """WITH t AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),

@@ -186,7 +186,95 @@ object VersionedTable {
 
   def writeTableSpec(spark: SparkSession, location: String,
       spec: Map[String, String]): Unit =
+    withDdlArchive(spark, location) {
+      writeTableSpecRaw(spark, location, spec)
+    }
+
+  private def writeTableSpecRaw(spark: SparkSession, location: String,
+      spec: Map[String, String]): Unit =
     writeKeyedJson(spark, location, "_table_spec.json", spec)
+
+  // --- DDL history (schema time travel) --------------------------------------------
+
+  /** Schema DDL is VERSIONED for time travel: every write of the spec or
+    * column-mapping sidecar archives the resulting state under `_ddl/`, tagged
+    * with the head table version at DDL time. [[sidecarsAsOf]] reconstructs
+    * the sidecars in force at any version, so `readAsOf` shows historical rows
+    * under the schema of THAT day, not today's (Delta parity, approximated:
+    * our DDL writes no commit, so a DDL binds to the head version it was made
+    * AT — it is visible from that version onward, where Delta would bind it to
+    * the next commit). The first archive is preceded by a BASELINE capturing
+    * the pre-archive state at version -1, so tables whose DDL history predates
+    * this mechanism keep their old any-version behavior for that prefix.
+    */
+  private val DdlDir = "_ddl"
+
+  private def ddlBaseline(spark: SparkSession, location: String): Unit = {
+    val fs = fileSystem(spark, location)
+    val dir = new Path(s"$location/$DdlDir")
+    if (!fs.exists(dir)) {
+      fs.mkdirs(dir)
+      writeDdlArchive(spark, location, -1L, tableSpec(spark, location),
+        columnMapping(spark, location))
+    }
+  }
+
+  private def writeDdlArchive(spark: SparkSession, location: String,
+      atVersion: Long, spec: Map[String, String],
+      mapping: Map[String, String]): Unit = {
+    val fs = fileSystem(spark, location)
+    val dir = new Path(s"$location/$DdlDir")
+    // ONE flat escaped-pair object (the keyed-JSON house format — no nested
+    // braces to mis-parse): "v" = at_version, "s.<k>" = spec, "m.<k>" = mapping
+    val entries = Map("v" -> atVersion.toString) ++
+      spec.map { case (k, v) => s"s.$k" -> v } ++
+      mapping.map { case (k, v) => s"m.$k" -> v }
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${escapeJson(k)}":"${escapeJson(v)}"""" }
+      .mkString("{", ",", "}")
+    // exclusive-create with a bumping sequence: concurrent DDLs each land
+    var seq = fs.listStatus(dir).count(_.getPath.getName.endsWith(".json"))
+    while (!atomicCreate(fs, new Path(dir, f"$seq%06d.json"),
+        body.getBytes(StandardCharsets.UTF_8))) seq += 1
+  }
+
+  private def withDdlArchive(spark: SparkSession, location: String)
+      (write: => Unit): Unit = {
+    ddlBaseline(spark, location)
+    write
+    val head = commits(spark, location).lastOption.map(_.version).getOrElse(-1L)
+    writeDdlArchive(spark, location, head, tableSpec(spark, location),
+      columnMapping(spark, location))
+  }
+
+  /** The (spec, mapping) in force at `version`: the newest archive tagged
+    * `at_version <= version` (ties by archive sequence). No `_ddl` dir — a
+    * table that never saw a DDL, or only pre-mechanism ones — falls back to
+    * the current sidecars, the legacy behavior.
+    */
+  private def sidecarsAsOf(spark: SparkSession, location: String,
+      version: Long): (Map[String, String], Map[String, String]) = {
+    val fs = fileSystem(spark, location)
+    val dir = new Path(s"$location/$DdlDir")
+    if (!fs.exists(dir))
+      return (tableSpec(spark, location), columnMapping(spark, location))
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val eligible = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .flatMap { p =>
+        val entries = pair.findAllMatchIn(readUtf8(fs, p))
+          .map(g => unescapeJson(g.group(1)) -> unescapeJson(g.group(2))).toMap
+        entries.get("v").flatMap(v => scala.util.Try(v.toLong).toOption)
+          .filter(_ <= version).map { _ =>
+            (entries.collect { case (k, v) if k.startsWith("s.") =>
+              k.stripPrefix("s.") -> v },
+             entries.collect { case (k, v) if k.startsWith("m.") =>
+              k.stripPrefix("m.") -> v })
+          }
+      }
+    eligible.lastOption
+      .getOrElse((tableSpec(spark, location), columnMapping(spark, location)))
+  }
 
   private def readKeyedJson(spark: SparkSession, location: String,
       file: String): Map[String, String] = {
@@ -344,9 +432,9 @@ object VersionedTable {
   }
 
   /** Spec-registered added columns in declaration order. */
-  private def addedColumns(spark: SparkSession,
-      location: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
-    tableSpec(spark, location).toSeq
+  private def addedColumnsIn(
+      spec: Map[String, String]): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    spec.toSeq
       .filter(_._1.startsWith(AddedColPrefix)).sortBy(_._1)
       .map { case (k, ddl) =>
         k.stripPrefix(AddedColPrefix).dropWhile(_ != '.').drop(1) ->
@@ -358,9 +446,9 @@ object VersionedTable {
     * moment the DDL lands. A column some files already carry is left alone
     * (mergeSchema surfaces it with per-file nulls).
     */
-  private def withAddedColumns(spark: SparkSession, location: String,
+  private def withAddedColumnsFrom(spec: Map[String, String],
       df: DataFrame): DataFrame =
-    addedColumns(spark, location).foldLeft(df) { case (d, (n, t)) =>
+    addedColumnsIn(spec).foldLeft(df) { case (d, (n, t)) =>
       if (d.columns.exists(_.equalsIgnoreCase(n))) d
       else d.withColumn(n, lit(null).cast(t))
     }
@@ -442,7 +530,9 @@ object VersionedTable {
     val physical = mapping.collectFirst {
       case (p, l) if l.equalsIgnoreCase(oldName) => p
     }.getOrElse(oldName)
-    writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> newName))
+    withDdlArchive(spark, location) {
+      writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> newName))
+    }
   }
 
   /** DROP COLUMN as metadata: the column disappears from every read (old and
@@ -473,7 +563,9 @@ object VersionedTable {
     val physical = mapping.collectFirst {
       case (p, l) if l.equalsIgnoreCase(name) => p
     }.getOrElse(name)
-    writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> ""))
+    withDdlArchive(spark, location) {
+      writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> ""))
+    }
   }
 
   /** Forget the registry — only safe when the live files already carry the
@@ -482,7 +574,9 @@ object VersionedTable {
     * physical names to stay consistent with the other live files).
     */
   private def clearColumnMapping(spark: SparkSession, location: String): Unit =
-    writeKeyedJson(spark, location, ColumnsFile, Map.empty)
+    withDdlArchive(spark, location) {
+      writeKeyedJson(spark, location, ColumnsFile, Map.empty)
+    }
 
   /** Rewrite the live set with today's LOGICAL schema materialized into the
     * files, then clear the mapping — the escape hatch that makes dropped
@@ -910,9 +1004,10 @@ object VersionedTable {
           s"shallowClone of $source lost the claim for version $i at $target — " +
             "a concurrent writer is building the same target")
     }
-    // constraints, generated columns, and the column mapping advertised by the
-    // source hold on the cloned snapshot (all were in force for every landing
-    // batch) and keep holding for the clone's own writes
+    // constraints, generated columns, the column mapping, AND the table spec
+    // (added-column registry, declared partitioning, properties) advertised by
+    // the source hold on the cloned snapshot (all were in force for every
+    // landing batch) and keep holding for the clone's own writes
     val srcConstraints = constraints(spark, source)
     if (srcConstraints.nonEmpty)
       writeConstraints(spark, target, srcConstraints)
@@ -922,6 +1017,12 @@ object VersionedTable {
     val srcMapping = columnMapping(spark, source)
     if (srcMapping.nonEmpty)
       writeKeyedJson(spark, target, ColumnsFile, srcMapping)
+    val srcSpec = tableSpec(spark, source)
+    if (srcSpec.nonEmpty) writeTableSpecRaw(spark, target, srcSpec)
+    // clone versions RENUMBER (0..n-1), so the source's DDL history does not
+    // transfer; the copied sidecars become the clone's from-the-beginning
+    // baseline (raw writes above, one baseline archive here)
+    ddlBaseline(spark, target)
     live.length - 1L
   }
 
@@ -1641,7 +1742,7 @@ object VersionedTable {
     val live = liveCommits(spark, location, cs.last.version)
     val partCols = (live.flatMap(_.partition_by.split(",")) ++ partitionBy)
       .filter(_.nonEmpty).map(_.toLowerCase).toSet
-    val existing = assemble(spark, location, live).schema
+    val existing = assemble(spark, location, live, cs.last.version).schema
     val byName = existing.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     df.schema.fields.filterNot(f => partCols.contains(f.name.toLowerCase)).foreach { f =>
       byName.get(f.name.toLowerCase).foreach { t =>
@@ -1772,22 +1873,20 @@ object VersionedTable {
     * vacuum floor makes that failure LOUD even when only partition subdirectories
     * were reclaimed (a silent partial read would otherwise be possible).
     *
-    * DOCUMENTED DIVERGENCE from Delta — schema DDL is NOT versioned: the
-    * column mapping (`_columns.json`) and the added-column/generated-column
-    * spec (`_table_spec.json`) are single current-state sidecars, applied to
-    * EVERY snapshot read. A `VERSION AS OF` read therefore shows historical
-    * ROWS under the table's CURRENT logical schema — columns added/renamed
-    * after `version` appear (added ones as typed NULL where no file carries
-    * them), dropped ones are gone — where Delta would reconstruct the schema
-    * in force at `version`. Data content is exact; only the column-level view
-    * is current-schema. Versioning the DDL would mean recording a spec/mapping
-    * snapshot per commit; the current contract trades that for one sidecar
-    * read per scan and is pinned by ColumnMappingSpec ("renames compose with
-    * ... time travel").
+    * SCHEMA TIME TRAVEL: reads reconstruct the spec/column-mapping state in
+    * force at `version` from the `_ddl/` archive ([[sidecarsAsOf]]) — a column
+    * renamed or dropped LATER still appears under its then-current name here,
+    * and columns added later do not appear, matching Delta's per-commit
+    * metadata up to one approximation: our DDL writes no commit, so a DDL
+    * binds to the head version it was made AT (visible from that version
+    * onward) rather than to a new commit of its own. Tables whose DDL history
+    * predates the archive keep the legacy current-sidecars view for that
+    * prefix (the baseline archive). Constraints remain deliberately
+    * unversioned (see [[writeConstraints]]).
     */
   def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
     requireReadable(spark, location, version)
-    assemble(spark, location, liveCommits(spark, location, version))
+    assemble(spark, location, liveCommits(spark, location, version), version)
   }
 
   /** Oldest version whose data is still guaranteed complete on disk; -1 before
@@ -1852,8 +1951,8 @@ object VersionedTable {
     if (kept.isEmpty)
       // every commit pruned: keep the full-scan plan for its schema; parquet footer
       // stats make the (empty) scan cheap and the predicate guarantees zero rows
-      assemble(spark, location, live).filter(predicate)
-    else assemble(spark, location, kept).filter(predicate)
+      assemble(spark, location, live, cs.last.version).filter(predicate)
+    else assemble(spark, location, kept, cs.last.version).filter(predicate)
   }
 
   /** [[readPruned]] for STRING columns: drop whole commits whose recorded
@@ -1881,8 +1980,9 @@ object VersionedTable {
     val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
       c.sstats.get(physical).forall { case (mn, mx) => mx >= lo && mn <= hi })
     val predicate = col(column) >= lo && col(column) <= hi
-    if (kept.isEmpty) assemble(spark, location, live).filter(predicate)
-    else assemble(spark, location, kept).filter(predicate)
+    if (kept.isEmpty) assemble(spark, location, live, cs.last.version)
+      .filter(predicate)
+    else assemble(spark, location, kept, cs.last.version).filter(predicate)
   }
 
   /** The commits whose data dirs make up the state at `version`: everything from the
@@ -1901,11 +2001,11 @@ object VersionedTable {
   }
 
   private def assemble(spark: SparkSession, location: String,
-      live: Seq[Commit]): DataFrame = {
+      live: Seq[Commit], asOf: Long): DataFrame = {
     val dvs = live.filter(_.dv_dir.nonEmpty)
-    if (dvs.isEmpty) assembleScan(spark, location, live, keepMeta = false)
+    if (dvs.isEmpty) assembleScan(spark, location, live, keepMeta = false, asOf)
     else applyDvs(spark, location,
-        assembleScan(spark, location, live, keepMeta = true), dvs)
+        assembleScan(spark, location, live, keepMeta = true, asOf), dvs)
       .drop(DvFileCol, DvPosCol)
   }
 
@@ -1927,10 +2027,14 @@ object VersionedTable {
     * (file, row-index) identity columns the DV anti-join needs.
     */
   private def assembleScan(spark: SparkSession, location: String,
-      live: Seq[Commit], keepMeta: Boolean): DataFrame =
-    withAddedColumns(spark, location,
-      toLogical(assembleScanPhysical(spark, location, live, keepMeta),
-        columnMapping(spark, location)))
+      live: Seq[Commit], keepMeta: Boolean, asOf: Long): DataFrame = {
+    // `asOf` is the READ's version, passed explicitly — the live set's max
+    // version is NOT it for pruned reads (readPruned drops commits from the
+    // head scan; the schema must stay the head's)
+    val (spec, mapping) = sidecarsAsOf(spark, location, asOf)
+    withAddedColumnsFrom(spec,
+      toLogical(assembleScanPhysical(spark, location, live, keepMeta), mapping))
+  }
 
   private def assembleScanPhysical(spark: SparkSession, location: String,
       live: Seq[Commit], keepMeta: Boolean): DataFrame = {
@@ -1993,7 +2097,7 @@ object VersionedTable {
   private def snapshotWithMeta(spark: SparkSession, location: String,
       version: Long): DataFrame = {
     val live = liveCommits(spark, location, version)
-    val scan = assembleScan(spark, location, live, keepMeta = true)
+    val scan = assembleScan(spark, location, live, keepMeta = true, version)
     val dvs = live.filter(_.dv_dir.nonEmpty)
     if (dvs.isEmpty) scan else applyDvs(spark, location, scan, dvs)
   }

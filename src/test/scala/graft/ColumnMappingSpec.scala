@@ -162,6 +162,58 @@ class ColumnMappingSpec extends AnyFunSuite with SharedSpark {
       .count() === 1)
   }
 
+  test("schema time travel: each version reads under the schema in force then") {
+    import spark.implicits._
+    val loc = fresh("ddlver")
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "name"), loc, "overwrite")
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "name"), loc, "append")
+    VersionedTable.addColumn(spark, loc, "score", "BIGINT")      // at head 1
+    VersionedTable.write(Seq((3L, "c", 30L)).toDF("id", "name", "score"),
+      loc, "append")                                             // v2
+    VersionedTable.renameColumn(spark, loc, "score", "rating")   // at head 2
+    VersionedTable.write(Seq((4L, "d", 40L)).toDF("id", "name", "rating"),
+      loc, "append")                                             // v3
+    VersionedTable.dropColumn(spark, loc, "name")                // at head 3
+    // head: the current schema
+    assert(VersionedTable.read(spark, loc).columns.toSeq === Seq("id", "rating"))
+    // v0: before any DDL — the original two columns, nothing anachronistic
+    assert(VersionedTable.readAsOf(spark, loc, 0).columns.toSeq ===
+      Seq("id", "name"))
+    // v1: ADD COLUMN was made at head 1 → score visible (typed NULL)
+    val v1 = VersionedTable.readAsOf(spark, loc, 1)
+    assert(v1.columns.toSeq === Seq("id", "name", "score"))
+    assert(v1.collect().forall(_.isNullAt(2)))
+    // v2: score carries v2's data; the rename (made at head 2) shows rating
+    val v2 = VersionedTable.readAsOf(spark, loc, 2).orderBy("id")
+    assert(v2.columns.toSeq === Seq("id", "name", "rating"))
+    assert(v2.collect().last.getAs[Long]("rating") === 30L)
+    // v3: name still present (drop came at head 3... which IS v3's head) —
+    // the drop binds to head 3, so v3 shows the dropped state
+    assert(VersionedTable.readAsOf(spark, loc, 3).columns.toSeq ===
+      Seq("id", "rating"))
+    // data under historical schemas stays exact
+    assert(VersionedTable.readAsOf(spark, loc, 2)
+      .filter(col("name") === "b").count() === 1)
+  }
+
+  test("clone carries the added-column registry; clone DDL stays independent") {
+    import spark.implicits._
+    val src = fresh("clonespec_src")
+    val tgt = fresh("clonespec_tgt")
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "name"), src, "overwrite")
+    VersionedTable.addColumn(spark, src, "score", "BIGINT")
+    VersionedTable.shallowClone(spark, src, tgt)
+    // the spec-only added column survives the clone
+    assert(VersionedTable.read(spark, tgt).columns.toSeq ===
+      Seq("id", "name", "score"))
+    // diverging DDL: rename on the clone leaves the source untouched
+    VersionedTable.renameColumn(spark, tgt, "score", "rating")
+    assert(VersionedTable.read(spark, tgt).columns.toSeq ===
+      Seq("id", "name", "rating"))
+    assert(VersionedTable.read(spark, src).columns.toSeq ===
+      Seq("id", "name", "score"))
+  }
+
   test("change feed and streaming appends surface logical names") {
     import spark.implicits._
     val loc = fresh("cdf")
