@@ -259,20 +259,23 @@ object VersionedTable {
     if (!fs.exists(dir))
       return (tableSpec(spark, location), columnMapping(spark, location))
     val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val eligible = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-      .flatMap { p =>
-        val entries = pair.findAllMatchIn(readUtf8(fs, p))
-          .map(g => unescapeJson(g.group(1)) -> unescapeJson(g.group(2))).toMap
-        entries.get("v").flatMap(v => scala.util.Try(v.toLong).toOption)
-          .filter(_ <= version).map { _ =>
-            (entries.collect { case (k, v) if k.startsWith("s.") =>
-              k.stripPrefix("s.") -> v },
-             entries.collect { case (k, v) if k.startsWith("m.") =>
-              k.stripPrefix("m.") -> v })
-          }
-      }
-    eligible.lastOption
+    // archives' at_version is monotone non-decreasing in sequence, so scan
+    // NEWEST-first and stop at the first eligible one — a head read (the
+    // common case) resolves with exactly one archive read
+    val newestFirst = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).reverseIterator
+    val eligible = newestFirst.flatMap { p =>
+      val entries = pair.findAllMatchIn(readUtf8(fs, p))
+        .map(g => unescapeJson(g.group(1)) -> unescapeJson(g.group(2))).toMap
+      entries.get("v").flatMap(v => scala.util.Try(v.toLong).toOption)
+        .filter(_ <= version).map { _ =>
+          (entries.collect { case (k, v) if k.startsWith("s.") =>
+            k.stripPrefix("s.") -> v },
+           entries.collect { case (k, v) if k.startsWith("m.") =>
+            k.stripPrefix("m.") -> v })
+        }
+    }
+    eligible.nextOption()
       .getOrElse((tableSpec(spark, location), columnMapping(spark, location)))
   }
 
