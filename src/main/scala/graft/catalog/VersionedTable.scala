@@ -184,6 +184,26 @@ object VersionedTable {
   def tableSpec(spark: SparkSession, location: String): Map[String, String] =
     readKeyedJson(spark, location, "_table_spec.json")
 
+  /** The table's declared hive partitioning — THE resolver every surface
+    * shares (DSv2 catalog loads, SQL MERGE inserts): the create-time spec when
+    * present (authoritative for SQL-created tables, whose empty v0 lays out no
+    * directories), else the newest LIVE commit that records one. Live-set
+    * bounded on both sides: pure-DV delete/update commits record no layout and
+    * must not mask the real one, while a full unpartitioned rewrite resets the
+    * live set, so an abandoned older layout can never resurrect.
+    */
+  def declaredPartitioning(spark: SparkSession, location: String): Seq[String] =
+    tableSpec(spark, location).get("partition_by")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse {
+        val cs = commits(spark, location)
+        if (cs.isEmpty) Nil
+        else liveCommits(spark, location, cs.last.version).reverse
+          .collectFirst { case c if c.partition_by.nonEmpty =>
+            c.partition_by.split(",").toSeq.filter(_.nonEmpty) }
+          .getOrElse(Nil)
+      }
+
   def writeTableSpec(spark: SparkSession, location: String,
       spec: Map[String, String]): Unit =
     withDdlArchive(spark, location) {
@@ -238,13 +258,25 @@ object VersionedTable {
         body.getBytes(StandardCharsets.UTF_8))) seq += 1
   }
 
+  /** Publish the current sidecar state as a new archive. Readers resolve from
+    * the NEWEST archive ([[sidecarsAsOf]]), so a compound DDL that must touch
+    * BOTH sidecars (materialized-added-column rename/drop) writes its raw
+    * files first and archives ONCE here — readers jump atomically from the
+    * pre-DDL archive to the post-DDL one and never see the half-written
+    * middle (e.g. a renamed mapping with the spec still holding the old name,
+    * which would resurrect a phantom NULL column).
+    */
+  private def archiveDdlNow(spark: SparkSession, location: String): Unit = {
+    val head = commits(spark, location).lastOption.map(_.version).getOrElse(-1L)
+    writeDdlArchive(spark, location, head, tableSpec(spark, location),
+      columnMapping(spark, location))
+  }
+
   private def withDdlArchive(spark: SparkSession, location: String)
       (write: => Unit): Unit = {
     ddlBaseline(spark, location)
     write
-    val head = commits(spark, location).lastOption.map(_.version).getOrElse(-1L)
-    writeDdlArchive(spark, location, head, tableSpec(spark, location),
-      columnMapping(spark, location))
+    archiveDdlNow(spark, location)
   }
 
   /** The (spec, mapping) in force at `version`: the newest archive tagged
@@ -513,18 +545,24 @@ object VersionedTable {
     // under the old name
     addedColKey(spark, location, oldName) match {
       case Some(k) =>
+        // compound DDL (mapping + spec): raw writes, ONE archive — readers
+        // never see the half-renamed middle state
+        ddlBaseline(spark, location)
         if (materializedInFiles(spark, location, oldName))
-          renameMaterializedColumn(spark, location, oldName, newName)
+          renameMaterializedColumnRaw(spark, location, oldName, newName)
         val spec = tableSpec(spark, location)
         val seq = k.stripPrefix(AddedColPrefix).takeWhile(_ != '.')
-        writeTableSpec(spark, location,
+        writeTableSpecRaw(spark, location,
           spec - k + (s"$AddedColPrefix$seq.$newName" -> spec(k)))
+        archiveDdlNow(spark, location)
       case None =>
-        renameMaterializedColumn(spark, location, oldName, newName)
+        withDdlArchive(spark, location) {
+          renameMaterializedColumnRaw(spark, location, oldName, newName)
+        }
     }
   }
 
-  private def renameMaterializedColumn(spark: SparkSession, location: String,
+  private def renameMaterializedColumnRaw(spark: SparkSession, location: String,
       oldName: String, newName: String): Unit = {
     requireUnmapped(spark, location, oldName)
     val mapping = columnMapping(spark, location)
@@ -533,9 +571,7 @@ object VersionedTable {
     val physical = mapping.collectFirst {
       case (p, l) if l.equalsIgnoreCase(oldName) => p
     }.getOrElse(oldName)
-    withDdlArchive(spark, location) {
-      writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> newName))
-    }
+    writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> newName))
   }
 
   /** DROP COLUMN as metadata: the column disappears from every read (old and
@@ -552,23 +588,27 @@ object VersionedTable {
     // and the DROP silently no-ops
     addedColKey(spark, location, name) match {
       case Some(k) =>
+        // compound DDL: raw writes, one archive (see renameColumn)
+        ddlBaseline(spark, location)
         if (materializedInFiles(spark, location, name))
-          dropMaterializedColumn(spark, location, name)
-        writeTableSpec(spark, location, tableSpec(spark, location) - k)
-      case None => dropMaterializedColumn(spark, location, name)
+          dropMaterializedColumnRaw(spark, location, name)
+        writeTableSpecRaw(spark, location, tableSpec(spark, location) - k)
+        archiveDdlNow(spark, location)
+      case None =>
+        withDdlArchive(spark, location) {
+          dropMaterializedColumnRaw(spark, location, name)
+        }
     }
   }
 
-  private def dropMaterializedColumn(spark: SparkSession, location: String,
+  private def dropMaterializedColumnRaw(spark: SparkSession, location: String,
       name: String): Unit = {
     requireUnmapped(spark, location, name)
     val mapping = columnMapping(spark, location)
     val physical = mapping.collectFirst {
       case (p, l) if l.equalsIgnoreCase(name) => p
     }.getOrElse(name)
-    withDdlArchive(spark, location) {
-      writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> ""))
-    }
+    writeKeyedJson(spark, location, ColumnsFile, mapping + (physical -> ""))
   }
 
   /** Forget the registry — only safe when the live files already carry the

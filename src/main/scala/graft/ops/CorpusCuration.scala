@@ -88,14 +88,18 @@ object CorpusCuration {
       val cutoffs = df.groupBy(col(groupCol))
         .agg(percentile_approx(col(scoreCol),
           typedLit(fracs), lit(10000)).as("__cuts"))
+        .withColumnRenamed(groupCol, "__cal_grp")
       // bucket index = count of cutoffs <= score; aggregate() keeps the
-      // search inside codegen (B is bounded, the scan stays map-side)
-      df.join(broadcast(cutoffs), Seq(groupCol))
+      // search inside codegen (B is bounded, the scan stays map-side).
+      // NULL-SAFE join: a NULL group is its own calibration group (groupBy
+      // keeps it), and an equi-join would silently DROP its rows — the exact
+      // path keeps them as their own window partition, so this path must too
+      df.join(broadcast(cutoffs), df(groupCol) <=> col("__cal_grp"))
         .withColumn("score_cal",
           aggregate(col("__cuts"), lit(0),
             (acc, c) => acc + when(col(scoreCol) >= c, 1).otherwise(0))
             .cast("double") / buckets)
-        .drop("__cuts")
+        .drop("__cuts", "__cal_grp")
     }
   }
 

@@ -87,7 +87,10 @@ object KeywordTag {
     require(keywords.forall(_.nonEmpty), "empty keyword")
     val spark = df.sparkSession
     import spark.implicits._
-    val kws = keywords.map(_.toLowerCase).distinct.toArray
+    // fold keywords EXACTLY as the scan folds text — per-char, locale-free
+    // Character.toLowerCase (String.toLowerCase would apply locale and
+    // multi-char rules: tr-TR dotless i, Greek final sigma — and never match)
+    val kws = keywords.map(_.map(Character.toLowerCase)).distinct.toArray
     val bc = spark.sparkContext.broadcast(kws)
     df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
       .as[(Long, String)]

@@ -94,8 +94,7 @@ object Packing {
       s"least(greatest(shiftleft(CAST(1 AS BIGINT), " +
         s"length(bin(greatest(CAST($tokensCol AS BIGINT), 2L) - 1))), " +
         s"${minCap}L), ${maxCap}L)")
-    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long") % numShards).cast("int")
+    val shard = Splits.md5Shard(col(idCol), numShards)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket_cap"), col("__shard")).orderBy(col(idCol))
     df.withColumn("bucket_cap", cap)

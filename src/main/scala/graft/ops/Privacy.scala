@@ -124,13 +124,17 @@ object Privacy {
     * The tag keeps a count release and a sum release over the SAME groups and
     * seed from sharing noise (correlated noise voids the composition bound).
     */
-  private def keyedUniform(groupCols: Seq[String], seed: String,
-      tag: String): org.apache.spark.sql.Column = {
-    val keyParts = lit(seed) +: lit(tag) +: groupCols.map(c =>
-      coalesce(col(c).cast("string"), lit("\u0002")))
-    ((conv(substring(md5(concat_ws("\u0001", keyParts: _*)), 1, 15),
+  private def keyedUniformParts(
+      parts: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    ((conv(substring(md5(concat_ws("\u0001", parts: _*)), 1, 15),
       16, 10).cast("long") % 1000000).cast("double") + 0.5) / 1000000.0
-  }
+
+  private def nullSafeKey(c: String): org.apache.spark.sql.Column =
+    coalesce(col(c).cast("string"), lit("\u0002"))
+
+  private def keyedUniform(groupCols: Seq[String], seed: String,
+      tag: String): org.apache.spark.sql.Column =
+    keyedUniformParts(lit(seed) +: lit(tag) +: groupCols.map(nullSafeKey))
 
   /** Laplace(b) inverse CDF at `u` — the noise column for a sensitivity-b
     * release.
@@ -175,24 +179,38 @@ object Privacy {
       .withColumn("dp_sum", round(col("true_sum") + noise, 6))
   }
 
-  /** ε-DP MEAN release: the standard split-budget quotient — a [[dpSums]]
-    * release at ε/2 over clipped values and a [[dpCounts]] release at ε/2,
-    * joined on the group, `dp_mean = dp_sum / max(dp_count, 1)` (the max
-    * guards the released — hence possibly non-positive — denominator). Total
-    * privacy cost is ε by sequential composition; both draws are tagged, so
-    * one seed serves the pair WITHOUT correlation (they are one release).
-    * Two tiny post-agg tables join on the group key — group-cardinality
-    * rows, never the corpus.
+  /** ε-DP MEAN release: the standard split-budget quotient — a [[dpSums]]-style
+    * release at ε/2 over clipped values and a [[dpCounts]]-style release at
+    * ε/2, `dp_mean = dp_sum / max(dp_count, 1)` (the max guards the released —
+    * hence possibly non-positive — denominator). Total privacy cost is ε by
+    * sequential composition; the sum draw is tagged and the count draw is not,
+    * so one seed serves the pair WITHOUT correlation (they are one release,
+    * and each half is bit-identical to what the standalone operator at ε/2
+    * would publish). ONE corpus scan: both aggregates ride a single
+    * map-side-combined groupBy — never two passes over 100 TB for one
+    * release; all noise is post-agg per-group arithmetic.
     */
   def dpMeans(df: DataFrame, groupCols: Seq[String], valueCol: String,
       lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
-    val sums = dpSums(df, groupCols, valueCol, lo, hi, epsilon / 2, seed)
-    val counts = dpCounts(df, groupCols, epsilon / 2, seed)
-    sums.join(counts, groupCols)
+    require(groupCols.nonEmpty, "dpMeans needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
+    val exact = round(clipped, 6).cast("decimal(28,6)")
+    val sensitivity = math.max(math.abs(lo), math.abs(hi))
+    val sumNoise = laplaceNoise(
+      keyedUniform(groupCols, seed, s"sum:$valueCol"), sensitivity / (epsilon / 2))
+    val cntNoise = laplaceNoise(
+      keyedUniformParts(lit(seed) +: groupCols.map(nullSafeKey)),
+      1.0 / (epsilon / 2))
+    df.withColumn("__clip", exact)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__clip")).cast("double").as("true_sum"),
+        count(lit(1)).as("true_count"))
+      .withColumn("dp_sum", round(col("true_sum") + sumNoise, 6))
+      .withColumn("dp_count", round(col("true_count") + cntNoise, 6))
       .withColumn("dp_mean",
         round(col("dp_sum") / greatest(col("dp_count"), lit(1.0)), 6))
-      .select((groupCols.map(col) :+ col("true_sum") :+ col("true_count") :+
-        col("dp_sum") :+ col("dp_count") :+ col("dp_mean")): _*)
   }
 
   /** Same-session ledger of spent release ids — the guard that makes seed
@@ -209,6 +227,13 @@ object Privacy {
     * `(release_id, epsilon)` so a downstream budget ledger can sum ε per
     * dataset without out-of-band bookkeeping. Cross-session reuse is on the
     * caller's ledger — persist the release table, don't recompute it.
+    *
+    * The id is spent at CALL time, deliberately before any action runs: if the
+    * downstream persist fails, mint a NEW id for the retry — conservative by
+    * design (the draw for the burnt id may already have left the process via
+    * logs or partial output; ε accounting should assume it did). The ledger is
+    * JVM-wide, so multi-tenant drivers sharing one JVM share one id namespace
+    * — prefix ids per tenant.
     */
   def dpRelease(df: DataFrame, groupCols: Seq[String], epsilon: Double,
       releaseId: String): DataFrame = {

@@ -25,6 +25,17 @@ object Splits {
   def bucketOf(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long") % Buckets
 
+  /** THE md5 shard formula — first 15 hex chars of md5(id) parsed base-16
+    * (60 bits, exact in 64-bit integers and replayable byte-for-byte by
+    * external engines), mod `numShards`. Every sharded operator
+    * ([[shardAssign]], [[curriculumSchedule]], `Packing.lengthBuckets`)
+    * routes through HERE — the cross-engine determinism contract lives in
+    * one place.
+    */
+  def md5Shard(idCol: Column, numShards: Int): Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") % numShards).cast("int")
+
   /** Tag every row with `bucket` and a `split` label; `weights` are (label, fraction)
     * in assignment order and must sum to 1. Fractions resolve to whole buckets
     * (round(cum·1000)), so every bucket maps to exactly one label.
@@ -182,11 +193,9 @@ object Splits {
       idCol: String = "doc_id"): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val h = md5(col(idCol).cast("string"))
-    val shard =
-      (conv(substring(h, 1, 15), 16, 10).cast("long") % numShards).cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(h, col(idCol).cast("string"))
-    df.withColumn("shard", shard)
+    df.withColumn("shard", md5Shard(col(idCol), numShards))
       .withColumn("position", row_number().over(w))
   }
 
@@ -225,8 +234,7 @@ object Splits {
     }
     val cuts = df.agg(cutCols.head, cutCols.tail: _*)
     val h = md5(col(idCol).cast("string"))
-    val shard =
-      (conv(substring(h, 1, 15), 16, 10).cast("long") % numShards).cast("int")
+    val shard = md5Shard(col(idCol), numShards)
     val phase = (1 until phases).foldLeft(lit(0)) { (acc, i) =>
       acc + when(col(scoreCol) > col(s"__cut_$i"), 1).otherwise(0) }
     val w = org.apache.spark.sql.expressions.Window

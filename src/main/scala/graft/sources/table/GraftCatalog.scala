@@ -365,11 +365,7 @@ class GraftSqlTable(tableName: String, val location: String,
     * latest commit used (tables created through the Scala API).
     */
   private def partitionCols: Seq[String] =
-    VersionedTable.tableSpec(spark, location).get("partition_by")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(VersionedTable.commits(spark, location)
-        .lastOption.map(_.partition_by.split(",").toSeq.filter(_.nonEmpty))
-        .getOrElse(Nil))
+    VersionedTable.declaredPartitioning(spark, location)
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema

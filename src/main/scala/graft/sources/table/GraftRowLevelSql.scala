@@ -210,8 +210,10 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
               mismatch.map(_._1).mkString(", "))
         }
         // merge-on-read never inserts an unmatched delete-marked row; SQL's
-        // unconditional INSERT would — require the guard spelled out
-        (deleteCond, insertCond) match {
+        // unconditional INSERT would — require the guard spelled out. The
+        // check only applies when an INSERT branch EXISTS: the matched-only
+        // CDC shape (DELETE AND cond + UPDATE, no INSERT) needs no guard
+        if (ins.isDefined) (deleteCond, insertCond) match {
           case (None, None) => ()
           case (None, Some(c)) => refuse("graft SQL MERGE with a conditional " +
             s"INSERT (${c.sql}) diverges from merge-on-read semantics — drop " +
@@ -220,7 +222,6 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case (Some(d), _) => refuse("graft SQL MERGE with a conditional " +
             "DELETE must guard the INSERT with AND NOT (" + d.sql + ") so " +
             "unmatched delete-marked rows do not insert")
-          case _ => ()
         }
         // without an INSERT branch, unmatched source rows must be IGNORED
         // (SQL) — merge-on-read would insert them, so the matched_ mode
@@ -314,7 +315,7 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
         val tgt = VersionedTable.read(sparkSession, location)
           .select(keys.map(col): _*)
         VersionedTable.write(full.join(tgt, keys, "left_anti"), location,
-          "append", declaredPartitioning(sparkSession))
+          "append", VersionedTable.declaredPartitioning(sparkSession, location))
       case "delete_only" =>
         // full table schema with nulls outside the keys — only the DV entries
         // land, but the staged (empty) upsert write needs the table's columns
@@ -331,15 +332,4 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     }
     Seq.empty
   }
-
-  /** The table's declared hive partitioning (create-time spec, else the latest
-    * commit that records one) — what an append commit must be laid out with.
-    */
-  private def declaredPartitioning(spark: SparkSession): Seq[String] =
-    VersionedTable.tableSpec(spark, location).get("partition_by")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(VersionedTable.commits(spark, location).reverse
-        .collectFirst { case c if c.partition_by.nonEmpty =>
-          c.partition_by.split(",").toSeq.filter(_.nonEmpty) }
-        .getOrElse(Nil))
 }

@@ -149,6 +149,16 @@ class CorpusCurationSpec extends AnyFunSuite with SharedSpark {
       "score", exact = false, buckets = 100)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"approx path must not window:\n$plan")
+    // NULL group: its rows form their own calibration group on BOTH paths —
+    // the approx join is null-safe, so no row silently vanishes
+    val withNull = ((0 until 20).map(i => (i.toLong, "s1", i.toDouble)) ++
+      (20 until 40).map(i => (i.toLong, null.asInstanceOf[String], i.toDouble)))
+      .toDF("doc_id", "source", "score")
+    val ex = graft.ops.CorpusCuration.calibrateScores(withNull, "source", "score")
+    val ap = graft.ops.CorpusCuration.calibrateScores(withNull, "source",
+      "score", exact = false, buckets = 100)
+    assert(ex.count() === 40 && ap.count() === 40)
+    assert(ap.filter(col("source").isNull).count() === 20)
   }
 
   test("curate with gopher gate and source cap: junk gated first, mix capped last") {

@@ -362,6 +362,18 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     val out = spark.sql("SELECT id FROM gsql.t.smrgx ORDER BY id").collect()
       .map(_.getLong(0)).toSet
     assert(!out.contains(1L) && out.size === 4)
+    // the matched-only CDC shape (conditional DELETE + UPDATE, NO INSERT
+    // branch) needs no guard — unmatched source rows are simply ignored
+    Seq((2L, 77L, false), (3L, 0L, true), (500L, 9L, false))
+      .toDF("id", "qty", "kill").createOrReplaceTempView("smrgx_mo")
+    spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_mo s ON t.id = s.id " +
+      "WHEN MATCHED AND s.kill THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET t.id = s.id, t.qty = s.qty")
+    val out2 = spark.sql("SELECT id, qty FROM gsql.t.smrgx ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out2(2L) === 77L)          // matched, updated
+    assert(!out2.contains(3L))        // matched + kill, deleted
+    assert(!out2.contains(500L))      // unmatched, IGNORED (no insert branch)
   }
 
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
