@@ -1432,6 +1432,70 @@ object SparkEntry {
     s.sql("SELECT doc_id, lang, source FROM gsqlc.contract.mrg").orderBy("doc_id")
   }
 
+  /** Partial-row SQL MERGE gate: `UPDATE SET <some columns>` — the most common
+    * MERGE shape a SQL user writes — with a matched CONDITION and a SET value
+    * referencing the TARGET row (`concat(t.lang, ...)`). The general path joins
+    * source to target, coalesces unset columns (`source` here) from the target
+    * image, and commits through the same merge-on-read path
+    * ([[graft.sources.table.GraftGeneralMergeCommand]]). The oracle states the
+    * final table with CASEs; a merge that nulled the unset column, ignored the
+    * condition, or missed the target reference would hash-mismatch.
+    */
+  private def qSqlMergePartial(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.mrgp")
+    docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlmrgp_docs")
+    s.sql("CREATE TABLE gsqlc.contract.mrgp AS " +
+      "SELECT * FROM sqlmrgp_docs WHERE doc_id < 400")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlmrgp_src AS
+            |SELECT doc_id, lang, source, n_chars
+            |FROM sqlmrgp_docs WHERE doc_id >= 200 AND doc_id < 600""".stripMargin)
+    s.sql("""MERGE INTO gsqlc.contract.mrgp t USING sqlmrgp_src s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND t.doc_id % 7 != 0 THEN
+            |  UPDATE SET t.lang = concat(t.lang, '+p'), t.n_chars = s.n_chars + 5
+            |WHEN NOT MATCHED THEN
+            |  INSERT (doc_id, lang, source, n_chars)
+            |  VALUES (s.doc_id, s.lang, s.source, s.n_chars)""".stripMargin)
+    s.sql("SELECT doc_id, lang, source, n_chars FROM gsqlc.contract.mrgp")
+      .orderBy("doc_id")
+  }
+
+  /** Full-sync SQL MERGE gate: `WHEN NOT MATCHED BY SOURCE` — the CDC mirroring
+    * shape (make the target exactly reflect the source, flagging or dropping
+    * stale rows). Ordered NMBS actions: stale ids below 50 DELETE, the rest
+    * UPDATE to a sentinel lang — first-match-wins, folded into disjoint
+    * effective conditions at rule time. The oracle states the final mirror
+    * directly.
+    */
+  private def qSqlMergeFullSync(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.mrgf")
+    docs(s, dir).select("doc_id", "lang", "source")
+      .createOrReplaceTempView("sqlmrgf_docs")
+    s.sql("CREATE TABLE gsqlc.contract.mrgf AS " +
+      "SELECT * FROM sqlmrgf_docs WHERE doc_id < 400")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlmrgf_src AS
+            |SELECT doc_id, concat(lang, '+f') AS lang, source
+            |FROM sqlmrgf_docs WHERE doc_id >= 100 AND doc_id < 500""".stripMargin)
+    s.sql("""MERGE INTO gsqlc.contract.mrgf t USING sqlmrgf_src s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 50 THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.lang = 'stale'""".stripMargin)
+    s.sql("SELECT doc_id, lang, source FROM gsqlc.contract.mrgf").orderBy("doc_id")
+  }
+
   /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
     * carrying ONLY lang='en' rows replaces exactly that partition (a `"replace"`
     * commit — every other partition carried by reference, zero rewrite). The
@@ -1720,6 +1784,8 @@ object SparkEntry {
     "q_sql_catalog" -> qSqlCatalog,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_merge" -> qSqlMerge,
+    "q_sql_merge_partial" -> qSqlMergePartial,
+    "q_sql_merge_full_sync" -> qSqlMergeFullSync,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
@@ -3080,6 +3146,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang || '+u' AS lang, source FROM documents
         |WHERE doc_id >= 200 AND doc_id < 600 AND doc_id % 5 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // partial-row MERGE: base(<400); matched [200,400) with doc_id%7<>0 get
+    // lang||'+p' and n_chars+5 (source column UNSET → keeps target value);
+    // unmatched [400,600) insert as-is
+    "q_sql_merge_partial" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 200 AND doc_id % 7 <> 0
+        |       THEN lang || '+p' ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN doc_id >= 200 AND doc_id % 7 <> 0
+        |       THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 400
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 400 AND doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
+    // full-sync MERGE: base(<400) mirrored to source [100,500) with lang||'+f';
+    // stale rows <50 deleted, [50,100) flagged lang='stale'
+    "q_sql_merge_full_sync" ->
+      """SELECT doc_id, 'stale' AS lang, source FROM documents
+        |WHERE doc_id >= 50 AND doc_id < 100
+        |UNION ALL
+        |SELECT doc_id, lang || '+f' AS lang, source FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // merge-on-read merge: identical final-state contract as q_merge_upsert,
     // reached through deletion vectors + change-row appends instead of a rewrite

@@ -1,12 +1,12 @@
 package graft.sources.table
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal, Not, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, Literal, Not, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, when}
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.catalog.VersionedTable
@@ -25,15 +25,32 @@ import graft.catalog.VersionedTable
   * rule runs before `CheckAnalysis`, so the "table does not support UPDATE" refusal for
   * non-row-level DSv2 tables never fires for graft tables.
   *
-  * Deliberately scoped (anything outside refuses LOUDLY, naming the
-  * `CALL gsqlc.system.update_where/merge` escape hatch — never a silent semantic drift):
-  *  - UPDATE: top-level column assignments; condition/values may not carry subqueries.
-  *  - MERGE: condition = conjunction of `target.k = source.k` equalities; actions from
-  *    the canonical shapes (`UPDATE SET` full row [+ conditional DELETE], `INSERT`,
-  *    DELETE-only), every value referencing only SOURCE columns. When a conditional
-  *    DELETE is present the INSERT branch must carry `AND NOT (<delete cond>)` verbatim —
-  *    merge-on-read never inserts an unmatched delete-marked row, and SQL's
-  *    unconditional INSERT would.
+  * Two execution shapes, chosen per statement:
+  *  - FAST: the canonical CDC-apply shapes (`UPDATE SET *` full row [+ conditional
+  *    DELETE + mirrored guarded `INSERT *`], INSERT-only, DELETE-only, all values
+  *    source-only) run WITHOUT a dedicated target join — one change-volume-sized
+  *    [[VersionedTable.mergeOnRead]] commit, the path whose cost tracks the change
+  *    set at 100 TB.
+  *  - GENERAL: everything else SQL MERGE can say within equality-keyed semantics —
+  *    partial-row `UPDATE SET col = expr` (unset columns keep their target values),
+  *    conditions and values referencing BOTH sides, conditional INSERT, and
+  *    `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE (full-sync mirroring). The matched
+  *    image is synthesized by joining source to target, coalescing unset columns
+  *    from the target row, and the completed change set feeds the same
+  *    merge-on-read commit. Cost = one extra src⋈tgt join over the fast path;
+  *    the commit itself still writes only change volume.
+  *
+  * Remaining refusals (loud, naming the `CALL gsqlc.system.update_where/merge`
+  * escape hatch — never a silent semantic drift): non-equi or differently-named ON
+  * keys, subqueries, schema evolution, more than one UPDATE/DELETE per match group,
+  * and NOT-MATCHED-BY-SOURCE rows whose merge keys are NULL (merge-on-read locates
+  * rows by key; a NULL key cannot be re-located).
+  *
+  * Both shapes enforce the SQL MERGE cardinality rule: a target row matched by more
+  * than one source row that would update or delete it raises
+  * `MERGE_CARDINALITY_VIOLATION` (as Spark/Delta do) instead of silently duplicating
+  * rows — merge-on-read DV-deletes the matched row once but would append every
+  * change row.
   */
 object GraftRowLevelSql {
 
@@ -66,6 +83,33 @@ object GraftRowLevelSql {
     e.transform {
       case ar: AttributeReference => ar.withQualifier(Seq.empty)
     }.sql
+
+  /** Column-name prefixes disambiguating target from source in the general
+    * path's joined frame (target and source usually share column names).
+    */
+  private[table] val TgtPrefix = "__gr_t_"
+  private[table] val SrcPrefix = "__gr_s_"
+
+  /** Render a resolved expression as SQL over the PREFIXED joined frame:
+    * target attributes become `__gr_t_<name>`, source ones `__gr_s_<name>` —
+    * exprId identity is resolved here, at rule time, where the attribute sets
+    * are known; the command replays the string with `expr()` later.
+    */
+  private[table] def sidedSql(e: Expression, tgtOut: AttributeSet,
+      srcOut: AttributeSet): String =
+    e.transform {
+      case ar: AttributeReference if srcOut.contains(ar) =>
+        ar.withQualifier(Seq.empty).withName(SrcPrefix + ar.name)
+      case ar: AttributeReference if tgtOut.contains(ar) =>
+        ar.withQualifier(Seq.empty).withName(TgtPrefix + ar.name)
+    }.sql
+
+  private[table] def cardinalityViolation(): Nothing =
+    throw ColumnBridge.analysisError(
+      "MERGE_CARDINALITY_VIOLATION: the MERGE ON condition matched a single " +
+        "target row with multiple source rows that would update or delete it — " +
+        "the target row would be operated on more than once. Deduplicate the " +
+        "source on the merge keys first")
 }
 
 /** Post-hoc resolution rule: `UpdateTable`/`MergeIntoTable` over a graft catalog
@@ -110,11 +154,35 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       sets.toMap)
   }
 
+  /** One parsed WHEN branch: optional raw condition + assignments (empty for
+    * DELETE). At most one UPDATE and one DELETE per match group; SQL's
+    * first-match-wins ordering is folded into EFFECTIVE conditions
+    * ([[effective]]) so the two are disjoint by construction.
+    */
+  private case class Act(isDelete: Boolean, cond: Option[Expression],
+      sets: Seq[(String, Expression)])
+
+  /** (update effective cond, update sets, delete effective cond) for an
+    * ordered action list: action 2 applies only where action 1's condition
+    * does not hold.
+    */
+  private def effective(acts: Seq[Act])
+      : (Option[(Expression, Seq[(String, Expression)])], Option[Expression]) = {
+    var upd: Option[(Expression, Seq[(String, Expression)])] = None
+    var del: Option[Expression] = None
+    var guard: Option[Expression] = None // NOT(conditions of earlier actions)
+    acts.foreach { a =>
+      val own = a.cond.getOrElse(Literal.TrueLiteral)
+      val eff = guard.map(g => And(g, own)).getOrElse(own)
+      if (a.isDelete) del = Some(eff) else upd = Some((eff, a.sets))
+      guard = Some(guard.map(g => And(g, Not(own))).getOrElse(Not(own)))
+    }
+    (upd, del)
+  }
+
   private def rewriteMerge(t: GraftSqlTable, m: MergeIntoTable): LogicalPlan = {
     if (m.withSchemaEvolution)
       refuse("graft SQL MERGE does not support WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("graft SQL MERGE does not support WHEN NOT MATCHED BY SOURCE")
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
     noSubquery(m.mergeCondition, "MERGE")
@@ -136,16 +204,9 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           "source column")
       }
     }
+    val keyNames = keys.map(_._1)
+    val targetCols = m.targetTable.output.map(_.name)
 
-    def sourceOnly(e: Expression, what: String): Unit = {
-      noSubquery(e, "MERGE")
-      if (!e.references.subsetOf(srcOut))
-        refuse(s"graft SQL MERGE $what may reference only SOURCE columns, " +
-          s"got ${e.sql}")
-    }
-    // assignment list → (target column -> source-side expression), refusing
-    // partial row updates (merge-on-read replaces whole rows; a partial SET
-    // surfaces as identity assignments referencing TARGET columns)
     def assignPairs(as: Seq[Assignment], what: String): Seq[(String, Expression)] =
       as.map { a =>
         val name = a.key match {
@@ -153,91 +214,139 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case other => refuse("graft SQL MERGE supports top-level column " +
             s"assignments only, got ${other.sql}")
         }
-        sourceOnly(a.value, s"$what of '$name' — partial-row SET keeps target " +
-          "values, which merge-on-read cannot express; assign every column " +
-          "(UPDATE SET *)")
+        noSubquery(a.value, what)
         name -> a.value
       }
 
-    var update: Option[Seq[(String, Expression)]] = None
-    var deleteCond: Option[Expression] = None
-    m.matchedActions match {
-      case Seq() => ()
-      case Seq(UpdateAction(None, as, _)) => update = Some(assignPairs(as, "SET"))
-      case Seq(DeleteAction(cond)) =>
-        cond.foreach(sourceOnly(_, "matched DELETE condition"))
-        deleteCond = Some(cond.getOrElse(Literal.TrueLiteral))
-      case Seq(DeleteAction(Some(c)), UpdateAction(None, as, _)) =>
-        sourceOnly(c, "matched DELETE condition")
-        deleteCond = Some(c); update = Some(assignPairs(as, "SET"))
-      case other => refuse("graft SQL MERGE supports WHEN MATCHED action shapes " +
-        "[UPDATE SET], [DELETE], [DELETE AND <cond> + UPDATE SET], got " +
-        other.map(_.getClass.getSimpleName).mkString(", "))
+    // parse each WHEN group into ≤1 UPDATE + ≤1 DELETE, order preserved
+    def parseActs(actions: Seq[MergeAction], group: String): Seq[Act] = {
+      val acts = actions.map {
+        case UpdateAction(cond, as, _) =>
+          cond.foreach(noSubquery(_, "MERGE"))
+          Act(isDelete = false, cond, assignPairs(as, s"$group UPDATE SET"))
+        case DeleteAction(cond) =>
+          cond.foreach(noSubquery(_, "MERGE"))
+          Act(isDelete = true, cond, Nil)
+        case other => refuse(s"graft SQL MERGE $group supports UPDATE and " +
+          s"DELETE actions, got ${other.getClass.getSimpleName}")
+      }
+      if (acts.count(_.isDelete) > 1 || acts.count(!_.isDelete) > 1)
+        refuse(s"graft SQL MERGE supports at most one UPDATE and one DELETE " +
+          s"per $group group")
+      acts
     }
-    var insert: Option[Seq[(String, Expression)]] = None
-    var insertCond: Option[Expression] = None
-    m.notMatchedActions match {
-      case Seq() => ()
-      case Seq(InsertAction(cond, as)) =>
-        cond.foreach(sourceOnly(_, "INSERT condition"))
-        insert = Some(assignPairs(as, "INSERT value")); insertCond = cond
-      case other => refuse("graft SQL MERGE supports at most one unconditional-" +
-        "shape WHEN NOT MATCHED THEN INSERT action, got " +
-        other.map(_.getClass.getSimpleName).mkString(", "))
+    val matched = parseActs(m.matchedActions, "WHEN MATCHED")
+    val nmbs = parseActs(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
+    nmbs.foreach { a =>
+      (a.cond.toSeq ++ a.sets.map(_._2)).foreach { e =>
+        if (!e.references.subsetOf(tgtOut))
+          refuse("graft SQL MERGE WHEN NOT MATCHED BY SOURCE may reference " +
+            s"only TARGET columns, got ${e.sql}")
+      }
     }
+    val insert: Option[(Option[Expression], Seq[(String, Expression)])] =
+      m.notMatchedActions match {
+        case Seq() => None
+        case Seq(InsertAction(cond, as)) =>
+          (cond.toSeq ++ as.map(_.value)).foreach { e =>
+            noSubquery(e, "MERGE")
+            if (!e.references.subsetOf(srcOut))
+              refuse("graft SQL MERGE INSERT may reference only SOURCE " +
+                s"columns, got ${e.sql}")
+          }
+          Some((cond, assignPairs(as, "INSERT VALUES")))
+        case other => refuse("graft SQL MERGE supports at most one WHEN NOT " +
+          "MATCHED THEN INSERT action, got " +
+          other.map(_.getClass.getSimpleName).mkString(", "))
+      }
+    if (matched.isEmpty && nmbs.isEmpty && insert.isEmpty)
+      refuse("graft SQL MERGE needs at least one action")
 
-    val targetCols = m.targetTable.output.map(_.name)
-    (update, insert) match {
-      case (Some(up), ins) =>
-        // merge-on-read replaces whole rows: the SET must cover every target
-        // column (a partial SET would silently null the rest)
-        val missing = targetCols.filterNot(c =>
-          up.exists(_._1.equalsIgnoreCase(c)))
-        if (missing.nonEmpty)
-          refuse("graft SQL MERGE must assign every target column " +
-            "(merge-on-read replaces whole rows; use UPDATE SET *) — missing " +
-            missing.mkString(", "))
-        // upsert: one merge-on-read call serves matched-update + unmatched-insert.
-        // INSERT values must mirror the SET values column-for-column — one change
-        // row feeds both branches
-        ins.foreach { ia =>
-          val bySet = up.toMap
-          val mismatch = ia.filterNot { case (n, e) =>
-            bySet.get(n).exists(_.semanticEquals(e)) }
-          if (mismatch.nonEmpty || ia.size != up.size)
-            refuse("graft SQL MERGE INSERT values must mirror the UPDATE SET " +
-              s"values column-for-column (INSERT *), differs on " +
-              mismatch.map(_._1).mkString(", "))
-        }
-        // merge-on-read never inserts an unmatched delete-marked row; SQL's
-        // unconditional INSERT would — require the guard spelled out. The
-        // check only applies when an INSERT branch EXISTS: the matched-only
-        // CDC shape (DELETE AND cond + UPDATE, no INSERT) needs no guard
-        if (ins.isDefined) (deleteCond, insertCond) match {
-          case (None, None) => ()
-          case (None, Some(c)) => refuse("graft SQL MERGE with a conditional " +
-            s"INSERT (${c.sql}) diverges from merge-on-read semantics — drop " +
-            "the condition")
-          case (Some(d), Some(c)) if c.semanticEquals(Not(d)) => ()
-          case (Some(d), _) => refuse("graft SQL MERGE with a conditional " +
-            "DELETE must guard the INSERT with AND NOT (" + d.sql + ") so " +
-            "unmatched delete-marked rows do not insert")
-        }
-        // without an INSERT branch, unmatched source rows must be IGNORED
-        // (SQL) — merge-on-read would insert them, so the matched_ mode
-        // pre-filters the change set to keys present in the target
-        GraftMergeCommand(t.location, m.sourceTable, up, keys.map(_._1),
-          deleteCond, None, if (ins.isDefined) "upsert" else "matched_upsert")
-      case (None, Some(ia)) =>
-        deleteCond.foreach(_ => refuse("graft SQL MERGE cannot combine a " +
-          "matched DELETE with INSERT but no UPDATE"))
-        GraftMergeCommand(t.location, m.sourceTable, ia, keys.map(_._1),
-          None, insertCond, "insert_only")
-      case (None, None) if deleteCond.isDefined =>
-        GraftMergeCommand(t.location, m.sourceTable, keys, keys.map(_._1),
-          deleteCond, None, "delete_only")
-      case _ => refuse("graft SQL MERGE needs at least one action")
+    fastMerge(t, srcOut, keys, targetCols, matched, insert, m)
+      .getOrElse(generalMerge(t, tgtOut, srcOut, keys, targetCols, matched,
+        nmbs, insert, m))
+  }
+
+  /** The canonical single-pass shapes (no target join needed): full-row
+    * source-only mirror upserts, insert-only, delete-only. Returns None — fall
+    * through to the general path — for anything else.
+    */
+  private def fastMerge(t: GraftSqlTable, srcOut: AttributeSet,
+      keys: Seq[(String, Expression)], targetCols: Seq[String],
+      matched: Seq[Act],
+      insert: Option[(Option[Expression], Seq[(String, Expression)])],
+      m: MergeIntoTable): Option[LogicalPlan] = {
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    def srcOnly(e: Expression): Boolean = e.references.subsetOf(srcOut)
+    val keyNames = keys.map(_._1)
+    val mUpd = matched.find(!_.isDelete)
+    val mDel = matched.find(_.isDelete)
+    val deleteFirst = matched.headOption.exists(_.isDelete)
+
+    (mUpd, mDel, insert) match {
+      // [DELETE AND c]? + UPDATE SET * (full row, source-only, unconditional)
+      // [+ INSERT mirroring SET, guarded by NOT(c)]
+      case (Some(Act(_, None, sets)), del, ins)
+          if sets.forall(p => srcOnly(p._2)) &&
+            targetCols.forall(c => sets.exists(_._1.equalsIgnoreCase(c))) &&
+            sets.size == targetCols.size &&
+            del.forall(d => deleteFirst && d.cond.exists(srcOnly)) &&
+            ins.forall { case (ic, is) =>
+              val bySet = sets.toMap
+              is.size == sets.size &&
+                is.forall { case (n, e) =>
+                  bySet.get(n).exists(_.semanticEquals(e)) } &&
+                ((del.flatMap(_.cond), ic) match {
+                  case (None, None) => true
+                  case (Some(d), Some(c)) => c.semanticEquals(Not(d))
+                  case _ => false
+                })
+            } =>
+        Some(GraftMergeCommand(t.location, m.sourceTable, sets, keyNames,
+          del.flatMap(_.cond), None,
+          if (ins.isDefined) "upsert" else "matched_upsert"))
+      // INSERT-only (any source-only condition)
+      case (None, None, Some((ic, is)))
+          if matched.isEmpty && ic.forall(srcOnly) =>
+        Some(GraftMergeCommand(t.location, m.sourceTable, is, keyNames,
+          None, ic, "insert_only"))
+      // DELETE-only (source-only condition)
+      case (None, Some(d), None) if d.cond.forall(srcOnly) =>
+        Some(GraftMergeCommand(t.location, m.sourceTable, keys, keyNames,
+          Some(d.cond.getOrElse(Literal.TrueLiteral)), None, "delete_only"))
+      case _ => None
     }
+  }
+
+  /** Everything the fast path cannot express: render every condition and value
+    * to SQL over the prefixed joined frame and hand the pieces to
+    * [[GraftGeneralMergeCommand]], which synthesizes complete change rows.
+    */
+  private def generalMerge(t: GraftSqlTable, tgtOut: AttributeSet,
+      srcOut: AttributeSet, keys: Seq[(String, Expression)],
+      targetCols: Seq[String], matched: Seq[Act], nmbs: Seq[Act],
+      insert: Option[(Option[Expression], Seq[(String, Expression)])],
+      m: MergeIntoTable): LogicalPlan = {
+    // prefixed source column names must be unambiguous
+    val srcNames = m.sourceTable.output.map(_.name.toLowerCase)
+    if (srcNames.distinct.size != srcNames.size)
+      refuse("graft SQL MERGE source has duplicate column names — alias them")
+    def sql(e: Expression): String = sidedSql(e, tgtOut, srcOut)
+    def setsSql(sets: Seq[(String, Expression)]): Seq[(String, String)] =
+      sets.map { case (n, e) => n -> sql(e) }
+    val (mUpd, mDel) = effective(matched)
+    val (nUpd, nDel) = effective(nmbs)
+    GraftGeneralMergeCommand(
+      t.location, m.sourceTable,
+      keys.map { case (n, e) =>
+        n -> e.asInstanceOf[AttributeReference].name },
+      targetCols,
+      mUpd.map { case (c, s) => (sql(c), setsSql(s)) },
+      mDel.map(sql),
+      insert.map { case (c, s) =>
+        (c.map(sql).getOrElse("TRUE"), setsSql(s)) },
+      nUpd.map { case (c, s) => (sql(c), setsSql(s)) },
+      nDel.map(sql))
   }
 }
 
@@ -268,9 +377,9 @@ case class GraftDeleteCommand(location: String, condition: String)
   }
 }
 
-/** SQL MERGE INTO → the versioned-table merge paths. `columns` maps each target
-  * column to its source-side expression (for `delete_only`, just the keys);
-  * `mode` picks the commit path:
+/** SQL MERGE INTO, fast shapes → the versioned-table merge paths. `columns`
+  * maps each target column to its source-side expression (for `delete_only`,
+  * just the keys); `mode` picks the commit path:
   *  - `upsert`         → [[VersionedTable.mergeOnRead]] (matched rows DV-deleted
   *                       + change rows appended; unmatched rows appended)
   *  - `matched_upsert` → same, with the change set pre-filtered (semi join) to
@@ -278,6 +387,12 @@ case class GraftDeleteCommand(location: String, condition: String)
   *                       ignored as SQL requires when no INSERT branch exists
   *  - `insert_only`  → anti join against the target keys, then an append commit
   *  - `delete_only`  → delete-flagged keys through mergeOnRead (pure DV commit)
+  *
+  * All but `insert_only` enforce the MERGE cardinality rule first: duplicate
+  * source keys that are PRESENT in the target (unmatched duplicates legally
+  * insert twice) raise rather than silently duplicating rows. The guard's
+  * steady-state cost is one change-set-sized aggregation; the target is only
+  * probed when duplicates actually exist.
   */
 case class GraftMergeCommand(location: String, source: LogicalPlan,
     columns: Seq[(String, Expression)], keys: Seq[String],
@@ -287,6 +402,18 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   override def output: Seq[Attribute] = Seq.empty
 
   private val DelFlag = "_graft_sql_del"
+
+  private def cardinalityGuard(spark: SparkSession, changes: DataFrame): Unit = {
+    val dups = changes.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__gr_n")).filter(col("__gr_n") > 1)
+      .select(keys.map(col): _*)
+    if (dups.limit(1).count() > 0) {
+      val matchedDup = dups.join(
+        VersionedTable.read(spark, location).select(keys.map(col): _*),
+        keys, "left_semi").limit(1).count()
+      if (matchedDup > 0) GraftRowLevelSql.cardinalityViolation()
+    }
+  }
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(sparkSession, source)
@@ -299,6 +426,7 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
           if (mode == "upsert") changes0
           else changes0.join(VersionedTable.read(sparkSession, location)
             .select(keys.map(col): _*), keys, "left_semi")
+        cardinalityGuard(sparkSession, changes)
         VersionedTable.mergeOnRead(sparkSession, location, changes, keys,
           Some(DelFlag))
       case "insert_only" =>
@@ -327,9 +455,157 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
           if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
           else d.withColumn(f.name, lit(null).cast(f.dataType))
         }.withColumn(DelFlag, lit(true))
+        cardinalityGuard(sparkSession, full)
         VersionedTable.mergeOnRead(sparkSession, location, full, keys,
           Some(DelFlag))
     }
     Seq.empty
   }
+}
+
+/** SQL MERGE INTO, general shape: synthesize COMPLETE change rows by joining
+  * source to target, then commit through ONE [[VersionedTable.mergeOnRead]].
+  * Every condition/value arrives as SQL over the PREFIXED joined frame
+  * (`__gr_t_<col>` target image, `__gr_s_<col>` source row — rendered by the
+  * rule where attribute identity is known).
+  *
+  * Change-set construction, all three branches disjoint by key:
+  *  - MATCHED (src ⋈ tgt inner on keys): rows where the effective UPDATE or
+  *    DELETE condition holds; updated rows take assigned values and COALESCE
+  *    unset columns from the target image, deleted rows carry the delete flag.
+  *    First-match-wins ordering was folded into the conditions at rule time,
+  *    so update and delete never both apply. Rows matching neither condition
+  *    produce NO change row (untouched).
+  *  - NOT MATCHED (src anti tgt): INSERT rows under their condition; unassigned
+  *    columns are NULL, SQL's INSERT semantics.
+  *  - NOT MATCHED BY SOURCE (tgt anti src): UPDATE/DELETE rows from the target
+  *    image alone — the full-sync mirroring shape. Rows whose merge keys are
+  *    NULL refuse loudly: merge-on-read re-locates rows BY KEY, and a NULL key
+  *    row cannot be re-located (it would duplicate instead of update).
+  *
+  * The MERGE cardinality rule is enforced on the matched branch: a target row
+  * with multiple source rows whose action conditions hold raises
+  * MERGE_CARDINALITY_VIOLATION. Assigned values cast to the target column type
+  * (SQL store-assignment), so a `SET int_col = s.long_expr` behaves as the
+  * aligned assignment would.
+  *
+  * Scale shape: the joins are plain equality joins on the merge keys (AQE
+  * broadcasts a small source), the matched branch is persisted once and reused
+  * for the guard + change rows, and the commit stays change-volume-sized
+  * (deletion vectors + appended change rows — no target file rewritten).
+  */
+case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
+    keys: Seq[(String, String)], targetCols: Seq[String],
+    matchedUpdate: Option[(String, Seq[(String, String)])],
+    matchedDelete: Option[String],
+    insert: Option[(String, Seq[(String, String)])],
+    nmbsUpdate: Option[(String, Seq[(String, String)])],
+    nmbsDelete: Option[String]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private val DelFlag = "_graft_sql_del"
+  import GraftRowLevelSql.{SrcPrefix, TgtPrefix}
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val spark = sparkSession
+    val src = ColumnBridge.ofRows(spark, source)
+    val srcP = src.select(source.output.map(a =>
+      ColumnBridge.column(a).as(SrcPrefix + a.name)): _*)
+    val tgt = VersionedTable.read(spark, location)
+    val tgtSchema = tgt.schema
+    def tgtType(n: String) =
+      tgtSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw ColumnBridge.analysisError(
+          s"MERGE assigns unknown target column '$n' at $location")).dataType
+    val tgtP = tgt.select(tgt.columns.toSeq.map(c => col(c).as(TgtPrefix + c)): _*)
+    val joinCond = keys.map { case (tk, sk) =>
+      col(TgtPrefix + tk) === col(SrcPrefix + sk) }.reduce(_ && _)
+    val keyNames = keys.map(_._1)
+
+    // value of target column n under an optional (cond, sets) action: assigned
+    // expression (cast to the column type) where the action applies, else the
+    // target image
+    def image(action: Option[(String, Seq[(String, String)])],
+        applies: org.apache.spark.sql.Column)(n: String) =
+      action.flatMap(_._2.find(_._1.equalsIgnoreCase(n))) match {
+        case Some((_, sqlExpr)) =>
+          when(applies, expr(sqlExpr).cast(tgtType(n)))
+            .otherwise(col(TgtPrefix + n)).as(n)
+        case None => col(TgtPrefix + n).as(n)
+      }
+
+    val parts = Seq.newBuilder[DataFrame]
+    // the matched branch is read twice (cardinality guard + change rows) —
+    // pin it so the src⋈tgt join runs once; released after the commit
+    var pinned: Option[DataFrame] = None
+
+    if (matchedUpdate.isDefined || matchedDelete.isDefined) {
+      val updC = matchedUpdate.map(p => expr(p._1)).getOrElse(lit(false))
+      val delC = matchedDelete.map(expr).getOrElse(lit(false))
+      val touched = tgtP.join(srcP, joinCond, "inner").filter(updC || delC)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned = Some(touched)
+      // cardinality: among rows an action applies to, a duplicated target key
+      // means one target row would be operated on more than once
+      val dup = touched.groupBy(keyNames.map(k => col(TgtPrefix + k)): _*)
+        .agg(count(lit(1)).as("__gr_n")).filter(col("__gr_n") > 1)
+        .limit(1).count()
+      if (dup > 0) {
+        touched.unpersist()
+        GraftRowLevelSql.cardinalityViolation()
+      }
+      parts += touched.select(
+        targetCols.map(image(matchedUpdate, updC)) :+ delC.as(DelFlag): _*)
+    }
+
+    insert.foreach { case (condSql, sets) =>
+      val unmatched = srcP
+        .join(tgtP.select(keyNames.map(k => col(TgtPrefix + k)): _*),
+          joinCond, "left_anti")
+        .filter(expr(condSql))
+      parts += unmatched.select(
+        targetCols.map { n =>
+          sets.find(_._1.equalsIgnoreCase(n))
+            .map { case (_, s) => expr(s).cast(tgtType(n)).as(n) }
+            .getOrElse(lit(null).cast(tgtType(n)).as(n))
+        } :+ lit(false).as(DelFlag): _*)
+    }
+
+    if (nmbsUpdate.isDefined || nmbsDelete.isDefined) {
+      val updC = nmbsUpdate.map(p => expr(p._1)).getOrElse(lit(false))
+      val delC = nmbsDelete.map(expr).getOrElse(lit(false))
+      val stale = tgtP
+        .join(broadcastIfSmall(
+          srcP.select(keys.map { case (_, sk) => col(SrcPrefix + sk) }: _*)
+            .dropDuplicates()),
+          joinCond, "left_anti")
+        .filter(updC || delC)
+      // a NULL-keyed target row can be not-matched-by-source, but merge-on-read
+      // cannot re-locate it by key — refuse rather than silently duplicate
+      val nullKeyed = stale.filter(
+        keyNames.map(k => col(TgtPrefix + k).isNull).reduce(_ || _))
+        .limit(1).count()
+      if (nullKeyed > 0)
+        throw ColumnBridge.analysisError(
+          "graft SQL MERGE WHEN NOT MATCHED BY SOURCE would update/delete " +
+            s"rows whose merge keys (${keyNames.mkString(", ")}) are NULL — " +
+            "merge-on-read locates rows by key and cannot express this; " +
+            "DELETE/UPDATE those rows by a non-null predicate instead")
+      parts += stale.select(
+        targetCols.map(image(nmbsUpdate, updC)) :+ delC.as(DelFlag): _*)
+    }
+
+    val changes = parts.result().reduce(_.unionByName(_))
+    try VersionedTable.mergeOnRead(spark, location, changes, keyNames,
+      Some(DelFlag))
+    finally pinned.foreach(_.unpersist())
+    Seq.empty
+  }
+
+  /** The distinct source-key set is usually small next to the target — hint the
+    * broadcast so the NOT-MATCHED-BY-SOURCE anti join never shuffles the whole
+    * target; AQE demotes the hint if the key set proves large.
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }

@@ -340,20 +340,13 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
         "WHEN MATCHED THEN UPDATE SET *")
     }
     assert(e1.getMessage.contains("conjunction"))
-    // conditional DELETE without the NOT-guard on INSERT
+    // two UPDATE actions in one match group
     val e2 = intercept[Exception] {
       spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id = s.id " +
-        "WHEN MATCHED AND s.kill THEN DELETE " +
-        "WHEN MATCHED THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+        "WHEN MATCHED AND s.kill THEN UPDATE SET t.qty = 0 " +
+        "WHEN MATCHED THEN UPDATE SET t.qty = s.qty")
     }
-    assert(e2.getMessage.contains("NOT"))
-    // partial-row SET references target columns (merge-on-read can't keep them)
-    val e3 = intercept[Exception] {
-      spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id = s.id " +
-        "WHEN MATCHED THEN UPDATE SET t.qty = t.qty + s.qty")
-    }
-    assert(e3.getMessage.contains("SOURCE"))
+    assert(e2.getMessage.contains("at most one UPDATE"))
     // and the guarded CDC shape DOES work end-to-end
     spark.sql("MERGE INTO gsql.t.smrgx t USING smrgx_src s ON t.id = s.id " +
       "WHEN MATCHED AND s.kill THEN DELETE " +
@@ -374,6 +367,106 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(out2(2L) === 77L)          // matched, updated
     assert(!out2.contains(3L))        // matched + kill, deleted
     assert(!out2.contains(500L))      // unmatched, IGNORED (no insert branch)
+  }
+
+  test("general SQL MERGE: partial-row SET keeps unset target columns") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.gmrg1 (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gsql.t.gmrg1 " +
+      "SELECT id, id * 10, concat('t', cast(id AS STRING)) FROM range(5)")
+    Seq((1L, 100L), (3L, 300L), (9L, 900L)).toDF("id", "qty")
+      .createOrReplaceTempView("gmrg1_src")
+    // partial SET (tag untouched), value mixing target and source columns,
+    // INSERT with an explicit column list (tag fills NULL)
+    spark.sql("MERGE INTO gsql.t.gmrg1 t USING gmrg1_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.qty = t.qty + s.qty " +
+      "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+    val rows = spark.sql("SELECT id, qty, tag FROM gsql.t.gmrg1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("NULL"))).toSeq
+    assert(rows === Seq(
+      (0L, 0L, "t0"), (1L, 110L, "t1"), (2L, 20L, "t2"),
+      (3L, 330L, "t3"), (4L, 40L, "t4"), (9L, 900L, "NULL")))
+    // the commit is merge-on-read: an update-class commit with a DV
+    val last = VersionedTable.commits(spark, loc("gmrg1")).last
+    assert(last.operation === "update" && last.dv_dir.nonEmpty)
+  }
+
+  test("general SQL MERGE: conditional matched UPDATE and unguarded INSERT") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.gmrg2 (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.gmrg2 SELECT id, id FROM range(6)")
+    Seq((1L, 9L, true), (2L, 50L, false), (3L, 1L, false), (100L, 7L, true))
+      .toDF("id", "qty", "kill").createOrReplaceTempView("gmrg2_src")
+    // conditional DELETE + conditional UPDATE (target-referencing cond) +
+    // UNGUARDED INSERT: SQL semantics — the unmatched kill row INSERTS
+    spark.sql("MERGE INTO gsql.t.gmrg2 t USING gmrg2_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.kill THEN DELETE " +
+      "WHEN MATCHED AND s.qty > t.qty THEN UPDATE SET t.qty = s.qty " +
+      "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+    val rows = spark.sql("SELECT id, qty FROM gsql.t.gmrg2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq(
+      (0L, 0L),      // untouched
+      (2L, 50L),     // matched, s.qty > t.qty → updated
+      (3L, 3L),      // matched, s.qty <= t.qty → condition false, untouched
+      (4L, 4L), (5L, 5L),
+      (100L, 7L)))   // unmatched → inserted (unguarded, kill irrelevant)
+    // id 1 deleted (matched + kill)
+    assert(!rows.map(_._1).contains(1L))
+  }
+
+  test("general SQL MERGE: WHEN NOT MATCHED BY SOURCE full-sync mirror") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.gmrg3 (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.gmrg3 SELECT id, id FROM range(8)")
+    Seq((4L, 44L), (5L, 55L), (20L, 200L)).toDF("id", "qty")
+      .createOrReplaceTempView("gmrg3_src")
+    // ordered NMBS actions: stale ids < 2 delete, the rest flag with qty = -1
+    spark.sql("MERGE INTO gsql.t.gmrg3 t USING gmrg3_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.qty = -1")
+    val rows = spark.sql("SELECT id, qty FROM gsql.t.gmrg3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq(
+      (2L, -1L), (3L, -1L),            // NMBS, updated
+      (4L, 44L), (5L, 55L),            // matched, mirrored
+      (6L, -1L), (7L, -1L),            // NMBS, updated
+      (20L, 200L)))                    // unmatched, inserted; 0/1 deleted
+  }
+
+  test("SQL MERGE raises MERGE_CARDINALITY_VIOLATION on duplicate matched keys") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.gmrg4 (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.gmrg4 SELECT id, id FROM range(4)")
+    Seq((2L, 10L), (2L, 20L), (50L, 1L), (50L, 2L)).toDF("id", "qty")
+      .createOrReplaceTempView("gmrg4_src")
+    // fast path: duplicate MATCHED key 2 → refuse (dup 50 alone would be
+    // legal — two inserts)
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO gsql.t.gmrg4 t USING gmrg4_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e1.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
+    // general path (partial SET): same duplicate, same refusal
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO gsql.t.gmrg4 t USING gmrg4_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET t.qty = s.qty")
+    }
+    assert(e2.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
+    // duplicate UNMATCHED keys are SQL-legal: both rows insert
+    Seq((60L, 1L), (60L, 2L)).toDF("id", "qty")
+      .createOrReplaceTempView("gmrg4_ins")
+    spark.sql("MERGE INTO gsql.t.gmrg4 t USING gmrg4_ins s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT count(*) FROM gsql.t.gmrg4 WHERE id = 60")
+      .collect().head.getLong(0) === 2L)
   }
 
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
