@@ -2028,6 +2028,42 @@ object VersionedTable {
     else assemble(spark, location, kept, cs.last.version).filter(predicate)
   }
 
+  /** Commit-pruned scan for a CONJUNCTION of per-column ranges — the DSv2
+    * filter-pushdown entry ([[graft.sources.table.GraftScanBuilder]]): a plain
+    * SQL `WHERE ts BETWEEN ... AND source = 'web'` on a catalog table prunes
+    * whole commits from the multi-path scan exactly as the explicit
+    * [[readPruned]]/[[readPrunedString]] calls do. A commit survives only if
+    * EVERY probed column may overlap its range (missing stats → conservative
+    * keep); scoped merges and DV-carrying commits are always kept (dropping one
+    * would resurrect replaced/deleted rows). Unlike the explicit entries this
+    * does NOT re-apply the predicate — the DSv2 bridge applies the pushed
+    * filters (and Spark the residuals) itself.
+    */
+  def readPrunedConjunction(spark: SparkSession, location: String,
+      version: Option[Long], num: Map[String, (Double, Double)],
+      str: Map[String, (String, String)]): DataFrame = {
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val v = version.getOrElse(cs.last.version)
+    version.foreach(requireReadable(spark, location, _))
+    val live = liveCommits(spark, location, v)
+    // stats are keyed by PHYSICAL column name; the probes are logical
+    val mapping = columnMapping(spark, location)
+    def physical(c: String): String = mapping.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(c) => p
+    }.getOrElse(c)
+    val numP = num.map { case (c, r) => physical(c) -> r }
+    val strP = str.map { case (c, r) => physical(c) -> r }
+    val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
+      (numP.forall { case (p, (lo, hi)) =>
+        c.stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
+       strP.forall { case (p, (lo, hi)) =>
+        c.sstats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } }))
+    // every commit pruned: keep the full-scan plan for its schema — the
+    // caller's predicate guarantees zero rows and footer stats make it cheap
+    assemble(spark, location, if (kept.isEmpty) live else kept, v)
+  }
+
   /** The commits whose data dirs make up the state at `version`: everything from the
     * last FULL-state commit at or before it. A partition-scoped merge
     * (`replace_where` nonEmpty) does not reset the base — it shadows the touched

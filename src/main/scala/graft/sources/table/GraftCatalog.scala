@@ -431,6 +431,15 @@ class GraftSqlTable(tableName: String, val location: String,
   * and `PushedFilters` behave as on the native path. `pushFilters` keeps every
   * filter as post-scan residual (conservative, like the V1 relation's
   * unhandled-filter contract), so pushdown is a pure optimization.
+  *
+  * COMMIT-LEVEL DATA SKIPPING: the pushed conjunction is also resolved into
+  * per-column ranges ([[FilterTranslation.ranges]]) and the scan re-assembles
+  * from only the commits whose logged min/max can overlap
+  * ([[VersionedTable.readPrunedConjunction]]) — a plain SQL
+  * `WHERE ts BETWEEN ...` or `WHERE source = 'web'` on a long-appended catalog
+  * table touches only the matching commits' files, driver-side from the log,
+  * before parquet footers are even listed. The pushed filters still apply to
+  * whatever survives, so skipping never changes semantics.
   */
 class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long])
   extends ScanBuilder
@@ -470,7 +479,12 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
     }
 
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T = {
-      val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(df)(_.filter(_))
+      val (num, str) = FilterTranslation.ranges(pushed.toSeq, df.schema)
+      val base =
+        if (num.isEmpty && str.isEmpty) df
+        else VersionedTable.readPrunedConjunction(df.sparkSession, location,
+          versionAsOf, num, str)
+      val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(base)(_.filter(_))
       // empty projection (COUNT(*) pruning) is a valid zero-column select
       val pruned = filtered.select(readSchemaV.fieldNames.toIndexedSeq.map(col): _*)
       new V1SnapshotScan(ctx, pruned, readSchemaV).asInstanceOf[T]
@@ -478,10 +492,16 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
   }
 }
 
-private class V1SnapshotScan(ctx: SQLContext, df: DataFrame,
+private[graft] class V1SnapshotScan(ctx: SQLContext, df: DataFrame,
     override val schema: StructType) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def buildScan(): RDD[Row] = df.rdd
+
+  /** The data files the wrapped snapshot plan would read — how a test asserts
+    * commit-level skipping shrank a pure-SQL scan (the V1 bridge hides the
+    * inner parquet relations from `Dataset.inputFiles`).
+    */
+  private[graft] def inputFiles: Array[String] = df.inputFiles
 }
 
 /** INSERT INTO → append commit; INSERT OVERWRITE → overwrite commit (Spark signals

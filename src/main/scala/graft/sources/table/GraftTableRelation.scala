@@ -136,6 +136,92 @@ private[table] object FilterTranslation {
     }
   }
 
+  /** Per-column `[lo, hi]` ranges implied by a pushed-filter CONJUNCTION —
+    * the commit-level data-skipping probe ([[graft.catalog.VersionedTable
+    * .readPrunedConjunction]]). Only shapes that bound a single NUMERIC or
+    * STRING column contribute (equality, comparisons, IN; And recurses);
+    * everything else contributes nothing — pruning is a pure optimization, so
+    * missing a bound only costs skipped commits, never correctness. Strict
+    * bounds relax to inclusive (commit stats prune on closed-interval
+    * overlap). Multiple bounds on one column intersect.
+    */
+  def ranges(filters: Seq[Filter],
+      schema: org.apache.spark.sql.types.StructType)
+      : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
+    val numeric = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name.toLowerCase
+    }.toSet
+    val strings = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        f.name.toLowerCase
+    }.toSet
+    def bounds(f: Filter): Seq[(String, Any, Any)] = f match {
+      case EqualTo(a, v) if v != null => Seq((a, v, v))
+      case EqualNullSafe(a, v) if v != null => Seq((a, v, v))
+      case GreaterThan(a, v) if v != null => Seq((a, v, null))
+      case GreaterThanOrEqual(a, v) if v != null => Seq((a, v, null))
+      case LessThan(a, v) if v != null => Seq((a, null, v))
+      case LessThanOrEqual(a, v) if v != null => Seq((a, null, v))
+      case And(l, r) => bounds(l) ++ bounds(r)
+      case _ => Seq.empty // In(...) is handled by inValues below
+    }
+    def inValues(f: Filter): Seq[(String, Seq[Any])] = f match {
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) => Seq((a, vs.toSeq))
+      case And(l, r) => inValues(l) ++ inValues(r)
+      case _ => Seq.empty
+    }
+    val num = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val str = scala.collection.mutable.Map.empty[String, (String, String)]
+    def narrowNum(a: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = num.getOrElse(a, (Double.NegativeInfinity, Double.PositiveInfinity))
+      num(a) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def narrowStr(a: String, lo: Option[String], hi: Option[String]): Unit = {
+      val cur = str.get(a)
+      val l = (cur.map(_._1).toSeq ++ lo.toSeq).maxOption
+      val h0 = cur.map(_._2).toSeq ++ hi.toSeq
+      // an absent hi bound is +inf — only take min over PRESENT his
+      val h = if (h0.isEmpty) None else Some(h0.min)
+      (l, h) match {
+        case (Some(lv), Some(hv)) => str(a) = (lv, hv)
+        case (Some(lv), None) => str(a) = (lv, "￿" * 8) // open top: a high sentinel
+        case (None, Some(hv)) => str(a) = ("", hv)
+        case _ => ()
+      }
+    }
+    filters.foreach { f =>
+      bounds(f).foreach { case (a0, lo, hi) =>
+        val a = a0.toLowerCase
+        if (numeric.contains(a)) (lo, hi) match {
+          case (l: Number, h: Number) => narrowNum(a, l.doubleValue, h.doubleValue)
+          case (l: Number, null) => narrowNum(a, l.doubleValue, Double.PositiveInfinity)
+          case (null, h: Number) => narrowNum(a, Double.NegativeInfinity, h.doubleValue)
+          case _ => ()
+        } else if (strings.contains(a)) (lo, hi) match {
+          case (l: String, h: String) => narrowStr(a, Some(l), Some(h))
+          case (l: String, null) => narrowStr(a, Some(l), None)
+          case (null, h: String) => narrowStr(a, None, Some(h))
+          case _ => ()
+        }
+      }
+      inValues(f).foreach { case (a0, vs) =>
+        val a = a0.toLowerCase
+        if (numeric.contains(a) && vs.forall(_.isInstanceOf[Number])) {
+          val ds = vs.map(_.asInstanceOf[Number].doubleValue)
+          narrowNum(a, ds.min, ds.max)
+        } else if (strings.contains(a) && vs.forall(_.isInstanceOf[String])) {
+          val ss = vs.map(_.asInstanceOf[String])
+          narrowStr(a, Some(ss.min), Some(ss.max))
+        }
+      }
+    }
+    // an inverted (empty) range means contradictory filters — zero rows; keep
+    // the range as-is: no commit's [min,max] can overlap an empty interval,
+    // so everything prunes and the schema-only scan returns nothing
+    (num.toMap, str.toMap)
+  }
+
   def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))

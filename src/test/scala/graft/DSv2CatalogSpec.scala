@@ -469,6 +469,52 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("pure-SQL WHERE prunes whole commits via pushed filters (data skipping)") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.skip (id BIGINT, src STRING, v DOUBLE)")
+    // four appends with disjoint id ranges and distinct src tags — each commit's
+    // logged min/max separates it from the others
+    Seq(("a", 0), ("b", 1000), ("c", 2000), ("d", 3000)).foreach { case (tag, base) =>
+      spark.sql(s"INSERT INTO gsql.t.skip " +
+        s"SELECT id + $base, '$tag', cast(id AS DOUBLE) FROM range(100)")
+    }
+    def scannedFiles(sql: String): Set[String] = {
+      val plan = spark.sql(sql).queryExecution.executedPlan
+      val rels = plan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r.relation
+      }
+      assert(rels.nonEmpty, s"no V1 scan in plan for: $sql")
+      rels.collect {
+        case s: graft.sources.table.V1SnapshotScan => s.inputFiles.toSet
+      }.flatten.toSet
+    }
+    val all = scannedFiles("SELECT * FROM gsql.t.skip")
+    assert(all.nonEmpty)
+    // numeric range probe: only the commit holding [2000, 2100) survives
+    val numProbe = scannedFiles(
+      "SELECT * FROM gsql.t.skip WHERE id BETWEEN 2000 AND 2050")
+    assert(numProbe.nonEmpty && numProbe.size < all.size,
+      s"numeric probe did not skip commits: ${numProbe.size} vs ${all.size}")
+    // string equality probe: only src='b' commit survives
+    val strProbe = scannedFiles("SELECT * FROM gsql.t.skip WHERE src = 'b'")
+    assert(strProbe.nonEmpty && strProbe.size < all.size,
+      s"string probe did not skip commits: ${strProbe.size} vs ${all.size}")
+    assert(numProbe != strProbe)
+    // and the skipped scans still return exactly the right rows
+    assert(spark.sql("SELECT count(*) FROM gsql.t.skip WHERE id BETWEEN 2000 AND 2050")
+      .collect().head.getLong(0) === 51L)
+    assert(spark.sql("SELECT count(*), min(id), max(id) FROM gsql.t.skip WHERE src = 'b'")
+      .collect().head.toSeq === Seq(100L, 1000L, 1099L))
+    // a probe matching NOTHING prunes every commit yet keeps the schema
+    assert(spark.sql("SELECT count(*) FROM gsql.t.skip WHERE id > 99999")
+      .collect().head.getLong(0) === 0L)
+    // correctness under DVs: delete some rows, then probe again — DV commits
+    // are never pruned, so the deletes still apply inside a skipped scan
+    spark.sql("DELETE FROM gsql.t.skip WHERE id = 2025")
+    assert(spark.sql("SELECT count(*) FROM gsql.t.skip WHERE id BETWEEN 2000 AND 2050")
+      .collect().head.getLong(0) === 50L)
+  }
+
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
     warehouse
     spark.sql("CREATE TABLE gsql.t.powr (id BIGINT, d STRING) PARTITIONED BY (d)")
