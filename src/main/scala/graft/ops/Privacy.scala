@@ -214,10 +214,29 @@ object Privacy {
   }
 
   /** Same-session ledger of spent release ids — the guard that makes seed
-    * reuse a loud error instead of a silent privacy break.
+    * reuse a loud error instead of a silent privacy break. ONE namespace
+    * across all three mechanisms: an id spent on a count release cannot be
+    * reused for a sum release either (the seeds would share key material; the
+    * per-mechanism noise tags decorrelate draws within ONE composed release,
+    * not across independently-budgeted ones).
     */
   private val spentReleases =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def spendRelease(releaseId: String): String = {
+    require(releaseId.nonEmpty, "DP release needs a non-empty releaseId")
+    require(spentReleases.add(releaseId),
+      s"release_id '$releaseId' was already spent in this session — each DP " +
+        "release must draw fresh noise under a fresh id (seed reuse lets two " +
+        "releases difference to exact counts and voids sequential " +
+        "composition); republish the stored artifact or mint a new id")
+    s"dp-release:$releaseId"
+  }
+
+  private def withProvenance(df: DataFrame, releaseId: String,
+      epsilon: Double): DataFrame =
+    df.withColumn("release_id", lit(releaseId))
+      .withColumn("epsilon", lit(epsilon))
 
   /** [[dpCounts]] with the seed-governance rules folded in: the noise seed
     * derives from `releaseId` (never caller-supplied, so two releases cannot
@@ -236,17 +255,30 @@ object Privacy {
     * — prefix ids per tenant.
     */
   def dpRelease(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-      releaseId: String): DataFrame = {
-    require(releaseId.nonEmpty, "dpRelease needs a non-empty releaseId")
-    require(spentReleases.add(releaseId),
-      s"release_id '$releaseId' was already spent in this session — each DP " +
-        "release must draw fresh noise under a fresh id (seed reuse lets two " +
-        "releases difference to exact counts and voids sequential " +
-        "composition); republish the stored artifact or mint a new id")
-    dpCounts(df, groupCols, epsilon, seed = s"dp-release:$releaseId")
-      .withColumn("release_id", lit(releaseId))
-      .withColumn("epsilon", lit(epsilon))
-  }
+      releaseId: String): DataFrame =
+    withProvenance(dpCounts(df, groupCols, epsilon,
+      seed = spendRelease(releaseId)), releaseId, epsilon)
+
+  /** [[dpSums]] under the release ledger — same spend-at-call, derived-seed,
+    * and provenance-column rules as [[dpRelease]]. `epsilon` records the WHOLE
+    * release's budget (the sum is the only draw here).
+    */
+  def dpSumRelease(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, epsilon: Double, releaseId: String): DataFrame =
+    withProvenance(dpSums(df, groupCols, valueCol, lo, hi, epsilon,
+      seed = spendRelease(releaseId)), releaseId, epsilon)
+
+  /** [[dpMeans]] under the release ledger: ONE release id spans the composed
+    * sum+count pair — the two draws ride one derived seed with distinct
+    * mechanism tags (independent noise, ε/2 each, total ε recorded in the
+    * provenance column), exactly the way [[dpMeans]] budgets them. Spending
+    * one id for the pair is the point: a caller who released the halves
+    * separately would double-book the budget a mean actually costs.
+    */
+  def dpMeanRelease(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, epsilon: Double, releaseId: String): DataFrame =
+    withProvenance(dpMeans(df, groupCols, valueCol, lo, hi, epsilon,
+      seed = spendRelease(releaseId)), releaseId, epsilon)
 
   /** One-row corpus summary: `(n_rows, n_classes, classes_below_k, rows_at_risk,
     * min_class_size, k_anonymous)` — `rows_at_risk` is the row count inside

@@ -63,4 +63,40 @@ class KeywordTagSpec extends AnyFunSuite with SharedSpark {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"tagging must not shuffle:\n$plan")
   }
+
+  test("string/UUID ids pass through natively — no silent cast-to-NULL collapse") {
+    val df = Seq(("doc-a", "win win"), ("9f0e8d7c-uuid", "nothing"))
+      .toDF("doc_id", "text")
+    val out = KeywordTag.tagKeywords(df, Seq("win"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("doc-a" -> 2L, "9f0e8d7c-uuid" -> 0L))
+    // and the schema keeps the native type
+    assert(KeywordTag.tagKeywords(df, Seq("win")).schema("doc_id").dataType
+      === org.apache.spark.sql.types.StringType)
+  }
+
+  test("10^5-term automaton: bounded array footprint, correct scan") {
+    // 100k distinct terms, avg ~9 chars — the advertised blocklist scale
+    val terms = (0 until 100000).map(i => s"term${i}x${i % 97}")
+    val ac = new KeywordTag.Automaton(
+      terms.map(_.map(Character.toLowerCase)).distinct.toArray)
+    // memory bound: steady state must stay within ~24 bytes per trie node
+    // (edge keys 8B + targets 4B + offsets/fail/outLink/ownOut 4B each, CSR
+    // arrays ≈ nodes) — the per-node-HashMap design was ~100 B per EDGE
+    val perNode = ac.footprintBytes.toDouble / ac.nodeCount
+    assert(perNode < 30.0,
+      s"footprint $perNode B/node over bound (${ac.footprintBytes} B total)")
+    // well under what 10^6 terms × 10 chars extrapolates to ~300 MB
+    assert(ac.footprintBytes < 40L * 1000 * 1000,
+      s"10^5-term automaton took ${ac.footprintBytes} B")
+    // scan correctness at this scale: nested term0x0 endings inside longer ids
+    val (total, hits) = ac.scan("term123x26 then term99999x89 and term9x9!")
+    assert(hits.map(terms).toSet === Set("term123x26", "term99999x89", "term9x9"))
+    assert(total === 3L)
+    // dictionary-suffix emission: a term that is a suffix path of another
+    val ac2 = new KeywordTag.Automaton(Array("a", "aa", "aaa"))
+    val (t2, h2) = ac2.scan("aaaa")
+    // ends: "a"×4, "aa"×3, "aaa"×2 — 9 matches, all 3 terms
+    assert(t2 === 9L && h2.length === 3)
+  }
 }

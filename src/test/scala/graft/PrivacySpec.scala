@@ -173,6 +173,44 @@ class PrivacySpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("already spent"))
   }
 
+  test("dpSumRelease/dpMeanRelease: one ledger across mechanisms, provenance everywhere") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i % 25.0, s"g${i % 10}")).toDF("v", "grp")
+    // sum release carries provenance and the noisy column
+    val s = Privacy.dpSumRelease(df, Seq("grp"), "v", 0.0, 25.0, 1.0, "sum-r1")
+      .collect()
+    assert(s.forall(r => r.getAs[String]("release_id") == "sum-r1" &&
+      r.getAs[Double]("epsilon") == 1.0))
+    assert(s.forall(r => r.getAs[Double]("dp_sum") != r.getAs[Double]("true_sum")))
+    // sum release refused on id reuse
+    val e1 = intercept[IllegalArgumentException] {
+      Privacy.dpSumRelease(df, Seq("grp"), "v", 0.0, 25.0, 1.0, "sum-r1")
+    }
+    assert(e1.getMessage.contains("already spent"))
+    // ONE namespace: an id spent on a count release is dead for sums too —
+    // the derived seeds would share key material across separately-budgeted
+    // releases
+    Privacy.dpRelease(df, Seq("grp"), 1.0, "cross-r1")
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.dpSumRelease(df, Seq("grp"), "v", 0.0, 25.0, 1.0, "cross-r1")
+    }
+    assert(e2.getMessage.contains("already spent"))
+    // mean release: ONE id spans the composed sum+count pair; each half is
+    // bit-identical to the standalone ε/2 operator under the derived seed
+    val m = Privacy.dpMeanRelease(df, Seq("grp"), "v", 0.0, 25.0, 1.0, "mean-r1")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(m.values.forall(r => r.getAs[String]("release_id") == "mean-r1" &&
+      r.getAs[Double]("epsilon") == 1.0))
+    val halfSum = Privacy.dpSums(df, Seq("grp"), "v", 0.0, 25.0, 0.5,
+      "dp-release:mean-r1").collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("dp_sum")).toMap
+    assert(m.forall { case (g, r) => r.getAs[Double]("dp_sum") == halfSum(g) })
+    val e3 = intercept[IllegalArgumentException] {
+      Privacy.dpMeanRelease(df, Seq("grp"), "v", 0.0, 25.0, 1.0, "mean-r1")
+    }
+    assert(e3.getMessage.contains("already spent"))
+  }
+
   test("vacuous thresholds are rejected") {
     intercept[IllegalArgumentException] {
       Privacy.equivalenceClasses(people, Seq("age"), k = 1)
