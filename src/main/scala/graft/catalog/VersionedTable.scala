@@ -210,6 +210,17 @@ object VersionedTable {
       writeTableSpecRaw(spark, location, spec)
     }
 
+  /** Read-modify-write of the spec UNDER the DDL lock — the form every
+    * concurrent-safe spec edit must take (a caller-side `writeTableSpec(
+    * tableSpec(...) + kv)` reads outside the lock and can lose a racing
+    * writer's edit whole).
+    */
+  def updateTableSpec(spark: SparkSession, location: String)
+      (f: Map[String, String] => Map[String, String]): Unit =
+    withDdlArchive(spark, location) {
+      writeTableSpecRaw(spark, location, f(tableSpec(spark, location)))
+    }
+
   private def writeTableSpecRaw(spark: SparkSession, location: String,
       spec: Map[String, String]): Unit =
     writeKeyedJson(spark, location, "_table_spec.json", spec)
@@ -272,17 +283,95 @@ object VersionedTable {
       columnMapping(spark, location))
   }
 
+  /** Serialize DDL WRITERS: compound DDL lands two sidecar files plus an
+    * archive; two interleaved writers would last-writer-win each other's spec
+    * or mapping edit (dropping one DDL whole) and could archive the other
+    * writer's half-state. The lock is an exclusive-create file carrying its
+    * creation stamp; a crashed writer's lock is broken after
+    * [[StaleDdlLockMs]] (best-effort stale-breaking — the delete+recreate
+    * window is the classic filesystem-lock caveat, acceptable because DDL is
+    * rare, human-triggered, and the archives readers resolve from stay
+    * append-only either way). READERS never take the lock: they resolve from
+    * immutable archives ([[sidecarsAsOf]]).
+    */
+  private val StaleDdlLockMs = 5 * 60 * 1000L
+  private val DdlLockWaitMs = 30 * 1000L
+
+  private def withDdlLock[T](spark: SparkSession, location: String)
+      (body: => T): T = {
+    val fs = fileSystem(spark, location)
+    val lock = new Path(s"$location/_ddl_lock")
+    val deadline = System.currentTimeMillis() + DdlLockWaitMs
+    var acquired = false
+    while (!acquired) {
+      if (atomicCreate(fs, lock,
+          System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8)))
+        acquired = true
+      else {
+        val age = try System.currentTimeMillis() - readUtf8(fs, lock).trim.toLong
+        catch { case _: Exception => 0L } // vanished or torn mid-read: re-loop
+        if (age > StaleDdlLockMs) fs.delete(lock, false)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"timed out waiting ${DdlLockWaitMs / 1000}s for the DDL lock at " +
+              s"$location — a concurrent DDL is running (or crashed within " +
+              s"the last ${StaleDdlLockMs / 1000}s; the lock self-breaks after that)")
+        else Thread.sleep(50)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Every DDL mutation rides this: the DDL lock around (baseline, sidecar
+    * writes, one archive). Compound DDL that must touch both sidecars writes
+    * its raw files inside `write` and archives ONCE here — readers jump
+    * atomically from the pre-DDL archive to the post-DDL one and never see
+    * the half-written middle (e.g. a renamed mapping with the spec still
+    * holding the old name, which would resurrect a phantom NULL column).
+    */
   private def withDdlArchive(spark: SparkSession, location: String)
-      (write: => Unit): Unit = {
+      (write: => Unit): Unit = withDdlLock(spark, location) {
     ddlBaseline(spark, location)
     write
     archiveDdlNow(spark, location)
   }
 
-  /** The (spec, mapping) in force at `version`: the newest archive tagged
-    * `at_version <= version` (ties by archive sequence). No `_ddl` dir — a
-    * table that never saw a DDL, or only pre-mechanism ones — falls back to
-    * the current sidecars, the legacy behavior.
+  /** Parsed-archive cache: archive files are WRITE-ONCE (exclusive-create with
+    * a bumping sequence — a name is never rewritten), so their parsed content
+    * caches JVM-wide forever. mtime+length ride the key to survive a table
+    * dropped and recreated at the same location (fresh `000000.json`, new
+    * content). With the cache, a head read of a table that ever saw DDL costs
+    * one exists + one listStatus — metadata-only, no GET — instead of a
+    * newest-archive read per scan assembly.
+    */
+  private val archiveCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Option[Long], Map[String, String], Map[String, String])]()
+
+  private def parsedArchive(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus)
+      : (Option[Long], Map[String, String], Map[String, String]) =
+    archiveCache.computeIfAbsent(
+      (st.getPath.toString, st.getModificationTime, st.getLen), _ => {
+        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        val entries = pair.findAllMatchIn(readUtf8(fs, st.getPath))
+          .map(g => unescapeJson(g.group(1)) -> unescapeJson(g.group(2))).toMap
+        (entries.get("v").flatMap(v => scala.util.Try(v.toLong).toOption),
+          entries.collect { case (k, v) if k.startsWith("s.") =>
+            k.stripPrefix("s.") -> v },
+          entries.collect { case (k, v) if k.startsWith("m.") =>
+            k.stripPrefix("m.") -> v })
+      })
+
+  /** The (spec, mapping) in force at `version`: among archives tagged
+    * `at_version <= version`, the one with the greatest (at_version,
+    * sequence). ALL archives are consulted — a DDL racing a commit can land a
+    * LOWER at_version under a HIGHER sequence (it read the head before the
+    * commit claimed), so a newest-first early stop could bind the read to a
+    * neighbor archive; scanning all of them makes the winner order-free. The
+    * scan is cheap: archive files are immutable and parse once per JVM
+    * ([[parsedArchive]]). No `_ddl` dir — a table that never saw a DDL, or
+    * only pre-mechanism ones — falls back to the current sidecars, the legacy
+    * behavior.
     */
   private def sidecarsAsOf(spark: SparkSession, location: String,
       version: Long): (Map[String, String], Map[String, String]) = {
@@ -290,25 +379,19 @@ object VersionedTable {
     val dir = new Path(s"$location/$DdlDir")
     if (!fs.exists(dir))
       return (tableSpec(spark, location), columnMapping(spark, location))
-    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    // archives' at_version is monotone non-decreasing in sequence, so scan
-    // NEWEST-first and stop at the first eligible one — a head read (the
-    // common case) resolves with exactly one archive read
-    val newestFirst = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName).reverseIterator
-    val eligible = newestFirst.flatMap { p =>
-      val entries = pair.findAllMatchIn(readUtf8(fs, p))
-        .map(g => unescapeJson(g.group(1)) -> unescapeJson(g.group(2))).toMap
-      entries.get("v").flatMap(v => scala.util.Try(v.toLong).toOption)
-        .filter(_ <= version).map { _ =>
-          (entries.collect { case (k, v) if k.startsWith("s.") =>
-            k.stripPrefix("s.") -> v },
-           entries.collect { case (k, v) if k.startsWith("m.") =>
-            k.stripPrefix("m.") -> v })
-        }
+    val eligible = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val (at, spec, mapping) = parsedArchive(fs, st)
+        at.filter(_ <= version).map(v => (v, st.getPath.getName, spec, mapping))
+      }
+    if (eligible.isEmpty)
+      (tableSpec(spark, location), columnMapping(spark, location))
+    else {
+      val (_, _, spec, mapping) = eligible.maxBy { case (v, name, _, _) => (v, name) }
+      (spec, mapping)
     }
-    eligible.nextOption()
-      .getOrElse((tableSpec(spark, location), columnMapping(spark, location)))
   }
 
   private def readKeyedJson(spark: SparkSession, location: String,
@@ -461,9 +544,12 @@ object VersionedTable {
     columnMapping(spark, location).keys.find(_.equalsIgnoreCase(name)).foreach(p =>
       throw new IllegalArgumentException(s"'$p' is a retired physical column " +
         s"name at $location — run materializeMapping first to reuse it"))
-    val spec = tableSpec(spark, location)
-    val seq = spec.keys.count(_.startsWith(AddedColPrefix))
-    writeTableSpec(spark, location, spec + (f"$AddedColPrefix$seq%03d.$name" -> typeDdl))
+    // seq derivation and the merge run INSIDE the DDL lock: two concurrent
+    // ADD COLUMNs must not collide on a sequence number or drop each other
+    updateTableSpec(spark, location) { spec =>
+      val seq = spec.keys.count(_.startsWith(AddedColPrefix))
+      spec + (f"$AddedColPrefix$seq%03d.$name" -> typeDdl)
+    }
   }
 
   /** Spec-registered added columns in declaration order. */
@@ -545,16 +631,17 @@ object VersionedTable {
     // under the old name
     addedColKey(spark, location, oldName) match {
       case Some(k) =>
-        // compound DDL (mapping + spec): raw writes, ONE archive — readers
-        // never see the half-renamed middle state
-        ddlBaseline(spark, location)
-        if (materializedInFiles(spark, location, oldName))
-          renameMaterializedColumnRaw(spark, location, oldName, newName)
-        val spec = tableSpec(spark, location)
-        val seq = k.stripPrefix(AddedColPrefix).takeWhile(_ != '.')
-        writeTableSpecRaw(spark, location,
-          spec - k + (s"$AddedColPrefix$seq.$newName" -> spec(k)))
-        archiveDdlNow(spark, location)
+        // compound DDL (mapping + spec): raw writes, ONE archive under the
+        // DDL lock — readers never see the half-renamed middle state and
+        // concurrent DDL writers cannot interleave the two-file write
+        withDdlArchive(spark, location) {
+          if (materializedInFiles(spark, location, oldName))
+            renameMaterializedColumnRaw(spark, location, oldName, newName)
+          val spec = tableSpec(spark, location)
+          val seq = k.stripPrefix(AddedColPrefix).takeWhile(_ != '.')
+          writeTableSpecRaw(spark, location,
+            spec - k + (s"$AddedColPrefix$seq.$newName" -> spec(k)))
+        }
       case None =>
         withDdlArchive(spark, location) {
           renameMaterializedColumnRaw(spark, location, oldName, newName)
@@ -588,12 +675,13 @@ object VersionedTable {
     // and the DROP silently no-ops
     addedColKey(spark, location, name) match {
       case Some(k) =>
-        // compound DDL: raw writes, one archive (see renameColumn)
-        ddlBaseline(spark, location)
-        if (materializedInFiles(spark, location, name))
-          dropMaterializedColumnRaw(spark, location, name)
-        writeTableSpecRaw(spark, location, tableSpec(spark, location) - k)
-        archiveDdlNow(spark, location)
+        // compound DDL: raw writes, one archive, under the DDL lock (see
+        // renameColumn)
+        withDdlArchive(spark, location) {
+          if (materializedInFiles(spark, location, name))
+            dropMaterializedColumnRaw(spark, location, name)
+          writeTableSpecRaw(spark, location, tableSpec(spark, location) - k)
+        }
       case None =>
         withDdlArchive(spark, location) {
           dropMaterializedColumnRaw(spark, location, name)

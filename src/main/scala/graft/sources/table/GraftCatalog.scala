@@ -226,11 +226,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.SetProperty =>
         require(c.property != TableCatalog.PROP_LOCATION,
           "LOCATION cannot be changed — tables live under the warehouse")
-        VersionedTable.writeTableSpec(spark, loc,
-          VersionedTable.tableSpec(spark, loc) + (s"prop.${c.property}" -> c.value))
+        VersionedTable.updateTableSpec(spark, loc)(
+          _ + (s"prop.${c.property}" -> c.value))
       case c: TableChange.RemoveProperty =>
-        VersionedTable.writeTableSpec(spark, loc,
-          VersionedTable.tableSpec(spark, loc) - s"prop.${c.property}")
+        VersionedTable.updateTableSpec(spark, loc)(_ - s"prop.${c.property}")
       case c => throw ColumnBridge.analysisError(
         s"${fullName(ident)}: unsupported ALTER TABLE change $c — the SQL surface " +
           "covers ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT, and SET/UNSET " +
