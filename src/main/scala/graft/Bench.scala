@@ -23,7 +23,8 @@ object Bench {
     "q_dedup_priority", "q_curation_pipeline", "q_length_buckets",
     "q_dp_counts", "q_hard_negatives", "q_curriculum",
     "q_length_buckets_sharded", "q_dp_sums", "q_score_calibration",
-    "q_sql_update", "q_sql_merge", "q_keyword_tags")
+    "q_sql_update", "q_sql_merge", "q_keyword_tags",
+    "q_sql_merge_partial", "q_sql_merge_full_sync")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production
@@ -109,16 +110,21 @@ object Bench {
         else { val s = times.sorted; val mid = s.slice(1, s.length - 1); mid.sum / mid.length }
       name -> (secs, reps - times.length)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution — far below run-to-run noise):
+    // full double precision tripled the line length and the caller's log-tail
+    // capture truncated it mid-JSON two rounds running
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedReps = results.filter(_._2._2 > 0)
       .map { case (k, (_, f)) => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val tableOps = benchTableOps(spark, sfDir)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}"""
     // durability: the caller's log-tail capture once truncated the result line
     // mid-JSON (round 7) — land it on disk FIRST, then print and flush before
     // spark.stop() can interleave shutdown logging
@@ -128,6 +134,10 @@ object Bench {
     println(json)
     Console.out.flush()
     spark.stop()
+    // once more AFTER shutdown: nothing can interleave past this point, so a
+    // tail capture's final line IS the whole (now ~1 KB) JSON
+    println(json)
+    Console.out.flush()
   }
 
   /** Table-layer (commit protocol) timings, separate from the analytic-query
