@@ -1496,6 +1496,36 @@ object SparkEntry {
     s.sql("SELECT doc_id, lang, source FROM gsqlc.contract.mrgf").orderBy("doc_id")
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION gate: the source carries a column the target
+    * lacks (`n_chars`); the analyzer ADD-COLUMNs it through the catalog
+    * (metadata-only, archived for schema time travel) and the merge lands
+    * values for matched/inserted rows while pre-merge rows read typed NULL.
+    * The oracle states all three slices — a merge that dropped the new
+    * column, filled the old rows with junk, or missed the evolution would
+    * hash-mismatch.
+    */
+  private def qSqlMergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.mrge")
+    docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlmrge_docs")
+    s.sql("CREATE TABLE gsqlc.contract.mrge AS " +
+      "SELECT doc_id, lang FROM sqlmrge_docs WHERE doc_id < 400")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlmrge_src AS
+            |SELECT doc_id, concat(lang, '+e') AS lang, n_chars
+            |FROM sqlmrge_docs WHERE doc_id >= 200 AND doc_id < 600""".stripMargin)
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO gsqlc.contract.mrge t
+            |USING sqlmrge_src s ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("SELECT doc_id, lang, n_chars FROM gsqlc.contract.mrge")
+      .orderBy("doc_id")
+  }
+
   /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
     * carrying ONLY lang='en' rows replaces exactly that partition (a `"replace"`
     * commit — every other partition carried by reference, zero rewrite). The
@@ -1786,6 +1816,7 @@ object SparkEntry {
     "q_sql_merge" -> qSqlMerge,
     "q_sql_merge_partial" -> qSqlMergePartial,
     "q_sql_merge_full_sync" -> qSqlMergeFullSync,
+    "q_sql_merge_evolution" -> qSqlMergeEvolution,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
@@ -3161,6 +3192,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id >= 400 AND doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
+    // schema-evolution MERGE: base(<400) with (doc_id, lang); source [200,600)
+    // adds n_chars — pre-merge rows read NULL, matched rows update + carry it,
+    // unmatched rows insert with it
+    "q_sql_merge_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM documents
+        |WHERE doc_id < 200
+        |UNION ALL
+        |SELECT doc_id, lang || '+e' AS lang, n_chars FROM documents
+        |WHERE doc_id >= 200 AND doc_id < 600
         |ORDER BY doc_id""".stripMargin,
     // full-sync MERGE: base(<400) mirrored to source [100,500) with lang||'+f';
     // stale rows <50 deleted, [50,100) flagged lang='stale'

@@ -396,9 +396,21 @@ class GraftSqlTable(tableName: String, val location: String,
           : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION advertises `MERGE ... WITH SCHEMA EVOLUTION`:
+    * Spark's analyzer (ResolveMergeIntoSchemaEvolution) computes the
+    * source-minus-target column set and routes it through THIS catalog's
+    * `alterTable` — i.e. the same metadata-only ADD COLUMN DDL a user would
+    * write, archived for schema time travel — then re-resolves the merge
+    * against the widened table. Type WIDENING arrives as an
+    * UpdateColumnType change, which `alterTable` refuses loudly (metadata-only
+    * evolution is additive here). Nothing else in Spark keys off the
+    * capability (verified against the 4.1.2 bytecode: only
+    * `DataSourceV2Relation.autoSchemaEvolution` → `MergeIntoTable`).
+    */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot, location, versionAsOf)

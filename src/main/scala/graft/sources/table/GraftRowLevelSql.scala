@@ -33,7 +33,8 @@ import graft.catalog.VersionedTable
   *    set at 100 TB.
   *  - GENERAL: everything else SQL MERGE can say within equality-keyed semantics —
   *    partial-row `UPDATE SET col = expr` (unset columns keep their target values),
-  *    conditions and values referencing BOTH sides, conditional INSERT, and
+  *    conditions and values referencing BOTH sides, any number of conditional
+  *    INSERT branches (first-match-wins), and
   *    `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE (full-sync mirroring). The matched
   *    image is synthesized by joining source to target, coalescing unset columns
   *    from the target row, and the completed change set feeds the same
@@ -181,8 +182,11 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewriteMerge(t: GraftSqlTable, m: MergeIntoTable): LogicalPlan = {
-    if (m.withSchemaEvolution)
-      refuse("graft SQL MERGE does not support WITH SCHEMA EVOLUTION")
+    // WITH SCHEMA EVOLUTION needs no handling here: GraftSqlTable advertises
+    // AUTOMATIC_SCHEMA_EVOLUTION, so by the time the command resolves, the
+    // analyzer already ADD-COLUMNed the source-only columns through the
+    // catalog (metadata-only, archived) and re-resolved the merge against the
+    // widened schema — the actions below simply see the evolved target.
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
     noSubquery(m.mergeCondition, "MERGE")
@@ -244,20 +248,20 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
             s"only TARGET columns, got ${e.sql}")
       }
     }
-    val insert: Option[(Option[Expression], Seq[(String, Expression)])] =
-      m.notMatchedActions match {
-        case Seq() => None
-        case Seq(InsertAction(cond, as)) =>
+    // any number of INSERT branches, first-match-wins (SQL's multi-branch
+    // WHEN NOT MATCHED form); each may carry a source-only condition
+    val insert: Seq[(Option[Expression], Seq[(String, Expression)])] =
+      m.notMatchedActions.map {
+        case InsertAction(cond, as) =>
           (cond.toSeq ++ as.map(_.value)).foreach { e =>
             noSubquery(e, "MERGE")
             if (!e.references.subsetOf(srcOut))
               refuse("graft SQL MERGE INSERT may reference only SOURCE " +
                 s"columns, got ${e.sql}")
           }
-          Some((cond, assignPairs(as, "INSERT VALUES")))
-        case other => refuse("graft SQL MERGE supports at most one WHEN NOT " +
-          "MATCHED THEN INSERT action, got " +
-          other.map(_.getClass.getSimpleName).mkString(", "))
+          (cond, assignPairs(as, "INSERT VALUES"))
+        case other => refuse("graft SQL MERGE WHEN NOT MATCHED supports " +
+          s"INSERT actions, got ${other.getClass.getSimpleName}")
       }
     if (matched.isEmpty && nmbs.isEmpty && insert.isEmpty)
       refuse("graft SQL MERGE needs at least one action")
@@ -274,9 +278,10 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def fastMerge(t: GraftSqlTable, srcOut: AttributeSet,
       keys: Seq[(String, Expression)], targetCols: Seq[String],
       matched: Seq[Act],
-      insert: Option[(Option[Expression], Seq[(String, Expression)])],
+      inserts: Seq[(Option[Expression], Seq[(String, Expression)])],
       m: MergeIntoTable): Option[LogicalPlan] = {
-    if (m.notMatchedBySourceActions.nonEmpty) return None
+    if (m.notMatchedBySourceActions.nonEmpty || inserts.length > 1) return None
+    val insert = inserts.headOption
     def srcOnly(e: Expression): Boolean = e.references.subsetOf(srcOut)
     val keyNames = keys.map(_._1)
     val mUpd = matched.find(!_.isDelete)
@@ -325,7 +330,7 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def generalMerge(t: GraftSqlTable, tgtOut: AttributeSet,
       srcOut: AttributeSet, keys: Seq[(String, Expression)],
       targetCols: Seq[String], matched: Seq[Act], nmbs: Seq[Act],
-      insert: Option[(Option[Expression], Seq[(String, Expression)])],
+      inserts: Seq[(Option[Expression], Seq[(String, Expression)])],
       m: MergeIntoTable): LogicalPlan = {
     // prefixed source column names must be unambiguous
     val srcNames = m.sourceTable.output.map(_.name.toLowerCase)
@@ -336,6 +341,17 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       sets.map { case (n, e) => n -> sql(e) }
     val (mUpd, mDel) = effective(matched)
     val (nUpd, nDel) = effective(nmbs)
+    // INSERT branches: fold first-match-wins into disjoint effective conds,
+    // same scheme as effective()
+    val insertEff = {
+      var guard: Option[Expression] = None
+      inserts.map { case (cond, sets) =>
+        val own = cond.getOrElse(Literal.TrueLiteral)
+        val eff = guard.map(g => And(g, own)).getOrElse(own)
+        guard = Some(guard.map(g => And(g, Not(own))).getOrElse(Not(own)))
+        (sql(eff), setsSql(sets))
+      }
+    }
     GraftGeneralMergeCommand(
       t.location, m.sourceTable,
       keys.map { case (n, e) =>
@@ -343,8 +359,7 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
       targetCols,
       mUpd.map { case (c, s) => (sql(c), setsSql(s)) },
       mDel.map(sql),
-      insert.map { case (c, s) =>
-        (c.map(sql).getOrElse("TRUE"), setsSql(s)) },
+      insertEff,
       nUpd.map { case (c, s) => (sql(c), setsSql(s)) },
       nDel.map(sql))
   }
@@ -476,8 +491,9 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
   *    First-match-wins ordering was folded into the conditions at rule time,
   *    so update and delete never both apply. Rows matching neither condition
   *    produce NO change row (untouched).
-  *  - NOT MATCHED (src anti tgt): INSERT rows under their condition; unassigned
-  *    columns are NULL, SQL's INSERT semantics.
+  *  - NOT MATCHED (src anti tgt): INSERT branches evaluated first-match-wins
+  *    over one anti join (a when-chain — the effective conditions are
+  *    disjoint); unassigned columns are NULL, SQL's INSERT semantics.
   *  - NOT MATCHED BY SOURCE (tgt anti src): UPDATE/DELETE rows from the target
   *    image alone — the full-sync mirroring shape. Rows whose merge keys are
   *    NULL refuse loudly: merge-on-read re-locates rows BY KEY, and a NULL key
@@ -498,7 +514,7 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
     keys: Seq[(String, String)], targetCols: Seq[String],
     matchedUpdate: Option[(String, Seq[(String, String)])],
     matchedDelete: Option[String],
-    insert: Option[(String, Seq[(String, String)])],
+    inserts: Seq[(String, Seq[(String, String)])],
     nmbsUpdate: Option[(String, Seq[(String, String)])],
     nmbsDelete: Option[String]) extends LeafRunnableCommand {
 
@@ -559,16 +575,24 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
         targetCols.map(image(matchedUpdate, updC)) :+ delC.as(DelFlag): _*)
     }
 
-    insert.foreach { case (condSql, sets) =>
+    if (inserts.nonEmpty) {
+      // all INSERT branches ride ONE anti join: effective conditions are
+      // disjoint (first-match-wins folded at rule time), so a when-chain
+      // picks each row's branch and the filter keeps rows any branch takes
+      val branchConds = inserts.map(b => expr(b._1))
       val unmatched = srcP
         .join(tgtP.select(keyNames.map(k => col(TgtPrefix + k)): _*),
           joinCond, "left_anti")
-        .filter(expr(condSql))
+        .filter(branchConds.reduce(_ || _))
       parts += unmatched.select(
         targetCols.map { n =>
-          sets.find(_._1.equalsIgnoreCase(n))
-            .map { case (_, s) => expr(s).cast(tgtType(n)).as(n) }
-            .getOrElse(lit(null).cast(tgtType(n)).as(n))
+          inserts.zip(branchConds).foldRight(
+              lit(null).cast(tgtType(n))) { case (((_, sets), c), els) =>
+            val v = sets.find(_._1.equalsIgnoreCase(n))
+              .map { case (_, s) => expr(s).cast(tgtType(n)) }
+              .getOrElse(lit(null).cast(tgtType(n)))
+            when(c, v).otherwise(els)
+          }.as(n)
         } :+ lit(false).as(DelFlag): _*)
     }
 

@@ -440,6 +440,66 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
       (20L, 200L)))                    // unmatched, inserted; 0/1 deleted
   }
 
+  test("general SQL MERGE: multiple INSERT branches, first-match-wins") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.gmrg5 (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gsql.t.gmrg5 VALUES (1, 10, 'base')")
+    Seq((1L, 99L), (2L, 5L), (3L, 50L), (4L, 500L)).toDF("id", "qty")
+      .createOrReplaceTempView("gmrg5_src")
+    // three branches: small/large/fallback — a row takes the FIRST whose
+    // condition holds; the matched row updates normally
+    spark.sql("MERGE INTO gsql.t.gmrg5 t USING gmrg5_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.qty = s.qty " +
+      "WHEN NOT MATCHED AND s.qty < 10 THEN " +
+      "  INSERT (id, qty, tag) VALUES (s.id, s.qty, 'small') " +
+      "WHEN NOT MATCHED AND s.qty < 100 THEN " +
+      "  INSERT (id, qty, tag) VALUES (s.id, s.qty, 'mid') " +
+      "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty)")
+    val rows = spark.sql("SELECT id, qty, tag FROM gsql.t.gmrg5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("NULL"))).toSeq
+    assert(rows === Seq(
+      (1L, 99L, "base"),   // matched: qty updated, tag kept (partial SET)
+      (2L, 5L, "small"),   // first branch
+      (3L, 50L, "mid"),    // second branch (first's cond false)
+      (4L, 500L, "NULL"))) // fallback branch, tag unassigned → NULL
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns ADD-COLUMN through the catalog") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gsql.t.sev (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.sev VALUES (1, 10), (2, 20)")
+    val before = dataFiles("sev")
+    Seq((2L, 99L, "hello"), (3L, 30L, "new")).toDF("id", "qty", "note")
+      .createOrReplaceTempView("sev_src")
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO gsql.t.sev t USING sev_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql("SELECT id, qty, note FROM gsql.t.sev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("NULL"))).toSeq
+    assert(rows === Seq((1L, 10L, "NULL"), (2L, 99L, "hello"), (3L, 30L, "new")))
+    // the evolution is the metadata-only ADD COLUMN + a merge-on-read commit:
+    // no pre-existing data file was rewritten
+    assert(before.subsetOf(dataFiles("sev")))
+    // schema time travel: versions BEFORE the evolution's bind point read the
+    // OLD schema (the DDL binds to the head version at DDL time — the
+    // documented approximation — so the empty v0 predates it)
+    assert(spark.sql("SELECT * FROM gsql.t.sev VERSION AS OF 0")
+      .columns.toSeq === Seq("id", "qty"))
+    // type widening is refused loudly (metadata-only evolution is additive)
+    Seq((1L, "wide")).toDF("id", "qty").createOrReplaceTempView("sev_wide")
+    val e = intercept[Exception] {
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO gsql.t.sev t " +
+        "USING sev_wide s ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.toLowerCase.contains("alter table") ||
+      e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.toLowerCase.contains("cast"))
+  }
+
   test("SQL MERGE raises MERGE_CARDINALITY_VIOLATION on duplicate matched keys") {
     warehouse
     import spark.implicits._
