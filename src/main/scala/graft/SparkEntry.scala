@@ -1363,8 +1363,8 @@ object SparkEntry {
     s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
     s.sql("DROP TABLE IF EXISTS gsqlc.contract.docs")
     docs(s, dir).select("doc_id", "lang", "source").createOrReplaceTempView("sqlcat_docs")
-    // CTAS = empty v0 + append v1; the INSERT is v2, the CALLed OPTIMIZE a
-    // content-preserving v3, the DELETE a DV-only v4
+    // staged CTAS = ONE data commit v0; the INSERT is v1, the CALLed OPTIMIZE
+    // a content-preserving v2, the DELETE a DV-only v3
     s.sql("CREATE TABLE gsqlc.contract.docs AS SELECT * FROM sqlcat_docs WHERE doc_id < 300")
     s.sql("INSERT INTO gsqlc.contract.docs SELECT * FROM sqlcat_docs " +
       "WHERE doc_id >= 300 AND doc_id < 500")
@@ -1373,7 +1373,7 @@ object SparkEntry {
     s.sql("""SELECT 'head' AS state, doc_id, lang, source FROM gsqlc.contract.docs
             |UNION ALL
             |SELECT 'pre_delete' AS state, doc_id, lang, source
-            |FROM gsqlc.contract.docs VERSION AS OF 3""".stripMargin)
+            |FROM gsqlc.contract.docs VERSION AS OF 2""".stripMargin)
       .orderBy("state", "doc_id")
   }
 

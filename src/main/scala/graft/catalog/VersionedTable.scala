@@ -142,6 +142,49 @@ object VersionedTable {
     committed
   }
 
+  /** SQL `CREATE OR REPLACE` / `REPLACE TABLE` target: reset the table
+    * DEFINITION in place — ONE overwrite commit carrying the new content plus
+    * a sidecar reset (spec replaced; column mapping, CHECK constraints, and
+    * generated columns cleared), all under the DDL lock with one schema
+    * archive. Unlike Spark's non-staging drop+create fallback, the COMMIT LOG
+    * SURVIVES: history, RESTORE, and schema time travel keep working across
+    * the replace — `readAsOf` at a pre-replace version reads the old data
+    * under the old archived sidecars. On a table that does not exist yet this
+    * is a plain single-commit create (the staged-CTAS path).
+    *
+    * Atomicity note: the data swap itself is the one atomic overwrite claim.
+    * A concurrent reader can observe a window of one metadata write where the
+    * new commit still resolves under the pre-replace ARCHIVED sidecars (the
+    * raw sidecar resets are invisible to readers until the closing archive
+    * lands) — strictly narrower than the default path's drop window, where
+    * the table does not exist at all.
+    */
+  def replaceDefinition(spark: SparkSession, location: String, data: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      spec: Map[String, String] = Map.empty): Long = {
+    if (!exists(spark, location)) {
+      // fresh create: one data commit + create-time spec (no history to keep)
+      val v = write(data, location, "overwrite", partitionBy)
+      if (spec.nonEmpty) writeTableSpec(spark, location, spec)
+      return v
+    }
+    var committed = -1L
+    withDdlArchive(spark, location) {
+      // sidecar resets FIRST (raw — invisible to readers, who resolve spec
+      // and mapping from archives): the staged write below must land the new
+      // data under ITS OWN column names with NO inherited constraints,
+      // generated columns, or physical-name translation
+      writeKeyedJson(spark, location, ColumnsFile, Map.empty)
+      writeKeyedJson(spark, location, "_constraints.json", Map.empty)
+      writeKeyedJson(spark, location, GeneratedFile, Map.empty)
+      writeTableSpecRaw(spark, location, spec)
+      // the atomic swap: one overwrite commit resets the live set; the
+      // closing archive (withDdlArchive) binds the new sidecars to this head
+      committed = write(data, location, "overwrite", partitionBy)
+    }
+    committed
+  }
+
   /** CHECK-constraint surface (Delta `ALTER TABLE ... ADD CONSTRAINT` parity):
     * named SQL predicates stored beside the log in `_constraints.json` and
     * enforced on every batch of rows that LANDS — [[write]],

@@ -74,7 +74,8 @@ import graft.catalog.VersionedTable
   * metastore of its own.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -151,10 +152,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(fullName(ident), loc, Some(cs.last.version))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+  /** Shared definition validation for plain and STAGED creates/replaces:
+    * refuses LOCATION and non-identity partitioning, checks partition columns
+    * and namespace existence, and renders (location, partitionBy, spec) —
+    * user TBLPROPERTIES/COMMENT land in the spec sidecar under `prop.` keys
+    * (declaring metadata and having it silently dropped is worse than a
+    * refusal; engine-internal location keys are the only ones elided,
+    * location IS the identity here).
+    */
+  private def validateDefinition(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : (String, Seq[String], Map[String, String]) = {
     val loc = tablePath(ident).toString
-    if (VersionedTable.exists(spark, loc)) throw new TableAlreadyExistsException(ident)
     if (properties.containsKey(TableCatalog.PROP_LOCATION) &&
         !"true".equalsIgnoreCase(
           String.valueOf(properties.get(TableCatalog.PROP_IS_MANAGED_LOCATION))))
@@ -171,22 +180,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition column '$c' is not in the table schema"))
     if (!fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
-    // the empty v0 is written FLAT (see class doc) but with one real parquet file,
-    // so schema inference on the empty table works; repartition(1) forces the file
-    val empty = spark.createDataFrame(new util.ArrayList[Row](), schema).repartition(1)
-    VersionedTable.write(empty, loc, "overwrite", partitionBy = Nil)
-    // persist user-declared properties (TBLPROPERTIES, COMMENT, USING provider,
-    // Spark-stamped owner) in the spec sidecar — declaring metadata and having
-    // it silently dropped is worse than a refusal; engine-internal location
-    // keys are the only ones elided (location IS the identity here)
     val userProps = properties.asScala.toMap -- Seq(
       TableCatalog.PROP_LOCATION, TableCatalog.PROP_IS_MANAGED_LOCATION)
     val specProps = userProps.map { case (k, v) => s"prop.$k" -> v }
     val spec = (if (partitionBy.nonEmpty)
       Map("partition_by" -> partitionBy.mkString(","))
     else Map.empty[String, String]) ++ specProps
+    (loc, partitionBy, spec)
+  }
+
+  /** The empty v0 content: FLAT (see class doc) but with one real parquet
+    * file, so schema inference on the empty table works; repartition(1)
+    * forces the file.
+    */
+  private def emptyContent(schema: StructType) =
+    spark.createDataFrame(new util.ArrayList[Row](), schema).repartition(1)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val (loc, _, spec) = validateDefinition(ident, schema, partitions, properties)
+    if (VersionedTable.exists(spark, loc)) throw new TableAlreadyExistsException(ident)
+    VersionedTable.write(emptyContent(schema), loc, "overwrite", partitionBy = Nil)
     if (spec.nonEmpty) VersionedTable.writeTableSpec(spark, loc, spec)
     new GraftSqlTable(fullName(ident), loc, None)
+  }
+
+  // ---- staged (atomic) creates and replaces: CREATE OR REPLACE / RTAS ----
+
+  /** `CREATE OR REPLACE TABLE` / `REPLACE TABLE` [AS SELECT] and atomic CTAS.
+    * Without this interface Spark falls back to DROP + CREATE — which loses
+    * the whole commit log. The staged path instead resets the table
+    * DEFINITION in place through [[VersionedTable.replaceDefinition]]: one
+    * overwrite commit + a sidecar reset, so history, RESTORE, and schema time
+    * travel KEEP WORKING across the replace (`VERSION AS OF` a pre-replace
+    * version reads the old data under the old schema). Nothing lands until
+    * `commitStagedChanges`; abort is a true no-op.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stagedTable(ident, schema, partitions, properties, replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedTable(ident, schema, partitions, properties, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedTable(ident, schema, partitions, properties, replaceExisting = true)
+
+  private def stagedTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replaceExisting: Boolean): StagedGraftTable = {
+    val (loc, partitionBy, spec) = validateDefinition(ident, schema, partitions,
+      properties)
+    new StagedGraftTable(fullName(ident), loc, schema, partitionBy, spec,
+      replaceExisting, () => emptyContent(schema))
   }
 
   /** Metadata-only column DDL rides the table layer's column mapping; everything
@@ -338,6 +393,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ns, "drop with CASCADE to remove its tables", None)
     fs.delete(p, true)
   }
+}
+
+/** A staged table for the atomic CREATE OR REPLACE / REPLACE / CTAS verbs:
+  * Spark writes the query result through [[newWriteBuilder]] (captured, not
+  * landed) and then calls [[commitStagedChanges]], which performs the whole
+  * definition swap through [[VersionedTable.replaceDefinition]] — one
+  * overwrite commit + sidecar reset, history preserved. [[abortStagedChanges]]
+  * is a true no-op: nothing exists outside this object until commit.
+  */
+private[graft] class StagedGraftTable(tableName: String, val location: String,
+    declaredSchema: StructType, partitionBy: Seq[String],
+    spec: Map[String, String], replaceExisting: Boolean,
+    emptyContent: () => DataFrame)
+  extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  @volatile private var pending: Option[DataFrame] = None
+
+  override def name(): String = tableName
+  override def schema(): StructType = declaredSchema
+  override def partitioning(): Array[Transform] =
+    partitionBy.map(Expressions.identity).toArray
+  override def properties(): util.Map[String, String] =
+    spec.collect { case (k, v) if k.startsWith("prop.") =>
+      k.stripPrefix("prop.") -> v }.asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staged content IS the table
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              pending = Some(data)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (!replaceExisting && VersionedTable.exists(spark, location))
+      throw ColumnBridge.analysisError(
+        s"$tableName was created concurrently — staged CREATE refuses to clobber")
+    val data = pending.getOrElse(emptyContent())
+    // an EMPTY declared-schema table cannot lay out partition directories —
+    // the declared partitioning lives in the spec and applies to later
+    // INSERTs, exactly like the plain CREATE path
+    val layout = if (pending.isDefined) partitionBy else Nil
+    VersionedTable.replaceDefinition(spark, location, data, layout, spec)
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing landed
 }
 
 /** One versioned table (optionally pinned to a time-travel version) through the DSv2

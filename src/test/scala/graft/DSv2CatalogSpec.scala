@@ -62,8 +62,8 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     spark.sql("CREATE TABLE gsql.t.ctas AS SELECT * FROM ctas_src")
     assert(spark.sql("SELECT count(*) FROM gsql.t.ctas").head.getLong(0) === 2L)
     spark.sql("INSERT OVERWRITE gsql.t.ctas VALUES (3, 'z')")
-    // CTAS = empty create (v0) + append (v1); the overwrite is v2
-    assert(spark.sql("SELECT id FROM gsql.t.ctas VERSION AS OF 1 ORDER BY id")
+    // staged CTAS = ONE commit carrying the data (v0); the overwrite is v1
+    assert(spark.sql("SELECT id FROM gsql.t.ctas VERSION AS OF 0 ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(spark.sql("SELECT id FROM gsql.t.ctas ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(3L))
@@ -573,6 +573,49 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     spark.sql("DELETE FROM gsql.t.skip WHERE id = 2025")
     assert(spark.sql("SELECT count(*) FROM gsql.t.skip WHERE id BETWEEN 2000 AND 2050")
       .collect().head.getLong(0) === 50L)
+  }
+
+  test("CREATE OR REPLACE TABLE preserves history: time travel across the replace") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.corr (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gsql.t.corr VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gsql.t.corr ADD CONSTRAINT pos CHECK (id > 0)")
+    val preVersions = VersionedTable.commits(spark, loc("corr")).map(_.version)
+    // RTAS with a DIFFERENT schema — the staged path resets the definition
+    // in place instead of dropping the directory
+    spark.sql("CREATE OR REPLACE TABLE gsql.t.corr AS " +
+      "SELECT id, id * 1.5 AS score FROM range(3)")
+    assert(spark.sql("SELECT * FROM gsql.t.corr").columns.toSeq
+      === Seq("id", "score"))
+    assert(spark.sql("SELECT count(*) FROM gsql.t.corr").collect().head.getLong(0) === 3)
+    // the commit log SURVIVED: old versions still list, and VERSION AS OF a
+    // pre-replace version reads the OLD data under the OLD schema
+    val versions = VersionedTable.commits(spark, loc("corr")).map(_.version)
+    assert(preVersions.toSet.subsetOf(versions.toSet))
+    val old = spark.sql(s"SELECT * FROM gsql.t.corr VERSION AS OF ${preVersions.last}")
+    assert(old.columns.toSeq === Seq("id", "name"))
+    assert(old.count() === 2)
+    // the old CHECK constraint did NOT survive (a replace resets the
+    // definition): inserting id = -5 into the new table succeeds
+    spark.sql("INSERT INTO gsql.t.corr VALUES (-5, 0.0)")
+    assert(spark.sql("SELECT count(*) FROM gsql.t.corr WHERE id = -5")
+      .collect().head.getLong(0) === 1)
+    // plain REPLACE TABLE (no AS SELECT) → empty table, declared schema,
+    // still the same history chain
+    spark.sql("REPLACE TABLE gsql.t.corr (k BIGINT, v STRING) PARTITIONED BY (v)")
+    assert(spark.sql("SELECT * FROM gsql.t.corr").columns.toSeq === Seq("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM gsql.t.corr").collect().head.getLong(0) === 0)
+    // declared partitioning applies to later INSERTs (spec-persisted)
+    spark.sql("INSERT INTO gsql.t.corr VALUES (1, 'x'), (2, 'y')")
+    assert(VersionedTable.commits(spark, loc("corr")).last.partition_by === "v")
+    // REPLACE of a MISSING table refuses; CREATE OR REPLACE creates it
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE gsql.t.corr_missing (id BIGINT)")
+    }
+    assert(e.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"))
+    spark.sql("CREATE OR REPLACE TABLE gsql.t.corr_new AS SELECT 7L AS id")
+    assert(spark.sql("SELECT id FROM gsql.t.corr_new").collect().head.getLong(0) === 7)
   }
 
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
