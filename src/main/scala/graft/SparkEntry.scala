@@ -1526,6 +1526,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Staged-replace gate: `CREATE OR REPLACE TABLE ... AS SELECT` resets the
+    * definition IN PLACE (new schema, one overwrite commit) while the commit
+    * log survives — the result carries the post-replace head AND a
+    * `VERSION AS OF` read of the pre-replace content, so the oracle pins both
+    * the swap and the preserved history in one hash. A drop+create
+    * implementation (history lost) or a leaked old column would mismatch.
+    */
+  private def qSqlReplace(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.repl")
+    docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlrepl_docs")
+    // staged CTAS → v0 holds (doc_id, lang) for doc_id < 300
+    s.sql("CREATE TABLE gsqlc.contract.repl AS " +
+      "SELECT doc_id, lang FROM sqlrepl_docs WHERE doc_id < 300")
+    // in-place replace: DIFFERENT schema, different slice — v1
+    s.sql("CREATE OR REPLACE TABLE gsqlc.contract.repl AS " +
+      "SELECT doc_id, source, n_chars FROM sqlrepl_docs " +
+      "WHERE doc_id >= 100 AND doc_id < 500")
+    s.sql("""SELECT 'head' AS state, doc_id, source AS tag, n_chars
+            |FROM gsqlc.contract.repl
+            |UNION ALL
+            |SELECT 'pre_replace' AS state, doc_id, lang AS tag,
+            |  CAST(NULL AS BIGINT) AS n_chars
+            |FROM gsqlc.contract.repl VERSION AS OF 0""".stripMargin)
+      .orderBy("state", "doc_id")
+  }
+
   /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
     * carrying ONLY lang='en' rows replaces exactly that partition (a `"replace"`
     * commit — every other partition carried by reference, zero rewrite). The
@@ -1817,6 +1849,7 @@ object SparkEntry {
     "q_sql_merge_partial" -> qSqlMergePartial,
     "q_sql_merge_full_sync" -> qSqlMergeFullSync,
     "q_sql_merge_evolution" -> qSqlMergeEvolution,
+    "q_sql_replace" -> qSqlReplace,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
@@ -3193,6 +3226,16 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id >= 400 AND doc_id < 600
         |ORDER BY doc_id""".stripMargin,
+    // staged replace: head = the replacement content [100,500) under the NEW
+    // schema; pre_replace = the original CTAS content (<300) time-traveled
+    "q_sql_replace" ->
+      """SELECT 'head' AS state, doc_id, source AS tag, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 500
+        |UNION ALL
+        |SELECT 'pre_replace' AS state, doc_id, lang AS tag,
+        |  CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY state, doc_id""".stripMargin,
     // schema-evolution MERGE: base(<400) with (doc_id, lang); source [200,600)
     // adds n_chars — pre-merge rows read NULL, matched rows update + carry it,
     // unmatched rows insert with it
