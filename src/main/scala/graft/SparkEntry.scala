@@ -1558,6 +1558,29 @@ object SparkEntry {
       .orderBy("state", "doc_id")
   }
 
+  /** Identity-column gate: `GENERATED ALWAYS AS IDENTITY` with
+    * `orderWithin = doc_id` — the engine assigns `rid` densely in doc_id
+    * order per batch, continuing monotonically across the second append
+    * (high-water mark from commit stats, no data read). The oracle replays
+    * the exact allocation with per-slice ROW_NUMBER plus the first slice's
+    * count as the second slice's offset; a duplicate, a gap, or a
+    * non-deterministic assignment would hash-mismatch.
+    */
+  private def qIdentityColumn(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_idcol_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    vt.addIdentityColumn(s, loc, "rid", start = 1000L, step = 2L,
+      orderWithin = Seq("doc_id"))
+    val d = docs(s, dir).select("doc_id", "lang")
+    vt.write(d.filter(col("doc_id") < 300), loc, "overwrite")
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 500), loc, "append")
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
     * carrying ONLY lang='en' rows replaces exactly that partition (a `"replace"`
     * commit — every other partition carried by reference, zero rewrite). The
@@ -1850,6 +1873,7 @@ object SparkEntry {
     "q_sql_merge_full_sync" -> qSqlMergeFullSync,
     "q_sql_merge_evolution" -> qSqlMergeEvolution,
     "q_sql_replace" -> qSqlReplace,
+    "q_identity_column" -> qIdentityColumn,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
@@ -3225,6 +3249,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id >= 400 AND doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
+    // identity column: rid assigned densely by doc_id order per batch —
+    // batch 1 (<300) starts at 1000 step 2; batch 2 [300,500) continues at
+    // the watermark (1000 + 2 × batch-1 count)
+    "q_identity_column" ->
+      """SELECT doc_id, lang,
+        |  1000 + 2 * (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) AS rid
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, lang,
+        |  1000 + 2 * (SELECT count(*) FROM documents WHERE doc_id < 300)
+        |       + 2 * (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) AS rid
+        |FROM documents WHERE doc_id >= 300 AND doc_id < 500
         |ORDER BY doc_id""".stripMargin,
     // staged replace: head = the replacement content [100,500) under the NEW
     // schema; pre_replace = the original CTAS content (<300) time-traveled

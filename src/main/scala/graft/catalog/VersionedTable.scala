@@ -112,6 +112,24 @@ object VersionedTable {
     */
   def write(df: DataFrame, location: String, operation: String = "overwrite",
       partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    identitySpec(spark, location) match {
+      case Some(id) =>
+        // identity allocation is a high-water-mark read-modify-write: the
+        // whole assign→stage→claim sequence serializes on the DDL lock so two
+        // concurrent appends cannot allocate the same range (the optimistic
+        // claim alone orders commits but does not re-run the allocation)
+        withDdlLock(spark, location) {
+          writeBody(assignIdentity(df, location, id,
+            nextIdentityValue(spark, location, id)), location, operation,
+            partitionBy)
+        }
+      case None => writeBody(df, location, operation, partitionBy)
+    }
+  }
+
+  private def writeBody(df: DataFrame, location: String, operation: String,
+      partitionBy: Seq[String]): Long = {
     require(operation == "overwrite" || operation == "append",
       s"unknown operation: $operation")
     val spark = df.sparkSession
@@ -179,8 +197,10 @@ object VersionedTable {
       writeKeyedJson(spark, location, GeneratedFile, Map.empty)
       writeTableSpecRaw(spark, location, spec)
       // the atomic swap: one overwrite commit resets the live set; the
-      // closing archive (withDdlArchive) binds the new sidecars to this head
-      committed = write(data, location, "overwrite", partitionBy)
+      // closing archive (withDdlArchive) binds the new sidecars to this head.
+      // writeBody, not write: the DDL lock is already held here, and a
+      // replacement definition carries no identity state to allocate
+      committed = writeBody(data, location, "overwrite", partitionBy)
     }
     committed
   }
@@ -344,6 +364,7 @@ object VersionedTable {
       (body: => T): T = {
     val fs = fileSystem(spark, location)
     val lock = new Path(s"$location/_ddl_lock")
+    fs.mkdirs(lock.getParent) // pre-first-commit DDL (e.g. identity declare)
     val deadline = System.currentTimeMillis() + DdlLockWaitMs
     var acquired = false
     while (!acquired) {
@@ -523,6 +544,120 @@ object VersionedTable {
   /** The table's generated-column declarations (empty when none). */
   def generatedColumns(spark: SparkSession, location: String): Map[String, String] =
     readKeyedJson(spark, location, GeneratedFile)
+
+  // --- identity columns (GENERATED ALWAYS AS IDENTITY) ----------------------------
+
+  /** One identity declaration: `(name, start, step, orderWithin)`. */
+  private[catalog] case class IdentitySpec(name: String, start: Long, step: Long,
+      orderWithin: Seq[String])
+
+  private val IdentityKeyPrefix = "identity."
+
+  /** Declare a `GENERATED ALWAYS AS IDENTITY` column (Delta parity): every
+    * batch landed through [[write]]/[[idempotentAppend]] gets the column
+    * ASSIGNED by the engine — a batch carrying it is refused (that is what
+    * ALWAYS means). Values are unique and monotone across the table's whole
+    * life: the high-water mark derives from the ALL-TIME commit-log max of the
+    * column (driver-side, no data read), so ids are never reused — not after
+    * deletes, not after overwrites, not after restores — exactly Delta's
+    * "unique but not necessarily consecutive" promise. `step` must be
+    * positive.
+    *
+    * `orderWithin` makes assignment DETERMINISTIC: each batch is sorted on
+    * those columns and ids assigned densely in that order (one extra
+    * pass — `zipWithIndex` — per landing batch), which is what a replayable
+    * pipeline and the contract oracle need. Empty `orderWithin` assigns in
+    * partition order: still unique/monotone, but not stable across reruns.
+    *
+    * Concurrency: identity allocation is a read-modify-write of the
+    * high-water mark, so identity-table writes SERIALIZE on the table's DDL
+    * lock (the log's optimistic claims alone would let two concurrent
+    * appends allocate the same range). Non-identity tables pay nothing.
+    *
+    * Scope, enforced loudly: one identity column per table; declare it on an
+    * empty table (or before any data carries the column); the merge/update
+    * paths do NOT auto-assign — their change rows must carry explicit values
+    * (the BY DEFAULT behavior), since a matched update must preserve the
+    * row's existing id.
+    */
+  def addIdentityColumn(spark: SparkSession, location: String, name: String,
+      start: Long = 0L, step: Long = 1L, orderWithin: Seq[String] = Nil): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_]+"),
+      s"bad identity column name: $name")
+    require(step > 0, s"identity step must be positive, got $step")
+    updateTableSpec(spark, location) { spec =>
+      val existing = spec.keys.find(_.startsWith(IdentityKeyPrefix))
+      require(existing.isEmpty, s"table already has an identity column " +
+        s"(${existing.get.stripPrefix(IdentityKeyPrefix)}) — one per table")
+      // declaring before ANY commit is fine (the Scala-first flow); on an
+      // existing table the column may pre-exist only while it holds no rows
+      if (exists(spark, location) &&
+          read(spark, location).columns.exists(_.equalsIgnoreCase(name)))
+        require(fastCount(spark, location) == 0L,
+          s"column '$name' already carries data at $location — identity must " +
+            "own its column from the first row (declare before writing)")
+      spec + (s"$IdentityKeyPrefix$name" ->
+        s"$start|$step|${orderWithin.mkString(",")}")
+    }
+  }
+
+  private[catalog] def identitySpec(spark: SparkSession,
+      location: String): Option[IdentitySpec] =
+    tableSpec(spark, location).collectFirst {
+      case (k, v) if k.startsWith(IdentityKeyPrefix) =>
+        val parts = v.split('|')
+        IdentitySpec(k.stripPrefix(IdentityKeyPrefix), parts(0).toLong,
+          parts(1).toLong,
+          if (parts.length < 3) Nil
+          else parts(2).split(',').toSeq.filter(_.nonEmpty))
+    }
+
+  /** The next identity value: `max(start, all-time-max + step)` where the
+    * all-time max comes from EVERY commit's logged stats (live or not —
+    * overwritten and restored-away data must never donate its ids back).
+    * A commit that carried the column but logged no stat for it (stat-column
+    * cap) forces one column-pruned scan fallback over the current snapshot.
+    */
+  private def nextIdentityValue(spark: SparkSession, location: String,
+      id: IdentitySpec): Long = {
+    val cs = commits(spark, location)
+    if (cs.isEmpty) return id.start
+    val physical = columnMapping(spark, location).collectFirst {
+      case (p, l) if l.equalsIgnoreCase(id.name) => p
+    }.getOrElse(id.name)
+    val statMaxes = cs.flatMap(_.stats.get(physical)).map(_._2)
+    val hwm: Option[Double] =
+      if (statMaxes.nonEmpty) Some(statMaxes.max)
+      else {
+        val snap = read(spark, location)
+        if (!snap.columns.exists(_.equalsIgnoreCase(id.name))) None
+        else Option(snap.agg(max(col(id.name))).collect().head.get(0))
+          .map(_.asInstanceOf[Long].toDouble)
+      }
+    hwm.map(m => math.max(id.start, m.toLong + id.step)).getOrElse(id.start)
+  }
+
+  /** Assign the identity column to a landing batch (which must NOT carry it —
+    * GENERATED ALWAYS). Sorted on `orderWithin` when declared, then densely
+    * indexed with `zipWithIndex` (order-preserving over the sorted
+    * partitions).
+    */
+  private def assignIdentity(df: DataFrame, location: String,
+      id: IdentitySpec, nextStart: Long): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(id.name)),
+      s"'${id.name}' is GENERATED ALWAYS AS IDENTITY at $location — the " +
+        "engine assigns it; drop the column from the batch")
+    val ordered =
+      if (id.orderWithin.isEmpty) df
+      else df.orderBy(id.orderWithin.map(col): _*)
+    val outSchema = ordered.schema
+      .add(id.name, org.apache.spark.sql.types.LongType, nullable = false)
+    val indexed = ordered.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        row.toSeq :+ (nextStart + id.step * i))
+    }
+    df.sparkSession.createDataFrame(indexed, outSchema)
+  }
 
   /** Compute declared generated columns a batch LACKS; return the transformed
     * batch plus validation checks for the ones it CARRIES (null-safe equality,

@@ -618,6 +618,21 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
     assert(spark.sql("SELECT id FROM gsql.t.corr_new").collect().head.getLong(0) === 7)
   }
 
+  test("RESTORE across a replace resurrects the pre-replace table whole") {
+    warehouse
+    spark.sql("CREATE TABLE gsql.t.rrep AS SELECT id, 'old' AS tag FROM range(5)")
+    spark.sql("CREATE OR REPLACE TABLE gsql.t.rrep AS " +
+      "SELECT id, id * 2.0 AS score FROM range(3)")
+    assert(spark.sql("SELECT * FROM gsql.t.rrep").columns.toSeq === Seq("id", "score"))
+    // the replace kept the log, so RESTORE can roll straight back through it:
+    // data AND schema return to the pre-replace state (v0 = the staged CTAS)
+    spark.sql("CALL gsql.system.restore(table => 't.rrep', version => 0)")
+    assert(spark.sql("SELECT * FROM gsql.t.rrep").columns.toSeq === Seq("id", "tag"))
+    val rows = spark.sql("SELECT id, tag FROM gsql.t.rrep ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === (0L until 5L).map(i => (i, "old")))
+  }
+
   test("INSERT OVERWRITE PARTITION replaces only the named partition") {
     warehouse
     spark.sql("CREATE TABLE gsql.t.powr (id BIGINT, d STRING) PARTITIONED BY (d)")
