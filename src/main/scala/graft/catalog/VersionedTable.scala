@@ -642,11 +642,21 @@ object VersionedTable {
     * indexed with `zipWithIndex` (order-preserving over the sorted
     * partitions).
     */
-  private def assignIdentity(df: DataFrame, location: String,
+  private def assignIdentity(df0: DataFrame, location: String,
       id: IdentitySpec, nextStart: Long): DataFrame = {
-    require(!df.columns.exists(_.equalsIgnoreCase(id.name)),
-      s"'${id.name}' is GENERATED ALWAYS AS IDENTITY at $location — the " +
-        "engine assigns it; drop the column from the batch")
+    // a SQL `INSERT INTO t (k, ...)` arrives with the UNLISTED identity
+    // column padded all-NULL (Spark's by-name filler) — strip that; a batch
+    // carrying REAL values violates ALWAYS and refuses. The null probe costs
+    // one batch-sized count, identity tables only.
+    val df =
+      if (!df0.columns.exists(_.equalsIgnoreCase(id.name))) df0
+      else {
+        val nonNull = df0.filter(col(id.name).isNotNull).limit(1).count()
+        require(nonNull == 0L,
+          s"'${id.name}' is GENERATED ALWAYS AS IDENTITY at $location — the " +
+            "engine assigns it; drop the column (or its values) from the batch")
+        df0.drop(df0.columns.find(_.equalsIgnoreCase(id.name)).get)
+      }
     val ordered =
       if (id.orderWithin.isEmpty) df
       else df.orderBy(id.orderWithin.map(col): _*)
@@ -1105,15 +1115,42 @@ object VersionedTable {
     * paths cannot silently diverge. Appends additionally enforce the additive
     * schema contract; overwrites legitimately reset the schema.
     */
-  private def idempotentCommit(batch: DataFrame, location: String,
+  private def idempotentCommit(batch0: DataFrame, location: String,
       operation: String, txnApp: String, txnId: Long,
       partitionBy: Seq[String],
       expectedVersion: Option[Long] = None): Option[Long] = {
-    val spark = batch.sparkSession
+    val spark = batch0.sparkSession
     val fs = fileSystem(spark, location)
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (alreadyCommitted) return None
+    // identity tables: assign under the DDL lock, same as [[write]] — without
+    // this, streaming batches would land NULL ids, silently voiding ALWAYS.
+    // Recursing with the lock held is safe: the replay-dedupe check above
+    // already returned for duplicates, and the lock releases before retry
+    // claims (the streaming replay twin race is still closed by the in-loop
+    // re-check below).
+    val batch = identitySpec(spark, location) match {
+      case Some(id) => return withDdlLock(spark, location) {
+        idempotentCommitBody(
+          assignIdentity(batch0, location, id,
+            nextIdentityValue(spark, location, id)),
+          location, operation, txnApp, txnId, partitionBy, expectedVersion)
+      }
+      case None => batch0
+    }
+    idempotentCommitBody(batch, location, operation, txnApp, txnId,
+      partitionBy, expectedVersion)
+  }
+
+  private def idempotentCommitBody(batch: DataFrame, location: String,
+      operation: String, txnApp: String, txnId: Long,
+      partitionBy: Seq[String],
+      expectedVersion: Option[Long]): Option[Long] = {
+    val spark = batch.sparkSession
+    val fs = fileSystem(spark, location)
+    def alreadyCommitted: Boolean =
+      commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (operation == "append") enforceAppendSchema(spark, location, batch, partitionBy)
     val (dataDir, rows, stats, sstats) =
       stageData(batch, location, partitionBy, constraints(spark, location))

@@ -128,6 +128,24 @@ private[table] object GraftProcedures {
           args(1).asInstanceOf[String])
         Seq(Seq(args(1)))
       }),
+    GraftProcedure("add_identity",
+      "declare a GENERATED ALWAYS AS IDENTITY column: the engine assigns it " +
+        "on every landing batch (unique, monotone for the table's life); " +
+        "order_within sorts each batch on the named columns for deterministic " +
+        "assignment",
+      Seq(in("table", StringType), in("name", StringType),
+        inDefault("start", LongType, "0"),
+        inDefault("step", LongType, "1"),
+        inDefault("order_within", StringType, "''")),
+      StructType(Seq(StructField("name", StringType))),
+      (s, resolve, args) => {
+        val order = args(4).asInstanceOf[String].split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        VersionedTable.addIdentityColumn(s, resolve(args(0).asInstanceOf[String]),
+          args(1).asInstanceOf[String], args(2).asInstanceOf[Long],
+          args(3).asInstanceOf[Long], order)
+        Seq(Seq(args(1)))
+      }),
     GraftProcedure("maintain",
       "threshold-driven auto-OPTIMIZE: compact when the live commit count or " +
         "live deletion-vector rows cross their caps (both log-resolved, no data " +

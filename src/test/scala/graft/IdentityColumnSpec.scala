@@ -77,6 +77,42 @@ class IdentityColumnSpec extends AnyFunSuite with SharedSpark {
       s"identity ranges overlapped or gapped: ${rids.take(20)}...")
   }
 
+  test("idempotentAppend assigns ids; a replayed txn never burns a range") {
+    val loc = fresh("idem")
+    VersionedTable.addIdentityColumn(spark, loc, "rid", orderWithin = Seq("k"))
+    VersionedTable.write(Seq(0L).toDF("k"), loc, "overwrite") // rid 0
+    assert(VersionedTable.idempotentAppend(
+      Seq(10L, 11L).toDF("k"), loc, "app", 1L).isDefined)     // rids 1, 2
+    // replay of the same (txnApp, txnId): deduped BEFORE allocation
+    assert(VersionedTable.idempotentAppend(
+      Seq(10L, 11L).toDF("k"), loc, "app", 1L).isEmpty)
+    assert(VersionedTable.idempotentAppend(
+      Seq(20L).toDF("k"), loc, "app", 2L).isDefined)          // rid 3, no gap
+    val rids = VersionedTable.read(spark, loc).select("rid").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(rids === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("CALL add_identity declares through pure SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_idsql").toString
+    spark.conf.set("spark.sql.catalog.gid",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gid.t")
+    spark.sql("CREATE TABLE gid.t.ids (k BIGINT, rid BIGINT)")
+    spark.sql("CALL gid.system.add_identity(table => 't.ids', name => 'rid', " +
+      "start => 5, step => 3, order_within => 'k')")
+    spark.sql("INSERT INTO gid.t.ids (k) SELECT id FROM range(3)")
+    val rows = spark.sql("SELECT k, rid FROM gid.t.ids ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((0L, 5L), (1L, 8L), (2L, 11L)))
+    // SQL INSERT carrying the column refuses (ALWAYS)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gid.t.ids VALUES (9, 99)")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
   test("ALWAYS is enforced; one identity per table; bad declarations refuse") {
     val loc = fresh("refuse")
     VersionedTable.addIdentityColumn(spark, loc, "rid")
