@@ -56,6 +56,14 @@ class IdentityColumnSpec extends AnyFunSuite with SharedSpark {
     val rid = VersionedTable.read(spark, loc).select("rid").collect()
       .map(_.getLong(0)).toSeq
     assert(rid === Seq(11L))
+    // a RESTORE resurrects old rows WITH their old ids — and the next append
+    // still allocates past the all-time watermark, not the restored max
+    VersionedTable.restore(spark, loc, 0L) // back to rids 0..9
+    VersionedTable.write(Seq(300L).toDF("k"), loc, "append")
+    val after = VersionedTable.read(spark, loc).select("rid").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(after === ((0L until 10L) :+ 12L),
+      s"restore leaked or reused identity values: $after")
   }
 
   test("concurrent appends allocate disjoint ranges (DDL-lock serialized)") {
