@@ -220,6 +220,54 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     df.collect() // and the gated query still runs
   }
 
+  test("general SQL MERGE: source broadcasts into every join, no cartesian anywhere") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_planmrg").toString
+    spark.conf.set("spark.sql.catalog.gpa",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpa.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpa.t")
+    spark.sql("CREATE TABLE gpa.t.pm (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql("INSERT INTO gpa.t.pm SELECT id, id, concat('t', id) FROM range(50000)")
+    // source straddles the target boundary: ids 49900, 49907, … 51293 —
+    // 15 matched (49900..49998), 185 unmatched
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pm_src AS " +
+      "SELECT id * 7 + 49900 AS id, id AS qty FROM range(200)")
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // partial SET + both-side refs + NMBS: the full general path — a big
+      // target, a tiny source; every src⋈tgt join must broadcast the source
+      spark.sql("MERGE INTO gpa.t.pm t USING pm_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.qty > t.qty THEN UPDATE SET t.qty = t.qty + s.qty " +
+        "WHEN NOT MATCHED THEN INSERT (id, qty) VALUES (s.id, s.qty) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id > 49990 THEN DELETE")
+      // listener delivery is async — wait for the executions to drain
+      val deadline = System.currentTimeMillis() + 30000
+      while (plans.synchronized(plans.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(500)
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.mkString("\n"))
+    assert(all.nonEmpty, "no execution plans captured")
+    assert(!all.contains("CartesianProduct"),
+      s"general merge must never plan a cartesian:\n${all.take(4000)}")
+    assert(all.contains("BroadcastHashJoin"),
+      s"the small source should broadcast into the merge joins:\n${all.take(4000)}")
+    // and the result is right (guards the audit against a silently-empty run):
+    // NMBS deletes ids 49991..49999 except the matched 49991/49998 → 7 gone;
+    // 185 unmatched source rows insert
+    assert(spark.sql("SELECT count(*) FROM gpa.t.pm").collect().head.getLong(0)
+      === 50000L - 7L + 185L)
+  }
+
   test("PQ encode: pure map — broadcast codebook, no shuffle of corpus rows") {
     val emb = Tables.embeddings(spark, sf)
     val cb = graft.ops.Pq.seedCodebooks(emb, m = 8, ksub = 16)
