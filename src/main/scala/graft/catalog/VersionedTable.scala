@@ -673,9 +673,21 @@ object VersionedTable {
     * batch plus validation checks for the ones it CARRIES (null-safe equality,
     * enforced by the same fused guard as CHECK constraints).
     */
-  private def applyGenerated(df: DataFrame, gen: Map[String, String])
+  private def applyGenerated(df0: DataFrame, gen: Map[String, String])
       : (DataFrame, Map[String, String]) = {
-    if (gen.isEmpty) return (df, Map.empty)
+    if (gen.isEmpty) return (df0, Map.empty)
+    // a SQL `INSERT INTO t (k, ...)` pads unlisted columns ALL-NULL — for a
+    // generated column that means "compute it" (Delta's INSERT semantics),
+    // not "validate NULL against the expression". The all-NULL probe costs
+    // one batch count per CARRIED generated column; batches that omit the
+    // column (the Scala-first flow) skip it entirely.
+    val df = gen.keys.foldLeft(df0) { (d, n) =>
+      d.columns.find(_.equalsIgnoreCase(n)) match {
+        case Some(actual) if d.filter(col(actual).isNotNull).limit(1).count() == 0 =>
+          d.drop(actual)
+        case _ => d
+      }
+    }
     val present = df.columns.map(_.toLowerCase).toSet
     val computed = gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, g)) =>
       if (present.contains(n.toLowerCase)) d else d.withColumn(n, expr(g))

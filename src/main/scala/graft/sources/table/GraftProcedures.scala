@@ -128,6 +128,17 @@ private[table] object GraftProcedures {
           args(1).asInstanceOf[String])
         Seq(Seq(args(1)))
       }),
+    GraftProcedure("add_generated",
+      "declare a GENERATED ALWAYS AS (expr) column: absent in a landing batch " +
+        "→ computed; present → validated null-safe-equal, like a CHECK",
+      Seq(in("table", StringType), in("name", StringType),
+        in("gen_sql", StringType)),
+      StructType(Seq(StructField("name", StringType))),
+      (s, resolve, args) => {
+        VersionedTable.addGeneratedColumn(s, resolve(args(0).asInstanceOf[String]),
+          args(1).asInstanceOf[String], args(2).asInstanceOf[String])
+        Seq(Seq(args(1)))
+      }),
     GraftProcedure("add_identity",
       "declare a GENERATED ALWAYS AS IDENTITY column: the engine assigns it " +
         "on every landing batch (unique, monotone for the table's life); " +

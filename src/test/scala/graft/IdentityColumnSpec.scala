@@ -119,6 +119,12 @@ class IdentityColumnSpec extends AnyFunSuite with SharedSpark {
       spark.sql("INSERT INTO gid.t.ids VALUES (9, 99)")
     }
     assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // and the sibling procedure declares expression-generated columns
+    spark.sql("CREATE TABLE gid.t.gen (k BIGINT, dbl BIGINT)")
+    spark.sql("CALL gid.system.add_generated(table => 't.gen', name => 'dbl', " +
+      "gen_sql => 'k * 2')")
+    spark.sql("INSERT INTO gid.t.gen (k) SELECT id FROM range(3)")
+    assert(spark.sql("SELECT sum(dbl) FROM gid.t.gen").collect().head.getLong(0) === 6L)
   }
 
   test("ALWAYS is enforced; one identity per table; bad declarations refuse") {
