@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, when}
+import org.apache.spark.sql.functions.{col, count, expr, lit, when}
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.catalog.VersionedTable
@@ -599,10 +599,14 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
     if (nmbsUpdate.isDefined || nmbsDelete.isDefined) {
       val updC = nmbsUpdate.map(p => expr(p._1)).getOrElse(lit(false))
       val delC = nmbsDelete.map(expr).getOrElse(lit(false))
+      // the anti join's build side is the DISTINCT source keys — typically
+      // tiny, but NOT hinted broadcast: an explicit hint is binding (AQE never
+      // demotes it), so a full-sync statement with a huge source would force
+      // an executor-OOM broadcast. AQE's runtime size check promotes the
+      // small case to a broadcast join on its own.
       val stale = tgtP
-        .join(broadcastIfSmall(
-          srcP.select(keys.map { case (_, sk) => col(SrcPrefix + sk) }: _*)
-            .dropDuplicates()),
+        .join(srcP.select(keys.map { case (_, sk) => col(SrcPrefix + sk) }: _*)
+            .dropDuplicates(),
           joinCond, "left_anti")
         .filter(updC || delC)
       // a NULL-keyed target row can be not-matched-by-source, but merge-on-read
@@ -626,10 +630,4 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
     finally pinned.foreach(_.unpersist())
     Seq.empty
   }
-
-  /** The distinct source-key set is usually small next to the target — hint the
-    * broadcast so the NOT-MATCHED-BY-SOURCE anti join never shuffles the whole
-    * target; AQE demotes the hint if the key set proves large.
-    */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }
