@@ -1581,6 +1581,30 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** Partition-scoped compaction gate (OPTIMIZE ... WHERE): a lang-partitioned
+    * base across two commits with a DV delete inside lang='en', then
+    * `compactPartitions(lang=en)` — ONE replace commit rewrites that slice
+    * (DVs folded), every other partition untouched. The oracle states the
+    * final logical content; a scoped compact that leaked rows across
+    * partitions, resurrected deleted rows, or dropped live ones would
+    * hash-mismatch.
+    */
+  private def qScopedCompact(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_scompact_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir).select("doc_id", "lang", "source")
+    vt.write(d.filter(col("doc_id") < 300), loc, "overwrite", partitionBy = Seq("lang"))
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 500), loc,
+      "append", Seq("lang"))
+    vt.deleteWhere(s, loc, "lang = 'en' AND doc_id % 7 = 0")
+    vt.compactPartitions(s, loc, Seq(Seq("lang" -> "en")), numFiles = 1)
+    vt.read(s, loc).orderBy("doc_id")
+  }
+
   /** Dynamic-partition-overwrite gate: a lang-partitioned base, then a batch
     * carrying ONLY lang='en' rows replaces exactly that partition (a `"replace"`
     * commit — every other partition carried by reference, zero rewrite). The
@@ -1874,6 +1898,7 @@ object SparkEntry {
     "q_sql_merge_evolution" -> qSqlMergeEvolution,
     "q_sql_replace" -> qSqlReplace,
     "q_identity_column" -> qIdentityColumn,
+    "q_scoped_compact" -> qScopedCompact,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
     "q_curation_pipeline" -> qCurationPipeline)
@@ -3249,6 +3274,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id >= 400 AND doc_id < 600
+        |ORDER BY doc_id""".stripMargin,
+    // scoped compact: the logical content is unchanged by the rewrite —
+    // docs < 500 minus the lang='en' doc_id%7=0 deletes
+    "q_scoped_compact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id < 500 AND NOT (lang = 'en' AND doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
     // identity column: rid assigned densely by doc_id order per batch —
     // batch 1 (<300) starts at 1000 step 2; batch 2 [300,500) continues at

@@ -1262,6 +1262,57 @@ object VersionedTable {
     compact(spark, location, zorderBy, numFiles = files.toInt)
   }
 
+  /** PARTITION-SCOPED compaction (Delta `OPTIMIZE t WHERE <partition preds>`):
+    * rewrite ONLY the named partitions — their current content (deletion
+    * vectors resolved and thus permanently dropped, optionally Z-ordered or
+    * repartitioned) lands as ONE `replace` commit that shadows those
+    * partitions in every earlier commit. The rest of the table is untouched:
+    * cost is one partition-pruned scan + one slice-sized write, never the
+    * table. This is the steady-state OPTIMIZE at 100 TB — a day-partitioned
+    * corpus compacts yesterday's slice; full [[compact]] would rescan
+    * everything.
+    *
+    * Content preservation is CAS-guarded: the slice is computed from a
+    * specific head version, and the replace refuses to land over a DIFFERENT
+    * head (a concurrent append into the slice would otherwise be silently
+    * dropped) — the loop then recomputes from the new head, exactly
+    * [[compact]]'s lost-race discipline. All scoped-overwrite preconditions
+    * apply (uniform partition layout, representable values, every partition
+    * column bound).
+    */
+  def compactPartitions(spark: SparkSession, location: String,
+      partitions: Seq[Seq[(String, String)]], zorderBy: Seq[String] = Nil,
+      numFiles: Int = 0, maxAttempts: Int = 3): Long = {
+    require(partitions.nonEmpty, "compactPartitions needs at least one partition")
+    var attempt = 0
+    while (true) {
+      val cs = commits(spark, location)
+      require(cs.nonEmpty, s"no commits at $location")
+      val head = cs.last.version
+      val pred = partitions.map(_.map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)).reduce(_ || _)
+      val slice = readAsOf(spark, location, head).filter(pred)
+      val clustered =
+        if (zorderBy.nonEmpty)
+          graft.ops.Layout.zorderBy(slice, zorderBy,
+            if (numFiles > 0) numFiles
+            else spark.sessionState.conf.numShufflePartitions)
+        else if (numFiles > 0) slice.repartition(numFiles)
+        else slice
+      try return overwritePartitions(clustered, location, Some(partitions),
+        maxAttempts = 1, expectedHead = Some(head))
+      catch {
+        case e @ (_: java.util.ConcurrentModificationException |
+                  _: IllegalStateException) =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"scoped compaction of $location lost $maxAttempts snapshot " +
+              "races — giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** RESTORE parity (Delta `RESTORE TABLE ... TO VERSION AS OF`): roll the table
     * back to its state as of `version`, published as a NEW "restore" commit —
     * history stays append-only, so the rollback is itself versioned and
@@ -1624,7 +1675,7 @@ object VersionedTable {
     */
   def overwritePartitions(df: DataFrame, location: String,
       replacedValues: Option[Seq[Seq[(String, String)]]] = None,
-      maxAttempts: Int = 3): Long = {
+      maxAttempts: Int = 3, expectedHead: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
     var done = -1L
@@ -1633,6 +1684,13 @@ object VersionedTable {
       val cs = commits(spark, location)
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
+      // CAS for content-derived callers ([[compactPartitions]]): the batch was
+      // computed FROM a specific head — landing it over a different head would
+      // silently drop whatever the interleaving commit wrote into the slice
+      expectedHead.filter(_ != latest.version).foreach(ev =>
+        throw new java.util.ConcurrentModificationException(
+          s"scoped overwrite of $location expected head $ev but found " +
+            s"${latest.version} — recompute the replacement content and retry"))
       val live = liveCommits(spark, location, latest.version)
       // the layout is the newest live commit that RECORDS one — pure-DV commits
       // (delete) record none, and the SQL catalog's empty v0 is written flat

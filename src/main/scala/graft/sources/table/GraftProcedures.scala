@@ -64,16 +64,32 @@ private[table] object GraftProcedures {
 
   val all: Seq[GraftProcedure] = Seq(
     GraftProcedure("compact",
-      "OPTIMIZE: rewrite the live set as one compacted commit, optionally Z-ordered",
+      "OPTIMIZE: rewrite the live set as one compacted commit, optionally " +
+        "Z-ordered; partitions => 'k=v/k2=v2;...' scopes the rewrite to the " +
+        "named partitions only (a replace commit — the rest of the table is " +
+        "untouched)",
       Seq(in("table", StringType),
         inDefault("num_files", IntegerType, "0"),
-        inDefault("zorder_by", StringType, "''")),
+        inDefault("zorder_by", StringType, "''"),
+        inDefault("partitions", StringType, "''")),
       StructType(Seq(StructField("version", LongType))),
       (s, resolve, args) => {
         val zorder = args(2).asInstanceOf[String].split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)
-        val v = VersionedTable.compact(s, resolve(args(0).asInstanceOf[String]),
-          zorderBy = zorder, numFiles = args(1).asInstanceOf[Int])
+        val loc = resolve(args(0).asInstanceOf[String])
+        val scoped = args(3).asInstanceOf[String].split(';').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+          .map(_.split('/').toSeq.map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"bad partition spec '$kv' — expected k=v")
+            kv.take(i).trim -> kv.drop(i + 1).trim
+          })
+        val v =
+          if (scoped.nonEmpty)
+            VersionedTable.compactPartitions(s, loc, scoped, zorderBy = zorder,
+              numFiles = args(1).asInstanceOf[Int])
+          else VersionedTable.compact(s, loc, zorderBy = zorder,
+            numFiles = args(1).asInstanceOf[Int])
         Seq(Seq(v))
       }),
     GraftProcedure("vacuum",
