@@ -169,6 +169,51 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Streaming CDC-apply: a versioned base table, then ONE `writeStream` with
+    * `mergeKeys`/`deleteColumn`/`sequenceBy` applies a change stream as
+    * merge-on-read upserts — per-key the HIGHEST-sequence event wins inside a
+    * batch (the 'mid' events must lose to the 'upd' events), delete events
+    * remove matched keys, unmatched deletes are no-ops, unmatched upserts
+    * insert. The oracle states the final upserted table; a sink that applied
+    * events in file order, double-applied a batch, or dropped the compaction
+    * would diverge.
+    */
+  private def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val d = docs(s, dir).select("doc_id", "lang", "source")
+    val loc = tmpDir("graft_su_t") + "/t"
+    val in = tmpDir("graft_su_in")
+    val chk = tmpDir("graft_su_chk")
+    vt.write(d.filter(col("doc_id") < 400).withColumn("state", lit("base")),
+      loc, "overwrite")
+    val changes = d.filter(col("doc_id") >= 200 && col("doc_id") < 600)
+    val dels = changes.filter(col("doc_id") % 10 === 0)
+      .withColumn("state", lit("del"))
+      .withColumn("is_del", lit(true)).withColumn("seq", lit(3L))
+    val mids = changes.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("state", lit("mid"))
+      .withColumn("is_del", lit(false)).withColumn("seq", lit(1L))
+    val upds = changes.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("state", lit("upd"))
+      .withColumn("is_del", lit(false)).withColumn("seq", lit(2L))
+    // one file → one micro-batch: the in-batch sequence compaction is what's
+    // under test, not the file source's batching
+    dels.unionByName(mids).unionByName(upds).coalesce(1)
+      .write.mode("overwrite").json(in)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("state", StringType),
+      StructField("is_del", BooleanType), StructField("seq", LongType)))
+    val q = s.readStream.schema(schema).json(in)
+      .writeStream.format("graft-table")
+      .option("mergeKeys", "doc_id").option("deleteColumn", "is_del")
+      .option("sequenceBy", "seq").option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(loc)
+    q.awaitTermination()
+    vt.read(s, loc).select("doc_id", "lang", "source", "state").orderBy("doc_id")
+  }
+
   /** Event-time tumbling-window aggregation (streaming extension; batch-equivalent plan). */
   private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     StreamAggregates.hourlyEventStats(Tables.eventsMicros(s, dir))
@@ -707,6 +752,34 @@ object SparkEntry {
       .select(col("doc_id"),
         md5(TextAnalysis.normalizeText(col("text"))).as("norm_fingerprint"))
       .orderBy("doc_id")
+
+  /** PII scrubbing ([[graft.ops.Pii]]): deterministic per-doc synthetic text
+    * carrying one email, phone, card, SSN, and IP shape each — detection
+    * counts on the original, redaction tokens in the output. The oracle
+    * replays the exact regex chain in DuckDB (RE2) against Spark (Java regex):
+    * the patterns avoid lookarounds/backreferences precisely so both engines
+    * provably agree; a count or substitution divergence hash-mismatches.
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val synth = docs(s, dir).select(col("doc_id")).withColumn("text", concat(
+      lit("Reach user"), id, lit("@mail"), (col("doc_id") % 7).cast("string"),
+      lit(".org or call "), ((col("doc_id") % 900) + 100).cast("string"),
+      lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" card 4111-1111-1111-1111 from 10.0."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string"), lit(" ssn 123-45-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" tail "), id))
+    graft.ops.Pii.redact(graft.ops.Pii.detect(synth), "text")
+      .select(col("doc_id"), col("pii_email").cast("long").as("pii_email"),
+        col("pii_phone").cast("long").as("pii_phone"),
+        col("pii_card").cast("long").as("pii_card"),
+        col("pii_ssn").cast("long").as("pii_ssn"),
+        col("pii_ip").cast("long").as("pii_ip"),
+        col("pii_total").cast("long").as("pii_total"), col("text_redacted"))
+      .orderBy("doc_id")
+  }
 
   /** Quality-weighted sampling: each document survives with probability equal to
     * its composite quality score — better documents oversampled, junk culled, all
@@ -1790,6 +1863,7 @@ object SparkEntry {
     "q_avro_customers_roundtrip" -> qAvroCustomersRoundtrip,
     "q_synthetic_orders" -> qSyntheticOrders,
     "q_stream_ingest" -> qStreamIngest,
+    "q_stream_upsert" -> qStreamUpsert,
     "q_events_hourly" -> qEventsHourly,
     "q_resample" -> qResample,
     "q_rolling_revenue" -> qRollingRevenue,
@@ -1847,6 +1921,7 @@ object SparkEntry {
     "q_temperature_sample" -> qTemperatureSample,
     "q_weighted_sample" -> qWeightedSample,
     "q_normalize_text" -> qNormalizeText,
+    "q_pii_redact" -> qPiiRedact,
     "q_balanced_sample" -> qBalancedSample,
     "q_source_caps" -> qSourceCaps,
     "q_shards" -> qShards,
@@ -2711,6 +2786,47 @@ object SparkEntry {
         |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
         |    '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS norm_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PII scrub replay: same synthetic text, same regex chain (RE2 and Java
+    // agree on these lookaround-free patterns), same substitution order
+    "q_pii_redact" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'Reach user' || doc_id || '@mail' || (doc_id % 7) ||
+        |    '.org or call ' || ((doc_id % 900) + 100) || '-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' card 4111-1111-1111-1111 from 10.0.' || (doc_id % 256) || '.' ||
+        |    (doc_id % 100) || ' ssn 123-45-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' tail ' || doc_id AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS pii_phone,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS pii_card,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b')) AS pii_ssn,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ip,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) +
+        |  len(regexp_extract_all(text,
+        |    '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) +
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) +
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_total,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS text_redacted
+        |FROM synth ORDER BY doc_id""".stripMargin,
     // class balancing: fractions = min group count / group count, same cut replay
     "q_balanced_sample" ->
       s"""WITH c AS (
@@ -3119,6 +3235,15 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS date
         |FROM events ORDER BY event_id""".stripMargin,
+    // streaming CDC-apply: base (<400, 'base') upserted with 'upd' events for
+    // [200,600) keys not %10, deletes for %10 keys (unmatched ones no-ops);
+    // the losing 'mid' events must never appear
+    "q_stream_upsert" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id >= 200 THEN 'upd' ELSE 'base' END AS state
+        |FROM documents
+        |WHERE doc_id < 200 OR (doc_id < 600 AND doc_id % 10 <> 0)
+        |ORDER BY doc_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start, event_type,
         |  COUNT(*) AS n_events,

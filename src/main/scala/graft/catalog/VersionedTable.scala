@@ -404,9 +404,13 @@ object VersionedTable {
     * a bumping sequence — a name is never rewritten), so their parsed content
     * caches JVM-wide forever. mtime+length ride the key to survive a table
     * dropped and recreated at the same location (fresh `000000.json`, new
-    * content). With the cache, a head read of a table that ever saw DDL costs
-    * one exists + one listStatus — metadata-only, no GET — instead of a
-    * newest-archive read per scan assembly.
+    * content). With the cache, ANY read — head or time travel — of a table
+    * that ever saw DDL costs one exists + one listStatus — metadata-only, no
+    * GET — instead of a newest-archive read per scan assembly. A head-read
+    * short-circuit to the two current sidecar FILES was considered and
+    * REJECTED: they update as two separate writes, so bypassing the
+    * write-once archive reintroduces the torn-compound-DDL read the archive
+    * exists to close (DdlRaceSpec fails on it).
     */
   private val archiveCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), (Option[Long], Map[String, String], Map[String, String])]()
@@ -1555,7 +1559,32 @@ object VersionedTable {
     */
   def mergeOnRead(spark: SparkSession, location: String, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
-      maxAttempts: Int = 3, changeFeed: Boolean = false): Long = {
+      maxAttempts: Int = 3, changeFeed: Boolean = false): Long =
+    mergeOnReadTxn(spark, location, changes, keys, deleteCol, maxAttempts,
+      changeFeed, txn = None).get
+
+  /** Exactly-once [[mergeOnRead]] for streaming CDC-apply sinks: a commit
+    * already tagged `(txnApp, txnId)` makes the call a no-op (None), exactly
+    * [[idempotentAppend]]'s replay contract — a micro-batch whose merge
+    * committed but whose offset write was lost to a crash re-applies NOTHING
+    * on restart, instead of DV-ing and re-appending its change rows a second
+    * time (double change-feed entries, double commit history). The identity is
+    * re-checked inside the claim-retry loop, so losing a race to the replay
+    * TWIN (two attempts of the same batch racing) also dedupes.
+    */
+  def idempotentMergeOnRead(spark: SparkSession, location: String,
+      changes: DataFrame, keys: Seq[String], deleteCol: Option[String] = None,
+      txnApp: String, txnId: Long, maxAttempts: Int = 3,
+      changeFeed: Boolean = false): Option[Long] = {
+    require(txnApp.nonEmpty, "idempotentMergeOnRead needs a txnApp identity")
+    mergeOnReadTxn(spark, location, changes, keys, deleteCol, maxAttempts,
+      changeFeed, txn = Some((txnApp, txnId)))
+  }
+
+  private def mergeOnReadTxn(spark: SparkSession, location: String,
+      changes: DataFrame, keys: Seq[String], deleteCol: Option[String],
+      maxAttempts: Int, changeFeed: Boolean,
+      txn: Option[(String, Long)]): Option[Long] = {
     require(keys.nonEmpty, "mergeOnRead needs at least one key column")
     val fs = fileSystem(spark, location)
     // same generated-column computation contract as [[merge]]
@@ -1572,6 +1601,10 @@ object VersionedTable {
     while (done < 0) {
       val cs = commits(spark, location)
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
+      // replay dedupe, re-checked per attempt (closes the replay-twin race)
+      txn.foreach { case (app, id) =>
+        if (cs.exists(c => c.txn_app == app && c.txn_id == id)) return None
+      }
       val latest = cs.last
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
       val snap = snapshotWithMeta(spark, location, latest.version)
@@ -1613,7 +1646,8 @@ object VersionedTable {
         }
         val matchedRows = obs.get("rows").asInstanceOf[Long]
         if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
-            partitioning, stats, changeDir = changeDir,
+            partitioning, stats, txnApp = txn.map(_._1).getOrElse(""),
+            txnId = txn.map(_._2).getOrElse(-1L), changeDir = changeDir,
             replacedRows = matchedRows, dvDir = dvDir, sstats = sstats))
           done = latest.version + 1
         else {
@@ -1628,7 +1662,7 @@ object VersionedTable {
       } finally matched.unpersist()
     }
     maybeCheckpoint(spark, location, done)
-    done
+    Some(done)
   }
 
   /** At most this many touched partitions take the scoped path: the touched set
@@ -2259,21 +2293,107 @@ object VersionedTable {
         case _ => None // all-null, unsafe, or over-long values: no stats
       }
     }.toMap
-    (dataDir, observed("rows").asInstanceOf[Long], stats, sstats)
+    val rowCount = observed("rows").asInstanceOf[Long]
+    writeBlooms(df0.sparkSession, location, dataDir, df.schema, rowCount)
+    (dataDir, rowCount, stats, sstats)
+  }
+
+  /** BLOOM-FILTER COMMIT SKIPPING (opt-in): min/max stats cannot prune a
+    * point lookup on a hash-like high-cardinality column — every commit's
+    * [min, max] overlaps every probe. Tables that declare
+    * `TBLPROPERTIES ('graft.bloom.columns' = 'doc_id,...')` get one bloom
+    * filter PER COMMIT per declared column, staged INSIDE the commit's data
+    * dir as `_bloom.<col>.bf` (parquet readers ignore `_`-prefixed files, a
+    * lost commit race or vacuum deletes them with the dir, and readers of a
+    * published commit always see final blooms — write-then-publish). An
+    * equality probe then drops every commit whose bloom says the value is
+    * definitely absent ([[bloomMightContain]]): `WHERE doc_id = k` on a
+    * 10k-commit streaming table opens ~fpp × commits instead of all of them.
+    *
+    * Cost shape: building is one columnar re-read of the JUST-WRITTEN batch
+    * per declared column (never the table) — the opt-in price of point-lookup
+    * pruning. Commits beyond [[MaxBloomItems]] rows record no bloom (a bloom
+    * sized for a billion rows is GBs; min/max still applies) — at 100 TB the
+    * beneficiaries are exactly the steady-state SMALL commits (streaming
+    * appends, CDC merges) whose long logs make point lookups expensive.
+    * Integral and string columns only (the sketch's put/mightContain
+    * vocabulary); declared names are LOGICAL, files land under PHYSICAL names
+    * like every other stat.
+    */
+  private val MaxBloomItems = 8L * 1000 * 1000
+  private val BloomFpp = 0.03
+
+  private def writeBlooms(spark: SparkSession, location: String,
+      dataDir: String, physicalSchema: org.apache.spark.sql.types.StructType,
+      rows: Long): Unit = {
+    val want = tableSpec(spark, location).get("prop.graft.bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (want.isEmpty || rows == 0 || rows > MaxBloomItems) return
+    val mapping = columnMapping(spark, location)
+    val physicalWanted = want.map(l => mapping.collectFirst {
+      case (p, log) if log.equalsIgnoreCase(l) => p
+    }.getOrElse(l))
+    val eligible = physicalSchema.fields.filter { f =>
+      physicalWanted.exists(_.equalsIgnoreCase(f.name)) && (f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+    }
+    if (eligible.isEmpty) return
+    val fresh = spark.read.parquet(s"$location/_data/$dataDir")
+    val fs = fileSystem(spark, location)
+    eligible.foreach { f =>
+      val bf = fresh.stat.bloomFilter(f.name, rows max 1L, BloomFpp)
+      val out = fs.create(
+        new Path(s"$location/_data/$dataDir/_bloom.${f.name}.bf"), true)
+      try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** Blooms parse once per JVM — data dirs are immutable after publish, so the
+    * (positive AND negative) cache never goes stale. Bounded crudely: past 256
+    * entries (worst case ~2 GB of 8M-item blooms, typically far less) the map
+    * resets rather than grows without limit.
+    */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def bloomMightContain(spark: SparkSession, location: String,
+      c: Commit, physicalCol: String, value: Any): Boolean = {
+    if (c.data_dir.isEmpty) return true
+    val path = s"$location/_data/${c.data_dir}/_bloom.$physicalCol.bf"
+    if (bloomCache.size > 256) bloomCache.clear()
+    val bf = bloomCache.computeIfAbsent(path, p => {
+      val fs = fileSystem(spark, location)
+      val pp = new Path(p)
+      if (!fs.exists(pp)) None
+      else {
+        val in = fs.open(pp)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    })
+    bf.forall(_.mightContain(value)) // no bloom recorded → conservative keep
   }
 
   /** COUNT(*) of the live state from the log alone (Delta count-from-metadata): the
     * sum of the live commits' row counts, observed map-side at write time — zero
     * data files opened, O(commits) driver work, same answer at 100 rows or 100 TB.
     */
-  def fastCount(spark: SparkSession, location: String): Long = {
+  def fastCount(spark: SparkSession, location: String,
+      asOf: Option[Long] = None): Long = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     // a scoped merge contributes its own rows and retires replaced_rows prior
     // rows; the SAME subtraction serves DV commits — a delete adds 0 and
     // retires its matched count, an update adds its rewritten rows and retires
-    // the same number
-    val live = liveCommits(spark, location, cs.last.version)
+    // the same number. The subtraction is version-local, so the count is
+    // equally exact for a time-travel read (`asOf`).
+    val live = liveCommitsFrom(cs, location, asOf.getOrElse(cs.last.version))
     live.map(_.row_count).sum - live.map(_.replaced_rows).sum
   }
 
@@ -2302,7 +2422,8 @@ object VersionedTable {
     */
   def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
     requireReadable(spark, location, version)
-    assemble(spark, location, liveCommits(spark, location, version), version)
+    val cs = commits(spark, location)
+    assemble(spark, location, liveCommitsFrom(cs, location, version), version)
   }
 
   /** Oldest version whose data is still guaranteed complete on disk; -1 before
@@ -2414,12 +2535,13 @@ object VersionedTable {
     */
   def readPrunedConjunction(spark: SparkSession, location: String,
       version: Option[Long], num: Map[String, (Double, Double)],
-      str: Map[String, (String, String)]): DataFrame = {
+      str: Map[String, (String, String)],
+      eq: Map[String, Any] = Map.empty): DataFrame = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     val v = version.getOrElse(cs.last.version)
     version.foreach(requireReadable(spark, location, _))
-    val live = liveCommits(spark, location, v)
+    val live = liveCommitsFrom(cs, location, v)
     // stats are keyed by PHYSICAL column name; the probes are logical
     val mapping = columnMapping(spark, location)
     def physical(c: String): String = mapping.collectFirst {
@@ -2427,11 +2549,16 @@ object VersionedTable {
     }.getOrElse(c)
     val numP = num.map { case (c, r) => physical(c) -> r }
     val strP = str.map { case (c, r) => physical(c) -> r }
+    // `eq` = EQUALITY probes (native-typed values): past the min/max gate they
+    // additionally consult the commit's bloom filter when one was recorded —
+    // the point-lookup tier min/max cannot serve on hash-like columns
+    val eqP = eq.map { case (c, x) => physical(c) -> x }
     val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
       (numP.forall { case (p, (lo, hi)) =>
         c.stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
        strP.forall { case (p, (lo, hi)) =>
-        c.sstats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } }))
+        c.sstats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
+       eqP.forall { case (p, x) => bloomMightContain(spark, location, c, p, x) }))
     // every commit pruned: keep the full-scan plan for its schema — the
     // caller's predicate guarantees zero rows and footer stats make it cheap
     assemble(spark, location, if (kept.isEmpty) live else kept, v)
@@ -2443,8 +2570,14 @@ object VersionedTable {
     * partitions of earlier commits instead ([[assemble]]).
     */
   private def liveCommits(spark: SparkSession, location: String,
+      version: Long): Seq[Commit] =
+    liveCommitsFrom(commits(spark, location), location, version)
+
+  /** [[liveCommits]] over an ALREADY-LISTED commit log — readers that need the
+    * list anyway (to know the head) avoid a second log listing per read.
+    */
+  private def liveCommitsFrom(cs: Seq[Commit], location: String,
       version: Long): Seq[Commit] = {
-    val cs = commits(spark, location)
     require(cs.exists(_.version == version),
       s"version $version does not exist at $location (have ${cs.map(_.version)})")
     val visible = cs.filter(_.version <= version)
@@ -2482,7 +2615,16 @@ object VersionedTable {
       live: Seq[Commit], keepMeta: Boolean, asOf: Long): DataFrame = {
     // `asOf` is the READ's version, passed explicitly — the live set's max
     // version is NOT it for pruned reads (readPruned drops commits from the
-    // head scan; the schema must stay the head's)
+    // head scan; the schema must stay the head's).
+    //
+    // Head reads deliberately do NOT short-circuit to the two current sidecar
+    // FILES: a compound DDL (rename = spec + mapping) updates them as two
+    // separate writes, so a reader between the two would see a TORN schema
+    // (both old and new name at once — DdlRaceSpec catches exactly this). The
+    // single write-once archive is the atomic publication point, so head
+    // reads resolve through it too. Cost at head: one exists for never-DDL
+    // tables; exists + listStatus + cached parse for tables with DDL history
+    // — already metadata-only.
     val (spec, mapping) = sidecarsAsOf(spark, location, asOf)
     withAddedColumnsFrom(spec,
       toLogical(assembleScanPhysical(spark, location, live, keepMeta), mapping))
@@ -2548,7 +2690,8 @@ object VersionedTable {
     */
   private def snapshotWithMeta(spark: SparkSession, location: String,
       version: Long): DataFrame = {
-    val live = liveCommits(spark, location, version)
+    val cs = commits(spark, location)
+    val live = liveCommitsFrom(cs, location, version)
     val scan = assembleScan(spark, location, live, keepMeta = true, version)
     val dvs = live.filter(_.dv_dir.nonEmpty)
     if (dvs.isEmpty) scan else applyDvs(spark, location, scan, dvs)

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
@@ -562,10 +563,12 @@ class GraftSqlTable(tableName: String, val location: String,
   */
 class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long])
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
+  private var countStars: Int = 0 // COUNT(*) pushdown: how many to emit
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
@@ -573,9 +576,55 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = Some(requiredSchema)
+    // after a COUNT(*) push the "required columns" are the agg outputs, not
+    // table columns — the pushed-count scan ignores them (JDBC does the same)
+    if (countStars == 0) required = Some(requiredSchema)
 
-  override def build(): Scan = new V1Scan
+  /** COUNT-FROM-METADATA (Delta parity): an unfiltered, ungrouped
+    * `SELECT count(*) FROM t` never touches a data file — the count is the
+    * log's row_count/replaced_rows subtraction ([[VersionedTable.fastCount]]),
+    * exact under DVs, scoped merges, and time travel, the same at 100 rows or
+    * 100 TB. Only the COMPLETE push is accepted: Spark plans a Project over
+    * this scan's single row, no aggregate exec at all. Any WHERE clause blocks
+    * the push structurally — this builder keeps every filter as post-scan
+    * residual, so a Filter node always sits between the Aggregate and the scan
+    * and Spark never attempts the push; the `pushed.isEmpty` guard is
+    * belt-and-braces.
+    */
+  private def countOnly(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!countOnly(agg)) return false
+    countStars = agg.aggregateExpressions.length
+    true
+  }
+
+  override def build(): Scan =
+    if (countStars > 0) buildCountScan() else buildDataScan()
+
+  private def buildCountScan(): Scan = {
+    val n = countStars
+    val schema = StructType((0 until n).map(i =>
+      org.apache.spark.sql.types.StructField(s"count_star_$i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    new V1Scan {
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          ctx: SQLContext): T = {
+        val cnt = VersionedTable.fastCount(df.sparkSession, location, versionAsOf)
+        val one = df.sparkSession.createDataFrame(
+          java.util.Collections.singletonList(Row.fromSeq(Seq.fill(n)(cnt))), schema)
+        new V1SnapshotScan(ctx, one, schema).asInstanceOf[T]
+      }
+    }
+  }
+
+  private def buildDataScan(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     private val readSchemaV: StructType = required.getOrElse(df.schema)
     override def readSchema(): StructType = readSchemaV
@@ -599,10 +648,19 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
 
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T = {
       val (num, str) = FilterTranslation.ranges(pushed.toSeq, df.schema)
+      // native-typed equality probes additionally consult per-commit bloom
+      // filters (point-lookup skipping on hash-like columns, opt-in via
+      // TBLPROPERTIES 'graft.bloom.columns')
+      val eq = pushed.toSeq.collect {
+        case org.apache.spark.sql.sources.EqualTo(a,
+            v @ (_: java.lang.Long | _: java.lang.Integer |
+                 _: java.lang.Short | _: java.lang.Byte | _: String)) =>
+          a -> (v: Any)
+      }.toMap
       val base =
-        if (num.isEmpty && str.isEmpty) df
+        if (num.isEmpty && str.isEmpty && eq.isEmpty) df
         else VersionedTable.readPrunedConjunction(df.sparkSession, location,
-          versionAsOf, num, str)
+          versionAsOf, num, str, eq)
       val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(base)(_.filter(_))
       // empty projection (COUNT(*) pruning) is a valid zero-column select
       val pruned = filtered.select(readSchemaV.fieldNames.toIndexedSeq.map(col): _*)

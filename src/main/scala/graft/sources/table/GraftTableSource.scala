@@ -324,13 +324,23 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft-table sink is append-only (each micro-batch is one commit); got $outputMode")
     val p = params.map { case (k, v) => k.toLowerCase -> v }
+    val mergeKeys = p.get("mergekeys").toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+    // merge sinks also accept Update — an update-mode aggregation emits exactly
+    // the changed keys per trigger, which upsert-by-key applies correctly
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append() ||
+        (mergeKeys.nonEmpty &&
+          outputMode == org.apache.spark.sql.streaming.OutputMode.Update()),
+      s"graft-table sink accepts Append (and Update with mergeKeys); got $outputMode")
     val partitionBy =
       if (partitionColumns.nonEmpty) partitionColumns
       else p.get("partitionby").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     new GraftTableSink(location(p), partitionBy,
+      mergeKeys = mergeKeys,
+      deleteColumn = p.get("deletecolumn").map(_.trim).filter(_.nonEmpty),
+      sequenceBy = p.get("sequenceby").map(_.trim).filter(_.nonEmpty),
+      changeFeed = p.get("changefeed").exists(_.toBoolean),
       // the writer identity replays dedupe on: stable across restarts of the same
       // query because it rides the checkpoint location. When the checkpoint is set
       // via conf instead of an option it is not visible here — the sink then falls
@@ -346,9 +356,33 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
   * transactional identity [[VersionedTable.idempotentAppend]] dedupes on, so a
   * micro-batch REPLAYED after a crash commits nothing the second time — the same
   * guarantee Delta's streaming sink gets from its transactional writer.
+  *
+  * STREAMING CDC-APPLY (`option("mergeKeys", "id")`): each micro-batch is
+  * applied as a MERGE-ON-READ upsert instead of an append — matched target
+  * rows are deletion-vectored out and the batch's rows land as the commit's
+  * own files, so per-batch cost tracks the CHANGE volume, never the table.
+  * This is the Kafka→lake upsert loop as one `writeStream`, with the Delta
+  * `foreachBatch + MERGE` idiom folded into the sink:
+  *
+  *  - `deleteColumn`: a boolean column marking CDC delete events (the row's
+  *    key is removed from the table; unmatched deletes are no-ops);
+  *  - `sequenceBy`: a per-key event-order column (CDC offset / LSN / ts). The
+  *    sink first compacts the batch to the HIGHEST-sequence event per key —
+  *    a batch-sized window, never a table scan. Sequence TIES on a key are
+  *    REFUSED (the winner would be nondeterministic); without `sequenceBy`,
+  *    batches carrying duplicate keys are refused the same way (the
+  *    merge-on-read contract is key-unique changes);
+  *  - replay dedupe rides [[VersionedTable.idempotentMergeOnRead]] — the same
+  *    `(txnApp, batchId)` identity as append mode, so a crash between the
+  *    merge commit and the offset write cannot re-apply the batch;
+  *  - the FIRST batch against a not-yet-existing table bootstraps it: the
+  *    batch's non-delete rows land as the base commit (deletes against
+  *    nothing are no-ops), then every later batch merges.
   */
 class GraftTableSink(location: String, partitionBy: Seq[String],
-    explicitTxnApp: Option[String])
+    explicitTxnApp: Option[String], mergeKeys: Seq[String] = Nil,
+    deleteColumn: Option[String] = None, sequenceBy: Option[String] = None,
+    changeFeed: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Sink with Logging {
 
   /** The per-query transactional identity. Preference order: the explicit
@@ -370,6 +404,7 @@ class GraftTableSink(location: String, partitionBy: Seq[String],
         ".option(\"checkpointLocation\", ...) on the writeStream."))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (mergeKeys.nonEmpty) return mergeBatch(batchId, data)
     val batch = org.apache.spark.sql.graft.ColumnBridge.asWritableBatch(data)
     // migration guard: conf-checkpointed sinks once fell back to the TABLE
     // LOCATION as their identity. A batch committed under that legacy identity
@@ -388,6 +423,63 @@ class GraftTableSink(location: String, partitionBy: Seq[String],
         partitionBy) match {
       case Some(v) => logInfo(s"batch $batchId committed as version $v at $location")
       case None => logInfo(s"batch $batchId already committed at $location — replay deduped")
+    }
+  }
+
+  /** The CDC-apply path: compact to the last event per key (`sequenceBy`),
+    * refuse nondeterministic batches loudly, bootstrap a fresh table from the
+    * first batch, and merge-on-read every batch after — exactly once.
+    */
+  private def mergeBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.graft.ColumnBridge.asWritableBatch(data)
+    val txnApp = resolveTxnApp(data)
+    val keyCols = mergeKeys.map(col)
+    val compacted = sequenceBy match {
+      case Some(seq) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*).orderBy(col(seq).desc)
+        // rank vs row_number on ONE window: a tie at the top has two rows with
+        // rank 1, so some row has (row_number 2, rank 1) — one batch-sized
+        // pass detects it, and row_number 1 is the winner when there is none
+        val ranked = batch.withColumn("_g_rn", row_number().over(w))
+          .withColumn("_g_rk", rank().over(w))
+        require(ranked.filter(col("_g_rn") === 2 && col("_g_rk") === 1)
+            .isEmpty,
+          s"batch $batchId carries sequence ties on '$seq' for at least one " +
+            s"key — the surviving event would be nondeterministic. Fix the " +
+            "sequence column (CDC offset / LSN) to be unique per key.")
+        ranked.filter(col("_g_rn") === 1).drop("_g_rn", "_g_rk")
+      case None =>
+        require(batch.groupBy(keyCols: _*).count().filter(col("count") > 1)
+            .isEmpty,
+          s"batch $batchId carries duplicate keys on " +
+            s"(${mergeKeys.mkString(", ")}) and no sequenceBy option orders " +
+            "them — merge-on-read requires key-unique changes. Pass " +
+            ".option(\"sequenceBy\", <event-order column>) to keep the last " +
+            "event per key.")
+        batch
+    }
+    if (!VersionedTable.exists(spark, location)) {
+      // bootstrap: the first batch IS the base state; deletes match nothing.
+      // deleteColumn/sequenceBy are CDC METADATA, not payload — they are
+      // dropped here so the table's schema is the payload alone (the merge
+      // path drops them implicitly by selecting the table's columns)
+      val base = sequenceBy.foldLeft(
+        deleteColumn.fold(compacted)(d =>
+          compacted.filter(!coalesce(col(d).cast("boolean"), lit(false)))
+            .drop(d)))((df, s) => df.drop(s))
+      VersionedTable.idempotentAppend(base, location, txnApp, batchId,
+          partitionBy) match {
+        case Some(v) => logInfo(s"batch $batchId bootstrapped $location as version $v")
+        case None => logInfo(s"batch $batchId already committed at $location — replay deduped")
+      }
+      return
+    }
+    VersionedTable.idempotentMergeOnRead(spark, location, compacted, mergeKeys,
+        deleteColumn, txnApp, batchId, changeFeed = changeFeed) match {
+      case Some(v) => logInfo(s"batch $batchId merged as version $v at $location")
+      case None => logInfo(s"batch $batchId already merged at $location — replay deduped")
     }
   }
 }

@@ -41,7 +41,11 @@ class SkippingPropertySpec extends AnyFunSuite with SharedSpark {
       val rnd = new Random(4100 + trial)
       val tbl = s"gsp.t.sk$trial"
       val loc = s"$wh/t/sk$trial"
-      spark.sql(s"CREATE TABLE $tbl (id BIGINT, src STRING, v DOUBLE)")
+      // half the trials opt into bloom skipping — equality probes then
+      // exercise the bloom tier under the same differential contract
+      val bloomProps = if (trial % 2 == 0)
+        " TBLPROPERTIES ('graft.bloom.columns' = 'id,src')" else ""
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, src STRING, v DOUBLE)$bloomProps")
       val tags = Seq("alpha", "bravo", "carol", "delta")
       val nCommits = 3 + rnd.nextInt(4)
       (0 until nCommits).foreach { _ =>
@@ -60,14 +64,15 @@ class SkippingPropertySpec extends AnyFunSuite with SharedSpark {
         rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
 
       (1 to 4).foreach { _ =>
-        val predicate = rnd.nextInt(3) match {
+        val predicate = rnd.nextInt(4) match {
           case 0 =>
             val lo = rnd.nextInt(1100); val hi = lo + rnd.nextInt(500)
             s"id BETWEEN $lo AND $hi"
           case 1 => s"src = '${tags(rnd.nextInt(tags.length))}'"
-          case _ =>
+          case 2 =>
             val lo = rnd.nextInt(1100)
             s"id >= $lo AND src <= '${tags(rnd.nextInt(tags.length))}'"
+          case _ => s"id = ${rnd.nextInt(1100)}" // bloom tier (when opted in)
         }
         val sql = s"SELECT id, src, v FROM $tbl WHERE $predicate"
         val full = scannedFiles(s"SELECT id, src, v FROM $tbl")
