@@ -1721,6 +1721,28 @@ object SparkEntry {
     vt.read(s, loc).orderBy("doc_id")
   }
 
+  /** TYPE WIDENING gate: an INT column widened to BIGINT as metadata — the
+    * pre-widen commit's int files and a post-widen append carrying values past
+    * Int.MaxValue read back as ONE BIGINT column, no file rewritten. A read
+    * that lost the cast, dropped a branch in the widened union, or let the
+    * narrow files truncate would diverge from the oracle's stated values.
+    */
+  private def qWidenColumn(s: SparkSession, dir: String): DataFrame = {
+    val vt = graft.catalog.VersionedTable
+    val loc =
+      s"${System.getProperty("java.io.tmpdir")}/graft_widen_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = docs(s, dir)
+    vt.write(d.filter(col("doc_id") < 300)
+      .select(col("doc_id").cast("int").as("n"), col("lang")), loc, "overwrite")
+    vt.widenColumn(s, loc, "n", "BIGINT")
+    vt.write(d.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      .select((col("doc_id") + 3000000000L).as("n"), col("lang")), loc, "append")
+    vt.read(s, loc).orderBy("n")
+  }
+
   private def qRenameColumn(s: SparkSession, dir: String): DataFrame = {
     val vt = graft.catalog.VersionedTable
     val loc =
@@ -1976,6 +1998,7 @@ object SparkEntry {
     "q_scoped_compact" -> qScopedCompact,
     "q_replace_partition" -> qReplacePartition,
     "q_add_column" -> qAddColumn,
+    "q_widen_column" -> qWidenColumn,
     "q_curation_pipeline" -> qCurationPipeline)
 
   // ---- oracle SQL -------------------------------------------------------------------
@@ -3637,6 +3660,15 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars / 1000.0 AS score FROM documents
         |WHERE doc_id >= 300 AND doc_id < 500
         |ORDER BY doc_id""".stripMargin,
+    // type widening: int-file rows surface as BIGINT, the post-widen append
+    // carries values no INT can hold
+    "q_widen_column" ->
+      """SELECT CAST(doc_id AS BIGINT) AS n, lang FROM documents
+        |WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id + 3000000000 AS n, lang FROM documents
+        |WHERE doc_id >= 300 AND doc_id < 500
+        |ORDER BY n""".stripMargin,
     // dynamic partition overwrite: untouched partitions from the base, the
     // replaced 'en' partition from the new batch — stated directly
     "q_replace_partition" ->

@@ -778,6 +778,95 @@ object VersionedTable {
       else d.withColumn(n, lit(null).cast(t))
     }
 
+  /** Keys of declared TYPE WIDENINGS ([[widenColumn]]): `widen.<physicalName>`
+    * → Spark DDL type in force for reads and all future writes.
+    */
+  private val WidenPrefix = "widen."
+
+  /** The value-preserving widening lattice — exactly the conversions whose
+    * value sets nest, so no stored value can change meaning. Everything else
+    * (narrowing, numeric↔string, int→float precision loss) is refused.
+    */
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN ... TYPE — TYPE WIDENING as metadata (Delta type-widening
+    * parity): no file is rewritten. The declaration lands in the spec sidecar
+    * (`widen.<physical>`, DDL-archived for schema time travel: as-of reads
+    * before the DDL still surface the narrow type); reads cast the assembled
+    * snapshot to the wide type, and every future write casts its batch before
+    * files land, so post-widen files are uniformly wide. Only the
+    * value-preserving lattice is allowed ([[canWiden]]); partition columns
+    * (directory-name-derived types) and the identity column are refused.
+    *
+    * Read-plan cost, stated honestly: while a widen declaration exists, the
+    * multi-commit scan assembles as a per-commit UNION (whose analyzer
+    * coercion reconciles narrow and wide files) instead of one multi-path
+    * parquet scan — filters still push into every branch. A [[compact]]
+    * rewrites the live set at the wide type; the union shape persists until
+    * then. Commit min/max stats are type-agnostic doubles and blooms hash
+    * integral values as longs, so data skipping is unaffected.
+    */
+  def widenColumn(spark: SparkSession, location: String, name: String,
+      typeDdl: String): Unit = {
+    val target = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val field = read(spark, location).schema.fields
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$name' does not exist at $location"))
+    if (field.dataType == target) return // idempotent
+    require(canWiden(field.dataType, target),
+      s"cannot change '$name' from ${field.dataType.sql} to ${target.sql} — " +
+        "only value-preserving widenings are supported (TINYINT→SMALLINT→INT→" +
+        "BIGINT, FLOAT→DOUBLE)")
+    val partCols = (commits(spark, location).flatMap(_.partition_by.split(","))
+      ++ declaredPartitioning(spark, location))
+      .filter(_.nonEmpty).map(_.toLowerCase).toSet
+    require(!partCols.contains(name.toLowerCase),
+      s"'$name' is a partition column at $location — its type derives from " +
+        "directory names and cannot be widened")
+    identitySpec(spark, location).foreach(id =>
+      require(!id.name.equalsIgnoreCase(name),
+        s"'$name' is the identity column at $location — identity assignment " +
+          "owns its type"))
+    addedColKey(spark, location, name) match {
+      case Some(k) if !materializedInFiles(spark, location, name) =>
+        // registry-only added column: its declared type IS the registry entry
+        updateTableSpec(spark, location)(_ + (k -> typeDdl))
+      case _ =>
+        val physical = columnMapping(spark, location).collectFirst {
+          case (p, l) if l.equalsIgnoreCase(name) => p
+        }.getOrElse(name)
+        updateTableSpec(spark, location)(_ + (s"$WidenPrefix$physical" -> typeDdl))
+    }
+  }
+
+  /** Widenings in force under `spec`, keyed by PHYSICAL column name. */
+  private def wideningsIn(spec: Map[String, String])
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    spec.collect { case (k, ddl) if k.startsWith(WidenPrefix) =>
+      k.stripPrefix(WidenPrefix) ->
+        org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    }
+
+  /** Cast a LOGICAL-named snapshot to its declared wide types. */
+  private def withWideningFrom(spec: Map[String, String],
+      mapping: Map[String, String], df: DataFrame): DataFrame =
+    wideningsIn(spec).foldLeft(df) { case (d, (phys, t)) =>
+      val logical = mapping.getOrElse(phys, phys)
+      if (logical.isEmpty || !d.columns.exists(_.equalsIgnoreCase(logical))) d
+      else d.withColumn(logical, col(logical).cast(t))
+    }
+
   /** The added-spec entry for `name`, if the column is spec-registered. */
   private def addedColKey(spark: SparkSession, location: String,
       name: String): Option[String] =
@@ -803,7 +892,8 @@ object VersionedTable {
       val hasData = live.exists(c =>
         !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
       hasData &&
-        toLogical(assembleScanPhysical(spark, location, live, keepMeta = false),
+        toLogical(assembleScanPhysical(spark, location, live, keepMeta = false,
+          widened = tableSpec(spark, location).keys.exists(_.startsWith(WidenPrefix))),
           columnMapping(spark, location)).columns.exists(_.equalsIgnoreCase(name))
     }
   }
@@ -2194,9 +2284,16 @@ object VersionedTable {
       .filter(_.nonEmpty).map(_.toLowerCase).toSet
     val existing = assemble(spark, location, live, cs.last.version).schema
     val byName = existing.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // a declared widening accepts appends at ANY narrower lattice type — the
+    // staged write casts them wide before files land ([[stageData]])
+    val mapping = columnMapping(spark, location)
+    val widened = wideningsIn(tableSpec(spark, location))
+      .map { case (p, t) => mapping.getOrElse(p, p).toLowerCase -> t }
     df.schema.fields.filterNot(f => partCols.contains(f.name.toLowerCase)).foreach { f =>
       byName.get(f.name.toLowerCase).foreach { t =>
-        require(t == f.dataType,
+        require(t == f.dataType ||
+            (widened.get(f.name.toLowerCase).contains(t) &&
+              canWiden(f.dataType, t)),
           s"append schema mismatch on '${f.name}': table has $t, append has " +
             s"${f.dataType} — appends may add columns but never change a type")
       }
@@ -2240,8 +2337,15 @@ object VersionedTable {
     // the guard speaks LOGICAL names (constraints/generated are declared
     // logically); the files and their stats land under PHYSICAL names so every
     // live file agrees regardless of renames since
-    val df = toPhysical(withCheckGuard(df1, location, allChecks),
+    val physicalDf = toPhysical(withCheckGuard(df1, location, allChecks),
       columnMapping(df0.sparkSession, location))
+    // declared widenings cast BEFORE files land: post-widen commits are
+    // uniformly wide, so the per-commit union only reconciles pre-widen files
+    val df = wideningsIn(tableSpec(df0.sparkSession, location))
+      .foldLeft(physicalDf) { case (d, (p, t)) =>
+        if (!d.columns.exists(_.equalsIgnoreCase(p))) d
+        else d.withColumn(p, col(p).cast(t))
+      }
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val statCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -2626,12 +2730,13 @@ object VersionedTable {
     // tables; exists + listStatus + cached parse for tables with DDL history
     // — already metadata-only.
     val (spec, mapping) = sidecarsAsOf(spark, location, asOf)
-    withAddedColumnsFrom(spec,
-      toLogical(assembleScanPhysical(spark, location, live, keepMeta), mapping))
+    withWideningFrom(spec, mapping, withAddedColumnsFrom(spec,
+      toLogical(assembleScanPhysical(spark, location, live, keepMeta,
+        widened = spec.keys.exists(_.startsWith(WidenPrefix))), mapping)))
   }
 
   private def assembleScanPhysical(spark: SparkSession, location: String,
-      live: Seq[Commit], keepMeta: Boolean): DataFrame = {
+      live: Seq[Commit], keepMeta: Boolean, widened: Boolean = false): DataFrame = {
     // pure-delete commits carry no data of their own
     val scans = live.filter(c =>
       !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
@@ -2639,7 +2744,7 @@ object VersionedTable {
       if (!keepMeta) df
       else df.withColumn(DvFileCol, col("_metadata.file_path"))
         .withColumn(DvPosCol, col("_metadata.row_index"))
-    if (scans.forall(_.partition_by.isEmpty))
+    if (scans.forall(_.partition_by.isEmpty) && !widened)
       // one multi-path parquet scan — not a union of per-version DataFrames.
       // mergeSchema gives appends Delta-style additive schema evolution: a commit
       // that added columns widens the read schema, older commits surface nulls.

@@ -286,11 +286,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           _ + (s"prop.${c.property}" -> c.value))
       case c: TableChange.RemoveProperty =>
         VersionedTable.updateTableSpec(spark, loc)(_ - s"prop.${c.property}")
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames.length == 1,
+          "nested column type change is not supported")
+        VersionedTable.widenColumn(spark, loc, c.fieldNames.head,
+          c.newDataType.sql)
       case c => throw ColumnBridge.analysisError(
         s"${fullName(ident)}: unsupported ALTER TABLE change $c — the SQL surface " +
-          "covers ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT, and SET/UNSET " +
-          "TBLPROPERTIES (metadata-only); use the Scala API for generated " +
-          "columns and maintenance operations")
+          "covers ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE (widening), " +
+          "ADD/DROP CONSTRAINT, and SET/UNSET TBLPROPERTIES (metadata-only); " +
+          "use the Scala API for generated columns and maintenance operations")
     }
     loadTable(ident)
   }
