@@ -781,6 +781,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** URL curation gate ([[graft.ops.UrlOps]]): deterministic per-doc URLs over
+    * five hosts; domain extraction must strip scheme/port/path, and the
+    * blocklist must drop exact AND subdomain matches (`x.ads.example.com`
+    * falls to `ads.example.com`) while `ok.example.com` — a SIBLING under the
+    * same parent — survives, proving suffix matching is label-precise, not a
+    * substring test. The oracle states the surviving rows and domains.
+    */
+  private def qUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val host = when(col("doc_id") % 5 === 0, lit("ads.example.com"))
+      .when(col("doc_id") % 5 === 1, lit("x.ads.example.com"))
+      .when(col("doc_id") % 5 === 2, lit("ok.example.com"))
+      .when(col("doc_id") % 5 === 3, lit("tracker.net"))
+      .otherwise(lit("good.org"))
+    val urls = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://"), host, lit(":8080/p/"),
+        col("doc_id").cast("string")).as("url"))
+    val blocklist = Seq("ads.example.com", "tracker.net").toDF("domain")
+    graft.ops.UrlOps.filterBlockedDomains(
+      graft.ops.UrlOps.extractDomain(urls), blocklist)
+      .orderBy("doc_id")
+  }
+
   /** Quality-weighted sampling: each document survives with probability equal to
     * its composite quality score — better documents oversampled, junk culled, all
     * decided by the deterministic md5 bucket (score steps are exact quarters, so
@@ -1944,6 +1967,7 @@ object SparkEntry {
     "q_weighted_sample" -> qWeightedSample,
     "q_normalize_text" -> qNormalizeText,
     "q_pii_redact" -> qPiiRedact,
+    "q_url_filter" -> qUrlFilter,
     "q_balanced_sample" -> qBalancedSample,
     "q_source_caps" -> qSourceCaps,
     "q_shards" -> qShards,
@@ -2850,6 +2874,18 @@ object SparkEntry {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
         |    AS text_redacted
         |FROM synth ORDER BY doc_id""".stripMargin,
+    // URL curation: blocked = exact or subdomain of a blocklist entry; the
+    // sibling ok.example.com and good.org survive, domains port/path-stripped
+    "q_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 'ads.example.com'
+        |      WHEN 1 THEN 'x.ads.example.com' WHEN 2 THEN 'ok.example.com'
+        |      WHEN 3 THEN 'tracker.net' ELSE 'good.org' END AS host
+        |  FROM documents)
+        |SELECT doc_id, 'https://' || host || ':8080/p/' || doc_id AS url,
+        |  host AS domain
+        |FROM u WHERE doc_id % 5 IN (2, 4) ORDER BY doc_id""".stripMargin,
     // class balancing: fractions = min group count / group count, same cut replay
     "q_balanced_sample" ->
       s"""WITH c AS (
