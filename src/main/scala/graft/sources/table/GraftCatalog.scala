@@ -667,8 +667,14 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
         else VersionedTable.readPrunedConjunction(df.sparkSession, location,
           versionAsOf, num, str, eq)
       val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(base)(_.filter(_))
+      // generated-column derived pruning: a range on ts also bounds a declared
+      // monotone `day = CAST(ts AS DATE)` partition column — the extra
+      // predicate is implied (write-validated generation), and hive partition
+      // pruning then drops whole directories the ts filter alone never could
+      val derived = DerivedPruning.predicates(df.sparkSession, location,
+        pushed.toSeq).foldLeft(filtered)(_.filter(_))
       // empty projection (COUNT(*) pruning) is a valid zero-column select
-      val pruned = filtered.select(readSchemaV.fieldNames.toIndexedSeq.map(col): _*)
+      val pruned = derived.select(readSchemaV.fieldNames.toIndexedSeq.map(col): _*)
       new V1SnapshotScan(ctx, pruned, readSchemaV).asInstanceOf[T]
     }
   }
@@ -681,9 +687,18 @@ private[graft] class V1SnapshotScan(ctx: SQLContext, df: DataFrame,
 
   /** The data files the wrapped snapshot plan would read — how a test asserts
     * commit-level skipping shrank a pure-SQL scan (the V1 bridge hides the
-    * inner parquet relations from `Dataset.inputFiles`).
+    * inner parquet relations from `Dataset.inputFiles`). NOTE: this is the
+    * file INDEX, before runtime partition pruning — hive partition pruning
+    * shows in [[innerExecutedPlan]]'s `PartitionFilters`, not here.
     */
   private[graft] def inputFiles: Array[String] = df.inputFiles
+
+  /** The wrapped snapshot plan as physically executed — where tests assert
+    * partition-pruning predicates (incl. generated-column derived ones)
+    * actually reached the file scans.
+    */
+  private[graft] def innerExecutedPlan: String =
+    df.queryExecution.executedPlan.toString
 }
 
 /** INSERT INTO → append commit; INSERT OVERWRITE → overwrite commit (Spark signals

@@ -241,3 +241,91 @@ private[table] object FilterTranslation {
     case _ => None
   }
 }
+
+/** DERIVED PARTITION PRUNING from generated columns (Delta parity): a table
+  * partitioned by a declared `day = CAST(ts AS DATE)` never sees its
+  * partitions pruned by a plain `WHERE ts BETWEEN ...` — the filter names the
+  * SOURCE column, not the partition column. Because generated values are
+  * write-validated against their expression (the staged pass refuses a batch
+  * where `g <=> expr` fails), a range on the source column IMPLIES a range on
+  * any MONOTONE generated transform of it, so an extra `g BETWEEN f(lo),
+  * f(hi)` predicate is semantics-free and lets hive partition pruning drop
+  * whole directories before a file is listed. Recognized shapes — exactly the
+  * monotone date derivations a partition column is declared with:
+  * `CAST(src AS DATE)`, `to_date(src)`, `date_trunc('<unit>', src)`. The
+  * non-monotone ones (`month(src)`, `src % n`) are deliberately NOT derived.
+  */
+private[table] object DerivedPruning {
+
+  private val CastDate =
+    "(?i)^\\s*CAST\\s*\\(\\s*`?([A-Za-z0-9_]+)`?\\s+AS\\s+DATE\\s*\\)\\s*$".r
+  private val ToDate =
+    "(?i)^\\s*to_date\\s*\\(\\s*`?([A-Za-z0-9_]+)`?\\s*\\)\\s*$".r
+  private val DateTrunc =
+    "(?i)^\\s*date_trunc\\s*\\(\\s*'([A-Za-z]+)'\\s*,\\s*`?([A-Za-z0-9_]+)`?\\s*\\)\\s*$".r
+
+  /** Extra predicates implied by the pushed filters and the table's declared
+    * generated columns; empty when nothing derivable. Bounds are taken from
+    * equality/comparison shapes over timestamp-valued literals; strict bounds
+    * relax to inclusive (monotone transforms preserve ≤, which is all
+    * partition pruning needs).
+    */
+  def predicates(spark: org.apache.spark.sql.SparkSession, location: String,
+      filters: Seq[Filter]): Seq[org.apache.spark.sql.Column] = {
+    val gen = VersionedTable.generatedColumns(spark, location)
+    if (gen.isEmpty) return Nil
+    // (source column → transform of a literal Column) per recognized shape
+    val derivations: Seq[(String, String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+      gen.toSeq.flatMap { case (g, sql) =>
+        sql match {
+          case CastDate(src) => Some((g, src.toLowerCase,
+            (c: org.apache.spark.sql.Column) => c.cast("date")))
+          case ToDate(src) => Some((g, src.toLowerCase,
+            (c: org.apache.spark.sql.Column) => to_date(c)))
+          case DateTrunc(unit, src) => Some((g, src.toLowerCase,
+            (c: org.apache.spark.sql.Column) => date_trunc(unit, c)))
+          case _ => None
+        }
+      }
+    if (derivations.isEmpty) return Nil
+    // timestamp-valued [lo, hi] bounds per filtered column
+    def tsLit(v: Any): Option[org.apache.spark.sql.Column] = v match {
+      case t: java.sql.Timestamp => Some(lit(t))
+      case i: java.time.Instant => Some(lit(i))
+      case d: java.sql.Date => Some(lit(d).cast("timestamp"))
+      case d: java.time.LocalDate => Some(lit(d).cast("timestamp"))
+      case _ => None
+    }
+    val lows = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.Column]
+    val highs = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.Column]
+    def noteLo(a: String, v: Any): Unit =
+      tsLit(v).foreach { c =>
+        // intersecting bounds: greatest of the lows
+        lows(a.toLowerCase) =
+          lows.get(a.toLowerCase).map(greatest(_, c)).getOrElse(c)
+      }
+    def noteHi(a: String, v: Any): Unit =
+      tsLit(v).foreach { c =>
+        highs(a.toLowerCase) =
+          highs.get(a.toLowerCase).map(least(_, c)).getOrElse(c)
+      }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(a, v) if v != null => noteLo(a, v); noteHi(a, v)
+      case EqualNullSafe(a, v) if v != null => noteLo(a, v); noteHi(a, v)
+      case GreaterThan(a, v) if v != null => noteLo(a, v)
+      case GreaterThanOrEqual(a, v) if v != null => noteLo(a, v)
+      case LessThan(a, v) if v != null => noteHi(a, v)
+      case LessThanOrEqual(a, v) if v != null => noteHi(a, v)
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    derivations.flatMap { case (g, src, derive) =>
+      val parts = lows.get(src).map(c => col(g) >= derive(c)).toSeq ++
+        highs.get(src).map(c => col(g) <= derive(c))
+      parts.reduceOption(_ && _)
+    }
+  }
+}

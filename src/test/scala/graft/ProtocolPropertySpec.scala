@@ -245,6 +245,47 @@ class ProtocolPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("replay twins: racing idempotentMergeOnRead calls with one (txnApp, batchId) commit once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    (1 to 3).foreach { round =>
+      val loc = Files.createTempDirectory(s"proto_twin_$round").toString + "/t"
+      VersionedTable.write((0L until 50L).map(_ -> 0).toDF("id", "value"),
+        loc, "overwrite")
+      val change = (0L until 10L).map(id => (id, 7))
+      // four replay twins of the SAME micro-batch (a crashed sink restarted
+      // more than once): exactly one merge commit may land
+      val results = Await.result(Future.sequence((1 to 4).map(_ => Future {
+        VersionedTable.idempotentMergeOnRead(spark, loc,
+          change.toDF("id", "value"), Seq("id"),
+          txnApp = "twin-app", txnId = 42L, maxAttempts = 20)
+      })), 10.minutes)
+      assert(results.flatten.size === 1,
+        s"round $round: ${results.mkString(",")} — exactly one twin commits")
+      val cs = VersionedTable.commits(spark, loc)
+      assert(cs.count(c => c.txn_app == "twin-app" && c.txn_id == 42L) === 1)
+      assert(cs.length === 2, s"round $round: ${cs.map(_.operation)}")
+      // applied exactly once
+      val got = VersionedTable.read(spark, loc).select("id", "value")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === (0L until 50L).map(id => id -> (if (id < 10) 7 else 0)).toMap)
+      // losers cleaned their staged dirs: everything under _data is referenced
+      val referenced = cs.flatMap(c =>
+        Seq(c.data_dir, c.dv_dir, c.change_dir).filter(_.nonEmpty)).toSet
+      val onDisk = Option(new java.io.File(s"$loc/_data").listFiles()).toSeq
+        .flatten.filter(_.isDirectory).map(_.getName).toSet
+      assert(onDisk === referenced,
+        s"round $round: orphan staged dirs ${onDisk -- referenced}")
+      // a later replay of the same batch is a no-op too
+      assert(VersionedTable.idempotentMergeOnRead(spark, loc,
+        change.toDF("id", "value"), Seq("id"),
+        txnApp = "twin-app", txnId = 42L).isEmpty)
+    }
+  }
+
   /** Scoped replaces racing merge-on-read and appends on a partitioned table:
     * the replace shadows one partition wholesale while a concurrent
     * merge-on-read rewrites rows of another and an append lands a third —
