@@ -1892,6 +1892,28 @@ object SparkEntry {
     }.reduce(_.unionAll(_)).orderBy("table_name")
   }
 
+  /** COUNT(col)-from-metadata gate: a catalog table whose `lang3` column is
+    * NULL for every third doc; both `count(*)` and `count(lang3)` are then
+    * answered from the commit log's row/null counts alone (complete DSv2
+    * aggregate pushdown, [[graft.catalog.VersionedTable.fastCountCol]] — the
+    * plan shape is asserted in CountPushdownSpec; this gate pins the VALUES
+    * against the oracle's real aggregation).
+    */
+  private def qCountCols(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.cnt")
+    docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")).as("lang3"))
+      .createOrReplaceTempView("cntcols_docs")
+    s.sql("CREATE TABLE gsqlc.contract.cnt AS SELECT * FROM cntcols_docs")
+    s.sql("SELECT count(*) AS n_all, count(lang3) AS n_lang " +
+      "FROM gsqlc.contract.cnt")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_daily_sales" -> qDailySales(distinct = false),
@@ -1902,6 +1924,7 @@ object SparkEntry {
     "q_cdc_flatten" -> qCdcFlatten,
     "q_dq_report" -> qDqReport,
     "q_table_counts" -> qTableCounts,
+    "q_count_cols" -> qCountCols,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_partitioned_roundtrip" -> qJsonPartitionedRoundtrip,
     "q_avro_cdc_roundtrip" -> qAvroCdcRoundtrip,
@@ -3411,6 +3434,12 @@ object SparkEntry {
       Seq("customer", "documents", "embeddings", "events", "lineitem", "orders")
         .map(n => s"SELECT '$n' AS table_name, COUNT(*) AS row_count FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY table_name"),
+    // count-from-metadata: count(*) and count(col) answered from the commit
+    // log's row/null counts (lang3 = lang NULLed on every third doc)
+    "q_count_cols" ->
+      """SELECT count(*) AS n_all,
+        |  count(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END) AS n_lang
+        |FROM documents""".stripMargin,
     // time travel: version 0 was documents(<100); the as-of read must recover it
     "q_time_travel" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id",

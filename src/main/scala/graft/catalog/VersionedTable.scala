@@ -79,7 +79,11 @@ object VersionedTable {
       replaced_rows: Long = 0L, dv_dir: String = "",
       // string-column min/max (ASCII-safe values only — see stageData); absent
       // in pre-existing logs, which parse to empty = prune nothing
-      sstats: Map[String, (String, String)] = Map.empty) {
+      sstats: Map[String, (String, String)] = Map.empty,
+      // per-column NULL counts over this commit's own rows (Delta nullCount
+      // parity): 0 is recorded explicitly (it licenses IS NULL pruning);
+      // absent in pre-existing logs = unknown = prune nothing
+      nulls: Map[String, Long] = Map.empty) {
     /** Parsed `replace_where`: one `Seq[(partitionCol, value)]` per touched partition. */
     def replacedPartitions: Seq[Seq[(String, String)]] =
       if (replace_where.isEmpty) Seq.empty
@@ -135,14 +139,14 @@ object VersionedTable {
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
     if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
-    val (dataDir, rows, stats, sstats) =
+    val (dataDir, rows, stats, sstats, nulls) =
       stageData(df, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
       if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy,
-          stats, sstats = sstats))
+          stats, sstats = sstats, nulls = nulls))
         committed = v
       else {
         attempt += 1
@@ -1258,7 +1262,7 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (operation == "append") enforceAppendSchema(spark, location, batch, partitionBy)
-    val (dataDir, rows, stats, sstats) =
+    val (dataDir, rows, stats, sstats, nulls) =
       stageData(batch, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
@@ -1281,7 +1285,7 @@ object VersionedTable {
       }
       val v = newest + 1
       if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats,
-          txnApp, txnId, sstats = sstats)) committed = v
+          txnApp, txnId, sstats = sstats, nulls = nulls)) committed = v
       else {
         attempt += 1
         if (attempt >= MaxClaimAttempts) {
@@ -1324,10 +1328,11 @@ object VersionedTable {
         else if (numFiles > 0) current.repartition(numFiles)
         else current
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val (dataDir, rows, stats, sstats) =
+      val (dataDir, rows, stats, sstats, nulls) =
         stageData(clustered, location, partitioning)
       if (claimCommit(fs, location, latest.version + 1, "compact", rows, dataDir,
-          partitioning, stats, sstats = sstats)) done = latest.version + 1
+          partitioning, stats, sstats = sstats, nulls = nulls))
+        done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         attempt += 1
@@ -1440,10 +1445,11 @@ object VersionedTable {
       // a version that predates addConstraint must not put rows live that the
       // table currently advertises as impossible. The check is fused into the
       // copy-on-restore scan, so it costs no extra pass.
-      val (dataDir, rows, stats, sstats) =
+      val (dataDir, rows, stats, sstats, nulls) =
         stageData(snap, location, partitioning, constraints(spark, location))
       if (claimCommit(fs, location, latest.version + 1, "restore", rows, dataDir,
-          partitioning, stats, sstats = sstats)) done = latest.version + 1
+          partitioning, stats, sstats = sstats, nulls = nulls))
+        done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         attempt += 1
@@ -1607,16 +1613,17 @@ object VersionedTable {
         else {
           val merged = observed.join(changedKeys, keys, "left_anti")
             .unionByName(upserts.select(observed.columns.map(col): _*))
-          val (d, r, st, ss) = stageData(merged, location, partitioning, checks)
-          (d, r, st, ss, "")
+          val (d, r, st, ss, nu) = stageData(merged, location, partitioning, checks)
+          (d, r, st, ss, nu, "")
         }
-      val (dataDir, rows, stats, sstats, changeDir) = staged
+      val (dataDir, rows, stats, sstats, nulls, changeDir) = staged
       val replaceWhere = scope.map(_._2).getOrElse("")
       val replacedRows = scope.map(_ => obs.get.get("rows").asInstanceOf[Long])
         .getOrElse(0L)
       if (claimCommit(fs, location, latest.version + 1, "merge", rows, dataDir,
           partitioning, stats, changeDir = changeDir, replaceWhere = replaceWhere,
-          replacedRows = replacedRows, sstats = sstats)) done = latest.version + 1
+          replacedRows = replacedRows, sstats = sstats, nulls = nulls))
+        done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
         if (changeDir.nonEmpty)
@@ -1706,7 +1713,7 @@ object VersionedTable {
       try {
         val upserts = tagged.filter(!col("_g_del"))
           .select(dataCols.map(col): _*)
-        val (dataDir, rows, stats, sstats) = stageData(upserts, location,
+        val (dataDir, rows, stats, sstats, nulls) = stageData(upserts, location,
           partitioning, constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
         val obs = Observation(s"vt_dv_$dvDir")
@@ -1738,7 +1745,8 @@ object VersionedTable {
         if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
             partitioning, stats, txnApp = txn.map(_._1).getOrElse(""),
             txnId = txn.map(_._2).getOrElse(-1L), changeDir = changeDir,
-            replacedRows = matchedRows, dvDir = dvDir, sstats = sstats))
+            replacedRows = matchedRows, dvDir = dvDir, sstats = sstats,
+            nulls = nulls))
           done = latest.version + 1
         else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -1869,8 +1877,8 @@ object VersionedTable {
       // the retired row count, observed from a partition-pruned scan of the
       // replaced slice only — fastCount stays exact and metadata-only
       val replaced = readAsOf(spark, location, latest.version).filter(pred).count()
-      val (dataDir0, rows, stats, sstats) = stageData(df, location, partitioning,
-        constraints(spark, location) ++ boundsCheck)
+      val (dataDir0, rows, stats, sstats, nulls) = stageData(df, location,
+        partitioning, constraints(spark, location) ++ boundsCheck)
       // a zero-row batch (explicit set clearing partitions) lays out NO files —
       // commit with an empty data dir, the pure-delete convention, so readers
       // never point a parquet scan at a file-less directory
@@ -1880,7 +1888,7 @@ object VersionedTable {
       } else dataDir0
       if (claimCommit(fs, location, latest.version + 1, "replace", rows, dataDir,
           partitioning, stats, replaceWhere = spec, replacedRows = replaced,
-          sstats = sstats))
+          sstats = sstats, nulls = nulls))
         done = latest.version + 1
       else {
         // dataDir0, not dataDir: the zero-row case already blanked dataDir and
@@ -1936,7 +1944,7 @@ object VersionedTable {
       keys: Seq[String], deleteCol: Option[String], location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
       : (String, Long, Map[String, (Double, Double)],
-         Map[String, (String, String)], String) = {
+         Map[String, (String, String)], Map[String, Long], String) = {
     val cols = current.columns.toSeq
     val tagged = deleteCol match {
       case Some(d) => changes
@@ -1970,12 +1978,12 @@ object VersionedTable {
       val merged = cases
         .filter(col("_change_type").isin("unchanged", "insert", "update_postimage"))
         .select(cols.map(col): _*)
-      val (dataDir, rows, stats, sstats) =
+      val (dataDir, rows, stats, sstats, nulls) =
         stageData(merged, location, partitionBy, checks)
       val feed = cases.filter(col("_change_type") =!= "unchanged")
       val changeDir = s"c-${java.util.UUID.randomUUID()}"
       feed.write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
-      (dataDir, rows, stats, sstats, changeDir)
+      (dataDir, rows, stats, sstats, nulls, changeDir)
     } finally cases.unpersist()
   }
 
@@ -2090,7 +2098,7 @@ object VersionedTable {
         val gen = generatedColumns(spark, location)
         val updated = gen.keys.filterNot(assignments.contains)
           .foldLeft(updated0)((d, g) => d.drop(g))
-        val (dataDir, rows, stats, sstats) = stageData(updated, location,
+        val (dataDir, rows, stats, sstats, nulls) = stageData(updated, location,
           partitioning, constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
         val obs = Observation(s"vt_dv_$dvDir")
@@ -2110,7 +2118,8 @@ object VersionedTable {
         val updatedRows = obs.get("rows").asInstanceOf[Long]
         if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
             partitioning, stats, changeDir = changeDir,
-            replacedRows = updatedRows, dvDir = dvDir, sstats = sstats))
+            replacedRows = updatedRows, dvDir = dvDir, sstats = sstats,
+            nulls = nulls))
           done = latest.version + 1
         else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -2327,7 +2336,8 @@ object VersionedTable {
 
   private def stageData(df0: DataFrame, location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
-      : (String, Long, Map[String, (Double, Double)], Map[String, (String, String)]) = {
+      : (String, Long, Map[String, (Double, Double)],
+         Map[String, (String, String)], Map[String, Long]) = {
     // generated columns ride the same staged pass: absent ones are computed
     // (so partitionBy on a generated column just works), present ones add a
     // null-safe-equality validation to the fused check guard
@@ -2341,11 +2351,29 @@ object VersionedTable {
       columnMapping(df0.sparkSession, location))
     // declared widenings cast BEFORE files land: post-widen commits are
     // uniformly wide, so the per-commit union only reconciles pre-widen files
-    val df = wideningsIn(tableSpec(df0.sparkSession, location))
+    val widenedDf = wideningsIn(tableSpec(df0.sparkSession, location))
       .foldLeft(physicalDf) { case (d, (p, t)) =>
         if (!d.columns.exists(_.equalsIgnoreCase(p))) d
         else d.withColumn(p, col(p).cast(t))
       }
+    // DECLARATIVE WRITE CLUSTERING (liquid-clustering-lite): tables declaring
+    // `TBLPROPERTIES ('graft.cluster.by' = 'col,...')` get every unpartitioned
+    // batch range-repartitioned + sorted on those columns before files land,
+    // so per-file min/max ranges are TIGHT and the filestats/bloom tiers
+    // actually prune — no caller-side ORDER BY needed. Cost: one range
+    // exchange of the batch (sampled bounds), the price Delta's clustered
+    // writes pay too. Declared names are logical; files land physical.
+    val clusterBy = tableSpec(df0.sparkSession, location)
+      .get("prop.graft.cluster.by").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(l => columnMapping(df0.sparkSession, location).collectFirst {
+        case (p, log) if log.equalsIgnoreCase(l) => p
+      }.getOrElse(l))
+      .filter(p => widenedDf.columns.exists(_.equalsIgnoreCase(p)))
+    val df =
+      if (clusterBy.isEmpty || partitionBy.nonEmpty) widenedDf
+      else widenedDf.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val statCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -2364,7 +2392,10 @@ object VersionedTable {
         max(col(c)).cast("double").as(s"mx_$c"))) ++
       strCols.flatMap(c => Seq(
         min(col(c)).as(s"smn_$c"),
-        max(col(c)).as(s"smx_$c"))))
+        max(col(c)).as(s"smx_$c"))) ++
+      // non-null counts ride the same pass; nulls = rows - nn (Delta
+      // nullCount parity — 0 is recorded too, it licenses IS NULL pruning)
+      (statCols ++ strCols).map(c => count(col(c)).as(s"nn_$c")))
     val writer = df
       .observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("errorifexists")
@@ -2398,8 +2429,12 @@ object VersionedTable {
       }
     }.toMap
     val rowCount = observed("rows").asInstanceOf[Long]
+    val nulls = (statCols ++ strCols).map(c =>
+      c -> (rowCount - observed(s"nn_$c").asInstanceOf[Long])).toMap
     writeBlooms(df0.sparkSession, location, dataDir, df.schema, rowCount)
-    (dataDir, rowCount, stats, sstats)
+    writeFileStats(df0.sparkSession, location, dataDir, df.schema, rowCount,
+      partitionBy)
+    (dataDir, rowCount, stats, sstats, nulls)
   }
 
   /** BLOOM-FILTER COMMIT SKIPPING (opt-in): min/max stats cannot prune a
@@ -2458,6 +2493,132 @@ object VersionedTable {
     }
   }
 
+  /** PER-FILE STATS — intra-commit skipping (opt-in): commit-level min/max is
+    * useless exactly when a table was BULK-LOADED — one commit holds every
+    * file, so no probe ever prunes anything. Tables that declare
+    * `TBLPROPERTIES ('graft.filestats' = 'true')` additionally record, per
+    * staged parquet file, the same stat tiers the commit itself carries
+    * (numeric min/max as doubles, ASCII-safe string min/max, null counts) in a
+    * `_filestats.tsv` sidecar INSIDE the commit's data dir — same lifecycle as
+    * blooms: `_`-prefixed so parquet readers ignore it, lost commit races and
+    * vacuum delete it with the dir, published dirs are immutable so it parses
+    * once per JVM. A pruned read then keeps only the FILES whose stats can
+    * match, not just the commits ([[readPrunedConjunction]]).
+    *
+    * Cost shape: one column-pruned re-read of the JUST-WRITTEN batch (stat
+    * columns only), aggregated per `_metadata.file_path` — map-side-combined,
+    * one output row per file. The sidecar is one small driver write. Files
+    * only prune if values CLUSTER by file, so pair this with
+    * `INSERT ... ORDER BY`, range repartitioning, or Z-order `compact` — the
+    * same contract Delta's per-file stats have. Unpartitioned commits only:
+    * hive-partitioned dirs already prune at directory granularity and their
+    * multi-root union scan keeps whole-dir branches.
+    *
+    * Format (tab-separated; every separator — tab, `=`, `,`, `;` — is outside
+    * [[SafeStatValue]]'s alphabet and parquet part-file names, so the lines
+    * split unambiguously):
+    * `rel \t rows \t col=mn,mx;... \t col=smn,smx;... \t col=nulls;...`
+    */
+  private def writeFileStats(spark: SparkSession, location: String,
+      dataDir: String, physicalSchema: org.apache.spark.sql.types.StructType,
+      rows: Long, partitionBy: Seq[String]): Unit = {
+    val opted = tableSpec(spark, location).get("prop.graft.filestats")
+      .exists(v => v.trim.equalsIgnoreCase("true") || v.trim == "*")
+    if (!opted || rows == 0 || partitionBy.nonEmpty) return
+    val nCols = physicalSchema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).filter(_.matches("[A-Za-z0-9_]+")).take(MaxStatsColumns).toSeq
+    val sCols = physicalSchema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).filter(_.matches("[A-Za-z0-9_]+"))
+      .take(MaxStringStatsColumns).toSeq
+    if (nCols.isEmpty && sCols.isEmpty) return
+    val fresh = spark.read.parquet(s"$location/_data/$dataDir")
+      .select(col("_metadata.file_path").as("_fp") +: (nCols ++ sCols).map(col): _*)
+    val aggs = count(lit(1)).as("rows") +:
+      (nCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))) ++
+      sCols.flatMap(c => Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))) ++
+      (nCols ++ sCols).map(c => count(col(c)).as(s"nn_$c")))
+    // one row per file — bounded by the commit's file count, driver-safe
+    val perFile = fresh.groupBy(col("_fp")).agg(aggs.head, aggs.tail: _*).collect()
+    val lines = perFile.map { r =>
+      val fp = r.getAs[String]("_fp")
+      val rel = fp.substring(fp.lastIndexOf('/') + 1)
+      val fRows = r.getAs[Long]("rows")
+      def d(n: String): Option[Double] =
+        Option(r.getAs[Any](n)).map(_.asInstanceOf[Number].doubleValue())
+      val num = nCols.flatMap(c => (d(s"mn_$c"), d(s"mx_$c")) match {
+        case (Some(mn), Some(mx)) => Some(s"$c=$mn,$mx")
+        case _ => None // all-null in this file
+      }).mkString(";")
+      val str = sCols.flatMap(c =>
+        (Option(r.getAs[String](s"smn_$c")), Option(r.getAs[String](s"smx_$c"))) match {
+          case (Some(mn), Some(mx))
+              if SafeStatValue.matches(mn) && SafeStatValue.matches(mx) =>
+            Some(s"$c=$mn,$mx")
+          case _ => None
+        }).mkString(";")
+      val nulls = (nCols ++ sCols)
+        .map(c => s"$c=${fRows - r.getAs[Long](s"nn_$c")}").mkString(";")
+      s"$rel\t$fRows\t$num\t$str\t$nulls"
+    }
+    val out = fileSystem(spark, location)
+      .create(new Path(s"$location/_data/$dataDir/_filestats.tsv"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** One parsed sidecar line: a file's rel name and its stat tiers. */
+  private case class FileStat(rel: String, rows: Long,
+      num: Map[String, (Double, Double)], str: Map[String, (String, String)],
+      nulls: Map[String, Long])
+
+  /** Sidecars parse once per JVM (immutable dirs, same contract as blooms);
+    * None = commit has no sidecar (not opted in, partitioned, or pre-feature).
+    */
+  private val fileStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[FileStat]]]()
+
+  private def fileStatsFor(spark: SparkSession, location: String,
+      c: Commit): Option[Seq[FileStat]] = {
+    if (c.data_dir.isEmpty || c.partition_by.nonEmpty) return None
+    val path = s"${dataPath(location, c)}/_filestats.tsv"
+    if (fileStatsCache.size > 1024) fileStatsCache.clear()
+    fileStatsCache.computeIfAbsent(path, p => {
+      val fs = fileSystem(spark, location)
+      val pp = new Path(p)
+      if (!fs.exists(pp)) None
+      else {
+        val in = fs.open(pp)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        def pairs(s: String): Seq[(String, String)] =
+          s.split(";").toSeq.filter(_.contains("=")).map { e =>
+            val i = e.indexOf('='); (e.substring(0, i), e.substring(i + 1))
+          }
+        val parsed = body.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(rel, rows, num, str, nulls) =>
+              scala.util.Try(FileStat(rel, rows.toLong,
+                pairs(num).map { case (k, v) =>
+                  val Array(mn, mx) = v.split(",", 2)
+                  k -> (mn.toDouble, mx.toDouble)
+                }.toMap,
+                pairs(str).map { case (k, v) =>
+                  val Array(mn, mx) = v.split(",", 2); k -> (mn, mx)
+                }.toMap,
+                pairs(nulls).map { case (k, v) => k -> v.toLong }.toMap)).toOption
+            case _ => None
+          }
+        }
+        if (parsed.isEmpty) None else Some(parsed)
+      }
+    })
+  }
+
   /** Blooms parse once per JVM — data dirs are immutable after publish, so the
     * (positive AND negative) cache never goes stale. Bounded crudely: past 256
     * entries (worst case ~2 GB of 8M-item blooms, typically far less) the map
@@ -2499,6 +2660,116 @@ object VersionedTable {
     // equally exact for a time-travel read (`asOf`).
     val live = liveCommitsFrom(cs, location, asOf.getOrElse(cs.last.version))
     live.map(_.row_count).sum - live.map(_.replaced_rows).sum
+  }
+
+  /** COUNT(col) from the log alone, when the log can PROVE it — `Some(n)` iff
+    * every live commit recorded a null count for the column (post-null-stats
+    * logs only) and either (a) those counts are all zero, in which case
+    * COUNT(col) ≡ COUNT(*) and [[fastCount]]'s DV/replace-exact subtraction
+    * serves, or (b) no live commit retires prior rows (no DVs, no scoped
+    * merges/replaces), in which case Σ(row_count − nulls). Anything else —
+    * retired rows whose nullness the log cannot attribute, columns added by
+    * DDL after older commits, pre-null-stats history — returns None and the
+    * caller falls back to a real scan. Never guesses.
+    */
+  def fastCountCol(spark: SparkSession, location: String, column: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val live = liveCommitsFrom(cs, location, asOf.getOrElse(cs.last.version))
+    val mapping = columnMapping(spark, location)
+    val p = mapping.collectFirst {
+      case (phys, l) if l.equalsIgnoreCase(column) => phys
+    }.getOrElse(column)
+    // commits that stage no rows (pure DV deletes, zero-row replaces) have
+    // vacuously-zero null counts — only row-contributing commits must have
+    // recorded one for the column
+    val contributing = live.filter(_.row_count > 0L)
+    val perCommit = contributing.map(c => c.nulls.get(p))
+    if (perCommit.exists(_.isEmpty)) None
+    else {
+      val totalNulls = perCommit.flatten.sum
+      if (totalNulls == 0L)
+        Some(live.map(_.row_count).sum - live.map(_.replaced_rows).sum)
+      else if (live.forall(c => c.dv_dir.isEmpty && c.replace_where.isEmpty &&
+          c.replaced_rows == 0L))
+        Some(live.map(_.row_count).sum - totalNulls)
+      else None
+    }
+  }
+
+  /** MIN(col)/MAX(col) from the log alone, when the log can PROVE the exact
+    * value. Outer None = not provable (fall back to a real scan); inner
+    * None = the SQL answer is NULL (provably all-null column).
+    *
+    * Provability demands: (1) NO live commit retires rows — a DV may have
+    * deleted the extremum row itself; (2) every row-contributing commit either
+    * recorded stats for the column or is provably all-null in it (nulls ==
+    * row_count — min/max ignore nulls, so such commits contribute nothing;
+    * absent stats WITHOUT that proof could mean unsafe/overlong strings or a
+    * pre-stats log → refuse); (3) the recorded representation is exact for the
+    * column's type — numeric stats live as doubles, so integral columns
+    * qualify only within the 2⁵³ whole-number window, floats/doubles always,
+    * decimals never; string stats are exact by construction (the ASCII-safe
+    * gate stores full values, never truncations).
+    */
+  def fastMinMax(spark: SparkSession, location: String, column: String,
+      dataType: org.apache.spark.sql.types.DataType, wantMax: Boolean,
+      asOf: Option[Long] = None): Option[Option[Any]] = {
+    import org.apache.spark.sql.types._
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val live = liveCommitsFrom(cs, location, asOf.getOrElse(cs.last.version))
+    if (live.exists(c => c.dv_dir.nonEmpty || c.replace_where.nonEmpty ||
+        c.replaced_rows > 0L)) return None
+    val mapping = columnMapping(spark, location)
+    val p = mapping.collectFirst {
+      case (phys, l) if l.equalsIgnoreCase(column) => phys
+    }.getOrElse(column)
+    val contributing = live.filter(_.row_count > 0L)
+    def allNull(c: Commit): Boolean = c.nulls.get(p).contains(c.row_count)
+    dataType match {
+      case _: NumericType =>
+        val perCommit = contributing.flatMap { c =>
+          c.stats.get(p) match {
+            case Some((mn, mx)) => Some(Some(if (wantMax) mx else mn))
+            case None if allNull(c) => Some(None)
+            case None => None // unprovable commit
+          }
+        }
+        if (perCommit.size != contributing.size) return None
+        val vals = perCommit.flatten
+        if (vals.isEmpty) return Some(None) // provably all-null ⇒ SQL NULL
+        val v = if (wantMax) vals.max else vals.min
+        dataType match {
+          case DoubleType => Some(Some(v))
+          case FloatType => Some(Some(v.toFloat))
+          case LongType | IntegerType | ShortType | ByteType =>
+            // doubles represent integers exactly only STRICTLY below 2^53 —
+            // at exactly ±2^53 the stat could be a rounded-down 2^53 + 1
+            if (v != math.rint(v) || math.abs(v) >= (1L << 53).toDouble) None
+            else Some(Some(dataType match {
+              case LongType => v.toLong
+              case IntegerType => v.toInt
+              case ShortType => v.toShort
+              case _ => v.toByte
+            }))
+          case _ => None // decimals: the double representation is lossy
+        }
+      case StringType =>
+        val perCommit = contributing.flatMap { c =>
+          c.sstats.get(p) match {
+            case Some((mn, mx)) => Some(Some(if (wantMax) mx else mn))
+            case None if allNull(c) => Some(None)
+            case None => None // absent could mean unsafe values — refuse
+          }
+        }
+        if (perCommit.size != contributing.size) return None
+        val vals = perCommit.flatten
+        if (vals.isEmpty) Some(None)
+        else Some(Some(if (wantMax) vals.max else vals.min))
+      case _ => None
+    }
   }
 
   /** The table as of its newest commit. */
@@ -2632,7 +2903,9 @@ object VersionedTable {
     * whole commits from the multi-path scan exactly as the explicit
     * [[readPruned]]/[[readPrunedString]] calls do. A commit survives only if
     * EVERY probed column may overlap its range (missing stats → conservative
-    * keep); scoped merges and DV-carrying commits are always kept (dropping one
+    * keep), SOME value of every IN/equality list might be present (per-value
+    * range + bloom), and its recorded null counts allow every IS [NOT] NULL
+    * probe; scoped merges and DV-carrying commits are always kept (dropping one
     * would resurrect replaced/deleted rows). Unlike the explicit entries this
     * does NOT re-apply the predicate — the DSv2 bridge applies the pushed
     * filters (and Spark the residuals) itself.
@@ -2640,7 +2913,8 @@ object VersionedTable {
   def readPrunedConjunction(spark: SparkSession, location: String,
       version: Option[Long], num: Map[String, (Double, Double)],
       str: Map[String, (String, String)],
-      eq: Map[String, Any] = Map.empty): DataFrame = {
+      inSets: Map[String, Seq[Any]] = Map.empty,
+      nullProbes: Map[String, Boolean] = Map.empty): DataFrame = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     val v = version.getOrElse(cs.last.version)
@@ -2653,19 +2927,78 @@ object VersionedTable {
     }.getOrElse(c)
     val numP = num.map { case (c, r) => physical(c) -> r }
     val strP = str.map { case (c, r) => physical(c) -> r }
-    // `eq` = EQUALITY probes (native-typed values): past the min/max gate they
-    // additionally consult the commit's bloom filter when one was recorded —
-    // the point-lookup tier min/max cannot serve on hash-like columns
-    val eqP = eq.map { case (c, x) => physical(c) -> x }
+    // `inSets` = EQUALITY/IN probes (native-typed value lists): a commit
+    // survives a column's list iff SOME value might be present — each value
+    // checked against the commit's min/max range AND its bloom filter when one
+    // was recorded (the point-lookup tier min/max cannot serve on hash-like
+    // columns). The per-VALUE range check is what the conjunction envelope
+    // above cannot do: `id IN (50, 2050)` has envelope [50, 2050], which keeps
+    // a commit spanning [1000, 1099] that no individual value can hit.
+    val inP = inSets.map { case (c, xs) => physical(c) -> xs }
+    def commitMayHold(c: Commit, p: String, x: Any): Boolean = {
+      val rangeOk = x match {
+        case s: String =>
+          c.sstats.get(p).forall { case (mn, mx) => s >= mn && s <= mx }
+        case n: Number =>
+          c.stats.get(p).forall { case (mn, mx) =>
+            n.doubleValue >= mn && n.doubleValue <= mx }
+        case _ => true
+      }
+      rangeOk && bloomMightContain(spark, location, c, p, x)
+    }
+    // `nullProbes` (col → true for IS NULL, false for IS NOT NULL): the
+    // recorded per-commit null counts decide whether a commit can contain any
+    // matching row at all — IS NOT NULL prunes all-null commits (whose min/max
+    // is deliberately unrecorded, so the range gate alone never could), and
+    // IS NULL prunes null-free ones. Absent counts (older logs) keep.
+    val nullP = nullProbes.map { case (c, w) => physical(c) -> w }
     val kept = live.filter(c => c.replace_where.nonEmpty || c.dv_dir.nonEmpty ||
       (numP.forall { case (p, (lo, hi)) =>
         c.stats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
        strP.forall { case (p, (lo, hi)) =>
         c.sstats.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
-       eqP.forall { case (p, x) => bloomMightContain(spark, location, c, p, x) }))
-    // every commit pruned: keep the full-scan plan for its schema — the
-    // caller's predicate guarantees zero rows and footer stats make it cheap
-    assemble(spark, location, if (kept.isEmpty) live else kept, v)
+       inP.forall { case (p, xs) => xs.exists(x => commitMayHold(c, p, x)) } &&
+       nullP.forall { case (p, wantNull) =>
+         c.nulls.get(p).forall(n => if (wantNull) n > 0 else n < c.row_count) }))
+    // PER-FILE tier: commits that carry a `_filestats.tsv` sidecar (opt-in,
+    // see writeFileStats) prune inside the commit too — only the files whose
+    // per-file stats can match the probes stay in the scan. This is what makes
+    // skipping work on BULK-LOADED tables, where one commit holds everything
+    // and the commit-level gate above can never drop it.
+    val fileSubset: Map[String, Seq[String]] = kept.flatMap { c =>
+      fileStatsFor(spark, location, c).flatMap { files =>
+        def fileMayHold(f: FileStat, p: String, x: Any): Boolean = x match {
+          case s: String =>
+            f.str.get(p).forall { case (mn, mx) => s >= mn && s <= mx }
+          case n: Number =>
+            f.num.get(p).forall { case (mn, mx) =>
+              n.doubleValue >= mn && n.doubleValue <= mx }
+          case _ => true
+        }
+        val surviving = files.filter(f =>
+          numP.forall { case (p, (lo, hi)) =>
+            f.num.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
+          strP.forall { case (p, (lo, hi)) =>
+            f.str.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi } } &&
+          inP.forall { case (p, xs) => xs.exists(x => fileMayHold(f, p, x)) } &&
+          nullP.forall { case (p, wantNull) =>
+            f.nulls.get(p).forall(n => if (wantNull) n > 0 else n < f.rows) })
+        if (surviving.size == files.size) None // nothing pruned — whole dir
+        else Some(c.data_dir ->
+          surviving.map(f => s"${dataPath(location, c)}/${f.rel}"))
+      }
+    }.toMap
+    // every commit pruned — or only FILE-LESS ones left (pure-delete/zero-row
+    // replace commits lay out no parquet, the null-count gate can prune every
+    // data-bearing commit around them, and the per-file tier can empty a
+    // commit's own file list): keep the full-scan plan for its schema — the
+    // caller's predicate guarantees zero rows and footer stats make it cheap.
+    // A zero-path parquet read would fail schema inference.
+    val scannable = kept.exists(c =>
+      !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty)
+        && fileSubset.get(c.data_dir).forall(_.nonEmpty))
+    if (scannable) assemble(spark, location, kept, v, fileSubset)
+    else assemble(spark, location, live, v)
   }
 
   /** The commits whose data dirs make up the state at `version`: everything from the
@@ -2690,11 +3023,14 @@ object VersionedTable {
   }
 
   private def assemble(spark: SparkSession, location: String,
-      live: Seq[Commit], asOf: Long): DataFrame = {
+      live: Seq[Commit], asOf: Long,
+      fileSubset: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val dvs = live.filter(_.dv_dir.nonEmpty)
-    if (dvs.isEmpty) assembleScan(spark, location, live, keepMeta = false, asOf)
+    if (dvs.isEmpty)
+      assembleScan(spark, location, live, keepMeta = false, asOf, fileSubset)
     else applyDvs(spark, location,
-        assembleScan(spark, location, live, keepMeta = true, asOf), dvs)
+        assembleScan(spark, location, live, keepMeta = true, asOf, fileSubset),
+        dvs)
       .drop(DvFileCol, DvPosCol)
   }
 
@@ -2716,7 +3052,8 @@ object VersionedTable {
     * (file, row-index) identity columns the DV anti-join needs.
     */
   private def assembleScan(spark: SparkSession, location: String,
-      live: Seq[Commit], keepMeta: Boolean, asOf: Long): DataFrame = {
+      live: Seq[Commit], keepMeta: Boolean, asOf: Long,
+      fileSubset: Map[String, Seq[String]] = Map.empty): DataFrame = {
     // `asOf` is the READ's version, passed explicitly — the live set's max
     // version is NOT it for pruned reads (readPruned drops commits from the
     // head scan; the schema must stay the head's).
@@ -2732,14 +3069,18 @@ object VersionedTable {
     val (spec, mapping) = sidecarsAsOf(spark, location, asOf)
     withWideningFrom(spec, mapping, withAddedColumnsFrom(spec,
       toLogical(assembleScanPhysical(spark, location, live, keepMeta,
-        widened = spec.keys.exists(_.startsWith(WidenPrefix))), mapping)))
+        widened = spec.keys.exists(_.startsWith(WidenPrefix)), fileSubset),
+        mapping)))
   }
 
   private def assembleScanPhysical(spark: SparkSession, location: String,
-      live: Seq[Commit], keepMeta: Boolean, widened: Boolean = false): DataFrame = {
-    // pure-delete commits carry no data of their own
+      live: Seq[Commit], keepMeta: Boolean, widened: Boolean = false,
+      fileSubset: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    // pure-delete commits carry no data of their own — and so do commits whose
+    // per-file stats pruned EVERY file (the subset is present but empty)
     val scans = live.filter(c =>
-      !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
+      !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty)
+        && fileSubset.get(c.data_dir).forall(_.nonEmpty))
     def meta(df: DataFrame): DataFrame =
       if (!keepMeta) df
       else df.withColumn(DvFileCol, col("_metadata.file_path"))
@@ -2751,8 +3092,11 @@ object VersionedTable {
       // The footer-merge cost is per live commit (bounded by compaction), not per
       // file — Spark merges one schema per input root's sampled footers.
       // (Scoped merges require a partitioned table, so no shadowing here.)
+      // Per-file-stat pruned commits list their SURVIVING files explicitly —
+      // the intra-commit skipping tier (filestats opt-in, unpartitioned only).
       meta(spark.read.option("mergeSchema", "true")
-        .parquet(scans.map(c => dataPath(location, c)): _*))
+        .parquet(scans.flatMap(c =>
+          fileSubset.getOrElse(c.data_dir, Seq(dataPath(location, c)))): _*))
     else
       // hive-partitioned commits: Spark cannot infer partitions across multiple
       // roots ("conflicting directory structures"), so each commit dir is read as
@@ -3143,12 +3487,13 @@ object VersionedTable {
       txnApp: String = "", txnId: Long = -1L, changeDir: String = "",
       replaceWhere: String = "", replacedRows: Long = 0L,
       dvDir: String = "",
-      sstats: Map[String, (String, String)] = Map.empty): Boolean = {
+      sstats: Map[String, (String, String)] = Map.empty,
+      nulls: Map[String, Long] = Map.empty): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
       partitionBy.mkString(","), txnApp, txnId, stats, changeDir,
-      replaceWhere, replacedRows, dvDir, sstats)
+      replaceWhere, replacedRows, dvDir, sstats, nulls)
     atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
 
@@ -3191,7 +3536,10 @@ object VersionedTable {
     val sstatsJson = c.sstats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s""""$k":["$mn","$mx"]""" }
       .mkString("{", ",", "}")
-    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson,"sstats":$sstatsJson}"""
+    val nullsJson = c.nulls.toSeq.sortBy(_._1)
+      .map { case (k, n) => s""""$k":$n""" }
+      .mkString("{", ",", "}")
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson,"sstats":$sstatsJson,"nulls":$nullsJson}"""
   }
 
   /** Directory references beginning with this prefix are ABSOLUTE paths into
@@ -3222,6 +3570,7 @@ object VersionedTable {
   // present and the required fields parse.
   private val StatsEntry = """"([A-Za-z0-9_]+)":\[([^,\]"]+),([^\]"]+)\]""".r
   private val SStatsEntry = """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
+  private val NullsEntry = """"([A-Za-z0-9_]+)":(\d+)""".r
 
   private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
@@ -3241,11 +3590,15 @@ object VersionedTable {
       .map(m => SStatsEntry.findAllMatchIn(m.group(1))
         .map(e => e.group(1) -> (e.group(2), e.group(3))).toMap)
       .getOrElse(Map.empty[String, (String, String)])
+    val nulls = """"nulls":\{(.*?)\}""".r.findFirstMatchIn(body)
+      .map(m => NullsEntry.findAllMatchIn(m.group(1))
+        .map(e => e.group(1) -> e.group(2).toLong).toMap)
+      .getOrElse(Map.empty[String, Long])
     val c = Commit(num("version"), str("operation"), str("timestamp"), num("row_count"),
       str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats,
       str("change_dir"), str("replace_where"),
       // pre-scoped-merge logs lack the field; they replaced nothing
-      num("replaced_rows", default = 0L), str("dv_dir"), sstats)
+      num("replaced_rows", default = 0L), str("dv_dir"), sstats, nulls)
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
@@ -573,7 +573,11 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
 
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
-  private var countStars: Int = 0 // COUNT(*) pushdown: how many to emit
+  // AGGREGATE pushdown: the metadata-resolved (value, output type) per
+  // aggregate expression, frozen at push time (planning) — COUNT(*) via
+  // fastCount, COUNT(col) via fastCountCol's null-stat subtraction,
+  // MIN/MAX(col) via fastMinMax over the commit stats. Empty = no push.
+  private var aggValues: Seq[(Any, org.apache.spark.sql.types.DataType)] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => FilterTranslation.toColumn(f).isDefined)
@@ -581,49 +585,102 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // after a COUNT(*) push the "required columns" are the agg outputs, not
-    // table columns — the pushed-count scan ignores them (JDBC does the same)
-    if (countStars == 0) required = Some(requiredSchema)
+    // after an aggregate push the "required columns" are the agg outputs, not
+    // table columns — the pushed-agg scan ignores them (JDBC does the same)
+    if (aggValues.isEmpty) required = Some(requiredSchema)
 
-  /** COUNT-FROM-METADATA (Delta parity): an unfiltered, ungrouped
+  /** AGGREGATE-FROM-METADATA (Delta parity): an unfiltered, ungrouped
     * `SELECT count(*) FROM t` never touches a data file — the count is the
     * log's row_count/replaced_rows subtraction ([[VersionedTable.fastCount]]),
     * exact under DVs, scoped merges, and time travel, the same at 100 rows or
-    * 100 TB. Only the COMPLETE push is accepted: Spark plans a Project over
-    * this scan's single row, no aggregate exec at all. Any WHERE clause blocks
-    * the push structurally — this builder keeps every filter as post-scan
-    * residual, so a Filter node always sits between the Aggregate and the scan
-    * and Spark never attempts the push; the `pushed.isEmpty` guard is
-    * belt-and-braces.
+    * 100 TB. `count(col)` rides the per-commit NULL counts the same way
+    * ([[VersionedTable.fastCountCol]]), and `min(col)`/`max(col)` ride the
+    * commit min/max stats ([[VersionedTable.fastMinMax]]) — each pushes only
+    * when the log can PROVE the exact value (recorded stats for every
+    * row-contributing commit, no DV/scoped retirement that could have removed
+    * the extremum or an unattributably-null row, exact type representation);
+    * otherwise the push is refused and Spark plans the ordinary
+    * scan+aggregate. Only the COMPLETE push is accepted: Spark plans a
+    * Project over this scan's single row, no aggregate exec at all. Any WHERE
+    * clause blocks the push structurally — this builder keeps every filter as
+    * post-scan residual, so a Filter node always sits between the Aggregate
+    * and the scan and Spark never attempts the push; the `pushed.isEmpty`
+    * guard is belt-and-braces.
     */
-  private def countOnly(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  private var lastResolved:
+    Option[(Aggregation, Option[Seq[(Any, org.apache.spark.sql.types.DataType)]])] = None
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+  private def resolveAggs(agg: Aggregation)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] =
+    lastResolved match {
+      // supportCompletePushDown and pushAggregation both resolve; same
+      // Aggregation instance → one log read, not two
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = resolveAggsUncached(agg)
+        lastResolved = Some((agg, r))
+        r
+    }
 
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!countOnly(agg)) return false
-    countStars = agg.aggregateExpressions.length
-    true
+  private def singleColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
   }
 
-  override def build(): Scan =
-    if (countStars > 0) buildCountScan() else buildDataScan()
+  private def resolveAggsUncached(agg: Aggregation)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val spark = df.sparkSession
+    lazy val star = VersionedTable.fastCount(spark, location, versionAsOf)
+    def typeOf(name: String): Option[org.apache.spark.sql.types.DataType] =
+      df.schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+    val longT = org.apache.spark.sql.types.LongType
+    val vals: Seq[Option[(Any, org.apache.spark.sql.types.DataType)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((star, longT))
+        case c: Count if !c.isDistinct =>
+          singleColumn(c.column).flatMap(n =>
+            VersionedTable.fastCountCol(spark, location, n, versionAsOf)
+              .map(v => (v, longT)))
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+          singleColumn(m.column).flatMap(n => typeOf(n).flatMap(t =>
+            VersionedTable.fastMinMax(spark, location, n, t, wantMax = false,
+              versionAsOf).map(v => (v.orNull, t))))
+        case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+          singleColumn(m.column).flatMap(n => typeOf(n).flatMap(t =>
+            VersionedTable.fastMinMax(spark, location, n, t, wantMax = true,
+              versionAsOf).map(v => (v.orNull, t))))
+        case _ => None
+      }
+    if (vals.forall(_.isDefined)) Some(vals.flatten) else None
+  }
 
-  private def buildCountScan(): Scan = {
-    val n = countStars
-    val schema = StructType((0 until n).map(i =>
-      org.apache.spark.sql.types.StructField(s"count_star_$i",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    resolveAggs(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    resolveAggs(agg) match {
+      case Some(vals) => aggValues = vals; true
+      case None => false
+    }
+
+  override def build(): Scan =
+    if (aggValues.nonEmpty) buildAggScan() else buildDataScan()
+
+  private def buildAggScan(): Scan = {
+    val vals = aggValues
+    val schema = StructType(vals.zipWithIndex.map { case ((v, t), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", t, nullable = v == null)
+    })
     new V1Scan {
       override def readSchema(): StructType = schema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           ctx: SQLContext): T = {
-        val cnt = VersionedTable.fastCount(df.sparkSession, location, versionAsOf)
         val one = df.sparkSession.createDataFrame(
-          java.util.Collections.singletonList(Row.fromSeq(Seq.fill(n)(cnt))), schema)
+          java.util.Collections.singletonList(Row.fromSeq(vals.map(_._1))), schema)
         new V1SnapshotScan(ctx, one, schema).asInstanceOf[T]
       }
     }
@@ -653,19 +710,36 @@ class GraftScanBuilder(df: DataFrame, location: String, versionAsOf: Option[Long
 
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T = {
       val (num, str) = FilterTranslation.ranges(pushed.toSeq, df.schema)
-      // native-typed equality probes additionally consult per-commit bloom
+      // native-typed equality/IN probes additionally consult per-commit bloom
       // filters (point-lookup skipping on hash-like columns, opt-in via
-      // TBLPROPERTIES 'graft.bloom.columns')
-      val eq = pushed.toSeq.collect {
-        case org.apache.spark.sql.sources.EqualTo(a,
-            v @ (_: java.lang.Long | _: java.lang.Integer |
-                 _: java.lang.Short | _: java.lang.Byte | _: String)) =>
-          a -> (v: Any)
+      // TBLPROPERTIES 'graft.bloom.columns') and prune per-VALUE: `id IN
+      // (50, 2050)` drops a commit spanning [1000, 1099] that the conjunction
+      // envelope [50, 2050] alone keeps. IN lists beyond 64 values fall back
+      // to the envelope — the probe is O(commits × values) driver work
+      def probeValue(v: Any): Boolean = v match {
+        case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+             _: java.lang.Byte | _: String => true
+        case _ => false
+      }
+      val inSets = pushed.toSeq.collect {
+        case org.apache.spark.sql.sources.EqualTo(a, v) if probeValue(v) =>
+          a -> Seq[Any](v)
+        case org.apache.spark.sql.sources.In(a, vs)
+            if vs.nonEmpty && vs.length <= 64 && vs.forall(probeValue) =>
+          a -> vs.toSeq
+      }.toMap
+      // IS [NOT] NULL probes consult the logged per-commit null counts —
+      // notably, Spark pushes IsNotNull alongside almost every predicate, so
+      // all-null commits (which record NO min/max and dodge the range gate)
+      // prune for free on ordinary WHERE clauses
+      val nullProbes = pushed.toSeq.collect {
+        case org.apache.spark.sql.sources.IsNull(a) => a -> true
+        case org.apache.spark.sql.sources.IsNotNull(a) => a -> false
       }.toMap
       val base =
-        if (num.isEmpty && str.isEmpty && eq.isEmpty) df
+        if (num.isEmpty && str.isEmpty && inSets.isEmpty && nullProbes.isEmpty) df
         else VersionedTable.readPrunedConjunction(df.sparkSession, location,
-          versionAsOf, num, str, eq)
+          versionAsOf, num, str, inSets, nullProbes)
       val filtered = pushed.flatMap(FilterTranslation.toColumn).foldLeft(base)(_.filter(_))
       // generated-column derived pruning: a range on ts also bounds a declared
       // monotone `day = CAST(ts AS DATE)` partition column — the extra

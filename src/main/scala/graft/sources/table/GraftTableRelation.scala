@@ -163,6 +163,12 @@ private[table] object FilterTranslation {
       case GreaterThanOrEqual(a, v) if v != null => Seq((a, v, null))
       case LessThan(a, v) if v != null => Seq((a, null, v))
       case LessThanOrEqual(a, v) if v != null => Seq((a, null, v))
+      // LIKE 'p%' bounds the column to [p, p + high-sentinel] — sound against
+      // recorded stats because sstats hold ASCII-safe values only: any value
+      // that could outrun the sentinel suffix (or start beyond ASCII) makes
+      // its batch's max unsafe, so that commit records nothing and is kept
+      case StringStartsWith(a, p) if p != null && p.nonEmpty =>
+        Seq((a, p, p + "￿" * 8))
       case And(l, r) => bounds(l) ++ bounds(r)
       case _ => Seq.empty // In(...) is handled by inValues below
     }

@@ -43,14 +43,15 @@ class BloomSkippingSpec extends AnyFunSuite with SharedSpark {
     spark.sql("INSERT INTO gbl.t.d VALUES (1, 'a1'), (1000, 'a2'), (2000, 'a3')")
     spark.sql("INSERT INTO gbl.t.d VALUES (5, 'b1'), (1500, 'b2'), (2500, 'b3')")
     spark.sql("INSERT INTO gbl.t.d VALUES (7, 'c1'), (1700, 'c2'), (2700, 'c3')")
-    // the CREATE's empty v0 file rides along (zero rows → no stats, no bloom
-    // → conservative keep) — assertions are commit-granular and relative
+    // the CREATE's empty v0 file rides along in the BARE scan; the probe's
+    // implicit IsNotNull prunes it via the null-count gate (0 rows), and the
+    // bloom drops the two non-matching inserts — exactly one commit remains
     val all = scannedCommits("SELECT * FROM gbl.t.d")
     assert(all.size >= 3)
 
     val probe = scannedCommits("SELECT * FROM gbl.t.d WHERE id = 1500")
-    assert(probe.size === all.size - 2,
-      s"bloom should drop the two non-matching commits, scanned $probe of $all")
+    assert(probe.size === 1,
+      s"bloom + null gate should leave only the matching commit, scanned $probe of $all")
     assert(spark.sql("SELECT tag FROM gbl.t.d WHERE id = 1500")
       .collect().map(_.getString(0)).toSeq === Seq("b2"))
 
@@ -64,12 +65,15 @@ class BloomSkippingSpec extends AnyFunSuite with SharedSpark {
     // result is empty either way
     assert(spark.sql("SELECT * FROM gbl.t.d WHERE id = 999999").count() === 0)
 
-    // a table WITHOUT the property scans everything on the same probe shape
+    // a table WITHOUT the property scans every DATA commit on the same probe
+    // shape (only the empty v0 prunes, via the null gate — no bloom tier)
     spark.sql("CREATE TABLE gbl.t.plain (id BIGINT)")
     spark.sql("INSERT INTO gbl.t.plain VALUES (1), (2000)")
     spark.sql("INSERT INTO gbl.t.plain VALUES (5), (2500)")
-    assert(scannedFiles("SELECT * FROM gbl.t.plain WHERE id = 5")
-      === scannedFiles("SELECT * FROM gbl.t.plain"))
+    val plainInserts = VersionedTable.commits(spark, s"$wh/t/plain")
+      .filter(c => c.operation == "append" && c.row_count > 0)
+    assert(scannedCommits("SELECT * FROM gbl.t.plain WHERE id = 5")
+      === plainInserts.map(c => s"file://$wh/t/plain/_data/${c.data_dir}").toSet)
   }
 
   test("blooms stay conservative: DV commits kept, pre-property commits scanned") {
@@ -86,10 +90,15 @@ class BloomSkippingSpec extends AnyFunSuite with SharedSpark {
       "('graft.bloom.columns' = 'id')")
     spark.sql("INSERT INTO gbl2.t.d VALUES (5), (1500)")
     // id=5 is in the bloomed commit; the pre-property commit's range [1,1000]
-    // also covers 5 and it has NO bloom — it must be kept conservatively
-    assert(scannedFiles("SELECT * FROM gbl2.t.d WHERE id = 5")
-      === scannedFiles("SELECT * FROM gbl2.t.d"),
-      "the pre-property commit has no bloom and must be kept conservatively")
+    // also covers 5 and it has NO bloom — it must be kept conservatively.
+    // (The empty v0 CREATE commit legitimately prunes via the null-count
+    // gate on the probe's implicit IsNotNull, so compare against the two
+    // INSERT commits, not the bare scan.)
+    val inserts = VersionedTable.commits(spark, s"$wh/t/d")
+      .filter(c => c.operation == "append" && c.row_count > 0)
+    val probed = scannedFiles("SELECT * FROM gbl2.t.d WHERE id = 5")
+    assert(inserts.forall(c => probed.exists(_.contains(c.data_dir))),
+      s"the pre-property commit has no bloom and must be kept: $probed")
     // delete some rows: the DV commit never prunes, and counts stay exact
     spark.sql("DELETE FROM gbl2.t.d WHERE id = 1000")
     assert(spark.sql("SELECT * FROM gbl2.t.d WHERE id = 1000").count() === 0)
