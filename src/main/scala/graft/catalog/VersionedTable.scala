@@ -2357,23 +2357,31 @@ object VersionedTable {
         else d.withColumn(p, col(p).cast(t))
       }
     // DECLARATIVE WRITE CLUSTERING (liquid-clustering-lite): tables declaring
-    // `TBLPROPERTIES ('graft.cluster.by' = 'col,...')` get every unpartitioned
-    // batch range-repartitioned + sorted on those columns before files land,
-    // so per-file min/max ranges are TIGHT and the filestats/bloom tiers
+    // `TBLPROPERTIES ('graft.cluster.by' = 'col,...')` get every batch
+    // range-repartitioned + sorted on those columns before files land, so
+    // per-file min/max ranges are TIGHT and the filestats/bloom tiers
     // actually prune — no caller-side ORDER BY needed. Cost: one range
     // exchange of the batch (sampled bounds), the price Delta's clustered
-    // writes pay too. Declared names are logical; files land physical.
+    // writes pay too. Hive-partitioned batches range on (partition cols,
+    // cluster cols): each task then holds a contiguous slice of one-or-few
+    // partition values, so a partition dir's files tile the cluster range
+    // instead of every task writing into every dir (which would also defeat
+    // the per-file stats). Declared names are logical; files land physical.
     val clusterBy = tableSpec(df0.sparkSession, location)
       .get("prop.graft.cluster.by").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(l => columnMapping(df0.sparkSession, location).collectFirst {
         case (p, log) if log.equalsIgnoreCase(l) => p
       }.getOrElse(l))
-      .filter(p => widenedDf.columns.exists(_.equalsIgnoreCase(p)))
+      .filter(p => widenedDf.columns.exists(_.equalsIgnoreCase(p)) &&
+        !partitionBy.exists(_.equalsIgnoreCase(p)))
     val df =
-      if (clusterBy.isEmpty || partitionBy.nonEmpty) widenedDf
-      else widenedDf.repartitionByRange(clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      if (clusterBy.isEmpty) widenedDf
+      else {
+        val keys = (partitionBy.filter(p =>
+          widenedDf.columns.exists(_.equalsIgnoreCase(p))) ++ clusterBy).map(col)
+        widenedDf.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      }
     val dataDir = s"d-${java.util.UUID.randomUUID()}"
     val statCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -2510,9 +2518,12 @@ object VersionedTable {
     * one output row per file. The sidecar is one small driver write. Files
     * only prune if values CLUSTER by file, so pair this with
     * `INSERT ... ORDER BY`, range repartitioning, or Z-order `compact` — the
-    * same contract Delta's per-file stats have. Unpartitioned commits only:
-    * hive-partitioned dirs already prune at directory granularity and their
-    * multi-root union scan keeps whole-dir branches.
+    * same contract Delta's per-file stats have. Hive-partitioned commits
+    * record stats for their NON-partition columns (rel paths keep the `k=v/`
+    * subdirs; the pruned read lists surviving files under a `basePath` so
+    * partition columns still materialize) — exactly the tier a
+    * day-partitioned 100 TB table needs to skip on a user-id probe that
+    * names no partition column.
     *
     * Format (tab-separated; every separator — tab, `=`, `,`, `;` — is outside
     * [[SafeStatValue]]'s alphabet and parquet part-file names, so the lines
@@ -2524,13 +2535,20 @@ object VersionedTable {
       rows: Long, partitionBy: Seq[String]): Unit = {
     val opted = tableSpec(spark, location).get("prop.graft.filestats")
       .exists(v => v.trim.equalsIgnoreCase("true") || v.trim == "*")
-    if (!opted || rows == 0 || partitionBy.nonEmpty) return
+    if (!opted || rows == 0) return
+    // partition columns are excluded: they prune at directory granularity via
+    // hive pruning (and their re-read types are INFERRED from dir names, which
+    // need not match the declared type) — the file tier's job here is the
+    // NON-partition columns a day-partitioned table cannot otherwise skip on
+    val isPart = partitionBy.map(_.toLowerCase).toSet
     val nCols = physicalSchema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      .map(_.name).filter(_.matches("[A-Za-z0-9_]+")).take(MaxStatsColumns).toSeq
+      .map(_.name).filterNot(n => isPart(n.toLowerCase))
+      .filter(_.matches("[A-Za-z0-9_]+")).take(MaxStatsColumns).toSeq
     val sCols = physicalSchema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(_.name).filter(_.matches("[A-Za-z0-9_]+"))
+      .map(_.name).filterNot(n => isPart(n.toLowerCase))
+      .filter(_.matches("[A-Za-z0-9_]+"))
       .take(MaxStringStatsColumns).toSeq
     if (nCols.isEmpty && sCols.isEmpty) return
     val fresh = spark.read.parquet(s"$location/_data/$dataDir")
@@ -2545,7 +2563,10 @@ object VersionedTable {
     val perFile = fresh.groupBy(col("_fp")).agg(aggs.head, aggs.tail: _*).collect()
     val lines = perFile.map { r =>
       val fp = r.getAs[String]("_fp")
-      val rel = fp.substring(fp.lastIndexOf('/') + 1)
+      // rel is the path UNDER the commit's data dir — for a hive-partitioned
+      // commit that includes the `k=v/` subdirectories
+      val marker = s"/$dataDir/"
+      val rel = fp.substring(fp.indexOf(marker) + marker.length)
       val fRows = r.getAs[Long]("rows")
       def d(n: String): Option[Double] =
         Option(r.getAs[Any](n)).map(_.asInstanceOf[Number].doubleValue())
@@ -2583,7 +2604,7 @@ object VersionedTable {
 
   private def fileStatsFor(spark: SparkSession, location: String,
       c: Commit): Option[Seq[FileStat]] = {
-    if (c.data_dir.isEmpty || c.partition_by.nonEmpty) return None
+    if (c.data_dir.isEmpty) return None
     val path = s"${dataPath(location, c)}/_filestats.tsv"
     if (fileStatsCache.size > 1024) fileStatsCache.clear()
     fileStatsCache.computeIfAbsent(path, p => {
@@ -3107,8 +3128,14 @@ object VersionedTable {
       // each earlier branch with a partition-column filter — pure partition
       // pruning, no data rows read from the shadowed directories.
       scans.map { c =>
-        val branch = meta(spark.read.option("mergeSchema", "true")
-          .parquet(dataPath(location, c)))
+        val root = dataPath(location, c)
+        // a per-file-stat pruned partitioned commit lists its surviving files
+        // explicitly; basePath keeps the `k=v/` partition columns materializing
+        val branch = meta(fileSubset.get(c.data_dir) match {
+          case Some(files) => spark.read.option("mergeSchema", "true")
+            .option("basePath", root).parquet(files: _*)
+          case None => spark.read.option("mergeSchema", "true").parquet(root)
+        })
         val shadowed = live.filter(_.version > c.version)
           .flatMap(_.replacedPartitions)
         val hit = shadowed.map(_.map { case (k, v) => col(k) === lit(v) }

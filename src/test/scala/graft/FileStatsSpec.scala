@@ -115,6 +115,74 @@ class FileStatsSpec extends AnyFunSuite with SharedSpark {
       .collect().head.getLong(0) === 100L)
   }
 
+  test("hive-partitioned commits prune files on non-partition columns") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_fstats4").toString
+    spark.conf.set("spark.sql.catalog.gfs4",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfs4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfs4.t")
+    spark.sql("CREATE TABLE gfs4.t.p (id BIGINT, src STRING) " +
+      "PARTITIONED BY (src) TBLPROPERTIES ('graft.filestats' = 'true')")
+    val loc = s"$wh/t/p"
+    // one bulk commit: 4 id-range tasks × 2 src partitions = 8 files, each
+    // covering one id quartile WITHIN its partition directory
+    val bulk = spark.range(1000).toDF("id")
+      .withColumn("src", when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+      .repartitionByRange(4, col("id"))
+    VersionedTable.write(bulk, loc, "append", partitionBy = Seq("src"))
+    val dataDir = VersionedTable.commits(spark, loc).last.data_dir
+    def bulkFiles(fs: Set[String]): Set[String] = fs.filter(_.contains(dataDir))
+    val all = bulkFiles(scannedFiles("SELECT * FROM gfs4.t.p"))
+    assert(all.size === 8, s"expected 4 id-quartiles x 2 partitions, got $all")
+    // probe on the NON-partition column: only the quartile files survive, in
+    // BOTH partition dirs — the skip hive pruning alone can never make
+    val probe = bulkFiles(
+      scannedFiles("SELECT * FROM gfs4.t.p WHERE id BETWEEN 300 AND 320"))
+    assert(probe.size === 2, s"partitioned per-file pruning missed: $probe")
+    assert(probe.exists(_.contains("src=even")) && probe.exists(_.contains("src=odd")))
+    // partition column still materializes off the file-listed read
+    val rows = spark.sql(
+      "SELECT id, src FROM gfs4.t.p WHERE id BETWEEN 300 AND 302 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((300L, "even"), (301L, "odd"), (302L, "even")))
+    // partition filter composes: hive pruning drops the odd dir, file stats
+    // the other quartiles
+    assert(spark.sql(
+      "SELECT count(*) FROM gfs4.t.p WHERE src = 'even' AND id BETWEEN 300 AND 320")
+      .collect().head.getLong(0) === 11L)
+    // deletion vectors compose with the file-listed partitioned branch
+    spark.sql("DELETE FROM gfs4.t.p WHERE id = 310")
+    assert(spark.sql(
+      "SELECT count(*) FROM gfs4.t.p WHERE id BETWEEN 300 AND 320")
+      .collect().head.getLong(0) === 20L)
+  }
+
+  test("declared clustering tiles a partitioned table's dirs by cluster range") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_fstats5").toString
+    spark.conf.set("spark.sql.catalog.gfs5",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfs5.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gfs5.t")
+    spark.sql("CREATE TABLE gfs5.t.pc (id BIGINT, src STRING) PARTITIONED BY (src) " +
+      "TBLPROPERTIES ('graft.filestats' = 'true', 'graft.cluster.by' = 'id')")
+    // shuffled SQL INSERT; the declared clustering ranges on (src, id) so each
+    // partition dir's files tile the id range (AQE coalescing suspended — the
+    // toy batch must span files the way a real-sized one would)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO gfs5.t.pc SELECT (id * 839) % 1000 AS id, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS src FROM range(1000)")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dataDir = VersionedTable.commits(spark, s"$wh/t/pc").last.data_dir
+    def cf(fs: Set[String]): Set[String] = fs.filter(_.contains(dataDir))
+    val all = cf(scannedFiles("SELECT * FROM gfs5.t.pc"))
+    assert(all.size > 2, s"expected several clustered files per dir, got $all")
+    val probe = cf(scannedFiles("SELECT * FROM gfs5.t.pc WHERE id < 60"))
+    assert(probe.size < all.size,
+      s"partitioned clustering should make the id probe prune: $probe of $all")
+    assert(spark.sql("SELECT count(*) FROM gfs5.t.pc WHERE id < 60")
+      .collect().head.getLong(0) === 60L)
+  }
+
   test("compaction re-clusters and re-records per-file stats") {
     val wh = java.nio.file.Files.createTempDirectory("graft_fstats2").toString
     spark.conf.set("spark.sql.catalog.gfs2",
