@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and prints ONE JSON
   * line. Results are forced with a `noop` sink write so every column is fully computed
@@ -217,11 +217,35 @@ object Bench {
           VersionedTable.overwritePartitions(replacement, locP) }
         require(VersionedTable.commits(spark, locP).last.operation == "replace",
           "dynamic overwrite did not commit a replace — bench precondition broken")
+        // commit-level data skipping: 8 disjoint o_orderkey-band commits
+        // (setup untimed), then a one-band probe vs the full scan — the
+        // pruned read must cost ~1 band, and a skipping regression (stats
+        // lost, pruner keeping everything) shows up as the ratio → 1
+        val locS = s"$root/ts"
+        val Row(loKey: Long, hiKey: Long) =
+          orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+        val band = (hiKey - loKey) / 8 + 1
+        (0 until 8).foreach { i =>
+          VersionedTable.write(
+            orders.filter(col("o_orderkey") >= loKey + i * band &&
+              col("o_orderkey") < loKey + (i + 1) * band),
+            locS, if (i == 0) "overwrite" else "append")
+        }
+        val tPruned = timed {
+          VersionedTable.readPruned(spark, locS, "o_orderkey",
+            (loKey + 3 * band).toDouble, (loKey + 4 * band - 1).toDouble)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val tFull = timed {
+          VersionedTable.read(spark, locS)
+            .write.format("noop").mode("overwrite").save()
+        }
         Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
           "restore" -> tRestore, "merge_on_read" -> tMor,
           "delete_dv" -> tDelete, "read_with_dv" -> tDvRead,
           "merge_scoped" -> tScoped, "shallow_clone" -> tClone,
-          "replace_partition" -> tReplace)
+          "replace_partition" -> tReplace, "pruned_read" -> tPruned,
+          "full_read" -> tFull)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }

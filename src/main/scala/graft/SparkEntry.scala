@@ -1654,6 +1654,44 @@ object SparkEntry {
       .orderBy("state", "doc_id")
   }
 
+  /** Data-skipping semantics gate: three disjoint doc_id-range commits (so a
+    * range probe CAN prune whole commits and, within survivors, whole files)
+    * plus one SQL UPDATE (a DV + change-row commit whose stats span the
+    * table — the "always kept" class). The probe is PURE SQL, so it rides the
+    * DSv2 filter pushdown into [[graft.catalog.VersionedTable.readPrunedConjunction]];
+    * the oracle states the same filter over the source table directly. Pruning
+    * must be a pure optimization: a skip tier that dropped the DV commit, a
+    * matching commit, or a file whose stats actually overlap would lose rows
+    * (or resurrect the pre-update image) and hash-mismatch. The plan-level
+    * assertion that files really ARE skipped lives in DSv2CatalogSpec — this
+    * gate pins the VALUES under pruning.
+    */
+  private def qFileSkipping(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.skip")
+    docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .createOrReplaceTempView("sqlskip_docs")
+    // three disjoint-range commits: [0,200), [200,400), [400,∞)
+    s.sql("CREATE TABLE gsqlc.contract.skip AS " +
+      "SELECT * FROM sqlskip_docs WHERE doc_id < 200")
+    s.sql("INSERT INTO gsqlc.contract.skip SELECT * FROM sqlskip_docs " +
+      "WHERE doc_id >= 200 AND doc_id < 400")
+    s.sql("INSERT INTO gsqlc.contract.skip SELECT * FROM sqlskip_docs " +
+      "WHERE doc_id >= 400")
+    // a DV + change-row commit the pruner must NEVER drop (dropping it would
+    // serve the pre-update image / resurrect the DV-deleted originals)
+    s.sql("UPDATE gsqlc.contract.skip SET n_chars = n_chars + 1000 " +
+      "WHERE doc_id % 50 = 0")
+    // range + equality probe: prunes the [400,∞) commit, keeps the rest
+    s.sql("""SELECT doc_id, lang, source, n_chars FROM gsqlc.contract.skip
+            |WHERE doc_id BETWEEN 120 AND 380 AND lang = 'en'""".stripMargin)
+      .orderBy("doc_id")
+  }
+
   /** Identity-column gate: `GENERATED ALWAYS AS IDENTITY` with
     * `orderWithin = doc_id` — the engine assigns `rid` densely in doc_id
     * order per batch, continuing monotonically across the second append
@@ -2041,6 +2079,7 @@ object SparkEntry {
     "q_sql_merge_full_sync" -> qSqlMergeFullSync,
     "q_sql_merge_evolution" -> qSqlMergeEvolution,
     "q_sql_replace" -> qSqlReplace,
+    "q_file_skipping" -> qFileSkipping,
     "q_identity_column" -> qIdentityColumn,
     "q_scoped_compact" -> qScopedCompact,
     "q_replace_partition" -> qReplacePartition,
@@ -3517,6 +3556,14 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id < 300
         |ORDER BY state, doc_id""".stripMargin,
+    // data-skipping probe over three range commits + one %50 UPDATE: the final
+    // values under pruning, stated directly from the source table
+    "q_file_skipping" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id % 50 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 120 AND 380 AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
     // schema-evolution MERGE: base(<400) with (doc_id, lang); source [200,600)
     // adds n_chars — pre-merge rows read NULL, matched rows update + carry it,
     // unmatched rows insert with it
