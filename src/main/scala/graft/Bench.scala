@@ -240,12 +240,25 @@ object Bench {
           VersionedTable.read(spark, locS)
             .write.format("noop").mode("overwrite").save()
         }
+        // COPY INTO: first load ingests the files; the re-run must be
+        // metadata-only (ledger + LIST, no data read) — a ledger regression
+        // shows up as noop ≈ first
+        val locC = s"$root/copy"
+        VersionedTable.write(orders.limit(0), locC, "overwrite")
+        orders.repartition(8).write.mode("append").parquet(s"$root/copy_src")
+        val tCopy = timed {
+          graft.catalog.CopyInto.copyInto(spark, locC, s"$root/copy_src")
+        }
+        val tCopyNoop = timed {
+          graft.catalog.CopyInto.copyInto(spark, locC, s"$root/copy_src")
+        }
         Seq("merge_cdf" -> tMerge, "read_changes" -> tChanges,
           "restore" -> tRestore, "merge_on_read" -> tMor,
           "delete_dv" -> tDelete, "read_with_dv" -> tDvRead,
           "merge_scoped" -> tScoped, "shallow_clone" -> tClone,
           "replace_partition" -> tReplace, "pruned_read" -> tPruned,
-          "full_read" -> tFull)
+          "full_read" -> tFull, "copy_into" -> tCopy,
+          "copy_into_noop" -> tCopyNoop)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }

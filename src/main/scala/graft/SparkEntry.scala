@@ -1692,6 +1692,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** COPY INTO gate: files arrive in a landing directory in two waves; each
+    * `copyInto` run loads ONLY the not-yet-ingested files (file-granular
+    * ledger, [[graft.catalog.CopyInto]]), and the deliberate RE-RUN between
+    * the waves must load nothing — a ledger regression double-loads wave one
+    * and the row counts (and hash) diverge from the oracle, which states the
+    * source table exactly once.
+    */
+  private def qCopyInto(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    val d = docs(s, dir).select("doc_id", "lang", "source", "n_chars")
+    val loc = s"$root/table"
+    graft.catalog.VersionedTable.write(d.limit(0), loc, "overwrite")
+    d.filter(col("doc_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(s"$root/landing")
+    val first = graft.catalog.CopyInto.copyInto(s, loc, s"$root/landing")
+    require(first.filesLoaded >= 1, s"wave one loaded nothing: $first")
+    val rerun = graft.catalog.CopyInto.copyInto(s, loc, s"$root/landing")
+    require(rerun.filesLoaded == 0 && rerun.version.isEmpty,
+      s"re-run must be a no-op, got $rerun")
+    d.filter(col("doc_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(s"$root/landing")
+    val second = graft.catalog.CopyInto.copyInto(s, loc, s"$root/landing")
+    require(second.filesLoaded >= 1, s"wave two loaded nothing: $second")
+    graft.catalog.VersionedTable.read(s, loc).orderBy("doc_id")
+  }
+
   /** Identity-column gate: `GENERATED ALWAYS AS IDENTITY` with
     * `orderWithin = doc_id` — the engine assigns `rid` densely in doc_id
     * order per batch, continuing monotonically across the second append
@@ -2080,6 +2106,7 @@ object SparkEntry {
     "q_sql_merge_evolution" -> qSqlMergeEvolution,
     "q_sql_replace" -> qSqlReplace,
     "q_file_skipping" -> qFileSkipping,
+    "q_copy_into" -> qCopyInto,
     "q_identity_column" -> qIdentityColumn,
     "q_scoped_compact" -> qScopedCompact,
     "q_replace_partition" -> qReplacePartition,
@@ -3563,6 +3590,11 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents
         |WHERE doc_id BETWEEN 120 AND 380 AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    // COPY INTO idempotence: two waves + a deliberate no-op re-run — the final
+    // table is the source exactly once (a ledger regression duplicates wave one)
+    "q_copy_into" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // schema-evolution MERGE: base(<400) with (doc_id, lang); source [200,600)
     // adds n_chars — pre-merge rows read NULL, matched rows update + carry it,

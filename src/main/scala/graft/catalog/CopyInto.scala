@@ -1,0 +1,206 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** `COPY INTO` — idempotent, file-granular bulk ingest into a versioned table
+  * (the batch verb of Delta/Snowflake's `COPY INTO`): load every file under a
+  * source directory that has NOT been loaded before as ONE append commit, and
+  * remember the loaded files so re-running the same command is a metadata-only
+  * no-op. The ledger carrying that memory is crash-safe BY REFERENCE:
+  *
+  *   - each run exclusive-creates an immutable manifest `_ingest/<seq>.jsonl`
+  *     listing the files it is about to load (a name is never reused),
+  *   - the data lands through [[VersionedTable.idempotentAppend]] tagged
+  *     `(txn_app = "graft.copy_into", txn_id = <seq>)`,
+  *   - a manifest is IN FORCE iff some commit carries its seq. A crash between
+  *     manifest write and commit leaves an unreferenced manifest the ledger
+  *     ignores ([[VersionedTable.vacuum]] reclaims it after the orphan grace);
+  *     the retry re-ingests those files under a FRESH seq — nothing lost,
+  *     nothing duplicated. The reverse order (commit first) would instead
+  *     leave a committed batch the ledger forgot, double-loading on retry.
+  *
+  * Ingest writers serialize on a dedicated `_ingest_lock` (NOT the DDL lock:
+  * identity-column appends take the DDL lock inside
+  * [[VersionedTable.idempotentAppend]], and the file lock is non-reentrant),
+  * so two concurrent COPY runs cannot double-load a file — the loser
+  * recomputes the ledger after the winner's commit is visible. Readers never
+  * touch `_ingest/`.
+  *
+  * Schema contract (refuse, don't drift): the TABLE is the authority. Source
+  * columns align by case-insensitive NAME and cast to the table's types
+  * (ANSI mode — a malformed value fails the load instead of becoming NULL); a
+  * source column the table lacks refuses loudly, as does a missing table
+  * column that isn't generated / identity-assigned (those are computed by the
+  * landing write). CSV reads header-named all-string columns by default
+  * (`header=true`) and rides the same cast. The append takes the normal
+  * staged-write path, so CHECK constraints, generated columns, identity
+  * assignment, and the declared hive partitioning all apply exactly as if the
+  * rows were written by hand — a constraint violation aborts the whole run
+  * with the ledger untouched, and the fixed files load cleanly on retry.
+  *
+  * At 100 TB: each run costs one LIST of the source glob plus one driver-side
+  * read of the in-force manifests (bounded by the number of COPY runs, not
+  * files — each run's files share one manifest), then a distributed ingest of
+  * ONLY the new files. Steady-state re-runs with nothing new are pure
+  * metadata; the ledger never rewrites. The driver-side `loaded` set is
+  * file-granular — at ~10⁸ ingested files path strings become the ceiling;
+  * the growth path there is compacting old manifests into a bloom filter
+  * (exact check only on maybe-hits) and partitioning manifests by source
+  * prefix, neither of which changes this ledger's on-disk contract.
+  *
+  * The reference lands externally-arriving order files into the lake
+  * exactly-once from a watched location (ingestion/s3-orders-ingestion.py) —
+  * COPY INTO is that contract as an on-demand batch verb instead of a stream.
+  */
+object CopyInto {
+
+  private[catalog] val IngestDir = "_ingest"
+  private[catalog] val TxnApp = "graft.copy_into"
+
+  /** `version` is None when no new files matched (no commit was written). */
+  final case class CopyResult(version: Option[Long], filesLoaded: Long,
+      rowsLoaded: Long)
+
+  private val GlobChars = Set('*', '?', '[', '{')
+
+  /** Load the not-yet-ingested files under `source` into the table at
+    * `location`. `source` is a directory (listed non-recursively; `pattern`
+    * optionally globs file names within it, default `*`) or itself a glob.
+    * `force = true` re-loads every matched file regardless of the ledger —
+    * the re-loaded files are appended again (duplicate rows), exactly
+    * Delta's COPY_OPTIONS force contract. Dotfiles and `_`-prefixed files
+    * (`_SUCCESS` and friends) are never candidates.
+    */
+  def copyInto(spark: SparkSession, location: String, source: String,
+      format: String = "parquet", options: Map[String, String] = Map.empty,
+      pattern: String = "", force: Boolean = false): CopyResult = {
+    require(VersionedTable.exists(spark, location),
+      s"COPY INTO requires an existing table at $location — create it first " +
+        "(the table schema is the authority the loaded files are cast to)")
+    VersionedTable.withFileLock(spark, location, "_ingest_lock") {
+      copyBody(spark, location, source, format, options, pattern, force)
+    }
+  }
+
+  private def copyBody(spark: SparkSession, location: String, source: String,
+      format: String, options: Map[String, String], pattern: String,
+      force: Boolean): CopyResult = {
+    val fs = VersionedTable.fileSystem(spark, location)
+    val sourceIsGlob = source.exists(GlobChars)
+    require(pattern.isEmpty || !sourceIsGlob,
+      "COPY INTO: pass the glob in `source` OR in `pattern`, not both")
+    val src = new Path(source)
+    // a typo'd plain directory must refuse, not silently load nothing; a glob
+    // source may legitimately match nothing (files not arrived yet) → no-op
+    if (!sourceIsGlob) require(fs.exists(src),
+      s"COPY INTO source does not exist: $source")
+    val glob =
+      if (sourceIsGlob) src
+      else if (fs.getFileStatus(src).isDirectory)
+        new Path(src, if (pattern.nonEmpty) pattern else "*")
+      else src
+    val listed = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+
+    val referenced = VersionedTable.commits(spark, location)
+      .filter(_.txn_app == TxnApp).map(_.txn_id).toSet
+    val ingestDir = new Path(s"$location/$IngestDir")
+    val manifests =
+      if (fs.exists(ingestDir))
+        fs.listStatus(ingestDir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+      else Seq.empty
+    def seqOf(st: FileStatus): Option[Long] =
+      st.getPath.getName.stripSuffix(".jsonl").toLongOption
+    val loaded: Set[String] = manifests
+      .filter(st => seqOf(st).exists(referenced))
+      .flatMap(st => manifestPaths(fs, st.getPath)).toSet
+
+    val fresh =
+      if (force) listed
+      else listed.filterNot(st => loaded(st.getPath.toString))
+    if (fresh.isEmpty) return CopyResult(None, 0L, 0L)
+
+    // read + align BEFORE the manifest lands: a schema refusal or malformed
+    // file must leave no ledger trace (analysis here; execution in the append)
+    val batch = aligned(spark, location, fresh.map(_.getPath.toString),
+      format, options)
+
+    // fresh seq above every existing manifest AND referenced commit — crash
+    // orphans hold their names, so the bump loop below cannot spin in practice
+    var seq = (manifests.flatMap(seqOf) ++ referenced).maxOption.getOrElse(-1L) + 1
+    fs.mkdirs(ingestDir)
+    val body = fresh.map { st =>
+      s"""{"path": "${VersionedTable.escapeJson(st.getPath.toString)}", """ +
+        s""""size": ${st.getLen}, "mtime": ${st.getModificationTime}}"""
+    }.mkString("", "\n", "\n")
+    while (!VersionedTable.atomicCreate(fs, new Path(ingestDir, f"$seq%06d.jsonl"),
+        body.getBytes(StandardCharsets.UTF_8))) seq += 1
+
+    val version = VersionedTable.idempotentAppend(batch, location, TxnApp, seq,
+      VersionedTable.declaredPartitioning(spark, location))
+    val rows = version.flatMap(v => VersionedTable.commits(spark, location)
+      .find(_.version == v).map(_.row_count)).getOrElse(0L)
+    CopyResult(version, fresh.size.toLong, rows)
+  }
+
+  /** The file paths a manifest records (its `path` fields, JSON-unescaped). */
+  private[catalog] def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
+    val pathField = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    pathField.findAllMatchIn(VersionedTable.readUtf8(fs, p))
+      .map(m => VersionedTable.unescapeJson(m.group(1))).toSeq
+  }
+
+  /** Read `paths` with `format` and project them onto the table's schema:
+    * case-insensitive name alignment, table-ordered output, one cast per
+    * column. Generated and identity columns may be absent (the landing write
+    * computes them); anything else missing, or any extra source column,
+    * refuses loudly.
+    */
+  private def aligned(spark: SparkSession, location: String,
+      paths: Seq[String], format: String,
+      options: Map[String, String]): DataFrame = {
+    val fmt = format.trim.toLowerCase
+    require(Set("parquet", "csv", "json", "avro").contains(fmt),
+      s"COPY INTO: unsupported format '$format' — parquet, csv, json, avro")
+    val reader = spark.read.options(options)
+    val raw = fmt match {
+      case "csv" =>
+        // header-named all-string columns; the cast below applies the table's
+        // types (explicit schema would bind CSV columns positionally instead)
+        reader.option("header", options.getOrElse("header", "true"))
+          .csv(paths: _*)
+      case "json"  => reader.json(paths: _*)
+      case "avro"  => reader.format("avro").load(paths: _*)
+      case _       => reader.parquet(paths: _*)
+    }
+    val target = VersionedTable.read(spark, location).schema
+    val computed =
+      VersionedTable.generatedColumns(spark, location).keySet.map(_.toLowerCase) ++
+        VersionedTable.identitySpec(spark, location).map(_.name.toLowerCase)
+    val tByLower = target.fields.map(f => f.name.toLowerCase -> f).toMap
+    val extra = raw.schema.fieldNames.filterNot(n => tByLower.contains(n.toLowerCase))
+    require(extra.isEmpty,
+      s"COPY INTO: source carries columns the table lacks: ${extra.mkString(", ")} " +
+        "— drop them from the files or ALTER TABLE ADD COLUMNS first")
+    val srcByLower = raw.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val missing = target.fields.map(_.name).filterNot(n =>
+      srcByLower.contains(n.toLowerCase) || computed(n.toLowerCase))
+    require(missing.isEmpty,
+      s"COPY INTO: source is missing table columns: ${missing.mkString(", ")} " +
+        "(only generated/identity columns may be absent — the write computes those)")
+    val cols = target.fields.toSeq
+      .filter(f => srcByLower.contains(f.name.toLowerCase))
+      .map(f => col(s"`${srcByLower(f.name.toLowerCase)}`").cast(f.dataType)
+        .as(f.name))
+    raw.select(cols: _*)
+  }
+}

@@ -365,9 +365,19 @@ object VersionedTable {
   private val DdlLockWaitMs = 30 * 1000L
 
   private def withDdlLock[T](spark: SparkSession, location: String)
-      (body: => T): T = {
+      (body: => T): T = withFileLock(spark, location, "_ddl_lock")(body)
+
+  /** The exclusive-create file-lock protocol behind the DDL lock, generalized
+    * to a caller-named lock file so other single-writer scopes (e.g. COPY
+    * INTO's ingest ledger, [[CopyInto]]) serialize independently of DDL.
+    * NON-REENTRANT: a holder that re-acquires the SAME lock deadlocks until
+    * the timeout — nest distinct locks only, and keep the order consistent
+    * (today: ingest → ddl, never the reverse).
+    */
+  private[catalog] def withFileLock[T](spark: SparkSession, location: String,
+      lockName: String)(body: => T): T = {
     val fs = fileSystem(spark, location)
-    val lock = new Path(s"$location/_ddl_lock")
+    val lock = new Path(s"$location/$lockName")
     fs.mkdirs(lock.getParent) // pre-first-commit DDL (e.g. identity declare)
     val deadline = System.currentTimeMillis() + DdlLockWaitMs
     var acquired = false
@@ -381,8 +391,8 @@ object VersionedTable {
         if (age > StaleDdlLockMs) fs.delete(lock, false)
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
-            s"timed out waiting ${DdlLockWaitMs / 1000}s for the DDL lock at " +
-              s"$location — a concurrent DDL is running (or crashed within " +
+            s"timed out waiting ${DdlLockWaitMs / 1000}s for $lockName at " +
+              s"$location — a concurrent holder is running (or crashed within " +
               s"the last ${StaleDdlLockMs / 1000}s; the lock self-breaks after that)")
         else Thread.sleep(50)
       }
@@ -1115,10 +1125,10 @@ object VersionedTable {
     }
   }
 
-  private def escapeJson(s: String): String =
+  private[catalog] def escapeJson(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  private def unescapeJson(s: String): String =
+  private[catalog] def unescapeJson(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** One job for ALL constraints: a single filter on the OR of the violation
@@ -3396,8 +3406,25 @@ object VersionedTable {
         }
       }
 
+    // ingest-ledger manifests not referenced by any commit are crash debris
+    // from a COPY INTO that died between manifest write and commit ([[CopyInto]]);
+    // the ledger already ignores them, so reclaiming is pure hygiene. The same
+    // orphan grace as staged data dirs protects an IN-FLIGHT copy (manifest
+    // written, commit about to land).
+    val ingestDirP = new Path(s"$location/${CopyInto.IngestDir}")
+    val manifestOrphans =
+      if (!fs.exists(ingestDirP)) Seq.empty
+      else {
+        val copySeqs = cs.filter(_.txn_app == CopyInto.TxnApp).map(_.txn_id).toSet
+        fs.listStatus(ingestDirP).toSeq.filter { st =>
+          st.isFile && st.getPath.getName.endsWith(".jsonl") &&
+            !st.getPath.getName.stripSuffix(".jsonl").toLongOption.exists(copySeqs) &&
+            st.getModificationTime <= now - orphanGraceMs
+        }.map(_.getPath)
+      }
+
     val victims = (orphans ++ expired).filter(fs.exists) ++
-      livePartVictims.map(_._2) ++ logVictims
+      livePartVictims.map(_._2) ++ logVictims ++ manifestOrphans
     victims.foreach(p => fs.delete(p, true))
     // reads below the floor can no longer be served complete — make them loud
     val floorFromExpired =
@@ -3498,7 +3525,7 @@ object VersionedTable {
       try checkpoint(spark, location)
       catch { case scala.util.control.NonFatal(_) => () }
 
-  private def readUtf8(fs: FileSystem, p: Path): String = {
+  private[catalog] def readUtf8(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
@@ -3532,7 +3559,7 @@ object VersionedTable {
     * paths we go through NIO's CREATE_NEW (O_EXCL — kernel-atomic) instead.
     * Returns false iff the version was already claimed.
     */
-  private def atomicCreate(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean =
+  private[catalog] def atomicCreate(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean =
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
@@ -3630,6 +3657,6 @@ object VersionedTable {
     else None
   }
 
-  private def fileSystem(spark: SparkSession, location: String): FileSystem =
+  private[catalog] def fileSystem(spark: SparkSession, location: String): FileSystem =
     new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
 }

@@ -26,6 +26,7 @@ import graft.catalog.VersionedTable
   *   CALL gsql.system.update_where(table => 'ns.t', condition => 'id < 5',
   *                                 assignments => 'qty = qty * 2')
   *   CALL gsql.system.merge(table => 'ns.t', source => 'changes_view', keys => 'id')
+  *   CALL gsql.system.copy_into(table => 'ns.t', source => '/landing/orders')
   * }}}
   *
   * `update_where` and `merge` are the UPDATE / MERGE INTO verbs: Spark only plans
@@ -235,7 +236,32 @@ private[table] object GraftProcedures {
       StructType(Seq(StructField("manifest_path", StringType))),
       (s, resolve, args) =>
         VersionedTable.generateManifest(s, resolve(args(0).asInstanceOf[String]))
-          .map(Seq(_))))
+          .map(Seq(_))),
+    GraftProcedure("copy_into",
+      "COPY INTO: idempotent file-granular bulk load — append every " +
+        "not-yet-loaded file under `source` as one commit and remember it in " +
+        "the ingest ledger, so re-running is a metadata-only no-op (version " +
+        "-1); force => 'true' reloads everything; options => 'k=v,k2=v2'",
+      Seq(in("table", StringType), in("source", StringType),
+        inDefault("format", StringType, "'parquet'"),
+        inDefault("pattern", StringType, "''"),
+        inDefault("force", StringType, "'false'"),
+        inDefault("options", StringType, "''")),
+      StructType(Seq(StructField("version", LongType),
+        StructField("files_loaded", LongType),
+        StructField("rows_loaded", LongType))),
+      (s, resolve, args) => {
+        val opts = splitTopLevel(args(5).asInstanceOf[String]).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"bad option '$kv' — expected 'k=v,k2=v2'")
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap
+        val r = graft.catalog.CopyInto.copyInto(s,
+          resolve(args(0).asInstanceOf[String]), args(1).asInstanceOf[String],
+          args(2).asInstanceOf[String], opts, args(3).asInstanceOf[String],
+          args(4).asInstanceOf[String].trim.toBoolean)
+        Seq(Seq(r.version.getOrElse(-1L), r.filesLoaded, r.rowsLoaded))
+      }))
 
   /** Split an assignment list on TOP-LEVEL commas only — `qty = greatest(qty,
     * 0), v = concat(a, ',')` is two assignments, not four: commas inside

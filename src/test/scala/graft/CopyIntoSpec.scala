@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{CopyInto, VersionedTable}
+
+/** COPY INTO: the idempotent file-granular ingest ledger. */
+class CopyIntoSpec extends AnyFunSuite with SharedSpark {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_copyinto").toString
+
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "web", 100L), (2L, "en", "web", 200L),
+      (3L, "de", "book", 300L), (4L, "fr", "web", 400L),
+      (5L, "en", "book", 500L), (6L, "de", "web", 600L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+  }
+
+  private def createTable(loc: String): Unit =
+    VersionedTable.write(docsDf.limit(0), loc, "overwrite")
+
+  test("loads every file once; the re-run is a metadata-only no-op") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.filter(col("doc_id") <= 3).repartition(2)
+      .write.mode("append").parquet(s"$root/src")
+    val first = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(first.filesLoaded == 2 && first.rowsLoaded == 3)
+    assert(first.version.nonEmpty)
+    val again = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(again == CopyInto.CopyResult(None, 0L, 0L))
+    assert(VersionedTable.read(spark, loc).count() == 3)
+  }
+
+  test("new files arriving in the same directory load incrementally") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.filter(col("doc_id") <= 3).coalesce(1)
+      .write.mode("append").parquet(s"$root/src")
+    CopyInto.copyInto(spark, loc, s"$root/src")
+    docsDf.filter(col("doc_id") > 3).coalesce(1)
+      .write.mode("append").parquet(s"$root/src")
+    val second = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(second.filesLoaded == 1 && second.rowsLoaded == 3)
+    val got = VersionedTable.read(spark, loc).orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("force reloads already-ingested files (duplicate rows, per contract)") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.coalesce(1).write.mode("append").parquet(s"$root/src")
+    CopyInto.copyInto(spark, loc, s"$root/src")
+    val forced = CopyInto.copyInto(spark, loc, s"$root/src", force = true)
+    assert(forced.filesLoaded == 1 && forced.rowsLoaded == 6)
+    assert(VersionedTable.read(spark, loc).count() == 12)
+  }
+
+  test("an orphan manifest (crash before its commit) is ignored and re-ingested") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.coalesce(1).write.mode("append").parquet(s"$root/src")
+    // simulate a crash between manifest write and commit: the manifest claims
+    // the file was loaded, but no commit references its seq
+    val srcFile = new java.io.File(s"$root/src").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).head
+    val ingestDir = new java.io.File(s"$loc/_ingest")
+    ingestDir.mkdirs()
+    Files.write(ingestDir.toPath.resolve("000007.jsonl"),
+      s"""{"path": "file:${srcFile.getAbsolutePath}", "size": 1, "mtime": 1}\n"""
+        .getBytes("UTF-8"))
+    val r = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(r.filesLoaded == 1 && r.rowsLoaded == 6)
+    // the fresh manifest picked a seq ABOVE the orphan (names are never reused)
+    assert(ingestDir.listFiles().map(_.getName).sorted.toSeq ==
+      Seq("000007.jsonl", "000008.jsonl"))
+  }
+
+  test("schema contract refuses extra and missing columns loudly") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.withColumn("unexpected", lit(1)).coalesce(1)
+      .write.parquet(s"$root/extra")
+    val e1 = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, loc, s"$root/extra")
+    }
+    assert(e1.getMessage.contains("unexpected"))
+    docsDf.drop("n_chars").coalesce(1).write.parquet(s"$root/missing")
+    val e2 = intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, loc, s"$root/missing")
+    }
+    assert(e2.getMessage.contains("n_chars"))
+    // refusals leave no ledger trace: the table is still empty, and a correct
+    // directory loads cleanly afterwards
+    assert(VersionedTable.read(spark, loc).count() == 0)
+    docsDf.coalesce(1).write.mode("append").parquet(s"$root/src")
+    assert(CopyInto.copyInto(spark, loc, s"$root/src").rowsLoaded == 6)
+  }
+
+  test("csv loads by header names and casts to the table's types") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    // column order deliberately differs from the table's — alignment is by name
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/csv"))
+    Files.write(java.nio.file.Paths.get(s"$root/csv/a.csv"),
+      "lang,doc_id,n_chars,source\nen,10,123,web\nde,11,456,book\n"
+        .getBytes("UTF-8"))
+    val r = CopyInto.copyInto(spark, loc, s"$root/csv", format = "csv")
+    assert(r.rowsLoaded == 2)
+    val row = VersionedTable.read(spark, loc).orderBy("doc_id").head()
+    assert(row.getLong(0) == 10L && row.getString(1) == "en" &&
+      row.getLong(3) == 123L)
+  }
+
+  test("pattern restricts candidates; dotfiles and _SUCCESS are never loaded") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.coalesce(1).write.mode("append").parquet(s"$root/src") // has _SUCCESS
+    Files.write(java.nio.file.Paths.get(s"$root/src/.hidden"),
+      "junk".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$root/src/notes.txt"),
+      "junk".getBytes("UTF-8"))
+    val r = CopyInto.copyInto(spark, loc, s"$root/src", pattern = "*.parquet")
+    assert(r.filesLoaded == 1 && r.rowsLoaded == 6)
+  }
+
+  test("the append rides the normal write path: partitioning + constraints") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    // the SQL CREATE path's shape: an empty v0 written FLAT, with the declared
+    // partitioning carried by the spec sidecar (zero rows lay out no dirs)
+    VersionedTable.write(docsDf.limit(0), loc, "overwrite")
+    VersionedTable.writeTableSpec(spark, loc, Map("partition_by" -> "lang"))
+    VersionedTable.addConstraint(spark, loc, "chars_pos", "n_chars > 0")
+    docsDf.coalesce(1).write.mode("append").parquet(s"$root/src")
+    CopyInto.copyInto(spark, loc, s"$root/src")
+    // hive layout landed per the declared partitioning
+    val commit = VersionedTable.commits(spark, loc).last
+    assert(commit.partition_by == "lang")
+    // a violating file aborts with the ledger untouched
+    docsDf.withColumn("n_chars", lit(-1L)).coalesce(1)
+      .write.mode("append").parquet(s"$root/bad")
+    intercept[Exception] {
+      CopyInto.copyInto(spark, loc, s"$root/bad")
+    }
+    assert(VersionedTable.read(spark, loc).count() == 6)
+    // the aborted run's manifest is an orphan; vacuum with zero grace reclaims
+    // it, and referenced manifests survive
+    val removed = VersionedTable.vacuum(spark, loc,
+      retentionMs = Long.MaxValue, orphanGraceMs = 0L)
+    val names = new java.io.File(s"$loc/_ingest").listFiles().map(_.getName)
+    assert(names.length == 1 && removed.exists(_.contains("_ingest")))
+  }
+
+  test("a missing source directory refuses; an empty glob match is a no-op") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    intercept[IllegalArgumentException] {
+      CopyInto.copyInto(spark, loc, s"$root/nope")
+    }
+    assert(CopyInto.copyInto(spark, loc, s"$root/no*/files.parquet") ==
+      CopyInto.CopyResult(None, 0L, 0L))
+  }
+
+  test("two racing COPY runs on the same directory never double-load a file") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.repartition(3).write.mode("append").parquet(s"$root/src")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq.fill(2)(Future(
+      CopyInto.copyInto(spark, loc, s"$root/src")))
+    val results = Await.result(Future.sequence(runs), 120.seconds)
+    // the ingest lock serializes them: the loser recomputes the ledger after
+    // the winner's commit and loads nothing — every file lands exactly once
+    assert(results.map(_.rowsLoaded).sum == 6)
+    assert(VersionedTable.read(spark, loc).count() == 6)
+    assert(VersionedTable.read(spark, loc).select("doc_id").distinct().count() == 6)
+  }
+
+  test("SQL surface: CALL system.copy_into") {
+    val root = freshRoot()
+    val wh = s"$root/wh"
+    spark.conf.set("spark.sql.catalog.gcopy",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcopy.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcopy.ns")
+    spark.sql("CREATE TABLE gcopy.ns.t (doc_id BIGINT, lang STRING, " +
+      "source STRING, n_chars BIGINT)")
+    docsDf.coalesce(1).write.mode("append").parquet(s"$root/src")
+    val r1 = spark.sql(
+      s"CALL gcopy.system.copy_into(table => 'ns.t', source => '$root/src')")
+      .head()
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 6L)
+    val r2 = spark.sql(
+      s"CALL gcopy.system.copy_into(table => 'ns.t', source => '$root/src')")
+      .head()
+    assert(r2.getLong(0) == -1L && r2.getLong(1) == 0L)
+    assert(spark.table("gcopy.ns.t").count() == 6)
+    spark.sql("DROP TABLE gcopy.ns.t")
+  }
+}
