@@ -1718,6 +1718,39 @@ object SparkEntry {
     graft.catalog.VersionedTable.read(s, loc).orderBy("doc_id")
   }
 
+  /** Column-DDL gate: `CREATE TABLE` declaring a `DEFAULT` column and a
+    * `GENERATED ALWAYS AS` column through pure SQL, then three INSERT waves —
+    * defaults fill omitted columns (and `ALTER COLUMN ... SET DEFAULT` flips
+    * the fill mid-table, metadata-only), the generated column is computed
+    * when absent and validated when carried. The oracle restates every value
+    * from the source table, so a default that stopped filling (NULL), a stale
+    * default after the ALTER, or an uncomputed generated column all
+    * hash-mismatch.
+    */
+  private def qColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.cdft")
+    docs(s, dir).select("doc_id", "lang").createOrReplaceTempView("sqldft_docs")
+    s.sql("CREATE TABLE gsqlc.contract.cdft (doc_id BIGINT, lang STRING, " +
+      "quality STRING DEFAULT 'unreviewed', " +
+      "n2 BIGINT GENERATED ALWAYS AS (doc_id * 2))")
+    s.sql("INSERT INTO gsqlc.contract.cdft (doc_id, lang) " +
+      "SELECT doc_id, lang FROM sqldft_docs WHERE doc_id < 250")
+    s.sql("ALTER TABLE gsqlc.contract.cdft ALTER COLUMN quality SET DEFAULT 'auto'")
+    s.sql("INSERT INTO gsqlc.contract.cdft (doc_id, lang) " +
+      "SELECT doc_id, lang FROM sqldft_docs WHERE doc_id >= 250 AND doc_id < 500")
+    // the third wave carries BOTH explicitly: the default must not override,
+    // and the generated column validates the carried value
+    s.sql("INSERT INTO gsqlc.contract.cdft " +
+      "SELECT doc_id, lang, 'gold', doc_id * 2 FROM sqldft_docs WHERE doc_id >= 500")
+    s.sql("SELECT doc_id, lang, quality, n2 FROM gsqlc.contract.cdft")
+      .orderBy("doc_id")
+  }
+
   /** Identity-column gate: `GENERATED ALWAYS AS IDENTITY` with
     * `orderWithin = doc_id` — the engine assigns `rid` densely in doc_id
     * order per batch, continuing monotonically across the second append
@@ -2107,6 +2140,7 @@ object SparkEntry {
     "q_sql_replace" -> qSqlReplace,
     "q_file_skipping" -> qFileSkipping,
     "q_copy_into" -> qCopyInto,
+    "q_column_defaults" -> qColumnDefaults,
     "q_identity_column" -> qIdentityColumn,
     "q_scoped_compact" -> qScopedCompact,
     "q_replace_partition" -> qReplacePartition,
@@ -3595,6 +3629,16 @@ object SparkEntry {
     // table is the source exactly once (a ledger regression duplicates wave one)
     "q_copy_into" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // column DDL: three insert waves under two successive DEFAULTs plus a
+    // computed/validated generated column, every value restated from source
+    "q_column_defaults" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id < 250 THEN 'unreviewed'
+        |       WHEN doc_id < 500 THEN 'auto'
+        |       ELSE 'gold' END AS quality,
+        |  doc_id * 2 AS n2
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // schema-evolution MERGE: base(<400) with (doc_id, lang); source [200,600)
     // adds n_chars — pre-merge rows read NULL, matched rows update + carry it,

@@ -557,6 +557,75 @@ object VersionedTable {
     writeKeyedJson(spark, location, GeneratedFile,
       generatedColumns(spark, location) - name)
 
+  // --- column DEFAULT values (DEFAULT <expr> DDL) ----------------------------------
+
+  /** Column DEFAULTs (SQL-standard `DEFAULT <expr>`, Delta `allowColumnDefaults`
+    * parity): the declared expression is STORED METADATA, applied by Spark's
+    * analyzer — an SQL `INSERT` that omits the column (or writes the `DEFAULT`
+    * keyword) gets the expression's value materialized into the written rows.
+    * The engine's own write paths are untouched: a Scala-API batch missing the
+    * column still lands NULL (additive-schema semantics), exactly like Delta,
+    * where defaults are an SQL-surface feature. Declarations live in the spec
+    * sidecar keyed by PHYSICAL column name (like type widenings), so
+    * metadata-only renames carry the default with the column, and every change
+    * rides [[updateTableSpec]]'s DDL archive — schema time travel shows the
+    * default in force at each version. Identity and generated columns refuse a
+    * default loudly: the engine computes those, a default would be dead
+    * metadata that LOOKS live.
+    */
+  private val DefaultPrefix = "default."
+
+  /** Declare (or replace) `name`'s DEFAULT as the SQL text `currentSql`.
+    * Existing rows are untouched (metadata-only — Delta parity: a default
+    * applies to rows written AFTER the declaration, through the SQL surface).
+    */
+  def setColumnDefault(spark: SparkSession, location: String, name: String,
+      currentSql: String): Unit = {
+    require(currentSql.trim.nonEmpty, s"empty DEFAULT expression for '$name'")
+    expr(currentSql) // parse before persisting
+    require(read(spark, location).columns.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist at $location")
+    identitySpec(spark, location).foreach(id =>
+      require(!id.name.equalsIgnoreCase(name),
+        s"'$name' is the identity column at $location — the engine assigns " +
+          "it; a DEFAULT would never apply"))
+    require(!generatedColumns(spark, location).keys
+        .exists(_.equalsIgnoreCase(name)),
+      s"'$name' is a generated column at $location — the engine computes " +
+        "it; a DEFAULT would never apply")
+    val physical = physicalName(spark, location, name)
+    updateTableSpec(spark, location)(_ + (s"$DefaultPrefix$physical" -> currentSql))
+  }
+
+  /** Drop `name`'s DEFAULT (no-op when none is declared — covers DROP DEFAULT
+    * idempotence and the drop-column cleanup path).
+    */
+  def dropColumnDefault(spark: SparkSession, location: String,
+      name: String): Unit = {
+    val physical = physicalName(spark, location, name)
+    updateTableSpec(spark, location)(_ - s"$DefaultPrefix$physical")
+  }
+
+  /** Defaults in force, keyed by LOGICAL column name: `name -> defaultSql`. */
+  def columnDefaults(spark: SparkSession,
+      location: String): Map[String, String] = {
+    val mapping = columnMapping(spark, location)
+    tableSpec(spark, location).collect {
+      case (k, sql) if k.startsWith(DefaultPrefix) =>
+        val p = k.stripPrefix(DefaultPrefix)
+        mapping.getOrElse(p, p) -> sql
+    }
+  }
+
+  /** The physical (file-level) name behind a logical column name — identity
+    * when the column was never renamed.
+    */
+  private def physicalName(spark: SparkSession, location: String,
+      name: String): String =
+    columnMapping(spark, location).collectFirst {
+      case (p, l) if l.equalsIgnoreCase(name) => p
+    }.getOrElse(name)
+
   private val GeneratedFile = "_generated.json"
 
   /** The table's generated-column declarations (empty when none). */

@@ -197,12 +197,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def emptyContent(schema: StructType) =
     spark.createDataFrame(new util.ArrayList[Row](), schema).repartition(1)
 
+  /** CREATE TABLE, with column DDL clauses (`DEFAULT` / `GENERATED ALWAYS AS`
+    * / `GENERATED ALWAYS AS IDENTITY`) landed where the engine keeps each —
+    * defaults in the spec sidecar, generated/identity through their
+    * declaration APIs (zero-rows guard trivially satisfied by the empty v0).
+    * The `Column[]` overload is the one Spark calls and the only one that
+    * still carries generation/identity; the StructType overload remains for
+    * direct callers (defaults only — see [[ColumnDdl]]).
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createInternal(ident, ColumnDdl.extract(columns, fullName(ident)),
+      partitions, properties)
+
   override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createInternal(ident, ColumnDdl.extract(schema, fullName(ident)),
+      partitions, properties)
+
+  private def createInternal(ident: Identifier, ddl: ColumnDdl.Extracted,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val (loc, _, spec) = validateDefinition(ident, schema, partitions, properties)
+    val (loc, _, spec) = validateDefinition(ident, ddl.clean, partitions, properties)
     if (VersionedTable.exists(spark, loc)) throw new TableAlreadyExistsException(ident)
-    VersionedTable.write(emptyContent(schema), loc, "overwrite", partitionBy = Nil)
-    if (spec.nonEmpty) VersionedTable.writeTableSpec(spark, loc, spec)
+    VersionedTable.write(emptyContent(ddl.clean), loc, "overwrite", partitionBy = Nil)
+    val fullSpec = spec ++ ColumnDdl.defaultSpecKeys(ddl.defaults)
+    if (fullSpec.nonEmpty) VersionedTable.writeTableSpec(spark, loc, fullSpec)
+    ColumnDdl.declare(spark, loc, ddl.generated, ddl.identity)
     new GraftSqlTable(fullName(ident), loc, None)
   }
 
@@ -217,32 +238,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * version reads the old data under the old schema). Nothing lands until
     * `commitStagedChanges`; abort is a true no-op.
     */
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stagedTable(ident, ColumnDdl.extract(columns, fullName(ident)), partitions,
+      properties, replaceExisting = false)
+  }
+
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    stagedTable(ident, schema, partitions, properties, replaceExisting = false)
+    stagedTable(ident, ColumnDdl.extract(schema, fullName(ident)), partitions,
+      properties, replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedTable(ident, ColumnDdl.extract(columns, fullName(ident)), partitions,
+      properties, replaceExisting = true)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    stagedTable(ident, schema, partitions, properties, replaceExisting = true)
+    stagedTable(ident, ColumnDdl.extract(schema, fullName(ident)), partitions,
+      properties, replaceExisting = true)
   }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedTable(ident, ColumnDdl.extract(columns, fullName(ident)), partitions,
+      properties, replaceExisting = true)
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    stagedTable(ident, schema, partitions, properties, replaceExisting = true)
+    stagedTable(ident, ColumnDdl.extract(schema, fullName(ident)), partitions,
+      properties, replaceExisting = true)
 
-  private def stagedTable(ident: Identifier, schema: StructType,
+  private def stagedTable(ident: Identifier, ddl: ColumnDdl.Extracted,
       partitions: Array[Transform], properties: util.Map[String, String],
       replaceExisting: Boolean): StagedGraftTable = {
-    val (loc, partitionBy, spec) = validateDefinition(ident, schema, partitions,
+    val (loc, partitionBy, spec) = validateDefinition(ident, ddl.clean, partitions,
       properties)
-    new StagedGraftTable(fullName(ident), loc, schema, partitionBy, spec,
-      replaceExisting, () => emptyContent(schema))
+    new StagedGraftTable(fullName(ident), loc, ddl.clean, partitionBy,
+      spec ++ ColumnDdl.defaultSpecKeys(ddl.defaults), replaceExisting,
+      () => emptyContent(ddl.clean), ddl.generated, ddl.identity)
   }
 
   /** Metadata-only column DDL rides the table layer's column mapping; everything
@@ -257,6 +307,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         VersionedTable.renameColumn(spark, loc, c.fieldNames.head, c.newName)
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1, "nested column drop is not supported")
+        // drop the default first, while the name still resolves — a lingering
+        // key would re-bind if a later column reuses the physical name
+        VersionedTable.dropColumnDefault(spark, loc, c.fieldNames.head)
         VersionedTable.dropColumn(spark, loc, c.fieldNames.head)
       case c: TableChange.AddColumn =>
         require(c.fieldNames.length == 1, "nested column add is not supported")
@@ -291,6 +344,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "nested column type change is not supported")
         VersionedTable.widenColumn(spark, loc, c.fieldNames.head,
           c.newDataType.sql)
+      case c: TableChange.UpdateColumnDefaultValue =>
+        require(c.fieldNames.length == 1,
+          "nested column default is not supported")
+        // SET DEFAULT carries the expression; DROP DEFAULT arrives as an
+        // empty/absent one
+        Option(c.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(c.newDefaultValue()).filter(_.trim.nonEmpty)) match {
+          case Some(sql) =>
+            VersionedTable.setColumnDefault(spark, loc, c.fieldNames.head, sql)
+          case None =>
+            VersionedTable.dropColumnDefault(spark, loc, c.fieldNames.head)
+        }
       case c => throw ColumnBridge.analysisError(
         s"${fullName(ident)}: unsupported ALTER TABLE change $c — the SQL surface " +
           "covers ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE (widening), " +
@@ -300,13 +365,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Advertises CHECK-constraint DDL support so Spark routes
-    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` through [[alterTable]].
+  /** Advertises the column/constraint DDL this catalog accepts, so Spark
+    * routes the clauses here instead of refusing them at analysis:
+    * CHECK constraints (`ALTER TABLE ... ADD CONSTRAINT ... CHECK`), column
+    * DEFAULTs (CREATE + `ALTER COLUMN ... SET/DROP DEFAULT` — persisted in
+    * the spec sidecar, re-injected as schema metadata for INSERT resolution),
+    * and CREATE TABLE with `GENERATED ALWAYS AS (expr)` / `GENERATED ALWAYS
+    * AS IDENTITY` columns (extracted into the engine's generated/identity
+    * declarations — [[ColumnDdl]]).
     */
   override def capabilities()
-      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    util.EnumSet.of(SUPPORT_TABLE_CONSTRAINT, SUPPORT_COLUMN_DEFAULT_VALUE,
+      SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -401,6 +475,101 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+/** Column-level DDL clauses (`DEFAULT <expr>`, `GENERATED ALWAYS AS (expr)`,
+  * `GENERATED ALWAYS AS IDENTITY`) as Spark's analyzer hands them to a
+  * StructType-based catalog: encoded in the FIELD METADATA under the keys the
+  * catalyst utilities own (`ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_
+  * METADATA_KEY` et al. — string literals here because the objects are
+  * catalyst-internal, values pinned by ColumnDdlSpec against the running
+  * Spark). `extract` pulls the declarations out and STRIPS the keys, so the
+  * empty v0 parquet never carries them — the spec sidecar is the single
+  * source of truth and [[GraftSqlTable.schema]] re-injects defaults for the
+  * analyzer on every load.
+  */
+private[table] object ColumnDdl {
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+  private val AllKeys = Seq(CurrentDefaultKey, ExistsDefaultKey)
+
+  final case class Extracted(
+      clean: StructType,
+      defaults: Map[String, String],
+      generated: Map[String, String],
+      identity: Option[(String, Long, Long)])
+
+  /** The authoritative extraction, from the V2 `Column` API — the ONLY place
+    * generation expressions and identity specs survive (Spark's
+    * `v2ColumnsToStructType` conversion drops them; only defaults are encoded
+    * as metadata), which is why the catalog overrides the `Column[]` create
+    * overloads.
+    */
+  def extract(columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      tableLabel: String): Extracted = {
+    val defaults = scala.collection.mutable.Map.empty[String, String]
+    val generated = scala.collection.mutable.Map.empty[String, String]
+    var identity: Option[(String, Long, Long)] = None
+    val clean = StructType(columns.map { c =>
+      Option(c.defaultValue).foreach(d => defaults(c.name) = d.getSql)
+      Option(c.generationExpression).foreach(g => generated(c.name) = g)
+      Option(c.identityColumnSpec).foreach { i =>
+        require(identity.isEmpty,
+          s"$tableLabel: one identity column per table (the engine assigns it)")
+        require(!i.isAllowExplicitInsert,
+          s"$tableLabel: GENERATED BY DEFAULT AS IDENTITY is not supported — " +
+            "the engine always assigns identity values (use GENERATED ALWAYS)")
+        identity = Some((c.name, i.getStart, i.getStep))
+      }
+      val base = Option(c.metadataInJSON)
+        .map(org.apache.spark.sql.types.Metadata.fromJson)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(base)
+      Option(c.comment).foreach(cm => mb.putString("comment", cm))
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable,
+        mb.build())
+    })
+    Extracted(clean, defaults.toMap, generated.toMap, identity)
+  }
+
+  /** Metadata-based extraction for the legacy StructType entry points (kept
+    * because defaults DO ride the StructType conversion — a caller landing
+    * there still gets them honored instead of leaking analyzer metadata into
+    * the stored schema).
+    */
+  def extract(schema: StructType, tableLabel: String): Extracted = {
+    val defaults = scala.collection.mutable.Map.empty[String, String]
+    val clean = StructType(schema.fields.map { f =>
+      val m = f.metadata
+      if (m.contains(CurrentDefaultKey))
+        defaults(f.name) = m.getString(CurrentDefaultKey)
+      if (AllKeys.exists(m.contains)) {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
+        AllKeys.foreach(mb.remove)
+        f.copy(metadata = mb.build())
+      } else f
+    })
+    Extracted(clean, defaults.toMap, Map.empty, None)
+  }
+
+  /** Spec-sidecar keys for the extracted defaults (physical == logical names
+    * at create time; later renames migrate the keys through the mapping).
+    */
+  def defaultSpecKeys(defaults: Map[String, String]): Map[String, String] =
+    defaults.map { case (c, cur) => s"default.$c" -> cur }
+
+  /** Declare the extracted generated/identity columns on a just-created
+    * table (empty v0 or staged replace — both satisfy the zero-rows guard
+    * the declarations enforce).
+    */
+  def declare(spark: SparkSession, loc: String,
+      generated: Map[String, String],
+      identity: Option[(String, Long, Long)]): Unit = {
+    generated.foreach { case (c, g) =>
+      VersionedTable.addGeneratedColumn(spark, loc, c, g) }
+    identity.foreach { case (c, start, step) =>
+      VersionedTable.addIdentityColumn(spark, loc, c, start, step) }
+  }
+}
+
 /** A staged table for the atomic CREATE OR REPLACE / REPLACE / CTAS verbs:
   * Spark writes the query result through [[newWriteBuilder]] (captured, not
   * landed) and then calls [[commitStagedChanges]], which performs the whole
@@ -411,7 +580,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[graft] class StagedGraftTable(tableName: String, val location: String,
     declaredSchema: StructType, partitionBy: Seq[String],
     spec: Map[String, String], replaceExisting: Boolean,
-    emptyContent: () => DataFrame)
+    emptyContent: () => DataFrame,
+    generated: Map[String, String] = Map.empty,
+    identity: Option[(String, Long, Long)] = None)
   extends org.apache.spark.sql.connector.catalog.StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -449,6 +620,11 @@ private[graft] class StagedGraftTable(tableName: String, val location: String,
     // INSERTs, exactly like the plain CREATE path
     val layout = if (pending.isDefined) partitionBy else Nil
     VersionedTable.replaceDefinition(spark, location, data, layout, spec)
+    // generated/identity declarations land AFTER the definition swap (the
+    // reset cleared any previous ones); the zero-rows guard inside makes an
+    // identity declaration over staged CONTENT refuse loudly rather than
+    // retroactively blessing unassigned values
+    ColumnDdl.declare(spark, location, generated, identity)
   }
 
   override def abortStagedChanges(): Unit = () // nothing landed
@@ -481,7 +657,35 @@ class GraftSqlTable(tableName: String, val location: String,
     VersionedTable.declaredPartitioning(spark, location)
 
   override def name(): String = tableName
-  override def schema(): StructType = snapshot.schema
+
+  /** The snapshot schema with declared column DEFAULTs re-injected as the
+    * analyzer's metadata keys — this is what makes an SQL `INSERT` that omits
+    * the column (or writes `DEFAULT`) materialize the declared expression
+    * instead of NULL. The parquet files never carry the keys; the spec
+    * sidecar is the single source of truth ([[ColumnDdl]]).
+    */
+  override def schema(): StructType = {
+    val base = snapshot.schema
+    val defaults = VersionedTable.columnDefaults(spark, location)
+    if (defaults.isEmpty) base
+    else StructType(base.fields.map { f =>
+      defaults.collectFirst {
+        case (n, cur) if n.equalsIgnoreCase(f.name) => cur
+      } match {
+        case Some(cur) =>
+          // EXISTS_DEFAULT mirrors the current expression: reads never apply
+          // it here (files carry their values), the analyzer just expects the
+          // pair to travel together
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ColumnDdl.CurrentDefaultKey, cur)
+            .putString(ColumnDdl.ExistsDefaultKey, cur)
+          f.copy(metadata = mb.build())
+        case None => f
+      }
+    })
+  }
+
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray
   override def version(): String =
