@@ -626,6 +626,34 @@ object VersionedTable {
       case (p, l) if l.equalsIgnoreCase(name) => p
     }.getOrElse(name)
 
+  /** The analyzer's column-DEFAULT metadata keys
+    * (`ResolveDefaultColumns.CURRENT/EXISTS_DEFAULT_COLUMN_METADATA_KEY`):
+    * stripped from every landing batch ([[stageData]]) and from every
+    * assembled read schema (the DSv2 table re-injects them from the spec —
+    * [[graft.sources.table.GraftCatalog]]).
+    */
+  private[graft] val DefaultMetaKeys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT")
+
+  private[graft] def hasDefaultMeta(
+      f: org.apache.spark.sql.types.StructField): Boolean =
+    DefaultMetaKeys.exists(f.metadata.contains)
+
+  private[graft] def withoutDefaultMeta(
+      f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructField = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+    DefaultMetaKeys.foreach(mb.remove)
+    f.copy(metadata = mb.build())
+  }
+
+  private def stripAnalyzerDefaultMeta(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(hasDefaultMeta)) df
+    else df.select(df.schema.fields.map { f =>
+      if (hasDefaultMeta(f)) df.col(f.name).as(f.name, withoutDefaultMeta(f).metadata)
+      else df.col(f.name)
+    }.toIndexedSeq: _*)
+
   private val GeneratedFile = "_generated.json"
 
   /** The table's generated-column declarations (empty when none). */
@@ -753,7 +781,14 @@ object VersionedTable {
       org.apache.spark.sql.Row.fromSeq(
         row.toSeq :+ (nextStart + id.step * i))
     }
-    df.sparkSession.createDataFrame(indexed, outSchema)
+    val assigned = df.sparkSession.createDataFrame(indexed, outSchema)
+    // a padded SQL INSERT arrived with the column in its DECLARED position —
+    // keep that order instead of re-appending at the end, or the commit's
+    // schema (and the mergeSchema union over commits, whose column order
+    // follows the files) would flip the user-visible layout
+    if (df0.columns.exists(_.equalsIgnoreCase(id.name)))
+      assigned.select(df0.columns.map(col).toIndexedSeq: _*)
+    else assigned
   }
 
   /** Compute declared generated columns a batch LACKS; return the transformed
@@ -2413,10 +2448,17 @@ object VersionedTable {
   private val MaxStringStatsColumns = 8
   private val SafeStatValue = "[A-Za-z0-9 _.:+/@-]{1,64}".r
 
-  private def stageData(df0: DataFrame, location: String,
+  private def stageData(df00: DataFrame, location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
       : (String, Long, Map[String, (Double, Double)],
          Map[String, (String, String)], Map[String, Long]) = {
+    // an SQL INSERT that filled a DEFAULT arrives with the analyzer's
+    // CURRENT_DEFAULT/EXISTS_DEFAULT attribute metadata still attached —
+    // landing that in the parquet footers would let a later mergeSchema union
+    // RESURRECT a since-dropped default (merge order picks a polluted footer;
+    // reads then fill values the spec no longer declares). The spec sidecar
+    // is the single source of truth; files carry none of it.
+    val df0 = stripAnalyzerDefaultMeta(df00)
     // generated columns ride the same staged pass: absent ones are computed
     // (so partitionBy on a generated column just works), present ones add a
     // null-safe-equality validation to the fused check guard

@@ -171,14 +171,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw ColumnBridge.analysisError(
         s"${fullName(ident)}: LOCATION is not supported — a filesystem catalog " +
           "cannot re-resolve external paths; tables live under the warehouse")
-    val partitionBy = partitions.toSeq.map {
+    // native `CLUSTER BY (cols)` arrives as a cluster_by transform: it maps
+    // onto the SAME declaration as TBLPROPERTIES ('graft.cluster.by' = ...) —
+    // one write-clustering code path (stageData's range+sort), two spellings
+    val (clusterTs, partTs) = partitions.toSeq.partition(_.name == "cluster_by")
+    val clusterBy = clusterTs.flatMap(_.references.toSeq
+      .map(_.fieldNames.mkString(".")))
+    val partitionBy = partTs.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case t => throw ColumnBridge.analysisError(
-        s"${fullName(ident)}: only identity PARTITIONED BY columns are supported, got $t")
+        s"${fullName(ident)}: only identity PARTITIONED BY columns (and " +
+          s"CLUSTER BY) are supported, got $t")
     }
-    partitionBy.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"partition column '$c' is not in the table schema"))
+    (partitionBy ++ clusterBy).foreach(c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition/cluster column '$c' is not in the table schema"))
     if (!fs.exists(nsPath(ident.namespace)))
       throw new NoSuchNamespaceException(ident.namespace)
     val userProps = properties.asScala.toMap -- Seq(
@@ -186,7 +194,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val specProps = userProps.map { case (k, v) => s"prop.$k" -> v }
     val spec = (if (partitionBy.nonEmpty)
       Map("partition_by" -> partitionBy.mkString(","))
-    else Map.empty[String, String]) ++ specProps
+    else Map.empty[String, String]) ++ specProps ++
+      (if (clusterBy.nonEmpty)
+        Map(GraftCatalog.ClusterByProp -> clusterBy.mkString(","))
+      else Map.empty)
     (loc, partitionBy, spec)
   }
 
@@ -344,6 +355,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "nested column type change is not supported")
         VersionedTable.widenColumn(spark, loc, c.fieldNames.head,
           c.newDataType.sql)
+      case c: TableChange.ClusterBy =>
+        val cols = c.clusteringColumns.toSeq.map(_.fieldNames.mkString("."))
+        val schema = VersionedTable.read(spark, loc).schema
+        cols.foreach(col => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(col)),
+          s"cluster column '$col' is not in the table schema"))
+        VersionedTable.updateTableSpec(spark, loc)(spec =>
+          // CLUSTER BY NONE arrives as an empty column list
+          if (cols.isEmpty) spec - GraftCatalog.ClusterByProp
+          else spec + (GraftCatalog.ClusterByProp -> cols.mkString(",")))
       case c: TableChange.UpdateColumnDefaultValue =>
         require(c.fieldNames.length == 1,
           "nested column default is not supported")
@@ -473,6 +494,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ns, "drop with CASCADE to remove its tables", None)
     fs.delete(p, true)
   }
+}
+
+object GraftCatalog {
+  /** The spec-sidecar key behind BOTH clustering spellings — native
+    * `CLUSTER BY (cols)` and `TBLPROPERTIES ('graft.cluster.by' = 'cols')`:
+    * tables carrying it get every landing batch range-repartitioned + sorted
+    * on the columns inside the staged write, so per-file min/max stats stay
+    * tight and the filestats/bloom pruning tiers fire (FileStatsSpec).
+    */
+  val ClusterByProp = "prop.graft.cluster.by"
 }
 
 /** Column-level DDL clauses (`DEFAULT <expr>`, `GENERATED ALWAYS AS (expr)`,
@@ -667,8 +698,15 @@ class GraftSqlTable(tableName: String, val location: String,
   override def schema(): StructType = {
     val base = snapshot.schema
     val defaults = VersionedTable.columnDefaults(spark, location)
-    if (defaults.isEmpty) base
-    else StructType(base.fields.map { f =>
+    if (defaults.isEmpty && !base.fields.exists(VersionedTable.hasDefaultMeta))
+      base
+    else StructType(base.fields.map { f0 =>
+      // SANITIZE first: pre-fix files may carry analyzer default metadata in
+      // their footers (landed before stageData stripped it), and mergeSchema
+      // surfaces it nondeterministically — a since-dropped default must not
+      // resurrect from a stale footer. The spec is the single source of truth.
+      val f = if (VersionedTable.hasDefaultMeta(f0))
+        VersionedTable.withoutDefaultMeta(f0) else f0
       defaults.collectFirst {
         case (n, cur) if n.equalsIgnoreCase(f.name) => cur
       } match {
@@ -686,8 +724,19 @@ class GraftSqlTable(tableName: String, val location: String,
     })
   }
 
-  override def partitioning(): Array[Transform] =
-    partitionCols.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = {
+    // declared clustering surfaces as a cluster_by transform, so DESCRIBE and
+    // catalog tooling show it exactly as Spark's parser spelled it
+    val cluster = VersionedTable.tableSpec(spark, location)
+      .get(GraftCatalog.ClusterByProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    partitionCols.map(Expressions.identity).toArray[Transform] ++
+      (if (cluster.isEmpty) Array.empty[Transform]
+       else Array[Transform](
+         org.apache.spark.sql.connector.expressions.ClusterByTransform(
+           cluster.map(c => Expressions.column(c)
+             : org.apache.spark.sql.connector.expressions.NamedReference))))
+  }
   override def version(): String =
     VersionedTable.commits(spark, location).lastOption.map(_.version.toString).orNull
 
