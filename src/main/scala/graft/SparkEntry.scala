@@ -1718,6 +1718,33 @@ object SparkEntry {
     graft.catalog.VersionedTable.read(s, loc).orderBy("doc_id")
   }
 
+  /** Native CLUSTER BY gate: a clustered table loaded from a deliberately
+    * SHUFFLED insert, probed with a range predicate — the probe rides the
+    * per-file stats the clustering made tight, so this pins the VALUES under
+    * file-level pruning (a wrongly skipped file loses rows and
+    * hash-mismatches; the plan-level file-count assertion lives in
+    * ClusterBySqlSpec). The oracle states the same filter over the source.
+    */
+  private def qClusterBy(s: SparkSession, dir: String): DataFrame = {
+    val wh =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${s.sparkContext.applicationId}"
+    s.conf.set("spark.sql.catalog.gsqlc", classOf[graft.sources.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsqlc.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsqlc.contract")
+    s.sql("DROP TABLE IF EXISTS gsqlc.contract.clus")
+    docs(s, dir).select("doc_id", "lang", "n_chars")
+      // shuffled arrival order: the declared clustering must impose the layout
+      .orderBy(expr("md5(cast(doc_id as string))"))
+      .createOrReplaceTempView("sqlclus_docs")
+    s.sql("CREATE TABLE gsqlc.contract.clus (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) CLUSTER BY (doc_id) " +
+      "TBLPROPERTIES ('graft.filestats' = 'true')")
+    s.sql("INSERT INTO gsqlc.contract.clus SELECT * FROM sqlclus_docs")
+    s.sql("""SELECT doc_id, lang, n_chars FROM gsqlc.contract.clus
+            |WHERE doc_id BETWEEN 100 AND 260""".stripMargin)
+      .orderBy("doc_id")
+  }
+
   /** Column-DDL gate: `CREATE TABLE` declaring a `DEFAULT` column and a
     * `GENERATED ALWAYS AS` column through pure SQL, then three INSERT waves —
     * defaults fill omitted columns (and `ALTER COLUMN ... SET DEFAULT` flips
@@ -2141,6 +2168,7 @@ object SparkEntry {
     "q_file_skipping" -> qFileSkipping,
     "q_copy_into" -> qCopyInto,
     "q_column_defaults" -> qColumnDefaults,
+    "q_cluster_by" -> qClusterBy,
     "q_identity_column" -> qIdentityColumn,
     "q_scoped_compact" -> qScopedCompact,
     "q_replace_partition" -> qReplacePartition,
@@ -3639,6 +3667,11 @@ object SparkEntry {
         |       ELSE 'gold' END AS quality,
         |  doc_id * 2 AS n2
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // native CLUSTER BY: values under file-level pruning on a clustered load
+    "q_cluster_by" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 260
         |ORDER BY doc_id""".stripMargin,
     // schema-evolution MERGE: base(<400) with (doc_id, lang); source [200,600)
     // adds n_chars — pre-merge rows read NULL, matched rows update + carry it,

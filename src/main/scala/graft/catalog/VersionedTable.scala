@@ -3432,9 +3432,14 @@ object VersionedTable {
     * indistinguishable from a crashed one's — a grace period longer than any
     * plausible write keeps live writes safe.
     */
+  /** `dryRun = true` computes and returns the victim paths WITHOUT deleting
+    * anything or raising the vacuum floor — Delta `VACUUM ... DRY RUN` parity,
+    * the audit step before an irreversible reclaim.
+    */
   def vacuum(spark: SparkSession, location: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000,
-      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      orphanGraceMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val fs = fileSystem(spark, location)
     val now = System.currentTimeMillis()
     val cs = commits(spark, location)
@@ -3536,6 +3541,7 @@ object VersionedTable {
 
     val victims = (orphans ++ expired).filter(fs.exists) ++
       livePartVictims.map(_._2) ++ logVictims ++ manifestOrphans
+    if (dryRun) return victims.map(_.toString)
     victims.foreach(p => fs.delete(p, true))
     // reads below the floor can no longer be served complete — make them loud
     val floorFromExpired =

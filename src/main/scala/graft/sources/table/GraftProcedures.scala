@@ -94,17 +94,38 @@ private[table] object GraftProcedures {
         Seq(Seq(v))
       }),
     GraftProcedure("vacuum",
-      "reclaim unreferenced and out-of-retention data dirs; returns deleted paths",
+      "reclaim unreferenced and out-of-retention data dirs; returns deleted " +
+        "paths; dry_run => 'true' only LISTS the victims (nothing deleted, " +
+        "vacuum floor untouched)",
       Seq(in("table", StringType),
         inDefault("retention_hours", LongType, "168"),
-        inDefault("orphan_grace_hours", LongType, "24")),
+        inDefault("orphan_grace_hours", LongType, "24"),
+        inDefault("dry_run", StringType, "'false'")),
       StructType(Seq(StructField("deleted_path", StringType))),
       (s, resolve, args) => {
         VersionedTable.vacuum(s, resolve(args(0).asInstanceOf[String]),
             retentionMs = hours(args(1).asInstanceOf[Long]),
-            orphanGraceMs = hours(args(2).asInstanceOf[Long]))
+            orphanGraceMs = hours(args(2).asInstanceOf[Long]),
+            dryRun = args(3).asInstanceOf[String].trim.toBoolean)
           .map(Seq(_))
       }),
+    GraftProcedure("detail",
+      "DESCRIBE DETAIL: one row of snapshot-level metadata (version, rows, " +
+        "files, bytes, partitioning, constraints, live DV rows, borrowed " +
+        "commits) - log + listing only, no data file opened",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("location", StringType),
+        StructField("version", LongType), StructField("operation", StringType),
+        StructField("last_modified", StringType),
+        StructField("num_rows", LongType), StructField("num_files", LongType),
+        StructField("size_bytes", LongType),
+        StructField("partition_columns", StringType),
+        StructField("num_constraints", LongType),
+        StructField("live_dv_rows", LongType),
+        StructField("borrowed_commits", LongType))),
+      (s, resolve, args) =>
+        VersionedTable.detail(s, resolve(args(0).asInstanceOf[String]))
+          .collect().toSeq.map(_.toSeq)),
     GraftProcedure("restore",
       "roll the table back to a version as a new commit (history stays intact)",
       Seq(in("table", StringType), in("version", LongType)),
