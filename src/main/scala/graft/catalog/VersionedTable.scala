@@ -626,6 +626,75 @@ object VersionedTable {
       case (p, l) if l.equalsIgnoreCase(name) => p
     }.getOrElse(name)
 
+  // --- column COMMENTs and NOT NULL (metadata-only column DDL) ----------------------
+
+  /** `ALTER TABLE ... ALTER COLUMN ... COMMENT` — stored in the spec sidecar
+    * keyed by physical name (renames carry it), surfaced as the standard
+    * `comment` field metadata by the DSv2 table. `None` clears.
+    */
+  private val CommentPrefix = "col_comment."
+
+  def setColumnComment(spark: SparkSession, location: String, name: String,
+      comment: Option[String]): Unit = {
+    require(read(spark, location).columns.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist at $location")
+    val physical = physicalName(spark, location, name)
+    updateTableSpec(spark, location) { spec =>
+      comment match {
+        case Some(c) => spec + (s"$CommentPrefix$physical" -> c)
+        case None => spec - s"$CommentPrefix$physical"
+      }
+    }
+  }
+
+  /** Column comments in force, keyed by LOGICAL name. */
+  def columnComments(spark: SparkSession,
+      location: String): Map[String, String] = {
+    val mapping = columnMapping(spark, location)
+    tableSpec(spark, location).collect {
+      case (k, c) if k.startsWith(CommentPrefix) =>
+        val p = k.stripPrefix(CommentPrefix)
+        mapping.getOrElse(p, p) -> c
+    }
+  }
+
+  /** `ALTER COLUMN ... SET/DROP NOT NULL`: SET validates the LIVE data first
+    * (a table advertising NOT NULL over data that violates it would be a lie)
+    * and then enforces every landing batch — both via a named CHECK
+    * constraint (`col IS NOT NULL` is FALSE for NULL, so CHECK semantics
+    * reject exactly the null rows). The spec flag additionally flips the DSv2
+    * schema's `nullable`, so Spark refuses literal-NULL INSERTs at analysis.
+    * Post-rename caveat: the flag follows the column (physical-keyed); the
+    * constraint EXPRESSION speaks the declare-time logical name — the same
+    * documented gap every CHECK constraint has under renames.
+    */
+  private val NotNullPrefix = "notnull."
+
+  def setColumnNullability(spark: SparkSession, location: String, name: String,
+      nullable: Boolean): Unit = {
+    require(read(spark, location).columns.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' does not exist at $location")
+    val physical = physicalName(spark, location, name)
+    val cname = s"__not_null_${physical.toLowerCase}"
+    if (!nullable) {
+      addConstraint(spark, location, cname, s"$name IS NOT NULL")
+      updateTableSpec(spark, location)(_ + (s"$NotNullPrefix$physical" -> "true"))
+    } else {
+      dropConstraint(spark, location, cname)
+      updateTableSpec(spark, location)(_ - s"$NotNullPrefix$physical")
+    }
+  }
+
+  /** Columns declared NOT NULL, by LOGICAL name (lowercase). */
+  def notNullColumns(spark: SparkSession, location: String): Set[String] = {
+    val mapping = columnMapping(spark, location)
+    tableSpec(spark, location).keys.collect {
+      case k if k.startsWith(NotNullPrefix) =>
+        val p = k.stripPrefix(NotNullPrefix)
+        mapping.getOrElse(p, p).toLowerCase
+    }.toSet
+  }
+
   /** The analyzer's column-DEFAULT metadata keys
     * (`ResolveDefaultColumns.CURRENT/EXISTS_DEFAULT_COLUMN_METADATA_KEY`):
     * stripped from every landing batch ([[stageData]]) and from every

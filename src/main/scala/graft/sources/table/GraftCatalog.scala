@@ -365,6 +365,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // CLUSTER BY NONE arrives as an empty column list
           if (cols.isEmpty) spec - GraftCatalog.ClusterByProp
           else spec + (GraftCatalog.ClusterByProp -> cols.mkString(",")))
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          "nested column comment is not supported")
+        VersionedTable.setColumnComment(spark, loc, c.fieldNames.head,
+          Option(c.newComment).filter(_.nonEmpty))
+      case c: TableChange.UpdateColumnNullability =>
+        require(c.fieldNames.length == 1,
+          "nested column nullability is not supported")
+        VersionedTable.setColumnNullability(spark, loc, c.fieldNames.head,
+          c.nullable)
       case c: TableChange.UpdateColumnDefaultValue =>
         require(c.fieldNames.length == 1,
           "nested column default is not supported")
@@ -424,15 +434,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * warehouse — same layout rule as identifiers, so `CALL gsql.system.compact(
     * table => 'curated.docs')` maintains the table `gsql.curated.docs`.
     */
-  private def resolveTableArg(name: String): String = {
+  private def tableArgIdent(name: String): Identifier = {
     val parts = name.split('.')
     require(parts.length >= 1 && parts.forall(_.nonEmpty), s"bad table name: '$name'")
-    val ident =
-      if (parts.length == 1) Identifier.of(defaultNamespace(), parts.head)
-      else Identifier.of(parts.init, parts.last)
-    val loc = tablePath(ident).toString
-    if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
-    loc
+    if (parts.length == 1) Identifier.of(defaultNamespace(), parts.head)
+    else Identifier.of(parts.init, parts.last)
+  }
+
+  /** Existing-table resolution for procedure arguments, plus `fresh` for
+    * TARGET names a procedure is about to create (clone): the namespace must
+    * exist, the table must NOT.
+    */
+  private object resolveTableArg extends GraftProcedures.TableResolver {
+    override def apply(name: String): String = {
+      val ident = tableArgIdent(name)
+      val loc = tablePath(ident).toString
+      if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
+      loc
+    }
+    override def fresh(name: String): String = {
+      val ident = tableArgIdent(name)
+      if (!fs.exists(nsPath(ident.namespace)))
+        throw new NoSuchNamespaceException(ident.namespace)
+      val loc = tablePath(ident).toString
+      if (VersionedTable.exists(spark, loc))
+        throw new TableAlreadyExistsException(ident)
+      loc
+    }
   }
 
   override def loadProcedure(ident: Identifier)
@@ -698,16 +726,21 @@ class GraftSqlTable(tableName: String, val location: String,
   override def schema(): StructType = {
     val base = snapshot.schema
     val defaults = VersionedTable.columnDefaults(spark, location)
-    if (defaults.isEmpty && !base.fields.exists(VersionedTable.hasDefaultMeta))
+    val comments = VersionedTable.columnComments(spark, location)
+    val notNull = VersionedTable.notNullColumns(spark, location)
+    if (defaults.isEmpty && comments.isEmpty && notNull.isEmpty &&
+        !base.fields.exists(VersionedTable.hasDefaultMeta))
       base
     else StructType(base.fields.map { f0 =>
       // SANITIZE first: pre-fix files may carry analyzer default metadata in
       // their footers (landed before stageData stripped it), and mergeSchema
       // surfaces it nondeterministically — a since-dropped default must not
       // resurrect from a stale footer. The spec is the single source of truth.
-      val f = if (VersionedTable.hasDefaultMeta(f0))
+      val f1 = if (VersionedTable.hasDefaultMeta(f0))
         VersionedTable.withoutDefaultMeta(f0) else f0
-      defaults.collectFirst {
+      val f = if (notNull.contains(f1.name.toLowerCase))
+        f1.copy(nullable = false) else f1
+      val withDefault = defaults.collectFirst {
         case (n, cur) if n.equalsIgnoreCase(f.name) => cur
       } match {
         case Some(cur) =>
@@ -720,6 +753,12 @@ class GraftSqlTable(tableName: String, val location: String,
             .putString(ColumnDdl.ExistsDefaultKey, cur)
           f.copy(metadata = mb.build())
         case None => f
+      }
+      comments.collectFirst {
+        case (n, c) if n.equalsIgnoreCase(withDefault.name) => c
+      } match {
+        case Some(c) => withDefault.withComment(c)
+        case None => withDefault
       }
     })
   }

@@ -49,12 +49,20 @@ private[table] object GraftProcedures {
     * result rows. `resolve` turns a catalog-relative `ns.table` string into the
     * table location.
     */
+  /** Procedure-argument table resolution: `apply` demands an EXISTING table;
+    * `fresh` resolves a TARGET the procedure will create (namespace must
+    * exist, table must not).
+    */
+  trait TableResolver extends (String => String) {
+    def fresh(name: String): String
+  }
+
   final case class GraftProcedure(
       procName: String,
       describe: String,
       params: Seq[ProcedureParameter],
       resultSchema: StructType,
-      run: (SparkSession, String => String, Seq[Any]) => Seq[Seq[Any]])
+      run: (SparkSession, TableResolver, Seq[Any]) => Seq[Seq[Any]])
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -126,6 +134,36 @@ private[table] object GraftProcedures {
       (s, resolve, args) =>
         VersionedTable.detail(s, resolve(args(0).asInstanceOf[String]))
           .collect().toSeq.map(_.toSeq)),
+    GraftProcedure("clone",
+      "shallow clone: metadata-only table copy borrowing the source's files " +
+        "by reference (optionally at a pinned version) — the clone diverges " +
+        "independently; the SOURCE's vacuum is the only thing that can break " +
+        "it (Delta's documented shallow-clone caveat)",
+      Seq(in("table", StringType), in("target", StringType),
+        inDefault("version", LongType, "-1")),
+      StructType(Seq(StructField("version", LongType))),
+      (s, resolve, args) => {
+        val v = args(2).asInstanceOf[Long]
+        Seq(Seq(VersionedTable.shallowClone(s,
+          resolve(args(0).asInstanceOf[String]),
+          resolve.fresh(args(1).asInstanceOf[String]),
+          if (v < 0) None else Some(v))))
+      }),
+    GraftProcedure("set_nullable",
+      "SET/DROP NOT NULL: nullable => 'false' validates the LIVE data, then " +
+        "refuses null rows on every future write and flips the DSv2 schema " +
+        "(Spark's analyzer refuses ALTER COLUMN ... SET NOT NULL on v2 " +
+        "tables outright, so the SET direction rides this procedure; DROP " +
+        "NOT NULL also works as plain SQL)",
+      Seq(in("table", StringType), in("column", StringType),
+        inDefault("nullable", StringType, "'false'")),
+      StructType(Seq(StructField("column", StringType))),
+      (s, resolve, args) => {
+        VersionedTable.setColumnNullability(s,
+          resolve(args(0).asInstanceOf[String]), args(1).asInstanceOf[String],
+          args(2).asInstanceOf[String].trim.toBoolean)
+        Seq(Seq(args(1)))
+      }),
     GraftProcedure("restore",
       "roll the table back to a version as a new commit (history stays intact)",
       Seq(in("table", StringType), in("version", LongType)),
@@ -319,7 +357,7 @@ private[table] object GraftProcedures {
     * walks `params` by position (the analyzer has already reordered named args and
     * filled defaults); result rows convert to catalyst form for the LocalScan.
     */
-  def unbound(p: GraftProcedure, resolve: String => String): UnboundProcedure =
+  def unbound(p: GraftProcedure, resolve: TableResolver): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = p.procName
       override def description(): String = p.describe

@@ -31,6 +31,61 @@ class ProcedureSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(r.getLong(9) == 3L, s"live_dv_rows: $r")
   }
 
+  test("ALTER COLUMN COMMENT round-trips; DESCRIBE shows it") {
+    wh
+    spark.sql("CREATE TABLE gproc.t.c (k BIGINT, v STRING)")
+    spark.sql("ALTER TABLE gproc.t.c ALTER COLUMN v COMMENT 'the payload'")
+    val desc = spark.sql("DESCRIBE TABLE gproc.t.c").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc.get("v").contains("the payload"), s"comment missing: $desc")
+    // comments survive a rename (physical-keyed)
+    spark.sql("ALTER TABLE gproc.t.c RENAME COLUMN v TO payload")
+    val desc2 = spark.sql("DESCRIBE TABLE gproc.t.c").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc2.get("payload").contains("the payload"), s"lost on rename: $desc2")
+  }
+
+  test("SET NOT NULL validates live data, then refuses null inserts; DROP reverts") {
+    wh
+    spark.sql("CREATE TABLE gproc.t.n (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gproc.t.n VALUES (1, NULL)")
+    // Spark's analyzer refuses v2 ALTER ... SET NOT NULL outright — the SET
+    // direction rides the procedure. Live data violates -> must refuse.
+    intercept[Exception] {
+      spark.sql("CALL gproc.system.set_nullable(table => 't.n', column => 'v')")
+    }
+    spark.sql("DELETE FROM gproc.t.n WHERE v IS NULL")
+    spark.sql("CALL gproc.system.set_nullable(table => 't.n', column => 'v')")
+    assert(!spark.table("gproc.t.n").schema("v").nullable)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gproc.t.n VALUES (2, NULL)")
+    }
+    spark.sql("INSERT INTO gproc.t.n VALUES (3, 'ok')")
+    // the DROP direction works as plain SQL
+    spark.sql("ALTER TABLE gproc.t.n ALTER COLUMN v DROP NOT NULL")
+    assert(spark.table("gproc.t.n").schema("v").nullable)
+    spark.sql("INSERT INTO gproc.t.n VALUES (4, NULL)")
+    assert(spark.table("gproc.t.n").count() == 2L)
+  }
+
+  test("CALL system.clone makes a metadata-only copy that diverges independently") {
+    wh
+    spark.sql("CREATE TABLE gproc.t.src (k BIGINT)")
+    spark.sql("INSERT INTO gproc.t.src SELECT id FROM range(10)")
+    spark.sql("INSERT INTO gproc.t.src SELECT id + 10 FROM range(5)")
+    // clone at the pinned earlier version
+    spark.sql("CALL gproc.system.clone(table => 't.src', target => 't.dst', " +
+      "version => 1)")
+    assert(spark.table("gproc.t.dst").count() == 10L)
+    spark.sql("INSERT INTO gproc.t.dst VALUES (99)")
+    assert(spark.table("gproc.t.dst").count() == 11L)
+    assert(spark.table("gproc.t.src").count() == 15L) // source untouched
+    // the clone borrowed files: its own data dir holds only the new commit
+    val borrowed = VersionedTable.commits(spark, s"$wh/t/dst")
+      .count(c => c.data_dir.startsWith("abs:"))
+    assert(borrowed >= 1, "clone did not borrow by reference")
+  }
+
   test("vacuum dry_run lists victims without deleting; the real run deletes them") {
     wh
     spark.sql("CREATE TABLE gproc.t.v (k BIGINT)")
