@@ -240,6 +240,14 @@ object Bench {
           VersionedTable.read(spark, locS)
             .write.format("noop").mode("overwrite").save()
         }
+        // at bench SFs the wall-clock of both reads is planning-dominated, so
+        // ALSO record the deterministic evidence: files the scan would open —
+        // the ratio the pruning buys at ANY scale (~1/8 here by construction)
+        val prunedFiles = VersionedTable.readPruned(spark, locS, "o_orderkey",
+          (loKey + 3 * band).toDouble, (loKey + 4 * band - 1).toDouble)
+          .inputFiles.length.toDouble
+        val fullFiles = VersionedTable.read(spark, locS)
+          .inputFiles.length.toDouble
         // COPY INTO: first load ingests the files; the re-run must be
         // metadata-only (ledger + LIST, no data read) — a ledger regression
         // shows up as noop ≈ first
@@ -257,7 +265,8 @@ object Bench {
           "delete_dv" -> tDelete, "read_with_dv" -> tDvRead,
           "merge_scoped" -> tScoped, "shallow_clone" -> tClone,
           "replace_partition" -> tReplace, "pruned_read" -> tPruned,
-          "full_read" -> tFull, "copy_into" -> tCopy,
+          "full_read" -> tFull, "pruned_read_files" -> prunedFiles,
+          "full_read_files" -> fullFiles, "copy_into" -> tCopy,
           "copy_into_noop" -> tCopyNoop)
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
