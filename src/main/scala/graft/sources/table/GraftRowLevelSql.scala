@@ -365,17 +365,41 @@ class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Operation-metrics output shared by the SQL DML commands (the result set
+  * Delta's UPDATE/MERGE return): change-row-granular counts — under duplicate
+  * TARGET keys merge-on-read may remove more physical rows per updated key
+  * than one (its documented key-based semantics); the counts report the
+  * change set the statement produced.
+  */
+private[table] object DmlMetrics {
+  def affectedOnly: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  def mergeOutput: Seq[Attribute] =
+    Seq("num_affected_rows", "num_updated_rows", "num_deleted_rows",
+      "num_inserted_rows").map(n => AttributeReference(n,
+        org.apache.spark.sql.types.LongType, nullable = false)())
+  def mergeRow(updated: Long, deleted: Long, inserted: Long): Seq[Row] =
+    Seq(Row(updated + deleted + inserted, updated, deleted, inserted))
+}
+
 /** SQL UPDATE → [[VersionedTable.updateWhere]] (deletion-vector merge-on-read
   * commit; no file rewritten). Empty effective SET (every assignment identity)
-  * is a no-op, matching SQL.
+  * is a no-op, matching SQL. Returns `num_affected_rows` (Delta parity) —
+  * free from the commit's logged DV row count, no extra job.
   */
 case class GraftUpdateCommand(location: String, condition: String,
     sets: Map[String, String]) extends LeafRunnableCommand {
-  override def output: Seq[Attribute] = Seq.empty
+  override def output: Seq[Attribute] = DmlMetrics.affectedOnly
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    if (sets.nonEmpty)
-      VersionedTable.updateWhere(sparkSession, location, condition, sets)
-    Seq.empty
+    val affected =
+      if (sets.isEmpty) 0L
+      else {
+        val v = VersionedTable.updateWhere(sparkSession, location, condition, sets)
+        VersionedTable.commits(sparkSession, location)
+          .find(_.version == v).map(_.replaced_rows).getOrElse(0L)
+      }
+    Seq(Row(affected))
   }
 }
 
@@ -414,7 +438,7 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     deleteCond: Option[Expression], insertCond: Option[Expression],
     mode: String) extends LeafRunnableCommand {
 
-  override def output: Seq[Attribute] = Seq.empty
+  override def output: Seq[Attribute] = DmlMetrics.mergeOutput
 
   private val DelFlag = "_graft_sql_del"
 
@@ -442,8 +466,25 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
           else changes0.join(VersionedTable.read(sparkSession, location)
             .select(keys.map(col): _*), keys, "left_semi")
         cardinalityGuard(sparkSession, changes)
+        // metrics: one change-set-sized pass splitting matched (update/delete)
+        // from unmatched (insert) — the cost Delta's metrics pay too
+        val marked = changes.join(
+          VersionedTable.read(sparkSession, location)
+            .select(keys.map(col): _*).dropDuplicates(keys)
+            .withColumn("__gr_m", lit(true)),
+          keys, "left_outer")
+        val m = marked.agg(
+          org.apache.spark.sql.functions.sum(
+            when(col("__gr_m") && !col(DelFlag), 1L).otherwise(0L)),
+          org.apache.spark.sql.functions.sum(
+            when(col("__gr_m") && col(DelFlag), 1L).otherwise(0L)),
+          org.apache.spark.sql.functions.sum(
+            when(col("__gr_m").isNull && !col(DelFlag), 1L).otherwise(0L))
+        ).head()
+        def n(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i)
         VersionedTable.mergeOnRead(sparkSession, location, changes, keys,
           Some(DelFlag))
+        DmlMetrics.mergeRow(updated = n(0), deleted = n(1), inserted = n(2))
       case "insert_only" =>
         val pre = insertCond.map(c => src.filter(ColumnBridge.column(c)))
           .getOrElse(src)
@@ -457,8 +498,12 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
         }
         val tgt = VersionedTable.read(sparkSession, location)
           .select(keys.map(col): _*)
-        VersionedTable.write(full.join(tgt, keys, "left_anti"), location,
+        val v = VersionedTable.write(full.join(tgt, keys, "left_anti"), location,
           "append", VersionedTable.declaredPartitioning(sparkSession, location))
+        // inserted count is free from the append commit's logged row count
+        DmlMetrics.mergeRow(updated = 0L, deleted = 0L,
+          inserted = VersionedTable.commits(sparkSession, location)
+            .find(_.version == v).map(_.row_count).getOrElse(0L))
       case "delete_only" =>
         // full table schema with nulls outside the keys — only the DV entries
         // land, but the staged (empty) upsert write needs the table's columns
@@ -471,10 +516,14 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
           else d.withColumn(f.name, lit(null).cast(f.dataType))
         }.withColumn(DelFlag, lit(true))
         cardinalityGuard(sparkSession, full)
-        VersionedTable.mergeOnRead(sparkSession, location, full, keys,
+        val v = VersionedTable.mergeOnRead(sparkSession, location, full, keys,
           Some(DelFlag))
+        // deleted count is free from the commit's logged DV rows
+        DmlMetrics.mergeRow(updated = 0L,
+          deleted = VersionedTable.commits(sparkSession, location)
+            .find(_.version == v).map(_.replaced_rows).getOrElse(0L),
+          inserted = 0L)
     }
-    Seq.empty
   }
 }
 
@@ -518,9 +567,10 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
     nmbsUpdate: Option[(String, Seq[(String, String)])],
     nmbsDelete: Option[String]) extends LeafRunnableCommand {
 
-  override def output: Seq[Attribute] = Seq.empty
+  override def output: Seq[Attribute] = DmlMetrics.mergeOutput
 
   private val DelFlag = "_graft_sql_del"
+  private val Origin = "_graft_sql_origin" // 'u'pdate-able match, 'i'nsert
   import GraftRowLevelSql.{SrcPrefix, TgtPrefix}
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
@@ -572,7 +622,8 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
         GraftRowLevelSql.cardinalityViolation()
       }
       parts += touched.select(
-        targetCols.map(image(matchedUpdate, updC)) :+ delC.as(DelFlag): _*)
+        targetCols.map(image(matchedUpdate, updC)) :+ delC.as(DelFlag)
+          :+ lit("m").as(Origin): _*)
     }
 
     if (inserts.nonEmpty) {
@@ -593,7 +644,7 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
               .getOrElse(lit(null).cast(tgtType(n)))
             when(c, v).otherwise(els)
           }.as(n)
-        } :+ lit(false).as(DelFlag): _*)
+        } :+ lit(false).as(DelFlag) :+ lit("i").as(Origin): _*)
     }
 
     if (nmbsUpdate.isDefined || nmbsDelete.isDefined) {
@@ -621,13 +672,30 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
             "merge-on-read locates rows by key and cannot express this; " +
             "DELETE/UPDATE those rows by a non-null predicate instead")
       parts += stale.select(
-        targetCols.map(image(nmbsUpdate, updC)) :+ delC.as(DelFlag): _*)
+        targetCols.map(image(nmbsUpdate, updC)) :+ delC.as(DelFlag)
+          :+ lit("m").as(Origin): _*)
     }
 
-    val changes = parts.result().reduce(_.unionByName(_))
-    try VersionedTable.mergeOnRead(spark, location, changes, keyNames,
-      Some(DelFlag))
-    finally pinned.foreach(_.unpersist())
-    Seq.empty
+    val tagged = parts.result().reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // metrics: one aggregate over the (persisted) change set — matched
+      // branches split update/delete by the flag, the insert branch counts
+      // whole. The persist also saves the union a recompute under the commit.
+      val m = tagged.agg(
+        org.apache.spark.sql.functions.sum(
+          when(col(Origin) === "m" && !col(DelFlag), 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.sum(
+          when(col(Origin) === "m" && col(DelFlag), 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.sum(
+          when(col(Origin) === "i", 1L).otherwise(0L))).head()
+      def n(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i)
+      VersionedTable.mergeOnRead(spark, location, tagged.drop(Origin), keyNames,
+        Some(DelFlag))
+      DmlMetrics.mergeRow(updated = n(0), deleted = n(1), inserted = n(2))
+    } finally {
+      tagged.unpersist()
+      pinned.foreach(_.unpersist())
+    }
   }
 }
