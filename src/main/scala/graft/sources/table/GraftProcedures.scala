@@ -27,6 +27,9 @@ import graft.catalog.VersionedTable
   *                                 assignments => 'qty = qty * 2')
   *   CALL gsql.system.merge(table => 'ns.t', source => 'changes_view', keys => 'id')
   *   CALL gsql.system.copy_into(table => 'ns.t', source => '/landing/orders')
+  *   CALL gsql.system.detail(table => 'ns.t')
+  *   CALL gsql.system.clone(table => 'ns.t', target => 'ns.t_dev', version => 3)
+  *   CALL gsql.system.set_nullable(table => 'ns.t', column => 'v')
   * }}}
   *
   * `update_where` and `merge` are the UPDATE / MERGE INTO verbs: Spark only plans
