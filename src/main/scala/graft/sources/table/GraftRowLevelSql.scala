@@ -390,7 +390,9 @@ private[table] object DmlMetrics {
   */
 case class GraftUpdateCommand(location: String, condition: String,
     sets: Map[String, String]) extends LeafRunnableCommand {
-  override def output: Seq[Attribute] = DmlMetrics.affectedOnly
+  // val, not def: fresh AttributeReferences per call would give the plan an
+  // unstable output identity across repeated .output reads
+  override val output: Seq[Attribute] = DmlMetrics.affectedOnly
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val affected =
       if (sets.isEmpty) 0L
@@ -438,7 +440,7 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
     deleteCond: Option[Expression], insertCond: Option[Expression],
     mode: String) extends LeafRunnableCommand {
 
-  override def output: Seq[Attribute] = DmlMetrics.mergeOutput
+  override val output: Seq[Attribute] = DmlMetrics.mergeOutput
 
   private val DelFlag = "_graft_sql_del"
 
@@ -567,7 +569,7 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
     nmbsUpdate: Option[(String, Seq[(String, String)])],
     nmbsDelete: Option[String]) extends LeafRunnableCommand {
 
-  override def output: Seq[Attribute] = DmlMetrics.mergeOutput
+  override val output: Seq[Attribute] = DmlMetrics.mergeOutput
 
   private val DelFlag = "_graft_sql_del"
   private val Origin = "_graft_sql_origin" // 'u'pdate-able match, 'i'nsert
