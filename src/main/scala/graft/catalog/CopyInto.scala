@@ -123,9 +123,13 @@ object CopyInto {
       .filter(st => seqOf(st).exists(referenced))
       .flatMap(st => manifestPaths(fs, st.getPath)).toSet
 
+    // ledger comparisons use the FULLY-QUALIFIED form: the same file listed
+    // under /landing and file:/landing across runs must still dedupe
+    def qualified(st: FileStatus): String =
+      fs.makeQualified(st.getPath).toString
     val fresh =
       if (force) listed
-      else listed.filterNot(st => loaded(st.getPath.toString))
+      else listed.filterNot(st => loaded(qualified(st)))
     if (fresh.isEmpty) return CopyResult(None, 0L, 0L)
 
     // read + align BEFORE the manifest lands: a schema refusal or malformed
@@ -138,7 +142,7 @@ object CopyInto {
     var seq = (manifests.flatMap(seqOf) ++ referenced).maxOption.getOrElse(-1L) + 1
     fs.mkdirs(ingestDir)
     val body = fresh.map { st =>
-      s"""{"path": "${VersionedTable.escapeJson(st.getPath.toString)}", """ +
+      s"""{"path": "${VersionedTable.escapeJson(qualified(st))}", """ +
         s""""size": ${st.getLen}, "mtime": ${st.getModificationTime}}"""
     }.mkString("", "\n", "\n")
     while (!VersionedTable.atomicCreate(fs, new Path(ingestDir, f"$seq%06d.jsonl"),

@@ -1128,6 +1128,15 @@ object VersionedTable {
           renameMaterializedColumnRaw(spark, location, oldName, newName)
         }
     }
+    // the engine-generated NOT NULL constraint has a mechanical shape — its
+    // expression migrates with the rename (user CHECK constraints keep their
+    // documented declare-time-name gap; this one is OURS to maintain, and
+    // leaving it would turn every later write into a confusing unresolved-
+    // column failure)
+    val notNullName = s"__not_null_${physicalOfOld.toLowerCase}"
+    if (constraints(spark, location).contains(notNullName))
+      writeConstraints(spark, location,
+        constraints(spark, location) + (notNullName -> s"$newName IS NOT NULL"))
   }
 
   private def renameMaterializedColumnRaw(spark: SparkSession, location: String,
@@ -1150,6 +1159,14 @@ object VersionedTable {
     val schema = read(spark, location).columns
     require(schema.exists(_.equalsIgnoreCase(name)),
       s"column '$name' does not exist at $location (have ${schema.mkString(", ")})")
+    // the column's engine-generated NOT NULL constraint goes WITH it — left
+    // behind, its now-unresolvable expression would fail every later write
+    val physicalOfDropped = physicalName(spark, location, name)
+    val notNullName = s"__not_null_${physicalOfDropped.toLowerCase}"
+    if (constraints(spark, location).contains(notNullName)) {
+      dropConstraint(spark, location, notNullName)
+      updateTableSpec(spark, location)(_ - s"$NotNullPrefix$physicalOfDropped")
+    }
     // dropping a spec-registered added column forgets the spec entry; if a
     // write already materialized it into files, the mapping must ALSO retire
     // the physical column, else mergeSchema keeps surfacing it with its data
@@ -1241,10 +1258,15 @@ object VersionedTable {
     require(!partCols.contains(name.toLowerCase),
       s"'$name' is a partition column at $location — partition columns cannot " +
         "be renamed or dropped (their physical names are baked into the layout)")
+    // engine-generated NOT NULL constraints are exempt: their expression is
+    // mechanical, so renameColumn MIGRATES them instead of refusing (user
+    // CHECK/generated declarations keep the refusal — their expressions are
+    // arbitrary SQL the engine cannot rewrite safely)
     val refs = (constraints(spark, location) ++
-      generatedColumns(spark, location)).filter { case (_, sql) =>
-      s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b".r
-        .findFirstIn(sql).isDefined
+      generatedColumns(spark, location)).filter { case (cname, sql) =>
+      !cname.startsWith("__not_null_") &&
+        s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b".r
+          .findFirstIn(sql).isDefined
     }
     require(refs.isEmpty,
       s"'$name' is referenced by ${refs.keys.mkString(", ")} at $location — " +

@@ -318,10 +318,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         VersionedTable.renameColumn(spark, loc, c.fieldNames.head, c.newName)
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1, "nested column drop is not supported")
-        // drop the default first, while the name still resolves — a lingering
-        // key would re-bind if a later column reuses the physical name
-        VersionedTable.dropColumnDefault(spark, loc, c.fieldNames.head)
-        VersionedTable.dropColumn(spark, loc, c.fieldNames.head)
+        val name = c.fieldNames.head
+        // drop the column's declarations first, while the name still resolves
+        // — a lingering key would re-bind if a later column reused the
+        // physical name (conditional: each cleanup is a DDL-archived write)
+        if (VersionedTable.columnDefaults(spark, loc).keys
+            .exists(_.equalsIgnoreCase(name)))
+          VersionedTable.dropColumnDefault(spark, loc, name)
+        if (VersionedTable.columnComments(spark, loc).keys
+            .exists(_.equalsIgnoreCase(name)))
+          VersionedTable.setColumnComment(spark, loc, name, None)
+        // NOT NULL cleanup lives inside dropColumn (the Scala API needs it too)
+        VersionedTable.dropColumn(spark, loc, name)
       case c: TableChange.AddColumn =>
         require(c.fieldNames.length == 1, "nested column add is not supported")
         require(c.position == null,

@@ -68,6 +68,24 @@ class ProcedureSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(spark.table("gproc.t.n").count() == 2L)
   }
 
+  test("a renamed NOT NULL column keeps enforcing under its new name") {
+    wh
+    spark.sql("CREATE TABLE gproc.t.rn (k BIGINT, v STRING)")
+    spark.sql("CALL gproc.system.set_nullable(table => 't.rn', column => 'v')")
+    spark.sql("ALTER TABLE gproc.t.rn RENAME COLUMN v TO payload")
+    // the engine-generated constraint migrated with the rename: writes still
+    // refuse nulls (an unmigrated expr would fail as unresolved instead)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gproc.t.rn VALUES (1, NULL)")
+    }
+    spark.sql("INSERT INTO gproc.t.rn VALUES (2, 'ok')")
+    assert(!spark.table("gproc.t.rn").schema("payload").nullable)
+    // and DROP COLUMN cleans the declaration up entirely
+    spark.sql("ALTER TABLE gproc.t.rn DROP COLUMN payload")
+    assert(VersionedTable.constraints(spark, s"$wh/t/rn").isEmpty)
+    assert(VersionedTable.notNullColumns(spark, s"$wh/t/rn").isEmpty)
+  }
+
   test("CALL system.clone makes a metadata-only copy that diverges independently") {
     wh
     spark.sql("CREATE TABLE gproc.t.src (k BIGINT)")
