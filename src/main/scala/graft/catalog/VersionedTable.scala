@@ -695,6 +695,25 @@ object VersionedTable {
     }.toSet
   }
 
+  /** All column decorations in ONE (spec, mapping) read —
+    * `(defaults, comments, notNullLower)` keyed by logical names. The DSv2
+    * table decorates its schema on EVERY analysis; three separate accessor
+    * calls would read the two sidecar files three times each (extra GETs per
+    * query on an object store).
+    */
+  def columnDecorations(spark: SparkSession, location: String)
+      : (Map[String, String], Map[String, String], Set[String]) = {
+    val spec = tableSpec(spark, location)
+    val mapping = columnMapping(spark, location)
+    def logical(p: String) = mapping.getOrElse(p, p)
+    (spec.collect { case (k, v) if k.startsWith(DefaultPrefix) =>
+        logical(k.stripPrefix(DefaultPrefix)) -> v },
+      spec.collect { case (k, v) if k.startsWith(CommentPrefix) =>
+        logical(k.stripPrefix(CommentPrefix)) -> v },
+      spec.keys.collect { case k if k.startsWith(NotNullPrefix) =>
+        logical(k.stripPrefix(NotNullPrefix)).toLowerCase }.toSet)
+  }
+
   /** The analyzer's column-DEFAULT metadata keys
     * (`ResolveDefaultColumns.CURRENT/EXISTS_DEFAULT_COLUMN_METADATA_KEY`):
     * stripped from every landing batch ([[stageData]]) and from every

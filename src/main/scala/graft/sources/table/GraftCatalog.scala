@@ -733,9 +733,10 @@ class GraftSqlTable(tableName: String, val location: String,
     */
   override def schema(): StructType = {
     val base = snapshot.schema
-    val defaults = VersionedTable.columnDefaults(spark, location)
-    val comments = VersionedTable.columnComments(spark, location)
-    val notNull = VersionedTable.notNullColumns(spark, location)
+    // one (spec, mapping) read for all three decoration kinds — this runs on
+    // every analysis of the table
+    val (defaults, comments, notNull) =
+      VersionedTable.columnDecorations(spark, location)
     if (defaults.isEmpty && comments.isEmpty && notNull.isEmpty &&
         !base.fields.exists(VersionedTable.hasDefaultMeta))
       base
