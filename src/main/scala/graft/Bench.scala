@@ -150,7 +150,15 @@ object Bench {
     * merge, a merge-on-read upsert of the same change set (DV path, no
     * rewrite), a DV delete of ~1% of keys plus the DV-resolving read, and a
     * partition-SCOPED merge on a hive-partitioned copy (the path that must
-    * stay O(touched slice)). Medians over 3 reps; setup is not timed.
+    * stay O(touched slice)). Aggregated like the query loop: 5 reps, trimmed
+    * mean (drop the single fastest and slowest); setup is not timed.
+    *
+    * MEASUREMENT-CONTEXT caveat, learned the hard way in round 9: these ops
+    * are sub-second and planning-dominated, so their wall-clock swings ~2x
+    * with JVM/JIT warmth — a table-ops-only run in a fresh JVM reads far
+    * slower than the same code after the full query loop has warmed
+    * catalyst. Compare runs against numbers from the SAME context only
+    * (tools/bench_tableops_ab.json holds a controlled A/B).
     */
   private def benchTableOps(spark: SparkSession,
       sfDir: String): Seq[(String, Double)] = {
@@ -159,7 +167,7 @@ object Bench {
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val reps = 3
+    val reps = 5
     val runs = (1 to reps).map { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_bench_tops")
       val loc = s"$root/t"
@@ -274,7 +282,10 @@ object Bench {
     }
     runs.head.map(_._1).map { k =>
       val xs = runs.map(_.toMap.apply(k)).sorted
-      k -> xs(xs.length / 2)
+      // trimmed mean, matching the query loop's aggregation (file-count
+      // "evidence" entries are identical across reps, so trimming is a no-op)
+      val mid = if (xs.length <= 2) xs else xs.slice(1, xs.length - 1)
+      k -> mid.sum / mid.length
     }
   }
 }

@@ -132,15 +132,22 @@ object VersionedTable {
     }
   }
 
+  /** `freshDefinition` stages the batch as if the table had NO constraints or
+    * generated columns — the replaceDefinition path, whose batch belongs to
+    * the replacement definition while the old sidecars are still on disk
+    * (they are cleared only after the commit claim, for crash safety).
+    */
   private def writeBody(df: DataFrame, location: String, operation: String,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String], freshDefinition: Boolean = false): Long = {
     require(operation == "overwrite" || operation == "append",
       s"unknown operation: $operation")
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
     if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
     val (dataDir, rows, stats, sstats, nulls) =
-      stageData(df, location, partitionBy, constraints(spark, location))
+      stageData(df, location, partitionBy,
+        if (freshDefinition) Map.empty else constraints(spark, location),
+        freshDefinition = freshDefinition)
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
@@ -192,19 +199,28 @@ object VersionedTable {
     }
     var committed = -1L
     withDdlArchive(spark, location) {
-      // sidecar resets FIRST (raw — invisible to readers, who resolve spec
-      // and mapping from archives): the staged write below must land the new
-      // data under ITS OWN column names with NO inherited constraints,
-      // generated columns, or physical-name translation
+      // spec/mapping resets FIRST (raw — invisible to readers, who resolve
+      // them from archives): the staged write below must land the new data
+      // under ITS OWN column names with no physical-name translation
       writeKeyedJson(spark, location, ColumnsFile, Map.empty)
-      writeKeyedJson(spark, location, "_constraints.json", Map.empty)
-      writeKeyedJson(spark, location, GeneratedFile, Map.empty)
       writeTableSpecRaw(spark, location, spec)
       // the atomic swap: one overwrite commit resets the live set; the
       // closing archive (withDdlArchive) binds the new sidecars to this head.
       // writeBody, not write: the DDL lock is already held here, and a
-      // replacement definition carries no identity state to allocate
-      committed = writeBody(data, location, "overwrite", partitionBy)
+      // replacement definition carries no identity state to allocate.
+      // freshDefinition: the batch is staged under the REPLACEMENT definition
+      // (no inherited constraints or generated columns), so those sidecars
+      // need not be cleared before the commit — see below.
+      committed = writeBody(data, location, "overwrite", partitionBy,
+        freshDefinition = true)
+      // constraints/generated are NOT archive-resolved — clearing them takes
+      // effect immediately. Clear only AFTER the overwrite claim succeeds: a
+      // crash mid-replace then leaves the pre-replace data still fully
+      // guarded by its CHECK constraints and generated-column enforcement,
+      // instead of live-but-stripped (and a concurrent plain writer in the
+      // window keeps being validated against the old definition too)
+      writeKeyedJson(spark, location, "_constraints.json", Map.empty)
+      writeKeyedJson(spark, location, GeneratedFile, Map.empty)
     }
     committed
   }
@@ -265,7 +281,7 @@ object VersionedTable {
       .getOrElse {
         val cs = commits(spark, location)
         if (cs.isEmpty) Nil
-        else liveCommits(spark, location, cs.last.version).reverse
+        else liveCommitsFrom(cs, location, cs.last.version).reverse
           .collectFirst { case c if c.partition_by.nonEmpty =>
             c.partition_by.split(",").toSeq.filter(_.nonEmpty) }
           .getOrElse(Nil)
@@ -373,7 +389,22 @@ object VersionedTable {
     * NON-REENTRANT: a holder that re-acquires the SAME lock deadlocks until
     * the timeout — nest distinct locks only, and keep the order consistent
     * (today: ingest → ddl, never the reverse).
+    *
+    * LIVENESS vs long critical sections: some guarded sections are data-sized,
+    * not metadata-sized — an identity-table write holds the DDL lock across a
+    * distributed stage+claim, COPY INTO holds the ingest lock across a whole
+    * ingest — and can legitimately outlast any fixed stale threshold. The
+    * holder therefore HEARTBEATS the lock (a daemon thread re-stamps it every
+    * [[LockHeartbeatMs]]), so waiters age the lock from the LAST heartbeat: a
+    * live holder is never broken no matter how long its section runs, while a
+    * crashed holder stops stamping and self-breaks after [[StaleDdlLockMs]]
+    * as before. The residual break-then-race window is a holder PAUSED (not
+    * crashed) for longer than the stale threshold — the classic fs-lock
+    * caveat, now requiring a 5-minute full stop rather than merely a slow
+    * section.
     */
+  private val LockHeartbeatMs = 60 * 1000L
+
   private[catalog] def withFileLock[T](spark: SparkSession, location: String,
       lockName: String)(body: => T): T = {
     val fs = fileSystem(spark, location)
@@ -397,7 +428,28 @@ object VersionedTable {
         else Thread.sleep(50)
       }
     }
-    try body finally fs.delete(lock, false)
+    // keep the stamp fresh for the whole critical section; failures are
+    // swallowed (a missed beat just ages the lock toward the stale threshold)
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(LockHeartbeatMs)
+          val out = fs.create(lock, true)
+          try out.write(
+            System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      } catch { case _: InterruptedException => () case _: Exception => () }
+    }, s"graft-lock-heartbeat-$lockName")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      // join BEFORE deleting: an in-flight re-stamp racing the delete would
+      // resurrect the lock file and block every waiter until the stale break
+      try beat.join(5000) catch { case _: InterruptedException => () }
+      fs.delete(lock, false)
+    }
   }
 
   /** Every DDL mutation rides this: the DDL lock around (baseline, sidecar
@@ -459,9 +511,14 @@ object VersionedTable {
       version: Long): (Map[String, String], Map[String, String]) = {
     val fs = fileSystem(spark, location)
     val dir = new Path(s"$location/$DdlDir")
-    if (!fs.exists(dir))
-      return (tableSpec(spark, location), columnMapping(spark, location))
-    val eligible = fs.listStatus(dir)
+    // one listStatus, FNF = never-DDL'd table (saves the separate exists RPC)
+    val archives =
+      try fs.listStatus(dir)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          return (tableSpec(spark, location), columnMapping(spark, location))
+      }
+    val eligible = archives
       .filter(_.getPath.getName.endsWith(".json"))
       .sortBy(_.getPath.getName)
       .flatMap { st =>
@@ -480,9 +537,14 @@ object VersionedTable {
       file: String): Map[String, String] = {
     val p = new Path(s"$location/$file")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // open-and-catch, not exists-then-open: one RPC instead of two, and no
+    // vanish window between the probe and the read (sidecars are
+    // delete+rename-republished, so the window is real under concurrent DDL)
+    val body =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return Map.empty }
     // one {"name": "sql", ...} object; names and exprs are json-escaped on write
     """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findAllMatchIn(body)
@@ -1094,7 +1156,7 @@ object VersionedTable {
       name: String): Boolean = {
     val cs = commits(spark, location)
     cs.nonEmpty && {
-      val live = liveCommits(spark, location, cs.last.version)
+      val live = liveCommitsFrom(cs, location, cs.last.version)
       val hasData = live.exists(c =>
         !((c.operation == "delete" || c.operation == "replace") && c.data_dir.isEmpty))
       hasData &&
@@ -1656,14 +1718,15 @@ object VersionedTable {
     var done = -1L
     var attempt = 0
     while (done < 0) {
-      val latest = commits(spark, location).last
+      val csAll = commits(spark, location)
+      val latest = csAll.last
       require(version <= latest.version,
         s"cannot restore $location to $version — newest is ${latest.version}")
       val snap = readAsOf(spark, location, version)
       // partitioning convention of the restored state = its NEWEST live commit
       // (same choice compact makes) — under a heterogeneous live set the head
       // (base) commit may predate the layout later appends established
-      val partitioning = liveCommits(spark, location, version)
+      val partitioning = liveCommitsFrom(csAll, location, version)
         .last.partition_by.split(",").toSeq.filter(_.nonEmpty)
       // CURRENT constraints are enforced on the restored snapshot: restoring to
       // a version that predates addConstraint must not put rows live that the
@@ -1717,11 +1780,12 @@ object VersionedTable {
     val fs = fileSystem(spark, target)
     require(!exists(spark, target),
       s"shallowClone target $target already has commits")
-    val cs = commits(spark, source)
+    val st = logState(spark, source)
+    val cs = st.commits
     require(cs.nonEmpty, s"no commits at $source")
     val v = version.getOrElse(cs.last.version)
-    requireReadable(spark, source, v)
-    val live = liveCommits(spark, source, v)
+    requireReadableFrom(spark, source, st, v)
+    val live = liveCommitsFrom(cs, source, v)
     def borrow(dir: String, resolved: String): String =
       if (dir.isEmpty) "" else if (isBorrowed(dir)) dir else AbsRef + resolved
     live.zipWithIndex.foreach { case (c, i) =>
@@ -1819,9 +1883,13 @@ object VersionedTable {
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val scope = mergeScope(spark, location, latest, changes1, partitioning, keys)
+      val scope = mergeScope(spark, location, cs, latest, changes1,
+        partitioning, keys)
       val current = {
-        val snap = readAsOf(spark, location, latest.version)
+        // head-state assembly from the ALREADY-LISTED log (a head read cannot
+        // be below the vacuum floor, so the floor probe is skipped too)
+        val snap = assemble(spark, location,
+          liveCommitsFrom(cs, location, latest.version), latest.version)
         scope.fold(snap) { case (pred, _, _) => snap.filter(pred) }
       }
       // replaced_rows observed on the touched slice as it streams through the
@@ -1882,7 +1950,30 @@ object VersionedTable {
       keys: Seq[String], deleteCol: Option[String] = None,
       maxAttempts: Int = 3, changeFeed: Boolean = false): Long =
     mergeOnReadTxn(spark, location, changes, keys, deleteCol, maxAttempts,
-      changeFeed, txn = None).get
+      changeFeed, txn = None).get._1
+
+  /** The matched-row split a DML-metrics surface needs, measured INSIDE the
+    * merge from its already-persisted matched set — `updated`/`deleted` are
+    * matched target rows by the change's delete flag, `addedRows` the commit's
+    * staged row count (so callers derive inserts as `addedRows - updated`).
+    * Asking for it costs ONE change-volume-sized aggregation over pinned
+    * data — never a second scan of the target, which is what a caller
+    * computing the split itself would pay (and at 100 TB, what dominates).
+    */
+  final case class MergeOnReadMetrics(updated: Long, deleted: Long,
+      addedRows: Long)
+
+  /** [[mergeOnRead]] that also returns [[MergeOnReadMetrics]] — the SQL MERGE
+    * fast path's metrics source (DmlMetricsSpec pins the job parity).
+    */
+  private[graft] def mergeOnReadMetered(spark: SparkSession, location: String,
+      changes: DataFrame, keys: Seq[String], deleteCol: Option[String] = None,
+      maxAttempts: Int = 3, changeFeed: Boolean = false)
+      : (Long, MergeOnReadMetrics) = {
+    val (v, m) = mergeOnReadTxn(spark, location, changes, keys, deleteCol,
+      maxAttempts, changeFeed, txn = None, wantMetrics = true).get
+    (v, m.get)
+  }
 
   /** Exactly-once [[mergeOnRead]] for streaming CDC-apply sinks: a commit
     * already tagged `(txnApp, txnId)` makes the call a no-op (None), exactly
@@ -1899,13 +1990,14 @@ object VersionedTable {
       changeFeed: Boolean = false): Option[Long] = {
     require(txnApp.nonEmpty, "idempotentMergeOnRead needs a txnApp identity")
     mergeOnReadTxn(spark, location, changes, keys, deleteCol, maxAttempts,
-      changeFeed, txn = Some((txnApp, txnId)))
+      changeFeed, txn = Some((txnApp, txnId))).map(_._1)
   }
 
   private def mergeOnReadTxn(spark: SparkSession, location: String,
       changes: DataFrame, keys: Seq[String], deleteCol: Option[String],
       maxAttempts: Int, changeFeed: Boolean,
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)], wantMetrics: Boolean = false)
+      : Option[(Long, Option[MergeOnReadMetrics])] = {
     require(keys.nonEmpty, "mergeOnRead needs at least one key column")
     val fs = fileSystem(spark, location)
     // same generated-column computation contract as [[merge]]
@@ -1919,6 +2011,7 @@ object VersionedTable {
     val changedKeys = tagged.select(keys.map(col): _*).dropDuplicates(keys)
     var done = -1L
     var attempt = 0
+    var metrics: Option[MergeOnReadMetrics] = None
     while (done < 0) {
       val cs = commits(spark, location)
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
@@ -1928,7 +2021,7 @@ object VersionedTable {
       }
       val latest = cs.last
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val snap = snapshotWithMeta(spark, location, latest.version)
+      val snap = snapshotWithMetaFrom(spark, location, cs, latest.version)
       val dataCols = snap.columns.filterNot(c => c == DvFileCol || c == DvPosCol).toSeq
       // ONE semi-join locates every matched row (preimage + DV identity); the
       // change set streams against the DV-resolved snapshot scan
@@ -1970,9 +2063,21 @@ object VersionedTable {
             partitioning, stats, txnApp = txn.map(_._1).getOrElse(""),
             txnId = txn.map(_._2).getOrElse(-1L), changeDir = changeDir,
             replacedRows = matchedRows, dvDir = dvDir, sstats = sstats,
-            nulls = nulls))
+            nulls = nulls)) {
           done = latest.version + 1
-        else {
+          if (wantMetrics) {
+            // the matched/deleted split, from the PINNED matched set joined to
+            // the change set's delete flags — change-volume cost, zero target
+            // rescans (the whole point of metering inside the merge)
+            val flags = tagged.select(keys.map(col) :+ col("_g_del"): _*)
+              .dropDuplicates(keys)
+            val r = matched.join(flags, keys, "inner").agg(
+              sum(when(!col("_g_del"), 1L).otherwise(0L)).as("u"),
+              sum(when(col("_g_del"), 1L).otherwise(0L)).as("d")).head()
+            def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+            metrics = Some(MergeOnReadMetrics(at(0), at(1), rows))
+          }
+        } else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
           fs.delete(new Path(s"$location/_data/$dvDir"), true)
           if (changeDir.nonEmpty)
@@ -1984,7 +2089,7 @@ object VersionedTable {
       } finally matched.unpersist()
     }
     maybeCheckpoint(spark, location, done)
-    Some(done)
+    Some((done, metrics))
   }
 
   /** At most this many touched partitions take the scoped path: the touched set
@@ -2047,7 +2152,7 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"scoped overwrite of $location expected head $ev but found " +
             s"${latest.version} — recompute the replacement content and retry"))
-      val live = liveCommits(spark, location, latest.version)
+      val live = liveCommitsFrom(cs, location, latest.version)
       // the layout is the newest live commit that RECORDS one — pure-DV commits
       // (delete) record none, and the SQL catalog's empty v0 is written flat
       // with the declared layout in the spec sidecar
@@ -2127,12 +2232,13 @@ object VersionedTable {
     done
   }
 
-  private def mergeScope(spark: SparkSession, location: String, latest: Commit,
+  private def mergeScope(spark: SparkSession, location: String,
+      cs: Seq[Commit], latest: Commit,
       changes: DataFrame, partitioning: Seq[String], keys: Seq[String])
       : Option[(org.apache.spark.sql.Column, String, Int)] = {
     if (partitioning.isEmpty) return None
     if (!partitioning.forall(keys.contains)) return None
-    val live = liveCommits(spark, location, latest.version)
+    val live = liveCommitsFrom(cs, location, latest.version)
     if (!live.forall(_.partition_by == latest.partition_by)) return None
     val touched = changes.select(partitioning.map(col): _*).distinct()
       .limit(MaxScopedPartitions + 1).collect()
@@ -2244,7 +2350,7 @@ object VersionedTable {
       val cs = commits(spark, location)
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
-      val snap = snapshotWithMeta(spark, location, latest.version)
+      val snap = snapshotWithMetaFrom(spark, location, cs, latest.version)
       val matched = snap.filter(expr(condition))
       val dvDir = s"v-${java.util.UUID.randomUUID()}"
       val changeDir = if (changeFeed) s"c-${java.util.UUID.randomUUID()}" else ""
@@ -2302,7 +2408,7 @@ object VersionedTable {
       require(cs.nonEmpty, s"no commits at $location — write a base version first")
       val latest = cs.last
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val snap = snapshotWithMeta(spark, location, latest.version)
+      val snap = snapshotWithMetaFrom(spark, location, cs, latest.version)
       val dataCols = snap.schema.fields
         .filter(f => f.name != DvFileCol && f.name != DvPosCol)
       val byName = dataCols.map(f => f.name -> f.dataType).toMap
@@ -2382,8 +2488,9 @@ object VersionedTable {
       toVersion: Long, allowFullRewrites: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    requireReadable(spark, location, fromVersion)
-    val cs = commits(spark, location)
+    val st = logState(spark, location)
+    requireReadableFrom(spark, location, st, fromVersion)
+    val cs = st.commits
     require(cs.exists(_.version == fromVersion) && cs.exists(_.version == toVersion),
       s"versions [$fromVersion, $toVersion] not all present at $location " +
         s"(have ${cs.map(_.version)})")
@@ -2409,8 +2516,8 @@ object VersionedTable {
             // (file, pos) entries — one semi-join reconstructs them on demand.
             // Costs a scan of that snapshot (vs. the log-resolved feed), but
             // never wrong; requires the pre-delete version to not be vacuumed.
-            requireReadable(spark, location, c.version - 1)
-            val pre = snapshotWithMeta(spark, location, c.version - 1)
+            requireReadableFrom(spark, location, st, c.version - 1)
+            val pre = snapshotWithMetaFrom(spark, location, cs, c.version - 1)
             val dv = spark.read.parquet(dvPath(location, c))
             val hinted =
               if (c.replaced_rows <= DvBroadcastMaxRows) broadcast(dv) else dv
@@ -2512,7 +2619,7 @@ object VersionedTable {
       df: DataFrame, partitionBy: Seq[String]): Unit = {
     val cs = commits(spark, location)
     if (cs.isEmpty) return
-    val live = liveCommits(spark, location, cs.last.version)
+    val live = liveCommitsFrom(cs, location, cs.last.version)
     val partCols = (live.flatMap(_.partition_by.split(",")) ++ partitionBy)
       .filter(_.nonEmpty).map(_.toLowerCase).toSet
     val existing = assemble(spark, location, live, cs.last.version).schema
@@ -2559,7 +2666,8 @@ object VersionedTable {
   private val SafeStatValue = "[A-Za-z0-9 _.:+/@-]{1,64}".r
 
   private def stageData(df00: DataFrame, location: String,
-      partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
+      partitionBy: Seq[String], checks: Map[String, String] = Map.empty,
+      freshDefinition: Boolean = false)
       : (String, Long, Map[String, (Double, Double)],
          Map[String, (String, String)], Map[String, Long]) = {
     // an SQL INSERT that filled a DEFAULT arrives with the analyzer's
@@ -2569,20 +2677,27 @@ object VersionedTable {
     // reads then fill values the spec no longer declares). The spec sidecar
     // is the single source of truth; files carry none of it.
     val df0 = stripAnalyzerDefaultMeta(df00)
+    // resolve the two mutable sidecars ONCE for the whole staged pass — the
+    // cluster/widen/bloom/filestats steps below all consult them, and a read
+    // each would be five spec GETs per landed batch on an object store
+    val spec = tableSpec(df0.sparkSession, location)
+    val mapping = columnMapping(df0.sparkSession, location)
     // generated columns ride the same staged pass: absent ones are computed
     // (so partitionBy on a generated column just works), present ones add a
     // null-safe-equality validation to the fused check guard
     val (df1, genChecks) =
-      applyGenerated(df0, generatedColumns(df0.sparkSession, location))
+      applyGenerated(df0,
+        if (freshDefinition) Map.empty
+        else generatedColumns(df0.sparkSession, location))
     val allChecks = checks ++ genChecks
     // the guard speaks LOGICAL names (constraints/generated are declared
     // logically); the files and their stats land under PHYSICAL names so every
     // live file agrees regardless of renames since
     val physicalDf = toPhysical(withCheckGuard(df1, location, allChecks),
-      columnMapping(df0.sparkSession, location))
+      mapping)
     // declared widenings cast BEFORE files land: post-widen commits are
     // uniformly wide, so the per-commit union only reconciles pre-widen files
-    val widenedDf = wideningsIn(tableSpec(df0.sparkSession, location))
+    val widenedDf = wideningsIn(spec)
       .foldLeft(physicalDf) { case (d, (p, t)) =>
         if (!d.columns.exists(_.equalsIgnoreCase(p))) d
         else d.withColumn(p, col(p).cast(t))
@@ -2598,10 +2713,10 @@ object VersionedTable {
     // partition values, so a partition dir's files tile the cluster range
     // instead of every task writing into every dir (which would also defeat
     // the per-file stats). Declared names are logical; files land physical.
-    val clusterBy = tableSpec(df0.sparkSession, location)
+    val clusterBy = spec
       .get("prop.graft.cluster.by").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .map(l => columnMapping(df0.sparkSession, location).collectFirst {
+      .map(l => mapping.collectFirst {
         case (p, log) if log.equalsIgnoreCase(l) => p
       }.getOrElse(l))
       .filter(p => widenedDf.columns.exists(_.equalsIgnoreCase(p)) &&
@@ -2670,9 +2785,10 @@ object VersionedTable {
     val rowCount = observed("rows").asInstanceOf[Long]
     val nulls = (statCols ++ strCols).map(c =>
       c -> (rowCount - observed(s"nn_$c").asInstanceOf[Long])).toMap
-    writeBlooms(df0.sparkSession, location, dataDir, df.schema, rowCount)
+    writeBlooms(df0.sparkSession, location, dataDir, df.schema, rowCount,
+      spec, mapping)
     writeFileStats(df0.sparkSession, location, dataDir, df.schema, rowCount,
-      partitionBy)
+      partitionBy, spec)
     (dataDir, rowCount, stats, sstats, nulls)
   }
 
@@ -2703,11 +2819,11 @@ object VersionedTable {
 
   private def writeBlooms(spark: SparkSession, location: String,
       dataDir: String, physicalSchema: org.apache.spark.sql.types.StructType,
-      rows: Long): Unit = {
-    val want = tableSpec(spark, location).get("prop.graft.bloom.columns").toSeq
+      rows: Long, spec: Map[String, String],
+      mapping: Map[String, String]): Unit = {
+    val want = spec.get("prop.graft.bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     if (want.isEmpty || rows == 0 || rows > MaxBloomItems) return
-    val mapping = columnMapping(spark, location)
     val physicalWanted = want.map(l => mapping.collectFirst {
       case (p, log) if log.equalsIgnoreCase(l) => p
     }.getOrElse(l))
@@ -2763,8 +2879,9 @@ object VersionedTable {
     */
   private def writeFileStats(spark: SparkSession, location: String,
       dataDir: String, physicalSchema: org.apache.spark.sql.types.StructType,
-      rows: Long, partitionBy: Seq[String]): Unit = {
-    val opted = tableSpec(spark, location).get("prop.graft.filestats")
+      rows: Long, partitionBy: Seq[String],
+      spec: Map[String, String]): Unit = {
+    val opted = spec.get("prop.graft.filestats")
       .exists(v => v.trim.equalsIgnoreCase("true") || v.trim == "*")
     if (!opted || rows == 0) return
     // partition columns are excluded: they prune at directory granularity via
@@ -3026,9 +3143,13 @@ object VersionedTable {
 
   /** The table as of its newest commit. */
   def read(spark: SparkSession, location: String): DataFrame = {
-    val cs = commits(spark, location)
-    require(cs.nonEmpty, s"no commits at $location")
-    readAsOf(spark, location, cs.last.version)
+    // one log listing serves head resolution, the floor check, and the live
+    // set — not the three separate listings read→readAsOf→liveCommits once cost
+    val st = logState(spark, location)
+    require(st.commits.nonEmpty, s"no commits at $location")
+    val head = st.commits.last.version
+    requireReadableFrom(spark, location, st, head)
+    assemble(spark, location, liveCommitsFrom(st.commits, location, head), head)
   }
 
   /** Time travel: the table exactly as commit `version` left it. Versions whose data
@@ -3048,26 +3169,40 @@ object VersionedTable {
     * unversioned (see [[writeConstraints]]).
     */
   def readAsOf(spark: SparkSession, location: String, version: Long): DataFrame = {
-    requireReadable(spark, location, version)
-    val cs = commits(spark, location)
-    assemble(spark, location, liveCommitsFrom(cs, location, version), version)
+    val st = logState(spark, location)
+    requireReadableFrom(spark, location, st, version)
+    assemble(spark, location, liveCommitsFrom(st.commits, location, version), version)
   }
+
+  private val VacuumFloorFile = "_vacuum_floor.json"
 
   /** Oldest version whose data is still guaranteed complete on disk; -1 before
     * any vacuum ran. Raised by [[vacuum]] when it reclaims data an older
     * version still needs.
     */
-  def minReadableVersion(spark: SparkSession, location: String): Long = {
-    val p = new Path(s"$location/_commit_log/_vacuum_floor.json")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return -1L
-    """"min_readable_version":(-?\d+)""".r
-      .findFirstMatchIn(readUtf8(fs, p)).map(_.group(1).toLong).getOrElse(-1L)
-  }
+  def minReadableVersion(spark: SparkSession, location: String): Long =
+    floorFrom(spark, location, logState(spark, location))
+
+  /** The floor from an already-taken log listing: no floor file in the listing
+    * (the common never-vacuumed case) costs zero further calls; a present file
+    * is read fresh (it is rename-republished by later vacuums, so its content
+    * is not write-once-cacheable like commits).
+    */
+  private def floorFrom(spark: SparkSession, location: String,
+      st: LogState): Long =
+    st.floorStatus.fold(-1L) { fst =>
+      """"min_readable_version":(-?\d+)""".r
+        .findFirstMatchIn(readUtf8(fileSystem(spark, location), fst.getPath))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
 
   private def requireReadable(spark: SparkSession, location: String,
-      version: Long): Unit = {
-    val floor = minReadableVersion(spark, location)
+      version: Long): Unit =
+    requireReadableFrom(spark, location, logState(spark, location), version)
+
+  private def requireReadableFrom(spark: SparkSession, location: String,
+      st: LogState, version: Long): Unit = {
+    val floor = floorFrom(spark, location, st)
     if (version < floor) throw new IllegalStateException(
       s"version $version at $location was vacuumed — the oldest readable " +
         s"version is $floor")
@@ -3075,7 +3210,7 @@ object VersionedTable {
 
   private def raiseVacuumFloor(fs: FileSystem, location: String,
       floor: Long): Unit = {
-    val p = new Path(s"$location/_commit_log/_vacuum_floor.json")
+    val p = new Path(s"$location/_commit_log/$VacuumFloorFile")
     val current = if (!fs.exists(p)) -1L
       else """"min_readable_version":(-?\d+)""".r
         .findFirstMatchIn(readUtf8(fs, p)).map(_.group(1).toLong).getOrElse(-1L)
@@ -3100,7 +3235,7 @@ object VersionedTable {
       lo: Double, hi: Double): DataFrame = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
-    val live = liveCommits(spark, location, cs.last.version)
+    val live = liveCommitsFrom(cs, location, cs.last.version)
     // commit stats are keyed by PHYSICAL column name; the caller's probe is
     // logical — translate before the lookup (identity when never renamed)
     val physical = columnMapping(spark, location).collectFirst {
@@ -3134,7 +3269,7 @@ object VersionedTable {
     require(lo <= hi, s"empty range: '$lo' > '$hi'")
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
-    val live = liveCommits(spark, location, cs.last.version)
+    val live = liveCommitsFrom(cs, location, cs.last.version)
     // stats are keyed by PHYSICAL column name; the probe is logical
     val physical = columnMapping(spark, location).collectFirst {
       case (p, l) if l.equalsIgnoreCase(column) => p
@@ -3396,8 +3531,14 @@ object VersionedTable {
     * applied, so re-matching an already-deleted row is impossible).
     */
   private def snapshotWithMeta(spark: SparkSession, location: String,
-      version: Long): DataFrame = {
-    val cs = commits(spark, location)
+      version: Long): DataFrame =
+    snapshotWithMetaFrom(spark, location, commits(spark, location), version)
+
+  /** [[snapshotWithMeta]] over an already-listed log — the DML loops list the
+    * log once per attempt and must not pay a second listing for the snapshot.
+    */
+  private def snapshotWithMetaFrom(spark: SparkSession, location: String,
+      cs: Seq[Commit], version: Long): DataFrame = {
     val live = liveCommitsFrom(cs, location, version)
     val scan = assembleScan(spark, location, live, keepMeta = true, version)
     val dvs = live.filter(_.dv_dir.nonEmpty)
@@ -3427,7 +3568,7 @@ object VersionedTable {
     // be expressed in it, and emitting the files anyway would resurrect deleted
     // rows for external engines (the same reason Delta refuses manifest
     // generation on DV-bearing tables). Compaction materializes DVs away.
-    require(liveCommits(spark, location, cs.last.version).forall(_.dv_dir.isEmpty),
+    require(liveCommitsFrom(cs, location, cs.last.version).forall(_.dv_dir.isEmpty),
       s"$location carries live deletion vectors (deleteWhere/updateWhere) — a " +
         "symlink manifest cannot express row-level deletes; run compact() first")
     val files = read(spark, location).inputFiles.toSeq.sorted
@@ -3462,7 +3603,7 @@ object VersionedTable {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     val latest = cs.last
-    val live = liveCommits(spark, location, latest.version)
+    val live = liveCommitsFrom(cs, location, latest.version)
     val fs = fileSystem(spark, location)
     def filesUnder(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val p = new Path(dir)
@@ -3507,7 +3648,7 @@ object VersionedTable {
       version: Option[Long] = None): (Long, Long) = {
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
-    val live = liveCommits(spark, location, version.getOrElse(cs.last.version))
+    val live = liveCommitsFrom(cs, location, version.getOrElse(cs.last.version))
     val rows = live.map(_.row_count).sum - live.map(_.replaced_rows).sum
     val fs = fileSystem(spark, location)
     val bytes = live.filter(c =>
@@ -3682,11 +3823,23 @@ object VersionedTable {
   def exists(spark: SparkSession, location: String): Boolean =
     commits(spark, location).nonEmpty
 
-  def commits(spark: SparkSession, location: String): Seq[Commit] = {
+  def commits(spark: SparkSession, location: String): Seq[Commit] =
+    logState(spark, location).commits
+
+  /** One log listing's worth of table state: the parsed commits plus the
+    * vacuum-floor file's status if present — the floor lives INSIDE
+    * `_commit_log`, so the same listStatus that finds the commits finds it,
+    * and the common no-vacuum case learns "no floor" for free instead of via
+    * a separate exists probe per read.
+    */
+  private final case class LogState(commits: Seq[Commit],
+      floorStatus: Option[org.apache.hadoop.fs.FileStatus])
+
+  private def logState(spark: SparkSession, location: String): LogState = {
     val fs = fileSystem(spark, location)
     var attempt = 0
     while (true) {
-      try return commitsOnce(fs, location)
+      try return logStateOnce(fs, location)
       catch {
         case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
       }
@@ -3694,16 +3847,49 @@ object VersionedTable {
     throw new IllegalStateException("unreachable")
   }
 
-  private def commitsOnce(fs: FileSystem, location: String): Seq[Commit] = {
+  /** Parsed bodies of WRITE-ONCE log artifacts, cached JVM-wide keyed on
+    * (path, mtime, length). Commit files and checkpoints are exclusive-create
+    * and never rewritten, so a warm entry is valid forever; mtime+length ride
+    * the key so a table dropped and recreated at the same location (fresh
+    * `0.json`, new content) misses cleanly. An in-flight claim (created, body
+    * not yet flushed) parses to None under its zero-length key and re-parses
+    * when the closed body changes the key. With these caches a log resolution
+    * is ONE listStatus and zero file reads in the steady state — per-op cost
+    * stops scaling with the checkpoint tail, which matters at an
+    * object-store's per-GET latency far more than on local disk.
+    */
+  private val commitFileCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Option[Commit]]()
+  private val checkpointFileCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[Commit]]()
+
+  private def statKey(st: org.apache.hadoop.fs.FileStatus): (String, Long, Long) =
+    (st.getPath.toString, st.getModificationTime, st.getLen)
+
+  /** Caches are unbounded maps over ever-fresh temp tables in a long test JVM;
+    * a crude size valve keeps them from masquerading as a leak. Clearing is
+    * always safe — entries rebuild from disk on the next miss.
+    */
+  private val MaxCachedLogEntries = 200 * 1000
+
+  private def valve(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
+    if (m.size() > MaxCachedLogEntries) m.clear()
+
+  private def logStateOnce(fs: FileSystem, location: String): LogState = {
     val logDir = new Path(s"$location/_commit_log")
-    if (!fs.exists(logDir)) return Seq.empty
-    val entries = fs.listStatus(logDir).toSeq.filter(_.isFile)
+    // listStatus throws FNF for a missing dir — one RPC where exists+list was two
+    val entries =
+      try fs.listStatus(logDir).toSeq.filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => return LogState(Seq.empty, None) }
+    val floorStatus = entries.find(_.getPath.getName == VacuumFloorFile)
     val ckpt = entries.flatMap(s => s.getPath.getName match {
-      case CheckpointName(v) => Some((v.toLong, s.getPath))
+      case CheckpointName(v) => Some((v.toLong, s))
       case _ => None
     }).sortBy(_._1).lastOption
-    val base = ckpt.toSeq.flatMap { case (_, p) =>
-      readUtf8(fs, p).linesIterator.flatMap(parseCommit)
+    valve(checkpointFileCache); valve(commitFileCache)
+    val base = ckpt.toSeq.flatMap { case (_, st) =>
+      checkpointFileCache.computeIfAbsent(statKey(st), _ =>
+        readUtf8(fs, st.getPath).linesIterator.flatMap(parseCommit).toSeq)
     }
     val after = ckpt.map(_._1).getOrElse(-1L)
     val tail = entries
@@ -3716,8 +3902,9 @@ object VersionedTable {
       // a claim file created but not yet fully written (concurrent writer between
       // create and close) must block its version slot WITHOUT surfacing as a
       // commit — readers see the pre-commit state until the body lands
-      .flatMap(s => parseCommit(readUtf8(fs, s.getPath)))
-    (base ++ tail).sortBy(_.version)
+      .flatMap(st => commitFileCache.computeIfAbsent(statKey(st), _ =>
+        parseCommit(readUtf8(fs, st.getPath))))
+    LogState((base ++ tail).sortBy(_.version), floorStatus)
   }
 
   /** Consolidate the full log into `_commit_log/_checkpoint.<latest>.jsonl` (one

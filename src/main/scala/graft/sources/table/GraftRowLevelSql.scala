@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, count, expr, lit, when}
+import org.apache.spark.sql.functions.{col, count, expr, lit, monotonically_increasing_id, when}
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.catalog.VersionedTable
@@ -468,25 +468,18 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
           else changes0.join(VersionedTable.read(sparkSession, location)
             .select(keys.map(col): _*), keys, "left_semi")
         cardinalityGuard(sparkSession, changes)
-        // metrics: one change-set-sized pass splitting matched (update/delete)
-        // from unmatched (insert) — the cost Delta's metrics pay too
-        val marked = changes.join(
-          VersionedTable.read(sparkSession, location)
-            .select(keys.map(col): _*).dropDuplicates(keys)
-            .withColumn("__gr_m", lit(true)),
-          keys, "left_outer")
-        val m = marked.agg(
-          org.apache.spark.sql.functions.sum(
-            when(col("__gr_m") && !col(DelFlag), 1L).otherwise(0L)),
-          org.apache.spark.sql.functions.sum(
-            when(col("__gr_m") && col(DelFlag), 1L).otherwise(0L)),
-          org.apache.spark.sql.functions.sum(
-            when(col("__gr_m").isNull && !col(DelFlag), 1L).otherwise(0L))
-        ).head()
-        def n(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i)
-        VersionedTable.mergeOnRead(sparkSession, location, changes, keys,
-          Some(DelFlag))
-        DmlMetrics.mergeRow(updated = n(0), deleted = n(1), inserted = n(2))
+        // metrics come FROM the merge (measured on its pinned matched set —
+        // change-volume cost) rather than from a separate probe join, which
+        // would rescan the target's key columns once per MERGE purely for
+        // bookkeeping. inserts = staged rows minus matched updates, since
+        // every non-delete change row lands (matched as the update image,
+        // unmatched as the insert). DmlMetricsSpec pins the job parity.
+        val (_, mm) = VersionedTable.mergeOnReadMetered(sparkSession, location,
+          changes, keys, Some(DelFlag))
+        // clamped: a duplicate-key target under the key-collapse contract can
+        // retire more matched rows than change rows landed
+        DmlMetrics.mergeRow(updated = mm.updated, deleted = mm.deleted,
+          inserted = math.max(0L, mm.addedRows - mm.updated))
       case "insert_only" =>
         val pre = insertCond.map(c => src.filter(ColumnBridge.column(c)))
           .getOrElse(src)
@@ -611,12 +604,21 @@ case class GraftGeneralMergeCommand(location: String, source: LogicalPlan,
     if (matchedUpdate.isDefined || matchedDelete.isDefined) {
       val updC = matchedUpdate.map(p => expr(p._1)).getOrElse(lit(false))
       val delC = matchedDelete.map(expr).getOrElse(lit(false))
-      val touched = tgtP.join(srcP, joinCond, "inner").filter(updC || delC)
+      // each target ROW gets a transient identity BEFORE the join: the
+      // cardinality rule is per target row, not per key — a target
+      // legitimately holding duplicate-key rows, all matched by ONE source
+      // row, is valid SQL MERGE (each row updates once; the key-based apply
+      // below lands one updated image per target row and retires every old
+      // row of the key), while >1 ACTIONABLE source row on the same target
+      // row is the genuine nondeterministic update MERGE must refuse. The id
+      // is assigned once — `touched` is persisted before both consumers read
+      // it — so grouping on it is self-consistent.
+      val RowId = "__gr_tid"
+      val touched = tgtP.withColumn(RowId, monotonically_increasing_id())
+        .join(srcP, joinCond, "inner").filter(updC || delC)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pinned = Some(touched)
-      // cardinality: among rows an action applies to, a duplicated target key
-      // means one target row would be operated on more than once
-      val dup = touched.groupBy(keyNames.map(k => col(TgtPrefix + k)): _*)
+      val dup = touched.groupBy(col(RowId))
         .agg(count(lit(1)).as("__gr_n")).filter(col("__gr_n") > 1)
         .limit(1).count()
       if (dup > 0) {

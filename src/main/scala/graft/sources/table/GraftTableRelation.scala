@@ -328,9 +328,19 @@ private[table] object DerivedPruning {
       case _ => ()
     }
     filters.foreach(walk)
+    // TIMEZONE SAFETY: the generated values were computed and write-validated
+    // under the WRITING session's timezone; `derive` here evaluates under the
+    // READING session's. The two local clocks differ by < 26 h (the extreme
+    // UTC-12..+14 spread), so deriving from the input shifted ±2 days
+    // brackets the writer's derivation for every monotone calendar transform:
+    // f_reader(t - 2d) <= f_writer(t) <= f_reader(t + 2d). The widened bound
+    // keeps at most two extra partitions per side — still O(queried range)
+    // pruning — where the unwidened bound could silently DROP a partition
+    // holding matching rows written under a different timezone.
+    val pad = expr("INTERVAL 2 DAYS")
     derivations.flatMap { case (g, src, derive) =>
-      val parts = lows.get(src).map(c => col(g) >= derive(c)).toSeq ++
-        highs.get(src).map(c => col(g) <= derive(c))
+      val parts = lows.get(src).map(c => col(g) >= derive(c - pad)).toSeq ++
+        highs.get(src).map(c => col(g) <= derive(c + pad))
       parts.reduceOption(_ && _)
     }
   }

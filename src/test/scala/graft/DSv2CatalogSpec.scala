@@ -530,6 +530,37 @@ class DSv2CatalogSpec extends AnyFunSuite with SharedSpark {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("general MERGE: duplicate TARGET rows matched by ONE source row are legal") {
+    warehouse
+    import spark.implicits._
+    // SQL cardinality is per target ROW, not per key: a target legitimately
+    // holding duplicate-key rows, each matched by a single source row, must
+    // update every one of those rows once — not raise
+    spark.sql("CREATE TABLE gsql.t.gmrg6 (id BIGINT, tag STRING, qty BIGINT)")
+    spark.sql("INSERT INTO gsql.t.gmrg6 VALUES " +
+      "(1, 'a', 0), (1, 'b', 0), (2, 'c', 0)")
+    Seq((1L, 7L)).toDF("id", "qty").createOrReplaceTempView("gmrg6_src")
+    // partial SET → the general-merge path (the one whose guard must not
+    // misread target-side duplication as a source cardinality violation)
+    spark.sql("MERGE INTO gsql.t.gmrg6 t USING gmrg6_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.qty = s.qty")
+    val rows = spark.sql(
+        "SELECT tag, qty FROM gsql.t.gmrg6 WHERE id = 1 ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // both duplicate rows survive, each updated once, non-assigned cols kept
+    assert(rows === Seq(("a", 7L), ("b", 7L)), s"got $rows")
+    assert(spark.sql("SELECT qty FROM gsql.t.gmrg6 WHERE id = 2")
+      .collect().head.getLong(0) === 0L)
+    // and a genuine multi-source match on the SAME shape still raises
+    Seq((1L, 8L), (1L, 9L)).toDF("id", "qty")
+      .createOrReplaceTempView("gmrg6_dup")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO gsql.t.gmrg6 t USING gmrg6_dup s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET t.qty = s.qty")
+    }
+    assert(e.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
+  }
+
   test("pure-SQL WHERE prunes whole commits via pushed filters (data skipping)") {
     warehouse
     spark.sql("CREATE TABLE gsql.t.skip (id BIGINT, src STRING, v DOUBLE)")

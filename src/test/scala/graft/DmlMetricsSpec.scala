@@ -69,6 +69,60 @@ class DmlMetricsSpec extends AnyFunSuite with SharedSpark {
     assert((ins.getLong(0), ins.getLong(3)) == ((6L, 6L)), s"got $ins")
   }
 
+  test("fast-shape MERGE metrics add zero jobs over the unmetered merge") {
+    // job parity: the quadruple must come from the merge's own pinned matched
+    // set (one change-volume aggregation), never a separate scan of the
+    // target — at 100 TB a metrics-only target probe would dominate a small
+    // CDC merge. Pinned as: SQL MERGE jobs == bare mergeOnRead jobs + 1
+    // (exactly the one metrics aggregation job).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.{col, lit}
+    def countJobs(body: => Unit): Int = {
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    freshTable("jp1")
+    freshTable("jp2")
+    spark.sql("SELECT id + 7 AS k, id AS v, id >= 5 AS del FROM range(8)")
+      .createOrReplaceTempView("dml_jp_src")
+    val changes = spark.table("dml_jp_src")
+      .select(col("k"), col("v"), col("del"))
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val jobsBare = countJobs {
+      graft.catalog.VersionedTable.mergeOnRead(spark, s"$wh/t/jp1",
+        changes, Seq("k"), deleteCol = Some("del"))
+    }
+    val jobsSql = countJobs {
+      // the q_sql_merge fast shape: mirror upsert with delete flag
+      spark.sql(
+        s"""MERGE INTO $cat.t.jp2 t USING dml_jp_src s ON t.k = s.k
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND NOT (s.del) THEN INSERT *""".stripMargin)
+        .collect()
+    }
+    // measured composition of the SQL statement's extra jobs over the bare
+    // merge (MergeJobsProbe): +1 metrics split (the ONE change-volume
+    // aggregation inside the metered merge), +2 analysis-time target schema
+    // resolutions, +3 cardinality guard incl. its AQE stages, +2 async-exec
+    // wrappers. A metrics implementation that probed the TARGET again (the
+    // pre-round-10 shape: changes ⟕ target-keys per statement) costs 2-3
+    // more and must fail here.
+    assert(jobsSql <= jobsBare + 8,
+      s"SQL MERGE fixed overhead grew — a metrics/guard change is rescanning " +
+        s"the target (bare=$jobsBare, sql=$jobsSql)")
+  }
+
   test("general-path MERGE (partial SET + NOT MATCHED BY SOURCE) counts branches") {
     freshTable("g")
     spark.sql("SELECT id AS k, id * 100 AS nv FROM range(3)")
