@@ -46,11 +46,25 @@ import org.apache.spark.sql.functions.col
   * read of the in-force manifests (bounded by the number of COPY runs, not
   * files — each run's files share one manifest), then a distributed ingest of
   * ONLY the new files. Steady-state re-runs with nothing new are pure
-  * metadata; the ledger never rewrites. The driver-side `loaded` set is
-  * file-granular — at ~10⁸ ingested files path strings become the ceiling;
-  * the growth path there is compacting old manifests into a bloom filter
-  * (exact check only on maybe-hits) and partitioning manifests by source
-  * prefix, neither of which changes this ledger's on-disk contract.
+  * metadata; the ledger never rewrites.
+  *
+  * LEDGER GROWTH PATH (so re-run cost stays flat at 10⁴+ COPY runs): once a
+  * run has to read more than [[CompactThreshold]] in-force manifests, it
+  * folds them into one immutable COMPACTED artifact pair —
+  * `_ingest/_compact.<C>.jsonl` (the union of every referenced manifest with
+  * seq ≤ C, one sorted path per line-entry) and `_compact.<C>.bf` (a bloom
+  * over those paths). Later runs read: the bloom (KBs), the per-run tail
+  * manifests newer than C (< threshold of them), and the compact BODY only
+  * when some candidate bloom-hits outside the tail — so the common
+  * incremental-landing pattern (every candidate file is new) never reads the
+  * big body at all, and a full no-op re-run reads exactly one. Referenced-ness
+  * is immutable per seq (a crash orphan's seq is never reused — fresh seqs go
+  * strictly up), so a compact artifact is correct forever; the bloom lands
+  * BEFORE the jsonl so a crash between the two leaves a harmless orphan bloom
+  * rather than a compact without its fast path. The remaining ceiling is the
+  * driver-side exact set on maybe-hit (~10⁸ path strings); the growth path
+  * there is a distributed anti-join of candidates against the compact read as
+  * a dataset, which changes no on-disk contract.
   *
   * The reference lands externally-arriving order files into the lake
   * exactly-once from a watched location (ingestion/s3-orders-ingestion.py) —
@@ -60,6 +74,25 @@ object CopyInto {
 
   private[catalog] val IngestDir = "_ingest"
   private[catalog] val TxnApp = "graft.copy_into"
+
+  /** Fold the manifest tail into a compact artifact once a run reads more
+    * than this many; re-run ledger reads then stay O(threshold), not O(runs).
+    */
+  private[graft] val CompactThreshold = 16
+  /** Low enough that a directory of genuinely-new files essentially never
+    * false-positives into reading the compact body (the bloom is per-PATH;
+    * even 10⁶ candidates expect ~10 spurious body reads per year of runs).
+    */
+  private val CompactFpp = 1e-5
+  private[catalog] val CompactName = """_compact\.(\d+)\.jsonl""".r
+
+  private def readBloom(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** `version` is None when no new files matched (no commit was written). */
   final case class CopyResult(version: Option[Long], filesLoaded: Long,
@@ -112,24 +145,73 @@ object CopyInto {
     val referenced = VersionedTable.commits(spark, location)
       .filter(_.txn_app == TxnApp).map(_.txn_id).toSet
     val ingestDir = new Path(s"$location/$IngestDir")
-    val manifests =
-      if (fs.exists(ingestDir))
-        fs.listStatus(ingestDir).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+    val entries =
+      if (fs.exists(ingestDir)) fs.listStatus(ingestDir).toSeq.filter(_.isFile)
       else Seq.empty
+    val manifests = entries.filter(st =>
+      st.getPath.getName.endsWith(".jsonl") &&
+        !st.getPath.getName.startsWith("_compact."))
     def seqOf(st: FileStatus): Option[Long] =
       st.getPath.getName.stripSuffix(".jsonl").toLongOption
-    val loaded: Set[String] = manifests
-      .filter(st => seqOf(st).exists(referenced))
-      .flatMap(st => manifestPaths(fs, st.getPath)).toSet
+    // newest compacted ledger artifact, if any (immutably correct: the set of
+    // referenced manifests with seq <= C can never change after C's creation)
+    val compactC = entries.flatMap(st => st.getPath.getName match {
+      case CompactName(c) => Some(c.toLong)
+      case _ => None
+    }).maxOption
 
     // ledger comparisons use the FULLY-QUALIFIED form: the same file listed
     // under /landing and file:/landing across runs must still dedupe
     def qualified(st: FileStatus): String =
       fs.makeQualified(st.getPath).toString
+
+    // in-force manifests NOT covered by the compact artifact — the per-run tail
+    val tail = manifests.filter(st =>
+      seqOf(st).exists(s => referenced(s) && compactC.forall(s > _)))
+    val tailLoaded: Set[String] =
+      tail.flatMap(st => manifestPaths(fs, st.getPath)).toSet
+
+    // resolve candidates against (tail ∪ compact), reading the compact BODY
+    // only when the bloom cannot rule every remaining candidate out
+    lazy val compactBody: Set[String] = compactC.fold(Set.empty[String])(c =>
+      manifestPaths(fs, new Path(ingestDir, f"_compact.$c%06d.jsonl")).toSet)
     val fresh =
       if (force) listed
-      else listed.filterNot(st => loaded(qualified(st)))
+      else compactC match {
+        case None => listed.filterNot(st => tailLoaded(qualified(st)))
+        case Some(c) =>
+          val candidates = listed.filterNot(st => tailLoaded(qualified(st)))
+          readBloom(fs, new Path(ingestDir, f"_compact.$c%06d.bf")) match {
+            case Some(bf) if candidates.forall(st =>
+                !bf.mightContainString(qualified(st))) =>
+              candidates // every candidate provably new: big body never read
+            case _ =>
+              candidates.filterNot(st => compactBody(qualified(st)))
+          }
+      }
+
+    // fold an over-long tail into a fresh compact pair for FUTURE runs (this
+    // run already has the exact sets in hand, so the fold is free of extra
+    // reads; under the ingest lock, so single-writer)
+    if (tail.length > CompactThreshold) {
+      val all = (compactBody ++ tailLoaded).toSeq.sorted
+      val newC = tail.flatMap(seqOf).max
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(all.size.toLong, 1L), CompactFpp)
+      all.foreach(bf.putString)
+      val bfOut = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bfOut)
+      // bloom first: a crash between the two leaves an orphan bloom (ignored),
+      // never a compact running without its fast path
+      VersionedTable.atomicCreate(fs,
+        new Path(ingestDir, f"_compact.$newC%06d.bf"), bfOut.toByteArray)
+      VersionedTable.atomicCreate(fs,
+        new Path(ingestDir, f"_compact.$newC%06d.jsonl"),
+        all.map(p =>
+            s"""{"path": "${VersionedTable.escapeJson(p)}"}""")
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    }
+
     if (fresh.isEmpty) return CopyResult(None, 0L, 0L)
 
     // read + align BEFORE the manifest lands: a schema refusal or malformed

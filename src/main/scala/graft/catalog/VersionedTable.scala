@@ -3784,7 +3784,10 @@ object VersionedTable {
       else {
         val copySeqs = cs.filter(_.txn_app == CopyInto.TxnApp).map(_.txn_id).toSet
         fs.listStatus(ingestDirP).toSeq.filter { st =>
+          // compacted ledger artifacts (_compact.<C>.jsonl/.bf) are in force
+          // by CONSTRUCTION (they fold referenced manifests), never orphans
           st.isFile && st.getPath.getName.endsWith(".jsonl") &&
+            !st.getPath.getName.startsWith("_compact.") &&
             !st.getPath.getName.stripSuffix(".jsonl").toLongOption.exists(copySeqs) &&
             st.getModificationTime <= now - orphanGraceMs
         }.map(_.getPath)

@@ -85,12 +85,32 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     records.mapPartitions { it =>
-      // per-partition codec init: no tmp-file cache churn on executor-local disks
+      // per-partition codec init: no tmp-file cache churn on executor-local
+      // disks, and ONE ImageReader reused for every row — `ImageIO.read`
+      // re-runs the service-provider registry scan per call, a fixed cost
+      // that dominates small-image decode; `setInput` resets the reader
+      // between payloads and `ignoreMetadata` skips ancillary PNG chunks.
+      // Non-PNG or corrupt payloads fall back to the generic path (and then
+      // to None), so behavior is unchanged — only the per-row overhead moves.
       ImageIO.setUseCache(false)
+      val pngReader = {
+        val rs = ImageIO.getImageReadersByFormatName("png")
+        if (rs.hasNext) Some(rs.next()) else None
+      }
+      def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        pngReader.flatMap { rd =>
+          try {
+            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+            try {
+              rd.setInput(iis, true, true)
+              Option(rd.read(0))
+            } finally iis.close()
+          } catch { case NonFatal(_) => None }
+        }.orElse(
+          try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+          catch { case NonFatal(_) => None })
       it.map { r =>
-        val img =
-          try Option(ImageIO.read(new ByteArrayInputStream(r.content)))
-          catch { case NonFatal(_) => None }
+        val img = readImage(r.content)
         img match {
           case Some(im) =>
             val w = im.getWidth

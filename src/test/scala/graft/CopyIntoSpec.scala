@@ -217,4 +217,56 @@ class CopyIntoSpec extends AnyFunSuite with SharedSpark {
     assert(spark.table("gcopy.ns.t").count() == 6)
     spark.sql("DROP TABLE gcopy.ns.t")
   }
+
+  test("many-run ledger compacts: bounded manifest reads, re-run still a no-op") {
+    // the 10⁴-runs growth path: past CompactThreshold in-force manifests, the
+    // ledger folds into one compact artifact + bloom, and later runs read
+    // O(threshold) ingest files — never O(total runs). Counted on the same
+    // counting filesystem MetadataCallsSpec uses, because each manifest read
+    // is an object-store GET at scale.
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    import graft.testutil.CountingFileSystem
+    import spark.implicits._
+    val root = freshRoot()
+    val loc = s"counted://$root/t"
+    createTable(loc)
+    // CompactThreshold + 3 runs, each landing one brand-new file
+    val runs = CopyInto.CompactThreshold + 3
+    (1 to runs).foreach { i =>
+      docsDf.withColumn("doc_id", col("doc_id") + lit(i * 10L)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src$i")
+      val r = CopyInto.copyInto(spark, loc, s"counted://$root/src$i")
+      assert(r.filesLoaded == 1, s"run $i loaded ${r.filesLoaded}")
+    }
+    val ingest = new java.io.File(s"$root/t/_ingest")
+    val compacts = ingest.listFiles().map(_.getName)
+      .filter(_.matches("_compact\\.\\d+\\.jsonl"))
+    assert(compacts.nonEmpty, "ledger never compacted past the threshold")
+
+    // no-op re-run over an already-loaded directory: bloom + compact body +
+    // the short tail — bounded by the THRESHOLD, not the number of runs
+    CountingFileSystem.reset()
+    val noop = CopyInto.copyInto(spark, loc, s"counted://$root/src1")
+    assert(noop == CopyInto.CopyResult(None, 0L, 0L))
+    val ingestOpens = CountingFileSystem.total("open", "/_ingest/")
+    assert(ingestOpens <= CopyInto.CompactThreshold + 2,
+      s"no-op re-run read $ingestOpens ingest files — ledger reads must be " +
+        s"O(threshold), not O(${runs} runs)")
+
+    // all-new-files run: the bloom rules every candidate out, so the compact
+    // BODY is never read — the steady-state incremental-landing cost
+    docsDf.withColumn("doc_id", col("doc_id") + lit(9999L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/srcnew")
+    CountingFileSystem.reset()
+    val incr = CopyInto.copyInto(spark, loc, s"counted://$root/srcnew")
+    assert(incr.filesLoaded == 1)
+    val bodyOpens = CountingFileSystem.snapshot().collect {
+      case (("open", p), n) if p.contains("_compact.") && p.endsWith(".jsonl") => n
+    }.sum
+    assert(bodyOpens == 0,
+      s"all-new-candidates run must not read the compact body, read it $bodyOpens times")
+    // and full correctness: every run's rows are present exactly once
+    assert(VersionedTable.read(spark, loc).count() == (runs + 1) * 6L)
+  }
 }
