@@ -83,7 +83,13 @@ object VersionedTable {
       // per-column NULL counts over this commit's own rows (Delta nullCount
       // parity): 0 is recorded explicitly (it licenses IS NULL pruning);
       // absent in pre-existing logs = unknown = prune nothing
-      nulls: Map[String, Long] = Map.empty) {
+      nulls: Map[String, Long] = Map.empty,
+      // the staged batch's full Spark schema as StructType JSON (physical
+      // names, INCLUDING hive partition columns) — Delta's schema-in-log
+      // parity. Readers assemble the snapshot schema from the log and skip
+      // the distributed parquet footer-merge job entirely ([[logReadSchema]]);
+      // absent in pre-existing logs = fall back to mergeSchema inference
+      schema_json: String = "") {
     /** Parsed `replace_where`: one `Seq[(partitionCol, value)]` per touched partition. */
     def replacedPartitions: Seq[Seq[(String, String)]] =
       if (replace_where.isEmpty) Seq.empty
@@ -2500,11 +2506,17 @@ object VersionedTable {
     // data files carry PHYSICAL column names; the feed surfaces logical ones.
     // Materialized change dirs were written logically at capture time already.
     val mapping = columnMapping(spark, location)
+    // single-commit data reads take the commit's recorded schema (no footer
+    // inference); change dirs keep inference — their schema adds CDF columns
+    def readData(c: Commit): DataFrame = logReadSchema(Seq(c)) match {
+      case Some(schema) => spark.read.schema(schema).parquet(dataPath(location, c))
+      case None => spark.read.parquet(dataPath(location, c))
+    }
     val parts = cs.filter(c => c.version >= fromVersion && c.version <= toVersion)
       .flatMap { c =>
         c.operation match {
           case "append" =>
-            Some(stamp(toLogical(spark.read.parquet(dataPath(location, c)), mapping)
+            Some(stamp(toLogical(readData(c), mapping)
               .withColumn("_change_type", lit("insert")), c))
           case "merge" if c.change_dir.nonEmpty =>
             Some(stamp(spark.read.parquet(s"$location/_data/${c.change_dir}"), c))
@@ -2546,8 +2558,7 @@ object VersionedTable {
             // delivered, preimage retractions lost) — the contract the
             // streaming source's startingVersion/ignoreChanges paths rely on.
             if (allowFullRewrites)
-              Some(stamp(toLogical(spark.read.parquet(dataPath(location, c)),
-                  mapping)
+              Some(stamp(toLogical(readData(c), mapping)
                 .withColumn("_change_type", lit("insert")), c))
             else throw new IllegalStateException(
               s"version ${c.version} at $location is a ${c.operation} whose row " +
@@ -2789,8 +2800,18 @@ object VersionedTable {
       spec, mapping)
     writeFileStats(df0.sparkSession, location, dataDir, df.schema, rowCount,
       partitionBy, spec)
+    // the staged schema rides to claimCommit by dataDir (writer-unique), so
+    // the commit can record it without threading it through every staging
+    // tuple; readers then rebuild the snapshot schema from the log instead of
+    // a distributed footer-merge job ([[logReadSchema]])
+    valve(stagedSchemaByDir)
+    stagedSchemaByDir.put(dataDir, df.schema.json)
     (dataDir, rowCount, stats, sstats, nulls)
   }
+
+  /** dataDir → staged StructType JSON, consumed by [[claimCommit]]. */
+  private val stagedSchemaByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** BLOOM-FILTER COMMIT SKIPPING (opt-in): min/max stats cannot prune a
     * point lookup on a hash-like high-cardinality column — every commit's
@@ -3460,6 +3481,41 @@ object VersionedTable {
         mapping)))
   }
 
+  /** The snapshot's read schema assembled FROM THE LOG (Delta schema-in-log
+    * parity): the additive union of every scanned commit's recorded schema,
+    * first-seen field order and types, later commits appending new columns —
+    * exactly the shape `mergeSchema` inference produces, minus the
+    * distributed footer-read job it costs (a whole scheduler round-trip per
+    * read at any size; O(files) remote footer GETs at 100 TB). None — fall
+    * back to inference — when any scanned commit predates schema recording or
+    * two commits disagree on a column's type (the declared-widening path
+    * handles type evolution separately and never takes this shortcut).
+    * The result is `asNullable` because commits written before a column
+    * existed surface NULLs for it.
+    */
+  private def logReadSchema(scans: Seq[Commit])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (scans.isEmpty || scans.exists(_.schema_json.isEmpty)) return None
+    val parsed = scans.map { c =>
+      try org.apache.spark.sql.types.DataType.fromJson(c.schema_json) match {
+        case st: org.apache.spark.sql.types.StructType => Some(st)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    for (st <- parsed.flatten; f <- st.fields) {
+      fields.get(f.name.toLowerCase) match {
+        case None => fields(f.name.toLowerCase) = f
+        case Some(e) if e.dataType == f.dataType => ()
+        case Some(_) => return None // type conflict: defer to mergeSchema
+      }
+    }
+    Some(org.apache.spark.sql.types.StructType(
+      fields.values.toSeq.map(_.copy(nullable = true))))
+  }
+
   private def assembleScanPhysical(spark: SparkSession, location: String,
       live: Seq[Commit], keepMeta: Boolean, widened: Boolean = false,
       fileSubset: Map[String, Seq[String]] = Map.empty): DataFrame = {
@@ -3472,19 +3528,23 @@ object VersionedTable {
       if (!keepMeta) df
       else df.withColumn(DvFileCol, col("_metadata.file_path"))
         .withColumn(DvPosCol, col("_metadata.row_index"))
-    if (scans.forall(_.partition_by.isEmpty) && !widened)
+    if (scans.forall(_.partition_by.isEmpty) && !widened) {
       // one multi-path parquet scan — not a union of per-version DataFrames.
-      // mergeSchema gives appends Delta-style additive schema evolution: a commit
-      // that added columns widens the read schema, older commits surface nulls.
-      // The footer-merge cost is per live commit (bounded by compaction), not per
-      // file — Spark merges one schema per input root's sampled footers.
+      // The read schema comes FROM THE LOG when every scanned commit recorded
+      // one ([[logReadSchema]]): additive appends still surface (new columns
+      // widen the union, older commits read NULLs), but no footer is opened
+      // to learn it. Legacy logs fall back to mergeSchema inference — the
+      // same semantics, plus one footer-merge job.
       // (Scoped merges require a partitioned table, so no shadowing here.)
       // Per-file-stat pruned commits list their SURVIVING files explicitly —
       // the intra-commit skipping tier (filestats opt-in, unpartitioned only).
-      meta(spark.read.option("mergeSchema", "true")
-        .parquet(scans.flatMap(c =>
-          fileSubset.getOrElse(c.data_dir, Seq(dataPath(location, c)))): _*))
-    else
+      val paths = scans.flatMap(c =>
+        fileSubset.getOrElse(c.data_dir, Seq(dataPath(location, c))))
+      meta(logReadSchema(scans) match {
+        case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      })
+    } else
       // hive-partitioned commits: Spark cannot infer partitions across multiple
       // roots ("conflicting directory structures"), so each commit dir is read as
       // its own partitioned root and the branches union. Filters push through the
@@ -3495,12 +3555,19 @@ object VersionedTable {
       // pruning, no data rows read from the shadowed directories.
       scans.map { c =>
         val root = dataPath(location, c)
+        // per-branch schema from this commit's own log entry (partition
+        // columns INCLUDED in the recorded schema, so their types are the
+        // written ones, not directory-name re-inference); legacy commits fall
+        // back to inference per branch
+        def reader = logReadSchema(Seq(c)) match {
+          case Some(schema) => spark.read.schema(schema)
+          case None => spark.read.option("mergeSchema", "true")
+        }
         // a per-file-stat pruned partitioned commit lists its surviving files
         // explicitly; basePath keeps the `k=v/` partition columns materializing
         val branch = meta(fileSubset.get(c.data_dir) match {
-          case Some(files) => spark.read.option("mergeSchema", "true")
-            .option("basePath", root).parquet(files: _*)
-          case None => spark.read.option("mergeSchema", "true").parquet(root)
+          case Some(files) => reader.option("basePath", root).parquet(files: _*)
+          case None => reader.parquet(root)
         })
         val shadowed = live.filter(_.version > c.version)
           .flatMap(_.replacedPartitions)
@@ -3517,7 +3584,9 @@ object VersionedTable {
     */
   private def applyDvs(spark: SparkSession, location: String, scan: DataFrame,
       dvCommits: Seq[Commit]): DataFrame = {
-    val dv = spark.read.parquet(dvCommits.map(c => dvPath(location, c)): _*)
+    // DV files have one fixed writer-controlled shape — no schema inference
+    val dv = spark.read.schema("file STRING, pos BIGINT")
+      .parquet(dvCommits.map(c => dvPath(location, c)): _*)
     val hinted =
       if (dvCommits.map(_.replaced_rows).sum <= DvBroadcastMaxRows) broadcast(dv)
       else dv
@@ -3964,7 +4033,8 @@ object VersionedTable {
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
       partitionBy.mkString(","), txnApp, txnId, stats, changeDir,
-      replaceWhere, replacedRows, dvDir, sstats, nulls)
+      replaceWhere, replacedRows, dvDir, sstats, nulls,
+      stagedSchemaByDir.getOrDefault(dataDir, ""))
     atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
 
@@ -4010,7 +4080,7 @@ object VersionedTable {
     val nullsJson = c.nulls.toSeq.sortBy(_._1)
       .map { case (k, n) => s""""$k":$n""" }
       .mkString("{", ",", "}")
-    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"stats":$statsJson,"sstats":$sstatsJson,"nulls":$nullsJson}"""
+    s"""{"version":${c.version},"operation":"${c.operation}","timestamp":"${c.timestamp}","row_count":${c.row_count},"data_dir":"${c.data_dir}","change_dir":"${c.change_dir}","dv_dir":"${c.dv_dir}","partition_by":"${c.partition_by}","txn_app":"${c.txn_app}","txn_id":${c.txn_id},"replace_where":"${c.replace_where}","replaced_rows":${c.replaced_rows},"schema":"${escapeJson(c.schema_json)}","stats":$statsJson,"sstats":$sstatsJson,"nulls":$nullsJson}"""
   }
 
   /** Directory references beginning with this prefix are ABSOLUTE paths into
@@ -4046,6 +4116,10 @@ object VersionedTable {
   private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+    // schema JSON carries quotes — it round-trips through the escaped form
+    def escStr(k: String) =
+      s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(body)
+        .map(m => unescapeJson(m.group(1))).getOrElse("")
     def num(k: String, default: Long = -1L) =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
         .getOrElse(default)
@@ -4069,7 +4143,8 @@ object VersionedTable {
       str("data_dir"), str("partition_by"), str("txn_app"), num("txn_id"), stats,
       str("change_dir"), str("replace_where"),
       // pre-scoped-merge logs lack the field; they replaced nothing
-      num("replaced_rows", default = 0L), str("dv_dir"), sstats, nulls)
+      num("replaced_rows", default = 0L), str("dv_dir"), sstats, nulls,
+      escStr("schema"))
     if (body.trim.endsWith("}") && c.version >= 0 && c.operation.nonEmpty) Some(c)
     else None
   }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.VersionedTable
+
+/** Schema-in-log (Delta parity): commits record their staged schema, so
+  * assembling a snapshot's PLAN launches zero Spark jobs — the footer-merge
+  * job `mergeSchema` inference costs is gone from every read. Pinned here the
+  * way MetadataCallsSpec pins filesystem calls, because at 100 TB schema
+  * inference is O(files) remote footer reads per query.
+  */
+class SchemaFromLogSpec extends AnyFunSuite with SharedSpark {
+
+  private def countJobs(body: => Unit): Int = {
+    org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("snapshot plan assembly launches zero jobs; schema unions additively") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft_sfl").toString + "/t"
+    VersionedTable.write((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      loc, "overwrite")
+    VersionedTable.write((51 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      loc, "append")
+    // an append that ADDS a column: the log union must widen the read schema
+    VersionedTable.write(
+      (61 to 70).map(i => (i.toLong, s"v$i", i * 2.0)).toDF("id", "v", "score"),
+      loc, "append")
+
+    val jobs = countJobs {
+      val df = VersionedTable.read(spark, loc) // plan only, no action
+      assert(df.columns.toSeq == Seq("id", "v", "score"))
+    }
+    assert(jobs == 0,
+      s"plan assembly must read its schema from the log, not run $jobs inference job(s)")
+    // and the plan is RIGHT: rows that predate `score` surface NULL
+    val head = VersionedTable.read(spark, loc)
+    assert(head.count() == 70)
+    assert(head.filter(col("score").isNull).count() == 60)
+    assert(head.filter(col("id") === 65).select("score").head().getDouble(0) == 130.0)
+
+    // time travel: same zero-job budget at a historical version
+    val tt = countJobs {
+      val df = VersionedTable.readAsOf(spark, loc, 0)
+      assert(df.columns.toSeq == Seq("id", "v"))
+    }
+    assert(tt == 0, s"time-travel plan assembly ran $tt job(s)")
+  }
+
+  test("legacy commits without a recorded schema fall back to inference") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sfl_legacy")
+    val loc = s"$root/t"
+    VersionedTable.write((1 to 20).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      loc, "overwrite")
+    // strip the schema field from the commit body — a pre-upgrade log
+    val logFile = new java.io.File(s"$loc/_commit_log/0.json")
+    val body = new String(java.nio.file.Files.readAllBytes(logFile.toPath), "UTF-8")
+    val stripped = body.replaceAll(""""schema":"((?:[^"\\]|\\.)*)",""", "")
+    assert(stripped != body, "expected a schema field to strip")
+    java.nio.file.Files.write(logFile.toPath, stripped.getBytes("UTF-8"))
+
+    // the read still answers correctly (mergeSchema inference path)
+    val df = VersionedTable.read(spark, loc)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.count() == 20)
+    // and a NEW append records its schema; the mixed log still falls back
+    // (one legacy commit poisons the union, by design — conservative)
+    VersionedTable.write((21 to 25).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      loc, "append")
+    assert(VersionedTable.read(spark, loc).count() == 25)
+  }
+}
