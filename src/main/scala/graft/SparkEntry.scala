@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, IncrementalDedup, Integrity, Ivf, Mixture, Multimodal, NgramLm, Outliers, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HybridRetrieval, IncrementalDedup, Integrity, Ivf, Mixture, Multimodal, NgramLm, Outliers, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -419,6 +419,17 @@ object SparkEntry {
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
       tables = 16, planesPerTable = 4).orderBy("query_id", "rank")
+
+  /** Hybrid retrieval gate ([[HybridRetrieval.rrfTopK]]): reciprocal-rank
+    * fusion of the distinct-token-overlap lexical leg and the embedding-cosine
+    * semantic leg, doc-to-doc. The oracle replays BOTH legs' rankings and the
+    * 1/(60+rank) fusion arithmetic exactly (double division is IEEE-identical
+    * across engines), so a leg-ranking drift, a lost leg contribution, or a
+    * fusion-order change hash-mismatches.
+    */
+  private def qHybridRetrieval(s: SparkSession, dir: String): DataFrame =
+    HybridRetrieval.rrfTopK(docs(s, dir), Tables.embeddings(s, dir),
+      numQueries = 5, legK = 20, k = 10).orderBy("query_id", "rank")
 
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
@@ -2086,6 +2097,7 @@ object SparkEntry {
     "q_similarity_topk" -> qSimilarityTopK,
     "q_hard_negatives" -> qHardNegatives,
     "q_ann_topk" -> qAnnTopK,
+    "q_hybrid_retrieval" -> qHybridRetrieval,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2835,6 +2847,50 @@ object SparkEntry {
       """SELECT lang, md5(text) AS fingerprint FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), text) <= 3
         |ORDER BY lang, fingerprint""".stripMargin,
+    // both legs' rankings replayed exactly, then the 1/(60+rank) fusion in
+    // DOUBLE arithmetic (bit-identical across engines for these rationals)
+    "q_hybrid_retrieval" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM d) WHERE tok <> ''),
+        |lex0 AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+        |    count(*) AS overlap
+        |  FROM tok q JOIN tok c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+        |  WHERE q.doc_id < 5 GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY overlap DESC, doc_id) AS r FROM lex0)
+        |  WHERE r <= 20),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |qv AS (SELECT vec_id AS query_id, v AS qvec, norm AS qnorm FROM n
+        |  WHERE vec_id < 5),
+        |s0 AS (SELECT qv.query_id, n.vec_id AS doc_id,
+        |    round(list_sum(list_transform(list_zip(qv.qvec, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (qv.qnorm * n.norm), 4) AS cosine
+        |  FROM qv JOIN n ON n.vec_id <> qv.query_id),
+        |sem AS (SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r FROM s0)
+        |  WHERE r <= 20),
+        |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+        |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex.lex_rank, sem.sem_rank,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0 AS DOUBLE))
+        |      AS rrf
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+        |  lex_rank, sem_rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
