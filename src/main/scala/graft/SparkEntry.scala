@@ -431,6 +431,19 @@ object SparkEntry {
     HybridRetrieval.rrfTopK(docs(s, dir), Tables.embeddings(s, dir),
       numQueries = 5, legK = 20, k = 10).orderBy("query_id", "rank")
 
+  /** Matryoshka funnel gate: cosine top-k over the 16-component PREFIX of
+    * each embedding ([[Similarity.matryoshkaTruncate]], slice-only — the
+    * cosine normalizes, so the arithmetic is the plain formula over sliced
+    * lists and the oracle replays it exactly). The cheap first pass of a
+    * truncate-scan → full-dim-re-rank funnel.
+    */
+  private def qMatryoshkaTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(
+        Similarity.matryoshkaTruncate(Tables.embeddings(s, dir), dim = 16,
+          renormalize = false),
+        numQueries = 10, k = 5)
+      .orderBy("query_id", "rank")
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
@@ -2098,6 +2111,7 @@ object SparkEntry {
     "q_hard_negatives" -> qHardNegatives,
     "q_ann_topk" -> qAnnTopK,
     "q_hybrid_retrieval" -> qHybridRetrieval,
+    "q_matryoshka_topk" -> qMatryoshkaTopK,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2891,6 +2905,25 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the same cosine replay as q_similarity_topk, over the 16-component
+    // embedding PREFIX (DuckDB list slice is 1-based inclusive)
+    "q_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, n.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.qnorm * n.norm), 4) AS cosine
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

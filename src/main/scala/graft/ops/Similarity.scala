@@ -257,6 +257,33 @@ object Similarity {
     df.withColumn("v_approx",
       transform(col("codes"), c => c.cast("double") * col("scale") / 127.0))
 
+  /** MATRYOSHKA truncation (MRL, Kusupati et al. 2022): keep the first `dim`
+    * components of each embedding — MRL-trained models pack the coarsest
+    * semantics into the prefix, so a 4–16× narrower prefix retrieves nearly
+    * as well at a fraction of the scan/storage cost, which is the standard
+    * cheap-first-pass tier of a funnel retrieval (truncated scan → full-dim
+    * re-rank of the shortlist). `renormalize` rescales the prefix to unit L2
+    * (what a dot-product index expects); pass `renormalize = false` when the
+    * consumer normalizes anyway — e.g. [[cosineTopK]] — so the arithmetic
+    * stays single-pass (and engine-replayable). Pure codegen map work, zero
+    * shuffle; an all-zero prefix stays all-zero rather than dividing by 0.
+    */
+  def matryoshkaTruncate(df: DataFrame, dim: Int, renormalize: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"matryoshka dim must be positive, got $dim")
+    val sliced = slice(toDoubleVec(col(vecCol)), 1, dim)
+    if (!renormalize) df.select(col(idCol).as("vec_id"), sliced.as("embedding"))
+    else {
+      // norm materializes once per row (own attribute), not once per element
+      val staged = df.select(col(idCol).as("vec_id"), sliced.as("__v"))
+        .withColumn("__n",
+          sqrt(aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x)))
+      staged.select(col("vec_id"),
+        when(col("__n") > 0, transform(col("__v"), x => x / col("__n")))
+          .otherwise(col("__v")).as("embedding"))
+    }
+  }
+
   /** Approximate cosine top-k over the int8 CODES table — search on the compressed
     * representation, raw floats never rescanned: cosine is scale-invariant, so the
     * per-vector scales cancel and the integer code dot product ranks directly.
