@@ -27,7 +27,7 @@ object Bench {
     "q_sql_merge_partial", "q_sql_merge_full_sync", "q_sql_merge_evolution",
     "q_sql_replace", "q_identity_column", "q_scoped_compact", "q_stream_upsert",
     "q_pii_redact", "q_widen_column", "q_url_filter", "q_count_cols",
-    "q_hybrid_retrieval", "q_matryoshka_topk")
+    "q_hybrid_retrieval", "q_matryoshka_topk", "q_hybrid_bm25", "q_funnel_topk")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production
@@ -57,6 +57,16 @@ object Bench {
     }))
 
   def main(args: Array[String]): Unit = {
+    // run context, recorded into the JSON so cross-window comparisons
+    // self-identify (round-10 lesson: identical code read 0.86x in one window
+    // and 1.08x in another — uniform machine/JVM drift, not a regression).
+    // Compare ratios ONLY between same-context runs; interleave A/B when in
+    // doubt (tools/bench_tableops_ab.json protocol).
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val loadStart = os.getSystemLoadAverage
+    val jvmUptimeStartMs = rt.getUptime // small = cold JVM (fresh fork)
+    val wallStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (the
     // driver never sets it, so round benches always cover the full headline set)
@@ -126,8 +136,16 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val tableOps = benchTableOps(spark, sfDir)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val context = {
+      val loadEnd = os.getSystemLoadAverage
+      val wallSec = (System.nanoTime() - wallStart) / 1e9
+      s""""context":{"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
+        s""""jvm_uptime_ms_at_start":$jvmUptimeStartMs,""" +
+        s""""jvm_warm":${jvmUptimeStartMs > 60000},""" +
+        s""""wall_sec":${fmt(wallSec)},"cpus":$cpus}"""
+    }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean",$context}"""
     // durability: the caller's log-tail capture once truncated the result line
     // mid-JSON (round 7) — land it on disk FIRST, then print and flush before
     // spark.stop() can interleave shutdown logging

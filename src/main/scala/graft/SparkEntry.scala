@@ -444,6 +444,28 @@ object SparkEntry {
         numQueries = 10, k = 5)
       .orderBy("query_id", "rank")
 
+  /** BM25-weighted hybrid retrieval gate
+    * ([[HybridRetrieval.bm25RrfTopKFromIndex]]): the lexical leg ranks by full
+    * Okapi BM25 computed FROM the inverted index (query term sets included —
+    * corpus text is tokenized exactly once, in [[Bm25.buildIndex]]), fused with
+    * the cosine leg by RRF. The oracle replays the postings build, the
+    * fixed-order BM25 addend arithmetic (6-dp rounded before and after the
+    * per-pair sum, so the grouped sum is order-independent), both leg rankings,
+    * and the 1/(60+rank) fusion.
+    */
+  private def qHybridBm25(s: SparkSession, dir: String): DataFrame =
+    HybridRetrieval.bm25RrfTopK(docs(s, dir), Tables.embeddings(s, dir),
+      numQueries = 5, legK = 20, k = 10).orderBy("query_id", "rank")
+
+  /** Matryoshka FUNNEL gate ([[Similarity.funnelTopK]]): coarse cosine over the
+    * 16-component prefix shortlists 20 candidates per query; full-64-dim cosine
+    * re-ranks the shortlist to top-5. The oracle replays both passes exactly
+    * (4-dp rounding + id tiebreak at each ranking).
+    */
+  private def qFunnelTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.funnelTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
+      coarseDim = 16, shortlistK = 20).orderBy("query_id", "rank")
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
@@ -2111,7 +2133,9 @@ object SparkEntry {
     "q_hard_negatives" -> qHardNegatives,
     "q_ann_topk" -> qAnnTopK,
     "q_hybrid_retrieval" -> qHybridRetrieval,
+    "q_hybrid_bm25" -> qHybridBm25,
     "q_matryoshka_topk" -> qMatryoshkaTopK,
+    "q_funnel_topk" -> qFunnelTopK,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2905,6 +2929,96 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the BM25 lexical leg replayed from first principles (postings → df →
+    // fixed-order addend arithmetic, 6-dp rounded before AND after the
+    // per-pair sum so the sum is order-independent), the cosine leg and the
+    // RRF fusion as in q_hybrid_retrieval
+    "q_hybrid_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |post AS (SELECT doc_id, tok AS term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id AS query_id, term FROM post
+        |  WHERE doc_id < 5 AND term <> ''),
+        |dfs AS (SELECT term, count(*) AS df FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |hit AS (SELECT qt.query_id, p.doc_id, p.term, p.tf
+        |  FROM post p JOIN qt ON p.term = qt.term AND p.doc_id <> qt.query_id),
+        |a AS (SELECT query_id, h.doc_id,
+        |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS a
+        |  FROM hit h JOIN dfs USING (term) JOIN dl USING (doc_id), st),
+        |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+        |  FROM a GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r FROM lex0)
+        |  WHERE r <= 20),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |qv AS (SELECT vec_id AS query_id, v AS qvec, norm AS qnorm FROM n
+        |  WHERE vec_id < 5),
+        |s0 AS (SELECT qv.query_id, n.vec_id AS doc_id,
+        |    round(list_sum(list_transform(list_zip(qv.qvec, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (qv.qnorm * n.norm), 4) AS cosine
+        |  FROM qv JOIN n ON n.vec_id <> qv.query_id),
+        |sem AS (SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r FROM s0)
+        |  WHERE r <= 20),
+        |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+        |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex.lex_rank, sem.sem_rank,
+        |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0 AS DOUBLE))
+        |      AS rrf
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+        |  lex_rank, sem_rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // funnel replay: coarse ranking over the 16-component prefix shortlists 20,
+    // full-dim cosine re-ranks the shortlist — both passes 4-dp + id tiebreak
+    "q_funnel_topk" ->
+      """WITH c AS (SELECT vec_id,
+        |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cn AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM c),
+        |cq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM cn
+        |  WHERE vec_id < 10),
+        |cs AS (SELECT cq.query_id, cn.vec_id,
+        |    round(list_sum(list_transform(list_zip(cq.qv, cn.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (cq.qnorm * cn.norm), 4) AS cosine
+        |  FROM cq JOIN cn ON cn.vec_id <> cq.query_id),
+        |short AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r FROM cs)
+        |  WHERE r <= 20),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT sh.query_id, n.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.qnorm * n.norm), 4) AS cosine
+        |  FROM short sh JOIN n USING (vec_id) JOIN q ON q.query_id = sh.query_id)
+        |SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the same cosine replay as q_similarity_topk, over the 16-component
     // embedding PREFIX (DuckDB list slice is 1-based inclusive)
     "q_matryoshka_topk" ->

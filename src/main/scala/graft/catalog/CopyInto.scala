@@ -51,20 +51,24 @@ import org.apache.spark.sql.functions.col
   * LEDGER GROWTH PATH (so re-run cost stays flat at 10⁴+ COPY runs): once a
   * run has to read more than [[CompactThreshold]] in-force manifests, it
   * folds them into one immutable COMPACTED artifact pair —
-  * `_ingest/_compact.<C>.jsonl` (the union of every referenced manifest with
-  * seq ≤ C, one sorted path per line-entry) and `_compact.<C>.bf` (a bloom
-  * over those paths). Later runs read: the bloom (KBs), the per-run tail
-  * manifests newer than C (< threshold of them), and the compact BODY only
-  * when some candidate bloom-hits outside the tail — so the common
-  * incremental-landing pattern (every candidate file is new) never reads the
-  * big body at all, and a full no-op re-run reads exactly one. Referenced-ness
-  * is immutable per seq (a crash orphan's seq is never reused — fresh seqs go
-  * strictly up), so a compact artifact is correct forever; the bloom lands
-  * BEFORE the jsonl so a crash between the two leaves a harmless orphan bloom
-  * rather than a compact without its fast path. The remaining ceiling is the
-  * driver-side exact set on maybe-hit (~10⁸ path strings); the growth path
-  * there is a distributed anti-join of candidates against the compact read as
-  * a dataset, which changes no on-disk contract.
+  * `_ingest/compact.<C>.jsonl` (the union of every referenced manifest with
+  * seq ≤ C, one sorted path per line-entry) and `compact.<C>.bf` (a bloom
+  * over those paths). NO leading underscore: Spark's file sources filter
+  * `_`-prefixed paths as hidden even when named directly, and the
+  * distributed maybe-hit resolution below reads the body as a dataset —
+  * `_ingest/` itself is never touched by data scans, so the name carries no
+  * hiding duty. Later runs read: the bloom (KBs), the per-run tail manifests
+  * newer than C (< threshold of them), and the compact BODY only when some
+  * candidate bloom-hits outside the tail — so the common incremental-landing
+  * pattern (every candidate file is new) never reads the big body at all,
+  * and a full no-op re-run reads exactly one. Referenced-ness is immutable
+  * per seq (a crash orphan's seq is never reused — fresh seqs go strictly
+  * up), so a compact artifact is correct forever; the bloom lands BEFORE the
+  * jsonl so a crash between the two leaves a harmless orphan bloom rather
+  * than a compact without its fast path. Bodies past
+  * [[MaxDriverCompactBytes]] resolve maybe-hits DISTRIBUTED: the
+  * (listing-sized) candidate set broadcasts against the body scanned as a
+  * dataset — one semi-join, no driver materialization of the ledger.
   *
   * The reference lands externally-arriving order files into the lake
   * exactly-once from a watched location (ingestion/s3-orders-ingestion.py) —
@@ -84,7 +88,20 @@ object CopyInto {
     * even 10⁶ candidates expect ~10 spurious body reads per year of runs).
     */
   private val CompactFpp = 1e-5
-  private[catalog] val CompactName = """_compact\.(\d+)\.jsonl""".r
+  private[catalog] val CompactName = """compact\.(\d+)\.jsonl""".r
+
+  /** Compact bodies at or under this size resolve maybe-hits (and fold) with a
+    * driver-side exact set; past it, resolution switches to the distributed
+    * semi-join (candidates broadcast against the ledger scan) and the fold is
+    * deferred — the driver never materializes an unbounded path set. Test
+    * hook: specs shrink it to force the distributed path on small fixtures.
+    */
+  private[graft] var MaxDriverCompactBytes: Long = 64L * 1024 * 1024
+
+  /** Which resolution path the last maybe-hit took ("driver" |
+    * "distributed") — observability for CopyIntoSpec; not part of the API.
+    */
+  @volatile private[graft] var lastCompactResolve: String = ""
 
   private def readBloom(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[org.apache.spark.util.sketch.BloomFilter] =
@@ -150,7 +167,7 @@ object CopyInto {
       else Seq.empty
     val manifests = entries.filter(st =>
       st.getPath.getName.endsWith(".jsonl") &&
-        !st.getPath.getName.startsWith("_compact."))
+        !st.getPath.getName.startsWith("compact."))
     def seqOf(st: FileStatus): Option[Long] =
       st.getPath.getName.stripSuffix(".jsonl").toLongOption
     // newest compacted ledger artifact, if any (immutably correct: the set of
@@ -174,26 +191,59 @@ object CopyInto {
     // resolve candidates against (tail ∪ compact), reading the compact BODY
     // only when the bloom cannot rule every remaining candidate out
     lazy val compactBody: Set[String] = compactC.fold(Set.empty[String])(c =>
-      manifestPaths(fs, new Path(ingestDir, f"_compact.$c%06d.jsonl")).toSet)
+      manifestPaths(fs, new Path(ingestDir, f"compact.$c%06d.jsonl")).toSet)
     val fresh =
       if (force) listed
       else compactC match {
         case None => listed.filterNot(st => tailLoaded(qualified(st)))
         case Some(c) =>
           val candidates = listed.filterNot(st => tailLoaded(qualified(st)))
-          readBloom(fs, new Path(ingestDir, f"_compact.$c%06d.bf")) match {
+          readBloom(fs, new Path(ingestDir, f"compact.$c%06d.bf")) match {
             case Some(bf) if candidates.forall(st =>
                 !bf.mightContainString(qualified(st))) =>
               candidates // every candidate provably new: big body never read
             case _ =>
-              candidates.filterNot(st => compactBody(qualified(st)))
+              val body = new Path(ingestDir, f"compact.$c%06d.jsonl")
+              val bodyLen = entries.find(_.getPath.getName == body.getName)
+                .map(_.getLen).getOrElse(0L)
+              if (bodyLen <= MaxDriverCompactBytes) {
+                lastCompactResolve = "driver"
+                candidates.filterNot(st => compactBody(qualified(st)))
+              } else {
+                // GROWTH PATH: a compact body past the driver threshold
+                // (~10⁸ path strings) never materializes as a driver set.
+                // The candidate list is directory-listing-sized (already
+                // driver-resident), so BROADCAST it against the streaming
+                // ledger scan: one semi-join yields the already-ingested
+                // subset, bounded by the candidate count — exactly-once
+                // resolution at any ledger size, no shuffle, no wide collect.
+                lastCompactResolve = "distributed"
+                val spark2 = spark
+                import spark2.implicits._
+                val candPaths = candidates.map(qualified)
+                val ingested = spark.read.schema("path STRING")
+                  .json(body.toString)
+                  .select(col("path"))
+                  .join(org.apache.spark.sql.functions.broadcast(
+                    candPaths.toDF("path")), Seq("path"), "left_semi")
+                  .as[String].collect().toSet
+                candidates.filterNot(st => ingested(qualified(st)))
+              }
           }
       }
 
     // fold an over-long tail into a fresh compact pair for FUTURE runs (this
     // run already has the exact sets in hand, so the fold is free of extra
-    // reads; under the ingest lock, so single-writer)
-    if (tail.length > CompactThreshold) {
+    // reads; under the ingest lock, so single-writer). Past the driver
+    // threshold the fold is deferred — correctness is unaffected (the tail
+    // stays in force and re-run reads stay O(tail)); a distributed fold
+    // (ledger ∪ tail written via a staged single-file rename + a
+    // df.stat.bloomFilter build) is the upgrade when tails at that scale
+    // materialize in practice.
+    lazy val compactLen = compactC.map(c =>
+      new Path(ingestDir, f"compact.$c%06d.jsonl")).flatMap(p =>
+      entries.find(_.getPath.getName == p.getName).map(_.getLen)).getOrElse(0L)
+    if (tail.length > CompactThreshold && compactLen <= MaxDriverCompactBytes) {
       val all = (compactBody ++ tailLoaded).toSeq.sorted
       val newC = tail.flatMap(seqOf).max
       val bf = org.apache.spark.util.sketch.BloomFilter
@@ -204,9 +254,9 @@ object CopyInto {
       // bloom first: a crash between the two leaves an orphan bloom (ignored),
       // never a compact running without its fast path
       VersionedTable.atomicCreate(fs,
-        new Path(ingestDir, f"_compact.$newC%06d.bf"), bfOut.toByteArray)
+        new Path(ingestDir, f"compact.$newC%06d.bf"), bfOut.toByteArray)
       VersionedTable.atomicCreate(fs,
-        new Path(ingestDir, f"_compact.$newC%06d.jsonl"),
+        new Path(ingestDir, f"compact.$newC%06d.jsonl"),
         all.map(p =>
             s"""{"path": "${VersionedTable.escapeJson(p)}"}""")
           .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))

@@ -150,7 +150,7 @@ object VersionedTable {
     val spark = df.sparkSession
     val fs = fileSystem(spark, location)
     if (operation == "append") enforceAppendSchema(spark, location, df, partitionBy)
-    val (dataDir, rows, stats, sstats, nulls) =
+    val (dataDir, rows, stats, sstats, nulls, schemaJson) =
       stageData(df, location, partitionBy,
         if (freshDefinition) Map.empty else constraints(spark, location),
         freshDefinition = freshDefinition)
@@ -159,7 +159,7 @@ object VersionedTable {
     while (committed < 0) {
       val v = commits(spark, location).lastOption.map(_.version + 1).getOrElse(0L)
       if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy,
-          stats, sstats = sstats, nulls = nulls))
+          stats, sstats = sstats, nulls = nulls, schemaJson = schemaJson))
         committed = v
       else {
         attempt += 1
@@ -193,6 +193,17 @@ object VersionedTable {
     * raw sidecar resets are invisible to readers until the closing archive
     * lands) — strictly narrower than the default path's drop window, where
     * the table does not exist at all.
+    *
+    * CRASH RECOVERY: constraints and generated-column expressions are
+    * writer-enforced sidecars, not archive-resolved, and are cleared only
+    * AFTER the overwrite claim (clearing first would leave a crash's
+    * still-live OLD data unguarded). The residual window is therefore a crash
+    * BETWEEN the claim and the clears: the new definition is live but
+    * subsequent appends would be validated against — and compute generated
+    * values from — the REPLACED definition's sidecars. Recovery is to re-run
+    * this replaceDefinition (idempotent: it resets all sidecars and swaps
+    * again) before resuming writes; the DDL lock's stale-break makes the
+    * crashed holder's lock reclaimable after [[StaleDdlLockMs]].
     */
   def replaceDefinition(spark: SparkSession, location: String, data: DataFrame,
       partitionBy: Seq[String] = Nil,
@@ -412,11 +423,13 @@ object VersionedTable {
   private val LockHeartbeatMs = 60 * 1000L
 
   private[catalog] def withFileLock[T](spark: SparkSession, location: String,
-      lockName: String)(body: => T): T = {
+      lockName: String, heartbeatMs: Long = LockHeartbeatMs,
+      staleMs: Long = StaleDdlLockMs, waitMs: Long = DdlLockWaitMs)
+      (body: => T): T = {
     val fs = fileSystem(spark, location)
     val lock = new Path(s"$location/$lockName")
     fs.mkdirs(lock.getParent) // pre-first-commit DDL (e.g. identity declare)
-    val deadline = System.currentTimeMillis() + DdlLockWaitMs
+    val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       if (atomicCreate(fs, lock,
@@ -425,27 +438,34 @@ object VersionedTable {
       else {
         val age = try System.currentTimeMillis() - readUtf8(fs, lock).trim.toLong
         catch { case _: Exception => 0L } // vanished or torn mid-read: re-loop
-        if (age > StaleDdlLockMs) fs.delete(lock, false)
+        if (age > staleMs) fs.delete(lock, false)
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
-            s"timed out waiting ${DdlLockWaitMs / 1000}s for $lockName at " +
+            s"timed out waiting ${waitMs / 1000}s for $lockName at " +
               s"$location — a concurrent holder is running (or crashed within " +
-              s"the last ${StaleDdlLockMs / 1000}s; the lock self-breaks after that)")
+              s"the last ${staleMs / 1000}s; the lock self-breaks after that)")
         else Thread.sleep(50)
       }
     }
-    // keep the stamp fresh for the whole critical section; failures are
-    // swallowed (a missed beat just ages the lock toward the stale threshold)
+    // keep the stamp fresh for the whole critical section; a FAILED re-stamp
+    // is swallowed PER BEAT (a missed beat just ages the lock toward the
+    // stale threshold) — the catch sits inside the loop so one transient
+    // fs hiccup skips a beat instead of silently ending heartbeating for a
+    // long section that still depends on it
     val beat = new Thread(() => {
-      try {
-        while (!Thread.currentThread().isInterrupted) {
-          Thread.sleep(LockHeartbeatMs)
+      var interrupted = false
+      while (!interrupted && !Thread.currentThread().isInterrupted) {
+        try {
+          Thread.sleep(heartbeatMs)
           val out = fs.create(lock, true)
           try out.write(
             System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
           finally out.close()
+        } catch {
+          case _: InterruptedException => interrupted = true
+          case _: Exception => () // skip this beat; next iteration retries
         }
-      } catch { case _: InterruptedException => () case _: Exception => () }
+      }
     }, s"graft-lock-heartbeat-$lockName")
     beat.setDaemon(true)
     beat.start()
@@ -1554,7 +1574,7 @@ object VersionedTable {
     def alreadyCommitted: Boolean =
       commits(spark, location).exists(c => c.txn_app == txnApp && c.txn_id == txnId)
     if (operation == "append") enforceAppendSchema(spark, location, batch, partitionBy)
-    val (dataDir, rows, stats, sstats, nulls) =
+    val (dataDir, rows, stats, sstats, nulls, schemaJson) =
       stageData(batch, location, partitionBy, constraints(spark, location))
     var committed = -1L
     var attempt = 0
@@ -1577,7 +1597,8 @@ object VersionedTable {
       }
       val v = newest + 1
       if (claimCommit(fs, location, v, operation, rows, dataDir, partitionBy, stats,
-          txnApp, txnId, sstats = sstats, nulls = nulls)) committed = v
+          txnApp, txnId, sstats = sstats, nulls = nulls,
+          schemaJson = schemaJson)) committed = v
       else {
         attempt += 1
         if (attempt >= MaxClaimAttempts) {
@@ -1620,10 +1641,11 @@ object VersionedTable {
         else if (numFiles > 0) current.repartition(numFiles)
         else current
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)
-      val (dataDir, rows, stats, sstats, nulls) =
+      val (dataDir, rows, stats, sstats, nulls, schemaJson) =
         stageData(clustered, location, partitioning)
       if (claimCommit(fs, location, latest.version + 1, "compact", rows, dataDir,
-          partitioning, stats, sstats = sstats, nulls = nulls))
+          partitioning, stats, sstats = sstats, nulls = nulls,
+          schemaJson = schemaJson))
         done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -1738,10 +1760,11 @@ object VersionedTable {
       // a version that predates addConstraint must not put rows live that the
       // table currently advertises as impossible. The check is fused into the
       // copy-on-restore scan, so it costs no extra pass.
-      val (dataDir, rows, stats, sstats, nulls) =
+      val (dataDir, rows, stats, sstats, nulls, schemaJson) =
         stageData(snap, location, partitioning, constraints(spark, location))
       if (claimCommit(fs, location, latest.version + 1, "restore", rows, dataDir,
-          partitioning, stats, sstats = sstats, nulls = nulls))
+          partitioning, stats, sstats = sstats, nulls = nulls,
+          schemaJson = schemaJson))
         done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -1911,16 +1934,17 @@ object VersionedTable {
         else {
           val merged = observed.join(changedKeys, keys, "left_anti")
             .unionByName(upserts.select(observed.columns.map(col): _*))
-          val (d, r, st, ss, nu) = stageData(merged, location, partitioning, checks)
-          (d, r, st, ss, nu, "")
+          val (d, r, st, ss, nu, sj) = stageData(merged, location, partitioning, checks)
+          (d, r, st, ss, nu, sj, "")
         }
-      val (dataDir, rows, stats, sstats, nulls, changeDir) = staged
+      val (dataDir, rows, stats, sstats, nulls, schemaJson, changeDir) = staged
       val replaceWhere = scope.map(_._2).getOrElse("")
       val replacedRows = scope.map(_ => obs.get.get("rows").asInstanceOf[Long])
         .getOrElse(0L)
       if (claimCommit(fs, location, latest.version + 1, "merge", rows, dataDir,
           partitioning, stats, changeDir = changeDir, replaceWhere = replaceWhere,
-          replacedRows = replacedRows, sstats = sstats, nulls = nulls))
+          replacedRows = replacedRows, sstats = sstats, nulls = nulls,
+          schemaJson = schemaJson))
         done = latest.version + 1
       else {
         fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -1960,14 +1984,18 @@ object VersionedTable {
 
   /** The matched-row split a DML-metrics surface needs, measured INSIDE the
     * merge from its already-persisted matched set — `updated`/`deleted` are
-    * matched target rows by the change's delete flag, `addedRows` the commit's
-    * staged row count (so callers derive inserts as `addedRows - updated`).
-    * Asking for it costs ONE change-volume-sized aggregation over pinned
-    * data — never a second scan of the target, which is what a caller
-    * computing the split itself would pay (and at 100 TB, what dominates).
+    * matched TARGET rows by the change's delete flag (a duplicate-key target
+    * legitimately counts both rows), `matchedUpsertKeys` the matched CHANGE
+    * rows (change sets are key-unique, so matched non-delete keys = matched
+    * change rows), and `addedRows` the commit's staged row count — so callers
+    * derive inserts EXACTLY as `addedRows - matchedUpsertKeys` (deriving from
+    * `updated` undercounts whenever the target holds duplicate keys). Asking
+    * for it costs ONE change-volume-sized aggregation over pinned data —
+    * never a second scan of the target, which is what a caller computing the
+    * split itself would pay (and at 100 TB, what dominates).
     */
   final case class MergeOnReadMetrics(updated: Long, deleted: Long,
-      addedRows: Long)
+      addedRows: Long, matchedUpsertKeys: Long)
 
   /** [[mergeOnRead]] that also returns [[MergeOnReadMetrics]] — the SQL MERGE
     * fast path's metrics source (DmlMetricsSpec pins the job parity).
@@ -2036,8 +2064,8 @@ object VersionedTable {
       try {
         val upserts = tagged.filter(!col("_g_del"))
           .select(dataCols.map(col): _*)
-        val (dataDir, rows, stats, sstats, nulls) = stageData(upserts, location,
-          partitioning, constraints(spark, location))
+        val (dataDir, rows, stats, sstats, nulls, schemaJson) = stageData(
+          upserts, location, partitioning, constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
         val obs = Observation(s"vt_dv_$dvDir")
         matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
@@ -2069,7 +2097,7 @@ object VersionedTable {
             partitioning, stats, txnApp = txn.map(_._1).getOrElse(""),
             txnId = txn.map(_._2).getOrElse(-1L), changeDir = changeDir,
             replacedRows = matchedRows, dvDir = dvDir, sstats = sstats,
-            nulls = nulls)) {
+            nulls = nulls, schemaJson = schemaJson)) {
           done = latest.version + 1
           if (wantMetrics) {
             // the matched/deleted split, from the PINNED matched set joined to
@@ -2079,9 +2107,13 @@ object VersionedTable {
               .dropDuplicates(keys)
             val r = matched.join(flags, keys, "inner").agg(
               sum(when(!col("_g_del"), 1L).otherwise(0L)).as("u"),
-              sum(when(col("_g_del"), 1L).otherwise(0L)).as("d")).head()
+              sum(when(col("_g_del"), 1L).otherwise(0L)).as("d"),
+              // matched CHANGE rows: distinct matched keys with an upsert
+              // flag (keys are change-unique) — the exact insert complement
+              countDistinct(when(!col("_g_del"),
+                struct(keys.map(col): _*))).as("uk")).head()
             def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-            metrics = Some(MergeOnReadMetrics(at(0), at(1), rows))
+            metrics = Some(MergeOnReadMetrics(at(0), at(1), rows, at(2)))
           }
         } else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -2212,8 +2244,8 @@ object VersionedTable {
       // the retired row count, observed from a partition-pruned scan of the
       // replaced slice only — fastCount stays exact and metadata-only
       val replaced = readAsOf(spark, location, latest.version).filter(pred).count()
-      val (dataDir0, rows, stats, sstats, nulls) = stageData(df, location,
-        partitioning, constraints(spark, location) ++ boundsCheck)
+      val (dataDir0, rows, stats, sstats, nulls, schemaJson) = stageData(df,
+        location, partitioning, constraints(spark, location) ++ boundsCheck)
       // a zero-row batch (explicit set clearing partitions) lays out NO files —
       // commit with an empty data dir, the pure-delete convention, so readers
       // never point a parquet scan at a file-less directory
@@ -2223,7 +2255,7 @@ object VersionedTable {
       } else dataDir0
       if (claimCommit(fs, location, latest.version + 1, "replace", rows, dataDir,
           partitioning, stats, replaceWhere = spec, replacedRows = replaced,
-          sstats = sstats, nulls = nulls))
+          sstats = sstats, nulls = nulls, schemaJson = schemaJson))
         done = latest.version + 1
       else {
         // dataDir0, not dataDir: the zero-row case already blanked dataDir and
@@ -2280,7 +2312,7 @@ object VersionedTable {
       keys: Seq[String], deleteCol: Option[String], location: String,
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty)
       : (String, Long, Map[String, (Double, Double)],
-         Map[String, (String, String)], Map[String, Long], String) = {
+         Map[String, (String, String)], Map[String, Long], String, String) = {
     val cols = current.columns.toSeq
     val tagged = deleteCol match {
       case Some(d) => changes
@@ -2314,12 +2346,12 @@ object VersionedTable {
       val merged = cases
         .filter(col("_change_type").isin("unchanged", "insert", "update_postimage"))
         .select(cols.map(col): _*)
-      val (dataDir, rows, stats, sstats, nulls) =
+      val (dataDir, rows, stats, sstats, nulls, schemaJson) =
         stageData(merged, location, partitionBy, checks)
       val feed = cases.filter(col("_change_type") =!= "unchanged")
       val changeDir = s"c-${java.util.UUID.randomUUID()}"
       feed.write.mode("errorifexists").parquet(s"$location/_data/$changeDir")
-      (dataDir, rows, stats, sstats, nulls, changeDir)
+      (dataDir, rows, stats, sstats, nulls, schemaJson, changeDir)
     } finally cases.unpersist()
   }
 
@@ -2434,8 +2466,8 @@ object VersionedTable {
         val gen = generatedColumns(spark, location)
         val updated = gen.keys.filterNot(assignments.contains)
           .foldLeft(updated0)((d, g) => d.drop(g))
-        val (dataDir, rows, stats, sstats, nulls) = stageData(updated, location,
-          partitioning, constraints(spark, location))
+        val (dataDir, rows, stats, sstats, nulls, schemaJson) = stageData(
+          updated, location, partitioning, constraints(spark, location))
         val dvDir = s"v-${java.util.UUID.randomUUID()}"
         val obs = Observation(s"vt_dv_$dvDir")
         matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
@@ -2455,7 +2487,7 @@ object VersionedTable {
         if (claimCommit(fs, location, latest.version + 1, "update", rows, dataDir,
             partitioning, stats, changeDir = changeDir,
             replacedRows = updatedRows, dvDir = dvDir, sstats = sstats,
-            nulls = nulls))
+            nulls = nulls, schemaJson = schemaJson))
           done = latest.version + 1
         else {
           fs.delete(new Path(s"$location/_data/$dataDir"), true)
@@ -2680,7 +2712,7 @@ object VersionedTable {
       partitionBy: Seq[String], checks: Map[String, String] = Map.empty,
       freshDefinition: Boolean = false)
       : (String, Long, Map[String, (Double, Double)],
-         Map[String, (String, String)], Map[String, Long]) = {
+         Map[String, (String, String)], Map[String, Long], String) = {
     // an SQL INSERT that filled a DEFAULT arrives with the analyzer's
     // CURRENT_DEFAULT/EXISTS_DEFAULT attribute metadata still attached —
     // landing that in the parquet footers would let a later mergeSchema union
@@ -2800,18 +2832,12 @@ object VersionedTable {
       spec, mapping)
     writeFileStats(df0.sparkSession, location, dataDir, df.schema, rowCount,
       partitionBy, spec)
-    // the staged schema rides to claimCommit by dataDir (writer-unique), so
-    // the commit can record it without threading it through every staging
-    // tuple; readers then rebuild the snapshot schema from the log instead of
-    // a distributed footer-merge job ([[logReadSchema]])
-    valve(stagedSchemaByDir)
-    stagedSchemaByDir.put(dataDir, df.schema.json)
-    (dataDir, rowCount, stats, sstats, nulls)
+    // the staged schema rides to claimCommit IN the staging tuple — a plain
+    // value handoff, immune to any cache pressure — so the commit records it
+    // and readers rebuild the snapshot schema from the log instead of a
+    // distributed footer-merge job ([[logReadSchema]])
+    (dataDir, rowCount, stats, sstats, nulls, df.schema.json)
   }
-
-  /** dataDir → staged StructType JSON, consumed by [[claimCommit]]. */
-  private val stagedSchemaByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** BLOOM-FILTER COMMIT SKIPPING (opt-in): min/max stats cannot prune a
     * point lookup on a hash-like high-cardinality column — every commit's
@@ -3853,10 +3879,11 @@ object VersionedTable {
       else {
         val copySeqs = cs.filter(_.txn_app == CopyInto.TxnApp).map(_.txn_id).toSet
         fs.listStatus(ingestDirP).toSeq.filter { st =>
-          // compacted ledger artifacts (_compact.<C>.jsonl/.bf) are in force
+          // compacted ledger artifacts (compact.<C>.jsonl/.bf) are in force
           // by CONSTRUCTION (they fold referenced manifests), never orphans
           st.isFile && st.getPath.getName.endsWith(".jsonl") &&
-            !st.getPath.getName.startsWith("_compact.") &&
+            !st.getPath.getName.startsWith("compact.") &&
+            !st.getPath.getName.startsWith("_compact.") && // pre-rename artifacts
             !st.getPath.getName.stripSuffix(".jsonl").toLongOption.exists(copySeqs) &&
             st.getModificationTime <= now - orphanGraceMs
         }.map(_.getPath)
@@ -3947,6 +3974,26 @@ object VersionedTable {
   private def valve(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
     if (m.size() > MaxCachedLogEntries) m.clear()
 
+  /** Drop every cached log artifact under `location` — called on table
+    * create (version-0 claim) and drop, because the (path, mtime, length)
+    * cache key can collide across a drop-and-recreate at the same location
+    * on filesystems with second-granularity mtimes (commit lines are near
+    * fixed width, so equal lengths are plausible): a fast recreate could
+    * then serve the OLD table's parsed commits. Same-JVM create/drop paths
+    * invalidate here; a fresh JVM starts with empty caches by construction.
+    */
+  private[graft] def invalidateLogCaches(location: String): Unit = {
+    val prefix = new Path(location).toUri.getPath + "/"
+    def purge(m: java.util.concurrent.ConcurrentHashMap[(String, Long, Long), _])
+        : Unit = {
+      val it = m.keySet().iterator()
+      while (it.hasNext)
+        if (new Path(it.next()._1).toUri.getPath.startsWith(prefix)) it.remove()
+    }
+    purge(commitFileCache)
+    purge(checkpointFileCache)
+  }
+
   private def logStateOnce(fs: FileSystem, location: String): LogState = {
     val logDir = new Path(s"$location/_commit_log")
     // listStatus throws FNF for a missing dir — one RPC where exists+list was two
@@ -4028,13 +4075,16 @@ object VersionedTable {
       replaceWhere: String = "", replacedRows: Long = 0L,
       dvDir: String = "",
       sstats: Map[String, (String, String)] = Map.empty,
-      nulls: Map[String, Long] = Map.empty): Boolean = {
+      nulls: Map[String, Long] = Map.empty,
+      schemaJson: String = ""): Boolean = {
     val path = new Path(s"$location/_commit_log/$version.json")
     fs.mkdirs(path.getParent)
     val c = Commit(version, operation, Instant.now().toString, rows, dataDir,
       partitionBy.mkString(","), txnApp, txnId, stats, changeDir,
-      replaceWhere, replacedRows, dvDir, sstats, nulls,
-      stagedSchemaByDir.getOrDefault(dataDir, ""))
+      replaceWhere, replacedRows, dvDir, sstats, nulls, schemaJson)
+    // a version-0 claim IS table creation: purge any cached artifacts a
+    // previous table at this location left behind (drop-and-recreate)
+    if (version == 0L) invalidateLogCaches(location)
     atomicCreate(fs, path, commitJson(c).getBytes(StandardCharsets.UTF_8))
   }
 

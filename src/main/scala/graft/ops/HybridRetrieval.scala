@@ -64,6 +64,14 @@ object HybridRetrieval {
         col("rank").as("sem_rank"))
 
     // --- fusion: RRF over whichever legs retrieved the document -------------
+    fuse(lex, sem, k, rrfK)
+  }
+
+  /** RRF fusion of the two pre-cut legs — `lex(query_id, doc_id, lex_rank)` ×
+    * `sem(query_id, doc_id, sem_rank)`, full-outer so a document missing from
+    * one leg still scores on the other. Touches only 2·legK rows per query.
+    */
+  private def fuse(lex: DataFrame, sem: DataFrame, k: Int, rrfK: Int): DataFrame = {
     def leg(rank: Column): Column =
       coalesce(lit(1.0) / (lit(rrfK.toDouble) + rank.cast("double")), lit(0.0))
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
@@ -75,4 +83,84 @@ object HybridRetrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
         col("lex_rank"), col("sem_rank"))
   }
+
+  /** BM25-weighted hybrid retrieval off a prebuilt [[Bm25.Index]] — the
+    * serving-path upgrade of [[rrfTopK]]: the lexical leg ranks candidates by
+    * full Okapi BM25 (not binary token overlap), and it reads ONLY the index
+    * artifacts (postings / doc lengths / corpus stats) — corpus TEXT is never
+    * touched, so a materialized index amortizes the one tokenization scan
+    * across every query batch. Even the QUERY documents' term sets come from
+    * the postings (`doc_id < numQueries`), so the whole lexical leg is
+    * index-only by construction.
+    *
+    * Scale shape (100 TB): the query term set is numQueries documents' worth —
+    * broadcast; the postings scan keeps only rows whose term appears in some
+    * query (partition/sort the postings by term on write and that scan PRUNES
+    * to the query terms' row groups); per-(query, doc) BM25 is one map-side
+    * addend per posting hit + one aggregation shuffle keyed (query, doc). The
+    * semantic leg and fusion are [[rrfTopK]]'s.
+    *
+    * Determinism: each BM25 addend is computed from exact-integer (tf, df, dl,
+    * N, Σdl) inputs in one fixed operation order and rounded to 6 dp BEFORE the
+    * per-pair sum, so partial sums live on a 1e-6 grid — the grouped sum is
+    * order-independent after its own 6-dp rounding, and any engine replays the
+    * identical ranking.
+    */
+  def bm25RrfTopKFromIndex(index: Bm25.Index, embeddings: DataFrame,
+      numQueries: Int = 5, legK: Int = 20, k: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numQueries > 0 && legK > 0 && k > 0 && rrfK > 0)
+
+    // --- lexical leg: BM25 from the inverted index ---------------------------
+    val qTerms = index.postings
+      .filter(col("doc_id") < numQueries && col("term") =!= "")
+      .select(col("doc_id").as("query_id"), col("term"))
+    // per-term document frequency, restricted to the query vocabulary (tiny)
+    val dfs = index.postings
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val hits = index.postings.join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+
+    val n = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / n
+    val tf = col("tf").cast("double")
+    val df = col("df").cast("double")
+    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    val addend = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = hits
+      .join(index.docLengths, "doc_id")
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("query_id"), col("doc_id"), round(addend, 6).as("__a"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__a")), 6).as("bm25"))
+    val lexW = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = scored.withColumn("lex_rank", row_number().over(lexW))
+      .filter(col("lex_rank") <= legK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+
+    // --- semantic leg + fusion: shared with [[rrfTopK]] ----------------------
+    val sem = Similarity.cosineTopK(embeddings, numQueries, legK,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col("query_id"), col(vecIdCol).as("doc_id"),
+        col("rank").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
+
+  /** One-shot convenience: build the [[Bm25.Index]] from `docs` (one
+    * tokenization scan) and fuse. Serving paths that answer repeated query
+    * batches should build/persist the index once and call
+    * [[bm25RrfTopKFromIndex]].
+    */
+  def bm25RrfTopK(docs: DataFrame, embeddings: DataFrame, numQueries: Int = 5,
+      legK: Int = 20, k: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bm25RrfTopKFromIndex(Bm25.buildIndex(docs, idCol, textCol), embeddings,
+      numQueries, legK, k, rrfK, k1, b, vecIdCol, vecCol)
 }

@@ -284,6 +284,44 @@ object Similarity {
     }
   }
 
+  /** FUNNEL retrieval — the operator [[matryoshkaTruncate]] exists to serve
+    * (MRL, Kusupati et al. 2022 §4): a cheap COARSE pass ranks the corpus by
+    * cosine over the first `coarseDim` components only (a `coarseDim/dim`-width
+    * scan) and keeps a per-query shortlist of `shortlistK` candidates; a
+    * RE-RANK pass then scores ONLY the shortlist with full-dimension cosine.
+    * Approximate: recall against exact [[cosineTopK]] rises with `shortlistK`
+    * and equals 1.0 when the shortlist covers the corpus — measured in tests.
+    *
+    * Scale shape: the coarse pass is [[cosineTopK]]'s broadcast-queries ×
+    * one-pass scan over a `coarseDim`-wide projection; the shortlist
+    * (numQueries × shortlistK id pairs) BROADCASTS back against the streaming
+    * full-width scan, so the re-rank touches full vectors for shortlist rows
+    * only and nothing shuffles but the final per-query top-k window.
+    */
+  def funnelTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      coarseDim: Int = 16, shortlistK: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlistK >= k, s"shortlistK ($shortlistK) must cover k ($k)")
+    val shortlist = cosineTopK(
+        matryoshkaTruncate(embeddings, coarseDim, renormalize = false,
+          idCol, vecCol),
+        numQueries, shortlistK)
+      .select(col("query_id"), col("vec_id"))
+    val base = normed(embeddings, idCol, vecCol)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val rescored = base.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Approximate cosine top-k over the int8 CODES table — search on the compressed
     * representation, raw floats never rescanned: cosine is scale-invariant, so the
     * per-vector scales cancel and the integer code dot product ranks directly.

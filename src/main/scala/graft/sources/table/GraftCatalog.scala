@@ -423,7 +423,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
-    VersionedTable.exists(spark, p.toString) && fs.delete(p, true)
+    val dropped = VersionedTable.exists(spark, p.toString) && fs.delete(p, true)
+    // a recreate at this location must never be served the dropped table's
+    // cached commit bodies (mtime-second + near-fixed-width length can collide)
+    if (dropped) VersionedTable.invalidateLogCaches(p.toString)
+    dropped
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {

@@ -471,15 +471,15 @@ case class GraftMergeCommand(location: String, source: LogicalPlan,
         // metrics come FROM the merge (measured on its pinned matched set —
         // change-volume cost) rather than from a separate probe join, which
         // would rescan the target's key columns once per MERGE purely for
-        // bookkeeping. inserts = staged rows minus matched updates, since
-        // every non-delete change row lands (matched as the update image,
-        // unmatched as the insert). DmlMetricsSpec pins the job parity.
+        // bookkeeping. inserts = staged rows minus matched CHANGE rows
+        // (matchedUpsertKeys): every non-delete change row lands, matched as
+        // the update image or unmatched as the insert — exact even when the
+        // target holds duplicate-key rows, where `updated` (matched TARGET
+        // rows) over-subtracts. DmlMetricsSpec pins the job parity.
         val (_, mm) = VersionedTable.mergeOnReadMetered(sparkSession, location,
           changes, keys, Some(DelFlag))
-        // clamped: a duplicate-key target under the key-collapse contract can
-        // retire more matched rows than change rows landed
         DmlMetrics.mergeRow(updated = mm.updated, deleted = mm.deleted,
-          inserted = math.max(0L, mm.addedRows - mm.updated))
+          inserted = mm.addedRows - mm.matchedUpsertKeys)
       case "insert_only" =>
         val pre = insertCond.map(c => src.filter(ColumnBridge.column(c)))
           .getOrElse(src)

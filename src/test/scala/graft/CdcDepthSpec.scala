@@ -93,4 +93,80 @@ class CdcDepthSpec extends AnyFunSuite with SharedSpark {
       .select("v").as[Long].head()
     assert(vOfHead == batches - 1L)
   }
+
+  test("post-vacuum depth: floor above the checkpoint base, O(tail) budgets hold") {
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[CountingFileSystem].getName)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_vac")
+    val loc = s"counted://$root/t"
+    val sink = new GraftTableSink(loc, partitionBy = Nil,
+      explicitTxnApp = Some("cdc-vac-test"), mergeKeys = Seq("id"),
+      deleteColumn = Some("_del"), sequenceBy = Some("seq"),
+      changeFeed = true)
+    val batches = 60
+    (0 until batches).foreach { b =>
+      val upserts = (b to b + 4).map(k =>
+        (k.toLong, b.toLong, b.toLong * 1000 + k, false))
+      sink.addBatch(b, upserts.toDF("id", "v", "seq", "_del"))
+    }
+    // a full-state reset (compact), then vacuum everything it shadowed: the
+    // floor lands at the compact version — ABOVE the newest checkpoint base
+    val compacted = VersionedTable.compact(spark, loc)
+    VersionedTable.vacuum(spark, loc, retentionMs = 0, orphanGraceMs = 0)
+    val floor = VersionedTable.minReadableVersion(spark, loc)
+    val ckptBase = new java.io.File(s"$root/t/_commit_log").listFiles()
+      .map(_.getName).flatMap { n =>
+        """_checkpoint\.(\d+)\.jsonl""".r.findFirstMatchIn(n)
+          .map(_.group(1).toLong)
+      }.maxOption.getOrElse(-1L)
+    assert(floor == compacted, s"floor $floor != compact version $compacted")
+    assert(floor > ckptBase,
+      s"test shape requires floor $floor above the checkpoint base $ckptBase")
+
+    // the table keeps ingesting above the floor
+    (batches until batches + 2).foreach { b =>
+      val upserts = (b to b + 4).map(k =>
+        (k.toLong, b.toLong, b.toLong * 1000 + k, false))
+      sink.addBatch(b, upserts.toDF("id", "v", "seq", "_del"))
+    }
+    val head = VersionedTable.commits(spark, loc).last.version
+
+    // warm budgets ABOVE the floor: one listing per op; the only permitted
+    // open is the floor file itself (rename-republished by vacuums, so it is
+    // the one log artifact that is NOT write-once-cacheable)
+    def floorOnlyOpens(): Unit = {
+      val opens = CountingFileSystem.snapshot().collect {
+        case (("open", p), n) if p.contains("/_commit_log/") => (p, n)
+      }
+      assert(opens.forall(_._1.contains("_vacuum_floor")),
+        s"post-vacuum op opened non-floor log files: $opens")
+    }
+    CountingFileSystem.reset()
+    val n = VersionedTable.fastCount(spark, loc)
+    assert(CountingFileSystem.total("listStatus", "_commit_log") == 1)
+    floorOnlyOpens()
+    // live set = compact's snapshot + the two post-floor batches' keys
+    assert(n == ((batches - 1) + 4 - 0 + 1).toLong + 2L,
+      s"fastCount $n after compact+2 batches")
+
+    CountingFileSystem.reset()
+    VersionedTable.readChanges(spark, loc, head - 1, head).count()
+    floorOnlyOpens()
+
+    CountingFileSystem.reset()
+    VersionedTable.read(spark, loc).count()
+    assert(CountingFileSystem.total("listStatus", "_commit_log") == 1)
+    floorOnlyOpens()
+
+    // BELOW the floor every access path fails loudly with the floor error
+    val e1 = intercept[IllegalStateException] {
+      VersionedTable.readAsOf(spark, loc, floor - 5)
+    }
+    assert(e1.getMessage.contains("oldest readable"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.readChanges(spark, loc, floor - 10, floor - 5)
+    }
+    assert(e2.getMessage.contains("oldest readable"), e2.getMessage)
+  }
 }

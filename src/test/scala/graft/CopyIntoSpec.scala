@@ -241,7 +241,7 @@ class CopyIntoSpec extends AnyFunSuite with SharedSpark {
     }
     val ingest = new java.io.File(s"$root/t/_ingest")
     val compacts = ingest.listFiles().map(_.getName)
-      .filter(_.matches("_compact\\.\\d+\\.jsonl"))
+      .filter(_.matches("compact\\.\\d+\\.jsonl"))
     assert(compacts.nonEmpty, "ledger never compacted past the threshold")
 
     // no-op re-run over an already-loaded directory: bloom + compact body +
@@ -262,11 +262,68 @@ class CopyIntoSpec extends AnyFunSuite with SharedSpark {
     val incr = CopyInto.copyInto(spark, loc, s"counted://$root/srcnew")
     assert(incr.filesLoaded == 1)
     val bodyOpens = CountingFileSystem.snapshot().collect {
-      case (("open", p), n) if p.contains("_compact.") && p.endsWith(".jsonl") => n
+      case (("open", p), n) if p.contains("compact.") && p.endsWith(".jsonl") => n
     }.sum
     assert(bodyOpens == 0,
       s"all-new-candidates run must not read the compact body, read it $bodyOpens times")
     // and full correctness: every run's rows are present exactly once
     assert(VersionedTable.read(spark, loc).count() == (runs + 1) * 6L)
+  }
+
+  test("maybe-hit growth path: distributed resolution, same exactly-once result") {
+    // when the compact body exceeds the driver threshold, bloom maybe-hits
+    // resolve by broadcasting the (listing-sized) candidate set against the
+    // ledger scanned as a dataset — the driver never materializes the body
+    // as an exact set. Forced here by shrinking the threshold to zero.
+    import spark.implicits._
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    val runs = CopyInto.CompactThreshold + 2
+    (1 to runs).foreach { i =>
+      docsDf.withColumn("doc_id", col("doc_id") + lit(i * 10L)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src$i")
+      CopyInto.copyInto(spark, loc, s"$root/src$i")
+    }
+    val ingest = new java.io.File(s"$root/t/_ingest")
+    assert(ingest.listFiles().exists(_.getName.matches("compact\\.\\d+\\.jsonl")),
+      "precondition: the ledger must have compacted")
+
+    // drop ONE new file into an already-ingested directory: its old file is
+    // IN the bloom (guaranteed maybe-hit), the new one is not
+    docsDf.withColumn("doc_id", col("doc_id") + lit(7777L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/extra")
+    val part = new java.io.File(s"$root/extra").listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$root/src1/zz-arrived-late.parquet"))
+
+    val before = VersionedTable.read(spark, loc).count()
+    val saved = CopyInto.MaxDriverCompactBytes
+    CopyInto.MaxDriverCompactBytes = 0L
+    try {
+      CopyInto.lastCompactResolve = ""
+      val r = CopyInto.copyInto(spark, loc, s"$root/src1")
+      assert(CopyInto.lastCompactResolve == "distributed",
+        s"threshold 0 must force the distributed path, took " +
+          s"'${CopyInto.lastCompactResolve}'")
+      assert(r.filesLoaded == 1 && r.rowsLoaded == 6L,
+        s"only the late-arriving file may load: $r")
+      // exactly-once: the same directory re-offered is a no-op, still via the
+      // distributed resolution
+      CopyInto.lastCompactResolve = ""
+      val noop = CopyInto.copyInto(spark, loc, s"$root/src1")
+      assert(noop == CopyInto.CopyResult(None, 0L, 0L), s"re-run loaded: $noop")
+      assert(CopyInto.lastCompactResolve == "distributed")
+    } finally CopyInto.MaxDriverCompactBytes = saved
+    assert(VersionedTable.read(spark, loc).count() == before + 6L)
+
+    // equivalence: the driver-exact path resolves the same state to the same
+    // no-op (the two paths must be indistinguishable in result)
+    CopyInto.lastCompactResolve = ""
+    val noop2 = CopyInto.copyInto(spark, loc, s"$root/src1")
+    assert(noop2 == CopyInto.CopyResult(None, 0L, 0L))
+    assert(CopyInto.lastCompactResolve == "driver")
   }
 }

@@ -123,6 +123,31 @@ class DmlMetricsSpec extends AnyFunSuite with SharedSpark {
         s"the target (bare=$jobsBare, sql=$jobsSql)")
   }
 
+  test("duplicate-key target: inserted counts matched CHANGE keys, not target rows") {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t.dup")
+    spark.sql(s"CREATE TABLE $cat.t.dup (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t.dup VALUES (1, 10), (1, 11), (2, 20)")
+    spark.sql(
+      "SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(100 AS BIGINT), false), " +
+        "(CAST(99 AS BIGINT), CAST(990 AS BIGINT), false) AS t(k, v, del)")
+      .createOrReplaceTempView("dml_dup_src")
+    val r = spark.sql(
+      s"""MERGE INTO $cat.t.dup t USING dml_dup_src s ON t.k = s.k
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND NOT s.del THEN INSERT *""".stripMargin).head()
+    // k=1 matches TWO target rows (updated=2) and lands ONE update image; k=99
+    // inserts. Deriving inserts as addedRows - updated would absorb the insert
+    // into the dup-key deficit and report 0 — it must report 1.
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 0L, 1L)),
+      s"got $r")
+    assert(r.getLong(0) == 3L)
+    // key-collapse contract: k=1 now holds the single update image
+    val rows = spark.table(s"$cat.t.dup").orderBy("k", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(rows == Seq((1L, 100L), (2L, 20L), (99L, 990L)), s"got $rows")
+  }
+
   test("general-path MERGE (partial SET + NOT MATCHED BY SOURCE) counts branches") {
     freshTable("g")
     spark.sql("SELECT id AS k, id * 100 AS nv FROM range(3)")

@@ -48,6 +48,65 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
     assert(!byDoc.contains(4L))
   }
 
+  test("BM25 leg outranks binary overlap: rare-term match beats common-term match") {
+    import spark.implicits._
+    // query doc 0 holds a RARE term (zebra: df=2) and a COMMON one (alpha:
+    // df=5). docs 1 and 2 each overlap the query in exactly ONE distinct term
+    // — binary overlap ties them — but BM25's idf makes the zebra match (doc 2)
+    // the better lexical hit.
+    val docs = Seq(
+      (0L, "zebra alpha"),
+      (1L, "alpha alpha alpha"),
+      (2L, "zebra beta"),
+      (3L, "alpha gamma"),
+      (4L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = HybridRetrieval.bm25RrfTopK(docs, emb, numQueries = 1, legK = 4,
+      k = 5).collect()
+    val lexRank = out.map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[Integer]("lex_rank"))).toMap
+    assert(lexRank(2L).contains(1),
+      s"rare-term doc must lead the BM25 leg: ${out.mkString(";")}")
+    assert(lexRank(1L).exists(_ > 1))
+  }
+
+  test("index path answers from materialized artifacts — corpus text never rescanned") {
+    import graft.ops.Bm25
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+
+    // materialize the index once, then drop every handle to the text
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    val built = Bm25.buildIndex(docs)
+    built.postings.write.parquet(s"$dir/postings")
+    built.docLengths.write.parquet(s"$dir/doclen")
+    built.stats.write.parquet(s"$dir/stats")
+    val index = Bm25.Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclen"),
+      spark.read.parquet(s"$dir/stats"))
+
+    val fromIndex = HybridRetrieval.bm25RrfTopKFromIndex(index, emb,
+      numQueries = 3, legK = 5, k = 5)
+    // every file scan in the executed plan reads the index or the embeddings —
+    // the documents table (the text) appears nowhere
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"),
+      s"index-path plan must not scan corpus text:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+
+    // and it answers exactly what the inline build answers
+    val inline = HybridRetrieval.bm25RrfTopK(docs, emb, numQueries = 3,
+      legK = 5, k = 5)
+    val a = fromIndex.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val b = inline.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(a == b, s"index path diverged from inline build:\n$a\nvs\n$b")
+  }
+
   test("plan shape: broadcast lexical probe, no cartesian product") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)

@@ -84,4 +84,42 @@ class SchemaFromLogSpec extends AnyFunSuite with SharedSpark {
       loc, "append")
     assert(VersionedTable.read(spark, loc).count() == 25)
   }
+
+  test("concurrent writers: every commit records a non-empty schema") {
+    import spark.implicits._
+    // the staged schema rides the staging tuple (a plain value handoff), so
+    // no amount of concurrent staging — or cache pressure anywhere — can wipe
+    // it between stageData and claimCommit; racers that lose a claim retry
+    // with their schema intact
+    val loc = java.nio.file.Files.createTempDirectory("graft_sfl_conc")
+      .toString + "/t"
+    VersionedTable.write(Seq((0L, "seed")).toDF("id", "v"), loc, "overwrite")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            VersionedTable.write(Seq((i.toLong, s"w$i")).toDF("id", "v"),
+              loc, "append")
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    val logDir = new java.io.File(s"$loc/_commit_log")
+    val commitFiles = logDir.listFiles()
+      .filter(f => f.getName.endsWith(".json") &&
+        f.getName.stripSuffix(".json").forall(_.isDigit))
+    assert(commitFiles.length == 17, s"expected 17 commits, got ${commitFiles.length}")
+    commitFiles.foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(body.contains(""""schema":"{"""),
+        s"commit ${f.getName} lost its staged schema: $body")
+    }
+    // and the zero-job fast path holds across the whole concurrent history
+    val jobs = countJobs {
+      assert(VersionedTable.read(spark, loc).columns.toSeq == Seq("id", "v"))
+    }
+    assert(jobs == 0, s"concurrent history broke the log-schema path: $jobs job(s)")
+  }
 }
