@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HybridRetrieval, IncrementalDedup, Integrity, Ivf, Mixture, Multimodal, NgramLm, Outliers, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HtmlExtract, HybridRetrieval, IncrementalDedup, Integrity, Ivf, Mixture, Multimodal, NgramLm, Outliers, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -465,6 +465,27 @@ object SparkEntry {
   private def qFunnelTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.funnelTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
       coarseDim = 16, shortlistK = 20).orderBy("query_id", "rank")
+
+  /** HTML extraction gate ([[HtmlExtract.extract]]): every document is
+    * wrapped in a deterministic HTML template carrying the full boilerplate
+    * vocabulary — script/style/comment blocks, a nav with anchors, a title
+    * with an entity, and all six decoded entities in a trailing div — then
+    * extracted. The oracle replays the wrap AND the identical regex chain in
+    * DuckDB (the patterns stay inside the RE2 ∩ Java subset, with explicit
+    * whitespace classes), so a stripping, decoding-order, or counting drift
+    * hash-mismatches.
+    */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = docs(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit(" &amp; co</title><script type=\"text/javascript\">var t = 1 < 2;" +
+        "</script><style>.nav{color:red}</style></head><body>" +
+        "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div><p>"),
+      coalesce(col("text"), lit("")),
+      lit("</p><!-- chrome --><div>&quot;tail&quot; &#39;q&#39;" +
+        " &nbsp;&lt;x&gt;</div></body></html>")).as("html"))
+    HtmlExtract.extract(wrapped).orderBy("doc_id")
+  }
 
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
@@ -2136,6 +2157,7 @@ object SparkEntry {
     "q_hybrid_bm25" -> qHybridBm25,
     "q_matryoshka_topk" -> qMatryoshkaTopK,
     "q_funnel_topk" -> qFunnelTopK,
+    "q_html_extract" -> qHtmlExtract,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2929,6 +2951,52 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the identical regex chain (RE2 ∩ Java subset, explicit whitespace
+    // classes, &amp; decoded last) over the identical HTML template — DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark applies implicitly
+    "q_html_extract" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || ' &amp; co</title>' ||
+        |  '<script type="text/javascript">var t = 1 < 2;</script>' ||
+        |  '<style>.nav{color:red}</style></head><body>' ||
+        |  '<div id="nav"><a href="/">Home</a> <a href="/a">About</a></div><p>' ||
+        |  coalesce(text, '') ||
+        |  '</p><!-- chrome --><div>&quot;tail&quot; &#39;q&#39; &nbsp;&lt;x&gt;</div></body></html>'
+        |  AS html FROM documents),
+        |nc AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS x FROM w),
+        |nt AS (SELECT doc_id, html,
+        |  regexp_replace(x, '(?s)<[^>]*>', ' ', 'g') AS x FROM nc),
+        |de AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(x,
+        |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS x
+        |  FROM nt),
+        |t AS (SELECT doc_id, html,
+        |  trim(regexp_replace(x, '[ \t\n\f\r]+', ' ', 'g')) AS text FROM de),
+        |ti AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(
+        |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'))
+        |  AS title, html FROM w)
+        |SELECT t.doc_id, ti.title, t.text,
+        |  CAST(length(t.html) AS INT) AS html_len,
+        |  CAST(length(t.text) AS INT) AS text_len,
+        |  CASE WHEN length(t.html) > 0
+        |    THEN round(CAST(length(t.text) AS DOUBLE) / length(t.html), 4)
+        |    ELSE 0.0 END AS text_ratio,
+        |  CAST(len(regexp_extract_all(t.html, '<[^>]*>')) AS INT) AS tag_count,
+        |  CAST(len(regexp_extract_all(t.html, '(?i)<a[ \t\n\f\r>]')) AS INT)
+        |    AS anchor_count
+        |FROM t JOIN ti ON t.doc_id = ti.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // the BM25 lexical leg replayed from first principles (postings → df →
     // fixed-order addend arithmetic, 6-dp rounded before AND after the
     // per-pair sum so the sum is order-independent), the cosine leg and the

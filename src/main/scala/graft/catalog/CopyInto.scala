@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace}
 
 /** `COPY INTO` — idempotent, file-granular bulk ingest into a versioned table
   * (the batch verb of Delta/Snowflake's `COPY INTO`): load every file under a
@@ -232,34 +232,71 @@ object CopyInto {
           }
       }
 
-    // fold an over-long tail into a fresh compact pair for FUTURE runs (this
-    // run already has the exact sets in hand, so the fold is free of extra
-    // reads; under the ingest lock, so single-writer). Past the driver
-    // threshold the fold is deferred — correctness is unaffected (the tail
-    // stays in force and re-run reads stay O(tail)); a distributed fold
-    // (ledger ∪ tail written via a staged single-file rename + a
-    // df.stat.bloomFilter build) is the upgrade when tails at that scale
-    // materialize in practice.
-    lazy val compactLen = compactC.map(c =>
-      new Path(ingestDir, f"compact.$c%06d.jsonl")).flatMap(p =>
-      entries.find(_.getPath.getName == p.getName).map(_.getLen)).getOrElse(0L)
-    if (tail.length > CompactThreshold && compactLen <= MaxDriverCompactBytes) {
-      val all = (compactBody ++ tailLoaded).toSeq.sorted
+    // fold an over-long tail into a fresh compact pair for FUTURE runs
+    // (under the ingest lock, so single-writer). Two regimes:
+    //  - body within the driver threshold: the run already holds the exact
+    //    sets — fold driver-side, zero extra reads.
+    //  - body past the threshold: fold DISTRIBUTED — (old body as a dataset)
+    //    ∪ (tail paths), distinct, bloom built by df.stat.bloomFilter
+    //    (aggregated on executors; the driver holds only the final bits,
+    //    ~180 MB at 10⁸ paths @ 1e-5), body written as one staged text file
+    //    renamed into place. A crash leaves tmp debris under a dot-dir the
+    //    ledger never reads.
+    if (tail.length > CompactThreshold) {
       val newC = tail.flatMap(seqOf).max
-      val bf = org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(all.size.toLong, 1L), CompactFpp)
-      all.foreach(bf.putString)
-      val bfOut = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bfOut)
-      // bloom first: a crash between the two leaves an orphan bloom (ignored),
-      // never a compact running without its fast path
-      VersionedTable.atomicCreate(fs,
-        new Path(ingestDir, f"compact.$newC%06d.bf"), bfOut.toByteArray)
-      VersionedTable.atomicCreate(fs,
-        new Path(ingestDir, f"compact.$newC%06d.jsonl"),
-        all.map(p =>
-            s"""{"path": "${VersionedTable.escapeJson(p)}"}""")
-          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      val compactLen = compactC.map(c =>
+        new Path(ingestDir, f"compact.$c%06d.jsonl")).flatMap(p =>
+        entries.find(_.getPath.getName == p.getName).map(_.getLen)).getOrElse(0L)
+      if (compactLen <= MaxDriverCompactBytes) {
+        val all = (compactBody ++ tailLoaded).toSeq.sorted
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(all.size.toLong, 1L), CompactFpp)
+        all.foreach(bf.putString)
+        val bfOut = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bfOut)
+        // bloom first: a crash between the two leaves an orphan bloom
+        // (ignored), never a compact running without its fast path
+        VersionedTable.atomicCreate(fs,
+          new Path(ingestDir, f"compact.$newC%06d.bf"), bfOut.toByteArray)
+        VersionedTable.atomicCreate(fs,
+          new Path(ingestDir, f"compact.$newC%06d.jsonl"),
+          all.map(p =>
+              s"""{"path": "${VersionedTable.escapeJson(p)}"}""")
+            .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      } else {
+        val spark2 = spark
+        import spark2.implicits._
+        val oldBody = spark.read.schema("path STRING")
+          .json(new Path(ingestDir, f"compact.${compactC.get}%06d.jsonl").toString)
+          .select(col("path"))
+        val union = oldBody.union(tailLoaded.toSeq.toDF("path")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val items = union.count()
+          val bf = union.stat.bloomFilter("path",
+            math.max(items, 1L), CompactFpp)
+          val bfOut = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bfOut)
+          VersionedTable.atomicCreate(fs,
+            new Path(ingestDir, f"compact.$newC%06d.bf"), bfOut.toByteArray)
+          // one staged text file (minimal JSON escaping distributed —
+          // backslash then quote, matching escapeJson for path-legal chars),
+          // renamed into place; sorted for determinism and locality
+          val staged = new Path(ingestDir,
+            s".compact-stage-${java.util.UUID.randomUUID()}")
+          union.orderBy("path").select(concat(lit("{\"path\": \""),
+              regexp_replace(regexp_replace(col("path"),
+                "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+              lit("\"}")).as("value"))
+            .coalesce(1).write.text(staged.toString)
+          val part = fs.listStatus(staged).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(
+              s"staged compact fold wrote no part file under $staged"))
+          fs.rename(part, new Path(ingestDir, f"compact.$newC%06d.jsonl"))
+          fs.delete(staged, true)
+        } finally union.unpersist()
+      }
     }
 
     if (fresh.isEmpty) return CopyResult(None, 0L, 0L)

@@ -326,4 +326,54 @@ class CopyIntoSpec extends AnyFunSuite with SharedSpark {
     assert(noop2 == CopyInto.CopyResult(None, 0L, 0L))
     assert(CopyInto.lastCompactResolve == "driver")
   }
+
+  test("oversized-body fold runs distributed: superset artifact, ledger intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    def load(i: Int): Unit = {
+      docsDf.withColumn("doc_id", col("doc_id") + lit(i * 10L)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/src$i")
+      assert(CopyInto.copyInto(spark, loc, s"$root/src$i").filesLoaded == 1)
+    }
+    val firstWave = CopyInto.CompactThreshold + 2
+    (1 to firstWave).foreach(load) // driver-side fold happens in here
+    val ingest = new java.io.File(s"$root/t/_ingest")
+    def compacts() = ingest.listFiles().map(_.getName)
+      .filter(_.matches("compact\\.\\d+\\.jsonl")).sorted.toSeq
+    val before = compacts()
+    assert(before.nonEmpty, "precondition: a driver-side fold must exist")
+
+    // with the driver threshold zeroed, the NEXT fold must run distributed
+    // (old body ∪ tail unioned as datasets, bloom via df.stat.bloomFilter,
+    // body staged + renamed) — and produce an equivalent superset artifact
+    val saved = CopyInto.MaxDriverCompactBytes
+    CopyInto.MaxDriverCompactBytes = 0L
+    try {
+      (firstWave + 1 to firstWave + CopyInto.CompactThreshold + 2).foreach(load)
+    } finally CopyInto.MaxDriverCompactBytes = saved
+    val after = compacts()
+    assert(after.size > before.size,
+      s"no distributed fold landed: before=$before after=$after")
+
+    def lines(name: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        ingest.toPath.resolve(name)), "UTF-8").linesIterator.toSeq
+    val oldBody = lines(before.last)
+    val newBody = lines(after.last)
+    assert(newBody.distinct.size == newBody.size, "folded body holds duplicates")
+    assert(newBody.size > oldBody.size, "fold must cover the tail too")
+    assert(oldBody.toSet.subsetOf(newBody.toSet),
+      "fold lost paths the old compact held")
+    // the bloom sibling landed, and the ledger still answers exactly-once
+    assert(ingest.listFiles().map(_.getName)
+      .contains(after.last.stripSuffix(".jsonl") + ".bf"))
+    assert(CopyInto.copyInto(spark, loc, s"$root/src1") ==
+      CopyInto.CopyResult(None, 0L, 0L))
+    assert(CopyInto.copyInto(spark, loc, s"$root/src${firstWave + 1}") ==
+      CopyInto.CopyResult(None, 0L, 0L))
+    assert(VersionedTable.read(spark, loc).count() ==
+      (firstWave + CopyInto.CompactThreshold + 2) * 6L)
+  }
 }
