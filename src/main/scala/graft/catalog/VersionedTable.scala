@@ -3223,6 +3223,31 @@ object VersionedTable {
 
   private val VacuumFloorFile = "_vacuum_floor.json"
 
+  /** TIMESTAMP AS OF resolution with MONOTONIC effective timestamps (the
+    * adjustment Delta's in-commit-timestamp reader applies): raw commit stamps
+    * come from writer wall clocks and can regress across commits — an NTP
+    * step, or skew between two writers — and resolving a cutoff against raw
+    * stamps would then bind to the wrong side of a later commit. The
+    * effective timestamp of commit N is `max(raw_N, effective_{N-1} + 1ms)`,
+    * so version order always dominates wall-clock order; the newest commit
+    * whose EFFECTIVE stamp is ≤ the cutoff wins. Commits with unparseable
+    * stamps keep the running max advancing past them and never match a
+    * cutoff on their own (the defensive-parse policy vacuum uses — one
+    * corrupt legacy stamp must not take down every timestamp read).
+    */
+  def versionAtOrBefore(spark: SparkSession, location: String,
+      cutoff: Instant): Option[Long] = {
+    var eff: Instant = null
+    var ans = Option.empty[Long]
+    commits(spark, location).foreach { c =>
+      parseInstant(c.timestamp).foreach { raw =>
+        eff = if (eff == null || raw.isAfter(eff)) raw else eff.plusMillis(1)
+        if (!eff.isAfter(cutoff)) ans = Some(c.version)
+      }
+    }
+    ans
+  }
+
   /** Oldest version whose data is still guaranteed complete on disk; -1 before
     * any vacuum ran. Raised by [[vacuum]] when it reclaims data an older
     * version still needs.

@@ -139,18 +139,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark passes microseconds since the epoch; resolve to
-    * the newest commit at or before it (same defensive stamp parse as the DataSource
-    * option: one corrupt legacy stamp must not take down every timestamp read).
+    * the newest commit whose MONOTONIC effective stamp is at or before it
+    * ([[VersionedTable.versionAtOrBefore]] — version order dominates raw
+    * wall-clock order, so a writer-clock regression cannot bind the cutoff to
+    * the wrong side of a later commit).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val loc = tablePath(ident).toString
     if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
     val cutoff = java.time.Instant.EPOCH.plus(timestamp, java.time.temporal.ChronoUnit.MICROS)
-    val cs = VersionedTable.commits(spark, loc)
-      .filter(c => VersionedTable.parseInstant(c.timestamp).exists(!_.isAfter(cutoff)))
-    if (cs.isEmpty) throw ColumnBridge.analysisError(
-      s"no commit at ${fullName(ident)} at or before $cutoff")
-    new GraftSqlTable(fullName(ident), loc, Some(cs.last.version))
+    val v = VersionedTable.versionAtOrBefore(spark, loc, cutoff)
+      .getOrElse(throw ColumnBridge.analysisError(
+        s"no commit at ${fullName(ident)} at or before $cutoff"))
+    new GraftSqlTable(fullName(ident), loc, Some(v))
   }
 
   /** Shared definition validation for plain and STAGED creates/replaces:

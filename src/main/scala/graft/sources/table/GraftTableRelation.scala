@@ -40,15 +40,14 @@ object GraftTableRelations {
     val version = params.get("versionasof").map(_.toLong)
       .orElse(params.get("timestampasof").map { ts =>
         val cutoff = java.time.Instant.parse(ts) // user input: fail loudly if malformed
-        // commit stamps go through the defensive parse (same policy as vacuum and
-        // the retention sweep): one legacy/corrupt stamp in the log must not take
-        // down every timestampAsOf read — such commits just never match a cutoff
-        val cs = VersionedTable.commits(spark, location)
-          .filter(c => VersionedTable.parseInstant(c.timestamp).exists(!_.isAfter(cutoff)))
-        require(cs.nonEmpty,
-          s"no commit at $location at or before $ts — earliest is " +
-            VersionedTable.commits(spark, location).head.timestamp)
-        cs.last.version
+        // monotonic effective stamps (VersionedTable.versionAtOrBefore):
+        // version order dominates raw wall-clock order, and a corrupt legacy
+        // stamp never matches a cutoff on its own — same policy as the
+        // catalog's TIMESTAMP AS OF and the vacuum retention sweep
+        VersionedTable.versionAtOrBefore(spark, location, cutoff).getOrElse(
+          throw new IllegalArgumentException(
+            s"no commit at $location at or before $ts — earliest is " +
+              VersionedTable.commits(spark, location).head.timestamp))
       })
     val df = version match {
       case Some(v) => VersionedTable.readAsOf(spark, location, v)

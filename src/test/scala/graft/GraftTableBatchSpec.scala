@@ -61,6 +61,39 @@ class GraftTableBatchSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("timestampAsOf: version order dominates a regressed writer clock") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("gtb_skew").toString
+    VersionedTable.write(Seq(1L).toDF("id"), loc, "overwrite")  // v0
+    VersionedTable.write(Seq(2L).toDF("id"), loc, "append")     // v1
+    VersionedTable.write(Seq(3L).toDF("id"), loc, "append")     // v2
+    val t0 = java.time.Instant.parse(
+      VersionedTable.commits(spark, loc).head.timestamp)
+
+    // simulate an NTP step between writers: v1's raw stamp regresses to ten
+    // seconds BEFORE v0 — raw-stamp resolution at cutoff t0 would then bind
+    // to v1 (the newest raw stamp ≤ t0), silently including data committed
+    // AFTER v0. Monotonic effective stamps clamp v1 to v0 + 1ms instead.
+    val logFile = java.nio.file.Paths.get(loc, "_commit_log", "1.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+    java.nio.file.Files.write(logFile, txt.replaceFirst(
+      "\"timestamp\":\"[^\"]*\"",
+      "\"timestamp\":\"" + t0.minusSeconds(10).toString + "\"").getBytes("UTF-8"))
+
+    assert(spark.read.format("graft-table")
+      .option("timestampAsOf", t0.toString).load(loc)
+      .as[Long].collect().sorted.toSeq === Seq(1L),
+      "cutoff at v0's stamp must bind to v0, not the clock-regressed v1")
+    // 1ms past v0 reaches exactly the clamped v1
+    assert(spark.read.format("graft-table")
+      .option("timestampAsOf", t0.plusMillis(1).toString).load(loc)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the helper itself: strictly increasing effective stamps across all three
+    assert(VersionedTable.versionAtOrBefore(spark, loc,
+      java.time.Instant.parse(
+        VersionedTable.commits(spark, loc).last.timestamp)) === Some(2L))
+  }
+
   test("unpartitioned read IS the native parquet scan — pushdown and vectorization") {
     import spark.implicits._
     val loc = Files.createTempDirectory("gtb_plan").toString
