@@ -79,7 +79,10 @@ def main():
     runs = {"A": [], "B": []}
     order = []
     for i in range(args.rounds):
-        for label, wt in (("A", wt_a), ("B", wt_b)):
+        # ABBA: alternate pair order per round so a position effect inside a
+        # pair (ambient load ramping, page-cache drift) cancels across rounds
+        pair = (("A", wt_a), ("B", wt_b)) if i % 2 == 0 else (("B", wt_b), ("A", wt_a))
+        for label, wt in pair:
             print(f"[ab] round {i + 1}/{args.rounds} side {label}", flush=True)
             r = run_bench(wt, args.sf, args.only, args.reps, args.cpus)
             runs[label].append(r)
