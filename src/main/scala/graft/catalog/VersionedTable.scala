@@ -3712,6 +3712,55 @@ object VersionedTable {
     files
   }
 
+  /** Per-file inventory of the snapshot at `version` (head when None): exactly
+    * the files the snapshot's PLAN reads (plan-resolved `inputFiles`, so
+    * partition shadowing from scoped merges is respected and DV/change
+    * artifacts are excluded by the live-dir attribution), each attributed to
+    * the commit whose data dir holds it, with size and hive partition path.
+    * Cost: one recursive listing per live data dir — metadata-only, no data
+    * file opened. The ops counterpart of [[detail]]: where detail summarizes,
+    * this itemizes (hot-partition audits, external-engine handoffs, file-size
+    * histograms for compaction planning).
+    */
+  def files(spark: SparkSession, location: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val cs = commits(spark, location)
+    require(cs.nonEmpty, s"no commits at $location")
+    val v = version.getOrElse(cs.last.version)
+    val fs = fileSystem(spark, location)
+    val byDir: Seq[(String, (Long, String))] = liveCommitsFrom(cs, location, v)
+      .filter(_.data_dir.nonEmpty)
+      .map(c => new Path(dataPath(location, c)).toUri.getPath ->
+        (c.version, c.operation))
+    val sizes: Map[String, Long] = byDir.flatMap { case (dir, _) =>
+      val p = new Path(dir)
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          buf += st.getPath.toUri.getPath -> st.getLen
+        }
+        buf.toSeq
+      }
+    }.toMap
+    val rows = readAsOf(spark, location, v).inputFiles.toSeq.sorted.flatMap { f =>
+      val up = new Path(f).toUri.getPath
+      // attribution doubles as the filter: a plan input OUTSIDE every live
+      // data dir (a DV parquet feeding the anti-join) is not table data
+      byDir.find { case (dir, _) => up.startsWith(dir + "/") }.map {
+        case (dir, (cv, op)) =>
+          val rel = up.stripPrefix(dir + "/").split("/").toSeq
+          val pp = rel.dropRight(1).filter(_.contains("=")).mkString("/")
+          (cv, op, f, sizes.getOrElse(up, -1L), pp)
+      }
+    }
+    rows.toDF("commit_version", "operation", "file", "size_bytes",
+      "partition_path")
+  }
+
   /** Delta `DESCRIBE DETAIL` parity: ONE row summarizing the current snapshot —
     * version, operation, row count (log-resolved, no scan), live file count and
     * bytes (driver-side listing of the live dirs only), partition columns,

@@ -137,6 +137,21 @@ private[table] object GraftProcedures {
       (s, resolve, args) =>
         VersionedTable.detail(s, resolve(args(0).asInstanceOf[String]))
           .collect().toSeq.map(_.toSeq)),
+    GraftProcedure("files",
+      "per-file snapshot inventory: exactly the files the snapshot's plan " +
+        "reads, attributed to their commit, with size and partition path " +
+        "(version => -1 reads the head) - listing-only, no data file opened",
+      Seq(in("table", StringType), inDefault("version", LongType, "-1")),
+      StructType(Seq(StructField("commit_version", LongType),
+        StructField("operation", StringType), StructField("file", StringType),
+        StructField("size_bytes", LongType),
+        StructField("partition_path", StringType))),
+      (s, resolve, args) => {
+        val v = args(1).asInstanceOf[Long]
+        VersionedTable.files(s, resolve(args(0).asInstanceOf[String]),
+            if (v < 0) None else Some(v))
+          .collect().toSeq.map(_.toSeq)
+      }),
     GraftProcedure("clone",
       "shallow clone: metadata-only table copy borrowing the source's files " +
         "by reference (optionally at a pinned version) — the clone diverges " +

@@ -31,6 +31,41 @@ class ProcedureSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(r.getLong(9) == 3L, s"live_dv_rows: $r")
   }
 
+  test("CALL system.files itemizes the snapshot, attributed per commit") {
+    wh
+    spark.sql("CREATE TABLE gproc.t.f (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gproc.t.f VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT INTO gproc.t.f VALUES (3, 'a')")           // v2
+    val rows = spark.sql("CALL gproc.system.files(table => 't.f')").collect()
+    assert(rows.nonEmpty)
+    // every row: a real parquet file with its size on disk
+    assert(rows.forall(r => r.getString(2).endsWith(".parquet") &&
+      r.getLong(3) > 0L), rows.mkString(";"))
+    // both INSERT commits contribute, hive-attributed and labeled append
+    // (the CREATE's empty flat v0 file may also appear — zero rows, no p= path)
+    val inserts = rows.filter(_.getLong(0) >= 1L)
+    assert(inserts.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(inserts.forall(r => r.getString(1) == "append" &&
+      r.getString(4).startsWith("p=")), inserts.mkString(";"))
+    // partition attribution: v2 wrote only p=a
+    assert(rows.filter(_.getLong(0) == 2L).forall(_.getString(4) == "p=a"))
+    // the inventory IS the snapshot plan's input set
+    assert(rows.map(_.getString(2)).toSet ==
+      VersionedTable.read(spark, s"$wh/t/f").inputFiles.toSet)
+
+    // a DV delete adds a deletion-vector parquet to the PLAN, but it is not
+    // table data — the inventory must exclude it and pin to a version
+    spark.sql("DELETE FROM gproc.t.f WHERE k = 1")
+    val after = spark.sql("CALL gproc.system.files(table => 't.f')").collect()
+    assert(after.map(_.getString(2)).toSet == rows.map(_.getString(2)).toSet,
+      "a DV delete rewrites no data file and adds none to the inventory")
+    val pinned = spark.sql(
+      "CALL gproc.system.files(table => 't.f', version => 1)").collect()
+    // at version 1 the live set is the CREATE's empty v0 file plus v1's data —
+    // v2 must be absent
+    assert(pinned.map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
+
   test("ALTER COLUMN COMMENT round-trips; DESCRIBE shows it") {
     wh
     spark.sql("CREATE TABLE gproc.t.c (k BIGINT, v STRING)")
