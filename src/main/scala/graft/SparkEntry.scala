@@ -616,6 +616,14 @@ object SparkEntry {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** k-fold gate ([[Splits.kFold]]): the md5 fold tag for k=5 — the oracle
+    * replays the one shard formula, so folds are provably engine-portable.
+    */
+  private def qKfold(s: SparkSession, dir: String): DataFrame =
+    Splits.kFold(docs(s, dir), k = 5)
+      .select("doc_id", "fold")
+      .orderBy("doc_id")
+
   /** Per-stratum deterministic sampling: half of English, all of Chinese, none of the
     * rest — the oracle replays the md5 bucket and the same CASE cuts.
     */
@@ -2181,6 +2189,7 @@ object SparkEntry {
     "q_interval_overlap" -> qIntervalOverlap,
     "q_doc_chunks" -> qDocChunks,
     "q_dataset_split" -> qDatasetSplit,
+    "q_kfold" -> qKfold,
     "q_stratified_sample" -> qStratifiedSample,
     "q_temperature_sample" -> qTemperatureSample,
     "q_weighted_sample" -> qWeightedSample,
@@ -3240,6 +3249,12 @@ object SparkEntry {
          |  CASE $cases ELSE '${cuts.last._1}' END AS split
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    // the one md5 shard formula, mod k — folds replay on any engine
+    "q_kfold" ->
+      """SELECT doc_id,
+        |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // stratified sampling replays the same md5 bucket against per-stratum cuts
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

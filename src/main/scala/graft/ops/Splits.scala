@@ -36,6 +36,28 @@ object Splits {
     (conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
       .cast("long") % numShards).cast("int")
 
+  /** K-FOLD cross-validation assignment: `fold` ∈ [0, k) from the one
+    * [[md5Shard]] formula, so every row's fold is a pure function of its id —
+    * reproducible across engines, sessions, and partitionings, and disjoint
+    * by construction (a row is in exactly one fold). The evaluation-protocol
+    * sibling of [[assign]]: train/val/test carves once, k-fold rotates.
+    */
+  def kFold(df: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold", md5Shard(col(idCol), k))
+  }
+
+  /** One rotation of the k-fold protocol: (train = every fold but `fold`,
+    * test = `fold`). Zero-shuffle filters over the same deterministic tag.
+    */
+  def foldTrainTest(df: DataFrame, k: Int, fold: Int,
+      idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    require(fold >= 0 && fold < k, s"fold $fold outside [0, $k)")
+    val tagged = kFold(df, k, idCol)
+    (tagged.filter(col("fold") =!= fold).drop("fold"),
+      tagged.filter(col("fold") === fold).drop("fold"))
+  }
+
   /** Tag every row with `bucket` and a `split` label; `weights` are (label, fraction)
     * in assignment order and must sum to 1. Fractions resolve to whole buckets
     * (round(cum·1000)), so every bucket maps to exactly one label.

@@ -135,6 +135,32 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("k-fold: disjoint complete folds, rotation complements, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val folds = graft.ops.Splits.kFold(docs, k = 5).select("doc_id", "fold")
+    // exactly one fold per row (disjoint + complete by construction)
+    assert(folds.count() === n)
+    val byFold = folds.groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet === Set(0, 1, 2, 3, 4))
+    // roughly balanced at 500 docs (md5 uniformity)
+    assert(byFold.values.forall(c => math.abs(c - n / 5.0) < n * 0.08), byFold)
+    // repartitioning never moves a row between folds (the anti-leak property)
+    val re = graft.ops.Splits.kFold(docs.repartition(13), k = 5)
+      .select("doc_id", "fold")
+    assert(folds.exceptAll(re).count() === 0 && re.exceptAll(folds).count() === 0)
+    // one rotation: train ⊎ test = corpus, test = the named fold
+    val (train, test) = graft.ops.Splits.foldTrainTest(docs, k = 5, fold = 2)
+    assert(train.count() + test.count() === n)
+    assert(test.select("doc_id").exceptAll(
+      folds.filter(col("fold") === 2).select("doc_id")).count() === 0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Splits.foldTrainTest(docs, k = 5, fold = 5)
+    }
+  }
+
   test("stratified sample: per-stratum fractions, deterministic, incremental-stable") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
