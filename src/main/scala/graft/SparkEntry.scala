@@ -487,6 +487,19 @@ object SparkEntry {
     HtmlExtract.extract(wrapped).orderBy("doc_id")
   }
 
+  /** Sentence-segmentation gate ([[TextAnalysis.sentences]]): the fixture
+    * text carries no terminators, so both sides first inject them with the
+    * same two replacements (the q_html_extract wrap pattern), then segment.
+    * The oracle replays the sentinel-insert + split + position + trim chain
+    * exactly — a boundary-rule or index drift hash-mismatches.
+    */
+  private def qSentences(s: SparkSession, dir: String): DataFrame = {
+    val punctuated = docs(s, dir).select(col("doc_id"),
+      regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
+        "table ", "table. "), "row ", "row! ").as("text"))
+    TextAnalysis.sentences(punctuated).orderBy("doc_id", "sentence_idx")
+  }
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
@@ -2166,6 +2179,7 @@ object SparkEntry {
     "q_matryoshka_topk" -> qMatryoshkaTopK,
     "q_funnel_topk" -> qFunnelTopK,
     "q_html_extract" -> qHtmlExtract,
+    "q_sentences" -> qSentences,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2960,6 +2974,23 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the sentinel-insert + split segmentation replayed exactly: DuckDB's
+    // parallel unnests zip positionally, giving posexplode's 0-based index
+    "q_sentences" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(coalesce(text, ''),
+        |      'table ', 'table. ', 'g'), 'row ', 'row! ', 'g') AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    string_split(regexp_replace(text,
+        |      '([.!?]+["\)\]'']*)[ \t\n\f\r]+', '\1' || chr(1), 'g'),
+        |      chr(1)) AS arr
+        |  FROM p),
+        |u AS (SELECT doc_id, unnest(arr) AS s,
+        |    unnest(range(len(arr))) AS idx FROM m)
+        |SELECT doc_id, CAST(idx AS INT) AS sentence_idx, trim(s) AS sentence
+        |FROM u WHERE trim(s) <> ''
+        |ORDER BY doc_id, sentence_idx""".stripMargin,
     // the identical regex chain (RE2 ∩ Java subset, explicit whitespace
     // classes, &amp; decoded last) over the identical HTML template — DuckDB
     // regexp_replace needs the explicit 'g' flag Spark applies implicitly

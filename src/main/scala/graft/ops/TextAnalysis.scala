@@ -62,6 +62,34 @@ object TextAnalysis {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
+  /** Rule-based SENTENCE segmentation — the boundary primitive under
+    * sentence-level dedup (C4 dedups three-sentence spans), citation-grain
+    * attribution, and sentence-aware chunking. A boundary is a terminator run
+    * `[.!?]+` (plus any closing quotes/brackets riding it) followed by
+    * whitespace; the terminator stays WITH its sentence. Deliberately
+    * rule-based, not a learned segmenter: the rule is engine-replayable
+    * byte-for-byte (the pattern stays in the RE2 ∩ Java subset, no
+    * lookaround — a sentinel insert + split, since lookbehind doesn't exist
+    * in RE2), deterministic, and linear scan-speed work in codegen; known
+    * naivety on abbreviations ("Dr. Smith") is the documented trade.
+    *
+    * Output: one row per non-empty sentence — `(id, sentence_idx, sentence)`,
+    * `sentence_idx` = the sentence's 0-based position in the pre-filter
+    * split (gaps where empty segments were dropped), sentences trimmed.
+    * Zero shuffle; order is carried by the index, so downstream repartitions
+    * freely.
+    */
+  def sentences(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val marked = regexp_replace(coalesce(col(textCol), lit("")),
+      "([.!?]+[\")\\]']*)[ \\t\\n\\f\\r]+", "$1\u0001")
+    df.select(col(idCol),
+        posexplode(split(marked, "\u0001")).as(Seq("sentence_idx", "sentence")))
+      .filter(trim(col("sentence")) =!= "")
+      .select(col(idCol), col("sentence_idx"),
+        trim(col("sentence")).as("sentence"))
+  }
+
   /** Fixed-size token windows with overlap — the training-data chunking op (context-
     * length packing feeds on these). Chunk k starts at token `k·(chunkTokens−overlap)`;
     * starts run strictly below the token count, so the final chunk may be short.

@@ -95,6 +95,34 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-12)
   }
 
+  test("sentence segmentation: boundary rules, quotes, ellipses, empties") {
+    import spark.implicits._
+    def segs(t: String): Seq[(Int, String)] =
+      graft.ops.TextAnalysis.sentences(Seq((1L, t)).toDF("doc_id", "text"))
+        .orderBy("sentence_idx").collect()
+        .map(r => (r.getInt(1), r.getString(2))).toSeq
+
+    assert(segs("One. Two three! Four? Tail").map(_._2) ==
+      Seq("One.", "Two three!", "Four?", "Tail"))
+    // the terminator (and closing quote riding it) stays with its sentence
+    assert(segs("He said \"stop.\" Then left.").map(_._2) ==
+      Seq("He said \"stop.\"", "Then left."))
+    // an ellipsis is ONE terminator run, not three boundaries
+    assert(segs("Wait... go now.").map(_._2) == Seq("Wait...", "go now."))
+    // abbreviation naivety is the documented trade — the rule splits Dr. too
+    assert(segs("Dr. Smith arrived.").map(_._2) == Seq("Dr.", "Smith arrived."))
+    // newlines after a terminator are boundaries; runs of space collapse into
+    // the trim, and indices keep their pre-filter positions
+    assert(segs("A.\n\nB.   C.") == Seq((0, "A."), (1, "B."), (2, "C.")))
+    // no terminator → one sentence; empty/null → no rows
+    assert(segs("no boundaries here").map(_._2) == Seq("no boundaries here"))
+    assert(segs("").isEmpty)
+    assert(graft.ops.TextAnalysis.sentences(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")).count() == 0)
+    // mid-word periods (decimals, versions) never split — no space follows
+    assert(segs("v1.2 beats 3.14 daily.").map(_._2) == Seq("v1.2 beats 3.14 daily."))
+  }
+
   test("chunking: fixed windows with overlap, short trailing chunk, edge cases") {
     val df = mkDocs(Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
