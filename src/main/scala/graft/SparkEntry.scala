@@ -500,6 +500,22 @@ object SparkEntry {
     TextAnalysis.sentences(punctuated).orderBy("doc_id", "sentence_idx")
   }
 
+  /** Sentence-grain corpus dedup gate ([[ChunkDedup.dedupSentences]]): same
+    * deterministic terminator injection as q_sentences, then the C4 rule at
+    * sentence grain — corpus-wide counts, first occurrence survives past
+    * maxOccurrences=2, documents rebuilt in order. The oracle replays the
+    * segmentation, the count/first-occurrence flags (window formulation —
+    * answer-identical to the groupBy+min(struct) the operator uses), and the
+    * ordered reassembly.
+    */
+  private def qSentenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val punctuated = docs(s, dir).select(col("doc_id"),
+      regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
+        "table ", "table. "), "row ", "row! ").as("text"))
+    ChunkDedup.dedupSentences(punctuated, maxOccurrences = 2)
+      .orderBy("doc_id")
+  }
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
@@ -2180,6 +2196,7 @@ object SparkEntry {
     "q_funnel_topk" -> qFunnelTopK,
     "q_html_extract" -> qHtmlExtract,
     "q_sentences" -> qSentences,
+    "q_sentence_dedup" -> qSentenceDedup,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2974,6 +2991,35 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // segmentation + C4 sentence-grain dedup: counts and the first-occurrence
+    // rule via windows (answer-identical to the operator's groupBy+min(struct)),
+    // ordered reassembly via string_agg; n_kept cast off DuckDB's HUGEINT sum
+    "q_sentence_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(coalesce(text, ''),
+        |      'table ', 'table. ', 'g'), 'row ', 'row! ', 'g') AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    string_split(regexp_replace(text,
+        |      '([.!?]+["\)\]'']*)[ \t\n\f\r]+', '\1' || chr(1), 'g'),
+        |      chr(1)) AS arr
+        |  FROM p),
+        |u AS (SELECT doc_id, unnest(arr) AS s0,
+        |    unnest(range(len(arr))) AS idx FROM m),
+        |s AS (SELECT doc_id, CAST(idx AS INT) AS idx, trim(s0) AS sent
+        |  FROM u WHERE trim(s0) <> ''),
+        |f AS (SELECT doc_id, idx, sent,
+        |    count(*) OVER (PARTITION BY md5(sent)) AS cc,
+        |    row_number() OVER (PARTITION BY md5(sent)
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  coalesce(string_agg(sent, ' ' ORDER BY idx)
+        |    FILTER (WHERE cc <= 2 OR rn = 1), '') AS clean_text,
+        |  count(*) AS n_sentences,
+        |  CAST(sum(CASE WHEN cc <= 2 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the sentinel-insert + split segmentation replayed exactly: DuckDB's
     // parallel unnests zip positionally, giving posexplode's 0-based index
     "q_sentences" ->

@@ -66,12 +66,23 @@ object ChunkDedup {
     */
   def flaggedChunks(df: DataFrame, chunkWords: Int, maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text",
-      maxChunkDf: Option[Long] = None): DataFrame = {
+      maxChunkDf: Option[Long] = None): DataFrame =
+    flagUnits(chunks(df, chunkWords, idCol, textCol), maxOccurrences,
+      maxChunkDf)
+
+  /** [[flaggedChunks]] generalized to CALLER-PROVIDED units — the composition
+    * point the object scaladoc promises ("pass the text through a
+    * line/sentence splitter first"): any `(doc_id, chunk_id, chunk_text)`
+    * frame flags the same way, with the same skew cap and the same
+    * answer-preserving plan split.
+    */
+  private def flagUnits(units: DataFrame, maxOccurrences: Long,
+      maxChunkDf: Option[Long]): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1; got $maxOccurrences")
     maxChunkDf.foreach(cap => require(cap >= maxOccurrences,
       s"maxChunkDf ($cap) must be >= maxOccurrences ($maxOccurrences)"))
-    val ch = chunks(df, chunkWords, idCol, textCol)
-      .withColumn("__h", md5(col("chunk_text")))
+    val df = units
+    val ch = units.withColumn("__h", md5(col("chunk_text")))
     // min(struct) = lexicographically-first occurrence, found in the SAME
     // map-side-combined pass as the count — no second shuffle, no window sort
     val groups = ch.groupBy("__h").agg(
@@ -109,7 +120,37 @@ object ChunkDedup {
     */
   def dedupChunks(df: DataFrame, chunkWords: Int, maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    flaggedChunks(df, chunkWords, maxOccurrences, idCol, textCol)
+    rebuild(flaggedChunks(df, chunkWords, maxOccurrences, idCol, textCol),
+      "n_chunks")
+
+  /** SENTENCE-grain corpus dedup — the composition C4 actually describes
+    * (its spans are sentence runs, not token windows): segment with
+    * [[TextAnalysis.sentences]], count each sentence corpus-wide, keep only
+    * the first occurrence of any sentence past `maxOccurrences`, and rebuild
+    * each document from its surviving sentences in order. Same three-exchange
+    * shape and the same `maxSentenceDf` skew guard as the chunk path (one
+    * universal boilerplate sentence — a license line, a cookie banner — is
+    * exactly the hot key the cap exists for). Documents whose every sentence
+    * was removed stay in the output with empty `clean_text`; documents with
+    * NO sentences (empty text) produce no units and are absent, mirroring
+    * the segmentation. Output: `(doc_id, clean_text, n_sentences, n_kept)`.
+    */
+  def dedupSentences(df: DataFrame, maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxSentenceDf: Option[Long] = None): DataFrame =
+    rebuild(flagUnits(
+        TextAnalysis.sentences(df, idCol, textCol)
+          .toDF("doc_id", "chunk_id", "chunk_text"),
+        maxOccurrences, maxSentenceDf),
+      "n_sentences")
+
+  /** Documents reassembled from their surviving units:
+    * `(doc_id, clean_text, <nUnitsName>, n_kept)`. A document whose every
+    * unit was removed stays in the output with an empty `clean_text` —
+    * dropping rows is the caller's policy decision, not the operator's.
+    */
+  private def rebuild(flagged: DataFrame, nUnitsName: String): DataFrame =
+    flagged
       .groupBy("doc_id")
       .agg(
         // collect_list drops the nulls `when` leaves for removed chunks, and
@@ -120,6 +161,6 @@ object ChunkDedup {
               when(col("kept"), struct(col("chunk_id"), col("chunk_text"))))),
             x => x("chunk_text")),
           " ").as("clean_text"),
-        count(lit(1)).as("n_chunks"),
+        count(lit(1)).as(nUnitsName),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
 }

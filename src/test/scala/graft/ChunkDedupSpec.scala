@@ -32,6 +32,30 @@ class ChunkDedupSpec extends AnyFunSuite with SharedSpark {
       (3L, "unique words here", 1L, 1L)))
   }
 
+  test("dedupSentences: boilerplate sentence survives only at its first occurrence") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "All rights reserved. Original thought one."),
+      (1L, "All rights reserved. Different body here!"),
+      (2L, "All rights reserved."), // whole doc is the boilerplate → empty
+      (3L, "No license at all?"),   // untouched
+      (4L, "")).                    // no sentences → absent from the output
+      toDF("doc_id", "text")
+    val got = ChunkDedup.dedupSentences(df, maxOccurrences = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, "All rights reserved. Original thought one.", 2L, 2L),
+      (1L, "Different body here!", 2L, 1L),
+      (2L, "", 1L, 0L),
+      (3L, "No license at all?", 1L, 1L)))
+    // the skew cap changes the plan, never the answer
+    val capped = ChunkDedup.dedupSentences(df, maxOccurrences = 1,
+        maxSentenceDf = Some(2L))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(capped === got)
+  }
+
   test("dedupChunks: maxOccurrences above the count leaves everything in place") {
     import spark.implicits._
     val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
