@@ -367,6 +367,62 @@ object SqlRecipes {
        |GROUP BY ch.doc_id""".stripMargin
   }
 
+  /** The sentence-segmentation boundary body, shared by [[sentencesSql]] and
+    * [[sentenceDedupSql]] — the identical sentinel-insert + split formulation
+    * of [[TextAnalysis.sentences]] (chr(1) sentinel because lookbehind does
+    * not exist in the replayable regex subset).
+    */
+  private def sentenceUnitsCte(view: String, idCol: String,
+      textCol: String): String =
+    s"""SELECT doc_id, pe.sentence_idx, trim(pe.sentence) AS sentence
+       |  FROM (SELECT ${q(idCol)} AS doc_id,
+       |          split(regexp_replace(coalesce(${q(textCol)}, ''),
+       |            '([.!?]+[\")\\\\]\\']*)[ \\\\t\\\\n\\\\f\\\\r]+',
+       |            concat('$$1', chr(1))), chr(1)) AS arr
+       |        FROM $view)
+       |  LATERAL VIEW posexplode(arr) pe AS sentence_idx, sentence
+       |  WHERE trim(pe.sentence) != ''""".stripMargin
+
+  /** Rule-based sentence segmentation — SQL twin of
+    * [[TextAnalysis.sentences]]: same boundary rule, same pre-filter 0-based
+    * indices, same trims.
+    */
+  def sentencesSql(docsView: String, idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH s AS (
+       |  ${sentenceUnitsCte(docsView, idCol, textCol)}
+       |)
+       |SELECT doc_id, sentence_idx, sentence FROM s""".stripMargin
+
+  /** Sentence-grain corpus dedup — SQL twin of [[ChunkDedup.dedupSentences]]:
+    * the segmentation CTE feeds the same md5 count + first-occurrence rule and
+    * ordered reassembly as [[chunkDedupSql]].
+    */
+  def sentenceDedupSql(docsView: String, maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val kept = s"""g.corpus_count <= $maxOccurrences
+       |      OR (g.first_occ.doc_id = s.doc_id AND g.first_occ.sentence_idx = s.sentence_idx)""".stripMargin
+    s"""WITH s0 AS (
+       |  ${sentenceUnitsCte(docsView, idCol, textCol)}
+       |),
+       |s AS (SELECT doc_id, sentence_idx, sentence, md5(sentence) AS h FROM s0),
+       |g AS (
+       |  SELECT h, count(*) AS corpus_count,
+       |    min(named_struct('doc_id', doc_id, 'sentence_idx', sentence_idx))
+       |      AS first_occ
+       |  FROM s GROUP BY h
+       |)
+       |SELECT s.doc_id,
+       |  array_join(transform(array_sort(collect_list(
+       |    CASE WHEN $kept
+       |      THEN named_struct('sentence_idx', s.sentence_idx, 'sentence', s.sentence)
+       |    END)), x -> x.sentence), ' ') AS clean_text,
+       |  count(*) AS n_sentences,
+       |  sum(CASE WHEN $kept THEN 1 ELSE 0 END) AS n_kept
+       |FROM s JOIN g ON s.h = g.h
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
   /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
     * convenience for chaining recipes from SQL-first code.
     */

@@ -77,6 +77,28 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(viaApi.exceptAll(viaSql).count() === 0)
   }
 
+  test("pure-SQL sentence recipes match the Scala operators row for row") {
+    // inject terminators so the segmentation is non-vacuous on the fixture
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
+        "table ", "table. "), "row ", "row! ").as("text"))
+    docs.createOrReplaceTempView("docs_sentences")
+
+    val segSql = spark.sql(graft.ops.SqlRecipes.sentencesSql("docs_sentences"))
+    val segApi = graft.ops.TextAnalysis.sentences(docs)
+    assert(segSql.count() > docs.count(), "segmentation must be non-vacuous")
+    assert(segSql.exceptAll(segApi).count() === 0)
+    assert(segApi.exceptAll(segSql).count() === 0)
+
+    val dedupSql = spark.sql(graft.ops.SqlRecipes.sentenceDedupSql(
+      "docs_sentences", maxOccurrences = 2))
+    val dedupApi = graft.ops.ChunkDedup.dedupSentences(docs, maxOccurrences = 2)
+    assert(dedupApi.filter(col("n_kept") < col("n_sentences")).count() > 0,
+      "the corpus must actually contain over-replicated sentences")
+    assert(dedupSql.exceptAll(dedupApi).count() === 0)
+    assert(dedupApi.exceptAll(dedupSql).count() === 0)
+  }
+
   test("pure-SQL gopher filter matches gopherFilter row for row") {
     val docs = Tables.documents(spark, sf)
     docs.createOrReplaceTempView("docs_gopher")
