@@ -516,6 +516,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Character-entropy gate ([[TextAnalysis.charEntropy]]): exact-integer
+    * char counts, 8-dp-rounded `c·log2 c` addends (grid sums are
+    * order-independent), 6-dp entropy — the oracle replays the identical
+    * arithmetic.
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
       threshold = 0.45, tables = 8, planesPerTable = 4).orderBy("vec_a", "vec_b")
@@ -2197,6 +2205,7 @@ object SparkEntry {
     "q_html_extract" -> qHtmlExtract,
     "q_sentences" -> qSentences,
     "q_sentence_dedup" -> qSentenceDedup,
+    "q_char_entropy" -> qCharEntropy,
     "q_ivf_topk" -> qIvfTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -2991,6 +3000,20 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exact-integer char counts; HUGEINT sums cast off; the grid-rounded
+    // addend chain replayed exactly
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(text, ''), '')) AS c FROM documents),
+        |pc AS (SELECT doc_id, c, count(*) AS n FROM ch
+        |  WHERE c <> '' GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    count(*) AS distinct_chars,
+        |    sum(round(CAST(n AS DOUBLE) * log2(n), 8)) AS clogc
+        |  FROM pc GROUP BY doc_id)
+        |SELECT doc_id, n_chars, distinct_chars,
+        |  round(log2(n_chars) - clogc / CAST(n_chars AS DOUBLE), 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
     // segmentation + C4 sentence-grain dedup: counts and the first-occurrence
     // rule via windows (answer-identical to the operator's groupBy+min(struct)),
     // ordered reassembly via string_agg; n_kept cast off DuckDB's HUGEINT sum

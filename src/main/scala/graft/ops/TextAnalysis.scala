@@ -90,6 +90,42 @@ object TextAnalysis {
         trim(col("sentence")).as("sentence"))
   }
 
+  /** Per-document CHARACTER Shannon entropy — the compression-style quality
+    * signal (low entropy = repetitive machine junk, keyboard mashing,
+    * padding; natural language sits ~3.5–4.5 bits/char) that complements the
+    * token-level [[repetitionStats]]. `H = log2(n) − (Σ c·log2 c)/n` over the
+    * per-char counts, so every input to the float math is an exact integer.
+    *
+    * Scale shape: chars explode MAP-SIDE and partial aggregation collapses
+    * them to (doc, distinct-char) rows BEFORE the exchange — shuffle volume
+    * is O(docs × alphabet), never O(corpus bytes) — then one doc-keyed
+    * aggregation folds the entropy (the [[tokenPairCounts]] shape).
+    * Determinism across engines: each `c·log2 c` addend is rounded to 8 dp
+    * before the sum (sums of grid values are order-independent), and the
+    * final entropy rounds to 6 dp — the DuckDB oracle replays it exactly.
+    *
+    * Output: `(id, n_chars, distinct_chars, entropy)`; empty/null text rows
+    * produce no output (no chars to measure).
+    */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perChar = df
+      .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), ""))
+        .as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    perChar.groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum(round(col("__c").cast("double") * log(2.0, col("__c")), 8))
+          .as("__clogc"))
+      .select(col(idCol), col("n_chars"), col("distinct_chars"),
+        round(log(2.0, col("n_chars")) -
+          col("__clogc") / col("n_chars").cast("double"), 6).as("entropy"))
+  }
+
   /** Fixed-size token windows with overlap — the training-data chunking op (context-
     * length packing feeds on these). Chunk k starts at token `k·(chunkTokens−overlap)`;
     * starts run strictly below the token count, so the final chunk may be short.

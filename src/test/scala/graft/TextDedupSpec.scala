@@ -123,6 +123,29 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(segs("v1.2 beats 3.14 daily.").map(_._2) == Seq("v1.2 beats 3.14 daily."))
   }
 
+  test("char entropy: hand values, extremes, empty and null rows absent") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "aaaa"),        // one symbol → 0 bits
+      (1L, "ab"),          // two equiprobable → exactly 1 bit
+      (2L, "abcdabcdabcd"),// four equiprobable → exactly 2 bits
+      (3L, ""),            // no chars → no row
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.charEntropy(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0.0),
+      (1L, 2L, 2L, 1.0),
+      (2L, 12L, 4L, 2.0)))
+    // repetitive junk scores strictly below varied text of the same length
+    val cmp = graft.ops.TextAnalysis.charEntropy(Seq(
+      (0L, "aaaaaaaaab"), (1L, "a quick fox")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.getDouble(3))
+    assert(cmp(0) < cmp(1), s"junk ${cmp(0)} must score under prose ${cmp(1)}")
+  }
+
   test("chunking: fixed windows with overlap, short trailing chunk, edge cases") {
     val df = mkDocs(Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
