@@ -75,6 +75,11 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(headline)(f => headline.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the context block interpolates this into JSON — a non-numeric setting
+    // like "*" (plausible for local[*]) must emit as a quoted string, not
+    // break bench_ab.py's json.loads of bench_latest.json
+    val cpusJson = cpus.trim.toIntOption.map(_.toString).getOrElse(
+      "\"" + cpus.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -143,7 +148,7 @@ object Bench {
       s""""context":{"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
         s""""jvm_uptime_ms_at_start":$jvmUptimeStartMs,""" +
         s""""jvm_warm":${jvmUptimeStartMs > 60000},""" +
-        s""""wall_sec":${fmt(wallSec)},"cpus":$cpus}"""
+        s""""wall_sec":${fmt(wallSec)},"cpus":$cpusJson}"""
     }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_reps":$failedReps,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean",$context}"""

@@ -182,6 +182,17 @@ object CopyInto {
     def qualified(st: FileStatus): String =
       fs.makeQualified(st.getPath).toString
 
+    // the ingest ledger is line-oriented JSONL and neither fold escapes
+    // control characters (escapeJson covers backslash/quote only, matching
+    // the distributed regexp_replace) — a newline in a path (legal on POSIX)
+    // would split its record across lines, drop it from manifestPaths, and
+    // re-ingest the file as a duplicate. Refuse loudly at candidate time.
+    listed.find(st => qualified(st).exists(_ < ' ')).foreach { st =>
+      throw new IllegalArgumentException(
+        "COPY INTO: source path contains a control character, which the " +
+          s"line-oriented ingest ledger cannot record: ${qualified(st)}")
+    }
+
     // in-force manifests NOT covered by the compact artifact — the per-run tail
     val tail = manifests.filter(st =>
       seqOf(st).exists(s => referenced(s) && compactC.forall(s > _)))
@@ -293,7 +304,13 @@ object CopyInto {
             .find(_.getName.startsWith("part-"))
             .getOrElse(throw new IllegalStateException(
               s"staged compact fold wrote no part file under $staged"))
-          fs.rename(part, new Path(ingestDir, f"compact.$newC%06d.jsonl"))
+          val dest = new Path(ingestDir, f"compact.$newC%06d.jsonl")
+          // a false return (name collision, quota, object-store copy failure)
+          // must NOT reach the delete below — the staged part is the only
+          // copy of the folded body (the orphan bloom alone would silently
+          // under-report ingested files and double-load on the next run)
+          if (!fs.rename(part, dest)) throw new IllegalStateException(
+            s"COPY INTO: compact fold rename failed: $part -> $dest")
           fs.delete(staged, true)
         } finally union.unpersist()
       }
