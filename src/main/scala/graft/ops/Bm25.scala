@@ -95,6 +95,60 @@ object Bm25 {
     Index(postings, docLengths, stats)
   }
 
+  /** Persisted-index lifecycle over [[graft.catalog.VersionedTable]] — the
+    * incremental maintenance path that keeps the index-only serving tier
+    * ([[topKFromIndex]], [[HybridRetrieval.bm25RrfTopKFromIndex]]) sustainable
+    * on a GROWING corpus: each arriving batch is tokenized ONCE, and its
+    * postings / doc-lengths / stats land as ordinary versioned-table appends —
+    * prior corpus TEXT is never rescanned (the [[IncrementalDedup]] sign-once
+    * pattern applied to retrieval; reference intent: the medallion layers'
+    * incremental ingest, `ingestion/s3-orders-ingestion.py:33-58`, extended to
+    * the retrieval tier).
+    *
+    * Layout under `dir`: three versioned tables — `postings` (term, doc_id,
+    * tf), `doclen` (doc_id, dl), and `stats` holding ONE `(n, sumdl)` row PER
+    * batch; [[readIndexFrom]] folds the stat rows into the single-row corpus
+    * frame the scorers expect. Appending per-batch stat rows instead of
+    * read-modify-writing a global row keeps every append a pure O(batch)
+    * write — no read of prior state, no lost-update window.
+    *
+    * Contract: batches carry NOVEL doc_ids (route arrivals through an ingest
+    * ledger — [[graft.catalog.CopyInto]] — or [[IncrementalDedup.filterNovel]]
+    * first); re-appending an indexed doc_id would double-count its postings
+    * exactly as re-inserting a row double-counts in any append-only store.
+    */
+  def writeIndex(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    landBatch(docs, dir, "overwrite", idCol, textCol)
+
+  /** Append one batch to a persisted index: tokenizes ONLY `batch` (one
+    * [[buildIndex]] pass over it), never the corpus behind the index.
+    */
+  def appendToIndex(batch: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    landBatch(batch, dir, "append", idCol, textCol)
+
+  private def landBatch(batch: DataFrame, dir: String, operation: String,
+      idCol: String, textCol: String): Unit = {
+    val built = buildIndex(batch, idCol, textCol)
+    graft.catalog.VersionedTable.write(built.postings, s"$dir/postings", operation)
+    graft.catalog.VersionedTable.write(built.docLengths, s"$dir/doclen", operation)
+    graft.catalog.VersionedTable.write(built.stats, s"$dir/stats", operation)
+  }
+
+  /** Load a persisted index. The per-batch stat rows fold to the single
+    * corpus-stats row here — O(#batches), metadata-scale; coalesce covers the
+    * all-empty-batches degenerate case the same way an empty corpus does.
+    */
+  def readIndexFrom(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    import graft.catalog.VersionedTable
+    val stats = VersionedTable.read(spark, s"$dir/stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
+    Index(VersionedTable.read(spark, s"$dir/postings"),
+      VersionedTable.read(spark, s"$dir/doclen"), stats)
+  }
+
   /** Corpus vocabulary with retrieval statistics: one row per distinct token —
     * document frequency, total term frequency, and the same smoothed idf the
     * scorer uses. The lexicon feed for tokenizer training, stopword discovery

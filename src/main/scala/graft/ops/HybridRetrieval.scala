@@ -94,11 +94,14 @@ object HybridRetrieval {
     * index-only by construction.
     *
     * Scale shape (100 TB): the query term set is numQueries documents' worth —
-    * broadcast; the postings scan keeps only rows whose term appears in some
-    * query (partition/sort the postings by term on write and that scan PRUNES
-    * to the query terms' row groups); per-(query, doc) BM25 is one map-side
-    * addend per posting hit + one aggregation shuffle keyed (query, doc). The
-    * semantic leg and fusion are [[rrfTopK]]'s.
+    * bounded by construction — so it is collected driver-side ONCE (one
+    * doc_id-pruned postings read) and re-enters every subsequent postings read
+    * as an `isin` predicate the way [[Bm25.topKFromIndex]] pushes its terms:
+    * the predicate reaches the parquet scan (`PushedFilters`, plan-asserted in
+    * HybridRetrievalSpec), so row-group stats PRUNE the scans to the query
+    * terms instead of a broadcast join filtering rows post-read. Per-(query,
+    * doc) BM25 is one map-side addend per posting hit + one aggregation
+    * shuffle keyed (query, doc). The semantic leg and fusion are [[rrfTopK]]'s.
     *
     * Determinism: each BM25 addend is computed from exact-integer (tf, df, dl,
     * N, Σdl) inputs in one fixed operation order and rounded to 6 dp BEFORE the
@@ -113,14 +116,26 @@ object HybridRetrieval {
     require(numQueries > 0 && legK > 0 && k > 0 && rrfK > 0)
 
     // --- lexical leg: BM25 from the inverted index ---------------------------
-    val qTerms = index.postings
+    // the (query_id, term) pairs are numQueries documents' worth — the one
+    // bounded driver collect; the doc_id predicate prunes this read on a
+    // doc_id-sorted postings table
+    val qTermsScan = index.postings
       .filter(col("doc_id") < numQueries && col("term") =!= "")
       .select(col("doc_id").as("query_id"), col("term"))
+    val qPairs = qTermsScan.collect()
+    val termList = qPairs.map(_.getString(1)).distinct.toSeq
+    // the collected pairs re-enter the plan as a broadcast local relation
+    // (schema preserved so query_id keeps the postings' doc_id type)
+    val qTerms = qTermsScan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qPairs: _*), qTermsScan.schema)
+    // query vocabulary pushed INTO the scans: parquet row-group stats prune
+    // a term-sorted postings table to the query terms' row groups
+    val termPruned =
+      if (termList.isEmpty) index.postings.filter(lit(false))
+      else index.postings.filter(col("term").isin(termList: _*))
     // per-term document frequency, restricted to the query vocabulary (tiny)
-    val dfs = index.postings
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val hits = index.postings.join(broadcast(qTerms), Seq("term"))
+    val dfs = termPruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val hits = termPruned.join(broadcast(qTerms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
 
     val n = col("n").cast("double")

@@ -76,6 +76,41 @@ class Bm25Spec extends AnyFunSuite with SharedSpark {
       .findFirstIn(plan).isDefined, s"postings scan must prune on term:\n$plan")
   }
 
+  test("incremental index: append tokenizes only the batch — prior corpus text " +
+      "deleted, answers still match a from-scratch rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    val textDir = java.nio.file.Files.createTempDirectory("bm25_inc_text").toString
+    val docs = Tables.documents(spark, sf)
+
+    // land the initial corpus as parquet TEXT and build the index from that scan
+    docs.filter(col("doc_id") < 300).write.parquet(s"$textDir/base")
+    Bm25.writeIndex(spark.read.parquet(s"$textDir/base"), s"$dir/idx")
+
+    // DELETE the base text: if any append or read rescanned prior corpus text
+    // it would now throw FileNotFound — the index artifacts are the only state
+    val fs = new org.apache.hadoop.fs.Path(textDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$textDir/base"), true))
+
+    Bm25.appendToIndex(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+      s"$dir/idx")
+    Bm25.appendToIndex(docs.filter(col("doc_id") >= 400), s"$dir/idx")
+
+    // differential equality with a from-scratch rebuild — top-k AND artifacts
+    val full = Bm25.buildIndex(docs)
+    val inc = Bm25.readIndexFrom(spark, s"$dir/idx")
+    val terms = Seq("hash", "join", "vector")
+    assert(Bm25.topKFromIndex(inc, terms, 20).collect().map(_.toString).toSeq ===
+      Bm25.topKFromIndex(full, terms, 20).collect().map(_.toString).toSeq)
+    assert(inc.stats.collect().map(_.toString).toSeq ===
+      full.stats.collect().map(_.toString).toSeq)
+    assert(inc.docLengths.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      full.docLengths.orderBy("doc_id").collect().map(_.toString).toSeq)
+    assert(inc.postings.orderBy("term", "doc_id").collect().map(_.toString).toSeq ===
+      full.postings.orderBy("term", "doc_id").collect().map(_.toString).toSeq)
+  }
+
   test("matching is case-insensitive on the document side") {
     val mixed = Seq((1L, "Hash JOIN"), (2L, "HASH")).toDF("doc_id", "text")
     val ids = Bm25.scores(mixed, Seq("hash")).select("doc_id")

@@ -98,6 +98,16 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("documents"),
       s"index-path plan must not scan corpus text:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+    // the query vocabulary must be PUSHED into every postings scan (row-group
+    // pruning on a term-sorted table), not filtered post-read by a join
+    val postingScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings")).toSeq
+    assert(postingScans.nonEmpty,
+      s"expected parquet postings scans in the executed plan:\n$plan")
+    postingScans.foreach { l =>
+      assert(l.contains("In(term") || l.contains("EqualTo(term"),
+        s"postings scan must push the query-term predicate:\n$l")
+    }
 
     // and it answers exactly what the inline build answers
     val inline = HybridRetrieval.bm25RrfTopK(docs, emb, numQueries = 3,
