@@ -487,18 +487,45 @@ object SparkEntry {
     HtmlExtract.extract(wrapped).orderBy("doc_id")
   }
 
+  /** Block-level main-content gate ([[HtmlExtract.mainContent]]): the wrap
+    * plants a link-farm nav (3 words, link density 1), the doc text as a
+    * dense prose paragraph (link density 0), a related-links list, and a
+    * two-word footer — the keep rule must survive exactly the prose block.
+    * The oracle replays the identical block split, scoring, and reassembly.
+    */
+  private def qHtmlMainContent(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = docs(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><title>T</title><script>var x = 1;</script></head>" +
+        "<body><div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/b\">Contact</a></div><p>"),
+      coalesce(col("text"), lit("")),
+      lit(" tail &amp; more.</p><ul><li><a href=\"/x\">One link here</a></li>" +
+        "<li><a href=\"/y\">Another link text</a></li></ul>" +
+        "<div class=\"footer\">(c) site</div></body></html>")).as("html"))
+    HtmlExtract.mainContent(wrapped).orderBy("doc_id")
+  }
+
   /** Sentence-segmentation gate ([[TextAnalysis.sentences]]): the fixture
     * text carries no terminators, so both sides first inject them with the
     * same two replacements (the q_html_extract wrap pattern), then segment.
     * The oracle replays the sentinel-insert + split + position + trim chain
     * exactly — a boundary-rule or index drift hash-mismatches.
     */
-  private def qSentences(s: SparkSession, dir: String): DataFrame = {
-    val punctuated = docs(s, dir).select(col("doc_id"),
-      regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
-        "table ", "table. "), "row ", "row! ").as("text"))
-    TextAnalysis.sentences(punctuated).orderBy("doc_id", "sentence_idx")
-  }
+  private def qSentences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sentences(sentenceFixture(s, dir))
+      .orderBy("doc_id", "sentence_idx")
+
+  /** Deterministic sentence fixture: terminators injected (the fixture text
+    * carries none), plus abbreviation injections ("Dr.", "e.g.") that
+    * exercise the abbreviation guard — without the mask these would split
+    * mid-phrase and the oracle (which replays the mask) would mismatch.
+    */
+  private def sentenceFixture(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")),
+        "table ", "table. "), "row ", "row! "),
+        "data ", "Dr. data "), "key ", "e.g. key ").as("text"))
 
   /** Sentence-grain corpus dedup gate ([[ChunkDedup.dedupSentences]]): same
     * deterministic terminator injection as q_sentences, then the C4 rule at
@@ -508,13 +535,9 @@ object SparkEntry {
     * answer-identical to the groupBy+min(struct) the operator uses), and the
     * ordered reassembly.
     */
-  private def qSentenceDedup(s: SparkSession, dir: String): DataFrame = {
-    val punctuated = docs(s, dir).select(col("doc_id"),
-      regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
-        "table ", "table. "), "row ", "row! ").as("text"))
-    ChunkDedup.dedupSentences(punctuated, maxOccurrences = 2)
+  private def qSentenceDedup(s: SparkSession, dir: String): DataFrame =
+    ChunkDedup.dedupSentences(sentenceFixture(s, dir), maxOccurrences = 2)
       .orderBy("doc_id")
-  }
 
   /** Character-entropy gate ([[TextAnalysis.charEntropy]]): exact-integer
     * char counts, 8-dp-rounded `c·log2 c` addends (grid sums are
@@ -969,6 +992,120 @@ object SparkEntry {
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     Bm25.topK(docs(s, dir), Seq("hash", "join", "vector"), k = 20)
       .orderBy(col("score").desc, col("doc_id"))
+
+  /** DuckDB replay of [[HtmlExtract.mainContent]]'s block rule over the
+    * q_html_main_content wrap — the block-text chain (tag strip, entity
+    * decode in the same order, whitespace collapse) is generated once here
+    * and inlined at every use, exactly what the Spark HOFs compute per block.
+    */
+  private lazy val htmlMainContentOracle: String = {
+    def text(x: String): String =
+      "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ', 'g'), '&nbsp;', ' '), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&amp;', '&'), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+    val noAnchor = "regexp_replace(x, '(?is)<a[^>]*>.*?</a>', ' ', 'g')"
+    val keep = s"${text("x")} <> '' " +
+      s"AND len(string_split(${text("x")}, ' ')) >= 5 " +
+      s"AND CAST(greatest(len(${text("x")}) - len(${text(noAnchor)}), 0) AS DOUBLE)" +
+      s" / greatest(len(${text("x")}), 1) <= 0.33"
+    s"""WITH w AS (SELECT doc_id,
+       |  '<html><head><title>T</title><script>var x = 1;</script></head>' ||
+       |  '<body><div id="nav"><a href="/">Home</a> <a href="/a">About</a> ' ||
+       |  '<a href="/b">Contact</a></div><p>' || coalesce(text, '') ||
+       |  ' tail &amp; more.</p><ul><li><a href="/x">One link here</a></li>' ||
+       |  '<li><a href="/y">Another link text</a></li></ul>' ||
+       |  '<div class="footer">(c) site</div></body></html>' AS html
+       | FROM documents),
+       |nc AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?is)<noscript[^>]*>.*?</noscript>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS pre
+       | FROM w),
+       |b AS (SELECT doc_id, string_split(regexp_replace(pre,
+       |    '${HtmlExtract.blockTagPattern}', chr(1), 'g'), chr(1)) AS blocks
+       | FROM nc)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(
+       |    list_filter(blocks, x -> $keep), x -> ${text("x")}), ' ')
+       |    AS main_text,
+       |  CAST(len(list_filter(blocks, x -> ${text("x")} <> '')) AS INT)
+       |    AS n_blocks,
+       |  CAST(len(list_filter(blocks, x -> $keep)) AS INT) AS n_kept
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB-side shared sentence segmentation chain (q_sentences /
+    * q_sentence_dedup): the four deterministic injections, the abbreviation
+    * mask (chr(2) sentinel — [[TextAnalysis.abbreviationMaskPattern]] spliced
+    * verbatim, RE2-safe), then the sentinel-insert + split + positional
+    * unnest. Consumers restore chr(2) to '.' and trim.
+    */
+  private lazy val sentenceUnitsDuck: String =
+    """WITH p AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      coalesce(text, ''),
+      |      'table ', 'table. ', 'g'), 'row ', 'row! ', 'g'),
+      |      'data ', 'Dr. data ', 'g'), 'key ', 'e.g. key ', 'g') AS text
+      |  FROM documents),
+      |mk AS (SELECT doc_id, regexp_replace(text,
+      |      '""".stripMargin + TextAnalysis.abbreviationMaskPattern +
+    """', '\1' || chr(2), 'g') AS text
+      |  FROM p),
+      |m AS (SELECT doc_id,
+      |    string_split(regexp_replace(text,
+      |      '([.!?]+["\)\]'']*)[ \t\n\f\r]+', '\1' || chr(1), 'g'),
+      |      chr(1)) AS arr
+      |  FROM mk),
+      |u AS (SELECT doc_id, unnest(arr) AS s0,
+      |    unnest(range(len(arr))) AS idx FROM m)""".stripMargin
+
+  /** DuckDB replay of the 3-term Okapi BM25 scan formulation — shared by the
+    * scan-path gate (`q_bm25_topk`) and the incremental-index gate
+    * (`q_bm25_append`), whose pass therefore proves append-equality too.
+    */
+  private lazy val bm25OracleSql: String = {
+    val terms = Seq("hash", "join", "vector")
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(", ")
+    val df = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val addends = terms.indices.map { i =>
+      s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2
+         | / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin.replace("\n", "")
+    }.mkString("(", " + ", ")")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, len(toks) AS dl, $tf
+       |  FROM (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $df
+       |  FROM p)
+       |SELECT doc_id, round($addends, 6) AS score
+       |FROM p, st WHERE $anyTf > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Incrementally-maintained BM25 index ([[Bm25.writeIndex]] + two
+    * [[Bm25.appendToIndex]] batches, each tokenized once, through the
+    * versioned table) answering the SAME query as [[qBm25]] — the oracle
+    * replays the scan formulation over the full corpus, so a pass proves the
+    * incremental appends reconstruct the exact full-build ranking.
+    */
+  private def qBm25Append(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+    Bm25.writeIndex(d.filter(col("doc_id") < 250), idx)
+    Bm25.appendToIndex(d.filter(col("doc_id") >= 250 && col("doc_id") < 400), idx)
+    Bm25.appendToIndex(d.filter(col("doc_id") >= 400), idx)
+    Bm25.topKFromIndex(Bm25.readIndexFrom(s, idx), Seq("hash", "join", "vector"),
+        k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
 
   /** Rollup subtotals over daily sales (date, region hierarchy + grand total). */
   private def qSalesRollup(s: SparkSession, dir: String): DataFrame = {
@@ -2203,6 +2340,7 @@ object SparkEntry {
     "q_matryoshka_topk" -> qMatryoshkaTopK,
     "q_funnel_topk" -> qFunnelTopK,
     "q_html_extract" -> qHtmlExtract,
+    "q_html_main_content" -> qHtmlMainContent,
     "q_sentences" -> qSentences,
     "q_sentence_dedup" -> qSentenceDedup,
     "q_char_entropy" -> qCharEntropy,
@@ -2249,6 +2387,7 @@ object SparkEntry {
     "q_histogram" -> qHistogram,
     "q_funnel" -> qFunnel,
     "q_bm25_topk" -> qBm25,
+    "q_bm25_append" -> qBm25Append,
     "q_vocabulary" -> qVocabulary,
     "q_token_pairs" -> qTokenPairs,
     "q_sales_rollup" -> qSalesRollup,
@@ -3018,18 +3157,9 @@ object SparkEntry {
     // rule via windows (answer-identical to the operator's groupBy+min(struct)),
     // ordered reassembly via string_agg; n_kept cast off DuckDB's HUGEINT sum
     "q_sentence_dedup" ->
-      """WITH p AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(coalesce(text, ''),
-        |      'table ', 'table. ', 'g'), 'row ', 'row! ', 'g') AS text
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |    string_split(regexp_replace(text,
-        |      '([.!?]+["\)\]'']*)[ \t\n\f\r]+', '\1' || chr(1), 'g'),
-        |      chr(1)) AS arr
-        |  FROM p),
-        |u AS (SELECT doc_id, unnest(arr) AS s0,
-        |    unnest(range(len(arr))) AS idx FROM m),
-        |s AS (SELECT doc_id, CAST(idx AS INT) AS idx, trim(s0) AS sent
+      (sentenceUnitsDuck + """,
+        |s AS (SELECT doc_id, CAST(idx AS INT) AS idx,
+        |    trim(replace(s0, chr(2), '.')) AS sent
         |  FROM u WHERE trim(s0) <> ''),
         |f AS (SELECT doc_id, idx, sent,
         |    count(*) OVER (PARTITION BY md5(sent)) AS cc,
@@ -3042,24 +3172,17 @@ object SparkEntry {
         |  count(*) AS n_sentences,
         |  CAST(sum(CASE WHEN cc <= 2 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_kept
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // the sentinel-insert + split segmentation replayed exactly: DuckDB's
-    // parallel unnests zip positionally, giving posexplode's 0-based index
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the sentinel-insert + split segmentation replayed exactly (abbreviation
+    // mask included): DuckDB's parallel unnests zip positionally, giving
+    // posexplode's 0-based index
     "q_sentences" ->
-      """WITH p AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(coalesce(text, ''),
-        |      'table ', 'table. ', 'g'), 'row ', 'row! ', 'g') AS text
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |    string_split(regexp_replace(text,
-        |      '([.!?]+["\)\]'']*)[ \t\n\f\r]+', '\1' || chr(1), 'g'),
-        |      chr(1)) AS arr
-        |  FROM p),
-        |u AS (SELECT doc_id, unnest(arr) AS s,
-        |    unnest(range(len(arr))) AS idx FROM m)
-        |SELECT doc_id, CAST(idx AS INT) AS sentence_idx, trim(s) AS sentence
-        |FROM u WHERE trim(s) <> ''
-        |ORDER BY doc_id, sentence_idx""".stripMargin,
+      (sentenceUnitsDuck + """,
+        |st AS (SELECT doc_id, CAST(idx AS INT) AS sentence_idx,
+        |    trim(replace(s0, chr(2), '.')) AS sentence
+        |  FROM u WHERE trim(s0) <> '')
+        |SELECT doc_id, sentence_idx, sentence FROM st
+        |ORDER BY doc_id, sentence_idx""".stripMargin),
     // the identical regex chain (RE2 ∩ Java subset, explicit whitespace
     // classes, &amp; decoded last) over the identical HTML template — DuckDB
     // regexp_replace needs the explicit 'g' flag Spark applies implicitly
@@ -3106,6 +3229,7 @@ object SparkEntry {
         |    AS anchor_count
         |FROM t JOIN ti ON t.doc_id = ti.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q_html_main_content" -> htmlMainContentOracle,
     // the BM25 lexical leg replayed from first principles (postings → df →
     // fixed-order addend arithmetic, 6-dp rounded before AND after the
     // per-pair sum so the sum is order-independent), the cosine leg and the
@@ -3711,29 +3835,10 @@ object SparkEntry {
         |ORDER BY df DESC, term LIMIT 100""".stripMargin,
     // BM25 with the identical left-to-right addend chain (lowercased whitespace
     // tokens, Lucene +1 idf smoothing, k1=1.2 b=0.75), rounded to 6 decimals
-    "q_bm25_topk" -> {
-      val terms = Seq("hash", "join", "vector")
-      val tf = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(", ")
-      val df = terms.indices.map(i =>
-        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
-      val addends = terms.indices.map { i =>
-        s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2
-           | / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin.replace("\n", "")
-      }.mkString("(", " + ", ")")
-      val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
-      s"""WITH p AS (
-         |  SELECT doc_id, len(toks) AS dl, $tf
-         |  FROM (SELECT doc_id,
-         |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)),
-         |st AS (
-         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $df
-         |  FROM p)
-         |SELECT doc_id, round($addends, 6) AS score
-         |FROM p, st WHERE $anyTf > 0
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q_bm25_topk" -> bm25OracleSql,
+    // the incremental-index gate replays the SAME full-corpus scan formulation:
+    // oracle equality proves the per-batch appends reconstruct the full build
+    "q_bm25_append" -> bm25OracleSql,
     "q_window_analytics" ->
       s"""WITH o AS ($oSql)
          |SELECT customer_id, order_id, CAST(order_date AS DATE) AS order_date,

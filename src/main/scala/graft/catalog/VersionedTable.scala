@@ -496,7 +496,11 @@ object VersionedTable {
     * a bumping sequence — a name is never rewritten), so their parsed content
     * caches JVM-wide forever. mtime+length ride the key to survive a table
     * dropped and recreated at the same location (fresh `000000.json`, new
-    * content). With the cache, ANY read — head or time travel — of a table
+    * content); same-JVM create/drop additionally purge this cache in
+    * [[invalidateLogCaches]] — second-granularity mtimes plus an equal-length
+    * DDL archive (CHECK (x > 5) recreated as CHECK (x > 9)) would otherwise
+    * collide on the (path, mtime, length) key exactly like the commit and
+    * checkpoint caches. With the cache, ANY read — head or time travel — of a table
     * that ever saw DDL costs one exists + one listStatus — metadata-only, no
     * GET — instead of a newest-archive read per scan assembly. A head-read
     * short-circuit to the two current sidecar FILES was considered and
@@ -3723,8 +3727,10 @@ object VersionedTable {
     * histograms for compaction planning).
     */
   def files(spark: SparkSession, location: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, partitionPrefix: String = "",
+      maxFiles: Long = 1000000L): DataFrame = {
     import spark.implicits._
+    require(maxFiles > 0, "max_files must be positive")
     val cs = commits(spark, location)
     require(cs.nonEmpty, s"no commits at $location")
     val v = version.getOrElse(cs.last.version)
@@ -3746,7 +3752,7 @@ object VersionedTable {
         buf.toSeq
       }
     }.toMap
-    val rows = readAsOf(spark, location, v).inputFiles.toSeq.sorted.flatMap { f =>
+    val all = readAsOf(spark, location, v).inputFiles.toSeq.sorted.flatMap { f =>
       val up = new Path(f).toUri.getPath
       // attribution doubles as the filter: a plan input OUTSIDE every live
       // data dir (a DV parquet feeding the anti-join) is not table data
@@ -3756,7 +3762,15 @@ object VersionedTable {
           val pp = rel.dropRight(1).filter(_.contains("=")).mkString("/")
           (cv, op, f, sizes.getOrElse(up, -1L), pp)
       }
-    }
+    }.filter(r => partitionPrefix.isEmpty || r._5.startsWith(partitionPrefix))
+    // the inventory is a DRIVER result (DSv2 procedures return driver rows) —
+    // cap it loudly instead of handing a 10⁷-file table a multi-GB array; the
+    // marker row keeps the schema and names the remedy
+    val rows =
+      if (all.size <= maxFiles) all
+      else all.take(maxFiles.toInt) :+ ((-1L, "TRUNCATED",
+        s"${all.size - maxFiles} more files omitted — raise max_files or " +
+          "pass a partition prefix filter", -1L, ""))
     rows.toDF("commit_version", "operation", "file", "size_bytes",
       "partition_path")
   }
@@ -4066,6 +4080,7 @@ object VersionedTable {
     }
     purge(commitFileCache)
     purge(checkpointFileCache)
+    purge(archiveCache)
   }
 
   private def logStateOnce(fs: FileSystem, location: String): LogState = {

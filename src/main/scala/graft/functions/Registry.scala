@@ -51,6 +51,7 @@ object Registry {
       entry("rolling_hash", classOf[RollingHash], exprs => RollingHash(exprs.head)),
       entry("nfc_normalize", classOf[NfcNormalize], exprs => NfcNormalize(exprs.head)),
       entry("simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head)),
+      entry("char_entropy", classOf[CharEntropy], exprs => CharEntropy(exprs.head)),
       entry("dot_product", classOf[DotProduct],
         exprs => DotProduct(exprs(0), exprs(1))),
       entry("word_shingles", classOf[WordShingles],

@@ -67,6 +67,74 @@ object HtmlExtract {
     trim(decodeEntities(
       regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)))
 
+  /** Block-boundary tag pattern: any opening or closing block-level tag
+    * splits the page into candidate content blocks (alternation ordered
+    * longest-first so Java backtracking and RE2's simultaneous simulation
+    * pick the same alternative).
+    */
+  private[graft] val blockTagPattern: String =
+    "(?i)</?(blockquote|figcaption|fieldset|section|article|header|footer|" +
+      "thead|tbody|figure|table|aside|main|form|div|nav|pre|h[1-6]|ul|ol|" +
+      "dl|dt|dd|li|tr|td|th|br|hr|p)\\b[^>]*>"
+
+  /** Visible text of one block: inline tags stripped, entities decoded,
+    * whitespace collapsed — [[htmlToText]] minus the non-content drop (which
+    * ran on the whole page before block splitting).
+    */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(decodeEntities(
+      regexp_replace(b, "(?s)<[^>]*>", " ")), "[ \\t\\n\\f\\r]+", " "))
+
+  /** Block-level MAIN-CONTENT extraction — the boilerplate-removal step
+    * (boilerpipe / CCNet grade) that whole-page [[extract]] signals only
+    * approximate: split the page on block-level tags, score each block's
+    * text mass and link density, keep only dense prose blocks, and rebuild
+    * the document from the survivors in order. Nav bars, link lists, and
+    * chrome footers are exactly the low-word-count / high-link-density
+    * blocks the rule cuts.
+    *
+    * Keep rule (deterministic, engine-replayable): a block survives iff its
+    * visible text has ≥ `minWords` whitespace-separated words AND its link
+    * density ≤ `maxLinkDensity`, where link density = (text chars lost when
+    * `<a>…</a>` spans are removed) / text chars — the boilerpipe linked-text
+    * fraction computed with the same regex-chain discipline as the rest of
+    * this file (no DOM parser; see the file scaladoc for why). All inputs to
+    * the density division are exact integers, so the comparison is
+    * bit-stable across engines.
+    *
+    * Zero shuffle: split, per-block scoring, filtering, and reassembly are
+    * array higher-order functions over each row — scan-speed map work in
+    * whole-stage codegen at any corpus size.
+    *
+    * Output: `(id, main_text, n_blocks, n_kept)`; `n_blocks` counts blocks
+    * with any visible text.
+    */
+  def mainContent(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html", minWords: Int = 5,
+      maxLinkDensity: Double = 0.33): DataFrame = {
+    require(minWords >= 1, "minWords must be >= 1")
+    val h = coalesce(col(htmlCol), lit(""))
+    val blocks = split(
+      regexp_replace(dropNonContent(h), blockTagPattern, ""), "")
+    def words(b: Column): Column = {
+      val t = blockText(b)
+      when(t === "", lit(0)).otherwise(size(split(t, " ")))
+    }
+    def linkDensity(b: Column): Column = {
+      val t = blockText(b)
+      val tn = blockText(regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " "))
+      greatest(length(t) - length(tn), lit(0)).cast("double") /
+        greatest(length(t), lit(1)).cast("double")
+    }
+    val nonEmpty = filter(blocks, b => blockText(b) =!= "")
+    val kept = filter(blocks, b => blockText(b) =!= "" &&
+      words(b) >= minWords && linkDensity(b) <= maxLinkDensity)
+    df.select(col(idCol),
+      array_join(transform(kept, b => blockText(b)), " ").as("main_text"),
+      size(nonEmpty).as("n_blocks"),
+      size(kept).as("n_kept"))
+  }
+
   /** Extract text + structural quality signals from an HTML column:
     * `(id, title, text, html_len, text_len, text_ratio, tag_count,
     * anchor_count)`. `text_ratio` (text bytes per HTML byte) and

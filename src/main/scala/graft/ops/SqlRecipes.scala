@@ -373,15 +373,20 @@ object SqlRecipes {
     * not exist in the replayable regex subset).
     */
   private def sentenceUnitsCte(view: String, idCol: String,
-      textCol: String): String =
-    s"""SELECT doc_id, pe.sentence_idx, trim(pe.sentence) AS sentence
+      textCol: String): String = {
+    // TextAnalysis.abbreviationMaskPattern as a SQL string literal
+    val mask = TextAnalysis.abbreviationMaskPattern.replace("\\", "\\\\")
+    s"""SELECT doc_id, pe.sentence_idx,
+       |    trim(translate(pe.sentence, chr(2), '.')) AS sentence
        |  FROM (SELECT ${q(idCol)} AS doc_id,
-       |          split(regexp_replace(coalesce(${q(textCol)}, ''),
+       |          split(regexp_replace(regexp_replace(coalesce(${q(textCol)}, ''),
+       |            '$mask', concat('$$1', chr(2))),
        |            '([.!?]+[\")\\\\]\\']*)[ \\\\t\\\\n\\\\f\\\\r]+',
        |            concat('$$1', chr(1))), chr(1)) AS arr
        |        FROM $view)
        |  LATERAL VIEW posexplode(arr) pe AS sentence_idx, sentence
        |  WHERE trim(pe.sentence) != ''""".stripMargin
+  }
 
   /** Rule-based sentence segmentation — SQL twin of
     * [[TextAnalysis.sentences]]: same boundary rule, same pre-filter 0-based
@@ -392,7 +397,7 @@ object SqlRecipes {
     s"""WITH s AS (
        |  ${sentenceUnitsCte(docsView, idCol, textCol)}
        |)
-       |SELECT doc_id, sentence_idx, sentence FROM s""".stripMargin
+       |SELECT doc_id AS ${q(idCol)}, sentence_idx, sentence FROM s""".stripMargin
 
   /** Sentence-grain corpus dedup — SQL twin of [[ChunkDedup.dedupSentences]]:
     * the segmentation CTE feeds the same md5 count + first-occurrence rule and
@@ -412,7 +417,7 @@ object SqlRecipes {
        |      AS first_occ
        |  FROM s GROUP BY h
        |)
-       |SELECT s.doc_id,
+       |SELECT s.doc_id AS ${q(idCol)},
        |  array_join(transform(array_sort(collect_list(
        |    CASE WHEN $kept
        |      THEN named_struct('sentence_idx', s.sentence_idx, 'sentence', s.sentence)

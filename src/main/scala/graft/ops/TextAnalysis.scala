@@ -70,8 +70,15 @@ object TextAnalysis {
     * rule-based, not a learned segmenter: the rule is engine-replayable
     * byte-for-byte (the pattern stays in the RE2 ∩ Java subset, no
     * lookaround — a sentinel insert + split, since lookbehind doesn't exist
-    * in RE2), deterministic, and linear scan-speed work in codegen; known
-    * naivety on abbreviations ("Dr. Smith") is the documented trade.
+    * in RE2), deterministic, and linear scan-speed work in codegen.
+    *
+    * A fixed common-abbreviation list ([[abbreviations]]) is protected by an
+    * RE2-safe pre-mask: each abbreviation's trailing period becomes a
+    * sentinel before boundary marking and is restored in the output, so
+    * "Dr. Smith" and "e.g. this" stay one sentence. The list is closed and
+    * case-literal by design — oracle-replayable, no locale model; an
+    * abbreviation that legitimately ends a sentence ("... et al.") is the
+    * residual documented trade.
     *
     * Output: one row per non-empty sentence — `(id, sentence_idx, sentence)`,
     * `sentence_idx` = the sentence's 0-based position in the pre-filter
@@ -81,14 +88,32 @@ object TextAnalysis {
     */
   def sentences(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val marked = regexp_replace(coalesce(col(textCol), lit("")),
+    val masked = regexp_replace(coalesce(col(textCol), lit("")),
+      abbreviationMaskPattern, "$1\u0002")
+    val marked = regexp_replace(masked,
       "([.!?]+[\")\\]']*)[ \\t\\n\\f\\r]+", "$1\u0001")
     df.select(col(idCol),
         posexplode(split(marked, "\u0001")).as(Seq("sentence_idx", "sentence")))
       .filter(trim(col("sentence")) =!= "")
       .select(col(idCol), col("sentence_idx"),
-        trim(col("sentence")).as("sentence"))
+        trim(translate(col("sentence"), "\u0002", ".")).as("sentence"))
   }
+
+  /** The protected abbreviations (longest-first so the alternation behaves
+    * identically under Java backtracking and RE2's simultaneous simulation);
+    * `e\.g`/`i\.e` carry their internal periods as literals — only the
+    * TRAILING period masks.
+    */
+  val abbreviations: Seq[String] =
+    Seq("Prof", "Mrs", "Mr", "Ms", "Dr", "St", "Jr", "Sr",
+      "vs", "cf", "e\\.g", "i\\.e")
+
+  /** RE2 ∩ Java mask pattern: abbreviation at a word boundary with its
+    * trailing period — replaced by `$1` + U+0002 before boundary marking,
+    * restored to a period in the output.
+    */
+  val abbreviationMaskPattern: String =
+    s"\\b(${abbreviations.mkString("|")})\\."
 
   /** Per-document CHARACTER Shannon entropy — the compression-style quality
     * signal (low entropy = repetitive machine junk, keyboard mashing,
@@ -96,18 +121,32 @@ object TextAnalysis {
     * token-level [[repetitionStats]]. `H = log2(n) − (Σ c·log2 c)/n` over the
     * per-char counts, so every input to the float math is an exact integer.
     *
-    * Scale shape: chars explode MAP-SIDE and partial aggregation collapses
-    * them to (doc, distinct-char) rows BEFORE the exchange — shuffle volume
-    * is O(docs × alphabet), never O(corpus bytes) — then one doc-keyed
-    * aggregation folds the entropy (the [[tokenPairCounts]] shape).
-    * Determinism across engines: each `c·log2 c` addend is rounded to 8 dp
-    * before the sum (sums of grid values are order-independent), and the
-    * final entropy rounds to 6 dp — the DuckDB oracle replays it exactly.
+    * Scale shape: ONE native expression ([[graft.functions.CharEntropy]])
+    * folds the per-char counts in a per-row map — no Generate, no exchange,
+    * whole-stage codegen; the signal is scan-speed map work at any corpus
+    * size. Determinism across engines: each `c·log2 c` addend is rounded to
+    * 8 dp before the sum (sums of grid values are order-independent), and the
+    * final entropy rounds to 6 dp — the DuckDB oracle replays it exactly, and
+    * NativeExprSpec pins bit-equality to the composed explode+aggregate
+    * formulation it fused.
     *
     * Output: `(id, n_chars, distinct_chars, entropy)`; empty/null text rows
     * produce no output (no chars to measure).
     */
   def charEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        graft.functions.CharEntropy.charEntropy(
+          coalesce(col(textCol), lit(""))).as("__e"))
+      .filter(col("__e.n_chars") > 0)
+      .select(col(idCol), col("__e.n_chars").as("n_chars"),
+        col("__e.distinct_chars").as("distinct_chars"),
+        col("__e.entropy").as("entropy"))
+
+  /** The pre-fusion explode+aggregate formulation of [[charEntropy]], kept as
+    * the differential oracle for the native expression (NativeExprSpec).
+    */
+  private[graft] def charEntropyComposed(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val perChar = df
       .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), ""))

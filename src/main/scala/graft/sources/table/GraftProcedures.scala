@@ -140,8 +140,13 @@ private[table] object GraftProcedures {
     GraftProcedure("files",
       "per-file snapshot inventory: exactly the files the snapshot's plan " +
         "reads, attributed to their commit, with size and partition path " +
-        "(version => -1 reads the head) - listing-only, no data file opened",
-      Seq(in("table", StringType), inDefault("version", LongType, "-1")),
+        "(version => -1 reads the head) - listing-only, no data file opened; " +
+        "partition prefix-filters partition_path, and results past max_files " +
+        "truncate with a loud TRUNCATED marker row (procedures return driver " +
+        "rows - the cap is the guard for 10^7-file tables)",
+      Seq(in("table", StringType), inDefault("version", LongType, "-1"),
+        inDefault("partition", StringType, "''"),
+        inDefault("max_files", LongType, "1000000")),
       StructType(Seq(StructField("commit_version", LongType),
         StructField("operation", StringType), StructField("file", StringType),
         StructField("size_bytes", LongType),
@@ -149,7 +154,9 @@ private[table] object GraftProcedures {
       (s, resolve, args) => {
         val v = args(1).asInstanceOf[Long]
         VersionedTable.files(s, resolve(args(0).asInstanceOf[String]),
-            if (v < 0) None else Some(v))
+            if (v < 0) None else Some(v),
+            partitionPrefix = args(2).asInstanceOf[String].trim,
+            maxFiles = args(3).asInstanceOf[Long])
           .collect().toSeq.map(_.toSeq)
       }),
     GraftProcedure("clone",

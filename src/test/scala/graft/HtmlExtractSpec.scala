@@ -68,4 +68,56 @@ class HtmlExtractSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("Exchange"), s"extraction must not shuffle:\n$plan")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQL UDF"))
   }
+
+  test("mainContent: keeps dense prose, drops nav / link lists / short chrome") {
+    import spark.implicits._
+    val html =
+      "<html><body>" +
+        "<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>This paragraph carries the real article prose with many words " +
+        "and no links at all so it must survive the filter.</p>" +
+        "<ul><li><a href=\"/x\">Related link one</a></li>" +
+        "<li><a href=\"/y\">Related link two</a></li></ul>" +
+        "<div class=\"footer\">(c) site</div></body></html>"
+    val out = HtmlExtract.mainContent(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().head
+    assert(out.getAs[String]("main_text").startsWith("This paragraph carries"))
+    assert(!out.getAs[String]("main_text").contains("Home"))
+    assert(!out.getAs[String]("main_text").contains("Related link"))
+    assert(!out.getAs[String]("main_text").contains("(c) site"))
+    assert(out.getAs[Int]("n_kept") == 1)
+    assert(out.getAs[Int]("n_blocks") > 1)
+  }
+
+  test("mainContent: link density cuts a long but link-heavy block; " +
+      "a long prose block with one small link survives") {
+    import spark.implicits._
+    // block A: 12 words, ~all inside anchors → density ~1 → dropped
+    // block B: 14 words, one 1-word anchor → density small → kept
+    val html =
+      "<div><a href=\"/1\">one two three four five six</a> " +
+        "<a href=\"/2\">seven eight nine ten eleven twelve</a></div>" +
+        "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu <a href=\"/3\">nu</a></p>"
+    val out = HtmlExtract.mainContent(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().head
+    assert(out.getAs[String]("main_text").startsWith("alpha beta"))
+    assert(out.getAs[Int]("n_blocks") == 2 && out.getAs[Int]("n_kept") == 1)
+  }
+
+  test("mainContent: null/empty html, and zero-shuffle plan") {
+    import spark.implicits._
+    val rows = HtmlExtract.mainContent(
+        Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "html"))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("main_text") == "")
+      assert(r.getAs[Int]("n_blocks") == 0 && r.getAs[Int]("n_kept") == 0)
+    }
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+    val plan = HtmlExtract.mainContent(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mainContent must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQL UDF"))
+  }
 }

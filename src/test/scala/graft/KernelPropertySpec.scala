@@ -138,4 +138,33 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(m1.encodeWord("dcba").mkString === "dcba")
     }
   }
+
+  test("unigram: train + Viterbi encode are lossless and deterministic on fuzzed unicode") {
+    import graft.ops.UnigramTokenizer
+    val uchar: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ß', 'ü', 'λ', 'Ω', 'я', '中', '文'),
+      1 -> Gen.oneOf('́', '̈'),   // combining marks
+      1 -> Gen.oneOf('\ud83d', '\ude00'))   // surrogate halves — still lossless
+    val word = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, uchar).map(_.mkString))
+    val corpus = Gen.choose(1, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(word, Gen.choose(1L, 40L))))
+    forAll(corpus, cases = 40) { wf =>
+      val dedup = wf.toMap.toSeq
+      val m1 = UnigramTokenizer.trainFromCounts(dedup, vocabSize = 48,
+        maxPieceLen = 4)
+      val m2 = UnigramTokenizer.trainFromCounts(dedup.reverse, vocabSize = 48,
+        maxPieceLen = 4)
+      assert(m1.logProbs === m2.logProbs && m1.fallbackLogProb === m2.fallbackLogProb,
+        "training must be input-order-invariant")
+      dedup.foreach { case (w, _) =>
+        val pieces = m1.encodeWord(w)
+        assert(pieces.mkString === w, s"lossy Viterbi encode of '$w'")
+        assert(pieces === m1.encodeWord(w), "encode must be deterministic")
+        assert(pieces.forall(_.nonEmpty))
+      }
+      // chars the model never saw ride the single-char fallback
+      assert(m1.encodeWord("☃☄x").mkString === "☃☄x")
+    }
+  }
 }

@@ -66,6 +66,33 @@ class ProcedureSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(pinned.map(_.getLong(0)).toSet == Set(0L, 1L))
   }
 
+  test("CALL system.files: partition prefix filter, and max_files truncates loudly") {
+    wh
+    spark.sql("CREATE TABLE gproc.t.fc (k BIGINT, p STRING) PARTITIONED BY (p)")
+    // many small commits → many files
+    (0 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO gproc.t.fc VALUES ($i, 'p${i % 2}')"))
+    val all = spark.sql("CALL gproc.system.files(table => 't.fc')").collect()
+    val dataRows = all.filter(_.getLong(0) >= 0L)
+    assert(dataRows.length >= 6)
+    // prefix filter: only the requested partition's files, no marker
+    val onlyP0 = spark.sql(
+      "CALL gproc.system.files(table => 't.fc', partition => 'p=p0')").collect()
+    assert(onlyP0.nonEmpty && onlyP0.forall(_.getString(4) == "p=p0"))
+    assert(onlyP0.forall(_.getString(1) != "TRUNCATED"))
+    // cap: exactly max_files rows survive plus ONE loud marker naming the rest
+    val capped = spark.sql(
+      "CALL gproc.system.files(table => 't.fc', max_files => 3)").collect()
+    assert(capped.length == 4, capped.mkString(";"))
+    val marker = capped.last
+    assert(marker.getLong(0) == -1L && marker.getString(1) == "TRUNCATED")
+    assert(marker.getString(2).contains("more files omitted"),
+      s"marker must name the remedy: $marker")
+    // capped data rows are a prefix of the uncapped inventory (stable order)
+    assert(capped.take(3).map(_.getString(2)).toSeq ==
+      all.take(3).map(_.getString(2)).toSeq)
+  }
+
   test("ALTER COLUMN COMMENT round-trips; DESCRIBE shows it") {
     wh
     spark.sql("CREATE TABLE gproc.t.c (k BIGINT, v STRING)")

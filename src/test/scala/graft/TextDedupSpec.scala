@@ -109,8 +109,21 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       Seq("He said \"stop.\"", "Then left."))
     // an ellipsis is ONE terminator run, not three boundaries
     assert(segs("Wait... go now.").map(_._2) == Seq("Wait...", "go now."))
-    // abbreviation naivety is the documented trade — the rule splits Dr. too
-    assert(segs("Dr. Smith arrived.").map(_._2) == Seq("Dr.", "Smith arrived."))
+    // the abbreviation guard: protected trailing periods are NOT boundaries,
+    // and the sentinel restores to a period in the output
+    assert(segs("Dr. Smith arrived.").map(_._2) == Seq("Dr. Smith arrived."))
+    assert(segs("Use maps, e.g. this one. Next point.").map(_._2) ==
+      Seq("Use maps, e.g. this one.", "Next point."))
+    assert(segs("Speed vs. size matters. Pick one.").map(_._2) ==
+      Seq("Speed vs. size matters.", "Pick one."))
+    // guard is word-bounded and case-literal: a word merely ENDING in an
+    // abbreviation's letters still splits ("burst" ⊅ \bSt, "revs" ⊅ \bvs)
+    assert(segs("I saw burst. Next.").map(_._2) == Seq("I saw burst.", "Next."))
+    assert(segs("Their revs. Dropped fast.").map(_._2) ==
+      Seq("Their revs.", "Dropped fast."))
+    // abbreviation then a REAL terminator still bounds ("met the Dr.." case)
+    assert(segs("Met Mr. Poe!? Then left.").map(_._2) ==
+      Seq("Met Mr. Poe!?", "Then left."))
     // newlines after a terminator are boundaries; runs of space collapse into
     // the trim, and indices keep their pre-filter positions
     assert(segs("A.\n\nB.   C.") == Seq((0, "A."), (1, "B."), (2, "C.")))

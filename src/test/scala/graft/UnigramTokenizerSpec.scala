@@ -69,6 +69,33 @@ class UnigramTokenizerSpec extends AnyFunSuite with SharedSpark {
     assert(row0.getSeq[String](1).mkString == "riverbankbank")
   }
 
+  test("encode is partition-invariant; readModel round-trips a non-trivial vocab") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // repeated morphemes → a genuinely multi-piece learned vocabulary
+    val words = Seq("internationalization", "internationalize", "nation",
+      "national", "internal", "internet", "relation", "relational")
+    val docs = (0L until 64L).map(i =>
+        (i, (0 to (i % 5).toInt)
+          .map(k => words(((i + k) % words.length).toInt)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = UnigramTokenizer.train(docs, vocabSize = 80, maxPieceLen = 6)
+    assert(m.learnedVocab.nonEmpty, "vocab must hold multi-char pieces")
+    val dir = java.nio.file.Files.createTempDirectory("graft_unigram_nt").toString
+    UnigramTokenizer.writeModel(m, dir)
+    val m2 = UnigramTokenizer.readModel(dir)
+    assert(m2.logProbs == m.logProbs && m2.fallbackLogProb == m.fallbackLogProb)
+
+    def enc(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[String])] =
+      UnigramTokenizer.encode(df, m2).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val base = enc(docs.repartition(1))
+    assert(enc(docs.repartition(7)) == base,
+      "encode must not depend on partitioning")
+    assert(enc(docs.repartition(32, col("doc_id"))) == base)
+  }
+
   test("unigram fertility is competitive with BPE on a repetitive corpus") {
     implicit val s = spark
     import s.implicits._
