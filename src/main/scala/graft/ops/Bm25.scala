@@ -131,7 +131,15 @@ object Bm25 {
   private def landBatch(batch: DataFrame, dir: String, operation: String,
       idCol: String, textCol: String): Unit = {
     val built = buildIndex(batch, idCol, textCol)
-    graft.catalog.VersionedTable.write(built.postings, s"$dir/postings", operation)
+    // postings land TERM-CLUSTERED (range-partitioned + sorted within files):
+    // parquet row-group min/max stats on `term` are then tight, so the isin
+    // pushdown of topKFromIndex / bm25RrfTopKFromIndex prunes the scan to the
+    // query terms' row groups — the read-side contract the serving paths
+    // document. One batch-sized range shuffle per append buys it.
+    val clustered = built.postings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+    graft.catalog.VersionedTable.write(clustered, s"$dir/postings", operation)
     graft.catalog.VersionedTable.write(built.docLengths, s"$dir/doclen", operation)
     graft.catalog.VersionedTable.write(built.stats, s"$dir/stats", operation)
   }
