@@ -567,6 +567,23 @@ object SparkEntry {
       numQueries = 10, k = 5, nprobe = 4).orderBy("query_id", "rank")
   }
 
+  /** Incrementally-maintained IVF index ([[Ivf.writeIvfIndex]] + an
+    * [[Ivf.appendToIvfIndex]] batch, each assigned map-side once) answering
+    * the SAME query as [[qIvfTopK]] — the oracle replays the one-shot IVF
+    * over the full corpus, so a pass proves the appends reconstruct the
+    * full-build answer and the pruned serving path reranks identically.
+    */
+  private def qIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Ivf.writeIvfIndex(emb.filter(col("vec_id") < 300),
+      Ivf.seedCentroids(emb, nlist = 16), idx)
+    Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), idx)
+    Ivf.ivfTopKFromIndex(Ivf.readIvfIndex(s, idx),
+        numQueries = 10, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
 
@@ -2345,6 +2362,7 @@ object SparkEntry {
     "q_sentence_dedup" -> qSentenceDedup,
     "q_char_entropy" -> qCharEntropy,
     "q_ivf_topk" -> qIvfTopK,
+    "q_ivf_append" -> qIvfAppend,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_repetition" -> qRepetition,
@@ -3086,6 +3104,9 @@ object SparkEntry {
     "q_fingerprints" -> fingerprintsSql,
     "q_ann_topk" -> annTopkSql,
     "q_ivf_topk" -> ivfTopkSql,
+    // the incremental-index gate replays the SAME one-shot IVF formulation:
+    // oracle equality proves the per-batch appends reconstruct the full build
+    "q_ivf_append" -> ivfTopkSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,

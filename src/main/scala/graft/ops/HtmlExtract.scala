@@ -116,21 +116,24 @@ object HtmlExtract {
     val h = coalesce(col(htmlCol), lit(""))
     val blocks = split(
       regexp_replace(dropNonContent(h), blockTagPattern, ""), "")
-    def words(b: Column): Column = {
-      val t = blockText(b)
-      when(t === "", lit(0)).otherwise(size(split(t, " ")))
+    // score each block ONCE: the two regex chains (text, text-sans-anchors)
+    // run exactly once per block inside one transform; the filters and the
+    // reassembly then read precomputed struct fields instead of re-running
+    // the chain (a naive formulation re-derived the text ~6x per block)
+    val scored = transform(blocks, b => struct(
+      blockText(b).as("t"),
+      blockText(regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " ")).as("tn")))
+    def isKept(s: Column): Column = {
+      val t = s.getField("t")
+      val linked = greatest(length(t) - length(s.getField("tn")), lit(0))
+      t =!= "" && size(split(t, " ")) >= minWords &&
+        linked.cast("double") / greatest(length(t), lit(1)).cast("double") <=
+          maxLinkDensity
     }
-    def linkDensity(b: Column): Column = {
-      val t = blockText(b)
-      val tn = blockText(regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " "))
-      greatest(length(t) - length(tn), lit(0)).cast("double") /
-        greatest(length(t), lit(1)).cast("double")
-    }
-    val nonEmpty = filter(blocks, b => blockText(b) =!= "")
-    val kept = filter(blocks, b => blockText(b) =!= "" &&
-      words(b) >= minWords && linkDensity(b) <= maxLinkDensity)
+    val nonEmpty = filter(scored, s => s.getField("t") =!= "")
+    val kept = filter(scored, s => isKept(s))
     df.select(col(idCol),
-      array_join(transform(kept, b => blockText(b)), " ").as("main_text"),
+      array_join(transform(kept, s => s.getField("t")), " ").as("main_text"),
       size(nonEmpty).as("n_blocks"),
       size(kept).as("n_kept"))
   }

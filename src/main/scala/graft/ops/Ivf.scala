@@ -101,6 +101,99 @@ object Ivf {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** Persisted-IVF lifecycle over [[graft.catalog.VersionedTable]] — the
+    * [[Bm25.writeIndex]] incremental-maintenance pattern applied to the ANN
+    * tier: centroids FREEZE at build time (the standard IVF maintenance
+    * contract — retrain is a rebuild, not an append), and each arriving
+    * vector batch is assigned map-side against the tiny persisted centroid
+    * table and appended as pure O(batch) writes. Prior vectors are never
+    * rescanned; the corpus behind the index can be gone.
+    *
+    * Layout under `dir`: `centroids` (centroid_id, cv) and `vectors`
+    * (vec_id, v, norm, cluster), the latter landed CLUSTER-CLUSTERED
+    * (range-partitioned + sorted within files) so parquet row-group stats on
+    * `cluster` are tight — [[ivfTopKFromIndex]] pushes the probed cluster
+    * set into the scan and reads only those clusters' row groups instead of
+    * the whole vector table.
+    *
+    * Contract: batches carry NOVEL vec_ids (same ledger/novelty routing as
+    * [[Bm25.appendToIndex]]).
+    */
+  def writeIvfIndex(embeddings: DataFrame, centroids: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.catalog.VersionedTable.write(
+      centroids.select(col("centroid_id"), col("cv")),
+      s"$dir/centroids", "overwrite")
+    landBatch(embeddings, centroids, dir, "overwrite", idCol, vecCol)
+  }
+
+  /** Append one vector batch: ONE map-side assignment scan of the batch
+    * against the persisted centroids, then a batch-sized clustered write.
+    */
+  def appendToIvfIndex(batch: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = graft.catalog.VersionedTable
+      .read(batch.sparkSession, s"$dir/centroids")
+    landBatch(batch, centroids, dir, "append", idCol, vecCol)
+  }
+
+  private def landBatch(batch: DataFrame, centroids: DataFrame, dir: String,
+      operation: String, idCol: String, vecCol: String): Unit = {
+    val assigned = assign(batch, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
+      .repartitionByRange(col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
+    graft.catalog.VersionedTable.write(assigned, s"$dir/vectors", operation)
+  }
+
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(graft.catalog.VersionedTable.read(spark, s"$dir/centroids"),
+      graft.catalog.VersionedTable.read(spark, s"$dir/vectors"))
+
+  /** IVF top-k off a persisted index — identical results to [[ivfTopK]] over
+    * the same vectors and centroids (assignment is deterministic, the rerank
+    * is the same arithmetic), but the vector scan PRUNES: the probed cluster
+    * set is bounded by construction (≤ numQueries × nprobe ids), so it
+    * collects driver-side and re-enters the scan as an `isin` predicate that
+    * parquet row-group stats resolve against the cluster-clustered layout —
+    * at 100 TB the rerank reads only the probed clusters' row groups, never
+    * the full vector table.
+    */
+  def ivfTopKFromIndex(index: IvfIndex, numQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val queries = index.assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(withNorm(index.centroids)))
+      .withColumn("pcos",
+        Similarity.dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        col("centroid_id").as("cluster"))
+    // the bounded driver collect that buys scan pruning (the
+    // HybridRetrieval.bm25RrfTopKFromIndex pattern)
+    val probed = probes.select("cluster").distinct().collect().map(_.get(0))
+    val pruned =
+      if (probed.isEmpty) index.assigned.filter(lit(false))
+      else index.assigned.filter(col("cluster").isin(probed: _*))
+    val cands = pruned.join(broadcast(probes),
+        pruned("cluster") === probes("cluster") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Lloyd's k-means refinement of the given centroids (the production path for
     * centroid quality; not oracle-gated because distributed float summation is not
     * bit-reproducible). Empty clusters drop out. `iters` small (3–10); each iteration

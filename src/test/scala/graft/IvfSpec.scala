@@ -62,4 +62,34 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
     val e1 = quantError(trained)
     assert(e1 <= e0 + 1e-9, s"training worsened quantization: $e0 -> $e1")
   }
+
+  test("persisted index: append assigns only the batch (prior corpus deleted), " +
+      "matches the one-shot path, and the probe set prunes the vector scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val vecDir = java.nio.file.Files.createTempDirectory("graft_ivf_vecs").toString
+    val seeds = Ivf.seedCentroids(emb, nlist = 8)
+
+    // initial build from parquet the test then DELETES: a rescan would throw
+    emb.filter(col("vec_id") < 300).write.parquet(s"$vecDir/base")
+    Ivf.writeIvfIndex(spark.read.parquet(s"$vecDir/base"), seeds, s"$dir/idx")
+    val fs = new org.apache.hadoop.fs.Path(vecDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$vecDir/base"), true))
+
+    Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), s"$dir/idx")
+
+    val idx = Ivf.readIvfIndex(spark, s"$dir/idx")
+    val fromIndex = Ivf.ivfTopKFromIndex(idx, numQueries = 10, k = 5, nprobe = 4)
+    val oneShot = Ivf.ivfTopK(emb, seeds, numQueries = 10, k = 5, nprobe = 4)
+    assert(fromIndex.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+
+    // the rerank's vector scan must carry the pushed cluster predicate
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val vecScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/vectors")).toSeq
+    assert(vecScans.nonEmpty, s"expected parquet vector scans:\n$plan")
+    assert(vecScans.exists(l => l.contains("In(cluster") || l.contains("EqualTo(cluster")),
+      s"probed clusters must push into the vector scan:\n${vecScans.mkString("\n")}")
+  }
 }
