@@ -117,9 +117,13 @@ object HtmlExtract {
     val blocks = split(
       regexp_replace(dropNonContent(h), blockTagPattern, ""), "")
     // score each block ONCE: the two regex chains (text, text-sans-anchors)
-    // run exactly once per block inside one transform; the filters and the
-    // reassembly then read precomputed struct fields instead of re-running
-    // the chain (a naive formulation re-derived the text ~6x per block)
+    // run exactly once per block inside one transform, and the scored array
+    // MATERIALIZES as an attribute before any consumer touches it — array
+    // higher-order functions are interpreted (no whole-stage codegen, no
+    // common-subexpression elimination), so referencing the transform
+    // expression from the three consumers below would re-run every regex
+    // chain per consumer (the tokenPairCounts lesson; a naive formulation
+    // re-derived the text ~6x per block)
     val scored = transform(blocks, b => struct(
       blockText(b).as("t"),
       blockText(regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " ")).as("tn")))
@@ -130,12 +134,13 @@ object HtmlExtract {
         linked.cast("double") / greatest(length(t), lit(1)).cast("double") <=
           maxLinkDensity
     }
-    val nonEmpty = filter(scored, s => s.getField("t") =!= "")
-    val kept = filter(scored, s => isKept(s))
-    df.select(col(idCol),
-      array_join(transform(kept, s => s.getField("t")), " ").as("main_text"),
-      size(nonEmpty).as("n_blocks"),
-      size(kept).as("n_kept"))
+    df.select(col(idCol), scored.as("__scored"))
+      .select(col(idCol),
+        array_join(transform(filter(col("__scored"), s => isKept(s)),
+          s => s.getField("t")), " ").as("main_text"),
+        size(filter(col("__scored"), s => s.getField("t") =!= ""))
+          .as("n_blocks"),
+        size(filter(col("__scored"), s => isKept(s))).as("n_kept"))
   }
 
   /** Extract text + structural quality signals from an HTML column:
