@@ -129,19 +129,42 @@ object Bm25 {
     landBatch(batch, dir, "append", idCol, textCol)
 
   private def landBatch(batch: DataFrame, dir: String, operation: String,
-      idCol: String, textCol: String): Unit = {
-    val built = buildIndex(batch, idCol, textCol)
-    // postings land TERM-CLUSTERED (range-partitioned + sorted within files):
-    // parquet row-group min/max stats on `term` are then tight, so the isin
-    // pushdown of topKFromIndex / bm25RrfTopKFromIndex prunes the scan to the
-    // query terms' row groups — the read-side contract the serving paths
-    // document. One batch-sized range shuffle per append buys it.
-    val clustered = built.postings
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-    graft.catalog.VersionedTable.write(clustered, s"$dir/postings", operation)
-    graft.catalog.VersionedTable.write(built.docLengths, s"$dir/doclen", operation)
-    graft.catalog.VersionedTable.write(built.stats, s"$dir/stats", operation)
+      idCol: String, textCol: String): Unit =
+    landArtifacts(batch, idCol, textCol) { (df, artifact) =>
+      graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
+    }
+
+  /** Build the three index artifacts from ONE persisted tokenization of the
+    * batch and hand each to `land(df, artifact)` (artifact ∈ "postings" |
+    * "doclen" | "stats") — without the persist, the three landing jobs would
+    * each re-tokenize the batch text. Postings land TERM-CLUSTERED
+    * (range-partitioned + sorted within files): parquet row-group min/max
+    * stats on `term` are then tight, so the isin pushdown of
+    * [[topKFromIndex]] / [[HybridRetrieval.bm25RrfTopKFromIndex]] prunes the
+    * scan to the query terms' row groups. One batch-sized range shuffle per
+    * append buys it. Shared by the batch append path and the streaming
+    * maintainer ([[graft.streaming.IndexIngest]]).
+    */
+  private[graft] def landArtifacts(batch: DataFrame, idCol: String,
+      textCol: String)(land: (DataFrame, String) => Unit): Unit = {
+    val perDoc = batch
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = perDoc
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+      val docLengths = perDoc.select("doc_id", "dl")
+      val stats = docLengths.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      land(postings, "postings")
+      land(docLengths, "doclen")
+      land(stats, "stats")
+    } finally { perDoc.unpersist(); () }
   }
 
   /** Load a persisted index. The per-batch stat rows fold to the single

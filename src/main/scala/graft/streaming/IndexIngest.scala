@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.VersionedTable
+import graft.ops.Bm25
+
+/** Continuous BM25 index maintenance — the streaming composition of the
+  * retrieval tier, the way [[NearDupIngest]] composes the dedup tier:
+  *
+  *   stream of documents
+  *     → tokenize the micro-batch ONCE ([[Bm25.landArtifacts]], batch text
+  *       only — the corpus behind the index is never rescanned)
+  *     → append postings (term-clustered) / doc-lengths / per-batch stats to
+  *       the three versioned index tables, each an exactly-once
+  *       [[VersionedTable.idempotentAppend]] keyed (checkpoint, batchId) —
+  *       a replayed micro-batch after a crash re-appends NOTHING.
+  *
+  * The serving paths ([[Bm25.topKFromIndex]],
+  * [[graft.ops.HybridRetrieval.bm25RrfTopKFromIndex]] over
+  * [[Bm25.readIndexFrom]]) read the same tables with no coordination: the
+  * commit log publishes each batch atomically, and the per-batch stats rows
+  * fold at read. State lives entirely in the tables — the stream itself is
+  * stateless, so a restart resumes from the tables + source offsets alone.
+  *
+  * Scale: per micro-batch work is the batch's own tokenization plus one
+  * batch-sized combine shuffle and one range shuffle — independent of corpus
+  * size. Run [[VersionedTable.compact]] on the postings table periodically so
+  * readers stop paying per-batch scan branches (same guidance as
+  * [[NearDupIngest]]).
+  *
+  * Contract: arriving doc_ids are novel (route through [[NearDupIngest]] or
+  * an ingest ledger first — re-appending an indexed doc double-counts, as in
+  * any append-only store).
+  */
+object IndexIngest {
+
+  /** Start the maintainer. `docs` must be a streaming DataFrame carrying
+    * (`idCol`, `textCol`). Returns the running query; stop it for a graceful
+    * drain.
+    */
+  def start(docs: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch: tokenize, land the three artifacts exactly-once. All
+    * three appends share the (txnApp, txnId) identity (suffixed per artifact
+    * so each table dedups independently — a crash between the postings and
+    * stats appends replays only the missing ones). Public so batch backfills
+    * can reuse the identical path with the same idempotency keying.
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, txnApp: String,
+      txnId: Long, idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    if (batch.isEmpty) return
+    Bm25.landArtifacts(batch, idCol, textCol) { (df, artifact) =>
+      VersionedTable.idempotentAppend(df, s"$indexDir/$artifact",
+        s"$txnApp#$artifact", txnId)
+      ()
+    }
+  }
+}
