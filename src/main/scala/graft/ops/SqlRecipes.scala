@@ -428,6 +428,54 @@ object SqlRecipes {
        |GROUP BY s.doc_id""".stripMargin
   }
 
+  /** Block-level HTML main-content extraction — SQL twin of
+    * [[HtmlExtract.mainContent]]: the identical non-content drop, block
+    * split, per-block text/link-density scoring (computed ONCE per block via
+    * a materialized struct array — array HOFs are interpreted, so consumers
+    * must read an attribute, not re-run the chain), keep rule, and ordered
+    * reassembly. Output: `(idCol, main_text, n_blocks, n_kept)`.
+    */
+  def mainContentSql(view: String, idCol: String = "doc_id",
+      htmlCol: String = "html", minWords: Int = 5,
+      maxLinkDensity: Double = 0.33): String = {
+    require(minWords >= 1, "minWords must be >= 1")
+    // Spark-SQL rendering of HtmlExtract's entity-decode + tag-strip chain
+    def blockText(x: String): String =
+      "trim(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(" +
+        s"regexp_replace($x, '<[^>]*>', ' ')" +
+        ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')," +
+        " '&#39;', \"'\"), '&amp;', '&')" +
+        ", '[ \\\\t\\\\n\\\\f\\\\r]+', ' '))"
+    val noAnchor = "regexp_replace(x, '(?is)<a[^>]*>.*?</a>', ' ')"
+    val dropNonContent =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"coalesce(${q(htmlCol)}, '')" +
+        ", '(?is)<script[^>]*>.*?</script>', ' ')" +
+        ", '(?is)<style[^>]*>.*?</style>', ' ')" +
+        ", '(?is)<noscript[^>]*>.*?</noscript>', ' ')" +
+        ", '(?s)<!--.*?-->', ' ')"
+    val blockPat = HtmlExtract.blockTagPattern.replace("\\", "\\\\")
+    val keep = "s.t != '' " +
+      s"AND size(split(s.t, ' ')) >= $minWords " +
+      "AND CAST(greatest(length(s.t) - length(s.tn), 0) AS DOUBLE)" +
+      s" / greatest(length(s.t), 1) <= $maxLinkDensity"
+    s"""WITH b AS (
+       |  SELECT ${q(idCol)},
+       |    transform(
+       |      split(regexp_replace($dropNonContent, '$blockPat', chr(1)), chr(1)),
+       |      x -> named_struct('t', ${blockText("x")},
+       |        'tn', ${blockText(noAnchor)})) AS scored
+       |  FROM $view)
+       |SELECT ${q(idCol)},
+       |  array_join(transform(filter(scored, s -> $keep), s -> s.t), ' ')
+       |    AS main_text,
+       |  size(filter(scored, s -> s.t != '')) AS n_blocks,
+       |  size(filter(scored, s -> $keep)) AS n_kept
+       |FROM b""".stripMargin
+  }
+
   /** Run a recipe and register its result as a temp view — the `CREATE VIEW ... AS`
     * convenience for chaining recipes from SQL-first code.
     */

@@ -99,6 +99,22 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(dedupApi.exceptAll(dedupSql).count() === 0)
   }
 
+  test("pure-SQL main-content recipe matches HtmlExtract.mainContent row for row") {
+    val wrapped = Tables.documents(spark, sf).select(col("doc_id"), concat(
+      lit("<html><body><div id=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About</a></div><p>"),
+      coalesce(col("text"), lit("")),
+      lit(" extra tail.</p><ul><li><a href=\"/x\">Linked item</a></li></ul>" +
+        "<div>(c) chrome</div></body></html>")).as("html"))
+    wrapped.createOrReplaceTempView("docs_mc")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.mainContentSql("docs_mc"))
+    val viaApi = graft.ops.HtmlExtract.mainContent(wrapped)
+    assert(viaApi.filter(col("n_kept") < col("n_blocks")).count() > 0,
+      "the wrap must actually contain dropped boilerplate blocks")
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
   test("pure-SQL gopher filter matches gopherFilter row for row") {
     val docs = Tables.documents(spark, sf)
     docs.createOrReplaceTempView("docs_gopher")
