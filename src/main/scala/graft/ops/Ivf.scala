@@ -138,12 +138,29 @@ object Ivf {
   }
 
   private def landBatch(batch: DataFrame, centroids: DataFrame, dir: String,
-      operation: String, idCol: String, vecCol: String): Unit = {
-    val assigned = assign(batch, centroids, idCol, vecCol)
-      .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
+      operation: String, idCol: String, vecCol: String): Unit =
+    graft.catalog.VersionedTable.write(
+      clusteredAssignment(batch, centroids, idCol, vecCol),
+      s"$dir/vectors", operation)
+
+  /** The batch's map-side assignment in the index table's layout —
+    * cluster-clustered (range-partitioned + sorted within files) so the
+    * probe-set isin of [[ivfTopKFromIndex]] prunes row groups. Shared by the
+    * batch append path and the streaming maintainer
+    * ([[graft.streaming.IvfIngest]]).
+    */
+  private[graft] def clusteredAssignment(batch: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // pin the element nullability: sources differ (parquet reads carry
+    // nullable elements, typed in-memory encoders don't), and the versioned
+    // table rightly refuses an append that flips a type's nullability
+    val vType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = true)
+    assign(batch, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("v").cast(vType).as("v"),
+        col("norm"), col("cluster"))
       .repartitionByRange(col("cluster"))
       .sortWithinPartitions("cluster", "vec_id")
-    graft.catalog.VersionedTable.write(assigned, s"$dir/vectors", operation)
   }
 
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.VersionedTable
+import graft.ops.Ivf
+import graft.streaming.IvfIngest
+
+/** Streaming IVF maintenance: streamed batches equal the one-shot path,
+  * replay is a no-op, centroids stay frozen.
+  */
+class IvfIngestSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  test("streamed vector batches match the one-shot IVF; replay re-appends nothing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = Ivf.seedCentroids(emb, nlist = 8)
+    val idx = Files.createTempDirectory("ivf_stream_idx").toString
+    val ckpt = Files.createTempDirectory("ivf_stream_ckpt").toString
+
+    // the index exists before the stream starts (centroids freeze at build)
+    Ivf.writeIvfIndex(emb.filter(col("vec_id") < 200), seeds, s"$idx/i")
+
+    val later = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = later.partition(_._1 < 350)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IvfIngest.start(mem.toDF().toDF("vec_id", "embedding"),
+      s"$idx/i", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fromIndex = Ivf.ivfTopKFromIndex(Ivf.readIvfIndex(spark, s"$idx/i"),
+      numQueries = 10, k = 5, nprobe = 4)
+    val oneShot = Ivf.ivfTopK(emb, seeds, numQueries = 10, k = 5, nprobe = 4)
+    assert(fromIndex.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+
+    // replaying a committed identity is a no-op; a fresh one appends
+    val before = VersionedTable.read(spark, s"$idx/i/vectors").count()
+    IvfIngest.ingestBatch(b2.toDF("vec_id", "embedding"), s"$idx/i", ckpt,
+      txnId = 1L)
+    assert(VersionedTable.read(spark, s"$idx/i/vectors").count() === before)
+    IvfIngest.ingestBatch(Seq((9999L, Array.fill(emb.select("embedding")
+        .as[Array[Float]].head().length)(0.5f))).toDF("vec_id", "embedding"),
+      s"$idx/i", ckpt, txnId = 42L)
+    assert(VersionedTable.read(spark, s"$idx/i/vectors").count() === before + 1)
+  }
+}
