@@ -561,6 +561,16 @@ object SparkEntry {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Binary-quantization ANN gate ([[Similarity.bqTopK]]): 1-bit sign codes
+    * packed 32 dims per BIGINT word, exact-integer Hamming shortlist, exact
+    * cosine rerank. The oracle replays the packing (place-value sums are
+    * sums of distinct powers of two — integer-exact in any engine), the
+    * Hamming window, and the rerank arithmetic.
+    */
+  private def qBqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bqTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5,
+      shortlistK = 30).orderBy("query_id", "rank")
+
   private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Ivf.ivfTopK(emb, Ivf.seedCentroids(emb, nlist = 16),
@@ -2363,6 +2373,7 @@ object SparkEntry {
     "q_char_entropy" -> qCharEntropy,
     "q_ivf_topk" -> qIvfTopK,
     "q_ivf_append" -> qIvfAppend,
+    "q_bq_topk" -> qBqTopK,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_repetition" -> qRepetition,
@@ -3372,6 +3383,41 @@ object SparkEntry {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |      / (q.qnorm * n.norm), 4) AS cosine
         |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the binary-quantization funnel replayed exactly: place-value packing
+    // (sums of distinct powers of two — integer-exact), Hamming via
+    // bit_count(xor) on the BIGINT words, shortlist window with vec_id
+    // tiebreak, then the identical cosine rerank as q_similarity_topk
+    "q_bq_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id,
+        |    list_transform(range((len(v) - 1) // 32 + 1), w ->
+        |      CAST(list_sum(list_transform(range(32), b ->
+        |        CASE WHEN v[w * 32 + b + 1] > 0
+        |          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)) AS code
+        |  FROM e),
+        |qc AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 10),
+        |h AS (SELECT qc.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(len(c.code)), i ->
+        |      bit_count(xor(c.code[i + 1], qc.qcode[i + 1])))) AS BIGINT) AS hamming
+        |  FROM c JOIN qc ON c.vec_id <> qc.query_id),
+        |sl AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS sr FROM h) WHERE sr <= 30),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT sl.query_id, sl.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.qnorm * n.norm), 4) AS cosine
+        |  FROM sl JOIN n ON n.vec_id = sl.vec_id
+        |    JOIN q ON q.query_id = sl.query_id)
         |SELECT query_id, rank, vec_id, cosine FROM (
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)

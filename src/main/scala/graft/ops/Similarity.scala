@@ -322,6 +322,81 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cosine")
   }
 
+  /** 1-bit BINARY quantization: each dimension's sign bit (x > 0), packed 32
+    * dims per BIGINT word — 32 per word, not 64, so the place-value fold
+    * stays far from signed-64 overflow and DuckDB's strict BIGINT arithmetic
+    * replays the packing exactly. 32× compression vs float32; Hamming
+    * distance over the codes approximates angular distance (Charikar's
+    * hyperplane family with the coordinate axes as the planes — the
+    * data-oblivious cousin of [[quantizeInt8]]'s magnitude-preserving codes).
+    * Output: `(vec_id, code: array<bigint>)`, word w holding dims
+    * [32w, 32w+31], bit b = dim 32w+b.
+    */
+  def binaryQuantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    val packed = transform(
+      sequence(lit(0), floor((size(v) - 1) / 32).cast("int")), w =>
+      aggregate(
+        slice(v, w * 32 + 1, lit(32)),
+        struct(lit(0L).as("bits"), lit(1L).as("place")),
+        (acc, x) => struct(
+          (acc.getField("bits") +
+            when(x > 0, acc.getField("place")).otherwise(lit(0L))).as("bits"),
+          (acc.getField("place") * 2).as("place")),
+        acc => acc.getField("bits")))
+    df.select(col(idCol).as("vec_id"), packed.as("code"))
+  }
+
+  /** Hamming distance between two packed code arrays (equal length). */
+  private def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+
+  /** Binary-quantized ANN: Hamming over the 1-bit codes shortlists
+    * `shortlistK` candidates per query (vec_id < numQueries, self excluded),
+    * then exact cosine re-ranks ONLY the shortlist — the [[funnelTopK]]
+    * funnel with a 32×-compressed coarse pass instead of a prefix
+    * projection. `shortlistK = corpus size − 1` provably equals brute force
+    * (tested). Scale shape: the coarse scan reads 2 BIGINT words per vector
+    * instead of 64 floats (queries broadcast, map-side Hamming, one
+    * per-query window); the shortlist (numQueries × shortlistK id pairs)
+    * broadcasts back against the streaming full-width scan. Determinism:
+    * Hamming is exact-integer; ties break on vec_id at the shortlist AND the
+    * final ranking; cosine rounds to 4 dp as in every tier.
+    */
+  def bqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      shortlistK: Int = 30,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlistK >= k, s"shortlistK ($shortlistK) must cover k ($k)")
+    val codes = binaryQuantize(embeddings, idCol, vecCol)
+    val qCodes = codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val shortlist = codes.join(broadcast(qCodes),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", hammingDist(col("qcode"), col("code")))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlistK)
+      .select(col("query_id"), col("vec_id"))
+    val base = normed(embeddings, idCol, vecCol)
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val rescored = base.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Approximate cosine top-k over the int8 CODES table — search on the compressed
     * representation, raw floats never rescanned: cosine is scale-invariant, so the
     * per-vector scales cancel and the integer code dot product ranks directly.

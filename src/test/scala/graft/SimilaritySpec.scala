@@ -137,6 +137,35 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"int8 codes should nearly reproduce the exact top-k, overlap $overlap")
   }
 
+  test("binary quantization: hand-checked packing, 32 dims per word") {
+    import spark.implicits._
+    // dims 0..3: +,-,0,+ → bits 0 and 3 → word 0 = 9; dims 32..33 land in word 1
+    val v = Array.fill(34)(0.0f)
+    v(0) = 1.0f; v(1) = -1.0f; v(3) = 2.0f; v(32) = 0.5f; v(33) = -0.5f
+    val code = Similarity.binaryQuantize(Seq((1L, v)).toDF("vec_id", "embedding"))
+      .select("code").as[Seq[Long]].head()
+    assert(code === Seq(9L, 1L), s"got $code")
+  }
+
+  test("bqTopK: full shortlist equals brute force exactly; partial shortlist recalls well") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val exact = Similarity.cosineTopK(emb, numQueries = 10, k = 5)
+    val full = Similarity.bqTopK(emb, numQueries = 10, k = 5, shortlistK = n - 1)
+    assert(full.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      exact.orderBy("query_id", "rank").collect().map(_.toString).toSeq,
+      "a corpus-wide shortlist must reduce to brute force")
+    val approx = Similarity.bqTopK(emb, numQueries = 10, k = 5, shortlistK = 30)
+    assert(approx.count() === 50)
+    val a = approx.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (a & e).size.toDouble / e.size
+    assert(overlap > 0.5,
+      s"1-bit Hamming shortlist should recall most of the exact top-k: $overlap")
+  }
+
   test("multimodal: real decode produces deterministic features and histogram sums to 1") {
     implicit val sp = spark
     val feats = Multimodal.featureTable(Tables.documents(spark, sf)).cache()
