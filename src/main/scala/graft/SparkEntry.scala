@@ -506,10 +506,11 @@ object SparkEntry {
   }
 
   /** Sentence-segmentation gate ([[TextAnalysis.sentences]]): the fixture
-    * text carries no terminators, so both sides first inject them with the
-    * same two replacements (the q_html_extract wrap pattern), then segment.
-    * The oracle replays the sentinel-insert + split + position + trim chain
-    * exactly — a boundary-rule or index drift hash-mismatches.
+    * text carries no terminators, so both sides first inject them (plus two
+    * abbreviation phrases) with [[sentenceFixture]]'s four replacements,
+    * then segment. The oracle replays the abbreviation mask and the
+    * sentinel-insert + split + position + trim chain exactly — a
+    * boundary-rule, mask, or index drift hash-mismatches.
     */
   private def qSentences(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.sentences(sentenceFixture(s, dir))
