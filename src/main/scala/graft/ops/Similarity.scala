@@ -355,23 +355,39 @@ object Similarity {
         call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, h) => acc + h)
 
-  /** Binary-quantized ANN: Hamming over the 1-bit codes shortlists
+  /** One-shot convenience: quantize `embeddings` in-flight and funnel
+    * through [[bqTopKFromCodes]]. Serving paths that answer repeated query
+    * batches should MATERIALIZE the codes once ([[binaryQuantize]] →
+    * parquet / versioned table) and call [[bqTopKFromCodes]] — only then
+    * does the coarse pass actually read 32× fewer bytes; this in-flight
+    * variant still scans the floats to pack them (it saves nothing on IO,
+    * only proves the ranking).
+    */
+  def bqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      shortlistK: Int = 30,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bqTopKFromCodes(binaryQuantize(embeddings, idCol, vecCol), embeddings,
+      numQueries, k, shortlistK, idCol, vecCol)
+
+  /** Binary-quantized ANN off a prebuilt CODES table ([[binaryQuantize]]
+    * output, persisted): Hamming over the 1-bit codes shortlists
     * `shortlistK` candidates per query (vec_id < numQueries, self excluded),
     * then exact cosine re-ranks ONLY the shortlist — the [[funnelTopK]]
     * funnel with a 32×-compressed coarse pass instead of a prefix
     * projection. `shortlistK = corpus size − 1` provably equals brute force
-    * (tested). Scale shape: the coarse scan reads 2 BIGINT words per vector
-    * instead of 64 floats (queries broadcast, map-side Hamming, one
-    * per-query window); the shortlist (numQueries × shortlistK id pairs)
-    * broadcasts back against the streaming full-width scan. Determinism:
-    * Hamming is exact-integer; ties break on vec_id at the shortlist AND the
-    * final ranking; cosine rounds to 4 dp as in every tier.
+    * (tested). Scale shape: the coarse pass reads 2 BIGINT words per vector
+    * instead of 64 floats when the codes table is materialized (queries
+    * broadcast, map-side Hamming, one per-query window); the shortlist
+    * (numQueries × shortlistK id pairs) broadcasts back against the
+    * streaming full-width scan, which touches full vectors for shortlist
+    * rows only. Determinism: Hamming is exact-integer; ties break on vec_id
+    * at the shortlist AND the final ranking; cosine rounds to 4 dp as in
+    * every tier.
     */
-  def bqTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-      shortlistK: Int = 30,
+  def bqTopKFromCodes(codes: DataFrame, embeddings: DataFrame,
+      numQueries: Int = 10, k: Int = 5, shortlistK: Int = 30,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlistK >= k, s"shortlistK ($shortlistK) must cover k ($k)")
-    val codes = binaryQuantize(embeddings, idCol, vecCol)
     val qCodes = codes.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("code").as("qcode"))
     val wShort = Window.partitionBy(col("query_id"))

@@ -157,6 +157,15 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       "a corpus-wide shortlist must reduce to brute force")
     val approx = Similarity.bqTopK(emb, numQueries = 10, k = 5, shortlistK = 30)
     assert(approx.count() === 50)
+    // the serving path off MATERIALIZED codes answers identically (and its
+    // coarse pass never touches the float column)
+    val dir = java.nio.file.Files.createTempDirectory("bq_codes").toString
+    Similarity.binaryQuantize(emb).write.parquet(s"$dir/codes")
+    val fromCodes = Similarity.bqTopKFromCodes(
+      spark.read.parquet(s"$dir/codes"), emb, numQueries = 10, k = 5,
+      shortlistK = 30)
+    assert(fromCodes.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      approx.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
     val a = approx.select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val e = exact.select("query_id", "vec_id").collect()
