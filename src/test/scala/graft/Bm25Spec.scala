@@ -111,6 +111,27 @@ class Bm25Spec extends AnyFunSuite with SharedSpark {
       full.postings.orderBy("term", "doc_id").collect().map(_.toString).toSeq)
   }
 
+  test("append FS budget: zero opens of any prior index data file") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val dir =
+      s"counted://${java.nio.file.Files.createTempDirectory("bm25_count")}/idx"
+    val base = (0L until 50L).map(i => (i, s"alpha beta w$i hash join"))
+      .toDF("doc_id", "text")
+    Bm25.writeIndex(base, dir) // v=0 in postings/doclen/stats
+    graft.testutil.CountingFileSystem.reset()
+    Bm25.appendToIndex(
+      (50L until 60L).map(i => (i, s"gamma delta w$i")).toDF("doc_id", "text"),
+      dir)
+    // the append is O(batch): prior commits' parquet (under _data/v=0) is
+    // never OPENED — the deletion-based test proves no text rescan, this one
+    // proves no index-data rescan either, as a counted budget
+    val priorOpens = graft.testutil.CountingFileSystem.total("open", "_data/v=0")
+    assert(priorOpens == 0,
+      s"append must not read prior index data files, opened $priorOpens")
+  }
+
   test("matching is case-insensitive on the document side") {
     val mixed = Seq((1L, "Hash JOIN"), (2L, "HASH")).toDF("doc_id", "text")
     val ids = Bm25.scores(mixed, Seq("hash")).select("doc_id")
