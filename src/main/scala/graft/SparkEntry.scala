@@ -584,9 +584,30 @@ object SparkEntry {
     * over the full corpus, so a pass proves the appends reconstruct the
     * full-build answer and the pruned serving path reranks identically.
     */
+  /** Per-invocation scratch directory, reclaimed at JVM exit: the index-append
+    * gates build a throwaway index per rep, and the returned DataFrame reads
+    * it lazily (so it cannot be deleted before the driver collects) — the
+    * shutdown hook stops repeated bench/verify runs from accreting index
+    * copies under /tmp.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach { f =>
+          try { Files.deleteIfExists(f); () } catch { case _: Exception => () }
+        } finally walk.close()
+      }
+    }))
+    p.toString
+  }
+
   private def qIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val idx = scratchDir("graft_ivf_inc")
     Ivf.writeIvfIndex(emb.filter(col("vec_id") < 300),
       Ivf.seedCentroids(emb, nlist = 16), idx)
     Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), idx)
@@ -1126,7 +1147,7 @@ object SparkEntry {
     */
   private def qBm25Append(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+    val idx = scratchDir("graft_bm25_inc")
     Bm25.writeIndex(d.filter(col("doc_id") < 250), idx)
     Bm25.appendToIndex(d.filter(col("doc_id") >= 250 && col("doc_id") < 400), idx)
     Bm25.appendToIndex(d.filter(col("doc_id") >= 400), idx)

@@ -76,6 +76,8 @@ import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace}
   */
 object CopyInto {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[catalog] val IngestDir = "_ingest"
   private[catalog] val TxnApp = "graft.copy_into"
 
@@ -186,11 +188,16 @@ object CopyInto {
     // control characters (escapeJson covers backslash/quote only, matching
     // the distributed regexp_replace) — a newline in a path (legal on POSIX)
     // would split its record across lines, drop it from manifestPaths, and
-    // re-ingest the file as a duplicate. Refuse loudly at candidate time.
-    listed.find(st => qualified(st).exists(_ < ' ')).foreach { st =>
-      throw new IllegalArgumentException(
-        "COPY INTO: source path contains a control character, which the " +
-          s"line-oriented ingest ledger cannot record: ${qualified(st)}")
+    // re-ingest the file as a duplicate. Quarantine such files at candidate
+    // time instead of aborting: throwing would make ONE badly-named file a
+    // poison pill blocking every other file's ingestion until a manual
+    // rename. Skipped files warn loudly on every run until renamed.
+    val (recordable, quarantined) =
+      listed.partition(st => !qualified(st).exists(_ < ' '))
+    quarantined.foreach { st =>
+      log.warn("COPY INTO: SKIPPING source file whose path contains a " +
+        "control character (the line-oriented ingest ledger cannot record " +
+        s"it) — rename it to ingest: ${qualified(st).map(c => if (c < ' ') f"\\u$c%04x" else c.toString).mkString}")
     }
 
     // in-force manifests NOT covered by the compact artifact — the per-run tail
@@ -204,11 +211,11 @@ object CopyInto {
     lazy val compactBody: Set[String] = compactC.fold(Set.empty[String])(c =>
       manifestPaths(fs, new Path(ingestDir, f"compact.$c%06d.jsonl")).toSet)
     val fresh =
-      if (force) listed
+      if (force) recordable
       else compactC match {
-        case None => listed.filterNot(st => tailLoaded(qualified(st)))
+        case None => recordable.filterNot(st => tailLoaded(qualified(st)))
         case Some(c) =>
-          val candidates = listed.filterNot(st => tailLoaded(qualified(st)))
+          val candidates = recordable.filterNot(st => tailLoaded(qualified(st)))
           readBloom(fs, new Path(ingestDir, f"compact.$c%06d.bf")) match {
             case Some(bf) if candidates.forall(st =>
                 !bf.mightContainString(qualified(st))) =>

@@ -99,7 +99,13 @@ object HybridRetrieval {
     * as an `isin` predicate the way [[Bm25.topKFromIndex]] pushes its terms:
     * the predicate reaches the parquet scan (`PushedFilters`, plan-asserted in
     * HybridRetrievalSpec), so row-group stats PRUNE the scans to the query
-    * terms instead of a broadcast join filtering rows post-read. Per-(query,
+    * terms instead of a broadcast join filtering rows post-read. Pushdown
+    * caveat: past `spark.sql.parquet.pushdown.inFilterThreshold` (default 10)
+    * parquet rewrites the pushed In to a min/max RANGE filter — results stay
+    * correct, and on the TERM-CLUSTERED index layout the range [min term, max
+    * term] still skips row groups outside it, but pruning is coarser than the
+    * exact set; raise the threshold (or chunk the term list) when a query
+    * batch carries a very large vocabulary and needs exact-set pruning. Per-(query,
     * doc) BM25 is one map-side addend per posting hit + one aggregation
     * shuffle keyed (query, doc). The semantic leg and fusion are [[rrfTopK]]'s.
     *

@@ -177,7 +177,11 @@ object Ivf {
     * collects driver-side and re-enters the scan as an `isin` predicate that
     * parquet row-group stats resolve against the cluster-clustered layout —
     * at 100 TB the rerank reads only the probed clusters' row groups, never
-    * the full vector table.
+    * the full vector table. (Past
+    * `spark.sql.parquet.pushdown.inFilterThreshold` — default 10 — parquet
+    * rewrites the In to a min/max range filter; the cluster-sorted layout
+    * keeps range skipping effective, but raise the threshold for exact-set
+    * pruning with large numQueries × nprobe.)
     */
   def ivfTopKFromIndex(index: IvfIndex, numQueries: Int = 10, k: Int = 5,
       nprobe: Int = 4): DataFrame = {

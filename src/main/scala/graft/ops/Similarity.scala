@@ -335,7 +335,11 @@ object Similarity {
   def binaryQuantize(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val v = toDoubleVec(col(vecCol))
-    val packed = transform(
+    // guard the degenerate empty vector: sequence(0, -1) would DESCEND to
+    // [0, -1] and emit two spurious words where the oracle's floor-division
+    // range emits none (and hammingDist would then null-pad against real
+    // codes) — an empty vector must yield an empty code
+    val words = transform(
       sequence(lit(0), floor((size(v) - 1) / 32).cast("int")), w =>
       aggregate(
         slice(v, w * 32 + 1, lit(32)),
@@ -345,6 +349,8 @@ object Similarity {
             when(x > 0, acc.getField("place")).otherwise(lit(0L))).as("bits"),
           (acc.getField("place") * 2).as("place")),
         acc => acc.getField("bits")))
+    val packed = when(size(v) > 0, words)
+      .otherwise(array().cast("array<bigint>"))
     df.select(col(idCol).as("vec_id"), packed.as("code"))
   }
 

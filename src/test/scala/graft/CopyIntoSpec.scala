@@ -56,6 +56,37 @@ class CopyIntoSpec extends AnyFunSuite with SharedSpark {
     assert(got == Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("a control-character path is quarantined, not a poison pill: " +
+      "other files still ingest") {
+    val root = freshRoot()
+    val loc = s"$root/t"
+    createTable(loc)
+    docsDf.filter(col("doc_id") <= 2).coalesce(1)
+      .write.mode("append").parquet(s"$root/src")
+    // plant a file whose NAME carries a newline (legal on POSIX) — the
+    // line-oriented ledger cannot record it; it must be skipped with a
+    // warning, not abort the whole run
+    val bad = java.nio.file.Paths.get(s"$root/src", "bad\nname.parquet")
+    docsDf.filter(col("doc_id") === 5).coalesce(1)
+      .write.parquet(s"$root/tmpbad")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/tmpbad"))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    java.nio.file.Files.move(part, bad)
+    val first = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(first.filesLoaded == 1 && first.rowsLoaded == 2,
+      s"clean files must load despite the quarantined one: $first")
+    // the re-run stays a no-op on the clean files and keeps skipping the bad
+    // one (it warns again; it loads only after a rename)
+    val again = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(again == CopyInto.CopyResult(None, 0L, 0L))
+    java.nio.file.Files.move(bad,
+      java.nio.file.Paths.get(s"$root/src", "renamed.parquet"))
+    val third = CopyInto.copyInto(spark, loc, s"$root/src")
+    assert(third.filesLoaded == 1 && third.rowsLoaded == 1)
+    assert(VersionedTable.read(spark, loc).count() == 3)
+  }
+
   test("force reloads already-ingested files (duplicate rows, per contract)") {
     val root = freshRoot()
     val loc = s"$root/t"

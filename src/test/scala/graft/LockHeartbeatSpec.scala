@@ -21,9 +21,22 @@ class LockHeartbeatSpec extends AnyFunSuite with SharedSpark {
   private def tmp(): String =
     Files.createTempDirectory("graft_lock_hb").toString
 
-  private def stampOf(loc: String, name: String): Long =
-    new String(Files.readAllBytes(Paths.get(s"$loc/$name")),
-      StandardCharsets.UTF_8).trim.toLong
+  /** The lock file's stamp. The heartbeat REWRITES the file (create-truncate
+    * then write), so a read can land in that window and see it empty — the
+    * production waiter guards exactly this torn read (VersionedTable
+    * withFileLock treats it as age 0 and re-loops); the test helper retries
+    * briefly instead of failing the suite on the benign race.
+    */
+  private def stampOf(loc: String, name: String): Long = {
+    val deadline = System.currentTimeMillis() + 2000
+    var s = ""
+    while ({
+      s = new String(Files.readAllBytes(Paths.get(s"$loc/$name")),
+        StandardCharsets.UTF_8).trim
+      s.isEmpty && System.currentTimeMillis() < deadline
+    }) Thread.sleep(5)
+    s.toLong
+  }
 
   test("a live holder heartbeating past the stale threshold is never broken") {
     val loc = tmp()

@@ -147,6 +147,16 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(code === Seq(9L, 1L), s"got $code")
   }
 
+  test("binary quantization: empty vector yields an EMPTY code, not spurious words") {
+    import spark.implicits._
+    // sequence(0, -1) descends to [0, -1] — unguarded, an empty vector would
+    // emit two zero words and hammingDist would null-pad against real codes
+    val code = Similarity.binaryQuantize(
+        Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding"))
+      .select("code").as[Seq[Long]].head()
+    assert(code === Seq.empty, s"got $code")
+  }
+
   test("bqTopK: full shortlist equals brute force exactly; partial shortlist recalls well") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count().toInt
