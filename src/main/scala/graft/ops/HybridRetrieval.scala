@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * vectors through [[Similarity.cosineTopK]]'s one-pass scan. Fusion itself
   * touches only 2·legK rows per query. Both legs cut to top-`legK` BEFORE
   * the fusion join, so skew is bounded by construction.
+  *
+  * Serving-tier ladder (what reads what, per query batch):
+  *  - [[rrfTopK]] / [[bm25RrfTopK]]: corpus text + full embeddings (one-off).
+  *  - [[bm25RrfTopKFromIndex]]: postings index (term-pruned) + full
+  *    embeddings (exact semantic leg).
+  *  - [[hybridTopKFromIndexes]]: postings index (term-pruned) + IVF index
+  *    (cluster-pruned) — NO full-corpus scan on either leg.
   */
 object HybridRetrieval {
 
@@ -84,6 +91,68 @@ object HybridRetrieval {
         col("lex_rank"), col("sem_rank"))
   }
 
+  /** The index-only BM25 lexical leg shared by every serving path:
+    * `qTerms(query_id, term)` is a LOCAL (broadcast) relation of the query
+    * term pairs and `termList` its distinct vocabulary — pushed INTO every
+    * postings read as an `isin` predicate, so row-group stats on the
+    * TERM-CLUSTERED layout prune the scans to the query terms' row groups.
+    * Per-(query, doc) BM25 is one map-side addend per posting hit + one
+    * aggregation shuffle keyed (query, doc); addends are 6-dp-rounded BEFORE
+    * the per-pair sum so the grouped sum is order-independent.
+    */
+  private def bm25LexLeg(index: Bm25.Index, qTerms: DataFrame,
+      termList: Seq[String], legK: Int, k1: Double, b: Double,
+      excludeSelf: Boolean): DataFrame = {
+    val termPruned =
+      if (termList.isEmpty) index.postings.filter(lit(false))
+      else index.postings.filter(col("term").isin(termList: _*))
+    // per-term document frequency, restricted to the query vocabulary (tiny)
+    val dfs = termPruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val noSelf =
+      if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true)
+    val hits = termPruned.join(broadcast(qTerms), Seq("term")).filter(noSelf)
+
+    val n = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / n
+    val tf = col("tf").cast("double")
+    val df = col("df").cast("double")
+    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    val addend = idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = hits
+      .join(index.docLengths, "doc_id")
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("query_id"), col("doc_id"), round(addend, 6).as("__a"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__a")), 6).as("bm25"))
+    val lexW = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("lex_rank", row_number().over(lexW))
+      .filter(col("lex_rank") <= legK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** Extract the internal query documents' term pairs from the postings
+    * (`doc_id < numQueries`, the library's query convention): ONE bounded
+    * driver collect (numQueries documents' worth of terms) that re-enters
+    * the plan as a broadcast local relation, plus the distinct vocabulary
+    * for scan pruning. This extraction read necessarily walks the postings
+    * table (`doc_id` carries no clustering on the term-ordered layout) —
+    * the external-queries paths ([[bm25RrfTopKForQueries]]) avoid it
+    * entirely.
+    */
+  private def internalQueryTerms(index: Bm25.Index,
+      numQueries: Int): (DataFrame, Seq[String]) = {
+    val qTermsScan = index.postings
+      .filter(col("doc_id") < numQueries && col("term") =!= "")
+      .select(col("doc_id").as("query_id"), col("term"))
+    val qPairs = qTermsScan.collect()
+    val qTerms = qTermsScan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qPairs: _*), qTermsScan.schema)
+    (qTerms, qPairs.map(_.getString(1)).distinct.toSeq)
+  }
+
   /** BM25-weighted hybrid retrieval off a prebuilt [[Bm25.Index]] — the
     * serving-path upgrade of [[rrfTopK]]: the lexical leg ranks candidates by
     * full Okapi BM25 (not binary token overlap), and it reads ONLY the index
@@ -105,9 +174,10 @@ object HybridRetrieval {
     * correct, and on the TERM-CLUSTERED index layout the range [min term, max
     * term] still skips row groups outside it, but pruning is coarser than the
     * exact set; raise the threshold (or chunk the term list) when a query
-    * batch carries a very large vocabulary and needs exact-set pruning. Per-(query,
-    * doc) BM25 is one map-side addend per posting hit + one aggregation
-    * shuffle keyed (query, doc). The semantic leg and fusion are [[rrfTopK]]'s.
+    * batch carries a very large vocabulary and needs exact-set pruning.
+    * Per-(query, doc) BM25 is one map-side addend per posting hit + one
+    * aggregation shuffle keyed (query, doc). The semantic leg and fusion are
+    * [[rrfTopK]]'s.
     *
     * Determinism: each BM25 addend is computed from exact-integer (tf, df, dl,
     * N, Σdl) inputs in one fixed operation order and rounded to 6 dp BEFORE the
@@ -120,51 +190,9 @@ object HybridRetrieval {
       k1: Double = 1.2, b: Double = 0.75,
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(numQueries > 0 && legK > 0 && k > 0 && rrfK > 0)
-
-    // --- lexical leg: BM25 from the inverted index ---------------------------
-    // the (query_id, term) pairs are numQueries documents' worth — the one
-    // bounded driver collect; the doc_id predicate prunes this read on a
-    // doc_id-sorted postings table
-    val qTermsScan = index.postings
-      .filter(col("doc_id") < numQueries && col("term") =!= "")
-      .select(col("doc_id").as("query_id"), col("term"))
-    val qPairs = qTermsScan.collect()
-    val termList = qPairs.map(_.getString(1)).distinct.toSeq
-    // the collected pairs re-enter the plan as a broadcast local relation
-    // (schema preserved so query_id keeps the postings' doc_id type)
-    val qTerms = qTermsScan.sparkSession.createDataFrame(
-      java.util.Arrays.asList(qPairs: _*), qTermsScan.schema)
-    // query vocabulary pushed INTO the scans: parquet row-group stats prune
-    // a term-sorted postings table to the query terms' row groups
-    val termPruned =
-      if (termList.isEmpty) index.postings.filter(lit(false))
-      else index.postings.filter(col("term").isin(termList: _*))
-    // per-term document frequency, restricted to the query vocabulary (tiny)
-    val dfs = termPruned.groupBy("term").agg(count(lit(1)).as("df"))
-    val hits = termPruned.join(broadcast(qTerms), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-
-    val n = col("n").cast("double")
-    val avgdl = col("sumdl").cast("double") / n
-    val tf = col("tf").cast("double")
-    val df = col("df").cast("double")
-    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
-    val addend = idf * tf * lit(k1 + 1.0) /
-      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    val scored = hits
-      .join(index.docLengths, "doc_id")
-      .join(broadcast(dfs), Seq("term"))
-      .crossJoin(broadcast(index.stats))
-      .select(col("query_id"), col("doc_id"), round(addend, 6).as("__a"))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(col("__a")), 6).as("bm25"))
-    val lexW = Window.partitionBy(col("query_id"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-    val lex = scored.withColumn("lex_rank", row_number().over(lexW))
-      .filter(col("lex_rank") <= legK)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
-
-    // --- semantic leg + fusion: shared with [[rrfTopK]] ----------------------
+    val (qTerms, termList) = internalQueryTerms(index, numQueries)
+    val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
+      excludeSelf = true)
     val sem = Similarity.cosineTopK(embeddings, numQueries, legK,
         idCol = vecIdCol, vecCol = vecCol)
       .select(col("query_id"), col(vecIdCol).as("doc_id"),
@@ -172,10 +200,82 @@ object HybridRetrieval {
     fuse(lex, sem, k, rrfK)
   }
 
+  /** Fully index-backed hybrid retrieval — BOTH legs serve from persisted,
+    * incrementally-maintained indexes, removing the serving tier's last
+    * full-corpus scan: the lexical leg is the term-pruned BM25-from-postings
+    * of [[bm25RrfTopKFromIndex]]; the semantic leg is
+    * [[Ivf.ivfTopKFromIndex]] — probe `nprobe` clusters against the tiny
+    * centroid table, then exact-rerank ONLY the probed clusters' row groups
+    * (cluster-isin pushed into the vector scan). Per query batch the plan
+    * reads: the query terms' postings row groups, the probed clusters' vector
+    * row groups, and three metadata-scale artifacts — never the documents
+    * table, never the full embedding table.
+    *
+    * Semantics: at `nprobe = nlist` the IVF leg provably equals the exact
+    * cosine leg, so this returns exactly [[bm25RrfTopKFromIndex]]'s answer
+    * (spec-pinned); smaller nprobe trades semantic-leg recall for a rerank
+    * bounded by the probed clusters, the standard IVF contract. Both indexes
+    * must cover the same corpus (doc_id ↔ vec_id).
+    */
+  def hybridTopKFromIndexes(index: Bm25.Index, ivf: Ivf.IvfIndex,
+      numQueries: Int = 5, legK: Int = 20, k: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75, nprobe: Int = 4): DataFrame = {
+    require(numQueries > 0 && legK > 0 && k > 0 && rrfK > 0 && nprobe > 0)
+    val (qTerms, termList) = internalQueryTerms(index, numQueries)
+    val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
+      excludeSelf = true)
+    val sem = Ivf.ivfTopKFromIndex(ivf, numQueries, legK, nprobe)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
+
+  /** Hybrid retrieval for EXTERNAL queries — the realistic serving shape: the
+    * query batch arrives from OUTSIDE the corpus as `queries(queryIdCol,
+    * queryTextCol, queryVecCol)` (id, text, embedding), so NO extraction scan
+    * exists — the query terms come from tokenizing the (tiny) query frame
+    * itself, and EVERY index read carries a pushed predicate: postings reads
+    * the query terms' row groups ([[Bm25]] layout), the IVF vector scan reads
+    * the probed clusters' row groups ([[Ivf]] layout). No self-exclusion on
+    * either leg: the query id space is unrelated to corpus ids.
+    *
+    * The lexical leg uses each query's DISTINCT terms (matching the
+    * internal-query convention, where term sets come from postings rows);
+    * tokenization is [[Bm25.buildIndex]]'s ([[TextAnalysis.tokens]] of the
+    * lowercased text).
+    */
+  def bm25RrfTopKForQueries(index: Bm25.Index, ivf: Ivf.IvfIndex,
+      queries: DataFrame, legK: Int = 20, k: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75, nprobe: Int = 4,
+      queryIdCol: String = "query_id", queryTextCol: String = "text",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(legK > 0 && k > 0 && rrfK > 0 && nprobe > 0)
+    // the bounded driver collect is over the CALLER'S query batch — no index
+    // read at all; the pairs re-enter as a broadcast local relation and the
+    // vocabulary as the pushed isin
+    val qTermsScan = queries.select(col(queryIdCol).as("query_id"),
+        explode(TextAnalysis.tokens(lower(coalesce(col(queryTextCol),
+          lit(""))))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val qPairs = qTermsScan.collect()
+    val qTerms = qTermsScan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qPairs: _*), qTermsScan.schema)
+    val termList = qPairs.map(_.getString(1)).distinct.toSeq
+    val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
+      excludeSelf = false)
+    val sem = Ivf.ivfTopKForQueries(ivf, queries, legK, nprobe,
+        idCol = queryIdCol, vecCol = queryVecCol)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
+
   /** One-shot convenience: build the [[Bm25.Index]] from `docs` (one
     * tokenization scan) and fuse. Serving paths that answer repeated query
     * batches should build/persist the index once and call
-    * [[bm25RrfTopKFromIndex]].
+    * [[bm25RrfTopKFromIndex]] (or [[hybridTopKFromIndexes]] with a persisted
+    * IVF index for a fully pruned plan).
     */
   def bm25RrfTopK(docs: DataFrame, embeddings: DataFrame, numQueries: Int = 5,
       legK: Int = 20, k: Int = 10, rrfK: Int = 60,

@@ -37,7 +37,10 @@ object Ivf {
     * and each corpus row computes its argmax in-place over that array (ties break to
     * the smallest centroid_id, independent of array order). No shuffle at all — a
     * groupBy-argmax formulation would push every full vector payload through an
-    * exchange, which at corpus scale is the whole dataset.
+    * exchange, which at corpus scale is the whole dataset. Output carries the
+    * assignment cosine as `acos` (the quantization-quality signal [[ivfDrift]]
+    * aggregates); the argmax struct lands as its own attribute first so the
+    * interpreted aggregate HOF is evaluated once, not once per consumer.
     */
   def assign(
       embeddings: DataFrame, centroids: DataFrame,
@@ -61,8 +64,10 @@ object Ivf {
           .otherwise(acc)
       })
     base.crossJoin(broadcast(centroidRow))
-      .withColumn("cluster", best.getField("bid"))
-      .drop("cents")
+      .withColumn("__best", best)
+      .withColumn("cluster", col("__best").getField("bid"))
+      .withColumn("acos", col("__best").getField("bcos"))
+      .drop("cents", "__best")
   }
 
   /** IVF top-k: each query (vec_id < numQueries) probes its `nprobe` max-cosine
@@ -109,59 +114,96 @@ object Ivf {
     * table and appended as pure O(batch) writes. Prior vectors are never
     * rescanned; the corpus behind the index can be gone.
     *
-    * Layout under `dir`: `centroids` (centroid_id, cv) and `vectors`
-    * (vec_id, v, norm, cluster), the latter landed CLUSTER-CLUSTERED
-    * (range-partitioned + sorted within files) so parquet row-group stats on
-    * `cluster` are tight — [[ivfTopKFromIndex]] pushes the probed cluster
-    * set into the scan and reads only those clusters' row groups instead of
-    * the whole vector table.
+    * Layout under `dir`: `centroids` (centroid_id, cv), `vectors`
+    * (vec_id, v, norm, cluster) landed CLUSTER-CLUSTERED (range-partitioned +
+    * sorted within files) so parquet row-group stats on `cluster` are tight —
+    * [[ivfTopKFromIndex]] pushes the probed cluster set into the scan and
+    * reads only those clusters' row groups instead of the whole vector
+    * table — and `quality`, one (batch, cluster, n_vecs, sum_cos4) row per
+    * batch×cluster recording assignment quality at landing time (exact
+    * integers: cos4 = round(acos·10⁴), order-independent sums), the feed for
+    * [[ivfDrift]]'s retrain-is-a-rebuild decision.
     *
     * Contract: batches carry NOVEL vec_ids (same ledger/novelty routing as
-    * [[Bm25.appendToIndex]]).
+    * [[Bm25.appendToIndex]]). Pass distinct `batchLabel`s to keep per-batch
+    * drift resolution; reused labels merge their quality rows (still correct,
+    * coarser).
     */
   def writeIvfIndex(embeddings: DataFrame, centroids: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchLabel: String = "base"): Unit = {
     graft.catalog.VersionedTable.write(
       centroids.select(col("centroid_id"), col("cv")),
       s"$dir/centroids", "overwrite")
-    landBatch(embeddings, centroids, dir, "overwrite", idCol, vecCol)
+    landBatch(embeddings, centroids, dir, "overwrite", batchLabel, idCol, vecCol)
   }
 
   /** Append one vector batch: ONE map-side assignment scan of the batch
-    * against the persisted centroids, then a batch-sized clustered write.
+    * against the persisted centroids, then a batch-sized clustered write
+    * plus its quality row(s).
     */
   def appendToIvfIndex(batch: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchLabel: String = "batch"): Unit = {
     val centroids = graft.catalog.VersionedTable
       .read(batch.sparkSession, s"$dir/centroids")
-    landBatch(batch, centroids, dir, "append", idCol, vecCol)
+    landBatch(batch, centroids, dir, "append", batchLabel, idCol, vecCol)
   }
 
   private def landBatch(batch: DataFrame, centroids: DataFrame, dir: String,
-      operation: String, idCol: String, vecCol: String): Unit =
-    graft.catalog.VersionedTable.write(
-      clusteredAssignment(batch, centroids, idCol, vecCol),
-      s"$dir/vectors", operation)
+      operation: String, batchLabel: String, idCol: String,
+      vecCol: String): Unit =
+    landArtifacts(batch, centroids, batchLabel, idCol, vecCol) { (df, artifact) =>
+      graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
+    }
 
-  /** The batch's map-side assignment in the index table's layout —
-    * cluster-clustered (range-partitioned + sorted within files) so the
-    * probe-set isin of [[ivfTopKFromIndex]] prunes row groups. Shared by the
-    * batch append path and the streaming maintainer
-    * ([[graft.streaming.IvfIngest]]).
+  /** Build the batch's two index artifacts from ONE persisted assignment scan
+    * and hand each to `land(df, artifact)` (artifact ∈ "vectors" |
+    * "quality") — without the persist the two landing jobs would each re-run
+    * the broadcast argmax over the batch. Shared by the batch append path and
+    * the streaming maintainer ([[graft.streaming.IvfIngest]]), exactly
+    * [[Bm25.landArtifacts]]'s shape.
     */
-  private[graft] def clusteredAssignment(batch: DataFrame,
-      centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[graft] def landArtifacts(batch: DataFrame, centroids: DataFrame,
+      batchLabel: String, idCol: String, vecCol: String)(
+      land: (DataFrame, String) => Unit): Unit = {
+    val assigned = assign(batch, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      land(clusteredOf(assigned), "vectors")
+      land(qualityOf(assigned, batchLabel), "quality")
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** The assignment in the index table's layout — cluster-clustered
+    * (range-partitioned + sorted within files) so the probe-set isin of
+    * [[ivfTopKFromIndex]] prunes row groups.
+    */
+  private def clusteredOf(assigned: DataFrame): DataFrame = {
     // pin the element nullability: sources differ (parquet reads carry
     // nullable elements, typed in-memory encoders don't), and the versioned
     // table rightly refuses an append that flips a type's nullability
     val vType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType, containsNull = true)
-    assign(batch, centroids, idCol, vecCol)
+    assigned
       .select(col("vec_id"), col("v").cast(vType).as("v"),
         col("norm"), col("cluster"))
       .repartitionByRange(col("cluster"))
       .sortWithinPartitions("cluster", "vec_id")
   }
+
+  /** Per-cluster assignment quality of one batch, on an exact-integer grid so
+    * any engine replays it: cos4 = round(acos·10⁴) summed as BIGINT (sums of
+    * integers are order-independent; the mean is recovered at read).
+    */
+  private def qualityOf(assigned: DataFrame, batchLabel: String): DataFrame =
+    assigned
+      .select(col("cluster"),
+        round(col("acos") * 10000).cast("bigint").as("cos4"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cos4")).as("sum_cos4"))
+      .select(lit(batchLabel).as("batch"), col("cluster"), col("n_vecs"),
+        col("sum_cos4"))
 
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
@@ -182,12 +224,45 @@ object Ivf {
     * rewrites the In to a min/max range filter; the cluster-sorted layout
     * keeps range skipping effective, but raise the threshold for exact-set
     * pruning with large numQueries × nprobe.)
+    *
+    * This convenience overload takes its queries from INSIDE the index
+    * (`vec_id < numQueries`), and that one extraction read necessarily walks
+    * the vectors table — `vec_id` carries no clustering on the
+    * cluster-ordered layout. Serving tiers answering EXTERNAL query batches
+    * should call [[ivfTopKForQueries]], whose only index reads are the
+    * cluster-pruned ones.
     */
   def ivfTopKFromIndex(index: IvfIndex, numQueries: Int = 10, k: Int = 5,
       nprobe: Int = 4): DataFrame = {
     val queries = index.assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
+    serveFromIndex(index, queries, k, nprobe, excludeSelf = true)
+  }
+
+  /** IVF top-k for EXTERNAL query vectors — the realistic serving shape
+    * (queries arrive from outside the index, e.g. a request batch): `queries`
+    * carries (`idCol`, `vecCol`), broadcasts against the tiny centroid table
+    * for probing, and the ONLY read of the vectors table is the
+    * cluster-pruned rerank scan — no extraction scan exists, so serving cost
+    * is O(probed clusters), never O(index). No self-exclusion: the query id
+    * space is unrelated to the corpus ids.
+    */
+  def ivfTopKForQueries(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qnorm", Similarity.l2Norm(col("qv")))
+    serveFromIndex(index, q, k, nprobe, excludeSelf = false)
+  }
+
+  /** Shared pruned-serving body: probe against broadcast centroids, collect
+    * the bounded probed-cluster set, push it into the vectors scan as isin,
+    * exact-rerank the pruned candidates.
+    */
+  private def serveFromIndex(index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int, excludeSelf: Boolean): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("centroid_id"))
     val probes = queries.crossJoin(broadcast(withNorm(index.centroids)))
@@ -203,9 +278,10 @@ object Ivf {
     val pruned =
       if (probed.isEmpty) index.assigned.filter(lit(false))
       else index.assigned.filter(col("cluster").isin(probed: _*))
+    val noSelf =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     val cands = pruned.join(broadcast(probes),
-        pruned("cluster") === probes("cluster") &&
-          col("vec_id") =!= col("query_id"))
+        pruned("cluster") === probes("cluster") && noSelf)
       .withColumn("cosine",
         round(Similarity.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
     val wTop = Window.partitionBy(col("query_id"))
@@ -213,6 +289,55 @@ object Ivf {
     cands.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  /** Centroid-staleness signal for the frozen-centroid contract: one row per
+    * recorded batch, scoring how well the frozen centroids still fit the data
+    * that has arrived since — the data-driven trigger for the
+    * retrain-is-a-rebuild decision. Per batch:
+    *
+    *   - `n_vecs` — vectors landed,
+    *   - `mean_cos` — mean assignment cosine (how central vectors sit in
+    *     their clusters; falls as the distribution drifts off-centroid),
+    *   - `psi` — population-stability index of the batch's cluster-occupancy
+    *     distribution vs `baseBatch`'s (the [[Drift]] convention:
+    *     epsilon-floored fractions, per-cluster terms on an 8-dp grid,
+    *     6-dp total — order-independent, replayed exactly by any engine).
+    *     Standard reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain.
+    *
+    * Cost: reads only the metadata-scale `quality` table (batches × nlist
+    * rows) and the centroid ids — never the vectors.
+    */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
+      baseBatch: String = "base", epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
+    val quality = graft.catalog.VersionedTable.read(spark, s"$dir/quality")
+    val clusters = graft.catalog.VersionedTable.read(spark, s"$dir/centroids")
+      .select(col("centroid_id").as("cluster"))
+    // dense (batch × cluster) grid so zero-occupancy clusters still
+    // contribute through the epsilon floor — both frames are metadata-scale
+    val grid = quality.select("batch").distinct()
+      .crossJoin(broadcast(clusters))
+      .join(quality, Seq("batch", "cluster"), "left")
+      .select(col("batch"), col("cluster"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("sum_cos4"), lit(0L)).as("sum_cos4"))
+    val withTot = grid.withColumn("tot",
+      sum(col("n_vecs")).over(Window.partitionBy(col("batch"))))
+    val cur = withTot.withColumn("frac",
+      greatest(col("n_vecs").cast("double") / col("tot"), lit(epsilon)))
+    val base = cur.filter(col("batch") === baseBatch)
+      .select(col("cluster"), col("frac").as("base_frac"))
+    cur.join(broadcast(base), Seq("cluster"))
+      .withColumn("psi_term",
+        round((col("frac") - col("base_frac")) *
+          log(col("frac") / col("base_frac")), 8))
+      .groupBy("batch")
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        round(sum(col("sum_cos4")).cast("double") /
+          (lit(10000.0) * sum(col("n_vecs"))), 6).as("mean_cos"),
+        round(sum(col("psi_term")), 6).as("psi"))
+      .orderBy("batch")
   }
 
   /** Lloyd's k-means refinement of the given centroids (the production path for

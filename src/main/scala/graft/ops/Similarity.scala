@@ -361,6 +361,59 @@ object Similarity {
         call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, h) => acc + h)
 
+  /** Persisted-codes lifecycle over [[graft.catalog.VersionedTable]] — the
+    * [[Bm25.writeIndex]] / [[Ivf.writeIvfIndex]] incremental-maintenance
+    * pattern applied to the binary-quantization tier, and the simplest of the
+    * three: the quantizer is STATELESS (per-row sign bits, no centroids, no
+    * corpus statistics), so appends are trivially O(batch) — each arriving
+    * vector batch quantizes map-side and lands as an ordinary append; prior
+    * codes and prior vectors are never rescanned, and there is nothing to
+    * freeze or retrain. Only with a MATERIALIZED codes table does the
+    * [[bqTopKFromCodes]] coarse pass actually read 32× fewer bytes — this
+    * lifecycle is what turns the one-shot [[bqTopK]] proof into a serving
+    * tier. No clustering on write: the Hamming coarse pass is a linear scan
+    * of every code by design (that's the tier's contract — tiny codes, full
+    * sweep), so there is no predicate to prune for and the narrow layout is
+    * already optimal.
+    *
+    * Contract: batches carry NOVEL vec_ids (same ledger/novelty routing as
+    * the other index lifecycles).
+    */
+  def writeCodes(embeddings: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.catalog.VersionedTable.write(
+      quantizedBatch(embeddings, idCol, vecCol), dir, "overwrite")
+    ()
+  }
+
+  /** Append one vector batch's codes: ONE map-side quantization pass over
+    * the batch, then a batch-sized write.
+    */
+  def appendToCodes(batch: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.catalog.VersionedTable.write(
+      quantizedBatch(batch, idCol, vecCol), dir, "append")
+    ()
+  }
+
+  /** The batch's codes in the persisted layout. Element nullability is
+    * pinned: parquet reads carry nullable array elements, in-memory builds
+    * don't, and the versioned table rightly refuses an append that flips a
+    * type's nullability. Shared by the batch paths and the streaming
+    * maintainer ([[graft.streaming.BqIngest]]).
+    */
+  private[graft] def quantizedBatch(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val codeType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = true)
+    binaryQuantize(batch, idCol, vecCol)
+      .select(col("vec_id"), col("code").cast(codeType).as("code"))
+  }
+
+  /** Load a persisted codes table for [[bqTopKFromCodes]]. */
+  def readCodes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.catalog.VersionedTable.read(spark, dir)
+
   /** One-shot convenience: quantize `embeddings` in-flight and funnel
     * through [[bqTopKFromCodes]]. Serving paths that answer repeated query
     * batches should MATERIALIZE the codes once ([[binaryQuantize]] →

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.catalog.VersionedTable
@@ -9,37 +9,47 @@ import graft.ops.Ivf
 /** Continuous IVF index maintenance — [[IndexIngest]] for the ANN tier: each
   * micro-batch of vectors assigns MAP-SIDE against the frozen persisted
   * centroid table (broadcast argmax, zero shuffle except the batch-sized
-  * clustering write) and lands as ONE exactly-once
-  * [[VersionedTable.idempotentAppend]] keyed (checkpoint, batchId) — crash
-  * replays re-append nothing, prior vectors are never rescanned. The serving
-  * path ([[Ivf.ivfTopKFromIndex]] over [[Ivf.readIvfIndex]]) reads the same
-  * table with no coordination.
+  * clustering write) and lands its two artifacts — the cluster-clustered
+  * vectors and the per-batch assignment-quality rows [[Ivf.ivfDrift]] reads —
+  * as exactly-once [[VersionedTable.idempotentAppend]]s keyed (checkpoint,
+  * batchId), suffixed per artifact so a crash between the two appends replays
+  * only the missing one. Prior vectors are never rescanned. The serving path
+  * ([[Ivf.ivfTopKFromIndex]] / [[Ivf.ivfTopKForQueries]] over
+  * [[Ivf.readIvfIndex]]) reads the same tables with no coordination.
   *
   * The index must exist ([[Ivf.writeIvfIndex]]) before the stream starts:
-  * centroids freeze at build time — IVF's standard maintenance contract.
-  * Arriving vec_ids must be novel (same ledger/novelty routing as the other
-  * ingest maintainers).
+  * centroids freeze at build time — IVF's standard maintenance contract; the
+  * per-batch quality rows are the drift signal that tells the operator when
+  * that freeze has gone stale and a retrain-rebuild is due. Arriving vec_ids
+  * must be novel (same ledger/novelty routing as the other ingest
+  * maintainers).
   */
 object IvfIngest {
 
   /** Start the maintainer. `vectors` must be a streaming DataFrame carrying
     * (`idCol`, `vecCol`). Returns the running query; stop it for a graceful
-    * drain.
+    * drain. `compactEvery > 0` folds the index tables every N micro-batches
+    * (cluster-ordered rewrite — serving pruning survives) so a long-running
+    * stream doesn't accrete per-batch file-scan branches.
     */
   def start(vectors: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, vecCol)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexDir)
       }
       .start()
 
-  /** One micro-batch: assign against the persisted centroids, append
-    * exactly-once. Public so batch backfills can reuse the identical path
+  /** One micro-batch: assign against the persisted centroids, append the two
+    * artifacts exactly-once (suffixed identities — each table dedups
+    * independently). Public so batch backfills can reuse the identical path
     * with the same idempotency keying.
     */
   def ingestBatch(batch: DataFrame, indexDir: String, txnApp: String,
@@ -48,9 +58,23 @@ object IvfIngest {
     if (batch.isEmpty) return
     val centroids = VersionedTable.read(batch.sparkSession,
       s"$indexDir/centroids")
-    VersionedTable.idempotentAppend(
-      Ivf.clusteredAssignment(batch, centroids, idCol, vecCol),
-      s"$indexDir/vectors", s"$txnApp#vectors", txnId)
+    Ivf.landArtifacts(batch, centroids, txnId.toString, idCol, vecCol) {
+      (df, artifact) =>
+        VersionedTable.idempotentAppend(df, s"$indexDir/$artifact",
+          s"$txnApp#$artifact", txnId)
+        ()
+    }
+  }
+
+  /** Fold the accreted per-batch commits: vectors rewrite CLUSTER-ordered
+    * (the serving layout — probed-cluster pruning survives compaction),
+    * quality folds to one file (metadata-scale). Idempotent under replay —
+    * recompacting compacted state is a no-op rewrite.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    VersionedTable.compact(spark, s"$indexDir/vectors",
+      sortBy = Seq("cluster", "vec_id"))
+    VersionedTable.compact(spark, s"$indexDir/quality", numFiles = 1)
     ()
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.VersionedTable
+import graft.ops.Similarity
+import graft.streaming.BqIngest
+
+/** Streaming binary-quantization code maintenance: streamed batches equal
+  * the one-shot quantization, replay is a no-op, and the maintainer needs no
+  * pre-built state (the quantizer is stateless).
+  */
+class BqIngestSpec extends AnyFunSuite with SharedSpark {
+
+  import spark.implicits._
+
+  test("streamed vector batches match the one-shot bqTopK; replay re-appends nothing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Files.createTempDirectory("bq_stream").toString + "/codes"
+    val ckpt = Files.createTempDirectory("bq_stream_ckpt").toString
+
+    // seed the table with the base corpus, stream the rest in two batches
+    Similarity.writeCodes(emb.filter(col("vec_id") < 200), codes)
+    val later = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = later.partition(_._1 < 350)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = BqIngest.start(mem.toDF().toDF("vec_id", "embedding"),
+      codes, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // serving off the streamed codes table ≡ the one-shot in-flight funnel
+    val fromCodes = Similarity.bqTopKFromCodes(
+      Similarity.readCodes(spark, codes), emb,
+      numQueries = 10, k = 5, shortlistK = 30)
+    val oneShot = Similarity.bqTopK(emb, numQueries = 10, k = 5,
+      shortlistK = 30)
+    assert(fromCodes.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+
+    // replaying a committed identity is a no-op; a fresh one appends
+    val before = VersionedTable.read(spark, codes).count()
+    BqIngest.ingestBatch(b2.toDF("vec_id", "embedding"), codes, ckpt,
+      txnId = 1L)
+    assert(VersionedTable.read(spark, codes).count() === before)
+    BqIngest.ingestBatch(Seq((9999L, Array.fill(emb.select("embedding")
+        .as[Array[Float]].head().length)(0.5f))).toDF("vec_id", "embedding"),
+      codes, ckpt, txnId = 42L)
+    assert(VersionedTable.read(spark, codes).count() === before + 1)
+  }
+
+  test("append FS budget: zero opens of any prior code data file") {
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val dir =
+      s"counted://${Files.createTempDirectory("bq_count")}/codes"
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.writeCodes(emb.filter(col("vec_id") < 100), dir) // v=0
+    graft.testutil.CountingFileSystem.reset()
+    Similarity.appendToCodes(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), dir)
+    val priorOpens = graft.testutil.CountingFileSystem.total("open", "_data/v=0")
+    assert(priorOpens == 0,
+      s"append must not read prior code data files, opened $priorOpens")
+  }
+
+  test("incremental codes: base embeddings deleted, appended table still " +
+      "serves the exact one-shot ranking") {
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("bq_inc_src").toString
+    val codes = Files.createTempDirectory("bq_inc").toString + "/codes"
+
+    // quantize the base from a parquet copy, then DELETE that copy: any
+    // append or read that rescanned base vectors would throw FileNotFound
+    emb.filter(col("vec_id") < 300).write.parquet(s"$textDir/base")
+    Similarity.writeCodes(spark.read.parquet(s"$textDir/base"), codes)
+    val fs = new org.apache.hadoop.fs.Path(textDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$textDir/base"), true))
+
+    Similarity.appendToCodes(emb.filter(col("vec_id") >= 300), codes)
+    val fromCodes = Similarity.bqTopKFromCodes(
+      Similarity.readCodes(spark, codes), emb,
+      numQueries = 10, k = 5, shortlistK = 30)
+    val oneShot = Similarity.bqTopK(emb, numQueries = 10, k = 5,
+      shortlistK = 30)
+    assert(fromCodes.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+  }
+}

@@ -132,4 +132,107 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
       .count()
     assert(n == 15, s"expected 3 queries x 5 results, got $n")
   }
+
+
+  test("fully index-backed hybrid: both scans pruned, corpus tables untouched; " +
+      "nprobe = nlist equals the exact-semantic-leg variant") {
+    import graft.ops.{Bm25, Ivf}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_idx").toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 8), s"$dir/ivf")
+    val bm25 = Bm25.readIndexFrom(spark, s"$dir/bm25")
+    val ivf = Ivf.readIvfIndex(spark, s"$dir/ivf")
+
+    val out = HybridRetrieval.hybridTopKFromIndexes(bm25, ivf,
+      numQueries = 3, legK = 5, k = 5, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"),
+      s"index-backed plan must not scan corpus text:\n$plan")
+    assert(!plan.contains("embeddings"),
+      "semantic leg must serve from the IVF index, not the embedding table")
+    assert(!plan.contains("CartesianProduct"))
+    val postingScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings")).toSeq
+    assert(postingScans.nonEmpty)
+    postingScans.foreach { l =>
+      assert(l.contains("In(term") || l.contains("EqualTo(term"),
+        s"postings scan must push the query-term predicate:\n$l")
+    }
+    val vecScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/vectors")).toSeq
+    assert(vecScans.exists(l =>
+      l.contains("In(cluster") || l.contains("EqualTo(cluster")),
+      s"rerank scan must push the probed clusters:\n${vecScans.mkString("\n")}")
+
+    // exhaustive probe ≡ exact semantic leg, row for row
+    val viaIvf = HybridRetrieval.hybridTopKFromIndexes(bm25, ivf,
+        numQueries = 3, legK = 5, k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val exact = HybridRetrieval.bm25RrfTopKFromIndex(bm25, emb,
+        numQueries = 3, legK = 5, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaIvf === exact,
+      "probing every cluster must reproduce the exact-leg hybrid answer")
+  }
+
+  test("external-queries serving: EVERY index read carries a pushed predicate, " +
+      "and the fused ranking is the hand-checkable one") {
+    import spark.implicits._
+    import graft.ops.{Bm25, Ivf}
+    // corpus: doc 0 and 2 carry the rare term; all corpus vectors but 0's
+    // point along (0,1)
+    val docs = Seq(
+      (0L, "zebra alpha"),
+      (1L, "alpha alpha alpha"),
+      (2L, "zebra beta"),
+      (3L, "alpha gamma"),
+      (4L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_ext").toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 2), s"$dir/ivf")
+    val bm25 = Bm25.readIndexFrom(spark, s"$dir/bm25")
+    val ivf = Ivf.readIvfIndex(spark, s"$dir/ivf")
+
+    // the query arrives from OUTSIDE the corpus: its own id space, its own text
+    val queries = Seq((99L, "zebra", Array(0.0f, 1.0f)))
+      .toDF("query_id", "text", "embedding")
+    val out = HybridRetrieval.bm25RrfTopKForQueries(bm25, ivf, queries,
+      legK = 4, k = 5, nprobe = 1)
+
+    // EVERY postings read and EVERY vectors read is predicate-pruned — no
+    // extraction scan exists on the external path
+    val plan = out.queryExecution.executedPlan.toString
+    val postingScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings")).toSeq
+    assert(postingScans.nonEmpty)
+    postingScans.foreach { l =>
+      assert(l.contains("In(term") || l.contains("EqualTo(term"),
+        s"external path: unpruned postings scan:\n$l")
+    }
+    val vecScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/vectors")).toSeq
+    assert(vecScans.nonEmpty)
+    vecScans.foreach { l =>
+      assert(l.contains("In(cluster") || l.contains("EqualTo(cluster"),
+        s"external path: unpruned vectors scan:\n$l")
+    }
+
+    // hand-checkable fusion: query vec (0,1) probes the (0,1) centroid only →
+    // semantic candidates 1,2,3,4 (all cosine 1.0, id order); lexical zebra →
+    // docs 0,2 with equal BM25 (id order). RRF: doc 2 fuses both legs (rank 2
+    // lexical + rank 2 semantic) and wins; docs 0 and 1 tie on 1/61 → id order.
+    val got = out.orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"))).toSeq
+    assert(got === Seq((1, 2L), (2, 0L), (3, 1L), (4, 3L), (5, 4L)),
+      s"unexpected external-query fusion: $got")
+    // no self-exclusion on the external path: corpus doc ids never collide
+    // with query id 99, so every corpus doc was eligible
+  }
 }

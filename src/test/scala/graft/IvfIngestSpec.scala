@@ -58,5 +58,38 @@ class IvfIngestSpec extends AnyFunSuite with SharedSpark {
         .as[Array[Float]].head().length)(0.5f))).toDF("vec_id", "embedding"),
       s"$idx/i", ckpt, txnId = 42L)
     assert(VersionedTable.read(spark, s"$idx/i/vectors").count() === before + 1)
+
+    // every streamed micro-batch also recorded its quality rows under its
+    // txnId label (the maintainer's drift feed), and the drift report is
+    // computable straight off them — one row per recorded batch
+    val qualityBatches = VersionedTable.read(spark, s"$idx/i/quality")
+      .select("batch").distinct().as[String].collect().toSet
+    assert(Set("base", "0", "1", "42").subsetOf(qualityBatches),
+      s"streamed batches must land quality rows: $qualityBatches")
+    val drift = Ivf.ivfDrift(spark, s"$idx/i", baseBatch = "base")
+    assert(drift.count() === qualityBatches.size.toLong)
+    assert(drift.filter(col("batch") === "base")
+      .select("psi").head().getDouble(0) === 0.0)
+  }
+
+  test("drift signal through the maintainer: a shifted streamed batch moves " +
+      "PSI where an in-distribution one barely does") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("ivf_stream_drift").toString
+    Ivf.writeIvfIndex(emb.filter(col("vec_id") < 200),
+      Ivf.seedCentroids(emb, nlist = 8), idx)
+    // in-distribution micro-batch vs an occupancy-collapsing one, both
+    // through the maintainer's batch entry point
+    IvfIngest.ingestBatch(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 400), idx, "ck", 7L)
+    import spark.implicits._
+    val dim = emb.select("embedding").as[Array[Float]].head().length
+    IvfIngest.ingestBatch(
+      (50000L until 50150L).map(i => (i, Array.fill(dim)(-1.0f)))
+        .toDF("vec_id", "embedding"), idx, "ck", 8L)
+    val byBatch = Ivf.ivfDrift(spark, idx).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byBatch("8") > 0.25, s"collapsed streamed batch must read retrain-grade: $byBatch")
+    assert(byBatch("8") > byBatch("7"), s"shifted batch must out-drift the in-distribution one: $byBatch")
   }
 }

@@ -92,4 +92,76 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
     assert(vecScans.exists(l => l.contains("In(cluster") || l.contains("EqualTo(cluster")),
       s"probed clusters must push into the vector scan:\n${vecScans.mkString("\n")}")
   }
+
+
+  test("ivfTopKForQueries: external queries never scan the vectors table " +
+      "unpruned; relabeled internal queries shift ranks by exactly the self-match") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ext").toString
+    val seeds = Ivf.seedCentroids(emb, nlist = 8)
+    Ivf.writeIvfIndex(emb, seeds, s"$dir/idx")
+    val idx = Ivf.readIvfIndex(spark, s"$dir/idx")
+
+    // external queries = the first 5 corpus vectors RELABELED outside the id
+    // space: no self-exclusion applies, so each query's own source vector
+    // must lead at cosine 1.0 and the rest must equal the internal answer
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + maxId + 1000L).as("vec_id"), col("embedding"))
+    val ext = Ivf.ivfTopKForQueries(idx, queries, k = 4, nprobe = 8)
+      .collect().map(r => (r.getLong(0) - maxId - 1000L, r.getInt(1),
+        r.getLong(2), r.getDouble(3)))
+    val int = Ivf.ivfTopKFromIndex(idx, numQueries = 5, k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    for (qid <- 0L until 5L) {
+      val e = ext.filter(_._1 == qid).sortBy(_._2)
+      val i = int.filter(_._1 == qid).sortBy(_._2)
+      assert(e.head._3 == qid && e.head._4 == 1.0,
+        s"query $qid: own vector must lead the external ranking: ${e.head}")
+      assert(e.tail.map(t => (t._3, t._4)).toSeq ===
+        i.map(t => (t._3, t._4)).toSeq,
+        s"query $qid: external ranks 2..k must equal internal 1..k-1")
+    }
+
+    // plan shape: EVERY vectors read carries the pushed cluster set — the
+    // external path has no extraction scan
+    val plan = Ivf.ivfTopKForQueries(idx, queries, k = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val vecScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/vectors")).toSeq
+    assert(vecScans.nonEmpty)
+    vecScans.foreach { l =>
+      assert(l.contains("In(cluster") || l.contains("EqualTo(cluster"),
+        s"external path: unpruned vectors scan:\n$l")
+    }
+  }
+
+  test("ivfDrift: identical distribution reads stable; a collapsed batch " +
+      "reads retrain-grade; base PSI is exactly zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    val seeds = Ivf.seedCentroids(emb, nlist = 8)
+    Ivf.writeIvfIndex(emb.filter(col("vec_id") < 200), seeds, s"$dir/idx",
+      batchLabel = "base")
+    // in-distribution: more of the same corpus
+    Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 200 && col("vec_id") < 400),
+      s"$dir/idx", batchLabel = "same")
+    // off-distribution: every vector identical → occupancy collapses to one cluster
+    val dim = emb.select("embedding")
+      .as[Array[Float]].head().length
+    val shifted = (100000L until 100200L)
+      .map(i => (i, Array.fill(dim)(-1.0f))).toDF("vec_id", "embedding")
+    Ivf.appendToIvfIndex(shifted, s"$dir/idx", batchLabel = "shift")
+
+    val drift = Ivf.ivfDrift(spark, s"$dir/idx", baseBatch = "base")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(drift("base")._3 === 0.0, "base vs itself must be exactly zero PSI")
+    assert(drift("shift")._3 > 0.25,
+      s"collapsed occupancy must read retrain-grade: ${drift("shift")}")
+    assert(drift("shift")._3 > drift("same")._3,
+      s"off-distribution batch must out-drift the in-distribution one: $drift")
+    assert(drift("shift")._1 === 200L)
+  }
 }
