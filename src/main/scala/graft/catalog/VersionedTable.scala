@@ -1628,7 +1628,9 @@ object VersionedTable {
     * from a fresh snapshot (same conflict rule Delta's OPTIMIZE follows).
     */
   def compact(spark: SparkSession, location: String, zorderBy: Seq[String] = Nil,
-      numFiles: Int = 0, maxAttempts: Int = 3): Long = {
+      numFiles: Int = 0, maxAttempts: Int = 3, sortBy: Seq[String] = Nil): Long = {
+    require(zorderBy.isEmpty || sortBy.isEmpty,
+      "compact takes zorderBy OR sortBy, not both")
     val fs = fileSystem(spark, location)
     var done = -1L
     var attempt = 0
@@ -1641,7 +1643,20 @@ object VersionedTable {
         if (numFiles > 0) numFiles
         else spark.sessionState.conf.numShufflePartitions
       val clustered =
-        if (zorderBy.nonEmpty) graft.ops.Layout.zorderBy(current, zorderBy, files)
+        if (sortBy.nonEmpty) {
+          // LEXICOGRAPHIC clustering — the layout the incremental index
+          // maintainers land per batch (range-partition on the leading key +
+          // sort within files), preserved across compaction so pushed-
+          // predicate row-group pruning survives the rewrite; also the only
+          // clustering available on STRING keys, where the z-value's
+          // numeric quantile bucketing cannot rank
+          val sc = sortBy.map(col)
+          val ranged =
+            if (numFiles > 0) current.repartitionByRange(numFiles, sc.head)
+            else current.repartitionByRange(sc.head)
+          ranged.sortWithinPartitions(sc: _*)
+        }
+        else if (zorderBy.nonEmpty) graft.ops.Layout.zorderBy(current, zorderBy, files)
         else if (numFiles > 0) current.repartition(numFiles)
         else current
       val partitioning = latest.partition_by.split(",").toSeq.filter(_.nonEmpty)

@@ -185,6 +185,51 @@ object SqlRecipes {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** BM25 top-k FROM A PERSISTED INVERTED INDEX — pure-SQL twin of
+    * [[Bm25.topKFromIndex]] over the three index views ([[Bm25.writeIndex]]'s
+    * layout registered as views/tables): `postings(term, doc_id, tf)`,
+    * `doclen(doc_id, dl)`, and `stats` holding one `(n, sumdl)` row PER
+    * BATCH — folded here by summing, exactly [[Bm25.readIndexFrom]]. Only
+    * the query terms' postings leave the index scan (the IN list pushes into
+    * the term-clustered layout); the scores are the identical fixed-order
+    * addend chain rounded to 6 decimals, so the SQL and Scala paths rank
+    * identically row for row.
+    */
+  def bm25FromIndexSql(postingsView: String, doclenView: String,
+      statsView: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    require(terms.nonEmpty && terms.forall(t => t == t.toLowerCase)
+      && terms.distinct.size == terms.size, "terms: nonempty, lowercase, distinct")
+    val lits = terms.map(t => s"'${t.replace("'", "''")}'")
+    val inList = lits.mkString(", ")
+    val tfCols = lits.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = $t THEN tf ELSE 0 END) AS tf$i" }.mkString(", ")
+    val dfCols = lits.zipWithIndex.map { case (t, i) =>
+      s"coalesce(max(CASE WHEN term = $t THEN df END), 0) AS df$i" }.mkString(", ")
+    val addends = terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1.0}" +
+        s" / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString("(", " + ", ")")
+    s"""WITH hits AS (
+       |  SELECT term, doc_id, tf FROM $postingsView WHERE term IN ($inList)
+       |),
+       |dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+       |dfr AS (SELECT $dfCols FROM dfs),
+       |st AS (
+       |  SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS n,
+       |    CAST(coalesce(sum(sumdl), 0) AS DOUBLE)
+       |      / CAST(coalesce(sum(n), 0) AS DOUBLE) AS avgdl
+       |  FROM $statsView
+       |),
+       |perdoc AS (
+       |  SELECT doc_id, $tfCols FROM hits GROUP BY doc_id
+       |),
+       |pd AS (SELECT p.*, d.dl FROM perdoc p JOIN $doclenView d USING (doc_id))
+       |SELECT doc_id, round($addends, 6) AS score
+       |FROM pd CROSS JOIN dfr CROSS JOIN st
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Ordered conversion funnel — SQL twin of [[Funnel.userFunnel]]: the same
     * single-shuffle collect→sort→aggregate-HOF walk (not k chained self-joins),
     * same min-recursion semantics and output columns.

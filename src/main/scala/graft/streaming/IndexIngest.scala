@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.catalog.VersionedTable
@@ -26,9 +26,9 @@ import graft.ops.Bm25
   *
   * Scale: per micro-batch work is the batch's own tokenization plus one
   * batch-sized combine shuffle and one range shuffle — independent of corpus
-  * size. Run [[VersionedTable.compact]] on the postings table periodically so
-  * readers stop paying per-batch scan branches (same guidance as
-  * [[NearDupIngest]]).
+  * size. A long-running stream accretes one file-scan branch per micro-batch;
+  * opt into `compactEvery` (or run [[compactIndex]] from a maintenance job)
+  * so readers stop paying them.
   *
   * Contract: arriving doc_ids are novel (route through [[NearDupIngest]] or
   * an ingest ledger first — re-appending an indexed doc double-counts, as in
@@ -38,17 +38,22 @@ object IndexIngest {
 
   /** Start the maintainer. `docs` must be a streaming DataFrame carrying
     * (`idCol`, `textCol`). Returns the running query; stop it for a graceful
-    * drain.
+    * drain. `compactEvery > 0` folds the index tables every N micro-batches
+    * (term-ordered rewrite — serving pruning survives) instead of leaving
+    * compaction to an external maintenance job.
     */
   def start(docs: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, textCol)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexDir)
       }
       .start()
 
@@ -66,5 +71,21 @@ object IndexIngest {
         s"$txnApp#$artifact", txnId)
       ()
     }
+  }
+
+  /** Fold the accreted per-batch commits: postings rewrite TERM-ordered (the
+    * serving layout — pushed-term row-group pruning survives compaction),
+    * doc lengths fold to target-sized files, stats to one file (the
+    * per-batch rows are PRESERVED — [[Bm25.readIndexFrom]] still folds them
+    * at read). Idempotent under replay — recompacting compacted state is a
+    * no-op rewrite. Serving answers are unchanged; only the file count
+    * readers open drops (spec-pinned on a counting filesystem).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    VersionedTable.compact(spark, s"$indexDir/postings",
+      sortBy = Seq("term", "doc_id"))
+    VersionedTable.compactToFileSize(spark, s"$indexDir/doclen")
+    VersionedTable.compact(spark, s"$indexDir/stats", numFiles = 1)
+    ()
   }
 }

@@ -67,4 +67,40 @@ class IndexIngestSpec extends AnyFunSuite with SharedSpark {
     assert(graft.catalog.VersionedTable.read(spark, s"$idx/doclen").count() ===
       before._2 + 1)
   }
+
+
+  test("compaction folds per-batch commits: serving opens fewer postings data " +
+      "files, answers unchanged, term pruning still pushed") {
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val dir = s"counted://${Files.createTempDirectory("bm25_compact")}/idx"
+    def batch(r: Range, salt: String) =
+      r.map(i => (i.toLong, s"alpha beta w$i $salt hash join"))
+        .toDF("doc_id", "text")
+    Bm25.writeIndex(batch(0 until 40, "base"), dir)
+    IndexIngest.ingestBatch(batch(40 until 60, "b1"), dir, "ckpt", 1L)
+    IndexIngest.ingestBatch(batch(60 until 80, "b2"), dir, "ckpt", 2L)
+
+    def serve(): (Seq[String], Long, String) = {
+      graft.testutil.CountingFileSystem.reset()
+      val df = Bm25.topKFromIndex(Bm25.readIndexFrom(spark, dir),
+        Seq("hash", "join"), 10)
+      val rows = df.collect().map(_.toString).toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      (rows, graft.testutil.CountingFileSystem.total("open", "/postings/_data"),
+        plan)
+    }
+    val (before, opensBefore, _) = serve()
+    IndexIngest.compactIndex(spark, dir)
+    val (after, opensAfter, planAfter) = serve()
+    assert(after === before, "compaction must not change serving answers")
+    assert(opensAfter < opensBefore,
+      s"compaction must reduce postings data opens: $opensBefore -> $opensAfter")
+    // the compacted layout still takes the pushed term predicate
+    val scans = planAfter.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("In(term") || l.contains("EqualTo(term")),
+      s"term pruning lost after compaction:\n${scans.mkString("\n")}")
+  }
 }

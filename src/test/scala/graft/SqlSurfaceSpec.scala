@@ -259,4 +259,29 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
   }
+
+
+  test("pure-SQL BM25-from-index recipe matches the Scala serving path on a " +
+      "persisted, incrementally-appended index") {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_sql_idx")
+      .toString + "/idx"
+    graft.ops.Bm25.writeIndex(docs.filter(col("doc_id") < 300), dir)
+    graft.ops.Bm25.appendToIndex(docs.filter(col("doc_id") >= 300), dir)
+    VersionedTable.read(spark, s"$dir/postings")
+      .createOrReplaceTempView("idx_postings")
+    VersionedTable.read(spark, s"$dir/doclen")
+      .createOrReplaceTempView("idx_doclen")
+    VersionedTable.read(spark, s"$dir/stats")
+      .createOrReplaceTempView("idx_stats")
+    val terms = Seq("hash", "join", "vector")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.bm25FromIndexSql(
+      "idx_postings", "idx_doclen", "idx_stats", terms, k = 20))
+    val viaApi = graft.ops.Bm25.topKFromIndex(
+      graft.ops.Bm25.readIndexFrom(spark, dir), terms, 20)
+    assert(viaSql.count() === 20)
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
 }
