@@ -616,6 +616,60 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Fully index-backed hybrid gate
+    * ([[HybridRetrieval.hybridTopKFromIndexes]]): BOTH legs serve from
+    * persisted indexes — the term-pruned BM25 postings and a cluster-pruned
+    * IVF probe (16 seed centroids, nprobe=4) — never the documents table and
+    * never the full embedding table. The oracle replays the postings build,
+    * the fixed-order BM25 addend arithmetic, the IVF assignment/probe argmax
+    * with (cosine DESC, id) tie-breaks, the 4-dp rerank, both leg rankings,
+    * and the 1/(60+rank) fusion.
+    */
+  private def qHybridIvf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val idx = scratchDir("graft_hybrid_ivf")
+    Bm25.writeIndex(d, s"$idx/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 16), s"$idx/ivf")
+    HybridRetrieval.hybridTopKFromIndexes(
+        Bm25.readIndexFrom(s, s"$idx/bm25"), Ivf.readIvfIndex(s, s"$idx/ivf"),
+        numQueries = 5, legK = 20, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Incrementally-maintained BQ codes table ([[Similarity.writeCodes]] + an
+    * [[Similarity.appendToCodes]] batch, each quantized per row — the
+    * stateless tier, nothing to freeze) answering the SAME funnel as
+    * [[qBqTopK]]: the oracle replays the one-shot packing + Hamming +
+    * rerank over the full corpus, so a pass proves the appended codes table
+    * reconstructs the exact one-shot ranking.
+    */
+  private def qBqAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = scratchDir("graft_bq_codes") + "/codes"
+    Similarity.writeCodes(emb.filter(col("vec_id") < 300), codes)
+    Similarity.appendToCodes(emb.filter(col("vec_id") >= 300), codes)
+    Similarity.bqTopKFromCodes(Similarity.readCodes(s, codes), emb,
+        numQueries = 10, k = 5, shortlistK = 30)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Centroid-staleness gate ([[Ivf.ivfDrift]]): two deterministic batches
+    * (vec_id < 300 labeled b0 = base, the rest b1) land per-batch quality
+    * rows at index-append time; the drift report's occupancy PSI
+    * (epsilon-floored fractions, 8-dp-grid terms, 6-dp total) and mean
+    * assignment cosine (exact-integer cos4 sums) are replayed by the oracle.
+    */
+  private def qIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idx = scratchDir("graft_ivf_drift")
+    Ivf.writeIvfIndex(emb.filter(col("vec_id") < 300),
+      Ivf.seedCentroids(emb, nlist = 16), idx, batchLabel = "b0")
+    Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), idx,
+      batchLabel = "b1")
+    Ivf.ivfDrift(s, idx, baseBatch = "b0")
+  }
+
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
 
@@ -2395,7 +2449,10 @@ object SparkEntry {
     "q_char_entropy" -> qCharEntropy,
     "q_ivf_topk" -> qIvfTopK,
     "q_ivf_append" -> qIvfAppend,
+    "q_ivf_drift" -> qIvfDrift,
+    "q_hybrid_ivf" -> qHybridIvf,
     "q_bq_topk" -> qBqTopK,
+    "q_bq_append" -> qBqAppend,
     "q_embedding_neardup" -> qEmbeddingNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_repetition" -> qRepetition,
@@ -2897,6 +2954,158 @@ object SparkEntry {
     * vectors (the deterministic seed path — no floating-point averaging to diverge on),
     * assignment/probing argmax by (cosine DESC, centroid_id), nprobe=4, exact rerank.
     */
+  /** The binary-quantization funnel replayed exactly: place-value packing
+    * (sums of distinct powers of two — integer-exact), Hamming via
+    * bit_count(xor) on the BIGINT words, shortlist window with vec_id
+    * tiebreak, then the identical cosine rerank as q_similarity_topk.
+    * Shared by the one-shot gate (q_bq_topk) and the incremental codes
+    * gate (q_bq_append), whose pass therefore proves append-equality too.
+    */
+  private lazy val bqTopkSql: String =
+    """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id,
+        |    list_transform(range((len(v) - 1) // 32 + 1), w ->
+        |      CAST(list_sum(list_transform(range(32), b ->
+        |        CASE WHEN v[w * 32 + b + 1] > 0
+        |          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)) AS code
+        |  FROM e),
+        |qc AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 10),
+        |h AS (SELECT qc.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(len(c.code)), i ->
+        |      bit_count(xor(c.code[i + 1], qc.qcode[i + 1])))) AS BIGINT) AS hamming
+        |  FROM c JOIN qc ON c.vec_id <> qc.query_id),
+        |sl AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS sr FROM h) WHERE sr <= 30),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT sl.query_id, sl.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.qnorm * n.norm), 4) AS cosine
+        |  FROM sl JOIN n ON n.vec_id = sl.vec_id
+        |    JOIN q ON q.query_id = sl.query_id)
+        |SELECT query_id, rank, vec_id, cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q_hybrid_ivf: the BM25-from-postings lexical leg exactly as in
+    * q_hybrid_bm25, fused with an IVF-probed semantic leg — assignment and
+    * probe argmax by (cosine DESC, centroid_id) as in q_ivf_topk, legK
+    * ranking window, then the 1/(60+rank) fusion. Lexical CTEs stay in a
+    * plain (non-interpolated) literal so the regex backslashes survive.
+    */
+  private lazy val hybridIvfSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |post AS (SELECT doc_id, tok AS term, count(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id AS query_id, term FROM post
+      |  WHERE doc_id < 5 AND term <> ''),
+      |dfs AS (SELECT term, count(*) AS df FROM post
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+      |hit AS (SELECT qt.query_id, p.doc_id, p.term, p.tf
+      |  FROM post p JOIN qt ON p.term = qt.term AND p.doc_id <> qt.query_id),
+      |a AS (SELECT query_id, h.doc_id,
+      |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS a
+      |  FROM hit h JOIN dfs USING (term) JOIN dl USING (doc_id), st),
+      |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+      |  FROM a GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r FROM lex0)
+      |  WHERE r <= 20),""".stripMargin +
+    s"""
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+      |c AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+      |  WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+      |  SELECT n.vec_id, n.v, n.norm, c.centroid_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      ${dotSql("n.v", "c.cv")} / (n.norm * c.cnorm) DESC, c.centroid_id) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+      |  WHERE vec_id < 5),
+      |probes AS (SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+      |  SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      ${dotSql("q.qv", "c.cv")} / (q.qnorm * c.cnorm) DESC, c.centroid_id)
+      |      AS prn
+      |  FROM q CROSS JOIN c) WHERE prn <= 4),
+      |cand AS (SELECT p.query_id, a2.vec_id AS doc_id,
+      |    round(${dotSql("p.qv", "a2.v")} / (p.qnorm * a2.norm), 4) AS cosine
+      |  FROM probes p JOIN asg a2
+      |    ON a2.cluster = p.cluster AND a2.vec_id <> p.query_id),
+      |sem AS (SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r FROM cand)
+      |  WHERE r <= 20),
+      |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+      |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+      |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0 AS DOUBLE))
+      |      AS rrf
+      |  FROM lex FULL OUTER JOIN sem
+      |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+      |  lex_rank, sem_rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q_ivf_drift: the same deterministic assignment argmax as q_ivf_topk,
+    * labeled by batch (vec_id < 300 = b0), per-(batch, cluster) exact-integer
+    * occupancy and cos4 sums on the dense batch×centroid grid, epsilon-floored
+    * PSI terms on an 8-dp grid, totals rounded to 6 dp.
+    */
+  private lazy val ivfDriftSql: String =
+    s"""WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+      |c AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+      |  WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, cluster, acos FROM (
+      |  SELECT n.vec_id, c.centroid_id AS cluster,
+      |    ${dotSql("n.v", "c.cv")} / (n.norm * c.cnorm) AS acos,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      ${dotSql("n.v", "c.cv")} / (n.norm * c.cnorm) DESC, c.centroid_id) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |lab AS (SELECT CASE WHEN vec_id < 300 THEN 'b0' ELSE 'b1' END AS batch,
+      |    cluster, CAST(round(acos * 10000) AS BIGINT) AS cos4 FROM asg),
+      |qual AS (SELECT batch, cluster, count(*) AS n_vecs, sum(cos4) AS sum_cos4
+      |  FROM lab GROUP BY 1, 2),
+      |batches AS (SELECT DISTINCT batch FROM qual),
+      |grid AS (SELECT b.batch, c.centroid_id AS cluster,
+      |    coalesce(q.n_vecs, 0) AS n_vecs, coalesce(q.sum_cos4, 0) AS sum_cos4
+      |  FROM batches b CROSS JOIN c LEFT JOIN qual q
+      |    ON q.batch = b.batch AND q.cluster = c.centroid_id),
+      |wt AS (SELECT *, sum(n_vecs) OVER (PARTITION BY batch) AS tot FROM grid),
+      |fr AS (SELECT batch, cluster, n_vecs, sum_cos4,
+      |    greatest(CAST(n_vecs AS DOUBLE) / tot, 1e-6) AS frac FROM wt),
+      |base AS (SELECT cluster, frac AS base_frac FROM fr WHERE batch = 'b0'),
+      |t AS (SELECT fr.batch, fr.n_vecs, fr.sum_cos4,
+      |    round((fr.frac - base.base_frac) * ln(fr.frac / base.base_frac), 8)
+      |      AS psi_term
+      |  FROM fr JOIN base USING (cluster))
+      |SELECT batch, CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(sum_cos4) AS DOUBLE) / (10000.0 * sum(n_vecs)), 6)
+      |    AS mean_cos,
+      |  round(sum(psi_term), 6) AS psi
+      |FROM t GROUP BY batch ORDER BY batch""".stripMargin
+
   private val ivfTopkSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -3140,6 +3349,8 @@ object SparkEntry {
     // the incremental-index gate replays the SAME one-shot IVF formulation:
     // oracle equality proves the per-batch appends reconstruct the full build
     "q_ivf_append" -> ivfTopkSql,
+    "q_ivf_drift" -> ivfDriftSql,
+    "q_hybrid_ivf" -> hybridIvfSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,
@@ -3409,41 +3620,8 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // the binary-quantization funnel replayed exactly: place-value packing
-    // (sums of distinct powers of two — integer-exact), Hamming via
-    // bit_count(xor) on the BIGINT words, shortlist window with vec_id
-    // tiebreak, then the identical cosine rerank as q_similarity_topk
-    "q_bq_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |c AS (SELECT vec_id,
-        |    list_transform(range((len(v) - 1) // 32 + 1), w ->
-        |      CAST(list_sum(list_transform(range(32), b ->
-        |        CASE WHEN v[w * 32 + b + 1] > 0
-        |          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)) AS code
-        |  FROM e),
-        |qc AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 10),
-        |h AS (SELECT qc.query_id, c.vec_id,
-        |    CAST(list_sum(list_transform(range(len(c.code)), i ->
-        |      bit_count(xor(c.code[i + 1], qc.qcode[i + 1])))) AS BIGINT) AS hamming
-        |  FROM c JOIN qc ON c.vec_id <> qc.query_id),
-        |sl AS (SELECT query_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY hamming, vec_id) AS sr FROM h) WHERE sr <= 30),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
-        |  WHERE vec_id < 10),
-        |s AS (SELECT sl.query_id, sl.vec_id,
-        |    round(list_sum(list_transform(list_zip(q.qv, n.v),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |      / (q.qnorm * n.norm), 4) AS cosine
-        |  FROM sl JOIN n ON n.vec_id = sl.vec_id
-        |    JOIN q ON q.query_id = sl.query_id)
-        |SELECT query_id, rank, vec_id, cosine FROM (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_bq_topk" -> bqTopkSql,
+    "q_bq_append" -> bqTopkSql,
     // first_byte is byte-exact: hex(encode(..)) takes the first UTF-8 BYTE (what the
     // raster's (0,0) pixel actually holds), not the first character's codepoint —
     // ascii() would diverge on any document leading with a multi-byte char. NULL text
