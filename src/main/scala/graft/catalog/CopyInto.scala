@@ -348,12 +348,27 @@ object CopyInto {
     CopyResult(version, fresh.size.toLong, rows)
   }
 
-  /** The file paths a manifest records (its `path` fields, JSON-unescaped). */
+  /** The file paths a manifest records (its `path` fields, JSON-unescaped).
+    * Line-oriented iterative parse — the escaped-string regex recursed per
+    * character (see VersionedTable.readJsonString for the stack hazard).
+    */
   private[catalog] def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Seq[String] = {
-    val pathField = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    pathField.findAllMatchIn(VersionedTable.readUtf8(fs, p))
-      .map(m => VersionedTable.unescapeJson(m.group(1))).toSeq
+    VersionedTable.readUtf8(fs, p).linesIterator.flatMap { line =>
+      val i = line.indexOf("\"path\"")
+      if (i < 0) None
+      else {
+        var j = i + "\"path\"".length
+        while (j < line.length && line.charAt(j).isWhitespace) j += 1
+        if (j >= line.length || line.charAt(j) != ':') None
+        else {
+          j += 1
+          while (j < line.length && line.charAt(j).isWhitespace) j += 1
+          VersionedTable.readJsonString(line, j)
+            .map(r => VersionedTable.unescapeJson(r._1))
+        }
+      }
+    }.toSeq
   }
 
   /** Read `paths` with `format` and project them onto the table's schema:

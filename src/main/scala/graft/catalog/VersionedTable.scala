@@ -516,9 +516,9 @@ object VersionedTable {
       : (Option[Long], Map[String, String], Map[String, String]) =
     archiveCache.computeIfAbsent(
       (st.getPath.toString, st.getModificationTime, st.getLen), _ => {
-        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-        val entries = pair.findAllMatchIn(readUtf8(fs, st.getPath))
-          .map(g => unescapeJson(g.group(1)) -> unescapeJson(g.group(2))).toMap
+        // iterative pair scan — the pair REGEX recursed per character and
+        // overflowed the stack on multi-KB archive bodies (wide specs)
+        val entries = jsonStringPairs(readUtf8(fs, st.getPath))
         (entries.get("v").flatMap(v => scala.util.Try(v.toLong).toOption),
           entries.collect { case (k, v) if k.startsWith("s.") =>
             k.stripPrefix("s.") -> v },
@@ -575,10 +575,9 @@ object VersionedTable {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       } catch { case _: java.io.FileNotFoundException => return Map.empty }
-    // one {"name": "sql", ...} object; names and exprs are json-escaped on write
-    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-      .findAllMatchIn(body)
-      .map(m => unescapeJson(m.group(1)) -> unescapeJson(m.group(2))).toMap
+    // one {"name": "sql", ...} object; names and exprs are json-escaped on
+    // write; iterative scan — see readJsonString for why not a regex
+    jsonStringPairs(body)
   }
 
   /** Publish the constraint set via write-temp-then-rename, so a reader never
@@ -4263,6 +4262,55 @@ object VersionedTable {
   // the hot path free of a per-file DataFrame read. Returns None for an incomplete
   // body (writer crashed or still flushing): completeness = the closing brace is
   // present and the required fields parse.
+  /** Read one JSON string literal starting AT the opening quote: returns the
+    * RAW (still-escaped) content and the index just past the closing quote.
+    * Iterative on purpose — the obvious `"((?:[^"\\]|\\.)*)"` regex compiles
+    * to a per-character recursive loop in java.util.regex and overflows the
+    * thread stack past a few KB of input (JIT-state-dependent, so it shows up
+    * as a flake first): a wide table's escaped schema in a commit body, or a
+    * big spec in a DDL archive, crosses that. One linear scan, zero frames.
+    */
+  private[graft] def readJsonString(body: String, from: Int): Option[(String, Int)] =
+    if (from >= body.length || body.charAt(from) != '"') None
+    else {
+      val sb = new java.lang.StringBuilder
+      var j = from + 1
+      while (j < body.length && body.charAt(j) != '"') {
+        if (body.charAt(j) == '\\' && j + 1 < body.length) {
+          sb.append(body.charAt(j)).append(body.charAt(j + 1)); j += 2
+        } else { sb.append(body.charAt(j)); j += 1 }
+      }
+      if (j >= body.length) None else Some((sb.toString, j + 1))
+    }
+
+  /** Every `"key" : "value"` string pair in a flat keyed-JSON body, keys and
+    * values UNESCAPED — the iterative replacement for the recursion-prone
+    * pair regex (same advance-past-the-match semantics findAllMatchIn had).
+    */
+  private[graft] def jsonStringPairs(body: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '"') readJsonString(body, i) match {
+        case Some((k, afterK)) =>
+          var j = afterK
+          while (j < body.length && body.charAt(j).isWhitespace) j += 1
+          if (j < body.length && body.charAt(j) == ':') {
+            j += 1
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            readJsonString(body, j) match {
+              case Some((v, afterV)) =>
+                out += unescapeJson(k) -> unescapeJson(v)
+                i = afterV
+              case None => i = afterK
+            }
+          } else i = afterK
+        case None => i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
   private val StatsEntry = """"([A-Za-z0-9_]+)":\[([^,\]"]+),([^\]"]+)\]""".r
   private val SStatsEntry = """"([A-Za-z0-9_]+)":\["([^"]*)","([^"]*)"\]""".r
   private val NullsEntry = """"([A-Za-z0-9_]+)":(\d+)""".r
@@ -4270,10 +4318,16 @@ object VersionedTable {
   private def parseCommit(body: String): Option[Commit] = {
     def str(k: String) =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(body).map(_.group(1)).getOrElse("")
-    // schema JSON carries quotes — it round-trips through the escaped form
-    def escStr(k: String) =
-      s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(body)
-        .map(m => unescapeJson(m.group(1))).getOrElse("")
+    // schema JSON carries quotes — it round-trips through the escaped form;
+    // iterative read (the escaped schema of a wide table is multi-KB, past
+    // the recursive regex's stack budget — see readJsonString)
+    def escStr(k: String) = {
+      val tag = "\"" + k + "\":\""
+      val i = body.indexOf(tag)
+      if (i < 0) ""
+      else readJsonString(body, i + tag.length - 1)
+        .map(r => unescapeJson(r._1)).getOrElse("")
+    }
     def num(k: String, default: Long = -1L) =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
         .getOrElse(default)

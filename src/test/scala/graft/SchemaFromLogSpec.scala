@@ -122,4 +122,20 @@ class SchemaFromLogSpec extends AnyFunSuite with SharedSpark {
     }
     assert(jobs == 0, s"concurrent history broke the log-schema path: $jobs job(s)")
   }
+
+  test("a WIDE schema's multi-KB escaped commit body parses without stack overflow") {
+    // the old escaped-string field regex recursed once per character of the
+    // escaped schema_json and overflowed the thread stack past a few KB —
+    // which a table this wide crosses by 50x; the iterative reader must not
+    val loc = java.nio.file.Files.createTempDirectory("graft_wide_schema").toString
+    val wide = spark.range(1).select(
+      col("id") +: (0 until 3000).map(i => lit(i).as(s"c$i")): _*)
+    VersionedTable.write(wide, loc, "overwrite")
+    VersionedTable.write(wide, loc, "append")
+    val back = VersionedTable.read(spark, loc)
+    assert(back.columns.length === 3001)
+    assert(back.count() === 2)
+    // history parses the same commit bodies driver-side
+    assert(VersionedTable.history(spark, loc).count() === 2)
+  }
 }
