@@ -637,6 +637,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** External-query hybrid serving gate
+    * ([[HybridRetrieval.bm25RrfTopKForQueries]]): the query batch is the 5
+    * lowest-id documents RELABELED out of the corpus id space (+10⁶) with
+    * their embeddings — arriving from "outside", so NO extraction scan runs
+    * and NO self-exclusion applies (each query's own source document is an
+    * eligible, and typically top-ranked, candidate). The oracle replays the
+    * exclusion-free BM25 leg, the IVF probe from the relabeled vectors, and
+    * the fusion.
+    */
+  private def qHybridExternal(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val idx = scratchDir("graft_hybrid_ext")
+    Bm25.writeIndex(d, s"$idx/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 16), s"$idx/ivf")
+    val queries = d.filter(col("doc_id") < 5)
+      .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+    HybridRetrieval.bm25RrfTopKForQueries(
+        Bm25.readIndexFrom(s, s"$idx/bm25"), Ivf.readIvfIndex(s, s"$idx/ivf"),
+        queries, legK = 20, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Incrementally-maintained BQ codes table ([[Similarity.writeCodes]] + an
     * [[Similarity.appendToCodes]] batch, each quantized per row — the
     * stateless tier, nothing to freeze) answering the SAME funnel as
@@ -2451,6 +2476,7 @@ object SparkEntry {
     "q_ivf_append" -> qIvfAppend,
     "q_ivf_drift" -> qIvfDrift,
     "q_hybrid_ivf" -> qHybridIvf,
+    "q_hybrid_external" -> qHybridExternal,
     "q_bq_topk" -> qBqTopK,
     "q_bq_append" -> qBqAppend,
     "q_embedding_neardup" -> qEmbeddingNearDup,
@@ -3065,6 +3091,77 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q_hybrid_external: the q_hybrid_ivf replay with the query batch
+    * RELABELED out of the corpus id space (+10⁶) and NO self-exclusion on
+    * either leg — the external-serving semantics of bm25RrfTopKForQueries
+    * (query terms are the query documents' distinct terms, identical to the
+    * postings-derived sets for those documents).
+    */
+  private lazy val hybridExternalSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |post AS (SELECT doc_id, tok AS term, count(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id + 1000000 AS query_id, term FROM post
+      |  WHERE doc_id < 5 AND term <> ''),
+      |dfs AS (SELECT term, count(*) AS df FROM post
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+      |hit AS (SELECT qt.query_id, p.doc_id, p.term, p.tf
+      |  FROM post p JOIN qt ON p.term = qt.term),
+      |a AS (SELECT query_id, h.doc_id,
+      |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS a
+      |  FROM hit h JOIN dfs USING (term) JOIN dl USING (doc_id), st),
+      |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+      |  FROM a GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r FROM lex0)
+      |  WHERE r <= 20),""".stripMargin +
+    s"""
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+      |c AS (SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm FROM n
+      |  WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+      |  SELECT n.vec_id, n.v, n.norm, c.centroid_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      ${dotSql("n.v", "c.cv")} / (n.norm * c.cnorm) DESC, c.centroid_id) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |q AS (SELECT vec_id + 1000000 AS query_id, v AS qv, norm AS qnorm FROM n
+      |  WHERE vec_id < 5),
+      |probes AS (SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+      |  SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      ${dotSql("q.qv", "c.cv")} / (q.qnorm * c.cnorm) DESC, c.centroid_id)
+      |      AS prn
+      |  FROM q CROSS JOIN c) WHERE prn <= 4),
+      |cand AS (SELECT p.query_id, a2.vec_id AS doc_id,
+      |    round(${dotSql("p.qv", "a2.v")} / (p.qnorm * a2.norm), 4) AS cosine
+      |  FROM probes p JOIN asg a2 ON a2.cluster = p.cluster),
+      |sem AS (SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r FROM cand)
+      |  WHERE r <= 20),
+      |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+      |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+      |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0 AS DOUBLE))
+      |      AS rrf
+      |  FROM lex FULL OUTER JOIN sem
+      |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+      |  lex_rank, sem_rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** q_ivf_drift: the same deterministic assignment argmax as q_ivf_topk,
     * labeled by batch (vec_id < 300 = b0), per-(batch, cluster) exact-integer
     * occupancy and cos4 sums on the dense batch×centroid grid, epsilon-floored
@@ -3351,6 +3448,7 @@ object SparkEntry {
     "q_ivf_append" -> ivfTopkSql,
     "q_ivf_drift" -> ivfDriftSql,
     "q_hybrid_ivf" -> hybridIvfSql,
+    "q_hybrid_external" -> hybridExternalSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,

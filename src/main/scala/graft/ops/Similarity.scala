@@ -446,23 +446,61 @@ object Similarity {
   def bqTopKFromCodes(codes: DataFrame, embeddings: DataFrame,
       numQueries: Int = 10, k: Int = 5, shortlistK: Int = 30,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(shortlistK >= k, s"shortlistK ($shortlistK) must cover k ($k)")
     val qCodes = codes.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val qVecs = normed(embeddings, idCol, vecCol)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    bqServe(codes, embeddings, qCodes, qVecs, k, shortlistK,
+      excludeSelf = true, idCol, vecCol)
+  }
+
+  /** Binary-quantized ANN for EXTERNAL query vectors — the realistic serving
+    * shape for the codes tier, completing the external-query symmetry with
+    * [[graft.ops.Ivf.ivfTopKForQueries]] and the hybrid overloads: the query
+    * batch (`queryIdCol`, `queryVecCol`) sign-quantizes IN-FLIGHT (tiny — a
+    * request batch) and broadcasts against the materialized codes sweep; the
+    * exact rerank touches full-width vectors for shortlist rows only. Unlike
+    * the index tiers there is no extraction scan to avoid here even
+    * internally — the coarse pass IS a linear sweep of the codes — so the
+    * external win is semantic: no self-exclusion (the id spaces are
+    * unrelated), queries need not live in the corpus.
+    */
+  def bqTopKForQueries(codes: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int = 5, shortlistK: Int = 30,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    val qCodes = binaryQuantize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val qVecs = queries.select(col(queryIdCol).as("query_id"),
+        toDoubleVec(col(queryVecCol)).as("qv"))
+      .withColumn("qnorm", l2Norm(col("qv")))
+    bqServe(codes, embeddings, qCodes, qVecs, k, shortlistK,
+      excludeSelf = false, idCol, vecCol)
+  }
+
+  /** Shared BQ funnel body: broadcast query codes against the streaming codes
+    * sweep (exact-integer Hamming, per-query shortlist window), then exact
+    * cosine over shortlist rows only.
+    */
+  private def bqServe(codes: DataFrame, embeddings: DataFrame,
+      qCodes: DataFrame, qVecs: DataFrame, k: Int, shortlistK: Int,
+      excludeSelf: Boolean, idCol: String, vecCol: String): DataFrame = {
+    require(shortlistK >= k, s"shortlistK ($shortlistK) must cover k ($k)")
+    val noSelf =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("vec_id"))
-    val shortlist = codes.join(broadcast(qCodes),
-        col("vec_id") =!= col("query_id"))
+    val shortlist = codes.join(broadcast(qCodes), noSelf)
       .withColumn("hamming", hammingDist(col("qcode"), col("code")))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlistK)
       .select(col("query_id"), col("vec_id"))
     val base = normed(embeddings, idCol, vecCol)
-    val queries = base.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm"))
     val rescored = base.join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .withColumn("cosine",
         round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4))
     val w = Window.partitionBy(col("query_id"))

@@ -37,7 +37,8 @@ object NearDupIngest {
   def start(docs: DataFrame, corpusDir: String, indexDir: String,
       checkpointDir: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -45,8 +46,24 @@ object NearDupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, corpusDir, indexDir, checkpointDir, batchId,
           numHashes, bands, threshold)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactTables(batch.sparkSession, corpusDir, indexDir)
       }
       .start()
+
+  /** Fold the accreted per-batch commits on both tables into target-sized
+    * files — the opt-in maintenance the scaladoc used to delegate to an
+    * external job (same `compactEvery` contract as [[IndexIngest]] /
+    * [[IvfIngest]] / [[BqIngest]]). Neither table carries a pruning sort:
+    * the probe is a banded EQUALITY join over the signature rows, so the fold
+    * is pure file-count maintenance. Idempotent under replay.
+    */
+  def compactTables(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, indexDir: String): Unit = {
+    VersionedTable.compactToFileSize(spark, corpusDir)
+    VersionedTable.compactToFileSize(spark, indexDir)
+    ()
+  }
 
   /** One micro-batch: self-dedup, probe, append-if-novel. Public so batch backfills
     * can reuse the identical path (same idempotency keying).

@@ -77,6 +77,36 @@ class BqIngestSpec extends AnyFunSuite with SharedSpark {
       s"append must not read prior code data files, opened $priorOpens")
   }
 
+  test("bqTopKForQueries: relabeled external queries lead with their own " +
+      "vector; the rest equals the internal answer") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Similarity.binaryQuantize(emb)
+    // external queries = the first 10 corpus vectors relabeled out of the id
+    // space: no self-exclusion, so each query's own vector (Hamming 0,
+    // cosine 1.0) must lead, and with the shortlist widened by exactly the
+    // self slot the remaining ranks must equal the internal serving answer
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + maxId + 1000L).as("vec_id"), col("embedding"))
+    val ext = Similarity.bqTopKForQueries(codes, emb, queries,
+        k = 6, shortlistK = 31)
+      .collect().map(r => (r.getLong(0) - maxId - 1000L, r.getInt(1),
+        r.getLong(2), r.getDouble(3)))
+    val int = Similarity.bqTopKFromCodes(codes, emb, numQueries = 10,
+        k = 5, shortlistK = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    for (qid <- 0L until 10L) {
+      val e = ext.filter(_._1 == qid).sortBy(_._2)
+      val i = int.filter(_._1 == qid).sortBy(_._2)
+      assert(e.head._3 == qid && e.head._4 == 1.0,
+        s"query $qid: own vector must lead the external ranking: ${e.head}")
+      assert(e.tail.map(t => (t._3, t._4)).toSeq ===
+        i.map(t => (t._3, t._4)).toSeq,
+        s"query $qid: external ranks 2..k must equal internal 1..k-1")
+    }
+  }
+
   test("incremental codes: base embeddings deleted, appended table still " +
       "serves the exact one-shot ranking") {
     val emb = Tables.embeddings(spark, sf)

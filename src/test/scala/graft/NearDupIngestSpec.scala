@@ -59,4 +59,38 @@ class NearDupIngestSpec extends AnyFunSuite with SharedSpark {
     NearDupIngest.ingestBatch(batch, corpus, index, ckpt, txnId = 1L)
     assert(VersionedTable.read(spark, corpus).count() === 3)
   }
+
+  test("compactTables folds per-batch commits: corpus reads open fewer data " +
+      "files, contents unchanged") {
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val root = s"counted://${Files.createTempDirectory("ndi_compact")}"
+    val corpus = s"$root/corpus"
+    val index = s"$root/index"
+    // fully disjoint vocabularies per doc — no accidental near-dup suppression
+    def batch(r: Range) =
+      r.map(i => (i.toLong,
+        (0 until 10).map(j => s"w${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    NearDupIngest.ingestBatch(batch(0 until 6), corpus, index, "ck", 0L)
+    NearDupIngest.ingestBatch(batch(6 until 12), corpus, index, "ck", 1L)
+    NearDupIngest.ingestBatch(batch(12 until 18), corpus, index, "ck", 2L)
+
+    def readAll(): (Seq[String], Long) = {
+      graft.testutil.CountingFileSystem.reset()
+      val rows = VersionedTable.read(spark, corpus)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      (rows, graft.testutil.CountingFileSystem.total("open", "/corpus/_data"))
+    }
+    val (before, opensBefore) = readAll()
+    NearDupIngest.compactTables(spark, corpus, index)
+    val (after, opensAfter) = readAll()
+    assert(after === before, "compaction must not change the corpus")
+    assert(opensAfter < opensBefore,
+      s"compaction must reduce corpus data opens: $opensBefore -> $opensAfter")
+    // the probe path still works against the compacted index: a replayed
+    // batch of known near-dups admits nothing new
+    val n0 = VersionedTable.read(spark, corpus).count()
+    NearDupIngest.ingestBatch(batch(0 until 6), corpus, index, "ck2", 9L)
+    assert(VersionedTable.read(spark, corpus).count() === n0)
+  }
 }
