@@ -204,6 +204,9 @@ object Ivf {
       .agg(count(lit(1)).as("n_vecs"), sum(col("cos4")).as("sum_cos4"))
       .select(lit(batchLabel).as("batch"), col("cluster"), col("n_vecs"),
         col("sum_cos4"))
+      // ≤ nlist rows per batch — land as ONE file instead of one per
+      // post-aggregation shuffle partition
+      .coalesce(1)
 
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 

@@ -84,7 +84,8 @@ object IvfPq {
     * path where the corpus is never re-encoded.
     */
   def searchCodes(codes: DataFrame, queries: DataFrame, coarse: DataFrame,
-      pqCodebooks: DataFrame, k: Int = 5, nprobe: Int = 4): DataFrame = {
+      pqCodebooks: DataFrame, k: Int = 5, nprobe: Int = 4,
+      pruneScan: Boolean = false): DataFrame = {
     val centRow = coarse
       .agg(collect_list(struct(col("cluster"), col("cw"))).as("cents"))
     val cbRow = pqCodebooks
@@ -118,8 +119,20 @@ object IvfPq {
         })).as("lut"),
         mCol.as("m"))
 
-    // candidates: ONLY probed clusters' codes, by equality join on cluster
-    val cands = codes.join(broadcast(luts), Seq("cluster"))
+    // candidates: ONLY probed clusters' codes, by equality join on cluster;
+    // with pruneScan the bounded probed set (<= queries x nprobe ids) also
+    // collects driver-side and pushes into the scan as isin, so row-group
+    // stats on a cluster-clustered codes table PRUNE the read (the
+    // Ivf.serveFromIndex pattern) instead of the join filtering post-read
+    val scanned =
+      if (!pruneScan) codes
+      else {
+        val probedSet = probes.select("cluster").distinct().collect()
+          .map(_.get(0))
+        if (probedSet.isEmpty) codes.filter(lit(false))
+        else codes.filter(col("cluster").isin(probedSet: _*))
+      }
+    val cands = scanned.join(broadcast(luts), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist",
         aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
@@ -132,4 +145,89 @@ object IvfPq {
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("adist"), 4).as("approx_sq_dist"))
   }
+
+  /** Persisted IVF-PQ lifecycle over [[graft.catalog.VersionedTable]] —
+    * the fourth and last retrieval tier to get the incremental-maintenance
+    * pattern (BM25 / IVF-Flat / BQ already have it): BOTH codebooks (the
+    * coarse centroids and the residual product quantizer) FREEZE at build
+    * time — like [[Ivf]]'s centroids, a retrain is a rebuild — and each
+    * arriving batch encodes map-side against the two broadcast codebook
+    * tables and appends as pure O(batch) writes; prior vectors and prior
+    * codes are never rescanned.
+    *
+    * Layout under `dir`: `coarse` (cluster, cw), `pq` (subspace, code, cw) —
+    * both metadata-scale — and `codes` (vec_id, cluster, codes) landed
+    * CLUSTER-CLUSTERED (range-partitioned + sorted within files) so
+    * [[searchIndex]]'s probed-cluster `isin` prunes parquet row groups, the
+    * [[Ivf.ivfTopKFromIndex]] pattern applied to the m-bytes-per-vector
+    * codes table.
+    *
+    * Contract: batches carry NOVEL vec_ids (same ledger/novelty routing as
+    * the other index lifecycles).
+    */
+  def writePqIndex(embeddings: DataFrame, coarse: DataFrame,
+      pqCodebooks: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cwType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = true)
+    graft.catalog.VersionedTable.write(
+      coarse.select(col("cluster"), col("cw").cast(cwType).as("cw")),
+      s"$dir/coarse", "overwrite")
+    graft.catalog.VersionedTable.write(
+      pqCodebooks.select(col("subspace"), col("code"),
+        col("cw").cast(cwType).as("cw")),
+      s"$dir/pq", "overwrite")
+    landCodes(embeddings, coarse, pqCodebooks, dir, "overwrite", idCol, vecCol)
+  }
+
+  /** Append one vector batch: ONE map-side encode of the batch against the
+    * persisted (frozen) codebooks, then a batch-sized clustered write.
+    */
+  def appendToPqIndex(batch: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    landCodes(batch,
+      graft.catalog.VersionedTable.read(spark, s"$dir/coarse"),
+      graft.catalog.VersionedTable.read(spark, s"$dir/pq"),
+      dir, "append", idCol, vecCol)
+  }
+
+  private def landCodes(batch: DataFrame, coarse: DataFrame,
+      pqCodebooks: DataFrame, dir: String, operation: String,
+      idCol: String, vecCol: String): Unit = {
+    // pin element nullability: parquet reads carry nullable elements, typed
+    // in-memory encoders don't, and the versioned table rightly refuses an
+    // append that flips a type's nullability
+    val codesType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = true)
+    graft.catalog.VersionedTable.write(
+      encode(batch, coarse, pqCodebooks, idCol, vecCol)
+        .select(col("vec_id"), col("cluster"),
+          col("codes").cast(codesType).as("codes"))
+        .repartitionByRange(col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id"),
+      s"$dir/codes", operation)
+    ()
+  }
+
+  final case class PqIndex(coarse: DataFrame, codebooks: DataFrame,
+      codes: DataFrame)
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex =
+    PqIndex(graft.catalog.VersionedTable.read(spark, s"$dir/coarse"),
+      graft.catalog.VersionedTable.read(spark, s"$dir/pq"),
+      graft.catalog.VersionedTable.read(spark, s"$dir/codes"))
+
+  /** IVFADC search off a persisted index with EXTERNAL queries
+    * `(query_id, qv)` — identical results to [[searchCodes]] over the same
+    * artifacts (encode is deterministic given frozen codebooks), with the
+    * probed-cluster set pushed into the codes scan as `isin`, so parquet
+    * row-group stats on the cluster-clustered layout prune the ADC scan to
+    * the probed clusters' row groups.
+    */
+  def searchIndex(index: PqIndex, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 4): DataFrame =
+    searchCodes(index.codes, queries, index.coarse, index.codebooks, k,
+      nprobe, pruneScan = true)
 }

@@ -82,10 +82,19 @@ object IndexIngest {
     * readers open drops (spec-pinned on a counting filesystem).
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
     VersionedTable.compact(spark, s"$indexDir/postings",
       sortBy = Seq("term", "doc_id"))
     VersionedTable.compactToFileSize(spark, s"$indexDir/doclen")
-    VersionedTable.compact(spark, s"$indexDir/stats", numFiles = 1)
+    // stats FOLD, not just a file rewrite: the per-batch (n, sumdl) rows sum
+    // to one row (exactly what readIndexFrom computes at read), so the table
+    // stays O(1) instead of O(batches). Safe under the maintainer's
+    // single-writer contract; re-folding a folded table is a no-op row.
+    val folded = VersionedTable.read(spark, s"$indexDir/stats")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
+      .coalesce(1)
+    VersionedTable.write(folded, s"$indexDir/stats", "overwrite")
     ()
   }
 }

@@ -102,5 +102,20 @@ class IndexIngestSpec extends AnyFunSuite with SharedSpark {
     assert(scans.nonEmpty && scans.forall(l =>
       l.contains("In(term") || l.contains("EqualTo(term")),
       s"term pruning lost after compaction:\n${scans.mkString("\n")}")
+
+    // the stats table FOLDED to one row (not just fewer files), and the
+    // maintainer keeps appending per-batch rows on top of the folded one —
+    // serving equals a from-scratch rebuild of all four batches
+    assert(graft.catalog.VersionedTable.read(spark, s"$dir/stats").count() === 1)
+    IndexIngest.ingestBatch(batch(80 until 100, "b3"), dir, "ckpt", 3L)
+    val served = Bm25.topKFromIndex(Bm25.readIndexFrom(spark, dir),
+      Seq("hash", "join"), 10).collect().map(_.toString).toSeq
+    val rebuilt = Bm25.topKFromIndex(
+      Bm25.buildIndex(batch(0 until 40, "base")
+        .unionAll(batch(40 until 60, "b1")).unionAll(batch(60 until 80, "b2"))
+        .unionAll(batch(80 until 100, "b3"))),
+      Seq("hash", "join"), 10).collect().map(_.toString).toSeq
+    assert(served === rebuilt,
+      "post-fold appends must keep serving exactly rebuild-equal")
   }
 }

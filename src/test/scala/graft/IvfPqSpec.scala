@@ -88,4 +88,64 @@ class IvfPqSpec extends AnyFunSuite with SharedSpark {
     assert(viaIndex.exceptAll(inline).count() === 0)
     assert(inline.exceptAll(viaIndex).count() === 0)
   }
+
+
+  test("persisted PQ index: appends encode only the batch against FROZEN " +
+      "codebooks (base vectors deleted), searchIndex prunes the codes scan " +
+      "and matches the one-shot search") {
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = IvfPq.trainCoarse(emb, nlist = 8, iters = 2)
+    val pq = IvfPq.trainResidualPq(emb, coarse, m = 4, ksub = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("pq_src").toString
+
+    emb.filter(col("vec_id") < 300).write.parquet(s"$srcDir/base")
+    IvfPq.writePqIndex(spark.read.parquet(s"$srcDir/base"), coarse, pq,
+      s"$dir/idx")
+    // DELETE the base vectors: appends and searches must live off the index
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$srcDir/base"), true))
+    IvfPq.appendToPqIndex(emb.filter(col("vec_id") >= 300), s"$dir/idx")
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        graft.ops.Similarity.toDoubleVec(col("embedding")).as("qv"))
+    val idx = IvfPq.readPqIndex(spark, s"$dir/idx")
+    val viaIndex = IvfPq.searchIndex(idx, queries, k = 5, nprobe = 4)
+    val oneShot = IvfPq.search(emb, coarse, pq, numQueries = 10, k = 5,
+      nprobe = 4)
+    assert(viaIndex.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq,
+      "appended index must reconstruct the one-shot IVFADC answer")
+
+    // the ADC scan reads ONLY the probed clusters' row groups
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/codes")).toSeq
+    assert(codeScans.nonEmpty)
+    codeScans.foreach { l =>
+      assert(l.contains("In(cluster") || l.contains("EqualTo(cluster"),
+        s"probed clusters must push into the codes scan:\n$l")
+    }
+  }
+
+  test("PQ append FS budget: zero opens of any prior codes data file") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = IvfPq.trainCoarse(emb, nlist = 4, iters = 1)
+    val pq = IvfPq.trainResidualPq(emb, coarse, m = 4, ksub = 8, iters = 1)
+    val dir =
+      s"counted://${java.nio.file.Files.createTempDirectory("pq_count")}/idx"
+    IvfPq.writePqIndex(emb.filter(col("vec_id") < 100), coarse, pq, dir)
+    graft.testutil.CountingFileSystem.reset()
+    IvfPq.appendToPqIndex(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150), dir)
+    val priorOpens =
+      graft.testutil.CountingFileSystem.total("open", "codes/_data/v=0")
+    assert(priorOpens == 0,
+      s"append must not read prior codes data files, opened $priorOpens")
+  }
 }
