@@ -72,12 +72,19 @@ object Bm25 {
       .limit(k)
 
   /** Materialized inverted index for REPEATED queries: one corpus scan builds
-    * `postings` (term, doc_id, tf) and `docs` (doc_id, dl) + a single-row corpus
-    * stats frame. [[topKFromIndex]] then answers any query from index lookups —
-    * per query it touches only the query terms' postings (partition/sort the
-    * postings table by term on write and the scan prunes to them), never the text.
-    * The scan-based [[topK]] stays the right call for one-off queries; the index
-    * pays for itself from the second query on.
+    * `postings` (term, doc_id, tf, dl) and `docs` (doc_id, dl) + a single-row
+    * corpus stats frame. [[topKFromIndex]] then answers any query from index
+    * lookups — per query it touches only the query terms' postings
+    * (partition/sort the postings table by term on write and the scan prunes
+    * to them), never the text. The document length `dl` is DENORMALIZED onto
+    * every posting row (the Lucene norms-adjacent-to-postings layout): one
+    * extra int per posting buys serving that never reads the O(corpus-rows)
+    * `docLengths` table — a query's only non-broadcast read is the term-pruned
+    * postings scan. `docLengths` is retained for stats folds and for
+    * version-tolerant serving of indexes persisted before the denormalization
+    * (postings without a `dl` column fall back to the join). The scan-based
+    * [[topK]] stays the right call for one-off queries; the index pays for
+    * itself from the second query on.
     */
   final case class Index(postings: DataFrame, docLengths: DataFrame, stats: DataFrame)
 
@@ -86,14 +93,23 @@ object Bm25 {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val perDoc = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    // dl is constant per doc_id, so grouping by it does not change the groups
     val postings = perDoc
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
     val docLengths = perDoc.select("doc_id", "dl")
     val stats = docLengths.agg(
       count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     Index(postings, docLengths, stats)
   }
+
+  /** Whether an index's postings carry the denormalized per-document length —
+    * true for every index built since the denormalization; false only for
+    * pre-existing persisted indexes, which serve through the docLengths join.
+    */
+  private[graft] def postingsCarryDl(index: Index): Boolean =
+    index.postings.columns.contains("dl")
 
   /** Persisted-index lifecycle over [[graft.catalog.VersionedTable]] — the
     * incremental maintenance path that keeps the index-only serving tier
@@ -106,8 +122,10 @@ object Bm25 {
     * the retrieval tier).
     *
     * Layout under `dir`: three versioned tables — `postings` (term, doc_id,
-    * tf), `doclen` (doc_id, dl), and `stats` holding ONE `(n, sumdl)` row PER
-    * batch; [[readIndexFrom]] folds the stat rows into the single-row corpus
+    * tf, dl — the denormalized doc length, so SERVING reads postings alone),
+    * `doclen` (doc_id, dl — kept for stats folds and audits, never read on a
+    * serving path), and `stats` holding ONE `(n, sumdl)` row PER batch;
+    * [[readIndexFrom]] folds the stat rows into the single-row corpus
     * frame the scorers expect. Appending per-batch stat rows instead of
     * read-modify-writing a global row keeps every append a pure O(batch)
     * write — no read of prior state, no lost-update window.
@@ -154,8 +172,9 @@ object Bm25 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val postings = perDoc
-        .select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .select("term", "doc_id", "tf", "dl")
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id")
       val docLengths = perDoc.select("doc_id", "dl")
@@ -180,6 +199,29 @@ object Bm25 {
       VersionedTable.read(spark, s"$dir/doclen"), stats)
   }
 
+  /** Register a persisted index's artifact tables as TEMP VIEWS so the
+    * pure-SQL serving recipes ([[SqlRecipes.bm25FromIndexSql]],
+    * [[SqlRecipes.hybridFromIndexSql]]) run end-to-end against named tables:
+    * `spark.sql(SqlRecipes.bm25FromIndexSql(postingsView, statsView, ...))`.
+    * Returns (postingsView, doclenView, statsView). Views resolve through
+    * [[graft.catalog.VersionedTable.read]], so they serve the CURRENT
+    * committed snapshot with the same pushed-predicate pruning as the Scala
+    * paths (re-register to pick up later appends — a temp view pins the
+    * snapshot it was created from).
+    */
+  def registerIndexViews(spark: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String = "bm25_idx"): (String, String, String) = {
+    import graft.catalog.VersionedTable
+    val names = (s"${prefix}_postings", s"${prefix}_doclen", s"${prefix}_stats")
+    VersionedTable.read(spark, s"$dir/postings")
+      .createOrReplaceTempView(names._1)
+    VersionedTable.read(spark, s"$dir/doclen")
+      .createOrReplaceTempView(names._2)
+    VersionedTable.read(spark, s"$dir/stats")
+      .createOrReplaceTempView(names._3)
+    names
+  }
+
   /** Corpus vocabulary with retrieval statistics: one row per distinct token —
     * document frequency, total term frequency, and the same smoothed idf the
     * scorer uses. The lexicon feed for tokenizer training, stopword discovery
@@ -200,6 +242,11 @@ object Bm25 {
     * [[topK]] (same idf smoothing, same addend order over the terms as given).
     * Per-term df comes from the postings; documents missing a term contribute a
     * zero addend exactly as tf=0 does in the scan formulation.
+    *
+    * Serving reads: the term-pruned postings scan plus two broadcast
+    * metadata-scale frames (per-term dfs, corpus stats) — `dl` rides on the
+    * posting rows, so the O(corpus-rows) docLengths table is never read
+    * (pre-denormalization indexes fall back to the join transparently).
     */
   def topKFromIndex(index: Index, terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -214,8 +261,14 @@ object Bm25 {
     // same left-to-right fold as the scan path
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf$i") }
-    val perDoc = hits.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
-      .join(index.docLengths, "doc_id")
+    val perDoc =
+      if (postingsCarryDl(index))
+        // dl is constant per doc_id: max() recovers it without a join
+        hits.groupBy("doc_id").agg(tfCols.head,
+          tfCols.tail :+ max(col("dl")).as("dl"): _*)
+      else
+        hits.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+          .join(index.docLengths, "doc_id")
 
     // coalesce: aggregating an EMPTY dfs frame (no term matched anything) yields
     // one all-NULL row, and the scan path's semantics for a matchless term is df=0

@@ -132,6 +132,52 @@ class Bm25Spec extends AnyFunSuite with SharedSpark {
       s"append must not read prior index data files, opened $priorOpens")
   }
 
+  test("serving never reads the doclen table: dl rides on the postings rows " +
+      "(no doclen FileScan; zero doclen data-file opens)") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val dir =
+      s"counted://${java.nio.file.Files.createTempDirectory("bm25_serve")}/idx"
+    val docs = (0L until 60L).map(i => (i, s"alpha beta w$i hash join"))
+      .toDF("doc_id", "text")
+    Bm25.writeIndex(docs, dir)
+    val index = Bm25.readIndexFrom(spark, dir)
+    val terms = Seq("hash", "alpha")
+
+    val served = Bm25.topKFromIndex(index, terms, 10)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/doclen")),
+      s"serving plan must not scan the doclen table:\n$plan")
+
+    graft.testutil.CountingFileSystem.reset()
+    val rows = served.collect()
+    assert(rows.length === 10)
+    val doclenOpens =
+      graft.testutil.CountingFileSystem.total("open", "/doclen/_data")
+    assert(doclenOpens == 0,
+      s"serving opened $doclenOpens doclen data files — the O(corpus) " +
+        "side-read is back")
+  }
+
+  test("pre-denormalization index (postings without dl) still serves through " +
+      "the docLengths join, identically") {
+    val docs = Tables.documents(spark, sf)
+    val built = Bm25.buildIndex(docs)
+    // strip dl off the postings — the layout every index persisted before the
+    // denormalization carries
+    val legacy = Bm25.Index(built.postings.drop("dl"), built.docLengths,
+      built.stats)
+    val terms = Seq("hash", "join", "vector")
+    val viaLegacy = Bm25.topKFromIndex(legacy, terms, 20)
+      .collect().map(_.toString).toSeq
+    val viaNew = Bm25.topKFromIndex(built, terms, 20)
+      .collect().map(_.toString).toSeq
+    assert(viaLegacy === viaNew,
+      "legacy-layout serving must match the denormalized layout row for row")
+  }
+
   test("matching is case-insensitive on the document side") {
     val mixed = Seq((1L, "Hash JOIN"), (2L, "HASH")).toDF("doc_id", "text")
     val ids = Bm25.scores(mixed, Seq("hash")).select("doc_id")
