@@ -98,7 +98,11 @@ object HybridRetrieval {
     * TERM-CLUSTERED layout prune the scans to the query terms' row groups.
     * Per-(query, doc) BM25 is one map-side addend per posting hit + one
     * aggregation shuffle keyed (query, doc); addends are 6-dp-rounded BEFORE
-    * the per-pair sum so the grouped sum is order-independent.
+    * the per-pair sum so the grouped sum is order-independent. `dl` rides on
+    * the posting rows ([[Bm25.buildIndex]]'s denormalized layout), so the leg
+    * reads NOTHING corpus-sized beyond the term-pruned postings scan — a
+    * pre-denormalization index (no `dl` on postings) falls back to the
+    * docLengths join transparently.
     */
   private def bm25LexLeg(index: Bm25.Index, qTerms: DataFrame,
       termList: Seq[String], legK: Int, k1: Double, b: Double,
@@ -119,8 +123,10 @@ object HybridRetrieval {
     val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
     val addend = idf * tf * lit(k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    val scored = hits
-      .join(index.docLengths, "doc_id")
+    val withDl =
+      if (Bm25.postingsCarryDl(index)) hits
+      else hits.join(index.docLengths, "doc_id")
+    val scored = withDl
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(index.stats))
       .select(col("query_id"), col("doc_id"), round(addend, 6).as("__a"))
@@ -207,9 +213,11 @@ object HybridRetrieval {
     * [[Ivf.ivfTopKFromIndex]] — probe `nprobe` clusters against the tiny
     * centroid table, then exact-rerank ONLY the probed clusters' row groups
     * (cluster-isin pushed into the vector scan). Per query batch the plan
-    * reads: the query terms' postings row groups, the probed clusters' vector
-    * row groups, and three metadata-scale artifacts — never the documents
-    * table, never the full embedding table.
+    * reads: the query terms' postings row groups (which carry the
+    * denormalized doc lengths), the probed clusters' vector row groups, and
+    * two metadata-scale artifacts (the folded corpus stats and the centroid
+    * table) — never the documents table, never the full embedding table,
+    * never the O(corpus-rows) doc-lengths table.
     *
     * Semantics: at `nprobe = nlist` the IVF leg provably equals the exact
     * cosine leg, so this returns exactly [[bm25RrfTopKFromIndex]]'s answer
@@ -250,9 +258,24 @@ object HybridRetrieval {
       queryIdCol: String = "query_id", queryTextCol: String = "text",
       queryVecCol: String = "embedding"): DataFrame = {
     require(legK > 0 && k > 0 && rrfK > 0 && nprobe > 0)
-    // the bounded driver collect is over the CALLER'S query batch — no index
-    // read at all; the pairs re-enter as a broadcast local relation and the
-    // vocabulary as the pushed isin
+    val (qTerms, termList) = externalQueryTerms(queries, queryIdCol,
+      queryTextCol)
+    val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
+      excludeSelf = false)
+    val sem = Ivf.ivfTopKForQueries(ivf, queries, legK, nprobe,
+        idCol = queryIdCol, vecCol = queryVecCol)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
+
+  /** Tokenize the CALLER'S query batch into (query_id, term) pairs + the
+    * distinct vocabulary: the bounded driver collect is over the tiny request
+    * frame — no index read at all; the pairs re-enter the plan as a broadcast
+    * local relation and the vocabulary as the pushed isin.
+    */
+  private def externalQueryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): (DataFrame, Seq[String]) = {
     val qTermsScan = queries.select(col(queryIdCol).as("query_id"),
         explode(TextAnalysis.tokens(lower(coalesce(col(queryTextCol),
           lit(""))))).as("term"))
@@ -261,11 +284,39 @@ object HybridRetrieval {
     val qPairs = qTermsScan.collect()
     val qTerms = qTermsScan.sparkSession.createDataFrame(
       java.util.Arrays.asList(qPairs: _*), qTermsScan.schema)
-    val termList = qPairs.map(_.getString(1)).distinct.toSeq
+    (qTerms, qPairs.map(_.getString(1)).distinct.toSeq)
+  }
+
+  /** Hybrid retrieval for EXTERNAL queries with a BINARY-QUANTIZED semantic
+    * leg — the [[bm25RrfTopKForQueries]] variant for corpora where IVF recall
+    * at small nprobe is the binding constraint: the semantic leg is
+    * [[Similarity.bqTopKForQueries]]'s funnel (exact-integer Hamming sweep of
+    * the 32×-compressed codes table → exact cosine rerank of `shortlistK`
+    * candidates) instead of a probed-cluster rerank. The coarse pass is a
+    * LINEAR sweep of the codes by design (the BQ tier's contract — tiny
+    * codes, full sweep, no recall cliff), so recall degrades gracefully with
+    * `shortlistK` rather than collapsing when a true neighbor lives outside
+    * the probed clusters; at `shortlistK ≥ corpus size` the leg provably
+    * equals the exact cosine leg (spec-pinned differential). The lexical leg
+    * and fusion are identical to [[bm25RrfTopKForQueries]]'s; no
+    * self-exclusion anywhere — the query id space is unrelated to corpus ids.
+    */
+  def bm25BqRrfTopKForQueries(index: Bm25.Index, codes: DataFrame,
+      embeddings: DataFrame, queries: DataFrame, legK: Int = 20, k: Int = 10,
+      rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+      shortlistK: Int = 30,
+      queryIdCol: String = "query_id", queryTextCol: String = "text",
+      queryVecCol: String = "embedding",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(legK > 0 && k > 0 && rrfK > 0 && shortlistK >= legK,
+      s"shortlistK ($shortlistK) must cover legK ($legK)")
+    val (qTerms, termList) = externalQueryTerms(queries, queryIdCol,
+      queryTextCol)
     val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
       excludeSelf = false)
-    val sem = Ivf.ivfTopKForQueries(ivf, queries, legK, nprobe,
-        idCol = queryIdCol, vecCol = queryVecCol)
+    val sem = Similarity.bqTopKForQueries(codes, embeddings, queries,
+        k = legK, shortlistK = shortlistK, idCol = vecIdCol, vecCol = vecCol,
+        queryIdCol = queryIdCol, queryVecCol = queryVecCol)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("sem_rank"))
     fuse(lex, sem, k, rrfK)

@@ -215,6 +215,23 @@ object Ivf {
     IvfIndex(graft.catalog.VersionedTable.read(spark, s"$dir/centroids"),
       graft.catalog.VersionedTable.read(spark, s"$dir/vectors"))
 
+  /** Register a persisted index's artifact tables as TEMP VIEWS so the
+    * pure-SQL serving recipes ([[SqlRecipes.ivfFromIndexSql]],
+    * [[SqlRecipes.hybridFromIndexSql]]) run end-to-end against named tables.
+    * Returns (vectorsView, centroidsView); same snapshot semantics as
+    * [[Bm25.registerIndexViews]].
+    */
+  def registerIndexViews(spark: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String = "ivf_idx"): (String, String) = {
+    import graft.catalog.VersionedTable
+    val names = (s"${prefix}_vectors", s"${prefix}_centroids")
+    VersionedTable.read(spark, s"$dir/vectors")
+      .createOrReplaceTempView(names._1)
+    VersionedTable.read(spark, s"$dir/centroids")
+      .createOrReplaceTempView(names._2)
+    names
+  }
+
   /** IVF top-k off a persisted index — identical results to [[ivfTopK]] over
     * the same vectors and centroids (assignment is deterministic, the rerank
     * is the same arithmetic), but the vector scan PRUNES: the probed cluster
@@ -340,7 +357,12 @@ object Ivf {
         round(sum(col("sum_cos4")).cast("double") /
           (lit(10000.0) * sum(col("n_vecs"))), 6).as("mean_cos"),
         round(sum(col("psi_term")), 6).as("psi"))
-      .orderBy("batch")
+      // trend order, not lexicographic: the streaming maintainer labels
+      // batches with numeric txnId strings ("0","1",...,"10"), and a string
+      // sort would interleave "10" before "2", garbling the drift trend past
+      // ten batches. Numeric labels sort numerically AFTER the non-numeric
+      // ones (e.g. "base" leads); non-numeric labels keep string order.
+      .orderBy(expr("try_cast(batch AS BIGINT)").asc_nulls_first, col("batch"))
   }
 
   /** Lloyd's k-means refinement of the given centroids (the production path for

@@ -186,17 +186,18 @@ object SqlRecipes {
   }
 
   /** BM25 top-k FROM A PERSISTED INVERTED INDEX — pure-SQL twin of
-    * [[Bm25.topKFromIndex]] over the three index views ([[Bm25.writeIndex]]'s
-    * layout registered as views/tables): `postings(term, doc_id, tf)`,
-    * `doclen(doc_id, dl)`, and `stats` holding one `(n, sumdl)` row PER
-    * BATCH — folded here by summing, exactly [[Bm25.readIndexFrom]]. Only
+    * [[Bm25.topKFromIndex]] over the index views ([[Bm25.writeIndex]]'s
+    * layout registered as views/tables): `postings(term, doc_id, tf, dl)` —
+    * the denormalized doc length rides on every posting row, so the recipe
+    * reads NO doc-lengths table — and `stats` holding one `(n, sumdl)` row
+    * PER BATCH, folded here by summing, exactly [[Bm25.readIndexFrom]]. Only
     * the query terms' postings leave the index scan (the IN list pushes into
     * the term-clustered layout); the scores are the identical fixed-order
     * addend chain rounded to 6 decimals, so the SQL and Scala paths rank
     * identically row for row.
     */
-  def bm25FromIndexSql(postingsView: String, doclenView: String,
-      statsView: String, terms: Seq[String], k: Int,
+  def bm25FromIndexSql(postingsView: String, statsView: String,
+      terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): String = {
     require(terms.nonEmpty && terms.forall(t => t == t.toLowerCase)
       && terms.distinct.size == terms.size, "terms: nonempty, lowercase, distinct")
@@ -211,7 +212,7 @@ object SqlRecipes {
         s" / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
     }.mkString("(", " + ", ")")
     s"""WITH hits AS (
-       |  SELECT term, doc_id, tf FROM $postingsView WHERE term IN ($inList)
+       |  SELECT term, doc_id, tf, dl FROM $postingsView WHERE term IN ($inList)
        |),
        |dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
        |dfr AS (SELECT $dfCols FROM dfs),
@@ -221,13 +222,116 @@ object SqlRecipes {
        |      / CAST(coalesce(sum(n), 0) AS DOUBLE) AS avgdl
        |  FROM $statsView
        |),
-       |perdoc AS (
-       |  SELECT doc_id, $tfCols FROM hits GROUP BY doc_id
-       |),
-       |pd AS (SELECT p.*, d.dl FROM perdoc p JOIN $doclenView d USING (doc_id))
+       |pd AS (
+       |  SELECT doc_id, max(dl) AS dl, $tfCols FROM hits GROUP BY doc_id
+       |)
        |SELECT doc_id, round($addends, 6) AS score
        |FROM pd CROSS JOIN dfr CROSS JOIN st
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** IVF top-k FROM A PERSISTED INDEX — pure-SQL twin of
+    * [[Ivf.ivfTopKFromIndex]] over the two index views ([[Ivf.writeIvfIndex]]'s
+    * layout registered via [[Ivf.registerIndexViews]]): `vectors(vec_id, v,
+    * norm, cluster)` and `centroids(centroid_id, cv)`. Probe argmax by
+    * (cosine DESC, centroid_id), exact 4-dp rerank of the probed clusters
+    * only, (cosine DESC, vec_id) tiebreak — all through the native
+    * `dot_product` so float sums are bit-identical to the Scala path and the
+    * two rank identically row for row. The cluster equality join prunes the
+    * same candidate set the Scala path's pushed isin reads.
+    */
+  def ivfFromIndexSql(vectorsView: String, centroidsView: String,
+      numQueries: Int, k: Int, nprobe: Int): String = {
+    require(numQueries > 0 && k > 0 && nprobe > 0)
+    s"""WITH c AS (SELECT centroid_id, cv,
+       |    sqrt(dot_product(cv, cv)) AS cnorm FROM $centroidsView),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |  FROM $vectorsView WHERE vec_id < $numQueries),
+       |probes AS (SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+       |    SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC,
+       |        c.centroid_id) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= $nprobe),
+       |cand AS (SELECT p.query_id, vv.vec_id,
+       |    round(dot_product(p.qv, vv.v) / (p.qnorm * vv.norm), 4) AS cosine
+       |  FROM probes p JOIN $vectorsView vv
+       |    ON vv.cluster = p.cluster AND vv.vec_id <> p.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Fully index-backed HYBRID RETRIEVAL in pure SQL — twin of
+    * [[HybridRetrieval.hybridTopKFromIndexes]] over the four index views
+    * (register via [[Bm25.registerIndexViews]] + [[Ivf.registerIndexViews]]):
+    * the BM25 lexical leg serves from `postings(term, doc_id, tf, dl)` +
+    * folded `stats` alone (dl denormalized — no doclen read), the semantic
+    * leg is [[ivfFromIndexSql]]'s probe + rerank, fused by RRF
+    * `1/(rrfK + rank)` with (rrf DESC, doc_id) tiebreak. Addends are
+    * 6-dp-rounded BEFORE the per-pair sum (order-independent grouped sum)
+    * and every float chain matches the Scala operators' operation order, so
+    * SQL and Scala rank identically row for row.
+    */
+  def hybridFromIndexSql(postingsView: String, statsView: String,
+      vectorsView: String, centroidsView: String,
+      numQueries: Int, legK: Int, k: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75, nprobe: Int = 4): String = {
+    require(numQueries > 0 && legK > 0 && k > 0 && rrfK > 0 && nprobe > 0)
+    s"""WITH qt AS (SELECT DISTINCT doc_id AS query_id, term
+       |  FROM $postingsView WHERE doc_id < $numQueries AND term <> ''),
+       |hits AS (SELECT term, doc_id, tf, dl FROM $postingsView
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+       |st AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS n,
+       |    CAST(coalesce(sum(sumdl), 0) AS DOUBLE)
+       |      / CAST(coalesce(sum(n), 0) AS DOUBLE) AS avgdl FROM $statsView),
+       |a AS (SELECT qt.query_id, h.doc_id,
+       |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * ${k1 + 1.0}
+       |      / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)), 6) AS a
+       |  FROM hits h JOIN qt ON h.term = qt.term AND h.doc_id <> qt.query_id
+       |  JOIN dfs ON dfs.term = h.term CROSS JOIN st),
+       |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+       |  FROM a GROUP BY query_id, doc_id),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM lex0) WHERE lex_rank <= $legK),
+       |c AS (SELECT centroid_id, cv,
+       |    sqrt(dot_product(cv, cv)) AS cnorm FROM $centroidsView),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+       |  FROM $vectorsView WHERE vec_id < $numQueries),
+       |probes AS (SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+       |    SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        dot_product(q.qv, c.cv) / (q.qnorm * c.cnorm) DESC,
+       |        c.centroid_id) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= $nprobe),
+       |cand AS (SELECT p.query_id, vv.vec_id AS doc_id,
+       |    round(dot_product(p.qv, vv.v) / (p.qnorm * vv.norm), 4) AS cosine
+       |  FROM probes p JOIN $vectorsView vv
+       |    ON vv.cluster = p.cluster AND vv.vec_id <> p.query_id),
+       |sem AS (SELECT query_id, doc_id, sem_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS sem_rank
+       |    FROM cand) WHERE sem_rank <= $legK),
+       |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.lex_rank, sem.sem_rank,
+       |    coalesce(CAST(1.0 AS DOUBLE)
+       |        / (CAST($rrfK AS DOUBLE) + CAST(lex.lex_rank AS DOUBLE)),
+       |      CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE)
+       |        / (CAST($rrfK AS DOUBLE) + CAST(sem.sem_rank AS DOUBLE)),
+       |      CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+       |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** Ordered conversion funnel — SQL twin of [[Funnel.userFunnel]]: the same

@@ -152,6 +152,10 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
       s"index-backed plan must not scan corpus text:\n$plan")
     assert(!plan.contains("embeddings"),
       "semantic leg must serve from the IVF index, not the embedding table")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/doclen")),
+      s"serving must not read the O(corpus-rows) doclen table — dl rides on " +
+        s"the postings rows:\n$plan")
     assert(!plan.contains("CartesianProduct"))
     val postingScans = plan.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("/postings")).toSeq
@@ -234,5 +238,97 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
       s"unexpected external-query fusion: $got")
     // no self-exclusion on the external path: corpus doc ids never collide
     // with query id 99, so every corpus doc was eligible
+
+    // and the external serving plan never touches the doclen table either
+    val extPlan = out.queryExecution.executedPlan.toString
+    assert(!extPlan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/doclen")),
+      s"external serving must not read the doclen table:\n$extPlan")
+  }
+
+  test("BQ-funnel hybrid external: at shortlistK = corpus the BQ semantic leg " +
+      "is exact, so it reproduces the exhaustive-probe IVF hybrid row for row") {
+    import graft.ops.{Bm25, Ivf, Similarity}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.count().toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_bqf").toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Similarity.writeCodes(emb, s"$dir/codes")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 8), s"$dir/ivf")
+    val bm25 = Bm25.readIndexFrom(spark, s"$dir/bm25")
+    val codes = Similarity.readCodes(spark, s"$dir/codes")
+    val ivf = Ivf.readIvfIndex(spark, s"$dir/ivf")
+    val queries = docs.filter(col("doc_id") < 3)
+      .join(emb.filter(col("vec_id") < 3), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+
+    // exhaustive Hamming shortlist ≡ exact cosine leg ≡ nprobe-=-nlist IVF leg
+    val viaBq = HybridRetrieval.bm25BqRrfTopKForQueries(bm25, codes, emb,
+        queries, legK = 5, k = 5, shortlistK = corpus)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val viaIvf = HybridRetrieval.bm25RrfTopKForQueries(bm25, ivf, queries,
+        legK = 5, k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaBq === viaIvf,
+      "exhaustive BQ shortlist must reproduce the exact-semantic-leg hybrid")
+
+    // a REALISTIC shortlist still returns k fused rows per query and never
+    // reads the doclen table
+    val funneled = HybridRetrieval.bm25BqRrfTopKForQueries(bm25, codes, emb,
+      queries, legK = 5, k = 5, shortlistK = 30)
+    assert(funneled.count() === 15)
+    val plan = funneled.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/doclen")),
+      s"BQ hybrid serving must not read the doclen table:\n$plan")
+  }
+
+  test("serving FS budget: a full hybrid query batch opens ZERO doclen data " +
+      "files — the lexical leg's only corpus-sized read is the pruned postings") {
+    import spark.implicits._
+    import graft.ops.{Bm25, Ivf}
+    spark.sparkContext.hadoopConfiguration.set("fs.counted.impl",
+      classOf[graft.testutil.CountingFileSystem].getName)
+    val dir = s"counted://${java.nio.file.Files
+      .createTempDirectory("graft_hybrid_fsb")}/idx"
+    val docs = (0L until 60L).map(i => (i, s"alpha beta w$i hash join"))
+      .toDF("doc_id", "text")
+    val emb = (0L until 60L)
+      .map(i => (i, Array((i % 7).toFloat + 1f, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 4), s"$dir/ivf")
+    val bm25 = Bm25.readIndexFrom(spark, s"$dir/bm25")
+    val ivf = Ivf.readIvfIndex(spark, s"$dir/ivf")
+
+    graft.testutil.CountingFileSystem.reset()
+    val rows = HybridRetrieval.hybridTopKFromIndexes(bm25, ivf,
+      numQueries = 3, legK = 5, k = 5, nprobe = 2).collect()
+    assert(rows.nonEmpty)
+    val doclenOpens =
+      graft.testutil.CountingFileSystem.total("open", "/doclen/_data")
+    assert(doclenOpens == 0,
+      s"hybrid serving opened $doclenOpens doclen data files — the " +
+        "O(corpus-rows) side-read the denormalized dl exists to remove")
+  }
+
+  test("pre-denormalization index (postings without dl) serves the hybrid " +
+      "lexical leg through the docLengths join, identically") {
+    import graft.ops.Bm25
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val built = Bm25.buildIndex(docs)
+    val legacy = Bm25.Index(built.postings.drop("dl"), built.docLengths,
+      built.stats)
+    val viaLegacy = HybridRetrieval.bm25RrfTopKFromIndex(legacy, emb,
+        numQueries = 3, legK = 5, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val viaNew = HybridRetrieval.bm25RrfTopKFromIndex(built, emb,
+        numQueries = 3, legK = 5, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaLegacy === viaNew,
+      "legacy-layout hybrid serving must match the denormalized layout")
   }
 }

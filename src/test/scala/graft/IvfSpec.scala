@@ -164,4 +164,24 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
       s"off-distribution batch must out-drift the in-distribution one: $drift")
     assert(drift("shift")._1 === 200L)
   }
+
+  test("ivfDrift orders the trend numerically: streamed batch '10' follows " +
+      "'9', not '1' — lexicographic order would garble the signal") {
+    import spark.implicits._
+    import graft.catalog.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift_ord").toString
+    VersionedTable.write(Seq((0, Array(1.0, 0.0))).toDF("centroid_id", "cv"),
+      s"$dir/centroids", "overwrite")
+    // the streaming maintainer labels quality batches with numeric txnId
+    // strings — fabricate eleven of them plus the non-numeric base
+    val labels = "base" +: (0 to 10).map(_.toString)
+    VersionedTable.write(
+      labels.map(l => (l, 0, 10L, 99990L))
+        .toDF("batch", "cluster", "n_vecs", "sum_cos4"),
+      s"$dir/quality", "overwrite")
+    val order = Ivf.ivfDrift(spark, dir, baseBatch = "base")
+      .select("batch").as[String].collect().toSeq
+    assert(order === labels,
+      s"drift report must read in ingest order, got: $order")
+  }
 }

@@ -271,17 +271,50 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     graft.ops.Bm25.appendToIndex(docs.filter(col("doc_id") >= 300), dir)
     VersionedTable.read(spark, s"$dir/postings")
       .createOrReplaceTempView("idx_postings")
-    VersionedTable.read(spark, s"$dir/doclen")
-      .createOrReplaceTempView("idx_doclen")
     VersionedTable.read(spark, s"$dir/stats")
       .createOrReplaceTempView("idx_stats")
     val terms = Seq("hash", "join", "vector")
     val viaSql = spark.sql(graft.ops.SqlRecipes.bm25FromIndexSql(
-      "idx_postings", "idx_doclen", "idx_stats", terms, k = 20))
+      "idx_postings", "idx_stats", terms, k = 20))
     val viaApi = graft.ops.Bm25.topKFromIndex(
       graft.ops.Bm25.readIndexFrom(spark, dir), terms, 20)
     assert(viaSql.count() === 20)
     assert(viaSql.exceptAll(viaApi).count() === 0)
     assert(viaApi.exceptAll(viaSql).count() === 0)
+  }
+
+  test("full hybrid retrieval in pure SQL against registered index views " +
+      "matches the Scala serving paths row for row") {
+    import graft.ops.{Bm25, HybridRetrieval, Ivf, SqlRecipes}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_sql_idx").toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 8), s"$dir/ivf")
+    val (postingsV, _, statsV) =
+      Bm25.registerIndexViews(spark, s"$dir/bm25", "hyb_bm25")
+    val (vectorsV, centroidsV) =
+      Ivf.registerIndexViews(spark, s"$dir/ivf", "hyb_ivf")
+
+    // the IVF probe twin alone
+    val ivfSql = spark.sql(SqlRecipes.ivfFromIndexSql(vectorsV, centroidsV,
+        numQueries = 3, k = 5, nprobe = 2))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val ivfApi = Ivf.ivfTopKFromIndex(Ivf.readIvfIndex(spark, s"$dir/ivf"),
+        numQueries = 3, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(ivfSql === ivfApi, "SQL IVF probe diverged from the Scala path")
+
+    // the full hybrid: BM25-from-postings leg + IVF leg + RRF, end to end in
+    // one SQL statement over the registered views
+    val hySql = spark.sql(SqlRecipes.hybridFromIndexSql(postingsV, statsV,
+        vectorsV, centroidsV, numQueries = 3, legK = 5, k = 5, nprobe = 2))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val hyApi = HybridRetrieval.hybridTopKFromIndexes(
+        Bm25.readIndexFrom(spark, s"$dir/bm25"),
+        Ivf.readIvfIndex(spark, s"$dir/ivf"),
+        numQueries = 3, legK = 5, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(hySql === hyApi, "SQL hybrid diverged from hybridTopKFromIndexes")
   }
 }
