@@ -85,7 +85,7 @@ object IvfPq {
     */
   def searchCodes(codes: DataFrame, queries: DataFrame, coarse: DataFrame,
       pqCodebooks: DataFrame, k: Int = 5, nprobe: Int = 4,
-      pruneScan: Boolean = false): DataFrame = {
+      pruneScan: Boolean = false, excludeSelf: Boolean = true): DataFrame = {
     val centRow = coarse
       .agg(collect_list(struct(col("cluster"), col("cw"))).as("cents"))
     val cbRow = pqCodebooks
@@ -132,8 +132,13 @@ object IvfPq {
         if (probedSet.isEmpty) codes.filter(lit(false))
         else codes.filter(col("cluster").isin(probedSet: _*))
       }
+    // self-exclusion only for INTERNAL queries drawn from the corpus id space;
+    // an external query whose id happens to collide with a corpus vec_id must
+    // NOT silently drop that vector (typically its nearest neighbor)
+    val noSelf =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     val cands = scanned.join(broadcast(luts), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(noSelf)
       .withColumn("adist",
         aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
           (acc, j) => acc + element_at(col("lut"),
@@ -156,18 +161,24 @@ object IvfPq {
     * codes are never rescanned.
     *
     * Layout under `dir`: `coarse` (cluster, cw), `pq` (subspace, code, cw) —
-    * both metadata-scale — and `codes` (vec_id, cluster, codes) landed
+    * both metadata-scale — `codes` (vec_id, cluster, codes) landed
     * CLUSTER-CLUSTERED (range-partitioned + sorted within files) so
     * [[searchIndex]]'s probed-cluster `isin` prunes parquet row groups, the
     * [[Ivf.ivfTopKFromIndex]] pattern applied to the m-bytes-per-vector
-    * codes table.
+    * codes table — and `quality`, one (batch, cluster, n_vecs, sum_qerr4)
+    * row per batch×cluster recording CODEBOOK FIT at landing time (qerr4 =
+    * round(qerr·10⁴) summed as BIGINT — exact integers, order-independent),
+    * the [[pqDrift]] feed for the frozen-codebook retrain decision, exactly
+    * [[Ivf]]'s quality convention on the PQ tier.
     *
     * Contract: batches carry NOVEL vec_ids (same ledger/novelty routing as
-    * the other index lifecycles).
+    * the other index lifecycles). Pass distinct `batchLabel`s to keep
+    * per-batch drift resolution.
     */
   def writePqIndex(embeddings: DataFrame, coarse: DataFrame,
       pqCodebooks: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchLabel: String = "base"): Unit = {
     val cwType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType, containsNull = true)
     graft.catalog.VersionedTable.write(
@@ -177,37 +188,137 @@ object IvfPq {
       pqCodebooks.select(col("subspace"), col("code"),
         col("cw").cast(cwType).as("cw")),
       s"$dir/pq", "overwrite")
-    landCodes(embeddings, coarse, pqCodebooks, dir, "overwrite", idCol, vecCol)
+    landBatch(embeddings, coarse, pqCodebooks, dir, "overwrite", batchLabel,
+      idCol, vecCol)
   }
 
   /** Append one vector batch: ONE map-side encode of the batch against the
-    * persisted (frozen) codebooks, then a batch-sized clustered write.
+    * persisted (frozen) codebooks, then a batch-sized clustered write plus
+    * its codebook-fit quality row(s).
     */
   def appendToPqIndex(batch: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchLabel: String = "batch"): Unit = {
     val spark = batch.sparkSession
-    landCodes(batch,
+    landBatch(batch,
       graft.catalog.VersionedTable.read(spark, s"$dir/coarse"),
       graft.catalog.VersionedTable.read(spark, s"$dir/pq"),
-      dir, "append", idCol, vecCol)
+      dir, "append", batchLabel, idCol, vecCol)
   }
 
-  private def landCodes(batch: DataFrame, coarse: DataFrame,
+  private def landBatch(batch: DataFrame, coarse: DataFrame,
       pqCodebooks: DataFrame, dir: String, operation: String,
-      idCol: String, vecCol: String): Unit = {
+      batchLabel: String, idCol: String, vecCol: String): Unit =
+    landArtifacts(batch, coarse, pqCodebooks, batchLabel, idCol, vecCol) {
+      (df, artifact) =>
+        graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
+    }
+
+  /** Build the batch's two index artifacts from ONE persisted encode scan and
+    * hand each to `land(df, artifact)` (artifact ∈ "codes" | "quality") —
+    * without the persist the two landing jobs would each re-run the
+    * broadcast-codebook argmin over the batch. Shared by the batch append
+    * path and the streaming maintainer ([[graft.streaming.PqIngest]]),
+    * exactly [[Ivf.landArtifacts]]'s shape.
+    */
+  private[graft] def landArtifacts(batch: DataFrame, coarse: DataFrame,
+      pqCodebooks: DataFrame, batchLabel: String, idCol: String,
+      vecCol: String)(land: (DataFrame, String) => Unit): Unit = {
+    val encoded = encodeWithError(batch, coarse, pqCodebooks, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      land(clusteredOf(encoded), "codes")
+      land(qualityOf(encoded, batchLabel), "quality")
+    } finally { encoded.unpersist(); () }
+  }
+
+  /** [[encode]] plus the per-vector residual quantization error (the
+    * [[Pq.encode]] `withError` path riding the IVF-PQ residual pipeline).
+    */
+  private def encodeWithError(embeddings: DataFrame, coarse: DataFrame,
+      pqCodebooks: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Pq.encode(residuals(embeddings, coarse, idCol, vecCol), pqCodebooks,
+        idCol = "vec_id", vecCol = "rv", passthrough = Seq("cluster"),
+        withError = true)
+      .select(col("vec_id"), col("cluster"), col("codes"), col("qerr"))
+
+  /** The encode in the index table's layout — cluster-clustered so the
+    * probed-cluster isin of [[searchIndex]] prunes row groups.
+    */
+  private def clusteredOf(encoded: DataFrame): DataFrame = {
     // pin element nullability: parquet reads carry nullable elements, typed
     // in-memory encoders don't, and the versioned table rightly refuses an
     // append that flips a type's nullability
     val codesType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType, containsNull = true)
-    graft.catalog.VersionedTable.write(
-      encode(batch, coarse, pqCodebooks, idCol, vecCol)
-        .select(col("vec_id"), col("cluster"),
-          col("codes").cast(codesType).as("codes"))
-        .repartitionByRange(col("cluster"))
-        .sortWithinPartitions("cluster", "vec_id"),
-      s"$dir/codes", operation)
-    ()
+    encoded
+      .select(col("vec_id"), col("cluster"),
+        col("codes").cast(codesType).as("codes"))
+      .repartitionByRange(col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
+  }
+
+  /** Per-cluster codebook fit of one batch on an exact-integer grid so any
+    * engine replays it: qerr4 = round(qerr·10⁴) summed as BIGINT (sums of
+    * integers are order-independent; the mean is recovered at read).
+    */
+  private def qualityOf(encoded: DataFrame, batchLabel: String): DataFrame =
+    encoded
+      .select(col("cluster"),
+        round(col("qerr") * 10000).cast("bigint").as("qerr4"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qerr4")).as("sum_qerr4"))
+      .select(lit(batchLabel).as("batch"), col("cluster"), col("n_vecs"),
+        col("sum_qerr4"))
+      // ≤ nlist rows per batch — land as ONE file instead of one per
+      // post-aggregation shuffle partition
+      .coalesce(1)
+
+  /** Codebook-staleness signal for the frozen-codebook contract — the PQ twin
+    * of [[Ivf.ivfDrift]]: one row per recorded batch with
+    *
+    *   - `n_vecs` — vectors landed,
+    *   - `mean_qerr` — mean residual quantization error (RISES as arriving
+    *     data drifts off the frozen codebooks; the retrain trigger),
+    *   - `psi` — population-stability index of the batch's coarse-cluster
+    *     occupancy vs `baseBatch`'s (identical convention to [[Ivf.ivfDrift]]:
+    *     epsilon-floored fractions, 8-dp-grid terms, 6-dp total).
+    *
+    * Cost: reads only the metadata-scale `quality` table (batches × nlist
+    * rows) and the coarse centroid ids — never the codes. Report rows order
+    * numerically when the label parses as a number (the streaming
+    * maintainer's txnId labels), non-numeric labels first.
+    */
+  def pqDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
+      baseBatch: String = "base", epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
+    val quality = graft.catalog.VersionedTable.read(spark, s"$dir/quality")
+    val clusters = graft.catalog.VersionedTable.read(spark, s"$dir/coarse")
+      .select(col("cluster"))
+    // dense (batch × cluster) grid so zero-occupancy clusters still
+    // contribute through the epsilon floor — both frames are metadata-scale
+    val grid = quality.select("batch").distinct()
+      .crossJoin(broadcast(clusters))
+      .join(quality, Seq("batch", "cluster"), "left")
+      .select(col("batch"), col("cluster"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("sum_qerr4"), lit(0L)).as("sum_qerr4"))
+    val withTot = grid.withColumn("tot",
+      sum(col("n_vecs")).over(Window.partitionBy(col("batch"))))
+    val cur = withTot.withColumn("frac",
+      greatest(col("n_vecs").cast("double") / col("tot"), lit(epsilon)))
+    val base = cur.filter(col("batch") === baseBatch)
+      .select(col("cluster"), col("frac").as("base_frac"))
+    cur.join(broadcast(base), Seq("cluster"))
+      .withColumn("psi_term",
+        round((col("frac") - col("base_frac")) *
+          log(col("frac") / col("base_frac")), 8))
+      .groupBy("batch")
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        round(sum(col("sum_qerr4")).cast("double") /
+          (lit(10000.0) * sum(col("n_vecs"))), 6).as("mean_qerr"),
+        round(sum(col("psi_term")), 6).as("psi"))
+      .orderBy(expr("try_cast(batch AS BIGINT)").asc_nulls_first, col("batch"))
   }
 
   final case class PqIndex(coarse: DataFrame, codebooks: DataFrame,
@@ -224,10 +335,13 @@ object IvfPq {
     * artifacts (encode is deterministic given frozen codebooks), with the
     * probed-cluster set pushed into the codes scan as `isin`, so parquet
     * row-group stats on the cluster-clustered layout prune the ADC scan to
-    * the probed clusters' row groups.
+    * the probed clusters' row groups. No self-exclusion: the query id space
+    * is unrelated to corpus ids (matching [[Ivf.ivfTopKForQueries]] and the
+    * other external serving paths), so an id collision cannot silently drop
+    * a corpus vector from the candidates.
     */
   def searchIndex(index: PqIndex, queries: DataFrame, k: Int = 5,
       nprobe: Int = 4): DataFrame =
     searchCodes(index.codes, queries, index.coarse, index.codebooks, k,
-      nprobe, pruneScan = true)
+      nprobe, pruneScan = true, excludeSelf = false)
 }

@@ -110,15 +110,24 @@ object Pq {
     * codebook so no driver action runs. Output: `(vec_id, [passthrough...], codes
     * ARRAY<INT>)` — `passthrough` columns ride along so callers that need extra
     * attributes (e.g. IVF-PQ's cluster id) don't pay a second scan + self-join.
+    *
+    * `withError = true` additionally emits `qerr` — the vector's total squared
+    * quantization error Σ_j ||sv_j − cw_j(code_j)||², available for free at
+    * encode time (each subspace argmin already carries its best distance) —
+    * the per-batch codebook-fit signal the persisted-index maintainers record
+    * ([[IvfPq.pqDrift]]). The per-subspace (distance, code) structs land as an
+    * ATTRIBUTE in their own projection first: array higher-order functions are
+    * interpreted (no codegen CSE), so deriving codes and qerr from one
+    * materialized array costs one argmin sweep, not two.
     */
   def encode(embeddings: DataFrame, codebooks: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      passthrough: Seq[String] = Nil): DataFrame = {
+      passthrough: Seq[String] = Nil, withError: Boolean = false): DataFrame = {
     val cbRow = codebooks
       .agg(collect_list(struct(col("subspace"), col("code"), col("cw"))).as("cbs"))
     val mCol = size(array_distinct(transform(col("cbs"), c => c.getField("subspace"))))
     val dsub = (size(col("v")) / mCol).cast("int")
-    val codeAt = (j: Column) => {
+    val encAt = (j: Column) => {
       val sv = slice(col("v"), j * dsub + 1, dsub)
       val mine = filter(col("cbs"), c => c.getField("subspace") === j)
       aggregate(mine,
@@ -129,14 +138,18 @@ object Pq {
               (d === acc.getField("bd") && c.getField("code") < acc.getField("bc")),
             struct(d.as("bd"), c.getField("code").as("bc")))
             .otherwise(acc)
-        }).getField("bc")
+        })
     }
-    embeddings
+    val encoded = embeddings
       .select((col(idCol).as("vec_id") +: passthrough.map(col)) :+
         Similarity.toDoubleVec(col(vecCol)).as("v"): _*)
       .crossJoin(broadcast(cbRow))
-      .select((col("vec_id") +: passthrough.map(col)) :+
-        transform(sequence(lit(0), mCol - 1), codeAt).as("codes"): _*)
+      .withColumn("__enc", transform(sequence(lit(0), mCol - 1), encAt))
+    val codesCol = transform(col("__enc"), e => e.getField("bc")).as("codes")
+    val outCols = (col("vec_id") +: passthrough.map(col)) :+ codesCol
+    if (!withError) encoded.select(outCols: _*)
+    else encoded.select(outCols :+ aggregate(col("__enc"), lit(0.0),
+      (acc, e) => acc + e.getField("bd")).as("qerr"): _*)
   }
 
   /** Mean squared reconstruction error over the corpus — the codebook-quality

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.VersionedTable
+import graft.ops.IvfPq
+
+/** Continuous IVF-PQ index maintenance — [[IndexIngest]] / [[IvfIngest]] /
+  * [[BqIngest]] for the fourth retrieval tier: each micro-batch of vectors
+  * encodes MAP-SIDE against the two frozen persisted codebook tables (coarse
+  * centroids + residual product quantizer, both broadcast; zero shuffle
+  * except the batch-sized clustering write) and lands its two artifacts —
+  * the cluster-clustered codes and the per-batch codebook-fit quality rows
+  * [[IvfPq.pqDrift]] reads — as exactly-once
+  * [[VersionedTable.idempotentAppend]]s keyed (checkpoint, batchId), suffixed
+  * per artifact so a crash between the two appends replays only the missing
+  * one. Prior vectors and prior codes are never rescanned. The serving path
+  * ([[IvfPq.searchIndex]] over [[IvfPq.readPqIndex]]) reads the same tables
+  * with no coordination.
+  *
+  * The index must exist ([[IvfPq.writePqIndex]]) before the stream starts:
+  * BOTH codebooks freeze at build time — IVFADC's standard maintenance
+  * contract (a retrain is a rebuild); the per-batch quality rows are the
+  * drift signal ([[IvfPq.pqDrift]]: mean residual quantization error rises
+  * as arriving data leaves the codebooks' fit) that tells the operator when
+  * that freeze has gone stale. Arriving vec_ids must be novel (same
+  * ledger/novelty routing as the other ingest maintainers).
+  */
+object PqIngest {
+
+  /** Start the maintainer. `vectors` must be a streaming DataFrame carrying
+    * (`idCol`, `vecCol`). Returns the running query; stop it for a graceful
+    * drain. `compactEvery > 0` folds the index tables every N micro-batches
+    * (cluster-ordered rewrite — the probed-cluster scan pruning survives) so
+    * a long-running stream doesn't accrete per-batch file-scan branches.
+    */
+  def start(vectors: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      compactEvery: Int = 0): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, vecCol)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexDir)
+      }
+      .start()
+
+  /** One micro-batch: encode against the persisted frozen codebooks, append
+    * the two artifacts exactly-once (suffixed identities — each table dedups
+    * independently). Public so batch backfills can reuse the identical path
+    * with the same idempotency keying.
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, txnApp: String,
+      txnId: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val coarse = VersionedTable.read(spark, s"$indexDir/coarse")
+    val pq = VersionedTable.read(spark, s"$indexDir/pq")
+    IvfPq.landArtifacts(batch, coarse, pq, txnId.toString, idCol, vecCol) {
+      (df, artifact) =>
+        VersionedTable.idempotentAppend(df, s"$indexDir/$artifact",
+          s"$txnApp#$artifact", txnId)
+        ()
+    }
+  }
+
+  /** Fold the accreted per-batch commits: codes rewrite CLUSTER-ordered
+    * (the serving layout — probed-cluster pruning survives compaction),
+    * quality folds to one file (metadata-scale; the per-batch rows are
+    * PRESERVED — [[IvfPq.pqDrift]] needs them). Idempotent under replay —
+    * recompacting compacted state is a no-op rewrite.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    VersionedTable.compact(spark, s"$indexDir/codes",
+      sortBy = Seq("cluster", "vec_id"))
+    VersionedTable.compact(spark, s"$indexDir/quality", numFiles = 1)
+    ()
+  }
+}

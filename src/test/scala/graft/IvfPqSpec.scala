@@ -112,7 +112,11 @@ class IvfPqSpec extends AnyFunSuite with SharedSpark {
       .select(col("vec_id").as("query_id"),
         graft.ops.Similarity.toDoubleVec(col("embedding")).as("qv"))
     val idx = IvfPq.readPqIndex(spark, s"$dir/idx")
-    val viaIndex = IvfPq.searchIndex(idx, queries, k = 5, nprobe = 4)
+    // the INTERNAL shape (queries drawn from the corpus id space → self-
+    // exclusion on) over the persisted artifacts; searchIndex itself is the
+    // EXTERNAL entry point and rightly never self-excludes
+    val viaIndex = IvfPq.searchCodes(idx.codes, queries, idx.coarse,
+      idx.codebooks, k = 5, nprobe = 4, pruneScan = true)
     val oneShot = IvfPq.search(emb, coarse, pq, numQueries = 10, k = 5,
       nprobe = 4)
     assert(viaIndex.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
@@ -128,6 +132,38 @@ class IvfPqSpec extends AnyFunSuite with SharedSpark {
       assert(l.contains("In(cluster") || l.contains("EqualTo(cluster"),
         s"probed clusters must push into the codes scan:\n$l")
     }
+  }
+
+  test("searchIndex is id-collision-safe: an external query whose id collides " +
+      "with a corpus vec_id gets the IDENTICAL answer as a relabeled twin") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_ext").toString
+    IvfPq.writePqIndex(emb, coarse, pqCb, s"$dir/idx")
+    val idx = IvfPq.readPqIndex(spark, s"$dir/idx")
+    val base = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        graft.ops.Similarity.toDoubleVec(col("embedding")).as("qv"))
+    // same query VECTORS under two id labelings: colliding (corpus ids 0-9)
+    // and external (+10⁶). The serving answer must not depend on the label —
+    // the old unconditional self-filter silently dropped corpus vector i from
+    // colliding query i's candidates (typically its nearest neighbor).
+    val colliding = base.select(col("vec_id").as("query_id"), col("qv"))
+    val relabeled = base
+      .select((col("vec_id") + 1000000L).as("query_id"), col("qv"))
+    val a = IvfPq.searchIndex(idx, colliding, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+      .select("rank", "vec_id", "approx_sq_dist")
+      .collect().map(_.toString).toSeq
+    val b = IvfPq.searchIndex(idx, relabeled, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+      .select("rank", "vec_id", "approx_sq_dist")
+      .collect().map(_.toString).toSeq
+    assert(a === b, "searchIndex answers must be independent of query ids")
+    // and the colliding ids' own vectors ARE eligible candidates now: each
+    // query's own corpus vector carries the minimum possible quantization
+    // distance to itself among its own cluster's codes — assert it appears
+    val own = IvfPq.searchIndex(idx, colliding, k = 5, nprobe = 4)
+      .filter(col("query_id") === col("vec_id")).count()
+    assert(own > 0, "own corpus vectors must not be silently excluded")
   }
 
   test("PQ append FS budget: zero opens of any prior codes data file") {
