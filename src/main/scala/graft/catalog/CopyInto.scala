@@ -113,9 +113,15 @@ object CopyInto {
       finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** `version` is None when no new files matched (no commit was written). */
+  /** `version` is None when no new files matched (no commit was written).
+    * `filesQuarantined` counts matched source files SKIPPED because their
+    * path contains a control character the line-oriented ingest ledger cannot
+    * record — a programmatic signal (the skip also log.warns per file) so
+    * pipelines can alert on persistently-quarantined files instead of
+    * scraping logs; rename the files to ingest them.
+    */
   final case class CopyResult(version: Option[Long], filesLoaded: Long,
-      rowsLoaded: Long)
+      rowsLoaded: Long, filesQuarantined: Long = 0L)
 
   private val GlobChars = Set('*', '?', '[', '{')
 
@@ -323,7 +329,8 @@ object CopyInto {
       }
     }
 
-    if (fresh.isEmpty) return CopyResult(None, 0L, 0L)
+    if (fresh.isEmpty)
+      return CopyResult(None, 0L, 0L, quarantined.size.toLong)
 
     // read + align BEFORE the manifest lands: a schema refusal or malformed
     // file must leave no ledger trace (analysis here; execution in the append)
@@ -345,7 +352,7 @@ object CopyInto {
       VersionedTable.declaredPartitioning(spark, location))
     val rows = version.flatMap(v => VersionedTable.commits(spark, location)
       .find(_.version == v).map(_.row_count)).getOrElse(0L)
-    CopyResult(version, fresh.size.toLong, rows)
+    CopyResult(version, fresh.size.toLong, rows, quarantined.size.toLong)
   }
 
   /** The file paths a manifest records (its `path` fields, JSON-unescaped).

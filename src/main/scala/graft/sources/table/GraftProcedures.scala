@@ -333,7 +333,8 @@ private[table] object GraftProcedures {
         inDefault("options", StringType, "''")),
       StructType(Seq(StructField("version", LongType),
         StructField("files_loaded", LongType),
-        StructField("rows_loaded", LongType))),
+        StructField("rows_loaded", LongType),
+        StructField("files_quarantined", LongType))),
       (s, resolve, args) => {
         val opts = splitTopLevel(args(5).asInstanceOf[String]).map { kv =>
           val i = kv.indexOf('=')
@@ -344,7 +345,8 @@ private[table] object GraftProcedures {
           resolve(args(0).asInstanceOf[String]), args(1).asInstanceOf[String],
           args(2).asInstanceOf[String], opts, args(3).asInstanceOf[String],
           args(4).asInstanceOf[String].trim.toBoolean)
-        Seq(Seq(r.version.getOrElse(-1L), r.filesLoaded, r.rowsLoaded))
+        Seq(Seq(r.version.getOrElse(-1L), r.filesLoaded, r.rowsLoaded,
+          r.filesQuarantined))
       }))
 
   /** Split an assignment list on TOP-LEVEL commas only — `qty = greatest(qty,

@@ -82,19 +82,60 @@ object IndexIngest {
     * readers open drops (spec-pinned on a counting filesystem).
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
     VersionedTable.compact(spark, s"$indexDir/postings",
       sortBy = Seq("term", "doc_id"))
     VersionedTable.compactToFileSize(spark, s"$indexDir/doclen")
-    // stats FOLD, not just a file rewrite: the per-batch (n, sumdl) rows sum
-    // to one row (exactly what readIndexFrom computes at read), so the table
-    // stays O(1) instead of O(batches). Safe under the maintainer's
-    // single-writer contract; re-folding a folded table is a no-op row.
-    val folded = VersionedTable.read(spark, s"$indexDir/stats")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
-      .coalesce(1)
-    VersionedTable.write(folded, s"$indexDir/stats", "overwrite")
-    ()
+    foldStats(spark, s"$indexDir/stats")
+  }
+
+  /** Stats FOLD, not just a file rewrite: the per-batch (n, sumdl) rows sum
+    * to one row (exactly what [[Bm25.readIndexFrom]] computes at read), so
+    * the table stays O(1) instead of O(batches).
+    *
+    * The fold is a read-modify-write, and [[ingestBatch]] is public for
+    * batch backfills, so the streaming maintainer's single-writer serialization
+    * is honor-system — a backfill append landing between the fold's read and
+    * its overwrite would otherwise lose that batch's `(n, sumdl)` row and skew
+    * avgdl for every subsequent score. Guarded here with the versioned table's
+    * own CAS ([[VersionedTable.idempotentOverwrite]] `expectedVersion`,
+    * [[VersionedTable.compact]]'s fresh-snapshot rule): the fold is computed
+    * from a PINNED snapshot version and only lands while that version is
+    * still the newest; a rival commit in between fails the CAS and the fold
+    * recomputes from the new head. Re-folding a folded table is a no-op row.
+    */
+  /** Test seam: runs after the fold pins its snapshot version and before the
+    * CAS commit — IndexIngestSpec injects a rival append here to prove the
+    * fold detects it and retries instead of losing the row. Not part of the
+    * API; always a no-op in production.
+    */
+  private[graft] var foldStatsBeforeCommit: () => Unit = () => ()
+
+  private[graft] def foldStats(spark: SparkSession, statsLoc: String,
+      maxAttempts: Int = 3): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    var attempt = 0
+    while (true) {
+      val cs = VersionedTable.commits(spark, statsLoc)
+      require(cs.nonEmpty, s"no commits at $statsLoc — nothing to fold")
+      val v0 = cs.last.version
+      val folded = VersionedTable.readAsOf(spark, statsLoc, v0)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
+        .coalesce(1)
+      foldStatsBeforeCommit()
+      // txnId = the folded snapshot version: strictly increasing, so a replay
+      // of the SAME fold dedups (no-op) while distinct folds never collide
+      try {
+        VersionedTable.idempotentOverwrite(folded, statsLoc,
+          "graft.index_stats_fold", v0, expectedVersion = Some(v0))
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"stats fold at $statsLoc lost $maxAttempts snapshot races — " +
+              "giving up (re-run once the appenders quiesce)")
+      }
+    }
   }
 }

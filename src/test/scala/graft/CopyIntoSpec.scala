@@ -76,14 +76,18 @@ class CopyIntoSpec extends AnyFunSuite with SharedSpark {
     val first = CopyInto.copyInto(spark, loc, s"$root/src")
     assert(first.filesLoaded == 1 && first.rowsLoaded == 2,
       s"clean files must load despite the quarantined one: $first")
+    // the skip is PROGRAMMATICALLY visible, not just a log line — pipelines
+    // alert on filesQuarantined instead of scraping warnings
+    assert(first.filesQuarantined == 1, s"quarantine signal missing: $first")
     // the re-run stays a no-op on the clean files and keeps skipping the bad
-    // one (it warns again; it loads only after a rename)
+    // one (it warns again and keeps reporting it; it loads only after a rename)
     val again = CopyInto.copyInto(spark, loc, s"$root/src")
-    assert(again == CopyInto.CopyResult(None, 0L, 0L))
+    assert(again == CopyInto.CopyResult(None, 0L, 0L, 1L))
     java.nio.file.Files.move(bad,
       java.nio.file.Paths.get(s"$root/src", "renamed.parquet"))
     val third = CopyInto.copyInto(spark, loc, s"$root/src")
     assert(third.filesLoaded == 1 && third.rowsLoaded == 1)
+    assert(third.filesQuarantined == 0)
     assert(VersionedTable.read(spark, loc).count() == 3)
   }
 

@@ -118,4 +118,41 @@ class IndexIngestSpec extends AnyFunSuite with SharedSpark {
     assert(served === rebuilt,
       "post-fold appends must keep serving exactly rebuild-equal")
   }
+
+  test("stats fold is CAS-guarded: a rival append landing between the fold's " +
+      "read and its overwrite is detected and kept — no (n, sumdl) row lost") {
+    val dir = s"${Files.createTempDirectory("bm25_fold_race")}/idx"
+    def batch(r: Range, salt: String) =
+      r.map(i => (i.toLong, s"alpha w$i $salt hash")).toDF("doc_id", "text")
+    Bm25.writeIndex(batch(0 until 30, "base"), dir)
+    IndexIngest.ingestBatch(batch(30 until 50, "b1"), dir, "ckpt", 1L)
+
+    // expected corpus totals INCLUDING the rival batch that lands mid-fold
+    val expected = Bm25
+      .buildIndex(batch(0 until 30, "base").unionAll(batch(30 until 50, "b1"))
+        .unionAll(batch(50 until 70, "late")))
+      .stats.collect().map(_.toString).toSeq
+
+    // inject the rival append between the fold's pinned-snapshot read and its
+    // CAS overwrite — exactly the honor-system window a public ingestBatch
+    // backfill can hit; fire once so the retry converges
+    var fired = false
+    IndexIngest.foldStatsBeforeCommit = () => {
+      if (!fired) {
+        fired = true
+        IndexIngest.ingestBatch(batch(50 until 70, "late"), dir, "ckpt", 2L)
+      }
+    }
+    try IndexIngest.compactIndex(spark, dir)
+    finally IndexIngest.foldStatsBeforeCommit = () => ()
+    assert(fired, "test hook never fired — the interleave did not happen")
+
+    // the old read-then-overwrite lost the late batch's (n, sumdl) row here,
+    // silently skewing avgdl for every subsequent score; the CAS retry folds
+    // it in — totals equal the three-batch rebuild
+    val folded = Bm25.readIndexFrom(spark, dir).stats
+      .collect().map(_.toString).toSeq
+    assert(folded === expected,
+      s"fold lost the rival append's stats row: $folded vs $expected")
+  }
 }
