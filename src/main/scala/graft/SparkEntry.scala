@@ -662,6 +662,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** BQ-funnel hybrid external serving gate
+    * ([[HybridRetrieval.bm25BqRrfTopKForQueries]]): the qHybridExternal query
+    * batch (5 lowest-id documents relabeled +10⁶), but the semantic leg is
+    * the binary-quantization funnel over a persisted codes table — Hamming
+    * sweep shortlist (30), exact cosine rerank — instead of an IVF probe.
+    * The oracle replays the exclusion-free BM25 leg, the integer-exact
+    * place-value packing + bit_count Hamming + 4-dp rerank, and the fusion.
+    */
+  private def qHybridBq(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val idx = scratchDir("graft_hybrid_bq")
+    Bm25.writeIndex(d, s"$idx/bm25")
+    Similarity.writeCodes(emb, s"$idx/codes")
+    val queries = d.filter(col("doc_id") < 5)
+      .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+    HybridRetrieval.bm25BqRrfTopKForQueries(
+        Bm25.readIndexFrom(s, s"$idx/bm25"),
+        Similarity.readCodes(s, s"$idx/codes"), emb, queries,
+        legK = 20, k = 10, shortlistK = 30)
+      .orderBy("query_id", "rank")
+  }
+
   /** Incrementally-maintained BQ codes table ([[Similarity.writeCodes]] + an
     * [[Similarity.appendToCodes]] batch, each quantized per row — the
     * stateless tier, nothing to freeze) answering the SAME funnel as
@@ -694,6 +719,99 @@ object SparkEntry {
       batchLabel = "b1")
     Ivf.ivfDrift(s, idx, baseBatch = "b0")
   }
+
+  /** Build-once / serve-per-rep twins of the persisted-index gates for
+    * [[graft.Bench]]: the CONTRACT queries above rightly rebuild their index
+    * per invocation (the oracle must replay construction + serving in one
+    * expression), but benching that form times the maintenance path —
+    * per-rep index construction dominated the serving call it exists to
+    * prove. Each entry here returns a THUNK after building the persisted
+    * index once; Bench times only the thunk per rep (and reports the build
+    * separately), so the headline number tracks the pruned serving path the
+    * tier optimizes. The thunk re-resolves the index from disk each rep —
+    * commit-log resolution is part of a real serving call.
+    */
+  private[graft] def servingBench
+      : Map[String, (SparkSession, String) => () => DataFrame] = Map(
+    "q_bm25_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = scratchDir("graft_bm25_srv")
+      Bm25.writeIndex(d.filter(col("doc_id") < 250), idx)
+      Bm25.appendToIndex(d.filter(col("doc_id") >= 250 && col("doc_id") < 400), idx)
+      Bm25.appendToIndex(d.filter(col("doc_id") >= 400), idx)
+      () => Bm25.topKFromIndex(Bm25.readIndexFrom(s, idx),
+          Seq("hash", "join", "vector"), k = 20)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    "q_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft_ivf_srv")
+      Ivf.writeIvfIndex(emb.filter(col("vec_id") < 300),
+        Ivf.seedCentroids(emb, nlist = 16), idx)
+      Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), idx)
+      () => Ivf.ivfTopKFromIndex(Ivf.readIvfIndex(s, idx),
+          numQueries = 10, k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "q_bq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val codes = scratchDir("graft_bq_srv") + "/codes"
+      Similarity.writeCodes(emb.filter(col("vec_id") < 300), codes)
+      Similarity.appendToCodes(emb.filter(col("vec_id") >= 300), codes)
+      () => Similarity.bqTopKFromCodes(Similarity.readCodes(s, codes), emb,
+          numQueries = 10, k = 5, shortlistK = 30)
+        .orderBy("query_id", "rank")
+    }),
+    "q_hybrid_ivf" -> ((s, dir) => {
+      val idx = scratchDir("graft_hybrid_ivf_srv")
+      Bm25.writeIndex(docs(s, dir), s"$idx/bm25")
+      val emb = Tables.embeddings(s, dir)
+      Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 16), s"$idx/ivf")
+      () => HybridRetrieval.hybridTopKFromIndexes(
+          Bm25.readIndexFrom(s, s"$idx/bm25"), Ivf.readIvfIndex(s, s"$idx/ivf"),
+          numQueries = 5, legK = 20, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "q_hybrid_external" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft_hybrid_ext_srv")
+      Bm25.writeIndex(d, s"$idx/bm25")
+      Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 16), s"$idx/ivf")
+      val queries = d.filter(col("doc_id") < 5)
+        .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+        .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+          col("embedding"))
+      () => HybridRetrieval.bm25RrfTopKForQueries(
+          Bm25.readIndexFrom(s, s"$idx/bm25"), Ivf.readIvfIndex(s, s"$idx/ivf"),
+          queries, legK = 20, k = 10, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "q_hybrid_bq" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft_hybrid_bq_srv")
+      Bm25.writeIndex(d, s"$idx/bm25")
+      Similarity.writeCodes(emb, s"$idx/codes")
+      val queries = d.filter(col("doc_id") < 5)
+        .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+        .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+          col("embedding"))
+      () => HybridRetrieval.bm25BqRrfTopKForQueries(
+          Bm25.readIndexFrom(s, s"$idx/bm25"),
+          Similarity.readCodes(s, s"$idx/codes"), emb, queries,
+          legK = 20, k = 10, shortlistK = 30)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ivf_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft_ivf_drift_srv")
+      Ivf.writeIvfIndex(emb.filter(col("vec_id") < 300),
+        Ivf.seedCentroids(emb, nlist = 16), idx, batchLabel = "b0")
+      Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), idx,
+        batchLabel = "b1")
+      () => Ivf.ivfDrift(s, idx, baseBatch = "b0")
+    }))
 
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
@@ -2477,6 +2595,7 @@ object SparkEntry {
     "q_ivf_drift" -> qIvfDrift,
     "q_hybrid_ivf" -> qHybridIvf,
     "q_hybrid_external" -> qHybridExternal,
+    "q_hybrid_bq" -> qHybridBq,
     "q_bq_topk" -> qBqTopK,
     "q_bq_append" -> qBqAppend,
     "q_embedding_neardup" -> qEmbeddingNearDup,
@@ -3162,6 +3281,82 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q_hybrid_bq: the q_hybrid_external lexical leg (exclusion-free BM25 from
+    * the relabeled +10⁶ query batch) fused with the BINARY-QUANTIZATION
+    * semantic leg — the q_bq_topk replay (integer-exact place-value packing,
+    * bit_count(xor) Hamming, shortlist 30 with vec_id tiebreak, 4-dp cosine
+    * rerank) with relabeled external queries and NO self-exclusion (plain
+    * cross join where the internal gate excludes `vec_id <> query_id`).
+    */
+  private lazy val hybridBqSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |post AS (SELECT doc_id, tok AS term, count(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id + 1000000 AS query_id, term FROM post
+      |  WHERE doc_id < 5 AND term <> ''),
+      |dfs AS (SELECT term, count(*) AS df FROM post
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+      |hit AS (SELECT qt.query_id, p.doc_id, p.term, p.tf
+      |  FROM post p JOIN qt ON p.term = qt.term),
+      |a AS (SELECT query_id, h.doc_id,
+      |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS a
+      |  FROM hit h JOIN dfs USING (term) JOIN dl USING (doc_id), st),
+      |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+      |  FROM a GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r FROM lex0)
+      |  WHERE r <= 20),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |c AS (SELECT vec_id,
+      |    list_transform(range((len(v) - 1) // 32 + 1), w ->
+      |      CAST(list_sum(list_transform(range(32), b ->
+      |        CASE WHEN v[w * 32 + b + 1] > 0
+      |          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)) AS code
+      |  FROM e),
+      |qc AS (SELECT vec_id + 1000000 AS query_id, code AS qcode FROM c
+      |  WHERE vec_id < 5),
+      |h AS (SELECT qc.query_id, c.vec_id,
+      |    CAST(list_sum(list_transform(range(len(c.code)), i ->
+      |      bit_count(xor(c.code[i + 1], qc.qcode[i + 1])))) AS BIGINT) AS hamming
+      |  FROM c CROSS JOIN qc),
+      |sl AS (SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming, vec_id) AS sr FROM h) WHERE sr <= 30),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+      |q AS (SELECT vec_id + 1000000 AS query_id, v AS qv, norm AS qnorm FROM n
+      |  WHERE vec_id < 5),
+      |s AS (SELECT sl.query_id, sl.vec_id,
+      |    round(list_sum(list_transform(list_zip(q.qv, n.v),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (q.qnorm * n.norm), 4) AS cosine
+      |  FROM sl JOIN n ON n.vec_id = sl.vec_id
+      |    JOIN q ON q.query_id = sl.query_id),
+      |sem AS (SELECT query_id, vec_id AS doc_id, CAST(r AS INT) AS sem_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r FROM s)
+      |  WHERE r <= 20),
+      |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+      |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+      |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0 AS DOUBLE))
+      |      AS rrf
+      |  FROM lex FULL OUTER JOIN sem
+      |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+      |  lex_rank, sem_rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** q_ivf_drift: the same deterministic assignment argmax as q_ivf_topk,
     * labeled by batch (vec_id < 300 = b0), per-(batch, cluster) exact-integer
     * occupancy and cos4 sums on the dense batch×centroid grid, epsilon-floored
@@ -3449,6 +3644,7 @@ object SparkEntry {
     "q_ivf_drift" -> ivfDriftSql,
     "q_hybrid_ivf" -> hybridIvfSql,
     "q_hybrid_external" -> hybridExternalSql,
+    "q_hybrid_bq" -> hybridBqSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,
