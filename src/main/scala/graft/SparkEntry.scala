@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HtmlExtract, HybridRetrieval, IncrementalDedup, Integrity, Ivf, Mixture, Multimodal, NgramLm, Outliers, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HtmlExtract, HybridRetrieval, IncrementalDedup, Integrity, Ivf, IvfPq, Mixture, Multimodal, NgramLm, Outliers, Pq, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -811,7 +811,79 @@ object SparkEntry {
       Ivf.appendToIvfIndex(emb.filter(col("vec_id") >= 300), idx,
         batchLabel = "b1")
       () => Ivf.ivfDrift(s, idx, baseBatch = "b0")
+    }),
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+        .select(col("code").as("cluster"), col("cw"))
+      val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+        skip = 8)
+      val idx = scratchDir("graft_ivfpq_srv")
+      IvfPq.writePqIndex(emb, coarse, pqCb, idx)
+      () => {
+        val pidx = IvfPq.readPqIndex(s, idx)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"),
+            Similarity.toDoubleVec(col("embedding")).as("qv"))
+        IvfPq.searchCodes(pidx.codes, queries, pidx.coarse, pidx.codebooks,
+            k = 5, nprobe = 4, pruneScan = true)
+          .orderBy("query_id", "rank")
+      }
+    }),
+    "q_pq_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+        .select(col("code").as("cluster"), col("cw"))
+      val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+        skip = 8)
+      val idx = scratchDir("graft_pq_drift_srv")
+      IvfPq.writePqIndex(emb.filter(col("vec_id") < 300), coarse, pqCb, idx,
+        batchLabel = "b0")
+      IvfPq.appendToPqIndex(emb.filter(col("vec_id") >= 300), idx,
+        batchLabel = "b1")
+      () => IvfPq.pqDrift(s, idx, baseBatch = "b0")
     }))
+
+  /** IVFADC gate ([[IvfPq.search]]) — the fourth ANN tier's first ORACLE gate
+    * (it was test-only through round 13: trained codebooks aren't
+    * cross-engine-replayable). Both codebooks SEED deterministically: coarse
+    * centroid c = vector c (the [[Ivf.seedCentroids]] convention, L2 here);
+    * residual codeword q of every subspace = the residual slice of vector
+    * 8 + q — skipping the coarse seeds, whose own residuals are exactly zero
+    * ([[IvfPq.seedResidualCodebooks]]). The oracle replays assignment argmin,
+    * residuals, per-subspace encode argmin, probe ranking, and the ADC
+    * lookup-table sum on the 4-dp grid with (adist ASC, vec_id) ties.
+    */
+  private def qIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    IvfPq.search(emb, coarse, pqCb, numQueries = 5, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Codebook-fit drift gate ([[IvfPq.pqDrift]]) — the PQ twin of
+    * [[qIvfDrift]], over the SEEDED codebooks of [[qIvfPqTopK]] so the whole
+    * lifecycle replays: two deterministic batches (vec_id < 300 = b0 base,
+    * the rest b1) land per-batch quality rows (qerr4 exact-integer sums) at
+    * index-append time; the report's occupancy PSI and mean residual
+    * quantization error are replayed by the oracle.
+    */
+  private def qPqDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    val idx = scratchDir("graft_pq_drift")
+    IvfPq.writePqIndex(emb.filter(col("vec_id") < 300), coarse, pqCb, idx,
+      batchLabel = "b0")
+    IvfPq.appendToPqIndex(emb.filter(col("vec_id") >= 300), idx,
+      batchLabel = "b1")
+    IvfPq.pqDrift(s, idx, baseBatch = "b0")
+  }
 
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
@@ -2591,6 +2663,8 @@ object SparkEntry {
     "q_sentence_dedup" -> qSentenceDedup,
     "q_char_entropy" -> qCharEntropy,
     "q_ivf_topk" -> qIvfTopK,
+    "q_ivfpq_topk" -> qIvfPqTopK,
+    "q_pq_drift" -> qPqDrift,
     "q_ivf_append" -> qIvfAppend,
     "q_ivf_drift" -> qIvfDrift,
     "q_hybrid_ivf" -> qHybridIvf,
@@ -3357,6 +3431,133 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q_ivfpq_topk: IVFADC replayed end-to-end in DuckDB off the seeded
+    * codebooks — coarse centroids = vectors 0-7 (argmin L2, cluster-id ties),
+    * residual codewords = residual slices of vectors 8-15 (16 dims per
+    * subspace at d=64, m=4), per-subspace encode argmin (code-id ties),
+    * nprobe=4 probe ranking, and the ADC sum written as the explicit
+    * left-to-right chain ((t0+t1)+t2)+t3 so the float result is bit-stable,
+    * rounded to 4 dp BEFORE ranking with vec_id ties — exactly the Spark
+    * operator's grid.
+    */
+  private lazy val ivfPqTopkSql: String = {
+    def term(j: Int): String =
+      s"list_sum(list_transform(list_zip(c.qr[${j * 16 + 1} : ${(j + 1) * 16}], " +
+        s"p$j.pcw), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val adist = s"(((${term(0)} + ${term(1)}) + ${term(2)}) + ${term(3)})"
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS cluster, v AS cw FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cluster, cw FROM (
+      |    SELECT e.vec_id, e.v, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.v, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS rn
+      |    FROM e CROSS JOIN cc) WHERE rn = 1),
+      |res AS (SELECT vec_id, cluster,
+      |    list_transform(list_zip(v, cw), z -> z[1] - z[2]) AS rv FROM asg),
+      |pq AS (SELECT j, vec_id - 8 AS code,
+      |    rv[j * 16 + 1 : j * 16 + 16] AS pcw
+      |  FROM res, (SELECT unnest(range(4)) AS j) js
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |enc AS (SELECT vec_id, j, code FROM (
+      |    SELECT r.vec_id, p.j, p.code,
+      |      row_number() OVER (PARTITION BY r.vec_id, p.j ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(r.rv[p.j * 16 + 1 : p.j * 16 + 16], p.pcw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, p.code) AS rn
+      |    FROM res r CROSS JOIN pq p) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |probes AS (SELECT query_id, qv, cluster, cw FROM (
+      |    SELECT q.query_id, q.qv, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS prn
+      |    FROM q CROSS JOIN cc) WHERE prn <= 4),
+      |cand AS (SELECT pr.query_id, a.vec_id,
+      |    list_transform(list_zip(pr.qv, pr.cw), z -> z[1] - z[2]) AS qr
+      |  FROM probes pr JOIN asg a
+      |    ON a.cluster = pr.cluster AND a.vec_id <> pr.query_id),
+      |""".stripMargin +
+    s"""ad AS (SELECT c.query_id, c.vec_id, round($adist, 4) AS adist
+      |  FROM cand c
+      |  JOIN enc e0 ON e0.vec_id = c.vec_id AND e0.j = 0
+      |  JOIN pq p0 ON p0.j = 0 AND p0.code = e0.code
+      |  JOIN enc e1 ON e1.vec_id = c.vec_id AND e1.j = 1
+      |  JOIN pq p1 ON p1.j = 1 AND p1.code = e1.code
+      |  JOIN enc e2 ON e2.vec_id = c.vec_id AND e2.j = 2
+      |  JOIN pq p2 ON p2.j = 2 AND p2.code = e2.code
+      |  JOIN enc e3 ON e3.vec_id = c.vec_id AND e3.j = 3
+      |  JOIN pq p3 ON p3.j = 3 AND p3.code = e3.code)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+      |  adist AS approx_sq_dist FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rank FROM ad)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_pq_drift: [[ivfPqTopkSql]]'s seeded assignment / residual / encode
+    * CTEs, but keeping each subspace argmin's winning DISTANCE — summed per
+    * vector in the explicit j order as the quantization error, then the
+    * identical drift algebra as q_ivf_drift (qerr4 exact-integer sums on the
+    * dense batch×cluster grid, epsilon-floored PSI on an 8-dp grid, 6-dp
+    * totals) with batches b0 = vec_id < 300, b1 = rest.
+    */
+  private lazy val pqDriftSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS cluster, v AS cw FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cluster, cw FROM (
+      |    SELECT e.vec_id, e.v, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.v, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS rn
+      |    FROM e CROSS JOIN cc) WHERE rn = 1),
+      |res AS (SELECT vec_id, cluster,
+      |    list_transform(list_zip(v, cw), z -> z[1] - z[2]) AS rv FROM asg),
+      |pq AS (SELECT j, vec_id - 8 AS code,
+      |    rv[j * 16 + 1 : j * 16 + 16] AS pcw
+      |  FROM res, (SELECT unnest(range(4)) AS j) js
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |encd AS (SELECT vec_id, j, d FROM (
+      |    SELECT r.vec_id, p.j,
+      |      list_sum(list_transform(
+      |        list_zip(r.rv[p.j * 16 + 1 : p.j * 16 + 16], p.pcw),
+      |        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d,
+      |      row_number() OVER (PARTITION BY r.vec_id, p.j ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(r.rv[p.j * 16 + 1 : p.j * 16 + 16], p.pcw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, p.code) AS rn
+      |    FROM res r CROSS JOIN pq p) WHERE rn = 1),
+      |qe AS (SELECT v0.vec_id, (((v0.d + v1.d) + v2.d) + v3.d) AS qerr
+      |  FROM (SELECT vec_id, d FROM encd WHERE j = 0) v0
+      |  JOIN (SELECT vec_id, d FROM encd WHERE j = 1) v1 USING (vec_id)
+      |  JOIN (SELECT vec_id, d FROM encd WHERE j = 2) v2 USING (vec_id)
+      |  JOIN (SELECT vec_id, d FROM encd WHERE j = 3) v3 USING (vec_id)),
+      |lab AS (SELECT CASE WHEN qe.vec_id < 300 THEN 'b0' ELSE 'b1' END AS batch,
+      |    a.cluster, CAST(round(qe.qerr * 10000) AS BIGINT) AS qerr4
+      |  FROM qe JOIN asg a ON a.vec_id = qe.vec_id),
+      |qual AS (SELECT batch, cluster, count(*) AS n_vecs, sum(qerr4) AS sum_qerr4
+      |  FROM lab GROUP BY 1, 2),
+      |batches AS (SELECT DISTINCT batch FROM qual),
+      |grid AS (SELECT b.batch, cc.cluster,
+      |    coalesce(q.n_vecs, 0) AS n_vecs, coalesce(q.sum_qerr4, 0) AS sum_qerr4
+      |  FROM batches b CROSS JOIN cc LEFT JOIN qual q
+      |    ON q.batch = b.batch AND q.cluster = cc.cluster),
+      |wt AS (SELECT *, sum(n_vecs) OVER (PARTITION BY batch) AS tot FROM grid),
+      |fr AS (SELECT batch, cluster, n_vecs, sum_qerr4,
+      |    greatest(CAST(n_vecs AS DOUBLE) / tot, 1e-6) AS frac FROM wt),
+      |base AS (SELECT cluster, frac AS base_frac FROM fr WHERE batch = 'b0'),
+      |t AS (SELECT fr.batch, fr.n_vecs, fr.sum_qerr4,
+      |    round((fr.frac - base.base_frac) * ln(fr.frac / base.base_frac), 8)
+      |      AS psi_term
+      |  FROM fr JOIN base USING (cluster))
+      |SELECT batch, CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(sum_qerr4) AS DOUBLE) / (10000.0 * sum(n_vecs)), 6)
+      |    AS mean_qerr,
+      |  round(sum(psi_term), 6) AS psi
+      |FROM t GROUP BY batch ORDER BY batch""".stripMargin
+
   /** q_ivf_drift: the same deterministic assignment argmax as q_ivf_topk,
     * labeled by batch (vec_id < 300 = b0), per-(batch, cluster) exact-integer
     * occupancy and cos4 sums on the dense batch×centroid grid, epsilon-floored
@@ -3638,6 +3839,8 @@ object SparkEntry {
     "q_fingerprints" -> fingerprintsSql,
     "q_ann_topk" -> annTopkSql,
     "q_ivf_topk" -> ivfTopkSql,
+    "q_ivfpq_topk" -> ivfPqTopkSql,
+    "q_pq_drift" -> pqDriftSql,
     // the incremental-index gate replays the SAME one-shot IVF formulation:
     // oracle equality proves the per-batch appends reconstruct the full build
     "q_ivf_append" -> ivfTopkSql,

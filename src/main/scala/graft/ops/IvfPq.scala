@@ -52,6 +52,25 @@ object IvfPq {
     Pq.trainCodebooks(residuals(embeddings, coarse, idCol, vecCol),
       m, ksub, iters, idCol = "vec_id", vecCol = "rv")
 
+  /** DETERMINISTIC residual-codebook seeds (no Lloyd averaging — the
+    * [[Ivf.seedCentroids]] convention on the residual tier): codeword `q` of
+    * every subspace is the residual slice of vector `skip + q`. `skip` must
+    * jump past the vectors the coarse table itself was seeded from — when
+    * coarse centroid `c` IS vector `c`, vector `c`'s residual is exactly
+    * zero, and seeding from it would collapse every subspace codebook to
+    * indistinguishable zero codewords. Fixture/bootstrap path; production
+    * refines with [[trainResidualPq]], whose float averaging is not
+    * cross-engine-replayable.
+    */
+  def seedResidualCodebooks(embeddings: DataFrame, coarse: DataFrame, m: Int,
+      ksub: Int, skip: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Pq.seedCodebooks(
+      residuals(embeddings, coarse, idCol, vecCol)
+        .select((col("vec_id") - skip).as("vec_id"), col("rv"))
+        .filter(col("vec_id") >= 0),
+      m, ksub, idCol = "vec_id", vecCol = "rv")
+
   /** The persisted index rows: `(vec_id, cluster, codes)` — cluster id plus m
     * residual codes. Pure map over two broadcast codebook rows; the cluster id
     * rides through the PQ encode as a passthrough column, so the corpus is
@@ -137,18 +156,23 @@ object IvfPq {
     // NOT silently drop that vector (typically its nearest neighbor)
     val noSelf =
       if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    // adist lands on the 4-dp grid BEFORE ranking (the convention every other
+    // tier follows — Ivf/Similarity round cosine pre-rank): quantization
+    // distances that agree to 4 dp tie-break on vec_id identically in any
+    // engine, so the ranking is replayable where last-ulp drift in the float
+    // chain would otherwise flip near-tied ranks
     val cands = scanned.join(broadcast(luts), Seq("cluster"))
       .filter(noSelf)
       .withColumn("adist",
-        aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
+        round(aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
           (acc, j) => acc + element_at(col("lut"),
-            Pq.cbKey(j, element_at(col("codes"), j + 1)))))
+            Pq.cbKey(j, element_at(col("codes"), j + 1)))), 4))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id"))
     cands.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("adist"), 4).as("approx_sq_dist"))
+        col("adist").as("approx_sq_dist"))
   }
 
   /** Persisted IVF-PQ lifecycle over [[graft.catalog.VersionedTable]] —

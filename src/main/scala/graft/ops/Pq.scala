@@ -194,17 +194,19 @@ object Pq {
             c.getField("subspace") * dsub + 1, dsub), c.getField("cw")))))
           .as("lut"),
         mCol.as("m"))
+    // 4-dp grid BEFORE ranking, as in [[IvfPq.searchCodes]]: near-tied
+    // quantization distances tie-break on vec_id identically in any engine
     val approx = codes.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adist",
-        aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
+        round(aggregate(sequence(lit(0), col("m") - 1), lit(0.0),
           (acc, j) => acc + element_at(col("lut"),
-            cbKey(j, element_at(col("codes"), j + 1)))))
+            cbKey(j, element_at(col("codes"), j + 1)))), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id"))
     approx.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("adist"), 4).as("approx_sq_dist"))
+        col("adist").as("approx_sq_dist"))
   }
 }

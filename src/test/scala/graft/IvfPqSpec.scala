@@ -134,6 +134,28 @@ class IvfPqSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("seedResidualCodebooks skips the coarse seeds: their own residuals are " +
+      "zero and would collapse every subspace codebook") {
+    import graft.ops.Pq
+    val seededCoarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val cb = IvfPq.seedResidualCodebooks(emb, seededCoarse, m = 4, ksub = 8,
+      skip = 8)
+    assert(cb.count() === 32) // 4 subspaces x 8 codes
+    // no all-zero codeword: vector c < 8 IS coarse centroid c, so its residual
+    // is exactly zero — seeding from skip = 0 would produce degenerate books
+    val zeroCw = cb.filter(
+      aggregate(transform(col("cw"), x => abs(x)), lit(0.0), _ + _) === 0.0)
+    assert(zeroCw.count() === 0, "zero codeword leaked into the seeds")
+    val degenerate = Pq.seedCodebooks(
+      IvfPq.residuals(emb, seededCoarse).select(col("vec_id"), col("rv")),
+      m = 4, ksub = 8, idCol = "vec_id", vecCol = "rv")
+    val zeroDegenerate = degenerate.filter(
+      aggregate(transform(col("cw"), x => abs(x)), lit(0.0), _ + _) === 0.0)
+    assert(zeroDegenerate.count() === 32,
+      "expected the unskipped seeding to be fully degenerate on seeded coarse")
+  }
+
   test("searchIndex is id-collision-safe: an external query whose id collides " +
       "with a corpus vec_id gets the IDENTICAL answer as a relabeled twin") {
     val dir = java.nio.file.Files.createTempDirectory("pq_ext").toString
