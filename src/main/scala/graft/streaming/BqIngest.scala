@@ -32,7 +32,8 @@ object BqIngest {
   def start(vectors: DataFrame, codesDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, vacuumEvery: Int = 0,
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -42,6 +43,13 @@ object BqIngest {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           // no ordering to preserve: the coarse pass is a full linear sweep
           VersionedTable.compactToFileSize(batch.sparkSession, codesDir)
+          ()
+        }
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
+          // reclaim versions out of the time-travel window (the
+          // IndexIngest.vacuumIndex contract on the single codes table)
+          VersionedTable.vacuum(batch.sparkSession, codesDir,
+            vacuumRetentionMs)
           ()
         }
       }

@@ -40,12 +40,19 @@ object IndexIngest {
     * (`idCol`, `textCol`). Returns the running query; stop it for a graceful
     * drain. `compactEvery > 0` folds the index tables every N micro-batches
     * (term-ordered rewrite — serving pruning survives) instead of leaving
-    * compaction to an external maintenance job.
+    * compaction to an external maintenance job. `vacuumEvery > 0` additionally
+    * RECLAIMS data files no live-or-retained version references every N
+    * micro-batches ([[vacuumIndex]]) — compaction alone keeps every
+    * pre-compact commit readable for time travel, so a long-running stream
+    * otherwise accretes storage without bound; `vacuumRetentionMs` is the
+    * time-travel window traded away (default 7 days, the Delta convention —
+    * keep it comfortably above the longest concurrent reader).
     */
   def start(docs: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, vacuumEvery: Int = 0,
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -54,6 +61,8 @@ object IndexIngest {
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, textCol)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactIndex(batch.sparkSession, indexDir)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+          vacuumIndex(batch.sparkSession, indexDir, vacuumRetentionMs)
       }
       .start()
 
@@ -87,6 +96,21 @@ object IndexIngest {
     VersionedTable.compactToFileSize(spark, s"$indexDir/doclen")
     foldStats(spark, s"$indexDir/stats")
   }
+
+  /** Reclaim index storage no live-or-retained version references — the
+    * missing half of [[compactIndex]]'s lifecycle: a compact commit shadows
+    * the per-batch commits but leaves their data files on disk for time
+    * travel, so compact-only maintenance still grows storage linearly with
+    * stream lifetime. Vacuums all three artifact tables with the versioned
+    * table's retention rule (a commit is reclaimable only once a LATER
+    * full-state commit is itself older than `retentionMs`), so current-state
+    * serving is never affected; only as-of reads past the window die. Returns
+    * the reclaimed paths.
+    */
+  def vacuumIndex(spark: SparkSession, indexDir: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    Seq("postings", "doclen", "stats").flatMap(artifact =>
+      VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
 
   /** Stats FOLD, not just a file rewrite: the per-batch (n, sumdl) rows sum
     * to one row (exactly what [[Bm25.readIndexFrom]] computes at read), so

@@ -38,7 +38,8 @@ object PqIngest {
   def start(vectors: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0, vacuumEvery: Int = 0,
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -47,6 +48,8 @@ object PqIngest {
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, vecCol)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactIndex(batch.sparkSession, indexDir)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+          vacuumIndex(batch.sparkSession, indexDir, vacuumRetentionMs)
       }
       .start()
 
@@ -82,4 +85,14 @@ object PqIngest {
     VersionedTable.compact(spark, s"$indexDir/quality", numFiles = 1)
     ()
   }
+
+  /** Reclaim storage of versions out of the `retentionMs` time-travel window
+    * across all four artifact tables ([[IndexIngest.vacuumIndex]]'s contract
+    * on the IVF-PQ layout; both codebook tables are frozen/overwrite-only, so
+    * their vacuum is usually a no-op but stays correct after a rebuild).
+    */
+  def vacuumIndex(spark: SparkSession, indexDir: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    Seq("codes", "quality", "coarse", "pq").flatMap(artifact =>
+      VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
 }

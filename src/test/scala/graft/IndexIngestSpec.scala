@@ -119,6 +119,42 @@ class IndexIngestSpec extends AnyFunSuite with SharedSpark {
       "post-fold appends must keep serving exactly rebuild-equal")
   }
 
+  test("vacuumIndex reclaims pre-compact storage: data dirs drop, serving " +
+      "unchanged, time travel past the window dies — storage stops growing " +
+      "with stream lifetime") {
+    val dir = s"${Files.createTempDirectory("bm25_vacuum")}/idx"
+    def batch(r: Range, salt: String) =
+      r.map(i => (i.toLong, s"alpha w$i $salt hash join")).toDF("doc_id", "text")
+    Bm25.writeIndex(batch(0 until 40, "base"), dir)
+    IndexIngest.ingestBatch(batch(40 until 60, "b1"), dir, "ckpt", 1L)
+    IndexIngest.ingestBatch(batch(60 until 80, "b2"), dir, "ckpt", 2L)
+    val terms = Seq("hash", "join")
+    def serve() = Bm25.topKFromIndex(Bm25.readIndexFrom(spark, dir), terms, 10)
+      .collect().map(_.toString).toSeq
+    val before = serve()
+
+    IndexIngest.compactIndex(spark, dir)
+    def dataDirs(artifact: String): Int =
+      new java.io.File(s"$dir/$artifact/_data").listFiles().count(_.isDirectory)
+    val preVacuum = dataDirs("postings")
+    // compaction SHADOWS the per-batch commits but leaves their files for
+    // time travel — without vacuum, storage grows with stream lifetime
+    assert(preVacuum > 1, s"expected shadowed pre-compact dirs, got $preVacuum")
+
+    // retention 0: everything before the newest full-state commit reclaims
+    val reclaimed = IndexIngest.vacuumIndex(spark, dir, retentionMs = 0L)
+    assert(reclaimed.nonEmpty, "vacuum reclaimed nothing")
+    assert(dataDirs("postings") < preVacuum,
+      s"postings data dirs did not drop: $preVacuum -> ${dataDirs("postings")}")
+
+    // current-state serving is untouched; pre-compact time travel is gone
+    assert(serve() === before, "vacuum must not change current-state serving")
+    intercept[Exception] {
+      graft.catalog.VersionedTable.readAsOf(spark, s"$dir/postings", 0)
+        .collect()
+    }
+  }
+
   test("stats fold is CAS-guarded: a rival append landing between the fold's " +
       "read and its overwrite is detected and kept — no (n, sumdl) row lost") {
     val dir = s"${Files.createTempDirectory("bm25_fold_race")}/idx"
