@@ -61,8 +61,10 @@ object IndexIngest {
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, textCol)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactIndex(batch.sparkSession, indexDir)
-        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
           vacuumIndex(batch.sparkSession, indexDir, vacuumRetentionMs)
+          ()
+        }
       }
       .start()
 

@@ -48,8 +48,10 @@ object PqIngest {
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, vecCol)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactIndex(batch.sparkSession, indexDir)
-        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
           vacuumIndex(batch.sparkSession, indexDir, vacuumRetentionMs)
+          ()
+        }
       }
       .start()
 

@@ -119,6 +119,37 @@ class IndexIngestSpec extends AnyFunSuite with SharedSpark {
       "post-fold appends must keep serving exactly rebuild-equal")
   }
 
+  test("lifecycle hooks fire through the streaming path: compactEvery folds " +
+      "and vacuumEvery reclaims per micro-batch, serving stays rebuild-equal") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = s"${Files.createTempDirectory("bm25_hooks")}/idx"
+    val ckpt = Files.createTempDirectory("bm25_hooks_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.start(mem.toDF().toDF("doc_id", "text"), idx, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      compactEvery = 1, vacuumEvery = 1, vacuumRetentionMs = 0L)
+    try {
+      mem.addData(d1, d2)
+      q.processAllAvailable()
+      mem.addData(d3, d4)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // compactEvery folded the stats to ONE row after every micro-batch
+    assert(graft.catalog.VersionedTable.read(spark, s"$idx/stats").count() === 1)
+    // vacuumEvery reclaimed the shadowed commits: far fewer postings data
+    // dirs on disk than commits written (2 appends + 2 compacts = 4)
+    val dirs = new java.io.File(s"$idx/postings/_data")
+      .listFiles().count(_.isDirectory)
+    assert(dirs < 4, s"vacuum never reclaimed through the stream: $dirs dirs")
+    // and the maintained index still serves exactly the from-scratch answer
+    val streamed = Bm25.readIndexFrom(spark, idx)
+    val rebuilt = Bm25.buildIndex(Seq(d1, d2, d3, d4).toDF("doc_id", "text"))
+    val terms = Seq("hash", "vectors")
+    assert(Bm25.topKFromIndex(streamed, terms, 10).collect().map(_.toString).toSeq ===
+      Bm25.topKFromIndex(rebuilt, terms, 10).collect().map(_.toString).toSeq)
+  }
+
   test("vacuumIndex reclaims pre-compact storage: data dirs drop, serving " +
       "unchanged, time travel past the window dies — storage stops growing " +
       "with stream lifetime") {
