@@ -102,17 +102,11 @@ object Bench {
     // loop times only the serving thunk, so the headline number tracks the
     // pruned serving path and a serving regression is visible instead of
     // drowned in commit protocol.
-    val servingThunks = scala.collection.mutable.Map[String, () => DataFrame]()
-    val buildSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.servingBench.foreach { case (name, builder) =>
-      if (selected.contains(name) && SparkEntry.queries.contains(name)) {
-        val t0 = System.nanoTime()
-        try {
-          servingThunks(name) = builder(spark, sfDir)
-          buildSecs(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => () } // fall back to the full gate
-      }
-    }
+    val sb = buildServingThunks(SparkEntry.servingBench,
+      name => selected.contains(name) && SparkEntry.queries.contains(name),
+      spark, sfDir)
+    val servingThunks = sb.thunks
+    val buildSecs = sb.buildSecs
 
     def force(name: String, dir: String): Unit = {
       servingThunks.get(name).map(_())
@@ -170,6 +164,10 @@ object Bench {
     // regressions stay visible round-over-round
     val indexBuild = buildSecs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // builder failures are LOUD: -1.0 above plus the exception summary here,
+    // so a gate silently reverting to build+serve timing (2-5x the serving
+    // number) can never masquerade as a serving regression — or hide one
+    val servingFallback = servingFallbackJson(sb.fallbacks)
     val tableOps = benchTableOps(spark, sfDir)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val context = {
@@ -181,7 +179,7 @@ object Bench {
         s""""wall_sec":${fmt(wallSec)},"cpus":$cpusJson}"""
     }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_reps":$failedReps,"index_build":$indexBuild,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean",$context}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_reps":$failedReps,"index_build":$indexBuild,"serving_fallback":$servingFallback,"table_ops":$tableOps,"sf":"$sfDir","reps":$reps,"aggregation":"trimmed_mean",$context}"""
     // durability: the caller's log-tail capture once truncated the result line
     // mid-JSON (round 7) — land it on disk FIRST, then print and flush before
     // spark.stop() can interleave shutdown logging
@@ -196,6 +194,57 @@ object Bench {
     println(json)
     Console.out.flush()
   }
+
+  /** The serve-per-rep preparation outcome: built thunks, per-gate build
+    * seconds (-1.0 where the builder failed), and the failures themselves.
+    */
+  private[graft] final case class ServingBuild(
+      thunks: Map[String, () => DataFrame],
+      buildSecs: Seq[(String, Double)],
+      fallbacks: Seq[(String, String)])
+
+  /** Build each gate's serving thunk once, timed. A builder failure is
+    * RECORDED, not swallowed: the gate falls back to the build-per-invocation
+    * contract query — a number 2-5× the serving one — so the fallback must be
+    * visible in the emitted JSON (`index_build` = -1.0 + a `serving_fallback`
+    * entry) or a reader would diagnose a serving regression that doesn't
+    * exist. NonFatal only — an OOM should kill the bench, not reroute it.
+    */
+  private[graft] def buildServingThunks(
+      builders: Iterable[(String, (SparkSession, String) => () => DataFrame)],
+      shouldBuild: String => Boolean,
+      spark: SparkSession, sfDir: String): ServingBuild = {
+    val thunks = scala.collection.mutable.Map[String, () => DataFrame]()
+    val buildSecs = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val fallbacks = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    builders.foreach { case (name, builder) =>
+      if (shouldBuild(name)) {
+        val t0 = System.nanoTime()
+        try {
+          thunks(name) = builder(spark, sfDir)
+          buildSecs += name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            buildSecs += name -> -1.0
+            fallbacks += name -> (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(160))
+            System.err.println(s"[bench] serving builder for $name failed — " +
+              s"falling back to the build+serve contract gate: $e")
+        }
+      }
+    }
+    ServingBuild(thunks.toMap, buildSecs.toSeq, fallbacks.toSeq)
+  }
+
+  /** `{"gate":"ExceptionClass: message", ...}` — `{}` when every builder
+    * succeeded (the healthy case round-over-round comparisons key on).
+    */
+  private[graft] def servingFallbackJson(fallbacks: Seq[(String, String)]): String =
+    fallbacks.map { case (k, v) =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      "\"" + esc(k) + "\":\"" + esc(v) + "\""
+    }.mkString("{", ",", "}")
 
   /** Table-layer (commit protocol) timings, separate from the analytic-query
     * loop so a regression in merge/CDF/restore is visible per round. Each rep
