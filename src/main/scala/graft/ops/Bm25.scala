@@ -111,6 +111,36 @@ object Bm25 {
   private[graft] def postingsCarryDl(index: Index): Boolean =
     index.postings.columns.contains("dl")
 
+  /** Whether the PERSISTED postings at `dir` use the pre-denormalization
+    * 3-column layout (no `dl`). A missing/empty postings table reads as the
+    * CURRENT layout — the first batch to land decides it. Appends consult
+    * this so the on-disk layout stays uniform (see [[conformPostings]]).
+    */
+  private[graft] def legacyPostingsLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    try !graft.catalog.VersionedTable.read(spark, s"$dir/postings")
+      .columns.contains("dl")
+    catch {
+      // no table / no commits yet → nothing persisted to conform to
+      case _: java.io.FileNotFoundException => false
+      case _: IllegalArgumentException => false
+    }
+
+  /** Conform a batch's postings to the PERSISTED layout before an append:
+    * appending dl-carrying rows onto a pre-denormalization index would pass
+    * the additive schema check, read back as dl=NULL for every OLD row under
+    * mergeSchema, and [[postingsCarryDl]] (column presence alone) would then
+    * route serving to the dl-on-postings branch — silently NULL-scoring all
+    * pre-append documents. Matching the legacy 3-column shape instead keeps
+    * the layout uniform, and serving stays on the (correct) docLengths-join
+    * fallback for the index's whole life. Shared by [[appendToIndex]] and the
+    * streaming maintainer ([[graft.streaming.IndexIngest]]); costs one
+    * metadata-scale log resolution per batch.
+    */
+  private[graft] def conformPostings(postings: DataFrame, dir: String): DataFrame =
+    if (legacyPostingsLayout(postings.sparkSession, dir)) postings.drop("dl")
+    else postings
+
   /** Persisted-index lifecycle over [[graft.catalog.VersionedTable]] — the
     * incremental maintenance path that keeps the index-only serving tier
     * ([[topKFromIndex]], [[HybridRetrieval.bm25RrfTopKFromIndex]]) sustainable
@@ -149,7 +179,11 @@ object Bm25 {
   private def landBatch(batch: DataFrame, dir: String, operation: String,
       idCol: String, textCol: String): Unit =
     landArtifacts(batch, idCol, textCol) { (df, artifact) =>
-      graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
+      val out =
+        if (artifact == "postings" && operation == "append")
+          conformPostings(df, dir)
+        else df
+      graft.catalog.VersionedTable.write(out, s"$dir/$artifact", operation); ()
     }
 
   /** Build the three index artifacts from ONE persisted tokenization of the
@@ -208,13 +242,24 @@ object Bm25 {
     * committed snapshot with the same pushed-predicate pruning as the Scala
     * paths (re-register to pick up later appends — a temp view pins the
     * snapshot it was created from).
+    *
+    * The SQL recipes require the denormalized `postings.dl`; for a
+    * pre-denormalization index (3-column postings) the postings view
+    * SYNTHESIZES `dl` through the doclen join here, so the recipes serve
+    * either layout unchanged — the join cost is exactly what the legacy
+    * Scala serving path pays. The doclen view itself is registered for
+    * audits/stat folds only; no recipe reads it.
     */
   def registerIndexViews(spark: org.apache.spark.sql.SparkSession, dir: String,
       prefix: String = "bm25_idx"): (String, String, String) = {
     import graft.catalog.VersionedTable
     val names = (s"${prefix}_postings", s"${prefix}_doclen", s"${prefix}_stats")
-    VersionedTable.read(spark, s"$dir/postings")
-      .createOrReplaceTempView(names._1)
+    val postings = VersionedTable.read(spark, s"$dir/postings")
+    val served =
+      if (postings.columns.contains("dl")) postings
+      else postings.join(VersionedTable.read(spark, s"$dir/doclen"), "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+    served.createOrReplaceTempView(names._1)
     VersionedTable.read(spark, s"$dir/doclen")
       .createOrReplaceTempView(names._2)
     VersionedTable.read(spark, s"$dir/stats")

@@ -78,7 +78,12 @@ object IndexIngest {
       txnId: Long, idCol: String = "doc_id", textCol: String = "text"): Unit = {
     if (batch.isEmpty) return
     Bm25.landArtifacts(batch, idCol, textCol) { (df, artifact) =>
-      VersionedTable.idempotentAppend(df, s"$indexDir/$artifact",
+      // match the persisted postings layout: a maintainer pointed at a
+      // pre-denormalization index must keep its 3-column shape, or every
+      // pre-append document would read dl=NULL and score NULL (Bm25.conformPostings)
+      val out =
+        if (artifact == "postings") Bm25.conformPostings(df, indexDir) else df
+      VersionedTable.idempotentAppend(out, s"$indexDir/$artifact",
         s"$txnApp#$artifact", txnId)
       ()
     }

@@ -178,6 +178,72 @@ class Bm25Spec extends AnyFunSuite with SharedSpark {
       "legacy-layout serving must match the denormalized layout row for row")
   }
 
+  test("appending onto a PERSISTED pre-denormalization index keeps the " +
+      "legacy 3-column shape — every pre-append document still scores") {
+    import graft.catalog.VersionedTable
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25_legacy_append").toString + "/idx"
+    def batch(r: Range, salt: String) =
+      r.map(i => (i.toLong, s"alpha w$i $salt hash join")).toDF("doc_id", "text")
+    Bm25.writeIndex(batch(0 until 30, "base"), dir)
+    // strip dl ON DISK — the layout every index persisted before the
+    // denormalization carries
+    VersionedTable.write(
+      VersionedTable.read(spark, s"$dir/postings").drop("dl"),
+      s"$dir/postings", "overwrite")
+
+    // both append paths (batch + streaming maintainer) conform to it: a
+    // dl-carrying append would read back dl=NULL for all OLD rows under
+    // mergeSchema and the column-presence branch would NULL-score them
+    Bm25.appendToIndex(batch(30 until 45, "b1"), dir)
+    graft.streaming.IndexIngest.ingestBatch(batch(45 until 60, "b2"), dir,
+      "legacy_ck", 5L)
+    assert(!VersionedTable.read(spark, s"$dir/postings")
+        .columns.contains("dl"),
+      "appends onto a legacy index must keep the 3-column postings shape")
+
+    // serving equals a from-scratch rebuild over all 60 docs — in particular
+    // the 30 PRE-append docs rank normally instead of scoring NULL
+    val served = Bm25.topKFromIndex(Bm25.readIndexFrom(spark, dir),
+      Seq("hash", "join"), 60).collect()
+    val rebuilt = Bm25.topKFromIndex(
+      Bm25.buildIndex(batch(0 until 30, "base")
+        .unionAll(batch(30 until 45, "b1"))
+        .unionAll(batch(45 until 60, "b2"))),
+      Seq("hash", "join"), 60).collect()
+    assert(served.map(_.toString).toSeq === rebuilt.map(_.toString).toSeq)
+    assert(served.length === 60 && served.forall(!_.isNullAt(1)),
+      "every document (old and new) must carry a real score")
+
+    // a FRESH index (nothing persisted) keeps the denormalized layout
+    val fresh = java.nio.file.Files
+      .createTempDirectory("bm25_fresh_append").toString + "/idx"
+    Bm25.appendToIndex(batch(0 until 5, "f"), fresh)
+    assert(VersionedTable.read(spark, s"$fresh/postings")
+      .columns.contains("dl"))
+  }
+
+  test("registerIndexViews synthesizes dl for a legacy index, so the SQL " +
+      "recipe serves either layout") {
+    import graft.catalog.VersionedTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25_legacy_views").toString + "/idx"
+    Bm25.writeIndex(Tables.documents(spark, sf), dir)
+    VersionedTable.write(
+      VersionedTable.read(spark, s"$dir/postings").drop("dl"),
+      s"$dir/postings", "overwrite")
+    val (pv, _, sv) = Bm25.registerIndexViews(spark, dir, "legacy_sql_idx")
+    val terms = Seq("hash", "join", "vector")
+    val viaSql = spark.sql(
+        graft.ops.SqlRecipes.bm25FromIndexSql(pv, sv, terms, 20))
+      .collect().map(_.toString).toSeq
+    val viaScala = Bm25.topKFromIndex(Bm25.readIndexFrom(spark, dir),
+      terms, 20).collect().map(_.toString).toSeq
+    assert(viaSql === viaScala,
+      "SQL recipe over the synthesized-dl view must match the Scala path")
+  }
+
   test("matching is case-insensitive on the document side") {
     val mixed = Seq((1L, "Hash JOIN"), (2L, "HASH")).toDF("doc_id", "text")
     val ids = Bm25.scores(mixed, Seq("hash")).select("doc_id")

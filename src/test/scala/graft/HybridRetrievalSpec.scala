@@ -246,6 +246,31 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
       s"external serving must not read the doclen table:\n$extPlan")
   }
 
+  test("repeated tokens in an external query text do not double-count its " +
+      "BM25 addends — distinct (query, term) pairs, the internal-path " +
+      "convention") {
+    import spark.implicits._
+    import graft.ops.{Bm25, Ivf}
+    val docs = Seq((0L, "zebra alpha"), (1L, "alpha alpha alpha"),
+      (2L, "zebra beta"), (3L, "alpha gamma"), (4L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hybrid_dup").toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 2), s"$dir/ivf")
+    val bm25 = Bm25.readIndexFrom(spark, s"$dir/bm25")
+    val ivf = Ivf.readIvfIndex(spark, s"$dir/ivf")
+    def serve(text: String) = HybridRetrieval.bm25RrfTopKForQueries(bm25, ivf,
+        Seq((99L, text, Array(0.0f, 1.0f))).toDF("query_id", "text", "embedding"),
+        legK = 4, k = 5, nprobe = 1)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(serve("zebra zebra alpha zebra") === serve("zebra alpha"),
+      "a term repeated in the query text must score once, not per occurrence")
+  }
+
   test("BQ-funnel hybrid external: at shortlistK = corpus the BQ semantic leg " +
       "is exact, so it reproduces the exhaustive-probe IVF hybrid row for row") {
     import graft.ops.{Bm25, Ivf, Similarity}
