@@ -70,9 +70,13 @@ import graft.catalog.VersionedTable
   *
   * CREATE TABLE commits an EMPTY version 0 written flat (zero rows lay out no
   * partition directories, so the declared partitioning is persisted in the
-  * `_table_spec.json` sidecar and applied to every later INSERT); `LOCATION` is
-  * refused because a filesystem catalog cannot re-resolve external paths without a
-  * metastore of its own.
+  * `_table_spec.json` sidecar and applied to every later INSERT). `CREATE TABLE
+  * ... LOCATION '<path>'` over an EXISTING versioned table registers an
+  * EXTERNAL entry — a pointer file under the warehouse naming the data's real
+  * location, resolved per query (so SQL over the entry tracks appends live) and
+  * removed by DROP without touching the data; creating NEW data at an external
+  * location stays refused (staged CREATE OR REPLACE/CTAS likewise) — a
+  * filesystem catalog cannot own paths outside its warehouse.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
@@ -108,19 +112,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- tables ----
 
+  /** EXTERNAL registrations: `CREATE TABLE ... LOCATION '<path>'` over an
+    * EXISTING versioned table makes the catalog entry a POINTER — a one-line
+    * `_external_location` file under the entry's warehouse dir naming the
+    * data's real location. Every resolution indirects through it, so SQL over
+    * the entry is LIVE against the target's commit log (the registration
+    * route for index artifact dirs and other out-of-warehouse tables), and
+    * DROP removes only the pointer, never the data.
+    */
+  private def externalPointer(ident: Identifier): Path =
+    new Path(tablePath(ident), "_external_location")
+
+  private def externalTarget(ident: Identifier): Option[String] = {
+    val p = externalPointer(ident)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** The identifier's DATA location: the external target for pointer
+    * registrations, the warehouse path for managed tables.
+    */
+  private def resolvedLoc(ident: Identifier): String =
+    externalTarget(ident).getOrElse(tablePath(ident).toString)
+
   override def tableExists(ident: Identifier): Boolean =
-    VersionedTable.exists(spark, tablePath(ident).toString)
+    externalTarget(ident).isDefined ||
+      VersionedTable.exists(spark, tablePath(ident).toString)
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
     val p = nsPath(ns)
     if (!fs.exists(p)) throw new NoSuchNamespaceException(ns)
     fs.listStatus(p).filter(_.isDirectory)
-      .filter(st => VersionedTable.exists(spark, st.getPath.toString))
+      .filter(st => VersionedTable.exists(spark, st.getPath.toString) ||
+        fs.exists(new Path(st.getPath, "_external_location")))
       .map(st => Identifier.of(ns, st.getPath.getName))
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val loc = tablePath(ident).toString
+    val loc = resolvedLoc(ident)
     if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
     new GraftSqlTable(fullName(ident), loc, None)
   }
@@ -129,7 +163,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * versions are meaningful here (Delta also accepts them; we have no branch refs).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val loc = tablePath(ident).toString
+    val loc = resolvedLoc(ident)
     if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw ColumnBridge.analysisError(
@@ -145,7 +179,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the wrong side of a later commit).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val loc = tablePath(ident).toString
+    val loc = resolvedLoc(ident)
     if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
     val cutoff = java.time.Instant.EPOCH.plus(timestamp, java.time.temporal.ChronoUnit.MICROS)
     val v = VersionedTable.versionAtOrBefore(spark, loc, cutoff)
@@ -230,13 +264,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def createInternal(ident: Identifier, ddl: ColumnDdl.Extracted,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val (loc, _, spec) = validateDefinition(ident, ddl.clean, partitions, properties)
-    if (VersionedTable.exists(spark, loc)) throw new TableAlreadyExistsException(ident)
-    VersionedTable.write(emptyContent(ddl.clean), loc, "overwrite", partitionBy = Nil)
-    val fullSpec = spec ++ ColumnDdl.defaultSpecKeys(ddl.defaults)
-    if (fullSpec.nonEmpty) VersionedTable.writeTableSpec(spark, loc, fullSpec)
-    ColumnDdl.declare(spark, loc, ddl.generated, ddl.identity)
-    new GraftSqlTable(fullName(ident), loc, None)
+    // user-specified LOCATION = external registration over existing data
+    // (IS_MANAGED_LOCATION marks catalog-assigned defaults, not user intent)
+    val external = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .filter(_ => !"true".equalsIgnoreCase(String.valueOf(
+        properties.get(TableCatalog.PROP_IS_MANAGED_LOCATION))))
+    external match {
+      case Some(target) => createExternal(ident, ddl, partitions, target)
+      case None =>
+        val (loc, _, spec) = validateDefinition(ident, ddl.clean, partitions,
+          properties)
+        if (VersionedTable.exists(spark, loc))
+          throw new TableAlreadyExistsException(ident)
+        VersionedTable.write(emptyContent(ddl.clean), loc, "overwrite",
+          partitionBy = Nil)
+        val fullSpec = spec ++ ColumnDdl.defaultSpecKeys(ddl.defaults)
+        if (fullSpec.nonEmpty) VersionedTable.writeTableSpec(spark, loc, fullSpec)
+        ColumnDdl.declare(spark, loc, ddl.generated, ddl.identity)
+        new GraftSqlTable(fullName(ident), loc, None)
+    }
+  }
+
+  /** EXTERNAL registration (see [[externalPointer]]): validate the target
+    * holds a versioned table, validate declared columns against its live
+    * schema (a subset by NAME is accepted — the entry always serves the
+    * target's actual schema; declaring a column that isn't there is refused
+    * rather than silently served differently), then land the pointer file
+    * with an EXCLUSIVE create so racing registrations lose loudly.
+    */
+  private def createExternal(ident: Identifier, ddl: ColumnDdl.Extracted,
+      partitions: Array[Transform], target: String): Table = {
+    require(partitions.isEmpty,
+      s"${fullName(ident)}: an external registration takes its layout from " +
+        "the existing table — PARTITIONED BY/CLUSTER BY are not accepted")
+    require(ddl.generated.isEmpty && ddl.identity.isEmpty && ddl.defaults.isEmpty,
+      s"${fullName(ident)}: column DDL clauses belong to the table at the " +
+        "target location, not the pointer — declare them there")
+    require(VersionedTable.exists(spark, target),
+      s"${fullName(ident)}: LOCATION must hold an existing graft table " +
+        s"(external registration over existing data) — nothing at $target")
+    if (!fs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (ddl.clean.nonEmpty) {
+      val actual = VersionedTable.read(spark, target).schema
+        .fieldNames.map(_.toLowerCase).toSet
+      val missing = ddl.clean.fieldNames
+        .filterNot(f => actual.contains(f.toLowerCase))
+      require(missing.isEmpty,
+        s"${fullName(ident)}: declared column(s) ${missing.mkString(", ")} " +
+          s"do not exist at $target — declare a subset of the actual schema " +
+          "(or none; the entry always serves the target's live schema)")
+    }
+    val out = fs.create(externalPointer(ident), false)
+    try out.write(target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new GraftSqlTable(fullName(ident), target, None)
   }
 
   // ---- staged (atomic) creates and replaces: CREATE OR REPLACE / RTAS ----
@@ -311,7 +394,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * else (type changes, property churn) is refused rather than faked.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val loc = tablePath(ident).toString
+    val loc = resolvedLoc(ident)
     if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
     changes.foreach {
       case c: TableChange.RenameColumn =>
@@ -424,17 +507,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
-    val dropped = VersionedTable.exists(spark, p.toString) && fs.delete(p, true)
+    // an external DROP removes the POINTER dir only — the data at the target
+    // location lives on, exactly Delta's external-table drop semantics
+    val isExternal = externalTarget(ident).isDefined
+    val dropped = (isExternal || VersionedTable.exists(spark, p.toString)) &&
+      fs.delete(p, true)
     // a recreate at this location must never be served the dropped table's
     // cached commit bodies (mtime-second + near-fixed-width length can collide)
-    if (dropped) VersionedTable.invalidateLogCaches(p.toString)
+    if (dropped && !isExternal) VersionedTable.invalidateLogCaches(p.toString)
     dropped
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     val src = tablePath(from)
     val dst = tablePath(to)
-    if (!VersionedTable.exists(spark, src.toString)) throw new NoSuchTableException(from)
+    // renaming an external entry moves the pointer dir — the target data
+    // location is unchanged, so the entry keeps serving the same table
+    if (!VersionedTable.exists(spark, src.toString) &&
+        externalTarget(from).isEmpty) throw new NoSuchTableException(from)
     if (fs.exists(dst)) throw new TableAlreadyExistsException(to)
     if (!fs.exists(dst.getParent)) throw new NoSuchNamespaceException(to.namespace)
     if (!fs.rename(src, dst)) throw new java.io.IOException(
@@ -461,7 +551,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private object resolveTableArg extends GraftProcedures.TableResolver {
     override def apply(name: String): String = {
       val ident = tableArgIdent(name)
-      val loc = tablePath(ident).toString
+      val loc = resolvedLoc(ident) // procedures follow external pointers too
       if (!VersionedTable.exists(spark, loc)) throw new NoSuchTableException(ident)
       loc
     }
