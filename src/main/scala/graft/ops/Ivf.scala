@@ -365,6 +365,73 @@ object Ivf {
       .orderBy(expr("try_cast(batch AS BIGINT)").asc_nulls_first, col("batch"))
   }
 
+  /** STALENESS ACTUATOR — the consumer of [[ivfDrift]]'s retrain trigger.
+    * Retrains the centroids from the CURRENT corpus and replaces the index:
+    * IVF retains full vectors in its `vectors` artifact, so the rebuild needs
+    * no external input — it reads the persisted vectors back, seeds from the
+    * `nlist` lowest-id vectors PRESENT (a maintained corpus may carry an
+    * arbitrary id space), Lloyd-refines `iters` rounds ([[trainCentroids]];
+    * `iters = 0` keeps the raw seeds for fixture-grade reproducibility),
+    * reassigns every vector map-side, and lands all three artifacts as
+    * OVERWRITE commits. The quality history resets to ONE `batchLabel` row —
+    * the new drift baseline (PSI compares against post-rebuild occupancy from
+    * here on). Contrast [[IvfPq.rebuildPqIndex]], which must take the corpus
+    * as a parameter — PQ codes are lossy, the base vectors are gone.
+    *
+    * Atomicity is PER ARTIFACT (each overwrite is one commit — a reader of
+    * any one table sees old-complete or new-complete state, never half), not
+    * transactional across the three: a query resolving mid-rebuild can pair
+    * new centroids with old assignments for one batch. Quiesce serving across
+    * the rebuild (or retry) when that matters; old-generation serving stays
+    * fully correct until the swap, and old files survive until vacuum.
+    *
+    * Scale: training costs `iters` map-side assignment scans of the corpus —
+    * at 100 TB train the centroids on a sample offline and call
+    * [[writeIvfIndex]] directly; the reassignment itself is one map-side
+    * scan, the same cost as the original build.
+    */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int = 0, iters: Int = 4, batchLabel: String = "base"): Unit = {
+    import graft.catalog.VersionedTable
+    // pins the pre-rebuild snapshot: the overwrite below writes new files and
+    // a new commit, so reading the old file list while rewriting is safe
+    val corpus = VersionedTable.read(spark, s"$dir/vectors")
+      .select(col("vec_id"), col("v").as("embedding"))
+    val k =
+      if (nlist > 0) nlist
+      else VersionedTable.read(spark, s"$dir/centroids").count().toInt
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.toDoubleVec(col("embedding")).as("cv"))
+    val centroids =
+      if (iters > 0) trainCentroids(corpus, seeds, iters,
+        idCol = "vec_id", vecCol = "embedding")
+      else seeds
+    writeIvfIndex(corpus, centroids, dir, idCol = "vec_id",
+      vecCol = "embedding", batchLabel = batchLabel)
+  }
+
+  /** Register the index artifacts as PERMANENT catalog tables over their
+    * versioned-table locations (`CREATE TABLE <catalog>.<ns>.<prefix>_*
+    * LOCATION ...` — [[graft.sources.table.GraftCatalog]]'s external
+    * registration): unlike [[registerIndexViews]]' temp views, which pin the
+    * snapshot they were created from, a catalog entry re-resolves the commit
+    * log PER QUERY, so the same SQL statement tracks appends — and rebuilds —
+    * with no re-registration. Returns (vectorsTable, centroidsTable) as
+    * fully-qualified names.
+    */
+  def registerIndexTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, catalog: String, namespace: String,
+      prefix: String = "ivf_idx"): (String, String) = {
+    def reg(artifact: String, suffix: String): String = {
+      val t = s"$catalog.$namespace.${prefix}_$suffix"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t LOCATION '$dir/$artifact'")
+      t
+    }
+    (reg("vectors", "vectors"), reg("centroids", "centroids"))
+  }
+
   /** Lloyd's k-means refinement of the given centroids (the production path for
     * centroid quality; not oracle-gated because distributed float summation is not
     * bit-reproducible). Empty clusters drop out. `iters` small (3–10); each iteration

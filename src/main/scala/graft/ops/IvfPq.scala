@@ -345,6 +345,48 @@ object IvfPq {
       .orderBy(expr("try_cast(batch AS BIGINT)").asc_nulls_first, col("batch"))
   }
 
+  /** STALENESS ACTUATOR for the PQ tier — the consumer of [[pqDrift]]'s
+    * retrain trigger, [[Ivf.rebuildIndex]]'s twin with one honest asymmetry:
+    * PQ codes are LOSSY, so the index cannot reconstruct its own corpus — the
+    * caller must pass the current base `embeddings` (the lake table the
+    * stream lands into, or a training sample). Retrains BOTH codebooks from
+    * them (coarse k-means + residual product quantizer, Lloyd's), re-encodes,
+    * and lands all four artifacts as OVERWRITE commits; the quality history
+    * resets to one `batchLabel` row. `nlist`/`m`/`ksub` default to the
+    * persisted index's own geometry. Training ids are RELABELED densely (the
+    * seed convention slices the ksub lowest ids; a maintained corpus may
+    * carry any id space) — the relabel is one sort of the training frame, so
+    * at 100 TB pass a sample, exactly like any k-means retrain. Per-artifact
+    * atomicity caveat as [[Ivf.rebuildIndex]].
+    */
+  def rebuildPqIndex(embeddings: DataFrame, dir: String, nlist: Int = 0,
+      m: Int = 0, ksub: Int = 0, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchLabel: String = "base"): Unit = {
+    // Lloyd must run at least once: raw residual seeds include the coarse
+    // seeds' own zero residuals, which would collapse the codebooks
+    require(iters >= 1, s"rebuild needs iters >= 1 (got $iters)")
+    val spark = embeddings.sparkSession
+    val curPq = graft.catalog.VersionedTable.read(spark, s"$dir/pq")
+    val geom = curPq.agg(
+      countDistinct(col("subspace")).cast("int").as("m"),
+      countDistinct(col("code")).cast("int").as("ksub")).head()
+    val k =
+      if (nlist > 0) nlist
+      else graft.catalog.VersionedTable.read(spark, s"$dir/coarse")
+        .count().toInt
+    val m0 = if (m > 0) m else geom.getInt(0)
+    val ks = if (ksub > 0) ksub else geom.getInt(1)
+    val trainFrame = embeddings
+      .select(col(idCol).as("__orig"), col(vecCol).as("embedding"))
+      .withColumn("vec_id",
+        row_number().over(Window.orderBy(col("__orig"))).cast("long") - 1)
+      .select(col("vec_id"), col("embedding"))
+    val coarse = trainCoarse(trainFrame, k, iters)
+    val pq = trainResidualPq(trainFrame, coarse, m0, ks, iters)
+    writePqIndex(embeddings, coarse, pq, dir, idCol, vecCol, batchLabel)
+  }
+
   final case class PqIndex(coarse: DataFrame, codebooks: DataFrame,
       codes: DataFrame)
 

@@ -30,6 +30,9 @@ import graft.catalog.VersionedTable
   *   CALL gsql.system.detail(table => 'ns.t')
   *   CALL gsql.system.clone(table => 'ns.t', target => 'ns.t_dev', version => 3)
   *   CALL gsql.system.set_nullable(table => 'ns.t', column => 'v')
+  *   CALL gsql.system.rebuild_index(location => '/indexes/ivf')
+  *   CALL gsql.system.rebuild_index(location => '/indexes/pq', kind => 'ivfpq',
+  *                                  source => 'embeddings_view')
   * }}}
   *
   * `update_where` and `merge` are the UPDATE / MERGE INTO verbs: Spark only plans
@@ -321,6 +324,45 @@ private[table] object GraftProcedures {
       (s, resolve, args) =>
         VersionedTable.generateManifest(s, resolve(args(0).asInstanceOf[String]))
           .map(Seq(_))),
+    GraftProcedure("rebuild_index",
+      "staleness actuator for the persisted ANN indexes: retrain from the " +
+        "current corpus and overwrite the index artifacts (quality baseline " +
+        "resets). location is the index ROOT PATH (indexes live outside the " +
+        "warehouse), not a catalog table. kind => 'ivf' rebuilds from the " +
+        "index's own retained vectors; kind => 'ivfpq' additionally needs " +
+        "source => an embeddings view/table (codes are lossy). " +
+        "nlist/m/ksub => 0 keep the persisted geometry",
+      Seq(in("location", StringType), inDefault("kind", StringType, "'ivf'"),
+        inDefault("source", StringType, "''"),
+        inDefault("nlist", IntegerType, "0"),
+        inDefault("m", IntegerType, "0"),
+        inDefault("ksub", IntegerType, "0"),
+        inDefault("iters", IntegerType, "4"),
+        inDefault("batch_label", StringType, "'base'")),
+      StructType(Seq(StructField("kind", StringType),
+        StructField("location", StringType))),
+      (s, resolve, args) => {
+        val loc = args(0).asInstanceOf[String]
+        val kind = args(1).asInstanceOf[String].trim.toLowerCase
+        val src = args(2).asInstanceOf[String].trim
+        val label = args(7).asInstanceOf[String]
+        kind match {
+          case "ivf" =>
+            graft.ops.Ivf.rebuildIndex(s, loc, args(3).asInstanceOf[Int],
+              args(6).asInstanceOf[Int], label)
+          case "ivfpq" =>
+            require(src.nonEmpty, "kind => 'ivfpq' needs source => an " +
+              "embeddings view/table — PQ codes are lossy, the rebuild " +
+              "cannot reconstruct its corpus")
+            graft.ops.IvfPq.rebuildPqIndex(s.table(src), loc,
+              args(3).asInstanceOf[Int], args(4).asInstanceOf[Int],
+              args(5).asInstanceOf[Int], args(6).asInstanceOf[Int],
+              batchLabel = label)
+          case other => throw new IllegalArgumentException(
+            s"unknown kind '$other' — expected 'ivf' or 'ivfpq'")
+        }
+        Seq(Seq(kind, loc))
+      }),
     GraftProcedure("copy_into",
       "COPY INTO: idempotent file-granular bulk load — append every " +
         "not-yet-loaded file under `source` as one commit and remember it in " +

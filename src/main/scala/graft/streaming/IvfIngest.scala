@@ -31,26 +31,60 @@ object IvfIngest {
     * drain. `compactEvery > 0` folds the index tables every N micro-batches
     * (cluster-ordered rewrite — serving pruning survives) so a long-running
     * stream doesn't accrete per-batch file-scan branches.
+    *
+    * `rebuildWhen` is the OPT-IN staleness actuator closing the drift loop:
+    * checked on the compactEvery cadence (it requires `compactEvery > 0`),
+    * the predicate sees the LATEST [[Ivf.ivfDrift]] row — columns (batch,
+    * n_vecs, mean_cos, psi); standard triggers: psi > 0.25 or a mean_cos
+    * floor — and a hit runs [[Ivf.rebuildIndex]] (retrain from the index's
+    * own retained vectors, quality baseline reset, `rebuildIters` Lloyd
+    * rounds). The check costs one metadata-scale read per compact cycle.
     */
   def start(vectors: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       compactEvery: Int = 0, vacuumEvery: Int = 0,
-      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000): StreamingQuery =
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
+      rebuildWhen: Option[org.apache.spark.sql.Row => Boolean] = None,
+      rebuildIters: Int = 4): StreamingQuery = {
+    require(rebuildWhen.isEmpty || compactEvery > 0,
+      "rebuildWhen is checked on the compactEvery cadence — set compactEvery > 0")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, vecCol)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           compactIndex(batch.sparkSession, indexDir)
+          rebuildWhen.foreach { stale =>
+            maybeRebuild(batch.sparkSession, indexDir, stale, rebuildIters)
+            ()
+          }
+        }
         if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
           vacuumIndex(batch.sparkSession, indexDir, vacuumRetentionMs)
           ()
         }
       }
       .start()
+  }
+
+  /** Check the LATEST drift row against the staleness predicate and rebuild
+    * when it fires ([[Ivf.rebuildIndex]]). Returns whether a rebuild ran.
+    * Driven from [[start]]'s compactEvery cadence; public so maintenance
+    * jobs can run the same actuator on their own schedule. Needs at least
+    * one non-base batch recorded — a fresh index never triggers.
+    */
+  def maybeRebuild(spark: SparkSession, indexDir: String,
+      stale: org.apache.spark.sql.Row => Boolean, iters: Int = 4): Boolean = {
+    // ordered base-first then numeric txnIds ascending — last = newest batch
+    val rows = Ivf.ivfDrift(spark, indexDir).collect()
+    if (rows.length > 1 && stale(rows.last)) {
+      Ivf.rebuildIndex(spark, indexDir, iters = iters)
+      true
+    } else false
+  }
 
   /** One micro-batch: assign against the persisted centroids, append the two
     * artifacts exactly-once (suffixed identities — each table dedups

@@ -35,25 +35,65 @@ object PqIngest {
     * (cluster-ordered rewrite — the probed-cluster scan pruning survives) so
     * a long-running stream doesn't accrete per-batch file-scan branches.
     */
+  /** `rebuildWhen` is the OPT-IN staleness actuator closing the drift loop —
+    * the [[IvfIngest.start]] hook with the PQ tier's honest asymmetry: codes
+    * are LOSSY, so the actuator must also be told where the current corpus
+    * lives (`rebuildFrom` — e.g. read the lake table this stream lands into);
+    * a hit runs [[IvfPq.rebuildPqIndex]] over that frame (both codebooks
+    * retrained, quality baseline reset). Checked on the compactEvery cadence
+    * against the LATEST [[IvfPq.pqDrift]] row — columns (batch, n_vecs,
+    * mean_qerr, psi); the standard trigger is a mean_qerr ceiling.
+    */
   def start(vectors: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       compactEvery: Int = 0, vacuumEvery: Int = 0,
-      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000): StreamingQuery =
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
+      rebuildWhen: Option[org.apache.spark.sql.Row => Boolean] = None,
+      rebuildFrom: Option[SparkSession => DataFrame] = None,
+      rebuildIters: Int = 4): StreamingQuery = {
+    require(rebuildWhen.isEmpty || rebuildFrom.nonEmpty,
+      "rebuildWhen needs rebuildFrom: PQ codes are lossy, so the actuator " +
+        "must be told where the current corpus embeddings live")
+    require(rebuildWhen.isEmpty || compactEvery > 0,
+      "rebuildWhen is checked on the compactEvery cadence — set compactEvery > 0")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, checkpointDir, batchId, idCol, vecCol)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           compactIndex(batch.sparkSession, indexDir)
+          rebuildWhen.foreach { stale =>
+            maybeRebuild(batch.sparkSession, indexDir, stale,
+              rebuildFrom.get, rebuildIters)
+            ()
+          }
+        }
         if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
           vacuumIndex(batch.sparkSession, indexDir, vacuumRetentionMs)
           ()
         }
       }
       .start()
+  }
+
+  /** Check the LATEST drift row against the staleness predicate and rebuild
+    * from the supplied corpus when it fires ([[IvfPq.rebuildPqIndex]]).
+    * Returns whether a rebuild ran. Public so maintenance jobs can run the
+    * same actuator on their own schedule.
+    */
+  def maybeRebuild(spark: SparkSession, indexDir: String,
+      stale: org.apache.spark.sql.Row => Boolean,
+      corpus: SparkSession => DataFrame, iters: Int = 4): Boolean = {
+    // ordered base-first then numeric txnIds ascending — last = newest batch
+    val rows = IvfPq.pqDrift(spark, indexDir).collect()
+    if (rows.length > 1 && stale(rows.last)) {
+      IvfPq.rebuildPqIndex(corpus(spark), indexDir, iters = iters)
+      true
+    } else false
+  }
 
   /** One micro-batch: encode against the persisted frozen codebooks, append
     * the two artifacts exactly-once (suffixed identities — each table dedups
