@@ -31,7 +31,7 @@ object Bench {
     "q_html_extract", "q_sentence_dedup", "q_char_entropy",
     "q_html_main_content", "q_bm25_append", "q_ivf_append", "q_bq_topk",
     "q_hybrid_ivf", "q_bq_append", "q_ivf_drift", "q_hybrid_external",
-    "q_hybrid_bq", "q_ivfpq_topk", "q_pq_drift")
+    "q_hybrid_bq", "q_ivfpq_topk", "q_pq_drift", "q_hybrid_pq")
 
   /** The DuckDB gate cannot replay xxhash64, so the CONTRACT queries for minhash and
     * simhash run md5-derived twins (see SparkEntry). The bench measures the production

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.{RefAdapter, Schemas}
 import graft.gold.{CustomerLifetimeValue, DailySales}
-import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HtmlExtract, HybridRetrieval, IncrementalDedup, Integrity, Ivf, IvfPq, Mixture, Multimodal, NgramLm, Outliers, Pq, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, Splits, TextAnalysis, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, ChunkDedup, Compaction, CorpusCuration, Dedup, Drift, Funnel, GraphRank, HtmlExtract, HybridRetrieval, IncrementalDedup, Integrity, Ivf, IvfPq, Mixture, Multimodal, NgramLm, Outliers, Pq, Privacy, Profile, QualityClassifier, RangeJoin, Scd2, SemanticDedup, SemiStructured, Similarity, SqlRecipes, Splits, TextAnalysis, TimeSeries}
 import graft.cdc.Flatten
 import graft.sources.{AvroEnvelopeIO, FlatFiles, Synthetic}
 import graft.streaming.{LakeWriter, Sessionize, StreamAggregates}
@@ -687,6 +687,60 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC hybrid external serving gate
+    * ([[HybridRetrieval.bm25PqRrfTopKForQueries]]): the qHybridExternal query
+    * batch (5 lowest-id documents relabeled +10⁶), with the semantic leg the
+    * most compressed tier — ADC over the probed clusters' m-byte codes using
+    * the q_ivfpq_topk seeded codebooks (coarse = vectors 0-7, residual
+    * codewords = residual slices of vectors 8-15). The oracle replays the
+    * exclusion-free BM25 leg, the full IVFADC chain on the 4-dp grid, and the
+    * RRF fusion.
+    */
+  private def qHybridPq(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    val idx = scratchDir("graft_hybrid_pq")
+    Bm25.writeIndex(d, s"$idx/bm25")
+    IvfPq.writePqIndex(emb, coarse, pqCb, s"$idx/pq")
+    val queries = d.filter(col("doc_id") < 5)
+      .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+    HybridRetrieval.bm25PqRrfTopKForQueries(
+        Bm25.readIndexFrom(s, s"$idx/bm25"), IvfPq.readPqIndex(s, s"$idx/pq"),
+        queries, legK = 20, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Pure-SQL external hybrid gate ([[SqlRecipes.hybridForQueriesSql]]): the
+    * qHybridExternal semantics end-to-end in ONE SQL statement over the
+    * registered index views plus a registered query view — same oracle, so
+    * the gate pins the recipe (not just the Scala path) to the DuckDB replay.
+    */
+  private def qHybridExternalSql(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val idx = scratchDir("graft_hybrid_extsql")
+    Bm25.writeIndex(d, s"$idx/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 16), s"$idx/ivf")
+    val (postingsV, _, statsV) =
+      Bm25.registerIndexViews(s, s"$idx/bm25", "hes_bm25")
+    val (vectorsV, centroidsV) = Ivf.registerIndexViews(s, s"$idx/ivf",
+      "hes_ivf")
+    d.filter(col("doc_id") < 5)
+      .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+      .createOrReplaceTempView("hes_queries")
+    s.sql(SqlRecipes.hybridForQueriesSql(postingsV, statsV, vectorsV,
+        centroidsV, "hes_queries", legK = 20, k = 10, nprobe = 4))
+      .orderBy("query_id", "rank")
+  }
+
   /** Incrementally-maintained BQ codes table ([[Similarity.writeCodes]] + an
     * [[Similarity.appendToCodes]] batch, each quantized per row — the
     * stateless tier, nothing to freeze) answering the SAME funnel as
@@ -801,6 +855,26 @@ object SparkEntry {
           Bm25.readIndexFrom(s, s"$idx/bm25"),
           Similarity.readCodes(s, s"$idx/codes"), emb, queries,
           legK = 20, k = 10, shortlistK = 30)
+        .orderBy("query_id", "rank")
+    }),
+    "q_hybrid_pq" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+        .select(col("code").as("cluster"), col("cw"))
+      val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+        skip = 8)
+      val idx = scratchDir("graft_hybrid_pq_srv")
+      Bm25.writeIndex(d, s"$idx/bm25")
+      IvfPq.writePqIndex(emb, coarse, pqCb, s"$idx/pq")
+      val queries = d.filter(col("doc_id") < 5)
+        .join(emb.filter(col("vec_id") < 5), col("doc_id") === col("vec_id"))
+        .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+          col("embedding"))
+      () => HybridRetrieval.bm25PqRrfTopKForQueries(
+          Bm25.readIndexFrom(s, s"$idx/bm25"),
+          IvfPq.readPqIndex(s, s"$idx/pq"),
+          queries, legK = 20, k = 10, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
     "q_ivf_drift" -> ((s, dir) => {
@@ -2670,6 +2744,8 @@ object SparkEntry {
     "q_hybrid_ivf" -> qHybridIvf,
     "q_hybrid_external" -> qHybridExternal,
     "q_hybrid_bq" -> qHybridBq,
+    "q_hybrid_pq" -> qHybridPq,
+    "q_hybrid_external_sql" -> qHybridExternalSql,
     "q_bq_topk" -> qBqTopK,
     "q_bq_append" -> qBqAppend,
     "q_embedding_neardup" -> qEmbeddingNearDup,
@@ -3431,6 +3507,104 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q_hybrid_pq: the q_hybrid_external lexical leg (exclusion-free BM25 from
+    * the relabeled +10⁶ query batch) fused with the IVFADC semantic leg — the
+    * q_ivfpq_topk replay (seeded codebooks: coarse = vectors 0-7, residual
+    * codewords = residual slices of vectors 8-15; assignment/encode argmins;
+    * explicit left-to-right ADC chain on the 4-dp grid) with relabeled
+    * external queries, legK = 20 cut, and NO self-exclusion anywhere.
+    */
+  private lazy val hybridPqSql: String = {
+    def term(j: Int): String =
+      s"list_sum(list_transform(list_zip(c2.qr[${j * 16 + 1} : ${(j + 1) * 16}], " +
+        s"p$j.pcw), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val adist = s"(((${term(0)} + ${term(1)}) + ${term(2)}) + ${term(3)})"
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |post AS (SELECT doc_id, tok AS term, count(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id + 1000000 AS query_id, term FROM post
+      |  WHERE doc_id < 5 AND term <> ''),
+      |dfs AS (SELECT term, count(*) AS df FROM post
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+      |hit AS (SELECT qt.query_id, p.doc_id, p.term, p.tf
+      |  FROM post p JOIN qt ON p.term = qt.term),
+      |a AS (SELECT query_id, h.doc_id,
+      |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS a
+      |  FROM hit h JOIN dfs USING (term) JOIN dl USING (doc_id), st),
+      |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+      |  FROM a GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r FROM lex0)
+      |  WHERE r <= 20),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS cluster, v AS cw FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cluster, cw FROM (
+      |    SELECT e.vec_id, e.v, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.v, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS rn
+      |    FROM e CROSS JOIN cc) WHERE rn = 1),
+      |res AS (SELECT vec_id, cluster,
+      |    list_transform(list_zip(v, cw), z -> z[1] - z[2]) AS rv FROM asg),
+      |pq AS (SELECT j, vec_id - 8 AS code,
+      |    rv[j * 16 + 1 : j * 16 + 16] AS pcw
+      |  FROM res, (SELECT unnest(range(4)) AS j) js
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |enc AS (SELECT vec_id, j, code FROM (
+      |    SELECT r.vec_id, p.j, p.code,
+      |      row_number() OVER (PARTITION BY r.vec_id, p.j ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(r.rv[p.j * 16 + 1 : p.j * 16 + 16], p.pcw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, p.code) AS rn
+      |    FROM res r CROSS JOIN pq p) WHERE rn = 1),
+      |q AS (SELECT vec_id + 1000000 AS query_id, v AS qv FROM e
+      |  WHERE vec_id < 5),
+      |probes AS (SELECT query_id, qv, cluster, cw FROM (
+      |    SELECT q.query_id, q.qv, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS prn
+      |    FROM q CROSS JOIN cc) WHERE prn <= 4),
+      |cand AS (SELECT pr.query_id, a2.vec_id,
+      |    list_transform(list_zip(pr.qv, pr.cw), z -> z[1] - z[2]) AS qr
+      |  FROM probes pr JOIN asg a2 ON a2.cluster = pr.cluster),
+      |""".stripMargin +
+    s"""ad AS (SELECT c2.query_id, c2.vec_id, round($adist, 4) AS adist
+      |  FROM cand c2
+      |  JOIN enc e0 ON e0.vec_id = c2.vec_id AND e0.j = 0
+      |  JOIN pq p0 ON p0.j = 0 AND p0.code = e0.code
+      |  JOIN enc e1 ON e1.vec_id = c2.vec_id AND e1.j = 1
+      |  JOIN pq p1 ON p1.j = 1 AND p1.code = e1.code
+      |  JOIN enc e2 ON e2.vec_id = c2.vec_id AND e2.j = 2
+      |  JOIN pq p2 ON p2.j = 2 AND p2.code = e2.code
+      |  JOIN enc e3 ON e3.vec_id = c2.vec_id AND e3.j = 3
+      |  JOIN pq p3 ON p3.j = 3 AND p3.code = e3.code),
+      |sem AS (SELECT query_id, vec_id AS doc_id, CAST(r AS INT) AS sem_rank
+      |  FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY adist ASC, vec_id) AS r FROM ad)
+      |  WHERE r <= 20),
+      |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+      |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    coalesce(CAST(1.0 AS DOUBLE) / (60 + lex.lex_rank), CAST(0 AS DOUBLE))
+      |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem.sem_rank), CAST(0 AS DOUBLE))
+      |      AS rrf
+      |  FROM lex FULL OUTER JOIN sem
+      |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf,
+      |  lex_rank, sem_rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_ivfpq_topk: IVFADC replayed end-to-end in DuckDB off the seeded
     * codebooks — coarse centroids = vectors 0-7 (argmin L2, cluster-id ties),
     * residual codewords = residual slices of vectors 8-15 (16 dims per
@@ -3848,6 +4022,10 @@ object SparkEntry {
     "q_hybrid_ivf" -> hybridIvfSql,
     "q_hybrid_external" -> hybridExternalSql,
     "q_hybrid_bq" -> hybridBqSql,
+    "q_hybrid_pq" -> hybridPqSql,
+    // the SQL-recipe gate replays the SAME external-hybrid formulation: oracle
+    // equality proves the recipe, not just the Scala path, matches DuckDB
+    "q_hybrid_external_sql" -> hybridExternalSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,

@@ -267,6 +267,33 @@ object Bm25 {
     names
   }
 
+  /** Register the index artifacts as PERMANENT catalog tables over their
+    * versioned-table locations (`CREATE TABLE <catalog>.<ns>.<prefix>_*
+    * LOCATION ...` — [[graft.sources.table.GraftCatalog]]'s external
+    * registration): unlike [[registerIndexViews]]' temp views, which pin the
+    * snapshot they were created from, a catalog entry re-resolves the commit
+    * log PER QUERY, so the same SQL statement tracks appends with no
+    * re-registration (pinned in SqlSurfaceSpec). Requires the denormalized
+    * postings layout — a catalog table cannot synthesize `dl`; serve a legacy
+    * index through [[registerIndexViews]] instead. Returns (postingsTable,
+    * doclenTable, statsTable) as fully-qualified names.
+    */
+  def registerIndexTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, catalog: String, namespace: String,
+      prefix: String = "bm25_idx"): (String, String, String) = {
+    require(!legacyPostingsLayout(spark, dir),
+      s"$dir/postings uses the pre-denormalization layout (no dl column) — " +
+        "the SQL recipes need dl on postings; serve this index through " +
+        "registerIndexViews, which synthesizes dl via the doclen join")
+    def reg(artifact: String): String = {
+      val t = s"$catalog.$namespace.${prefix}_$artifact"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t LOCATION '$dir/$artifact'")
+      t
+    }
+    (reg("postings"), reg("doclen"), reg("stats"))
+  }
+
   /** Corpus vocabulary with retrieval statistics: one row per distinct token —
     * document frequency, total term frequency, and the same smoothed idf the
     * scorer uses. The lexicon feed for tokenizer training, stopword discovery

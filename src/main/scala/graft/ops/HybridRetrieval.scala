@@ -322,6 +322,36 @@ object HybridRetrieval {
     fuse(lex, sem, k, rrfK)
   }
 
+  /** Hybrid retrieval for EXTERNAL queries with an IVFADC semantic leg — the
+    * fourth semantic-leg option, completing the leg matrix (exact / IVF / BQ /
+    * PQ): candidates come from [[IvfPq.searchIndex]]'s ADC sweep of the
+    * probed clusters' m-byte codes — the most compressed serving tier, for
+    * corpora where even the BQ linear sweep is too wide. RRF consumes only
+    * the leg's RANKS, so the L2-metric ADC leg fuses with the BM25 leg
+    * exactly like the cosine legs do. The lexical leg and fusion are
+    * [[bm25RrfTopKForQueries]]'s; no self-exclusion anywhere — the query id
+    * space is unrelated to corpus ids. Per query batch the plan reads the
+    * query terms' postings row groups and the probed clusters' code row
+    * groups plus broadcast metadata — nothing corpus-sized.
+    */
+  def bm25PqRrfTopKForQueries(index: Bm25.Index, pq: IvfPq.PqIndex,
+      queries: DataFrame, legK: Int = 20, k: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75, nprobe: Int = 4,
+      queryIdCol: String = "query_id", queryTextCol: String = "text",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(legK > 0 && k > 0 && rrfK > 0 && nprobe > 0)
+    val (qTerms, termList) = externalQueryTerms(queries, queryIdCol,
+      queryTextCol)
+    val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
+      excludeSelf = false)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      Similarity.toDoubleVec(col(queryVecCol)).as("qv"))
+    val sem = IvfPq.searchIndex(pq, q, k = legK, nprobe = nprobe)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
+
   /** One-shot convenience: build the [[Bm25.Index]] from `docs` (one
     * tokenization scan) and fuse. Serving paths that answer repeated query
     * batches should build/persist the index once and call

@@ -334,6 +334,83 @@ object SqlRecipes {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Fully index-backed hybrid retrieval for EXTERNAL queries in pure SQL —
+    * twin of [[HybridRetrieval.bm25RrfTopKForQueries]] over the four index
+    * views plus a QUERY view `(query_id, text, embedding)` registered by the
+    * caller (a request batch, a VALUES relation, a landed micro-batch): the
+    * query terms come from tokenizing the query view's own text (distinct
+    * pairs — [[Bm25.buildIndex]]'s whitespace segmentation of the lowercased
+    * text), NO extraction scan of the postings exists, and NO self-exclusion
+    * on either leg (the query id space is unrelated to corpus ids). Float
+    * chains ride the registered native `dot_product` and the same 6-dp/4-dp
+    * grids as the Scala path, so SQL and Scala rank identically row for row
+    * (pinned in SqlSurfaceSpec).
+    */
+  def hybridForQueriesSql(postingsView: String, statsView: String,
+      vectorsView: String, centroidsView: String, queriesView: String,
+      legK: Int, k: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75, nprobe: Int = 4,
+      queryIdCol: String = "query_id", queryTextCol: String = "text",
+      queryVecCol: String = "embedding"): String = {
+    require(legK > 0 && k > 0 && rrfK > 0 && nprobe > 0)
+    s"""WITH qt AS (SELECT DISTINCT query_id, term FROM (
+       |    SELECT ${q(queryIdCol)} AS query_id,
+       |      explode(split(trim(lower(coalesce(${q(queryTextCol)}, ''))),
+       |        '\\\\s+')) AS term
+       |    FROM $queriesView) WHERE term <> ''),
+       |hits AS (SELECT term, doc_id, tf, dl FROM $postingsView
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+       |st AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS n,
+       |    CAST(coalesce(sum(sumdl), 0) AS DOUBLE)
+       |      / CAST(coalesce(sum(n), 0) AS DOUBLE) AS avgdl FROM $statsView),
+       |a AS (SELECT qt.query_id, h.doc_id,
+       |    round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * ${k1 + 1.0}
+       |      / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)), 6) AS a
+       |  FROM hits h JOIN qt ON h.term = qt.term
+       |  JOIN dfs ON dfs.term = h.term CROSS JOIN st),
+       |lex0 AS (SELECT query_id, doc_id, round(sum(a), 6) AS bm25
+       |  FROM a GROUP BY query_id, doc_id),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |    FROM lex0) WHERE lex_rank <= $legK),
+       |c AS (SELECT centroid_id, cv,
+       |    sqrt(dot_product(cv, cv)) AS cnorm FROM $centroidsView),
+       |q AS (SELECT ${q(queryIdCol)} AS query_id,
+       |    transform(${q(queryVecCol)}, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM $queriesView),
+       |qn AS (SELECT query_id, qv, sqrt(dot_product(qv, qv)) AS qnorm FROM q),
+       |probes AS (SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+       |    SELECT qn.query_id, qn.qv, qn.qnorm, c.centroid_id,
+       |      row_number() OVER (PARTITION BY qn.query_id ORDER BY
+       |        dot_product(qn.qv, c.cv) / (qn.qnorm * c.cnorm) DESC,
+       |        c.centroid_id) AS prn
+       |    FROM qn CROSS JOIN c) WHERE prn <= $nprobe),
+       |cand AS (SELECT p.query_id, vv.vec_id AS doc_id,
+       |    round(dot_product(p.qv, vv.v) / (p.qnorm * vv.norm), 4) AS cosine
+       |  FROM probes p JOIN $vectorsView vv ON vv.cluster = p.cluster),
+       |sem AS (SELECT query_id, doc_id, sem_rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS sem_rank
+       |    FROM cand) WHERE sem_rank <= $legK),
+       |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.lex_rank, sem.sem_rank,
+       |    coalesce(CAST(1.0 AS DOUBLE)
+       |        / (CAST($rrfK AS DOUBLE) + CAST(lex.lex_rank AS DOUBLE)),
+       |      CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE)
+       |        / (CAST($rrfK AS DOUBLE) + CAST(sem.sem_rank AS DOUBLE)),
+       |      CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+       |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Ordered conversion funnel — SQL twin of [[Funnel.userFunnel]]: the same
     * single-shuffle collect→sort→aggregate-HOF walk (not k chained self-joins),
     * same min-recursion semantics and output columns.

@@ -356,4 +356,68 @@ class HybridRetrievalSpec extends AnyFunSuite with SharedSpark {
     assert(viaLegacy === viaNew,
       "legacy-layout hybrid serving must match the denormalized layout")
   }
+
+  test("IVFADC hybrid external: the PQ semantic leg completes the leg matrix " +
+      "(exact/IVF/BQ/PQ) — leg ranks match the public tier APIs, plans stay " +
+      "pruned, no doclen read") {
+    import graft.ops.{Bm25, Ivf, IvfPq, Pq, Similarity}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_pqleg")
+      .toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    IvfPq.writePqIndex(emb, coarse, pqCb, s"$dir/pq")
+    val bm25 = Bm25.readIndexFrom(spark, s"$dir/bm25")
+    val pidx = IvfPq.readPqIndex(spark, s"$dir/pq")
+    val queries = docs.filter(col("doc_id") < 3)
+      .join(emb.filter(col("vec_id") < 3), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+
+    val out = HybridRetrieval.bm25PqRrfTopKForQueries(bm25, pidx, queries,
+      legK = 5, k = 5, nprobe = 4)
+    val rows = out.orderBy("query_id", "rank").collect()
+    assert(rows.length === 15, "3 queries x k=5 fused rows")
+
+    // rrf is EXACTLY the fusion of the reported leg ranks
+    rows.foreach { r =>
+      def leg(i: Int): Double =
+        if (r.isNullAt(i)) 0.0 else 1.0 / (60.0 + r.getInt(i))
+      val want = leg(r.fieldIndex("lex_rank")) + leg(r.fieldIndex("sem_rank"))
+      assert(math.abs(r.getAs[Double]("rrf") - want) < 1e-12, r.toString)
+    }
+
+    // the embedded sem ranks ARE IvfPq.searchIndex's ranks (the public tier
+    // API), pinned pair by pair
+    val q = queries.select(col("query_id"),
+      Similarity.toDoubleVec(col("embedding")).as("qv"))
+    val semRanks = IvfPq.searchIndex(pidx, q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    rows.filter(!_.isNullAt(5)).foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(semRanks.get(key).contains(r.getInt(5)),
+        s"sem_rank mismatch for $key: ${r.getInt(5)} vs ${semRanks.get(key)}")
+    }
+
+    // serving plan: postings pruned to the query terms, codes pruned to the
+    // probed clusters, doclen never read
+    val plan = out.queryExecution.executedPlan.toString
+    val postingScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/postings")).toSeq
+    assert(postingScans.nonEmpty && postingScans.forall(l =>
+      l.contains("In(term") || l.contains("EqualTo(term")),
+      s"unpruned postings scan:\n${postingScans.mkString("\n")}")
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/codes")).toSeq
+    assert(codeScans.nonEmpty && codeScans.forall(l =>
+      l.contains("In(cluster") || l.contains("EqualTo(cluster")),
+      s"unpruned codes scan:\n${codeScans.mkString("\n")}")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("/doclen")),
+      "PQ hybrid must not read the doclen table")
+  }
 }

@@ -317,4 +317,69 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
       .orderBy("query_id", "rank").collect().map(_.toString).toSeq
     assert(hySql === hyApi, "SQL hybrid diverged from hybridTopKFromIndexes")
   }
+
+  test("external-query hybrid in pure SQL: the recipe over index views plus " +
+      "a registered query view matches bm25RrfTopKForQueries row for row") {
+    import graft.ops.{Bm25, HybridRetrieval, Ivf, SqlRecipes}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_ext_sql").toString
+    Bm25.writeIndex(docs, s"$dir/bm25")
+    Ivf.writeIvfIndex(emb, Ivf.seedCentroids(emb, nlist = 8), s"$dir/ivf")
+    val (postingsV, _, statsV) =
+      Bm25.registerIndexViews(spark, s"$dir/bm25", "hext_bm25")
+    val (vectorsV, centroidsV) =
+      Ivf.registerIndexViews(spark, s"$dir/ivf", "hext_ivf")
+    // external queries: corpus docs 0-2 relabeled OUT of the corpus id space
+    val queries = docs.filter(col("doc_id") < 3)
+      .join(emb.filter(col("vec_id") < 3), col("doc_id") === col("vec_id"))
+      .select((col("doc_id") + 1000000L).as("query_id"), col("text"),
+        col("embedding"))
+    queries.createOrReplaceTempView("hext_queries")
+
+    val viaSql = spark.sql(SqlRecipes.hybridForQueriesSql(postingsV, statsV,
+        vectorsV, centroidsV, "hext_queries", legK = 5, k = 5, nprobe = 2))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val viaApi = HybridRetrieval.bm25RrfTopKForQueries(
+        Bm25.readIndexFrom(spark, s"$dir/bm25"),
+        Ivf.readIvfIndex(spark, s"$dir/ivf"),
+        queries, legK = 5, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaSql === viaApi,
+      "SQL external hybrid diverged from bm25RrfTopKForQueries")
+  }
+
+  test("LIVE SQL index tables: registerIndexTables binds catalog entries " +
+      "over the artifact dirs, and the SAME statement tracks appends with " +
+      "no re-registration") {
+    import graft.ops.{Bm25, SqlRecipes}
+    val docs = Tables.documents(spark, sf)
+    spark.conf.set("spark.sql.catalog.gidx",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gidx.warehouse",
+      java.nio.file.Files.createTempDirectory("gidx_wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gidx.idx")
+
+    val dir = java.nio.file.Files.createTempDirectory("bm25_live_idx")
+      .toString + "/idx"
+    Bm25.writeIndex(docs.filter(col("doc_id") < 300), dir)
+    val (pt, _, st) = Bm25.registerIndexTables(spark, dir, "gidx", "idx",
+      "live_bm25")
+    val terms = Seq("hash", "join", "vector")
+    val sql = SqlRecipes.bm25FromIndexSql(pt, st, terms, k = 20)
+
+    def viaApi() = graft.ops.Bm25.topKFromIndex(
+        graft.ops.Bm25.readIndexFrom(spark, dir), terms, 20)
+      .collect().map(_.toString).toSeq
+    val before = spark.sql(sql).collect().map(_.toString).toSeq
+    assert(before === viaApi(), "pre-append SQL must match the Scala path")
+
+    // the append lands through the Scala API; the SAME SQL statement serves
+    // the post-append snapshot — the catalog entry re-resolves per query,
+    // unlike a temp view's pinned snapshot
+    Bm25.appendToIndex(docs.filter(col("doc_id") >= 300), dir)
+    val after = spark.sql(sql).collect().map(_.toString).toSeq
+    assert(after === viaApi(), "post-append SQL must match the Scala path")
+    assert(after !== before, "the appended docs must have changed the answer")
+  }
 }
