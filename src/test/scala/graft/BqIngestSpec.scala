@@ -130,4 +130,40 @@ class BqIngestSpec extends AnyFunSuite with SharedSpark {
     assert(fromCodes.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
       oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
   }
+
+  test("lifecycle hooks fire through the streaming path: compactEvery folds " +
+      "and vacuumEvery reclaims per micro-batch, serving stays one-shot-equal") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val codes = s"${Files.createTempDirectory("bq_hooks")}/codes"
+    val ckpt = Files.createTempDirectory("bq_hooks_ckpt").toString
+    Similarity.writeCodes(emb.filter(col("vec_id") < 200), codes)
+
+    val later = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = later.partition(_._1 < 350)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = BqIngest.start(mem.toDF().toDF("vec_id", "embedding"), codes, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      compactEvery = 1, vacuumEvery = 1, vacuumRetentionMs = 0L)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dirs = new java.io.File(s"$codes/_data")
+      .listFiles().count(_.isDirectory)
+    assert(dirs < 4, s"vacuum never reclaimed through the stream: $dirs dirs")
+
+    val served = Similarity.bqTopKFromCodes(Similarity.readCodes(spark, codes),
+      emb, numQueries = 10, k = 5, shortlistK = 30)
+    val oneShot = Similarity.bqTopK(emb, numQueries = 10, k = 5,
+      shortlistK = 30)
+    assert(served.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+  }
 }

@@ -92,4 +92,55 @@ class IvfIngestSpec extends AnyFunSuite with SharedSpark {
     assert(byBatch("8") > 0.25, s"collapsed streamed batch must read retrain-grade: $byBatch")
     assert(byBatch("8") > byBatch("7"), s"shifted batch must out-drift the in-distribution one: $byBatch")
   }
+
+  test("lifecycle hooks fire through the streaming path: compactEvery folds " +
+      "and vacuumEvery reclaims per micro-batch, serving stays one-shot-equal " +
+      "with pruning intact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = Ivf.seedCentroids(emb, nlist = 8)
+    val idx = s"${Files.createTempDirectory("ivf_hooks")}/idx"
+    val ckpt = Files.createTempDirectory("ivf_hooks_ckpt").toString
+    Ivf.writeIvfIndex(emb.filter(col("vec_id") < 200), seeds, idx)
+
+    val later = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = later.partition(_._1 < 350)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IvfIngest.start(mem.toDF().toDF("vec_id", "embedding"), idx, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      compactEvery = 1, vacuumEvery = 1, vacuumRetentionMs = 0L)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // vacuumEvery reclaimed the shadowed pre-compact commits through the
+    // stream: far fewer vectors data dirs than commits written
+    // (base + 2 appends + 2 compacts = 5)
+    val dirs = new java.io.File(s"$idx/vectors/_data")
+      .listFiles().count(_.isDirectory)
+    assert(dirs < 4, s"vacuum never reclaimed through the stream: $dirs dirs")
+
+    // the maintained index still serves exactly the one-shot answer, and the
+    // compacted layout still prunes (probed-cluster isin pushed into the scan)
+    val served = Ivf.ivfTopKFromIndex(Ivf.readIvfIndex(spark, idx),
+      numQueries = 10, k = 5, nprobe = 4)
+    val oneShot = Ivf.ivfTopK(emb, seeds, numQueries = 10, k = 5, nprobe = 4)
+    assert(served.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+    val scans = served.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/vectors")).toSeq
+    // the internal-query convention's one extraction scan (vec_id < n) is
+    // documented and bounded; every OTHER vectors read must stay
+    // cluster-pruned after the streamed compaction
+    val rerank = scans.filterNot(_.contains("LessThan(vec_id"))
+    assert(rerank.nonEmpty && rerank.forall(l =>
+      l.contains("In(cluster") || l.contains("EqualTo(cluster")),
+      s"cluster pruning lost after streamed compaction:\n${scans.mkString("\n")}")
+  }
 }

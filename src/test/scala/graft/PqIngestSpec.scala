@@ -155,4 +155,48 @@ class PqIngestSpec extends AnyFunSuite with SharedSpark {
       l.contains("In(cluster") || l.contains("EqualTo(cluster")),
       s"cluster pruning lost after compaction:\n${scans.mkString("\n")}")
   }
+
+  test("lifecycle hooks fire through the streaming path: compactEvery folds " +
+      "and vacuumEvery reclaims per micro-batch, serving stays one-shot-equal " +
+      "with pruning intact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = s"${Files.createTempDirectory("pq_hooks")}/idx"
+    val ckpt = Files.createTempDirectory("pq_hooks_ckpt").toString
+    IvfPq.writePqIndex(emb.filter(col("vec_id") < 200), coarse, pqCb, idx)
+
+    val later = emb.filter(col("vec_id") >= 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = later.partition(_._1 < 350)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = PqIngest.start(mem.toDF().toDF("vec_id", "embedding"), idx, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      compactEvery = 1, vacuumEvery = 1, vacuumRetentionMs = 0L)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dirs = new java.io.File(s"$idx/codes/_data")
+      .listFiles().count(_.isDirectory)
+    assert(dirs < 4, s"vacuum never reclaimed through the stream: $dirs dirs")
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        graft.ops.Similarity.toDoubleVec(col("embedding")).as("qv"))
+    val pidx = IvfPq.readPqIndex(spark, idx)
+    val served = IvfPq.searchCodes(pidx.codes, queries, pidx.coarse,
+      pidx.codebooks, k = 5, nprobe = 4, pruneScan = true)
+    val oneShot = IvfPq.search(emb, coarse, pqCb, numQueries = 10, k = 5,
+      nprobe = 4)
+    assert(served.orderBy("query_id", "rank").collect().map(_.toString).toSeq ===
+      oneShot.orderBy("query_id", "rank").collect().map(_.toString).toSeq)
+    val scans = served.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/codes")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("In(cluster") || l.contains("EqualTo(cluster")),
+      s"cluster pruning lost after streamed compaction:\n${scans.mkString("\n")}")
+  }
 }
