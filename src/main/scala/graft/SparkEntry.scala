@@ -741,6 +741,45 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Pure-SQL BQ serving gate ([[SqlRecipes.bqFromCodesSql]]): the q_bq_topk
+    * funnel end-to-end in ONE SQL statement over a registered persisted codes
+    * view plus the embeddings — the SAME oracle as q_bq_topk, so the recipe
+    * itself (not just the Scala path) is hash-gated.
+    */
+  private def qBqSql(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = scratchDir("graft_bq_sql") + "/codes"
+    Similarity.writeCodes(emb, codes)
+    Similarity.readCodes(s, codes).createOrReplaceTempView("bqsql_codes")
+    emb.createOrReplaceTempView("bqsql_emb")
+    s.sql(SqlRecipes.bqFromCodesSql("bqsql_codes", "bqsql_emb",
+        numQueries = 10, k = 5, shortlistK = 30))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Pure-SQL IVFADC serving gate ([[SqlRecipes.ivfPqForQueriesSql]]): the
+    * q_ivfpq_topk seeded-codebook index served to an EXTERNAL query batch
+    * (vectors 0-4 relabeled +10⁶, no self-exclusion) in ONE SQL statement
+    * over the registered index views; the oracle replays the full IVFADC
+    * chain with the relabeled exclusion-free semantics.
+    */
+  private def qIvfPqSql(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    val idx = scratchDir("graft_ivfpq_sql")
+    IvfPq.writePqIndex(emb, coarse, pqCb, idx)
+    val (codesV, coarseV, pqV) = IvfPq.registerIndexViews(s, idx, "pqsql_idx")
+    emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+      .createOrReplaceTempView("pqsql_queries")
+    s.sql(SqlRecipes.ivfPqForQueriesSql(codesV, coarseV, pqV,
+        "pqsql_queries", k = 5, nprobe = 4))
+      .orderBy("query_id", "rank")
+  }
+
   /** Incrementally-maintained BQ codes table ([[Similarity.writeCodes]] + an
     * [[Similarity.appendToCodes]] batch, each quantized per row — the
     * stateless tier, nothing to freeze) answering the SAME funnel as
@@ -2746,6 +2785,8 @@ object SparkEntry {
     "q_hybrid_bq" -> qHybridBq,
     "q_hybrid_pq" -> qHybridPq,
     "q_hybrid_external_sql" -> qHybridExternalSql,
+    "q_bq_sql" -> qBqSql,
+    "q_ivfpq_sql" -> qIvfPqSql,
     "q_bq_topk" -> qBqTopK,
     "q_bq_append" -> qBqAppend,
     "q_embedding_neardup" -> qEmbeddingNearDup,
@@ -3605,6 +3646,67 @@ object SparkEntry {
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_ivfpq_sql: [[ivfPqTopkSql]]'s seeded IVFADC chain with the EXTERNAL
+    * serving semantics — queries relabeled +10⁶ and NO self-exclusion in the
+    * candidate set (the [[SqlRecipes.ivfPqForQueriesSql]] contract) — 4-dp
+    * grid, (adist ASC, vec_id) ties.
+    */
+  private lazy val ivfPqExternalSql: String = {
+    def term(j: Int): String =
+      s"list_sum(list_transform(list_zip(c2.qr[${j * 16 + 1} : ${(j + 1) * 16}], " +
+        s"p$j.pcw), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    val adist = s"(((${term(0)} + ${term(1)}) + ${term(2)}) + ${term(3)})"
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS cluster, v AS cw FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, cluster, cw FROM (
+      |    SELECT e.vec_id, e.v, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.v, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS rn
+      |    FROM e CROSS JOIN cc) WHERE rn = 1),
+      |res AS (SELECT vec_id, cluster,
+      |    list_transform(list_zip(v, cw), z -> z[1] - z[2]) AS rv FROM asg),
+      |pq AS (SELECT j, vec_id - 8 AS code,
+      |    rv[j * 16 + 1 : j * 16 + 16] AS pcw
+      |  FROM res, (SELECT unnest(range(4)) AS j) js
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |enc AS (SELECT vec_id, j, code FROM (
+      |    SELECT r.vec_id, p.j, p.code,
+      |      row_number() OVER (PARTITION BY r.vec_id, p.j ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(r.rv[p.j * 16 + 1 : p.j * 16 + 16], p.pcw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, p.code) AS rn
+      |    FROM res r CROSS JOIN pq p) WHERE rn = 1),
+      |q AS (SELECT vec_id + 1000000 AS query_id, v AS qv FROM e
+      |  WHERE vec_id < 5),
+      |probes AS (SELECT query_id, qv, cluster, cw FROM (
+      |    SELECT q.query_id, q.qv, cc.cluster, cc.cw,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, cc.cw),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cluster) AS prn
+      |    FROM q CROSS JOIN cc) WHERE prn <= 4),
+      |cand AS (SELECT pr.query_id, a2.vec_id,
+      |    list_transform(list_zip(pr.qv, pr.cw), z -> z[1] - z[2]) AS qr
+      |  FROM probes pr JOIN asg a2 ON a2.cluster = pr.cluster),
+      |""".stripMargin +
+    s"""ad AS (SELECT c2.query_id, c2.vec_id, round($adist, 4) AS adist
+      |  FROM cand c2
+      |  JOIN enc e0 ON e0.vec_id = c2.vec_id AND e0.j = 0
+      |  JOIN pq p0 ON p0.j = 0 AND p0.code = e0.code
+      |  JOIN enc e1 ON e1.vec_id = c2.vec_id AND e1.j = 1
+      |  JOIN pq p1 ON p1.j = 1 AND p1.code = e1.code
+      |  JOIN enc e2 ON e2.vec_id = c2.vec_id AND e2.j = 2
+      |  JOIN pq p2 ON p2.j = 2 AND p2.code = e2.code
+      |  JOIN enc e3 ON e3.vec_id = c2.vec_id AND e3.j = 3
+      |  JOIN pq p3 ON p3.j = 3 AND p3.code = e3.code)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+      |  adist AS approx_sq_dist FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rank FROM ad)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_ivfpq_topk: IVFADC replayed end-to-end in DuckDB off the seeded
     * codebooks — coarse centroids = vectors 0-7 (argmin L2, cluster-id ties),
     * residual codewords = residual slices of vectors 8-15 (16 dims per
@@ -4026,6 +4128,9 @@ object SparkEntry {
     // the SQL-recipe gate replays the SAME external-hybrid formulation: oracle
     // equality proves the recipe, not just the Scala path, matches DuckDB
     "q_hybrid_external_sql" -> hybridExternalSql,
+    // the BQ recipe gate replays the SAME one-shot funnel oracle as q_bq_topk
+    "q_bq_sql" -> bqTopkSql,
+    "q_ivfpq_sql" -> ivfPqExternalSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_repetition" -> repetitionSql,

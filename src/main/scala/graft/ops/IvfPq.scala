@@ -396,6 +396,22 @@ object IvfPq {
       graft.catalog.VersionedTable.read(spark, s"$dir/pq"),
       graft.catalog.VersionedTable.read(spark, s"$dir/codes"))
 
+  /** Register a persisted index's artifact tables as TEMP VIEWS so the
+    * pure-SQL serving recipe ([[SqlRecipes.ivfPqForQueriesSql]]) runs
+    * end-to-end against named tables. Returns (codesView, coarseView,
+    * pqView); same snapshot semantics as [[Bm25.registerIndexViews]]
+    * (re-register to pick up later appends).
+    */
+  def registerIndexViews(spark: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String = "pq_idx"): (String, String, String) = {
+    import graft.catalog.VersionedTable
+    val names = (s"${prefix}_codes", s"${prefix}_coarse", s"${prefix}_pq")
+    VersionedTable.read(spark, s"$dir/codes").createOrReplaceTempView(names._1)
+    VersionedTable.read(spark, s"$dir/coarse").createOrReplaceTempView(names._2)
+    VersionedTable.read(spark, s"$dir/pq").createOrReplaceTempView(names._3)
+    names
+  }
+
   /** IVFADC search off a persisted index with EXTERNAL queries
     * `(query_id, qv)` — identical results to [[searchCodes]] over the same
     * artifacts (encode is deterministic given frozen codebooks), with the

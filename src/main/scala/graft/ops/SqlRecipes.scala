@@ -411,6 +411,108 @@ object SqlRecipes {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Binary-quantized ANN FROM A PERSISTED CODES TABLE — pure-SQL twin of
+    * [[Similarity.bqTopKFromCodes]] over `codes(vec_id, code)` plus the
+    * embeddings view for the exact rerank (completing the SQL serving story
+    * across the retrieval tiers: BM25, IVF, hybrid, BQ, IVFADC): exact-integer
+    * Hamming sweep of the 32×-compressed codes (the tier's contract — a
+    * LINEAR sweep, nothing to prune), shortlist with (hamming, vec_id) ties,
+    * 4-dp cosine rerank of shortlist rows only through the native
+    * `dot_product`, self excluded (the internal-query convention). Same float
+    * chains as the Scala path, so the two rank identically row for row.
+    */
+  def bqFromCodesSql(codesView: String, embeddingsView: String,
+      numQueries: Int, k: Int, shortlistK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    require(numQueries > 0 && k > 0 && shortlistK >= k,
+      s"shortlistK ($shortlistK) must cover k ($k)")
+    s"""WITH qc AS (SELECT vec_id AS query_id, code AS qcode
+       |  FROM $codesView WHERE vec_id < $numQueries),
+       |h AS (SELECT qc.query_id, c.vec_id,
+       |    aggregate(zip_with(qc.qcode, c.code,
+       |      (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),
+       |      CAST(0 AS BIGINT), (acc, v) -> acc + v) AS hamming
+       |  FROM $codesView c JOIN qc ON c.vec_id <> qc.query_id),
+       |sl AS (SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY hamming, vec_id) AS sr FROM h)
+       |  WHERE sr <= $shortlistK),
+       |n AS (SELECT ${q(idCol)} AS vec_id,
+       |    transform(${q(vecCol)}, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $embeddingsView),
+       |nn AS (SELECT vec_id, v, sqrt(dot_product(v, v)) AS norm FROM n),
+       |qv AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM nn
+       |  WHERE vec_id < $numQueries),
+       |s AS (SELECT sl.query_id, sl.vec_id,
+       |    round(dot_product(qv.qv, nn.v) / (qv.qnorm * nn.norm), 4) AS cosine
+       |  FROM sl JOIN nn ON nn.vec_id = sl.vec_id
+       |    JOIN qv ON qv.query_id = sl.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** IVFADC search FROM A PERSISTED INDEX for EXTERNAL queries — pure-SQL
+    * twin of [[IvfPq.searchIndex]] over the three index views
+    * ([[IvfPq.writePqIndex]]'s layout registered via
+    * [[IvfPq.registerIndexViews]]): `codes(vec_id, cluster, codes)`,
+    * `coarse(cluster, cw)`, `pq(subspace, code, cw)`, plus a registered query
+    * view `(queryIdCol, queryVecCol)`. Replays the full chain in the Scala
+    * operator's operation order — probe argmin by (squared L2 ASC, cluster),
+    * per-(query, probe) residual lookup table, ADC sum over the probed
+    * clusters' codes, `adist` on the 4-dp grid BEFORE ranking with vec_id
+    * ties, NO self-exclusion (the external convention) — so SQL and Scala
+    * rank identically row for row. The squared-L2 folds are written as the
+    * identical interpreted `aggregate(zip_with(...))` chains the Scala path
+    * evaluates, keeping float results bit-equal. The cluster equality join
+    * prunes the same candidate set the Scala path's pushed isin reads
+    * (exactly [[ivfFromIndexSql]]'s trade).
+    */
+  def ivfPqForQueriesSql(codesView: String, coarseView: String,
+      pqView: String, queriesView: String, k: Int, nprobe: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): String = {
+    require(k > 0 && nprobe > 0)
+    val sq = "(x, y) -> (x - y) * (x - y)"
+    s"""WITH cb AS (SELECT collect_list(struct(subspace, code, cw)) AS cbs,
+       |    CAST(count(DISTINCT subspace) AS INT) AS m FROM $pqView),
+       |qr AS (SELECT ${q(queryIdCol)} AS query_id,
+       |    transform(${q(queryVecCol)}, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM $queriesView),
+       |probed AS (SELECT qr.query_id, qr.qv, cc.cluster, cc.cw AS ccw,
+       |    aggregate(zip_with(qr.qv, cc.cw, $sq),
+       |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS cdist
+       |  FROM qr CROSS JOIN $coarseView cc),
+       |probes AS (SELECT query_id, qv, cluster, ccw FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cdist ASC, cluster) AS prn
+       |    FROM probed) WHERE prn <= $nprobe),
+       |luts AS (SELECT p.query_id, p.cluster, cb.m,
+       |    map_from_entries(transform(cb.cbs, c ->
+       |      struct(c.subspace * 65536 + c.code,
+       |        aggregate(zip_with(
+       |          zip_with(
+       |            slice(p.qv, c.subspace * CAST(size(p.qv) / cb.m AS INT) + 1,
+       |              CAST(size(p.qv) / cb.m AS INT)),
+       |            slice(p.ccw, c.subspace * CAST(size(p.qv) / cb.m AS INT) + 1,
+       |              CAST(size(p.qv) / cb.m AS INT)),
+       |            (x, y) -> x - y),
+       |          c.cw, $sq),
+       |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))) AS lut
+       |  FROM probes p CROSS JOIN cb),
+       |cand AS (SELECT l.query_id, cd.vec_id,
+       |    round(aggregate(sequence(0, l.m - 1), CAST(0.0 AS DOUBLE),
+       |      (acc, j) -> acc + element_at(l.lut,
+       |        j * 65536 + element_at(cd.codes, j + 1))), 4) AS adist
+       |  FROM $codesView cd JOIN luts l ON cd.cluster = l.cluster)
+       |SELECT query_id, rank, vec_id, adist AS approx_sq_dist FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Ordered conversion funnel — SQL twin of [[Funnel.userFunnel]]: the same
     * single-shuffle collect→sort→aggregate-HOF walk (not k chained self-joins),
     * same min-recursion semantics and output columns.

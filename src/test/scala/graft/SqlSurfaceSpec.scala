@@ -382,4 +382,50 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(after === viaApi(), "post-append SQL must match the Scala path")
     assert(after !== before, "the appended docs must have changed the answer")
   }
+
+  test("pure-SQL BQ-from-codes recipe matches the Scala funnel on a " +
+      "persisted, incrementally-appended codes table") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bq_sql_codes")
+      .toString + "/codes"
+    Similarity.writeCodes(emb.filter(col("vec_id") < 300), dir)
+    Similarity.appendToCodes(emb.filter(col("vec_id") >= 300), dir)
+    Similarity.readCodes(spark, dir).createOrReplaceTempView("bqp_codes")
+    emb.createOrReplaceTempView("bqp_emb")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.bqFromCodesSql(
+        "bqp_codes", "bqp_emb", numQueries = 10, k = 5, shortlistK = 30))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val viaApi = Similarity.bqTopKFromCodes(Similarity.readCodes(spark, dir),
+        emb, numQueries = 10, k = 5, shortlistK = 30)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaSql === viaApi, "SQL BQ funnel diverged from bqTopKFromCodes")
+  }
+
+  test("pure-SQL IVFADC recipe matches IvfPq.searchIndex row for row on an " +
+      "external query batch") {
+    import graft.ops.{IvfPq, Pq, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_sql_idx")
+      .toString + "/idx"
+    IvfPq.writePqIndex(emb.filter(col("vec_id") < 300), coarse, pqCb, dir)
+    IvfPq.appendToPqIndex(emb.filter(col("vec_id") >= 300), dir)
+    val (codesV, coarseV, pqV) = IvfPq.registerIndexViews(spark, dir, "pqp_idx")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+    queries.createOrReplaceTempView("pqp_queries")
+    val viaSql = spark.sql(graft.ops.SqlRecipes.ivfPqForQueriesSql(
+        codesV, coarseV, pqV, "pqp_queries", k = 5, nprobe = 3))
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val viaApi = IvfPq.searchIndex(IvfPq.readPqIndex(spark, dir),
+        queries.select(col("query_id"),
+          Similarity.toDoubleVec(col("embedding")).as("qv")),
+        k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(viaSql === viaApi, "SQL IVFADC diverged from searchIndex")
+  }
 }
