@@ -223,6 +223,21 @@ object Bm25 {
   /** Load a persisted index. The per-batch stat rows fold to the single
     * corpus-stats row here — O(#batches), metadata-scale; coalesce covers the
     * all-empty-batches degenerate case the same way an empty corpus does.
+    *
+    * CROSS-ARTIFACT CONSISTENCY (why this tier needs no
+    * [[graft.catalog.IndexManifest]]): every mutation is append-only and
+    * lands postings → doclen → stats, while this reader resolves stats FIRST
+    * (below) and postings last — so the stats snapshot is always a subset of
+    * the postings snapshot. A concurrent append can at worst add documents
+    * whose postings are visible but whose batch hasn't reached the stats fold
+    * yet: those score against a slightly-stale (N, avgdl) — bounded
+    * staleness, never a torn layout (on the legacy 3-column layout the inner
+    * doclen join instead holds such docs out of results until their doclen
+    * batch lands — same bound). Compaction rewrites each artifact
+    * content-preserving, so mixing pre/post-compact versions across artifacts
+    * is also harmless. Rebuild — the one content-changing multi-table
+    * overwrite — exists only on the codebook tiers (IVF, IVF-PQ), which is
+    * exactly where the manifest lives. Do not reorder these reads.
     */
   def readIndexFrom(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
     import graft.catalog.VersionedTable

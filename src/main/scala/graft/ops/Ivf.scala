@@ -138,6 +138,12 @@ object Ivf {
     landBatch(embeddings, centroids, dir, "overwrite", batchLabel, idCol, vecCol)
   }
 
+  /** The index's artifact tables, in landing order; the
+    * [[graft.catalog.IndexManifest]] pins all three so readers resolve one
+    * consistent epoch across them.
+    */
+  private[graft] val IndexArtifacts = Seq("centroids", "vectors", "quality")
+
   /** Append one vector batch: ONE map-side assignment scan of the batch
     * against the persisted centroids, then a batch-sized clustered write
     * plus its quality row(s).
@@ -145,17 +151,22 @@ object Ivf {
   def appendToIvfIndex(batch: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchLabel: String = "batch"): Unit = {
-    val centroids = graft.catalog.VersionedTable
-      .read(batch.sparkSession, s"$dir/centroids")
+    val spark = batch.sparkSession
+    val centroids = graft.catalog.IndexManifest.readArtifact(spark, dir,
+      "centroids", graft.catalog.IndexManifest.pins(spark, dir))
     landBatch(batch, centroids, dir, "append", batchLabel, idCol, vecCol)
   }
 
   private def landBatch(batch: DataFrame, centroids: DataFrame, dir: String,
       operation: String, batchLabel: String, idCol: String,
-      vecCol: String): Unit =
+      vecCol: String): Unit = {
     landArtifacts(batch, centroids, batchLabel, idCol, vecCol) { (df, artifact) =>
       graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
     }
+    // publish point: ONE atomic manifest commit pins the artifacts' new
+    // heads — readers see the whole mutation or none of it
+    graft.catalog.IndexManifest.refresh(batch.sparkSession, dir, IndexArtifacts)
+  }
 
   /** Build the batch's two index artifacts from ONE persisted assignment scan
     * and hand each to `land(df, artifact)` (artifact ∈ "vectors" |
@@ -210,10 +221,20 @@ object Ivf {
 
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
+  /** Resolve the index at one consistent epoch: the manifest pins are read
+    * ONCE (a single atomic commit), then both artifacts resolve AS OF their
+    * pinned versions — a concurrent [[rebuildIndex]] (which overwrites
+    * centroids and vectors in separate commits) can never hand this reader
+    * one epoch's centroids with the other's assignments. Pre-manifest
+    * indexes fall back to head reads.
+    */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IvfIndex =
-    IvfIndex(graft.catalog.VersionedTable.read(spark, s"$dir/centroids"),
-      graft.catalog.VersionedTable.read(spark, s"$dir/vectors"))
+      dir: String): IvfIndex = {
+    import graft.catalog.IndexManifest
+    val p = IndexManifest.pins(spark, dir)
+    IvfIndex(IndexManifest.readArtifact(spark, dir, "centroids", p),
+      IndexManifest.readArtifact(spark, dir, "vectors", p))
+  }
 
   /** Register a persisted index's artifact tables as TEMP VIEWS so the
     * pure-SQL serving recipes ([[SqlRecipes.ivfFromIndexSql]],
@@ -223,11 +244,12 @@ object Ivf {
     */
   def registerIndexViews(spark: org.apache.spark.sql.SparkSession, dir: String,
       prefix: String = "ivf_idx"): (String, String) = {
-    import graft.catalog.VersionedTable
+    import graft.catalog.IndexManifest
     val names = (s"${prefix}_vectors", s"${prefix}_centroids")
-    VersionedTable.read(spark, s"$dir/vectors")
+    val p = IndexManifest.pins(spark, dir)
+    IndexManifest.readArtifact(spark, dir, "vectors", p)
       .createOrReplaceTempView(names._1)
-    VersionedTable.read(spark, s"$dir/centroids")
+    IndexManifest.readArtifact(spark, dir, "centroids", p)
       .createOrReplaceTempView(names._2)
     names
   }
@@ -331,8 +353,11 @@ object Ivf {
   def ivfDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
       baseBatch: String = "base", epsilon: Double = 1e-6): DataFrame = {
     require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
-    val quality = graft.catalog.VersionedTable.read(spark, s"$dir/quality")
-    val clusters = graft.catalog.VersionedTable.read(spark, s"$dir/centroids")
+    val p = graft.catalog.IndexManifest.pins(spark, dir)
+    val quality = graft.catalog.IndexManifest
+      .readArtifact(spark, dir, "quality", p)
+    val clusters = graft.catalog.IndexManifest
+      .readArtifact(spark, dir, "centroids", p)
       .select(col("centroid_id").as("cluster"))
     // dense (batch × cluster) grid so zero-occupancy clusters still
     // contribute through the epsilon floor — both frames are metadata-scale
@@ -392,14 +417,16 @@ object Ivf {
     */
   def rebuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       nlist: Int = 0, iters: Int = 4, batchLabel: String = "base"): Unit = {
-    import graft.catalog.VersionedTable
-    // pins the pre-rebuild snapshot: the overwrite below writes new files and
-    // a new commit, so reading the old file list while rewriting is safe
-    val corpus = VersionedTable.read(spark, s"$dir/vectors")
+    import graft.catalog.IndexManifest
+    // pins the pre-rebuild snapshot (one manifest epoch): the overwrite below
+    // writes new files and new commits, so reading the old file list while
+    // rewriting is safe
+    val p = IndexManifest.pins(spark, dir)
+    val corpus = IndexManifest.readArtifact(spark, dir, "vectors", p)
       .select(col("vec_id"), col("v").as("embedding"))
     val k =
       if (nlist > 0) nlist
-      else VersionedTable.read(spark, s"$dir/centroids").count().toInt
+      else IndexManifest.readArtifact(spark, dir, "centroids", p).count().toInt
     val seeds = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"),
         Similarity.toDoubleVec(col("embedding")).as("cv"))

@@ -224,19 +224,33 @@ object IvfPq {
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchLabel: String = "batch"): Unit = {
     val spark = batch.sparkSession
+    // one pins read → BOTH codebooks come from the same epoch (encoding a
+    // batch against one epoch's coarse and another's pq would corrupt codes)
+    val p = graft.catalog.IndexManifest.pins(spark, dir)
     landBatch(batch,
-      graft.catalog.VersionedTable.read(spark, s"$dir/coarse"),
-      graft.catalog.VersionedTable.read(spark, s"$dir/pq"),
+      graft.catalog.IndexManifest.readArtifact(spark, dir, "coarse", p),
+      graft.catalog.IndexManifest.readArtifact(spark, dir, "pq", p),
       dir, "append", batchLabel, idCol, vecCol)
   }
 
+  /** The index's artifact tables, in landing order; the
+    * [[graft.catalog.IndexManifest]] pins all four so readers resolve one
+    * consistent epoch across them.
+    */
+  private[graft] val IndexArtifacts = Seq("coarse", "pq", "codes", "quality")
+
   private def landBatch(batch: DataFrame, coarse: DataFrame,
       pqCodebooks: DataFrame, dir: String, operation: String,
-      batchLabel: String, idCol: String, vecCol: String): Unit =
+      batchLabel: String, idCol: String, vecCol: String): Unit = {
     landArtifacts(batch, coarse, pqCodebooks, batchLabel, idCol, vecCol) {
       (df, artifact) =>
         graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
     }
+    // publish point: ONE atomic manifest commit pins the artifacts' new
+    // heads — readers see the whole mutation or none of it
+    graft.catalog.IndexManifest.refresh(batch.sparkSession, dir,
+      IndexArtifacts)
+  }
 
   /** Build the batch's two index artifacts from ONE persisted encode scan and
     * hand each to `land(df, artifact)` (artifact ∈ "codes" | "quality") —
@@ -316,8 +330,11 @@ object IvfPq {
   def pqDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
       baseBatch: String = "base", epsilon: Double = 1e-6): DataFrame = {
     require(epsilon > 0 && epsilon < 1, "epsilon must be in (0, 1)")
-    val quality = graft.catalog.VersionedTable.read(spark, s"$dir/quality")
-    val clusters = graft.catalog.VersionedTable.read(spark, s"$dir/coarse")
+    val p = graft.catalog.IndexManifest.pins(spark, dir)
+    val quality = graft.catalog.IndexManifest
+      .readArtifact(spark, dir, "quality", p)
+    val clusters = graft.catalog.IndexManifest
+      .readArtifact(spark, dir, "coarse", p)
       .select(col("cluster"))
     // dense (batch × cluster) grid so zero-occupancy clusters still
     // contribute through the epsilon floor — both frames are metadata-scale
@@ -367,14 +384,18 @@ object IvfPq {
     // seeds' own zero residuals, which would collapse the codebooks
     require(iters >= 1, s"rebuild needs iters >= 1 (got $iters)")
     val spark = embeddings.sparkSession
-    val curPq = graft.catalog.VersionedTable.read(spark, s"$dir/pq")
+    // geometry comes from ONE pinned epoch (m/ksub from one epoch's pq with
+    // nlist from another's coarse would rebuild a differently-shaped index)
+    val pins = graft.catalog.IndexManifest.pins(spark, dir)
+    val curPq = graft.catalog.IndexManifest.readArtifact(spark, dir, "pq",
+      pins)
     val geom = curPq.agg(
       countDistinct(col("subspace")).cast("int").as("m"),
       countDistinct(col("code")).cast("int").as("ksub")).head()
     val k =
       if (nlist > 0) nlist
-      else graft.catalog.VersionedTable.read(spark, s"$dir/coarse")
-        .count().toInt
+      else graft.catalog.IndexManifest.readArtifact(spark, dir, "coarse",
+        pins).count().toInt
     val m0 = if (m > 0) m else geom.getInt(0)
     val ks = if (ksub > 0) ksub else geom.getInt(1)
     val trainFrame = embeddings
@@ -390,11 +411,21 @@ object IvfPq {
   final case class PqIndex(coarse: DataFrame, codebooks: DataFrame,
       codes: DataFrame)
 
+  /** Resolve the index at one consistent epoch: the manifest pins are read
+    * ONCE, then all three artifacts resolve AS OF their pinned versions — a
+    * concurrent [[rebuildPqIndex]] (which overwrites all four artifacts in
+    * separate commits) can never hand this reader one epoch's codebooks with
+    * another's codes, which would decode to garbage ADC distances.
+    * Pre-manifest indexes fall back to head reads.
+    */
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): PqIndex =
-    PqIndex(graft.catalog.VersionedTable.read(spark, s"$dir/coarse"),
-      graft.catalog.VersionedTable.read(spark, s"$dir/pq"),
-      graft.catalog.VersionedTable.read(spark, s"$dir/codes"))
+      dir: String): PqIndex = {
+    import graft.catalog.IndexManifest
+    val p = IndexManifest.pins(spark, dir)
+    PqIndex(IndexManifest.readArtifact(spark, dir, "coarse", p),
+      IndexManifest.readArtifact(spark, dir, "pq", p),
+      IndexManifest.readArtifact(spark, dir, "codes", p))
+  }
 
   /** Register a persisted index's artifact tables as TEMP VIEWS so the
     * pure-SQL serving recipe ([[SqlRecipes.ivfPqForQueriesSql]]) runs
@@ -404,11 +435,15 @@ object IvfPq {
     */
   def registerIndexViews(spark: org.apache.spark.sql.SparkSession, dir: String,
       prefix: String = "pq_idx"): (String, String, String) = {
-    import graft.catalog.VersionedTable
+    import graft.catalog.IndexManifest
     val names = (s"${prefix}_codes", s"${prefix}_coarse", s"${prefix}_pq")
-    VersionedTable.read(spark, s"$dir/codes").createOrReplaceTempView(names._1)
-    VersionedTable.read(spark, s"$dir/coarse").createOrReplaceTempView(names._2)
-    VersionedTable.read(spark, s"$dir/pq").createOrReplaceTempView(names._3)
+    val p = IndexManifest.pins(spark, dir)
+    IndexManifest.readArtifact(spark, dir, "codes", p)
+      .createOrReplaceTempView(names._1)
+    IndexManifest.readArtifact(spark, dir, "coarse", p)
+      .createOrReplaceTempView(names._2)
+    IndexManifest.readArtifact(spark, dir, "pq", p)
+      .createOrReplaceTempView(names._3)
     names
   }
 

@@ -95,14 +95,18 @@ object IvfIngest {
       txnId: Long, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     if (batch.isEmpty) return
-    val centroids = VersionedTable.read(batch.sparkSession,
-      s"$indexDir/centroids")
+    val spark = batch.sparkSession
+    val centroids = graft.catalog.IndexManifest.readArtifact(spark, indexDir,
+      "centroids", graft.catalog.IndexManifest.pins(spark, indexDir))
     Ivf.landArtifacts(batch, centroids, txnId.toString, idCol, vecCol) {
       (df, artifact) =>
         VersionedTable.idempotentAppend(df, s"$indexDir/$artifact",
           s"$txnApp#$artifact", txnId)
         ()
     }
+    // publish: one atomic manifest commit; a replayed batch's appends dedup
+    // to no-ops and this rewrites the same pins (convergent)
+    graft.catalog.IndexManifest.refresh(spark, indexDir, Ivf.IndexArtifacts)
   }
 
   /** Fold the accreted per-batch commits: vectors rewrite CLUSTER-ordered
@@ -114,6 +118,9 @@ object IvfIngest {
     VersionedTable.compact(spark, s"$indexDir/vectors",
       sortBy = Seq("cluster", "vec_id"))
     VersionedTable.compact(spark, s"$indexDir/quality", numFiles = 1)
+    // re-pin onto the compacted versions so a later vacuum can never reclaim
+    // data the manifest still points at
+    graft.catalog.IndexManifest.refresh(spark, indexDir, Ivf.IndexArtifacts)
     ()
   }
 
@@ -124,6 +131,8 @@ object IvfIngest {
     */
   def vacuumIndex(spark: SparkSession, indexDir: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
-    Seq("vectors", "quality", "centroids").flatMap(artifact =>
-      VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
+    (Ivf.IndexArtifacts :+ "manifest")
+      .filter(a => VersionedTable.exists(spark, s"$indexDir/$a"))
+      .flatMap(artifact =>
+        VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
 }

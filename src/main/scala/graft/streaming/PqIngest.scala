@@ -105,14 +105,21 @@ object PqIngest {
       vecCol: String = "embedding"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val coarse = VersionedTable.read(spark, s"$indexDir/coarse")
-    val pq = VersionedTable.read(spark, s"$indexDir/pq")
+    // one pins read → both codebooks from the same epoch
+    val p = graft.catalog.IndexManifest.pins(spark, indexDir)
+    val coarse = graft.catalog.IndexManifest.readArtifact(spark, indexDir,
+      "coarse", p)
+    val pq = graft.catalog.IndexManifest.readArtifact(spark, indexDir,
+      "pq", p)
     IvfPq.landArtifacts(batch, coarse, pq, txnId.toString, idCol, vecCol) {
       (df, artifact) =>
         VersionedTable.idempotentAppend(df, s"$indexDir/$artifact",
           s"$txnApp#$artifact", txnId)
         ()
     }
+    // publish: one atomic manifest commit; a replayed batch's appends dedup
+    // to no-ops and this rewrites the same pins (convergent)
+    graft.catalog.IndexManifest.refresh(spark, indexDir, IvfPq.IndexArtifacts)
   }
 
   /** Fold the accreted per-batch commits: codes rewrite CLUSTER-ordered
@@ -125,6 +132,9 @@ object PqIngest {
     VersionedTable.compact(spark, s"$indexDir/codes",
       sortBy = Seq("cluster", "vec_id"))
     VersionedTable.compact(spark, s"$indexDir/quality", numFiles = 1)
+    // re-pin onto the compacted versions so a later vacuum can never reclaim
+    // data the manifest still points at
+    graft.catalog.IndexManifest.refresh(spark, indexDir, IvfPq.IndexArtifacts)
     ()
   }
 
@@ -135,6 +145,8 @@ object PqIngest {
     */
   def vacuumIndex(spark: SparkSession, indexDir: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
-    Seq("codes", "quality", "coarse", "pq").flatMap(artifact =>
-      VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
+    (IvfPq.IndexArtifacts :+ "manifest")
+      .filter(a => VersionedTable.exists(spark, s"$indexDir/$a"))
+      .flatMap(artifact =>
+        VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
 }
