@@ -443,9 +443,13 @@ object Ivf {
     * LOCATION ...` — [[graft.sources.table.GraftCatalog]]'s external
     * registration): unlike [[registerIndexViews]]' temp views, which pin the
     * snapshot they were created from, a catalog entry re-resolves the commit
-    * log PER QUERY, so the same SQL statement tracks appends — and rebuilds —
-    * with no re-registration. Returns (vectorsTable, centroidsTable) as
-    * fully-qualified names.
+    * log PER QUERY, so the same SQL statement tracks appends with no
+    * re-registration, and statements issued AFTER a rebuild settles see the
+    * new epoch. A statement RACING a rebuild is the one case the live route
+    * cannot pin: it resolves each catalog table independently, so it can mix
+    * codebook epochs — serve rebuild windows through [[registerIndexViews]]
+    * (manifest-pinned) or quiesce SQL for the rebuild. Returns
+    * (vectorsTable, centroidsTable) as fully-qualified names.
     */
   def registerIndexTables(spark: org.apache.spark.sql.SparkSession,
       dir: String, catalog: String, namespace: String,

@@ -447,6 +447,34 @@ object IvfPq {
     names
   }
 
+  /** Register the index artifacts as PERMANENT catalog tables over their
+    * versioned-table locations ([[graft.sources.table.GraftCatalog]]'s
+    * external registration) so [[SqlRecipes.ivfPqForQueriesSql]] serves LIVE:
+    * a catalog entry re-resolves the commit log per query, so the same SQL
+    * statement tracks appends with no re-registration — completing the live
+    * SQL serving symmetry across all four index tiers (BM25, IVF, BQ,
+    * IVFADC). Returns (codesTable, coarseTable, pqTable) as fully-qualified
+    * names.
+    *
+    * Appends are safe on the live route (each batch publishes whole through
+    * the manifest, and a statement that resolves mid-append at worst misses
+    * the in-flight batch). A REBUILD is not: live SQL resolves each catalog
+    * table independently, so a statement racing [[rebuildPqIndex]] can mix
+    * codebook epochs — serve rebuild windows through [[registerIndexViews]]
+    * (manifest-pinned) or quiesce SQL for the rebuild.
+    */
+  def registerIndexTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, catalog: String, namespace: String,
+      prefix: String = "pq_idx"): (String, String, String) = {
+    def reg(artifact: String): String = {
+      val t = s"$catalog.$namespace.${prefix}_$artifact"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t LOCATION '$dir/$artifact'")
+      t
+    }
+    (reg("codes"), reg("coarse"), reg("pq"))
+  }
+
   /** IVFADC search off a persisted index with EXTERNAL queries
     * `(query_id, qv)` — identical results to [[searchCodes]] over the same
     * artifacts (encode is deterministic given frozen codebooks), with the

@@ -414,6 +414,23 @@ object Similarity {
   def readCodes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.catalog.VersionedTable.read(spark, dir)
 
+  /** Register the codes table as a PERMANENT catalog table over its
+    * versioned-table location ([[graft.sources.table.GraftCatalog]]'s
+    * external registration) so [[SqlRecipes.bqFromCodesSql]] serves LIVE —
+    * the catalog entry re-resolves the commit log per query, so the same SQL
+    * statement tracks appends with no re-registration. One table, so every
+    * resolution is atomic by construction (the stateless tier needs no
+    * manifest and has no rebuild caveat). Returns the fully-qualified name.
+    */
+  def registerCodesTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, catalog: String, namespace: String,
+      name: String = "bq_codes"): String = {
+    val t = s"$catalog.$namespace.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t LOCATION '$dir'")
+    t
+  }
+
   /** One-shot convenience: quantize `embeddings` in-flight and funnel
     * through [[bqTopKFromCodes]]. Serving paths that answer repeated query
     * batches should MATERIALIZE the codes once ([[binaryQuantize]] →

@@ -383,6 +383,82 @@ class SqlSurfaceSpec extends AnyFunSuite with SharedSpark {
     assert(after !== before, "the appended docs must have changed the answer")
   }
 
+  test("LIVE SQL BQ codes table: registerCodesTable binds a catalog entry " +
+      "over the codes dir, and the SAME statement tracks appends with no " +
+      "re-registration") {
+    import graft.ops.{Similarity, SqlRecipes}
+    val emb = Tables.embeddings(spark, sf)
+    spark.conf.set("spark.sql.catalog.gidx",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gidx.warehouse",
+      java.nio.file.Files.createTempDirectory("gidx_wh_bq").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gidx.idx")
+
+    val dir = java.nio.file.Files.createTempDirectory("bq_live_codes")
+      .toString + "/codes"
+    Similarity.writeCodes(emb.filter(col("vec_id") < 300), dir)
+    val ct = Similarity.registerCodesTable(spark, dir, "gidx", "idx",
+      "live_bq_codes")
+    emb.createOrReplaceTempView("bq_live_emb")
+    val sql = SqlRecipes.bqFromCodesSql(ct, "bq_live_emb",
+      numQueries = 10, k = 5, shortlistK = 30)
+
+    def viaApi() = Similarity.bqTopKFromCodes(Similarity.readCodes(spark, dir),
+        emb, numQueries = 10, k = 5, shortlistK = 30)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    def viaSql() = spark.sql(sql)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val before = viaSql()
+    assert(before === viaApi(), "pre-append SQL must match the Scala path")
+
+    Similarity.appendToCodes(emb.filter(col("vec_id") >= 300), dir)
+    val after = viaSql()
+    assert(after === viaApi(), "post-append SQL must match the Scala path")
+    assert(after !== before, "the appended codes must have changed the answer")
+  }
+
+  test("LIVE SQL IVFADC tables: registerIndexTables binds catalog entries " +
+      "over the artifact dirs, and the SAME statement tracks appends with " +
+      "no re-registration") {
+    import graft.ops.{IvfPq, Pq, Similarity, SqlRecipes}
+    val emb = Tables.embeddings(spark, sf)
+    spark.conf.set("spark.sql.catalog.gidx",
+      classOf[graft.sources.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gidx.warehouse",
+      java.nio.file.Files.createTempDirectory("gidx_wh_pq").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gidx.idx")
+
+    val coarse = Pq.seedCodebooks(emb, m = 1, ksub = 8)
+      .select(col("code").as("cluster"), col("cw"))
+    val pqCb = IvfPq.seedResidualCodebooks(emb, coarse, m = 4, ksub = 8,
+      skip = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_live_idx")
+      .toString + "/idx"
+    IvfPq.writePqIndex(emb.filter(col("vec_id") < 300), coarse, pqCb, dir)
+    val (ct, cct, pt) = IvfPq.registerIndexTables(spark, dir, "gidx", "idx",
+      "live_pq")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+    queries.createOrReplaceTempView("pq_live_queries")
+    val sql = SqlRecipes.ivfPqForQueriesSql(ct, cct, pt, "pq_live_queries",
+      k = 5, nprobe = 3)
+
+    def viaApi() = IvfPq.searchIndex(IvfPq.readPqIndex(spark, dir),
+        queries.select(col("query_id"),
+          Similarity.toDoubleVec(col("embedding")).as("qv")),
+        k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    def viaSql() = spark.sql(sql)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val before = viaSql()
+    assert(before === viaApi(), "pre-append SQL must match the Scala path")
+
+    IvfPq.appendToPqIndex(emb.filter(col("vec_id") >= 300), dir)
+    val after = viaSql()
+    assert(after === viaApi(), "post-append SQL must match the Scala path")
+    assert(after !== before, "the appended codes must have changed the answer")
+  }
+
   test("pure-SQL BQ-from-codes recipe matches the Scala funnel on a " +
       "persisted, incrementally-appended codes table") {
     import graft.ops.Similarity
