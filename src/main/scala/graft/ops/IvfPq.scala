@@ -246,7 +246,7 @@ object IvfPq {
       (df, artifact) =>
         graft.catalog.VersionedTable.write(df, s"$dir/$artifact", operation); ()
     }
-    // publish point: ONE atomic manifest commit pins the artifacts' new
+    // publish point: ONE atomic manifest publish pins the artifacts' new
     // heads — readers see the whole mutation or none of it
     graft.catalog.IndexManifest.refresh(batch.sparkSession, dir,
       IndexArtifacts)

@@ -104,7 +104,7 @@ object IvfIngest {
           s"$txnApp#$artifact", txnId)
         ()
     }
-    // publish: one atomic manifest commit; a replayed batch's appends dedup
+    // publish: one atomic manifest publish; a replayed batch's appends dedup
     // to no-ops and this rewrites the same pins (convergent)
     graft.catalog.IndexManifest.refresh(spark, indexDir, Ivf.IndexArtifacts)
   }
@@ -131,8 +131,6 @@ object IvfIngest {
     */
   def vacuumIndex(spark: SparkSession, indexDir: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
-    (Ivf.IndexArtifacts :+ "manifest")
-      .filter(a => VersionedTable.exists(spark, s"$indexDir/$a"))
-      .flatMap(artifact =>
-        VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
+    Ivf.IndexArtifacts.flatMap(artifact =>
+      VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
 }

@@ -117,7 +117,7 @@ object PqIngest {
           s"$txnApp#$artifact", txnId)
         ()
     }
-    // publish: one atomic manifest commit; a replayed batch's appends dedup
+    // publish: one atomic manifest publish; a replayed batch's appends dedup
     // to no-ops and this rewrites the same pins (convergent)
     graft.catalog.IndexManifest.refresh(spark, indexDir, IvfPq.IndexArtifacts)
   }
@@ -145,8 +145,6 @@ object PqIngest {
     */
   def vacuumIndex(spark: SparkSession, indexDir: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
-    (IvfPq.IndexArtifacts :+ "manifest")
-      .filter(a => VersionedTable.exists(spark, s"$indexDir/$a"))
-      .flatMap(artifact =>
-        VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
+    IvfPq.IndexArtifacts.flatMap(artifact =>
+      VersionedTable.vacuum(spark, s"$indexDir/$artifact", retentionMs))
 }

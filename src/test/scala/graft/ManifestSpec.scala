@@ -123,8 +123,8 @@ class ManifestSpec extends AnyFunSuite with SharedSpark {
     // simulate an index built before the manifest protocol
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest"), true)
-    assert(!VersionedTable.exists(spark, s"$dir/manifest"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_index_manifest.json"),
+      false)
     assert(IndexManifest.pins(spark, dir).isEmpty, "no manifest → no pins")
     assert(rows(Ivf.ivfTopKFromIndex(Ivf.readIvfIndex(spark, dir),
       numQueries = 5, k = 5, nprobe = 4).orderBy("query_id", "rank"))
