@@ -28,11 +28,41 @@ object GraphRank {
 
   /** Ranks after `iterations` rounds over `edges(src, dst, weight)`; returns
     * `(node, rank)`. Edge weights must be non-negative; parallel edges are summed.
+    *
+    * `broadcastNodesBelow`: when the node count (known exactly — it is counted
+    * once for the teleport term anyway) is at or under this bound, the O(nodes)
+    * rank frame is broadcast-hinted into both per-iteration joins, so the
+    * O(edges) share table is NEVER shuffled inside the loop — each iteration
+    * reads it from cache through a broadcast hash join. Above the bound the
+    * loop keeps the shuffle-join shape (web-scale graphs cannot broadcast
+    * their node set). The default (500k nodes ≈ tens of MB framed) is far
+    * under the 8 GB broadcast cap; pass 0 to force shuffle joins.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "weight")
-      : DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "weight",
+      broadcastNodesBelow: Long = 500000L): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    val p = prepare(edges, srcCol, dstCol, weightCol)
+    val teleport = (1.0 - damping) / p.n
+    val bcastRanks = p.n <= broadcastNodesBelow.toDouble && broadcastNodesBelow > 0
+    var ranks = p.cachedNodes.withColumn("rank", lit(1.0 / p.n))
+    for (_ <- 1 to iterations)
+      ranks = iterate(ranks, p.cachedNodes, p.shares, p.n, teleport, damping,
+        p.hasDangling, bcastRanks)
+        .localCheckpoint() // see object doc: bounds the plan at one job/iteration
+    p.shares.unpersist()
+    p.cachedNodes.unpersist()
+    ranks.select("node", "rank")
+  }
+
+  /** The loop-invariant state: cached share table, cached dangling-flagged node
+    * list, exact node count, and whether any node is dangling.
+    */
+  private[graft] final case class Prepared(shares: DataFrame,
+      cachedNodes: DataFrame, n: Double, hasDangling: Boolean)
+
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String): Prepared = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
@@ -43,28 +73,61 @@ object GraphRank {
     val shares = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
       .persist()
-    val cachedNodes = nodes.persist()
-    val n = cachedNodes.count().toDouble // one scalar, fixed for the whole loop
-    val teleport = (1.0 - damping) / n
+    // dangling-ness is a property of the NODE, not of the iteration: flag it
+    // ONCE on the cached node list (guide §2.4 — this deletes the left-anti
+    // join + its exchanges from every iteration; the flag rides the rank frame
+    // through each checkpoint, so the per-iteration dangling mass is a plain
+    // filter+sum over rows the iteration materializes anyway)
     val srcs = shares.select("src").distinct()
-    var ranks = cachedNodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    val cachedNodes = nodes.join(srcs, nodes("node") === srcs("src"), "left")
+      .select(col("node"), col("src").isNull.as("dangling"))
+      .persist()
+    val n = cachedNodes.count().toDouble // one scalar, fixed for the whole loop
+    // a graph with NO dangling nodes (every node has an out-edge — common for
+    // transition graphs) has dm = 0 in EVERY iteration: the filter+agg and its
+    // one-row broadcast are then dropped from the loop outright (2 jobs per
+    // iteration), and `+ 0.0/n` is elided — IEEE-identical since rank > 0
+    val hasDangling =
+      cachedNodes.filter(col("dangling")).limit(1).count() > 0
+    Prepared(shares, cachedNodes, n, hasDangling)
+  }
+
+  /** The frame [[pageRank]] would checkpoint after its FIRST iteration — for
+    * PLAN CAPTURE only (plans/r15): same prelude + one [[iterate]], no
+    * checkpoint, cached prelude frames left persisted (callers are one-shot
+    * inspection tools).
+    */
+  private[graft] def firstIterationForPlan(edges: DataFrame,
+      damping: Double = 0.85, broadcastNodesBelow: Long = 500000L): DataFrame = {
+    val p = prepare(edges, "src", "dst", "weight")
+    iterate(p.cachedNodes.withColumn("rank", lit(1.0 / p.n)), p.cachedNodes,
+      p.shares, p.n, (1.0 - damping) / p.n, damping, p.hasDangling,
+      p.n <= broadcastNodesBelow.toDouble && broadcastNodesBelow > 0)
+  }
+
+  /** One power-iteration step (no checkpoint) — extracted so the loop body's
+    * physical plan is inspectable on its own (`plans/r15/`); [[pageRank]] is
+    * the only production caller and checkpoints each step.
+    */
+  private[graft] def iterate(ranks: DataFrame, cachedNodes: DataFrame,
+      shares: DataFrame, n: Double, teleport: Double, damping: Double,
+      hasDangling: Boolean, bcastRanks: Boolean): DataFrame = {
+    def rankSide(df: DataFrame): DataFrame = if (bcastRanks) broadcast(df) else df
+    val contrib = rankSide(ranks).join(shares, ranks("node") === shares("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rank") * col("share")).as("c"))
+    val joined = cachedNodes.join(rankSide(contrib), Seq("node"), "left")
+    if (hasDangling) {
       // dangling nodes hold rank but emit no contributions; their mass spreads
       // uniformly (the standard stochastic-matrix fix), attached as ONE broadcast row
-      val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
+      val dangling = ranks.filter(col("dangling"))
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-      val contrib = ranks.join(shares, ranks("node") === shares("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("share")).as("c"))
-      ranks = cachedNodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
+      joined.crossJoin(broadcast(dangling))
+        .select(col("node"), col("dangling"),
           (lit(teleport) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
-        .localCheckpoint() // see object doc: bounds the plan at one job/iteration
-    }
-    shares.unpersist()
-    cachedNodes.unpersist()
-    ranks
+    } else
+      joined.select(col("node"), col("dangling"),
+        (lit(teleport) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
   }
 }

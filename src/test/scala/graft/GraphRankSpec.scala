@@ -52,6 +52,22 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(got.values.sum - 1.0) < 1e-9) // dangling mass conserved
   }
 
+  test("forced shuffle-join path (broadcastNodesBelow = 0) matches the broadcast path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val nodes = (0 until 12).map(i => s"n$i")
+    val edges = (0 until 40).map { _ =>
+      (nodes(rng.nextInt(10)), nodes(2 + rng.nextInt(10)), 1.0 + rng.nextInt(5))
+    }.distinct
+    val shuffled = GraphRank.pageRank(edges.toDF("src", "dst", "weight"), 10,
+        broadcastNodesBelow = 0L)
+      .as[(String, Double)].collect().toMap
+    val want = reference(edges, iters = 10)
+    assert(shuffled.keySet === want.keySet)
+    shuffled.foreach { case (node, v) =>
+      assert(math.abs(v - want(node)) < 1e-9, node) }
+  }
+
   test("a sink hub out-ranks its spokes") {
     val star = (1 to 6).map(i => (s"s$i", "hub", 1.0)) :+ ("hub", "s1", 1.0)
     val r = ranks(star, iters = 15)
