@@ -296,15 +296,23 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** [[docs]] spread across cores for the CPU-HEAVY per-row gates (regex
+    * chains, codecs, wide HOF arrays) — [[Tables.spread]]: identity at scale,
+    * a doc_id-hash exchange only when the input is a single-row-group file
+    * that would otherwise run the whole gate on one task of one core.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir), "doc_id")
+
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.textStats(docs(s, dir)).orderBy("doc_id")
+    TextAnalysis.textStats(docsSpread(s, dir)).orderBy("doc_id")
 
   /** Gopher quality rules with corpus-scaled bounds (the synthetic docs run 10–99
     * words and carry exactly one Gopher stopword when any): word count in [20, 80],
     * at least one required stopword; everything else at the published defaults.
     */
   private def qGopherRules(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gopherRules(docs(s, dir),
+    TextAnalysis.gopherRules(docsSpread(s, dir),
       minWords = 20, maxWords = 80, minStopHits = 1)
       .orderBy("doc_id")
 
@@ -323,7 +331,7 @@ object SparkEntry {
     * oracle can replay.
     */
   private def qQualityScore(s: SparkSession, dir: String): DataFrame =
-    QualityClassifier.score(docs(s, dir), qualityWeights)
+    QualityClassifier.score(docsSpread(s, dir), qualityWeights)
       .select(col("doc_id"), round(col("quality"), 6).as("quality"))
       .orderBy("doc_id")
 
@@ -368,7 +376,8 @@ object SparkEntry {
     */
   private def qFuzzyPairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.FuzzyJoin.editDistancePairs(
-      Tables.load(s, dir, "customer").filter(col("c_custkey") <= 2000),
+      Tables.spread(Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 2000), "c_custkey"),
       "c_custkey", "c_name", maxDist = 1)
       .select(col("id_1"), col("id_2"), col("dist"))
       .orderBy("id_1", "id_2")
@@ -476,7 +485,7 @@ object SparkEntry {
     * hash-mismatches.
     */
   private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val wrapped = docs(s, dir).select(col("doc_id"), concat(
+    val wrapped = docsSpread(s, dir).select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id"),
       lit(" &amp; co</title><script type=\"text/javascript\">var t = 1 < 2;" +
         "</script><style>.nav{color:red}</style></head><body>" +
@@ -494,7 +503,7 @@ object SparkEntry {
     * The oracle replays the identical block split, scoring, and reassembly.
     */
   private def qHtmlMainContent(s: SparkSession, dir: String): DataFrame = {
-    val wrapped = docs(s, dir).select(col("doc_id"), concat(
+    val wrapped = docsSpread(s, dir).select(col("doc_id"), concat(
       lit("<html><head><title>T</title><script>var x = 1;</script></head>" +
         "<body><div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
         "<a href=\"/b\">Contact</a></div><p>"),
@@ -537,7 +546,8 @@ object SparkEntry {
     * ordered reassembly.
     */
   private def qSentenceDedup(s: SparkSession, dir: String): DataFrame =
-    ChunkDedup.dedupSentences(sentenceFixture(s, dir), maxOccurrences = 2)
+    ChunkDedup.dedupSentences(Tables.spread(sentenceFixture(s, dir), "doc_id"),
+      maxOccurrences = 2)
       .orderBy("doc_id")
 
   /** Character-entropy gate ([[TextAnalysis.charEntropy]]): exact-integer
@@ -546,7 +556,7 @@ object SparkEntry {
     * arithmetic.
     */
   private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.charEntropy(docs(s, dir)).orderBy("doc_id")
+    TextAnalysis.charEntropy(docsSpread(s, dir)).orderBy("doc_id")
 
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables.embeddings(s, dir),
@@ -999,7 +1009,7 @@ object SparkEntry {
   }
 
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")
+    TextAnalysis.repetitionStats(docsSpread(s, dir)).orderBy("doc_id")
 
   /** Contamination sweep of the corpus against a stand-in benchmark set (the 20
     * lowest-id documents) — exact self-copies surface at containment 1.0.
@@ -1016,7 +1026,7 @@ object SparkEntry {
     */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    Multimodal.featureTable(docs(s, dir))
+    Multimodal.featureTable(docsSpread(s, dir))
       .select("doc_id", "width", "height", "channels", "n_pixels", "first_byte")
       .orderBy("doc_id")
   }
@@ -1029,9 +1039,13 @@ object SparkEntry {
     */
   private def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    Multimodal.audioFeatureTable(docs(s, dir))
+    Multimodal.audioFeatureTable(docsSpread(s, dir))
       .select("doc_id", "sample_rate", "channels", "bits", "n_frames",
         "duration_ms", "rms", "zero_crossings", "peak")
+      // a global sort's range-sampling pass re-executes its child, so the
+      // WAV encode+decode would run TWICE per action; checkpoint the decoded
+      // features (metadata-width rows) so the codec runs once (guide §5)
+      .localCheckpoint()
       .orderBy("doc_id")
   }
 
@@ -1174,7 +1188,7 @@ object SparkEntry {
     * gaps-and-islands merge.
     */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedSpans(docs(s, dir), windowTokens = 8)
+    Dedup.duplicatedSpans(docsSpread(s, dir), windowTokens = 8)
       .orderBy("doc_id", "start_token")
 
   /** Fixed 24-bin histogram of order totals over [0, 600000); the oracle replays
@@ -1227,7 +1241,7 @@ object SparkEntry {
     * single-space rebuild.
     */
   private def qSpanCut(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupSubstrings(docs(s, dir), windowTokens = 8)
+    Dedup.dedupSubstrings(docsSpread(s, dir), windowTokens = 8)
       .select("doc_id", "text", "n_tokens_removed")
       .orderBy("doc_id")
 
@@ -1256,7 +1270,7 @@ object SparkEntry {
     * first-occurrence tiebreak, and the in-order rebuild.
     */
   private def qChunkDedup(s: SparkSession, dir: String): DataFrame =
-    ChunkDedup.dedupChunks(docs(s, dir), chunkWords = 20, maxOccurrences = 1)
+    ChunkDedup.dedupChunks(docsSpread(s, dir), chunkWords = 20, maxOccurrences = 1)
       .orderBy("doc_id")
 
   // targets and budget shared verbatim by the Spark plan and the oracle SQL —
@@ -1328,7 +1342,7 @@ object SparkEntry {
     */
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
-    val synth = docs(s, dir).select(col("doc_id")).withColumn("text", concat(
+    val synth = docsSpread(s, dir).select(col("doc_id")).withColumn("text", concat(
       lit("Reach user"), id, lit("@mail"), (col("doc_id") % 7).cast("string"),
       lit(".org or call "), ((col("doc_id") % 900) + 100).cast("string"),
       lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),

@@ -32,6 +32,25 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive input spread for CPU-heavy per-row operators (optimization
+    * guide §2.5, input skew: "one huge unsplittable file … otherwise repartition
+    * immediately after the read"): the harness tables are SINGLE-row-group
+    * parquet files, so every scan collapses to one task and per-row work
+    * (codecs, regex chains, HOF arrays) runs on one core of the whole machine
+    * no matter how many are available. When the input's natural parallelism is
+    * below the session's default parallelism, hash-repartition on the (unique)
+    * id column — deterministic keys, even spread, and column pruning still
+    * pushes below the exchange. At real scale a scan already carries more
+    * partitions than cores, the branch is not taken, and this is the identity —
+    * the exchange exists exactly when the input is by construction tiny.
+    */
+  def spread(df: DataFrame, byCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(byCol))
+    else df
+  }
+
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -246,12 +246,68 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One WAVE-capable writer, resolved through the ServiceLoader ONCE per
+    * partition: `AudioSystem.write` re-runs `JDK13Services.getProviders` — a
+    * JVM-GLOBAL synchronized registry lookup — per call, which serializes
+    * parallel encode tasks on one monitor (measured: a 32-way parallel encode
+    * ran SLOWER than single-task until this hoist). Same real codec, same
+    * bytes; only the provider lookup moves out of the per-row path.
+    */
+  private lazy val resolveWavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
+  /** The WAVE-capable readers, ServiceLoader-resolved once per JVM for the
+    * same registry-contention reason as [[resolveWavWriter]]. The provider
+    * instances are the same stateless codec objects `AudioSystem` itself
+    * hands every caller JVM-wide — sharing them across tasks is exactly the
+    * platform's own usage.
+    */
+  private lazy val resolveAudioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
   /** Stand-in audio ingest: one deterministic WAV per document id. */
   def audioFromIds(df: DataFrame, idCol: String = "doc_id")(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
-      .map(id => MediaRecord(id, "audio/wav", encodeWav(synthSamples(id))))
+      .mapPartitions { it =>
+        val writer = resolveWavWriter
+        it.map(id => MediaRecord(id, "audio/wav",
+          encodeWavVia(writer, synthSamples(id))))
+      }
+  }
+
+  /** [[encodeWav]] through a pre-resolved writer (falls back to the
+    * registry-scanning `AudioSystem.write` when resolution found none —
+    * byte-identical output either way, it is the same platform codec).
+    */
+  private def encodeWavVia(writer: Option[javax.sound.sampled.spi.AudioFileWriter],
+      samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    writer match {
+      case None => encodeWav(samples, sampleRate)
+      case Some(w) =>
+        val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+        val bytes = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          bytes(2 * i) = (samples(i) & 0xff).toByte
+          bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+        val out = new ByteArrayOutputStream()
+        w.write(ais, AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+    }
   }
 
   /** REAL audio decode: `AudioSystem` parses the container, features come from the
@@ -265,19 +321,35 @@ object Multimodal {
     import spark.implicits._
     records.mapPartitions { it =>
       import javax.sound.sampled.AudioSystem
+      // provider list resolved ONCE per partition — AudioSystem.getAudioInputStream
+      // re-runs the JVM-global synchronized registry scan per call (see
+      // resolveWavWriter); the readers themselves are the same platform codecs
+      val readers = resolveAudioReaders
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        val found = readers.iterator.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new ByteArrayInputStream(bytes)))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }.take(1).toSeq
+        // same terminal behavior as AudioSystem: no provider accepts → throw
+        found.headOption.getOrElse(
+          AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes)))
+      }
       it.map { r =>
         val decoded =
           try {
-            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.content))
+            val ais = open(r.content)
             val fmt = ais.getFormat
             if (fmt.getSampleSizeInBits != 16) None
             else {
               val data = ais.readAllBytes()
               val ch = fmt.getChannels
-              val frames = data.length / fmt.getFrameSize
+              val frameSize = fmt.getFrameSize // hoisted: a getter call per sample
+              val frames = data.length / frameSize
               val big = fmt.isBigEndian
               def sampleAt(frame: Int, c: Int): Int = {
-                val off = frame * fmt.getFrameSize + c * 2
+                val off = frame * frameSize + c * 2
                 val lo = data(off + (if (big) 1 else 0)) & 0xff
                 val hi = data(off + (if (big) 0 else 1))
                 (hi << 8) | lo
@@ -288,15 +360,16 @@ object Multimodal {
               var prev0 = 0
               var f = 0
               while (f < frames) {
+                var s0 = 0
                 var c = 0
                 while (c < ch) {
                   val s = sampleAt(f, c)
+                  if (c == 0) s0 = s // channel 0 already read — no second decode
                   sumSq += s.toLong * s
                   val a = math.abs(s)
                   if (a > peak) peak = a
                   c += 1
                 }
-                val s0 = sampleAt(f, 0)
                 if (f > 0 && s0.toLong * prev0 < 0) zc += 1
                 prev0 = s0
                 f += 1
