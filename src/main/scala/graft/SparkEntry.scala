@@ -364,7 +364,7 @@ object SparkEntry {
   // hashShingles = false on the contract paths: the DuckDB oracle replays raw
   // n-gram strings; production defaults shuffle xxhash64 keys (Bench measures those)
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5, hashShingles = false)
+    Dedup.ngramJaccardPairs(docsSpread(s, dir), threshold = 0.5, hashShingles = false)
       .orderBy("doc_a", "doc_b")
 
   /** Fuzzy entity resolution via FastSS deletion-neighborhood blocking: every

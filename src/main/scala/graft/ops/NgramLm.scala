@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bigram language-model perplexity scoring — the CCNet-style quality signal
@@ -66,15 +66,37 @@ object NgramLm {
       vocabSize: Long, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
+    scoredDocs(docs, bigrams, unigrams, idCol, textCol,
+      identity, lit(vocabSize))
+  }
+
+  /** [[scoreDocs]] with V riding IN the plan: the vocabulary size joins the
+    * bigram stream as a broadcast one-row cross join instead of a driver-side
+    * `count()` action. Same arithmetic (long V, identical expression tree) —
+    * but the unigram aggregation's exchange is computed once per action and
+    * REUSED (same-plan exchange reuse) by the V count and the scoring join,
+    * where the action form re-tokenized and re-aggregated the whole reference
+    * corpus a second time just to learn V.
+    */
+  private def scoreDocsPlanV(docs: DataFrame, bigrams: DataFrame,
+      unigrams: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val vRow = unigrams.agg(count(lit(1)).as("__vocab"))
+    scoredDocs(docs, bigrams, unigrams, idCol, textCol,
+      _.crossJoin(broadcast(vRow)), col("__vocab"))
+  }
+
+  private def scoredDocs(docs: DataFrame, bigrams: DataFrame,
+      unigrams: DataFrame, idCol: String, textCol: String,
+      attachV: DataFrame => DataFrame, vocab: Column): DataFrame = {
     val bg = bigrams.select(col("w1").as("b_w1"), col("w2").as("b_w2"),
       col("n").as("c_bigram"))
     val ug = unigrams.select(col("w").as("u_w"), col("n").as("c_w1"))
-    docBigrams(docs, idCol, textCol)
+    attachV(docBigrams(docs, idCol, textCol))
       .join(bg, col("w1") === col("b_w1") && col("w2") === col("b_w2"), "left")
       .join(ug, col("w1") === col("u_w"), "left")
       .withColumn("lp",
         log((coalesce(col("c_bigram"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c_w1"), lit(0L)) + vocabSize).cast("double")))
+          (coalesce(col("c_w1"), lit(0L)) + vocab).cast("double")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lp")), 6).as("avg_logprob"))
@@ -99,14 +121,12 @@ object NgramLm {
       .drop("__c_head", "__c_mid")
   }
 
-  /** Self-contained convenience: train on `ref`, score `docs`. The vocabulary size
-    * is the reference's distinct unigram count (one tiny metadata-scale action over
-    * the already-aggregated unigram table).
+  /** Self-contained convenience: train on `ref`, score `docs`. The vocabulary
+    * size is the reference's distinct unigram count, folded into the plan as a
+    * broadcast scalar ([[scoreDocsPlanV]]) rather than a separate driver action.
     */
   def perplexityScores(docs: DataFrame, ref: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ug = unigramCounts(ref, idCol, textCol)
-    val v = ug.count()
-    scoreDocs(docs, bigramCounts(ref, idCol, textCol), ug, v, idCol, textCol)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreDocsPlanV(docs, bigramCounts(ref, idCol, textCol),
+      unigramCounts(ref, idCol, textCol), idCol, textCol)
 }
