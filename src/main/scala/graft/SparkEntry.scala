@@ -1648,7 +1648,7 @@ object SparkEntry {
     * aggregation map-side, exact decimal money math. The pure scan-agg benchmark.
     */
   private def qPricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
     val qty = col("l_quantity").cast(DecimalType(18, 2))
     val price = col("l_extendedprice").cast(DecimalType(18, 2))
     val disc = col("l_discount").cast(DecimalType(18, 2))
@@ -1669,7 +1669,7 @@ object SparkEntry {
     * broadcast customer; revenue per customer, top 20 deterministic.
     */
   private def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = Tables.spread(Tables.lineitem(s, dir), "l_orderkey")
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val price = col("l_extendedprice").cast(DecimalType(18, 2))

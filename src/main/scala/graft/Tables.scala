@@ -8,11 +8,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred schema per table file, JVM-wide. `spark.read.parquet(path)` runs a
+    * footer-sniffing Spark JOB at plan-build time — ~30 ms of driver/scheduler
+    * round-trip PER TABLE PER QUERY INVOCATION, paid again on every re-plan of
+    * the same static file. A real deployment gets the schema from its catalog,
+    * not from re-reading footers per query; this map is that catalog (schema
+    * METADATA only — every query still computes its results from the parquet
+    * data). Keyed by (path, mtime) so a regenerated file re-infers.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // harness generations have shipped events.parquet as TIMESTAMP(NANOS); the flag
     // makes those read as long nanos instead of failing (no-op on µs generations)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val mtime = try new java.io.File(path).lastModified() catch {
+      case _: SecurityException => 0L
+    }
+    val schema = schemaCache.computeIfAbsent((path, mtime),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** events with `ts` normalized to a session-zone TIMESTAMP regardless of how the
