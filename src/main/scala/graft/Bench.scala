@@ -39,19 +39,24 @@ object Bench {
     * scale; the twins exist only so the oracle can verify the banding pipeline.
     */
   private val production: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tables.spread on every documents input: the per-row shingle hashing is
+    // the CPU-heavy side and the harness corpus is a single-row-group file —
+    // the same scale-adaptive input-spread the contract twins apply
     "q_minhash_neardup" -> ((s, dir) =>
       graft.ops.Dedup.minhashNearDuplicates(Tables.documents(s, dir),
         numHashes = 32, bands = 16, threshold = 0.5).orderBy("doc_a", "doc_b")),
     "q_simhash" -> ((s, dir) =>
-      graft.ops.Dedup.simHash(Tables.documents(s, dir)).orderBy("doc_id")),
+      graft.ops.Dedup.simHash(Tables.spread(Tables.documents(s, dir), "doc_id"))
+        .orderBy("doc_id")),
     // production shuffles xxhash64 shingle keys (hashShingles default), the
     // contract query raw strings the oracle can replay
     "q_ngram_jaccard" -> ((s, dir) =>
-      graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.5)
+      graft.ops.Dedup.ngramJaccardPairs(
+        Tables.spread(Tables.documents(s, dir), "doc_id"), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
     "q_incremental_neardup" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val d = Tables.documents(s, dir)
+      val d = Tables.spread(Tables.documents(s, dir), "doc_id")
       def sigs(part: org.apache.spark.sql.DataFrame) =
         graft.ops.Dedup.minHashSignatures(part, numHashes = 32)
       graft.ops.IncrementalDedup.matchesAgainstIndex(

@@ -383,7 +383,7 @@ object SparkEntry {
       .orderBy("id_1", "id_2")
 
   private def qMinhashNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDuplicates(docs(s, dir), numHashes = 32, bands = 16,
+    Dedup.minhashNearDuplicates(docsSpread(s, dir), numHashes = 32, bands = 16,
       threshold = 0.5, hashFn = Dedup.md5HashFn, bandHash = Dedup.md5BandHash,
       hashShingles = false)
       .orderBy("doc_a", "doc_b")
@@ -393,7 +393,7 @@ object SparkEntry {
     * agreement estimator; est_jaccard = agreeing hashes / 32 is binary-exact.
     */
   private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsSpread(s, dir)
     def sigs(part: DataFrame) = Dedup.minHashSignatures(
       part, numHashes = 32, hashFn = Dedup.md5HashFn)
     IncrementalDedup.matchesAgainstIndex(
@@ -403,10 +403,10 @@ object SparkEntry {
   }
 
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashMd5(docs(s, dir)).orderBy("doc_id")
+    Dedup.simHashMd5(docsSpread(s, dir)).orderBy("doc_id")
 
   private def qSimhashNearPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearPairs(Dedup.simHashMd5(docs(s, dir)), maxHamming = 3)
+    Dedup.simHashNearPairs(Dedup.simHashMd5(docsSpread(s, dir)), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
   private def qFingerprints(s: SparkSession, dir: String): DataFrame =
