@@ -437,7 +437,7 @@ object SparkEntry {
     * fusion-order change hash-mismatches.
     */
   private def qHybridRetrieval(s: SparkSession, dir: String): DataFrame =
-    HybridRetrieval.rrfTopK(docs(s, dir), Tables.embeddings(s, dir),
+    HybridRetrieval.rrfTopK(docsSpread(s, dir), Tables.embeddings(s, dir),
       numQueries = 5, legK = 20, k = 10).orderBy("query_id", "rank")
 
   /** Matryoshka funnel gate: cosine top-k over the 16-component PREFIX of
@@ -463,7 +463,7 @@ object SparkEntry {
     * and the 1/(60+rank) fusion.
     */
   private def qHybridBm25(s: SparkSession, dir: String): DataFrame =
-    HybridRetrieval.bm25RrfTopK(docs(s, dir), Tables.embeddings(s, dir),
+    HybridRetrieval.bm25RrfTopK(docsSpread(s, dir), Tables.embeddings(s, dir),
       numQueries = 5, legK = 20, k = 10).orderBy("query_id", "rank")
 
   /** Matryoshka FUNNEL gate ([[Similarity.funnelTopK]]): coarse cosine over the
@@ -1435,7 +1435,7 @@ object SparkEntry {
     * tiebreak so the ranking hashes identically.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame =
-    Bm25.topK(docs(s, dir), Seq("hash", "join", "vector"), k = 20)
+    Bm25.topK(docsSpread(s, dir), Seq("hash", "join", "vector"), k = 20)
       .orderBy(col("score").desc, col("doc_id"))
 
   /** DuckDB replay of [[HtmlExtract.mainContent]]'s block rule over the

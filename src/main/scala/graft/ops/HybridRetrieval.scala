@@ -362,7 +362,26 @@ object HybridRetrieval {
       legK: Int = 20, k: Int = 10, rrfK: Int = 60,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    bm25RrfTopKFromIndex(Bm25.buildIndex(docs, idCol, textCol), embeddings,
-      numQueries, legK, k, rrfK, k1, b, vecIdCol, vecCol)
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numQueries > 0 && legK > 0 && k > 0 && rrfK > 0)
+    val index = Bm25.buildIndex(docs, idCol, textCol)
+    // the in-memory index is a LAZY plan over `docs`, so the postings-derived
+    // query-term extraction ([[internalQueryTerms]]) would execute the WHOLE
+    // corpus tokenize+aggregate once just for its driver collect and then
+    // again inside the main plan. Here the corpus text is at hand: tokenize
+    // the numQueries query documents directly — identical distinct
+    // (query_id, term) pairs (same tokenizer, same ≠"" filter; postings are
+    // distinct (term, doc) by construction), one corpus-scale execution saved.
+    val (qTerms, termList) = externalQueryTerms(
+      docs.filter(col(idCol) < numQueries)
+        .select(col(idCol).as("query_id"), col(textCol)),
+      "query_id", textCol)
+    val lex = bm25LexLeg(index, qTerms, termList, legK, k1, b,
+      excludeSelf = true)
+    val sem = Similarity.cosineTopK(embeddings, numQueries, legK,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col("query_id"), col(vecIdCol).as("doc_id"),
+        col("rank").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
 }
