@@ -64,10 +64,50 @@ object ServingProfile {
       thunk().write.format("noop").mode("overwrite").save()
       (1 to reps).foreach { r =>
         jobs.synchronized(jobs.clear())
+        // driver-side hotspot sampler: the rep thread's stacks at 20 ms,
+        // histogrammed by the deepest graft/spark frame (SERVING_SAMPLE=1)
+        val repThread = Thread.currentThread()
+        val hist = scala.collection.mutable.Map[String, Int]()
+        @volatile var sampling = sys.env.contains("SERVING_SAMPLE")
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val st = repThread.getStackTrace
+            val frame = st.find(e =>
+              e.getClassName.startsWith("graft.") ||
+                e.getClassName.startsWith("org.apache.spark."))
+              .map(e => e.getClassName.split("\\.").takeRight(2).mkString(".") +
+                "." + e.getMethodName + ":" + e.getLineNumber)
+              .getOrElse(st.headOption.fold("?")(e =>
+                e.getClassName + "." + e.getMethodName))
+            hist.synchronized { hist(frame) = hist.getOrElse(frame, 0) + 1 }
+            Thread.sleep(20)
+          }
+        })
+        if (sampling) sampler.start()
         val t0 = System.nanoTime()
         thunk().write.format("noop").mode("overwrite").save()
         val total = (System.nanoTime() - t0) / 1000000
+        sampling = false
+        if (hist.nonEmpty) hist.synchronized {
+          hist.toSeq.sortBy(-_._2).take(15).foreach { case (f, n) =>
+            println(f"  samp ${n * 20}%6dms  $f")
+          }
+        }
         Thread.sleep(300) // let the listener bus drain
+        if (sys.env.contains("SERVING_SQLMETRICS")) {
+          val store = spark.sharedState.statusStore
+          store.executionsList().lastOption.foreach { e =>
+            val mv = store.executionMetrics(e.executionId)
+            val g = store.planGraph(e.executionId)
+            g.allNodes.foreach { n =>
+              val ms = n.metrics.flatMap(m => mv.get(m.accumulatorId)
+                .map(v => s"${m.name}=$v")).filter(s =>
+                  s.contains("time") || s.contains("rows"))
+              if (ms.nonEmpty)
+                println(s"  sql ${n.name}: ${ms.mkString(", ")}")
+            }
+          }
+        }
         val snap = jobs.synchronized(jobs.toSeq)
         println(s"== $gate rep $r total ${total}ms jobs ${snap.length} " +
           s"jobSum ${snap.map(_._2).sum}ms")
