@@ -5,9 +5,9 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Writes `.explain("formatted")` of named queries to `plans/r15/<q>_<tag>.txt`
+/** Writes `.explain("formatted")` of named queries to `plans/r16/<q>_<tag>.txt`
   * — the committed plan evidence for the optimization round (the judge cannot
-  * run Spark; these files back every plan-shape claim in OPTIMIZATION_r15.md).
+  * run Spark; these files back every plan-shape claim in OPTIMIZATION_r16.md).
   *
   * Usage: `runMain graft.tools.PlanDump <tag> <query> [query ...]`; reads
   * `SPARK_GRAFT_SF_DIR` / `SPARK_GRAFT_CPUS` like the other driver mains.
@@ -33,7 +33,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r15"))
+    Files.createDirectories(Paths.get("plans/r16"))
     args.tail.foreach { name =>
       val df = name match {
         case "pagerank_iteration" =>
@@ -43,8 +43,8 @@ object PlanDump {
         case q => graft.SparkEntry.queries(q)(spark, sfDir)
       }
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      Files.writeString(Paths.get(s"plans/r15/${name}_$tag.txt"), plan)
-      println(s"wrote plans/r15/${name}_$tag.txt")
+      Files.writeString(Paths.get(s"plans/r16/${name}_$tag.txt"), plan)
+      println(s"wrote plans/r16/${name}_$tag.txt")
     }
     spark.stop()
   }
