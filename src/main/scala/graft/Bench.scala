@@ -185,7 +185,10 @@ object Bench {
     // so a gate silently reverting to build+serve timing (2-5x the serving
     // number) can never masquerade as a serving regression — or hide one
     val servingFallback = servingFallbackJson(sb.fallbacks)
-    val tableOps = benchTableOps(spark, sfDir)
+    // iteration aid, driver-invisible (the driver never sets BENCH_ONLY): a
+    // query-restricted run skips the table-ops loop unless asked for it
+    val tableOps = (if (only.isEmpty || only.exists(_.contains("table_ops")))
+        benchTableOps(spark, sfDir) else Seq.empty[(String, Double)])
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val context = {
       val loadEnd = os.getSystemLoadAverage
