@@ -344,7 +344,10 @@ object SparkEntry {
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
-    val edges = Tables.load(s, dir, "events")
+    // spread by the WINDOW key: the single-row-group events scan otherwise
+    // runs the lag window + edge aggregation in one task, and the window
+    // reuses this exchange's partitioning (no second shuffle added)
+    val edges = Tables.spread(Tables.load(s, dir, "events"), "user_id")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("src", lag("event_type", 1).over(w))
       .filter(col("src").isNotNull)

@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   * no out-edges) is collected by an aggregate and attached via a broadcast
   * single-row cross join — no driver-side collect in the loop.
   *
-  * Each iteration materializes its rank frame with an eager `localCheckpoint`:
-  * the new ranks reference the old THREE times (dangling mass, contributions, and
-  * the node join), so an unmaterialized loop would branch the logical plan
-  * exponentially in the iteration count — one bounded job per iteration is the
-  * textbook trade (GraphX's Pregel makes the same one). On a real cluster prefer
-  * `spark.sparkContext.setCheckpointDir` + reliable checkpoints for fault
-  * tolerance past executor loss.
+  * Plan-growth control: WITH dangling nodes the new ranks reference the old
+  * TWICE (dangling mass + contributions), so an unmaterialized loop would
+  * branch the logical plan exponentially in the iteration count — each
+  * iteration materializes its rank frame with an eager `localCheckpoint`, one
+  * bounded job per iteration, the textbook trade (GraphX's Pregel makes the
+  * same one). WITHOUT dangling nodes the old ranks are referenced ONCE and
+  * the plan is a linear chain, so `checkpointEvery > 1` can compose several
+  * steps into one action — measured NEGATIVE at harness scale (r16
+  * same-window profile: k=5 read ~2.9 s vs ~2.2 s at k=1 — the one deep
+  * AQE plan costs more optimizer/driver time than the four saved
+  * materialization jobs), so the default stays 1; the knob exists for
+  * graphs whose per-iteration data cost dominates planning. On a real
+  * cluster prefer `spark.sparkContext.setCheckpointDir` + reliable
+  * checkpoints for fault tolerance past executor loss.
   */
 object GraphRank {
 
@@ -40,16 +47,23 @@ object GraphRank {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst", weightCol: String = "weight",
-      broadcastNodesBelow: Long = 500000L): DataFrame = {
+      broadcastNodesBelow: Long = 500000L, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val p = prepare(edges, srcCol, dstCol, weightCol)
     val teleport = (1.0 - damping) / p.n
     val bcastRanks = p.n <= broadcastNodesBelow.toDouble && broadcastNodesBelow > 0
     var ranks = p.cachedNodes.withColumn("rank", lit(1.0 / p.n))
-    for (_ <- 1 to iterations)
+    for (i <- 1 to iterations) {
       ranks = iterate(ranks, p.cachedNodes, p.shares, p.n, teleport, damping,
         p.hasDangling, bcastRanks)
-        .localCheckpoint() // see object doc: bounds the plan at one job/iteration
+      // plan-growth control — see the object doc: dangling graphs MUST
+      // checkpoint per iteration (double reference ⇒ exponential plan);
+      // dangle-free graphs may chain `checkpointEvery` linear steps per
+      // action (default 1 — the chain measured slower at harness scale)
+      if (p.hasDangling || i % checkpointEvery == 0 || i == iterations)
+        ranks = ranks.localCheckpoint()
+    }
     p.shares.unpersist()
     p.cachedNodes.unpersist()
     ranks.select("node", "rank")
@@ -66,13 +80,19 @@ object GraphRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val outW = e.groupBy("src").agg(sum("w").as("ow"))
     // share is loop-invariant: computed once, cached, reused every iteration
     val shares = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
       .persist()
+    // nodes derive from the PERSISTED shares, not from `e`: shares holds
+    // exactly e's (src, dst) pairs (the outW join matches every row by
+    // construction), so the node set is identical — but every prepare-time
+    // subtree now reads the one cached frame instead of re-running the
+    // caller's edge pipeline per broadcast/distinct subtree (profiled r16:
+    // the upstream window+aggregate executed 4× per invocation, single-task)
+    val nodes = shares.select(col("src").as("node"))
+      .union(shares.select(col("dst").as("node"))).distinct()
     // dangling-ness is a property of the NODE, not of the iteration: flag it
     // ONCE on the cached node list (guide §2.4 — this deletes the left-anti
     // join + its exchanges from every iteration; the flag rides the rank frame
@@ -82,13 +102,17 @@ object GraphRank {
     val cachedNodes = nodes.join(srcs, nodes("node") === srcs("src"), "left")
       .select(col("node"), col("src").isNull.as("dangling"))
       .persist()
-    val n = cachedNodes.count().toDouble // one scalar, fixed for the whole loop
+    // ONE fused job learns both loop constants (the count is exact-integer;
+    // the dangling probe is an existence max) — was a count plus a separate
+    // limit-1 count, two scheduler round-trips over the same cached frame
+    val row = cachedNodes.agg(count(lit(1)),
+      max(when(col("dangling"), 1).otherwise(0))).head()
+    val n = row.getLong(0).toDouble // one scalar, fixed for the whole loop
     // a graph with NO dangling nodes (every node has an out-edge — common for
     // transition graphs) has dm = 0 in EVERY iteration: the filter+agg and its
     // one-row broadcast are then dropped from the loop outright (2 jobs per
     // iteration), and `+ 0.0/n` is elided — IEEE-identical since rank > 0
-    val hasDangling =
-      cachedNodes.filter(col("dangling")).limit(1).count() > 0
+    val hasDangling = !row.isNullAt(1) && row.getInt(1) > 0
     Prepared(shares, cachedNodes, n, hasDangling)
   }
 
