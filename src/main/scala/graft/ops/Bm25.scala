@@ -341,7 +341,12 @@ object Bm25 {
     require(terms.forall(t => t == t.toLowerCase), s"terms must be lowercase: $terms")
     require(terms.distinct.size == terms.size, "repeated terms double-count")
 
-    // only the query terms' postings leave the index scan
+    // only the query terms' postings leave the index scan. NO input spread
+    // here (unlike HybridRetrieval.bm25LexLeg): a hand-written query carries
+    // a few terms, so the pruned stream is tiny and the exchange costs more
+    // than the one-task aggregation it would parallelize (r16 interleaved
+    // A/B: q_bm25_append serving 0.33 s unspread vs 0.47 s spread; the
+    // hybrid legs' 5-document term sets are ~10× wider and win there)
     val hits = index.postings.filter(col("term").isin(terms: _*))
     val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
     // per-doc (term, tf) pairs pivot to tf columns so the scoring chain is the

@@ -51,11 +51,14 @@ object HybridRetrieval {
         explode(TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))).as("tok"))
       .filter(col("tok") =!= "")
       .distinct()
+    // the query side renames `tok` so the self-join condition binds the two
+    // frames unambiguously (a same-named Column compared against its own
+    // lineage logs a "trivially true equals predicate" warning)
     val qToks = toks.filter(col("doc_id") < numQueries)
-      .select(col("doc_id").as("query_id"), col("tok"))
+      .select(col("doc_id").as("query_id"), col("tok").as("qtok"))
     // query tokens are numQueries documents' worth — broadcast by construction
     val overlap = toks.join(broadcast(qToks),
-        toks("tok") === qToks("tok") && toks("doc_id") =!= qToks("query_id"))
+        toks("tok") === qToks("qtok") && toks("doc_id") =!= qToks("query_id"))
       .groupBy(col("query_id"), toks("doc_id"))
       .agg(count(lit(1)).as("overlap"))
     val lexW = Window.partitionBy(col("query_id"))
@@ -107,9 +110,19 @@ object HybridRetrieval {
   private def bm25LexLeg(index: Bm25.Index, qTerms: DataFrame,
       termList: Seq[String], legK: Int, k1: Double, b: Double,
       excludeSelf: Boolean): DataFrame = {
-    val termPruned =
+    // Tables.spread (footer-gated, identity at scale): a harness-sized index
+    // is one row group, so WITHOUT the exchange the pruned scan AND its whole
+    // per-(query, doc) partial aggregation run in ONE task (profiled ~450 ms
+    // of single-core hash-agg per rep in r15) — and the scan executes TWICE
+    // per action (once under `dfs`, once under `hits`). The doc_id-hash
+    // exchange parallelizes the partial aggregation and is REUSED by both
+    // consumers, so the pruned postings are read once. Round-15's rejection
+    // of this spread bundled it with an eager per-rep `.rdd` partition probe;
+    // the footer-metadata gate removed that cost (re-adjudicated by
+    // interleaved A/B this round — see OPTIMIZATION_r16.md).
+    val termPruned = graft.Tables.spread(
       if (termList.isEmpty) index.postings.filter(lit(false))
-      else index.postings.filter(col("term").isin(termList: _*))
+      else index.postings.filter(col("term").isin(termList: _*)), "doc_id")
     // per-term document frequency, restricted to the query vocabulary (tiny)
     val dfs = termPruned.groupBy("term").agg(count(lit(1)).as("df"))
     val noSelf =
