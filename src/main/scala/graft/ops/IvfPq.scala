@@ -143,6 +143,11 @@ object IvfPq {
     // collects driver-side and pushes into the scan as isin, so row-group
     // stats on a cluster-clustered codes table PRUNE the read (the
     // Ivf.serveFromIndex pattern) instead of the join filtering post-read
+    // NO input spread on the pruned code scan: tried r16 (Tables.spread by
+    // vec_id), interleaved A/B REJECTED it — q_ivfpq_topk 0.95 s unspread vs
+    // 1.13 s spread (1.20×), q_hybrid_pq 1.13× — the probed clusters' code
+    // rows are too few for the exchange to buy back its stage
+    // (tools/adc_ab_r16.json)
     val scanned =
       if (!pruneScan) codes
       else {
@@ -398,11 +403,26 @@ object IvfPq {
         pins).count().toInt
     val m0 = if (m > 0) m else geom.getInt(0)
     val ks = if (ksub > 0) ksub else geom.getInt(1)
-    val trainFrame = embeddings
-      .select(col(idCol).as("__orig"), col(vecCol).as("embedding"))
-      .withColumn("vec_id",
-        row_number().over(Window.orderBy(col("__orig"))).cast("long") - 1)
-      .select(col("vec_id"), col("embedding"))
+    // Dense contiguous train ids in __orig order WITHOUT a global window
+    // (`row_number().over(Window.orderBy(...))` pulls the whole corpus into
+    // ONE partition — fine for a harness corpus, a single-task sort at real
+    // scale): range-partition + in-partition sort IS the global order, and
+    // zipWithIndex stamps per-partition offsets (one extra count job). Ids
+    // are unique, so the mapping is identical to the window's.
+    val trainFrame = {
+      val base = embeddings
+        .select(col(idCol).as("__orig"), col(vecCol).as("embedding"))
+      val sorted = base.repartitionByRange(col("__orig"))
+        .sortWithinPartitions("__orig")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        base.schema("embedding")))
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(1))
+        }, outSchema)
+    }
     val coarse = trainCoarse(trainFrame, k, iters)
     val pq = trainResidualPq(trainFrame, coarse, m0, ks, iters)
     writePqIndex(embeddings, coarse, pq, dir, idCol, vecCol, batchLabel)

@@ -135,9 +135,10 @@ object LakeWriter {
     * `text` sink writes the raw JSON lines (swap for `format("kafka")` where the
     * connector jar is present — the plan upstream of the sink is unchanged).
     *
-    * The global row_number is fine HERE and only here: a replay producer is a
-    * single-stream, driver-paced tool (the reference's is a sequential CSV loop); the
-    * scale path for ingest is [[ingestKafkaStream]], not this.
+    * Message indexing avoids a global window (`row_number` over an unpartitioned
+    * Window pulls the dataset into ONE task): range-partition + in-partition
+    * sort IS the global `orderCol` order, and zipWithIndex stamps dense
+    * per-partition offsets — same indexes, no single-partition sort.
     */
   def rateProducer(
       spark: SparkSession,
@@ -146,14 +147,20 @@ object LakeWriter {
       outputDir: String,
       checkpointDir: String,
       rowsPerSecond: Int = 1): StreamingQuery = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
     // localCheckpoint materializes the indexed messages ONCE: a stream-static join
-    // re-evaluates the static plan every micro-batch, which would re-run the global
-    // sort + row_number + JSON encode per trigger for the life of the query
-    val indexed = dataset
-      .withColumn("__idx", row_number().over(w).cast("long") - 1)
-      .select(col("__idx"),
-        to_json(struct(dataset.columns.map(col): _*)).as("value"))
+    // re-evaluates the static plan every micro-batch, which would re-run the
+    // sort + indexing + JSON encode per trigger for the life of the query
+    val ordered = dataset
+      .repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+      .select(to_json(struct(dataset.columns.map(col): _*)).as("value"))
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("__idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      ordered.schema("value")))
+    val indexed = spark.createDataFrame(
+        ordered.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.getString(0))
+        }, outSchema)
       .localCheckpoint()
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toLong).load()
